@@ -1,0 +1,143 @@
+package graft.queries
+
+/** Relational constructs the reference generates or delegates (SURVEY §2.3).
+  *
+  * Bruin itself executes no joins/aggregates — it generates SQL (LEFT JOIN for
+  * SCD2 expiry, LEFT ANTI via NOT EXISTS for merge/datavault inserts, LAG for
+  * satellites, ROW_NUMBER dedup, UNION ALL rebuilds, DISTINCT key extraction —
+  * reference pkg/duckdb/materialization.go, pkg/duckdb/datavault_materialization.go,
+  * pkg/ansisql/bruin_funcs.go) and hands it to the warehouse. Here Spark SQL /
+  * Catalyst is that warehouse; these queries pin the semantics against DuckDB.
+  *
+  * Scale notes: all of these are declarative single-pass plans — Catalyst
+  * pushes the filters into the parquet scan, prunes columns, picks broadcast
+  * joins for the small dimensions (nation/region/customer at bench SF), and
+  * AQE coalesces shuffle partitions. Nothing here collects to the driver.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: map-side partial agg, one shuffle on the
+    * (tiny) group key — at 100 TB this is the canonical "scan-heavy, agg-light"
+    * plan and stays a single exchange. */
+  val aggPricingSummary: OQ = OQ.shared("rel_agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+      |  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** 4-way star join: fact (lineitem) joined to dims; Catalyst broadcasts the
+    * small sides (customer/nation at test SF; nation/region always). */
+  val joinRevenueByNation: OQ = OQ.shared("rel_join_revenue_by_nation",
+    """SELECT n_name,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey  = o_orderkey
+      |JOIN customer ON o_custkey   = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin)
+
+  /** NOT EXISTS → left-anti join (merge-insert / datavault hub pattern,
+    * reference duckdb/materialization.go:139-163). */
+  val leftAntiCustomersWithoutOrders: OQ = OQ.shared("rel_left_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+
+  /** EXISTS → left-semi join. */
+  val semiJoin: OQ = OQ.shared("rel_semi_join",
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin)
+
+  /** LEFT OUTER join (SCD2 expire/detect shape, materialization.go:392-519). */
+  val leftJoin: OQ = OQ.shared("rel_left_join",
+    """SELECT c_custkey, c_mktsegment,
+      |  COALESCE(CAST(o_cnt AS BIGINT), 0) AS order_cnt
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, COUNT(*) AS o_cnt FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey""".stripMargin)
+
+  /** LAG window (datavault satellite hashdiff chain, datavault_materialization.go:167). */
+  val windowLag: OQ = OQ.shared("rel_window_lag",
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+      |FROM orders""".stripMargin)
+
+  /** ROW_NUMBER dedup (the `deduplicate` jinja macro, ansisql/bruin_funcs.go:7-65). */
+  val windowDedup: OQ = OQ.shared("rel_window_dedup",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1""".stripMargin)
+
+  /** Running total window (semantic layer `running_total`, semantic-engine :526-566). */
+  val windowRunningTotal: OQ = OQ.shared("rel_window_running_total",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin)
+
+  /** UNION ALL + DISTINCT (SCD2 rebuild / delete+insert key extraction). */
+  val unionDistinct: OQ = OQ.shared("rel_union_distinct",
+    """SELECT DISTINCT side, nk FROM (
+      |  SELECT 'cust' AS side, c_nationkey AS nk FROM customer
+      |  UNION ALL
+      |  SELECT 'supp' AS side, s_nationkey AS nk FROM supplier) u""".stripMargin)
+
+  /** GROUP BY ROLLUP — grouping-set aggregation delegated to Catalyst. */
+  val rollup: OQ = OQ.shared("rel_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+
+  /** Pivot via conditional aggregation (the `pivot` jinja macro shape,
+    * bruin_funcs.go:169-175) — portable across both dialects. */
+  val pivot: OQ = OQ.shared("rel_pivot",
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin)
+
+  /** Top-K with deterministic tie-break — Spark plans TakeOrderedAndProject
+    * (no global sort of the full relation). */
+  val topK: OQ = OQ.shared("rel_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+
+  /** GROUP BY ordinal (jinja group_by(1,2) macro, bruin_funcs.go:82-101). */
+  val groupByOrdinal: OQ = OQ.shared("rel_group_by_ordinal",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1, 2""".stripMargin)
+
+  /** date_spine / generate_series (bruin_funcs.go:237-500; the reference's own
+    * Spark variant at :344-361 uses sequence()+explode — we do the same). */
+  val dateSpine: OQ = OQ.split("rel_date_spine",
+    """SELECT CAST(CAST(d AS DATE) AS STRING) AS day FROM (
+      |  SELECT explode(sequence(DATE '2024-01-01', DATE '2024-03-31', interval 1 day)) AS d)""".stripMargin,
+    """SELECT CAST(CAST(gs AS DATE) AS VARCHAR) AS day
+      |FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY) t(gs)""".stripMargin)
+
+  /** Time-bucketed event aggregation (time_interval materialization shape +
+    * `events` stream table; ts is ns in parquet, truncated to us both sides). */
+  val eventDaily: OQ = OQ.shared("rel_event_daily",
+    """SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS STRING) AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT user_id) AS uniq_users
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY 1, 2""".stripMargin)
+
+  val all: Seq[OQ] = Seq(
+    aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
+    semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
+    unionDistinct, rollup, pivot, topK, groupByOrdinal, dateSpine, eventDaily)
+}
