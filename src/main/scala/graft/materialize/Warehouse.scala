@@ -1,0 +1,75 @@
+package graft.materialize
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Catalog-backed table store the materializer writes into.
+  *
+  * The reference delegates writes to ~25 warehouse backends; here the
+  * "warehouse" is Spark's session catalog (parquet tables under
+  * spark.sql.warehouse.dir). On a cluster the same interface maps onto a
+  * Delta/Iceberg catalog where `createOrReplace` is atomic and merge/delete
+  * are native — the staged-swap below is the format-agnostic fallback (the
+  * reference uses the exact same emulation for DuckDB,
+  * pkg/duckdb/materialization.go:111-170).
+  */
+trait Warehouse {
+  def spark: SparkSession
+  def exists(name: String): Boolean
+  def table(name: String): DataFrame
+  /** Full-table replace. Implemented stage-then-rename so a) the new data is
+    * fully written before the old table disappears and b) the SELECT may read
+    * the table it replaces (self-referencing rebuilds: SCD2, merge). */
+  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
+  def append(name: String, df: DataFrame): Unit
+  /** INSERT OVERWRITE keeping the table definition. */
+  def overwrite(name: String, df: DataFrame): Unit
+  def drop(name: String): Unit
+  def ensureSchema(name: String): Unit
+}
+
+final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
+
+  override def exists(name: String): Boolean = spark.catalog.tableExists(name)
+
+  override def table(name: String): DataFrame = spark.table(name)
+
+  /** CREATE SCHEMA IF NOT EXISTS for qualified names (reference
+    * pkg/duckdb/operator.go:118-123, ansisql/schema.go). */
+  override def ensureSchema(name: String): Unit = {
+    val parts = name.split('.')
+    if (parts.length > 1)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts.dropRight(1).mkString(".")}")
+  }
+
+  override def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    ensureSchema(name)
+    val stage = s"${name}__stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    write(df, partitionBy).mode(SaveMode.Overwrite).saveAsTable(stage)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+  }
+
+  override def append(name: String, df: DataFrame): Unit = {
+    ensureSchema(name)
+    write(df, Nil).mode(SaveMode.Append).saveAsTable(name)
+  }
+
+  override def overwrite(name: String, df: DataFrame): Unit = {
+    // The writer can't overwrite a table it reads from; stage-swap instead.
+    createOrReplace(name, df)
+  }
+
+  override def drop(name: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  private def write(df: DataFrame, partitionBy: Seq[String]) = {
+    // Cluster writes by the partition columns so each output partition is
+    // written by few tasks (avoids the small-files explosion at scale).
+    val clustered =
+      if (partitionBy.nonEmpty)
+        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val w = clustered.write.format("parquet")
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+}

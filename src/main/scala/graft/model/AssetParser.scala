@@ -1,0 +1,212 @@
+package graft.model
+
+import org.yaml.snakeyaml.Yaml
+import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
+
+/** Parses asset files: SQL with an embedded `/* @bruin … @bruin */` YAML
+  * header, Python with a `""" @bruin … @bruin """` block, or pure YAML
+  * (reference pkg/pipeline/comment.go, yaml.go; strip regex mirrors
+  * pkg/pipeline/materializer.go:11).
+  */
+object AssetParser {
+
+  private val SqlHeader = """(?s)/\*\s*@bruin(.*?)@bruin\s*\*/""".r
+  private val PyHeader  = "(?s)\"\"\"\\s*@bruin(.*?)@bruin\\s*\"\"\"".r
+
+  /** Parse a single asset file's text. `fileName` drives defaults
+    * (asset name from file stem, type from extension). */
+  def parse(fileName: String, text: String): Asset = {
+    val stem = fileName.split('/').last.replaceAll("\\.(sql|py|asset\\.yml|asset\\.yaml|yml|yaml)$", "")
+    if (fileName.endsWith(".yml") || fileName.endsWith(".yaml"))
+      fromYaml(stem, text, content = "")
+    else {
+      val (header, body) = splitHeader(fileName, text)
+      val defaultType =
+        if (fileName.endsWith(".py")) AssetType.SparkPython else AssetType.SparkSql
+      header match {
+        case Some(yamlText) => fromYaml(stem, yamlText, body, defaultType)
+        case scala.None     => Asset(name = stem, assetType = defaultType, content = body)
+      }
+    }
+  }
+
+  def parseFile(path: Path): Asset =
+    parse(path.toString, Files.readString(path))
+
+  /** Strip the @bruin header; return (headerYaml, remaining content). */
+  def splitHeader(fileName: String, text: String): (Option[String], String) = {
+    val re = if (fileName.endsWith(".py")) PyHeader else SqlHeader
+    re.findFirstMatchIn(text) match {
+      case Some(m) => (Some(m.group(1)), re.replaceFirstIn(text, "").trim)
+      case scala.None => (scala.None, text.trim)
+    }
+  }
+
+  // ---- YAML → model ------------------------------------------------------
+
+  def fromYaml(defaultName: String, yamlText: String, content: String,
+               defaultType: String = AssetType.SparkSql): Asset = {
+    val root = Option(new Yaml().load[Any](yamlText)).map(asMap).getOrElse(Map.empty)
+    val name = str(root, "name").getOrElse(defaultName)
+    val typ  = AssetType.normalize(str(root, "type").getOrElse(defaultType))
+
+    val upstreams = seq(root, "depends").map {
+      case s: String => Upstream(s)
+      case m         =>
+        val mm = asMap(m)
+        Upstream(
+          str(mm, "asset").orElse(str(mm, "uri")).getOrElse(""),
+          typ = if (mm.contains("uri")) "uri" else "asset",
+          mode = str(mm, "mode").getOrElse("full"))
+    }
+
+    val columns = seq(root, "columns").map(c => parseColumn(asMap(c)))
+    val mat = map(root, "materialization").map(parseMaterialization).getOrElse(Materialization())
+
+    val custom = seq(root, "custom_checks").map { c =>
+      val m = asMap(c)
+      CustomCheck(
+        name = str(m, "name").getOrElse("custom"),
+        query = str(m, "query").getOrElse(""),
+        value = longOpt(m, "value"),
+        count = longOpt(m, "count"),
+        blocking = bool(m, "blocking").getOrElse(true))
+    }
+
+    val params = map(root, "parameters")
+      .map(_.map { case (k, v) => k -> String.valueOf(v) })
+      .getOrElse(Map.empty)
+
+    val unitTests = seq(root, "unit_tests").map(parseUnitTest)
+
+    Asset(
+      name = name, assetType = typ,
+      content = if (content.nonEmpty) content else str(root, "query").getOrElse(""),
+      upstreams = upstreams, columns = columns, materialization = mat,
+      customChecks = custom, parameters = params,
+      tags = seq(root, "tags").map(String.valueOf(_)),
+      owner = str(root, "owner").getOrElse(""),
+      unitTests = unitTests)
+  }
+
+  private def parseColumn(m: Map[String, Any]): Column = {
+    val checks = seq(m, "checks").map {
+      case s: String => ColumnCheck(s)
+      case c =>
+        val cm = asMap(c)
+        ColumnCheck(
+          name = str(cm, "name").getOrElse(""),
+          value = cm.get("value").map(CheckValue.of),
+          blocking = bool(cm, "blocking").getOrElse(true))
+    }
+    Column(
+      name = str(m, "name").getOrElse(""),
+      typ = str(m, "type").getOrElse(""),
+      description = str(m, "description").getOrElse(""),
+      primaryKey = bool(m, "primary_key").getOrElse(false),
+      updateOnMerge = bool(m, "update_on_merge").getOrElse(false),
+      nullable = bool(m, "nullable").getOrElse(true),
+      checks = checks)
+  }
+
+  private def parseMaterialization(m: Map[String, Any]): Materialization =
+    Materialization(
+      typ = str(m, "type").map(MaterializationType.parse).getOrElse(MaterializationType.None),
+      strategy = str(m, "strategy").map(Strategy.parse),
+      partitionBy = strOrList(m, "partition_by"),
+      clusterBy = strOrList(m, "cluster_by"),
+      incrementalKey = str(m, "incremental_key"),
+      incrementalPredicate = str(m, "incremental_predicate"),
+      timeGranularity = str(m, "time_granularity").map(TimeGranularity.parse)
+        .getOrElse(TimeGranularity.Timestamp))
+
+  private def parseUnitTest(raw: Any): UnitTest = {
+    val m = asMap(raw)
+    val inputs = seq(m, "inputs").map { i =>
+      val im = asMap(i)
+      UnitTestFixture(
+        asset = str(im, "asset").getOrElse(""),
+        rows = seq(im, "rows").map(asMap))
+    }
+    val exp = map(m, "expected").map { em =>
+      UnitTestExpectation(
+        rows = seq(em, "rows").map(asMap),
+        count = longOpt(em, "count"),
+        matchMode = str(em, "match").getOrElse("subset"),
+        order = str(em, "order").getOrElse("any"))
+    }.getOrElse(UnitTestExpectation())
+    UnitTest(
+      name = str(m, "name").getOrElse(""),
+      inputs = inputs, expected = exp,
+      executionTime = str(m, "execution_time"))
+  }
+
+  // ---- pipeline.yml ------------------------------------------------------
+
+  def parsePipelineYaml(text: String): Pipeline = {
+    val root = Option(new Yaml().load[Any](text)).map(asMap).getOrElse(Map.empty)
+    Pipeline(
+      name = str(root, "name").getOrElse("pipeline"),
+      schedule = str(root, "schedule").getOrElse(""),
+      startDate = str(root, "start_date").getOrElse(""),
+      variables = map(root, "variables").getOrElse(Map.empty),
+      concurrency = longOpt(root, "concurrency").map(_.toInt).getOrElse(1),
+      retries = longOpt(root, "retries").map(_.toInt).getOrElse(0))
+  }
+
+  /** Load a pipeline directory: pipeline.yml + the assets dir. */
+  def loadPipeline(dir: Path): Pipeline = {
+    val pyml = dir.resolve("pipeline.yml")
+    val base =
+      if (Files.exists(pyml)) parsePipelineYaml(Files.readString(pyml))
+      else Pipeline(name = dir.getFileName.toString)
+    val assetsDir = dir.resolve("assets")
+    val assets =
+      if (!Files.exists(assetsDir)) Nil
+      else Files.walk(assetsDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          val n = p.toString
+          n.endsWith(".sql") || n.endsWith(".py") || n.endsWith(".yml") || n.endsWith(".yaml")
+        }
+        .map(parseFile).toSeq.sortBy(_.name)
+    base.copy(assets = assets)
+  }
+
+  def loadPipeline(dir: String): Pipeline = loadPipeline(Paths.get(dir))
+
+  // ---- yaml plumbing -----------------------------------------------------
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }.toMap
+    case _ => Map.empty
+  }
+  private def map(m: Map[String, Any], k: String): Option[Map[String, Any]] =
+    m.get(k).collect { case mm: java.util.Map[_, _] => asMap(mm) }
+  private def seq(m: Map[String, Any], k: String): Seq[Any] = m.get(k) match {
+    case Some(l: java.util.List[_]) => l.asScala.toSeq
+    case _ => Nil
+  }
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s if s != null => String.valueOf(s) }.filter(_.nonEmpty)
+  private def bool(m: Map[String, Any], k: String): Option[Boolean] = m.get(k).collect {
+    case b: Boolean => b
+    case b: java.lang.Boolean => b.booleanValue
+    case s: String => s.equalsIgnoreCase("true")
+  }
+  /** Accept `key: col` or `key: [col1, col2]`. */
+  private def strOrList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+    case Some(l: java.util.List[_]) => l.asScala.toSeq.map(String.valueOf(_))
+    case Some(s) if s != null       => Seq(String.valueOf(s)).filter(_.nonEmpty)
+    case _                          => Nil
+  }
+  private def longOpt(m: Map[String, Any], k: String): Option[Long] = m.get(k).collect {
+    case i: Int => i.toLong
+    case l: Long => l
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case s: String if s.matches("-?\\d+") => s.toLong
+  }
+}

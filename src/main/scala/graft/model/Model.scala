@@ -1,0 +1,199 @@
+package graft.model
+
+/** Core pipeline/asset data model.
+  *
+  * Mirrors the reference's abstractions (pipeline.Pipeline /
+  * pipeline.Asset / pipeline.Column / pipeline.Materialization at
+  * reference pkg/pipeline/pipeline.go:2238-2269, 1297-1341, 845-869,
+  * 592-660) re-expressed as idiomatic Scala case classes. Column types stay
+  * free-form SQL strings (the reference owns no type system — SURVEY §1.2);
+  * they are parsed on demand with Spark's own DDL parser.
+  */
+
+sealed trait MaterializationType
+object MaterializationType {
+  case object None  extends MaterializationType
+  case object View  extends MaterializationType
+  case object Table extends MaterializationType
+  def parse(s: String): MaterializationType = s.trim.toLowerCase match {
+    case "view"  => View
+    case "table" => Table
+    case "" | "none" => None
+    case other => throw new IllegalArgumentException(s"unknown materialization type: $other")
+  }
+}
+
+sealed abstract class Strategy(val name: String)
+object Strategy {
+  case object CreateReplace      extends Strategy("create+replace")
+  case object Append             extends Strategy("append")
+  case object TruncateInsert     extends Strategy("truncate+insert")
+  case object DeleteInsert       extends Strategy("delete+insert")
+  case object Merge              extends Strategy("merge")
+  case object TimeInterval       extends Strategy("time_interval")
+  case object DDL                extends Strategy("ddl")
+  case object SCD2ByColumn       extends Strategy("scd2_by_column")
+  case object SCD2ByTime         extends Strategy("scd2_by_time")
+  case object DataVaultHub       extends Strategy("datavault_hub")
+  case object DataVaultLink      extends Strategy("datavault_link")
+  case object DataVaultSatellite extends Strategy("datavault_satellite")
+
+  val all: Seq[Strategy] = Seq(CreateReplace, Append, TruncateInsert,
+    DeleteInsert, Merge, TimeInterval, DDL, SCD2ByColumn, SCD2ByTime,
+    DataVaultHub, DataVaultLink, DataVaultSatellite)
+
+  def parse(s: String): Strategy =
+    all.find(_.name == s.trim.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(s"unknown materialization strategy: $s"))
+}
+
+/** Time granularity for time_interval strategies (reference pipeline.go:592-660). */
+sealed trait TimeGranularity
+object TimeGranularity {
+  case object Date      extends TimeGranularity
+  case object Timestamp extends TimeGranularity
+  def parse(s: String): TimeGranularity = s.trim.toLowerCase match {
+    case "date" => Date
+    case _      => Timestamp
+  }
+}
+
+final case class Materialization(
+    typ: MaterializationType = MaterializationType.None,
+    strategy: Option[Strategy] = None,
+    partitionBy: Seq[String] = Nil,
+    clusterBy: Seq[String] = Nil,
+    incrementalKey: Option[String] = None,
+    incrementalPredicate: Option[String] = None,
+    timeGranularity: TimeGranularity = TimeGranularity.Timestamp)
+
+/** Check value — tagged union in the reference (pipeline.go:679-686). */
+sealed trait CheckValue
+object CheckValue {
+  final case class IntVal(v: Long)            extends CheckValue
+  final case class FloatVal(v: Double)        extends CheckValue
+  final case class StrVal(v: String)          extends CheckValue
+  final case class BoolVal(v: Boolean)        extends CheckValue
+  final case class ListVal(v: Seq[CheckValue]) extends CheckValue
+
+  def of(raw: Any): CheckValue = raw match {
+    case i: Int                => IntVal(i.toLong)
+    case l: Long               => FloatValOrInt(l)
+    case d: Double             => FloatVal(d)
+    case f: Float              => FloatVal(f.toDouble)
+    case b: Boolean            => BoolVal(b)
+    case s: String             => StrVal(s)
+    case xs: java.util.List[_] => ListVal(xs.toArray.toSeq.map(of))
+    case xs: Seq[_]            => ListVal(xs.map(of))
+    case other                 => StrVal(String.valueOf(other))
+  }
+  private def FloatValOrInt(l: Long): CheckValue = IntVal(l)
+
+  /** Render as a SQL literal (strings quoted, lists parenthesized). */
+  def toSql(v: CheckValue): String = v match {
+    case IntVal(i)    => i.toString
+    case FloatVal(d)  => d.toString
+    case BoolVal(b)   => b.toString.toUpperCase
+    case StrVal(s)    => "'" + s.replace("'", "''") + "'"
+    case ListVal(xs)  => xs.map(toSql).mkString("(", ", ", ")")
+  }
+}
+
+/** Column-level quality check (reference pipeline.go:808-826). */
+final case class ColumnCheck(
+    name: String,
+    value: Option[CheckValue] = None,
+    blocking: Boolean = true)
+
+/** Custom (asset-level) check: arbitrary SQL + expected value/count
+  * (reference pipeline.go:1078-1088). */
+final case class CustomCheck(
+    name: String,
+    query: String,
+    value: Option[Long] = None,
+    count: Option[Long] = None,
+    blocking: Boolean = true)
+
+final case class Column(
+    name: String,
+    typ: String = "",
+    description: String = "",
+    primaryKey: Boolean = false,
+    updateOnMerge: Boolean = false,
+    nullable: Boolean = true,
+    checks: Seq[ColumnCheck] = Nil,
+    upstreams: Seq[ColumnLineageRef] = Nil)
+
+/** Column-level lineage edge (filled by the lineage extractor). */
+final case class ColumnLineageRef(table: String, column: String)
+
+/** Typed dependency (reference pipeline.go:1150-1161): mode `symbolic`
+  * edges are lineage-only and never scheduled (scheduler.go:808-811). */
+final case class Upstream(value: String, typ: String = "asset", mode: String = "full") {
+  def isSymbolic: Boolean = mode == "symbolic"
+}
+
+object AssetType {
+  val SparkSql    = "spark.sql"
+  val SparkPython = "spark.python"
+  val Ingest      = "ingest"
+  val Seed        = "seed"
+  val SensorQuery = "sensor.query"
+  val SensorTable = "sensor.table"
+  val Empty       = "empty"
+
+  /** Collapse the reference's ~90 platform-specific constants
+    * (pipeline.go:35-165) onto the Spark-native set. */
+  def normalize(raw: String): String = {
+    val r = raw.trim.toLowerCase
+    if (r.isEmpty || r == "empty") Empty
+    else if (r.endsWith(".seed") || r == "seed") Seed
+    else if (r.endsWith(".sensor.query") || r == "sensor.query") SensorQuery
+    else if (r.endsWith(".sensor.table") || r == "sensor.table") SensorTable
+    else if (r == "python" || r.endsWith(".python") || r == "spark.python") SparkPython
+    else if (r == "ingestr" || r == "ingest") Ingest
+    else SparkSql // any "<platform>.sql" flavor executes as Spark SQL here
+  }
+}
+
+final case class UnitTestFixture(asset: String, rows: Seq[Map[String, Any]])
+final case class UnitTestExpectation(
+    rows: Seq[Map[String, Any]] = Nil,
+    count: Option[Long] = None,
+    matchMode: String = "subset", // subset | exact
+    order: String = "any")        // any | strict
+final case class UnitTest(
+    name: String,
+    inputs: Seq[UnitTestFixture] = Nil,
+    expected: UnitTestExpectation = UnitTestExpectation(),
+    executionTime: Option[String] = None)
+
+final case class Asset(
+    name: String,
+    assetType: String = AssetType.SparkSql,
+    content: String = "",                     // SQL body (post header strip)
+    upstreams: Seq[Upstream] = Nil,
+    columns: Seq[Column] = Nil,
+    materialization: Materialization = Materialization(),
+    customChecks: Seq[CustomCheck] = Nil,
+    parameters: Map[String, String] = Map.empty,
+    tags: Seq[String] = Nil,
+    owner: String = "",
+    unitTests: Seq[UnitTest] = Nil) {
+
+  def primaryKeys: Seq[String] = columns.filter(_.primaryKey).map(_.name)
+  def mergeUpdateColumns: Seq[String] = columns.filter(_.updateOnMerge).map(_.name)
+  def dependsOn: Seq[String] = upstreams.filterNot(_.isSymbolic).map(_.value)
+}
+
+final case class Pipeline(
+    name: String,
+    schedule: String = "",
+    startDate: String = "",
+    assets: Seq[Asset] = Nil,
+    variables: Map[String, Any] = Map.empty,
+    concurrency: Int = 1,
+    retries: Int = 0) {
+
+  def asset(name: String): Option[Asset] = assets.find(_.name == name)
+}

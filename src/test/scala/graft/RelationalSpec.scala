@@ -11,6 +11,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-wh-test-${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
