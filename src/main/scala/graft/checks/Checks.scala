@@ -1,0 +1,85 @@
+package graft.checks
+
+import org.apache.spark.sql.SparkSession
+import graft.model.{CheckValue, ColumnCheck, CustomCheck}
+
+/** Quality checks compiled to assertion SQL (reference pkg/ansisql/checks.go —
+  * CountableQueryCheck :33-114; duckdb extras pkg/duckdb/checks.go).
+  *
+  * Every column check renders to a scalar query whose result is compared to an
+  * expected value (0 violations unless stated). The generated SQL is plain
+  * aggregation — on a cluster each check is one scan (or less: Catalyst
+  * merges them when batched via [[batchSql]] into a single pass).
+  */
+object Checks {
+
+  final case class CheckResult(
+      check: String, table: String, column: String,
+      expected: Long, actual: Long) {
+    def passed: Boolean = expected == actual
+  }
+
+  /** The violation-count expression for a column check (counted over `table`). */
+  def violationExpr(column: String, check: ColumnCheck): String = check.name match {
+    case "not_null"     => s"count(CASE WHEN $column IS NULL THEN 1 END)"
+    case "unique"       => s"count($column) - count(DISTINCT $column)"
+    case "positive"     => s"count(CASE WHEN $column <= 0 THEN 1 END)"
+    case "non_negative" => s"count(CASE WHEN $column < 0 THEN 1 END)"
+    case "negative"     => s"count(CASE WHEN $column >= 0 THEN 1 END)"
+    case "min" =>
+      val v = sqlValue(check, "min")
+      s"count(CASE WHEN $column < $v THEN 1 END)"
+    case "max" =>
+      val v = sqlValue(check, "max")
+      s"count(CASE WHEN $column > $v THEN 1 END)"
+    case "accepted_values" =>
+      val v = sqlValue(check, "accepted_values")
+      s"count(CASE WHEN CAST($column AS STRING) NOT IN $v THEN 1 END)"
+    case "pattern" =>
+      val v = sqlValue(check, "pattern")
+      s"count(CASE WHEN NOT ($column RLIKE $v) THEN 1 END)"
+    case other => throw new IllegalArgumentException(s"unknown check: $other")
+  }
+
+  def buildSql(table: String, column: String, check: ColumnCheck): String =
+    s"SELECT ${violationExpr(column, check)} AS violations FROM $table"
+
+  /** One scan for many checks: SELECT c1, c2, … FROM table. */
+  def batchSql(table: String, checks: Seq[(String, ColumnCheck)]): String = {
+    val exprs = checks.zipWithIndex.map { case ((col, ck), i) =>
+      s"${violationExpr(col, ck)} AS v$i"
+    }
+    s"SELECT ${exprs.mkString(", ")} FROM $table"
+  }
+
+  def run(spark: SparkSession, table: String, column: String, check: ColumnCheck): CheckResult = {
+    val actual = spark.sql(buildSql(table, column, check)).head().getLong(0)
+    CheckResult(check.name, table, column, expected = 0, actual = actual)
+  }
+
+  /** Custom check: arbitrary SQL; either `value` compares against the scalar
+    * result, or `count` against SELECT count(*) of the wrapped query
+    * (reference ansisql/checks.go:283-315). */
+  def runCustom(spark: SparkSession, check: CustomCheck): CheckResult = {
+    check.count match {
+      case Some(expectedCount) =>
+        val actual = spark.sql(s"SELECT count(*) FROM (${check.query.stripSuffix(";")}) t").head().getLong(0)
+        CheckResult(s"custom:${check.name}", "", "", expectedCount, actual)
+      case scala.None =>
+        val expected = check.value.getOrElse(0L)
+        val raw = spark.sql(check.query).head().get(0)
+        val actual = raw match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case d: java.math.BigDecimal => d.longValue
+          case d: Double => d.toLong
+          case other => String.valueOf(other).toDouble.toLong
+        }
+        CheckResult(s"custom:${check.name}", "", "", expected, actual)
+    }
+  }
+
+  private def sqlValue(check: ColumnCheck, name: String): String =
+    CheckValue.toSql(check.value.getOrElse(
+      throw new IllegalArgumentException(s"check $name needs a value")))
+}

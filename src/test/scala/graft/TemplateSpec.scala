@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.render.{Macros, Template}
+import graft.checks.Checks
+import graft.model.{CheckValue, ColumnCheck}
+
+class TemplateSpec extends AnyFunSuite {
+
+  private val ctx = Template.context(
+    java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+    java.time.LocalDateTime.of(2024, 1, 31, 0, 0),
+    java.time.LocalDateTime.of(2024, 1, 15, 0, 0),
+    pipelineName = "p", runId = "r",
+    vars = Map("env" -> "prod", "limit" -> 10L))
+
+  test("variable substitution and strictness") {
+    assert(Template.render("SELECT '{{ start_date }}' d", ctx) == "SELECT '2024-01-01' d")
+    assert(Template.render("{{ var.env }}-{{ var.limit }}", ctx) == "prod-10")
+    assert(Template.render("{{ end_date_nodash }}", ctx) == "20240131")
+    intercept[NoSuchElementException](Template.render("{{ nope }}", ctx))
+  }
+
+  test("macros render the reference SQL shapes") {
+    assert(Template.render("{{ group_by(3) }}", ctx) == "group by 1, 2, 3")
+    assert(Template.render("{{ safe_divide('a', 'b') }}", ctx) == "(a) / nullif((b), 0)")
+    assert(Template.render("{{ safe_add('a', 'b') }}", ctx) == "coalesce(a, 0) +\n    coalesce(b, 0)")
+    assert(Template.render("{{ generate_surrogate_key(['a', 'b']) }}", ctx) ==
+      "md5(concat(coalesce(cast(a as string), '_bruin_surrogate_key_null_'), '-', coalesce(cast(b as string), '_bruin_surrogate_key_null_')))")
+    assert(Macros.slugify("Hello World-2024!") == "hello_world_2024")
+    assert(Macros.slugify("9lives") == "_9lives")
+    val piv = Template.render("{{ pivot('c', ['x'], agg='count') }}", ctx)
+    assert(piv.contains("count(") && piv.contains("when c = 'x'") && piv.contains("as `x`"))
+  }
+
+  test("kwargs and unit validation") {
+    val hv = Template.render("{{ haversine_distance('a', 'b', 'c', 'd', unit='km') }}", ctx)
+    assert(hv.endsWith("* 1.60934"))
+    intercept[IllegalArgumentException](
+      Template.render("{{ haversine_distance('a','b','c','d', unit='parsec') }}", ctx))
+  }
+
+  test("check SQL generation") {
+    assert(Checks.buildSql("t", "c", ColumnCheck("not_null")) ==
+      "SELECT count(CASE WHEN c IS NULL THEN 1 END) AS violations FROM t")
+    assert(Checks.buildSql("t", "c", ColumnCheck("unique")) ==
+      "SELECT count(c) - count(DISTINCT c) AS violations FROM t")
+    assert(Checks.buildSql("t", "c", ColumnCheck("accepted_values",
+      Some(CheckValue.ListVal(Seq(CheckValue.StrVal("a"), CheckValue.IntVal(1)))))) ==
+      "SELECT count(CASE WHEN CAST(c AS STRING) NOT IN ('a', 1) THEN 1 END) AS violations FROM t")
+    val batch = Checks.batchSql("t", Seq("a" -> ColumnCheck("not_null"), "b" -> ColumnCheck("positive")))
+    assert(batch.startsWith("SELECT count(CASE WHEN a IS NULL") && batch.contains("AS v1"))
+  }
+}
