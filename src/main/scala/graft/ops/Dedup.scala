@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, word-n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine (see [[Similarity]]).
+  *
+  * Scale design: every stage is a shuffle on a compact key (hash / shingle /
+  * band bucket), never on document text. Candidate generation is always
+  * followed by exact verification, so LSH parameters trade compute for
+  * recall without changing the verified result. At 100 TB the shingle
+  * explosion dominates — it's a flatMap (no skew), and the band-bucket
+  * groupBy keys are uniformly distributed by construction (md5).
+  */
+object Dedup {
+
+  /** Exact dedup: cluster on md5(normalized text), keep the smallest id.
+    * One map-side-combinable groupBy on a 32-char key. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol), md5(TextAnalysis.normText(col(textCol))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count("*").as("n_docs"))
+
+  /** Distinct word n-gram shingles per doc: (id, gram). */
+  def shingles(df: DataFrame, n: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val exploded = df
+      .select(col(idCol), posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "word")))
+    val gram = (0 until n).map(i => if (i == 0) col("word") else lead("word", i).over(w))
+      .reduce((a, b) => concat_ws(" ", a, b))
+    exploded
+      .withColumn("gram", gram)
+      .where(size(split(col("gram"), " ")) === n) // drop tail grams
+      .select(col(idCol), col("gram")).distinct()
+  }
+
+  /** Candidate pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
+    * Self-equi-join on the shingle — the exact (non-LSH) baseline. */
+  def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol).cache()
+    val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
+    val a = sh.select(col(idCol).as("a"), col("gram"))
+    val b = sh.select(col(idCol).as("b"), col("gram"))
+    val common = a.join(b, Seq("gram")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count("*").as("common"))
+    common
+      .join(counts.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
+      .join(counts.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Portable 32-bit shingle hash: first 8 hex chars of md5 (same value
+    * derivable in any engine — keeps LSH reproducible cluster-to-cluster). */
+  private def shingleHash32(gram: org.apache.spark.sql.Column) =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
+
+  val MinhashPrime = 4294967291L // largest 32-bit prime
+
+  /** MinHash signatures: numHashes universal-hash mins over shingle hashes.
+    * h_j(x) = (a_j·x + b_j) mod p with deterministic a_j, b_j. One groupBy
+    * computes all mins (map-side partial agg). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    val x = shingleHash32(col("gram"))
+    val aggs = (0 until numHashes).map { j =>
+      val a = 2L * j + 1
+      val b = 1L * j * j + 7
+      min((x * a + b) % MinhashPrime).as(s"h$j")
+    }
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding + exact-Jaccard verification.
+    * bands of `rowsPerBand` signature values hash to buckets; docs sharing a
+    * bucket are candidates; candidates are re-verified with exact Jaccard so
+    * the *output* is exact — LSH only bounds the candidate set. */
+  def minhashLsh(df: DataFrame, n: Int = 3, numHashes: Int = 128,
+                 rowsPerBand: Int = 2, threshold: Double = 0.5,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sh = shingles(df, n, idCol, textCol).cache()
+    val sig = minhashSignatures(sh, numHashes, idCol)
+
+    // band buckets: (band_id, md5(joined sig slice))
+    val bandCols = (0 until bands).map { bd =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
+      struct(lit(bd).as("band"), md5(concat_ws("-", slice: _*)).as("bucket"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+
+    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    val candidates = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    // exact verification on the candidate set only
+    val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
+    val aSh = sh.select(col(idCol).as("a"), col("gram"))
+    val bSh = sh.select(col(idCol).as("b"), col("gram"))
+    val common = candidates.join(aSh, Seq("a")).join(bSh, Seq("b", "gram"))
+      .groupBy("a", "b").agg(count("*").as("common"))
+    common
+      .join(counts.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
+      .join(counts.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
+    * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0. Explodes words×bits —
+    * wide but flat; at scale this is a single flatMap + groupBy(id). */
+  def simhash(df: DataFrame, bits: Int = 60,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wordsDf = df
+      .select(col(idCol), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("word"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val bitContrib = df.sparkSession.range(bits).select(col("id").cast("int").as("b"))
+    wordsDf.crossJoin(bitContrib)
+      .withColumn("contrib",
+        when(expr("shiftright(h, b)") % 2 === 1, 1).otherwise(-1))
+      .groupBy(idCol, "b")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L)))
+      .groupBy(idCol)
+      .agg(sum("bitval").cast("long").as("simhash"))
+  }
+}

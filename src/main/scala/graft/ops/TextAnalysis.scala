@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword n-gram heuristic), quality scoring, token counting,
+  * document fingerprinting. All single-pass, codegen-friendly projections —
+  * no shuffle, no UDFs — so they stream over a 100 TB corpus at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized lowercase text. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Deterministic small stopword lists per language (heuristic lang-id). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "pour", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  private def stopHits(ws: Column, lang: String): Column = {
+    val stops = Stopwords.toMap.apply(lang)
+    val arr = array(stops.map(lit): _*)
+    size(filter(ws, w => array_contains(arr, w)))
+  }
+
+  /** Per-language stopword hit counts + argmax language with a fixed
+    * priority-order tie-break; 'unknown' when no stopword fires. */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = df.withColumn("__ws", ws)
+    val withScores = Stopwords.foldLeft(scored) { case (d, (lang, _)) =>
+      d.withColumn(s"score_$lang", stopHits(col("__ws"), lang))
+    }
+    val langs = Stopwords.map(_._1)
+    // argmax with priority order = declaration order
+    val best = langs.foldRight(lit("unknown"): Column) { (lang, elseCol) =>
+      val isMax = langs.filterNot(_ == lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      // only claim the max if it beats the langs declared before it strictly
+      when(col(s"score_$lang") > 0 && isMax &&
+        langs.takeWhile(_ != lang)
+          .map(p => col(s"score_$lang") > col(s"score_$p"))
+          .reduceOption(_ && _).getOrElse(lit(true)), lit(lang))
+        .otherwise(elseCol)
+    }
+    withScores
+      .withColumn("detected_lang", best)
+      .drop("__ws")
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex token count
+    * (letters runs / digit runs / single punctuation). */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(words(col(textCol))))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Quality metrics + a composite score in [0,1]:
+    * unique-word ratio (repetition penalty), stopword density (natural-language
+    * signal), length credit. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("n_chars_norm", length(normText(col(textCol))))
+      .withColumn("n_words", size(ws))
+      .withColumn("uniq_ratio",
+        size(array_distinct(ws)).cast("double") / size(ws))
+      .withColumn("stop_ratio",
+        stopHits(ws, "en").cast("double") / size(ws))
+      .withColumn("punct_ratio",
+        (length(col(textCol)) - length(regexp_replace(col(textCol), "[.,!?;:]", "")))
+          .cast("double") / length(col(textCol)))
+      .withColumn("quality_score",
+        round(col("uniq_ratio") * 0.5 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3 +
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+  }
+
+  /** Content fingerprints: md5 of normalized text + a 60-bit numeric
+    * fingerprint (hex prefix of the md5 — portable across engines; a custom
+    * rolling-hash Expression is in [[graft.functions.RollingHash]]). */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = normText(col(textCol))
+    df.withColumn("content_md5", md5(norm))
+      .withColumn("fp60", conv(substring(md5(norm), 1, 15), 16, 10).cast("long"))
+  }
+}

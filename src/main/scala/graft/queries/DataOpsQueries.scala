@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Oracle-checked training-data pipeline operators: dedup family, similarity
+  * search, text analysis, multimodal plumbing. Spark side = the ops modules
+  * (DataFrame API); DuckDB side = handwritten equivalents over the same
+  * parquet (portable md5-derived hashing keeps both engines bit-identical).
+  */
+object DataOpsQueries {
+
+  /** Shared DuckDB normalization fragment. */
+  private val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---- text analysis ------------------------------------------------------
+
+  val tokenCount: OQ = OQ.df("text_token_count",
+    (s, _) => TextAnalysis.tokenCounts(s.table("documents"))
+      .selectExpr("doc_id", "CAST(ws_tokens AS BIGINT) AS ws_tokens",
+        "CAST(re_tokens AS BIGINT) AS re_tokens"),
+    s"""SELECT doc_id,
+       |  len(string_split($NORM, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens
+       |FROM documents""".stripMargin)
+
+  val langId: OQ = {
+    val stops = TextAnalysis.Stopwords.toMap
+    def duckList(lang: String) = stops(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    def duckScore(lang: String) =
+      s"len(list_filter(string_split($NORM, ' '), w -> list_contains(${duckList(lang)}, w)))"
+    OQ.df("text_lang_id",
+      (s, _) => TextAnalysis.languageId(s.table("documents"))
+        .selectExpr("doc_id", "CAST(score_en AS BIGINT) AS score_en",
+          "CAST(score_de AS BIGINT) AS score_de", "CAST(score_es AS BIGINT) AS score_es",
+          "CAST(score_fr AS BIGINT) AS score_fr", "CAST(score_zh AS BIGINT) AS score_zh",
+          "detected_lang"),
+      s"""WITH scored AS (SELECT doc_id,
+         |  ${duckScore("en")} AS score_en, ${duckScore("de")} AS score_de,
+         |  ${duckScore("es")} AS score_es, ${duckScore("fr")} AS score_fr,
+         |  ${duckScore("zh")} AS score_zh
+         |FROM documents)
+         |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+         |  CASE
+         |    WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |    WHEN score_de > 0 AND score_de > score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |    WHEN score_es > 0 AND score_es > score_en AND score_es > score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |    WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_de AND score_fr > score_es AND score_fr >= score_zh THEN 'fr'
+         |    WHEN score_zh > 0 AND score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
+         |    ELSE 'unknown'
+         |  END AS detected_lang
+         |FROM scored""".stripMargin)
+  }
+
+  val quality: OQ = OQ.df("text_quality_score",
+    (s, _) => TextAnalysis.qualityScore(s.table("documents"))
+      .selectExpr("doc_id", "CAST(n_chars_norm AS BIGINT) AS n_chars_norm",
+        "CAST(n_words AS BIGINT) AS n_words", "uniq_ratio", "stop_ratio",
+        "punct_ratio", "quality_score"),
+    s"""WITH base AS (SELECT doc_id, text, $NORM AS norm,
+       |    string_split($NORM, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |  length(norm) AS n_chars_norm,
+       |  len(ws) AS n_words,
+       |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+       |  CAST(len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 0.5
+       |    + least(CAST(len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(ws) * 5.0, 1.0) * 0.3
+       |    + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality_score
+       |FROM base""".stripMargin)
+
+  val fingerprint: OQ = OQ.df("text_fingerprint",
+    (s, _) => TextAnalysis.fingerprint(s.table("documents"))
+      .select(col("doc_id"), col("content_md5"), col("fp60")),
+    s"""SELECT doc_id, md5($NORM) AS content_md5,
+       |  CAST('0x' || substr(md5($NORM), 1, 15) AS BIGINT) AS fp60
+       |FROM documents""".stripMargin)
+
+  // ---- dedup family -------------------------------------------------------
+
+  val dedupExact: OQ = OQ.df("dedup_exact",
+    (s, _) => Dedup.exact(s.table("documents")),
+    s"""SELECT md5($NORM) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM documents GROUP BY 1""".stripMargin)
+
+  /** Shared DuckDB CTE for 3-gram shingle Jaccard pairs ≥ threshold. */
+  private def duckJaccard(threshold: Double) =
+    s"""WITH docs AS (SELECT doc_id, $NORM AS norm FROM documents),
+       |toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
+       |wrds AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM toks),
+       |grams3 AS (SELECT doc_id,
+       |  word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS gram
+       |  FROM wrds WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, gram FROM grams3
+       |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3),
+       |counts AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
+       |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id JOIN counts cb ON pairs.b = cb.doc_id)
+       |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+       |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold""".stripMargin
+
+  val ngramJaccard: OQ = OQ.df("dedup_ngram_jaccard",
+    (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5),
+    duckJaccard(0.5))
+
+  /** MinHash+LSH (128 hashes, 64 bands × 2) with exact re-verification — the
+    * verified output equals brute-force Jaccard (recall loss at j≥0.5 with
+    * these parameters is < 1e-8), so the oracle IS the exact result. */
+  val minhashLsh: OQ = OQ.df("dedup_minhash_lsh",
+    (s, _) => Dedup.minhashLsh(s.table("documents"),
+      n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5),
+    duckJaccard(0.5))
+
+  val simhash: OQ = OQ.df("dedup_simhash",
+    (s, _) => Dedup.simhash(s.table("documents")),
+    s"""WITH docs AS (SELECT doc_id, $NORM AS norm FROM documents),
+       |w AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS word FROM docs),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv FROM w),
+       |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bt GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1""".stripMargin)
+
+  // ---- similarity search --------------------------------------------------
+
+  private val duckSims =
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.e * b.e) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i GROUP BY 1, 2),
+      |sims AS (SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      |  FROM dots JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id)""".stripMargin
+
+  val embeddingNearDup: OQ = OQ.df("dedup_embedding_cosine",
+    (s, _) => Similarity.cosineNearDup(s.table("embeddings"), threshold = 0.45),
+    s"""$duckSims
+       |SELECT a, b, cos FROM sims WHERE a < b AND cos >= 0.45""".stripMargin)
+
+  val annTopK: OQ = OQ.df("ann_cosine_topk",
+    (s, _) => Similarity.cosineTopK(s.table("embeddings"), k = 10)
+      .selectExpr("a", "b", "cos", "CAST(rank AS INT) AS rank"),
+    s"""$duckSims
+       |SELECT a, b, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT a, b, cos, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
+       |  FROM sims WHERE a <> b) r
+       |WHERE rank <= 10""".stripMargin)
+
+  /** LSH-bucketed ANN — approximate by construction; rows-only gate plus the
+    * recall spec in SimilaritySpec. */
+  val annLsh: OQ = OQ.rowsOnly("ann_lsh_bucketed",
+    (s, _) => Similarity.lshTopK(s.table("embeddings"), k = 5, bits = 6))
+
+  // ---- multimodal ---------------------------------------------------------
+
+  /** Binary decode plumbing: media table → mapPartitions stub decoder. The
+    * oracle replays the stub arithmetic in SQL over the same bytes. */
+  val mmFeatures: OQ = OQ.df("mm_binary_features",
+    (s, _) => Multimodal.extractFeatures(Multimodal.toMediaTable(s.table("documents"))),
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 1024 AS INT) AS width,
+      |  CAST(1 + (octet_length(CAST(text AS BLOB)) * 7) % 768 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  md5(text) AS content_hash
+      |FROM documents""".stripMargin)
+
+  /** Frame-sampling generator (no driver loop); rows-only + spec. */
+  val mmFrames: OQ = OQ.rowsOnly("mm_frame_sample",
+    (s, _) => Multimodal.sampleFrames(Multimodal.toMediaTable(s.table("documents")),
+      chunk = 64, every = 2))
+
+  val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint,
+    dedupExact, ngramJaccard, minhashLsh, simhash,
+    embeddingNearDup, annTopK, annLsh, mmFeatures, mmFrames)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DataOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = { Tables.register(spark, sfDir); spark.table("documents").cache() }
+  private lazy val emb = { Tables.register(spark, sfDir); spark.table("embeddings").cache() }
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs here") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 3, 128, 2, 0.5).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash of planted near-dup pairs is close in hamming distance") {
+    val sig = Dedup.simhash(docs)
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.8).select("a", "b")
+    val joined = pairs
+      .join(sig.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash", "sa"), Seq("a"))
+      .join(sig.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash", "sb"), Seq("b"))
+      .withColumn("hamming", bit_count(expr("sa ^ sb")))
+    val dists = joined.select("hamming").collect().map(_.getInt(0))
+    assert(dists.nonEmpty && dists.forall(_ <= 20), s"near-dups should be simhash-close, got ${dists.toSeq}")
+  }
+
+  test("lsh ANN has reasonable recall against brute force") {
+    val brute = Similarity.cosineTopK(emb, 5).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, 5, bits = 4).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.1, s"bucketed recall too low: $recall") // 4-bit buckets ⇒ coarse
+  }
+
+  test("language id agrees with stopword evidence") {
+    val out = TextAnalysis.languageId(docs)
+    // whenever a detected language is claimed, its score is the max and positive
+    val bad = out.where(col("detected_lang") =!= "unknown")
+      .where(greatest(col("score_en"), col("score_de"), col("score_es"), col("score_fr"), col("score_zh"))
+        =!= expr("CASE detected_lang WHEN 'en' THEN score_en WHEN 'de' THEN score_de WHEN 'es' THEN score_es WHEN 'fr' THEN score_fr ELSE score_zh END"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("multimodal feature extraction matches its SQL twin and frame sampling is bounded") {
+    val media = Multimodal.toMediaTable(docs)
+    val viaPartitions = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val viaSql = Multimodal.extractFeaturesSql(media).orderBy("media_id").collect()
+    assert(viaPartitions.sameElements(viaSql))
+    val frames = Multimodal.sampleFrames(media, chunk = 64, every = 2)
+    assert(frames.where(col("frame_no") % 2 =!= 0).count() == 0)
+    assert(frames.groupBy("media_id").count().where(col("count") < 1).count() == 0)
+  }
+}
