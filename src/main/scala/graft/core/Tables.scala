@@ -19,11 +19,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // idempotent + cheap: registering 10 parquet tables costs footer reads, so
+  // remember which (session, dir) pairs are already registered
+  private val registered = scala.collection.mutable.Set[(SparkSession, String)]()
+
   /** Register every testdata table under `dir` as a temp view. Idempotent. */
-  def register(spark: SparkSession, dir: String): Unit =
-    all.foreach { t =>
-      load(spark, dir, t).createOrReplaceTempView(t)
+  def register(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registered((spark, dir))) {
+      all.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
+      registered += ((spark, dir))
     }
+  }
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet

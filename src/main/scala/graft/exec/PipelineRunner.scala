@@ -1,0 +1,91 @@
+package graft.exec
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.SparkSession
+import graft.checks.Checks
+import graft.materialize.{Materializer, SessionCatalogWarehouse, Warehouse}
+import graft.model._
+import graft.render.Template
+import graft.sources.Seeds
+
+/** End-to-end pipeline execution: render → materialize → checks, scheduled
+  * as a DAG (reference cmd/run.go:571-1573 flow; operator dispatch mirrors
+  * SetupExecutors run.go:1953-2300).
+  */
+final class PipelineRunner(
+    spark: SparkSession,
+    baseDir: String = ".",
+    startDate: LocalDateTime = LocalDateTime.of(2024, 1, 1, 0, 0),
+    endDate: LocalDateTime = LocalDateTime.of(2024, 1, 2, 0, 0),
+    fullRefresh: Boolean = false,
+    frozenNow: Option[String] = None) {
+
+  val warehouse: Warehouse = new SessionCatalogWarehouse(spark)
+
+  def templateContext(pipeline: Pipeline, asset: Asset): Template.Ctx =
+    Template.context(startDate, endDate, executionDate = startDate,
+      pipelineName = pipeline.name, runId = "run",
+      fullRefresh = fullRefresh, thisAsset = asset.name,
+      vars = pipeline.variables)
+
+  private def matContext: Materializer.Context = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    Materializer.Context(
+      now = frozenNow.getOrElse(java.time.LocalDateTime.now.format(fmt)),
+      startTs = startDate.format(fmt), endTs = endDate.format(fmt),
+      fullRefresh = fullRefresh)
+  }
+
+  /** Render an asset's SQL (hooks around it; reference pipeline/hooks.go). */
+  def renderAsset(pipeline: Pipeline, asset: Asset): String =
+    Template.render(asset.content, templateContext(pipeline, asset))
+
+  def executeInstance(pipeline: Pipeline)(i: Scheduler.Instance): Unit = i.typ match {
+    case Scheduler.Main => executeMain(pipeline, i.asset)
+    case Scheduler.ColumnCheckInstance(column, ck) =>
+      val r = Checks.run(spark, i.asset.name, column, ck)
+      if (!r.passed)
+        throw new RuntimeException(s"check failed: ${i.asset.name}.$column ${ck.name} " +
+          s"(expected ${r.expected}, got ${r.actual})")
+    case Scheduler.CustomCheckInstance(ck) =>
+      val rendered = ck.copy(query = Template.render(ck.query, templateContext(pipeline, i.asset)))
+      val r = Checks.runCustom(spark, rendered)
+      if (!r.passed)
+        throw new RuntimeException(s"custom check failed: ${ck.name} " +
+          s"(expected ${r.expected}, got ${r.actual})")
+  }
+
+  def executeMain(pipeline: Pipeline, asset: Asset): Unit = {
+    val pre = asset.parameters.get("pre_hook")
+    val post = asset.parameters.get("post_hook")
+    pre.foreach(h => spark.sql(Template.render(h, templateContext(pipeline, asset))))
+    asset.assetType match {
+      case AssetType.Empty => () // pure DAG node (reference executor/empty.go)
+      case AssetType.Seed =>
+        warehouse.createOrReplace(asset.name, Seeds.load(spark, asset, baseDir),
+          asset.materialization.partitionBy)
+      case AssetType.SensorQuery =>
+        Sensors.querySensor(spark, renderAsset(pipeline, asset),
+          mode = asset.parameters.getOrElse("mode", "once"),
+          pokeIntervalMs = 10, timeoutMs = 1000)
+      case AssetType.SensorTable =>
+        Sensors.tableSensor(spark, asset.parameters.getOrElse("table", asset.content.trim),
+          mode = asset.parameters.getOrElse("mode", "once"),
+          pokeIntervalMs = 10, timeoutMs = 1000)
+      case _ =>
+        Materializer.execute(warehouse, asset, renderAsset(pipeline, asset), matContext)
+    }
+    post.foreach(h => spark.sql(Template.render(h, templateContext(pipeline, asset))))
+  }
+
+  /** Run the pipeline DAG; returns per-instance results. */
+  def run(pipeline: Pipeline, selectorTerms: Seq[String] = Nil,
+          concurrency: Int = 0): Map[String, Scheduler.Result] = {
+    val selected =
+      if (selectorTerms.isEmpty) scala.None
+      else Some(Selector.select(pipeline, selectorTerms))
+    Scheduler.run(pipeline, executeInstance(pipeline),
+      concurrency = if (concurrency > 0) concurrency else math.max(1, pipeline.concurrency),
+      selected = selected, retries = pipeline.retries)
+  }
+}

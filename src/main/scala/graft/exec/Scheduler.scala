@@ -1,0 +1,175 @@
+package graft.exec
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors, TimeUnit}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import graft.model._
+
+/** DAG scheduler mirroring the reference's design
+  * (pkg/scheduler/scheduler.go:665-946):
+  *
+  *  - each asset expands into task *instances*: main + one per column check +
+  *    one per custom check (checks are DAG nodes, scheduler.go:680-715);
+  *  - check instances depend on their asset's main instance;
+  *  - an asset's main instance depends on ALL *blocking* instances of its
+  *    upstream assets (non-blocking checks don't gate, scheduler.go:822-831);
+  *  - symbolic upstreams are lineage-only, never scheduled (scheduler.go:808-811);
+  *  - a failure marks every transitive downstream instance UpstreamFailed.
+  *
+  * Execution: fixed worker pool consuming a runnable queue — the Scala
+  * analogue of the reference's goroutine WorkQueue/Results loop
+  * (pkg/executor/concurrent.go:69-160). Spark jobs issued from worker threads
+  * share the SparkSession (FAIR-pool friendly).
+  */
+object Scheduler {
+
+  sealed trait Status
+  case object Pending        extends Status
+  case object Running        extends Status
+  case object Succeeded      extends Status
+  case object Failed         extends Status
+  case object UpstreamFailed extends Status
+  case object Skipped        extends Status
+
+  sealed trait InstanceType { def suffix: String }
+  case object Main extends InstanceType { val suffix = "" }
+  final case class ColumnCheckInstance(column: String, check: ColumnCheck) extends InstanceType {
+    def suffix = s":check:$column:${check.name}"
+  }
+  final case class CustomCheckInstance(check: CustomCheck) extends InstanceType {
+    def suffix = s":custom:${check.name}"
+  }
+
+  final case class Instance(asset: Asset, typ: InstanceType) {
+    def id: String = asset.name + typ.suffix
+    /** blocking instances gate downstream assets (pipeline.go:812: default true). */
+    def blocking: Boolean = typ match {
+      case Main                        => true
+      case ColumnCheckInstance(_, ck)  => ck.blocking
+      case CustomCheckInstance(ck)     => ck.blocking
+    }
+  }
+
+  final case class Result(instance: Instance, status: Status, error: Option[Throwable],
+                          attempts: Int, millis: Long)
+
+  /** Expand a pipeline (optionally filtered to `selected` asset names) into
+    * instances + dependency edges. */
+  def expand(pipeline: Pipeline, selected: Option[Set[String]] = None)
+    : (Seq[Instance], Map[String, Set[String]]) = {
+    val assets = pipeline.assets.filter(a => selected.forall(_.contains(a.name)))
+    val byName = assets.map(a => a.name -> a).toMap
+    val instances = assets.flatMap { a =>
+      val checks = a.columns.flatMap(c => c.checks.map(ck => Instance(a, ColumnCheckInstance(c.name, ck)))) ++
+        a.customChecks.map(ck => Instance(a, CustomCheckInstance(ck)))
+      Instance(a, Main) +: checks
+    }
+    val deps = mutable.Map[String, Set[String]]().withDefaultValue(Set.empty)
+    instances.foreach {
+      case i @ Instance(a, Main) =>
+        // main depends on all blocking instances of scheduled upstreams
+        val up = a.upstreams.filterNot(_.isSymbolic).map(_.value)
+          .flatMap(byName.get)
+          .flatMap { ua =>
+            instances.filter(x => x.asset.name == ua.name && x.blocking).map(_.id)
+          }
+        deps(i.id) = up.toSet
+      case i => // checks depend on their asset's main
+        deps(i.id) = Set(i.asset.name)
+    }
+    (instances, deps.toMap)
+  }
+
+  /** Run with `concurrency` workers. `exec` performs one instance; throwing
+    * fails it. Per-asset retries with `retryDelayMs` between attempts. */
+  def run(pipeline: Pipeline,
+          exec: Instance => Unit,
+          concurrency: Int = 4,
+          selected: Option[Set[String]] = None,
+          retries: Int = 0,
+          retryDelayMs: Long = 0L): Map[String, Result] = {
+    val (instances, deps) = expand(pipeline, selected)
+    val byId = instances.map(i => i.id -> i).toMap
+    val downstream = mutable.Map[String, Set[String]]().withDefaultValue(Set.empty)
+    deps.foreach { case (id, ups) => ups.foreach(u => downstream(u) += id) }
+
+    val status = new ConcurrentHashMap[String, Status](instances.map(_.id -> (Pending: Status)).toMap.asJava)
+    val results = new ConcurrentHashMap[String, Result]()
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(instances.size)
+    val done = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
+    val lock = new Object
+
+    def ready(id: String): Boolean =
+      status.get(id) == Pending && deps(id).forall(d => status.get(d) == Succeeded)
+
+    def terminal(id: String): Boolean = {
+      val s = status.get(id)
+      s == Succeeded || s == Failed || s == UpstreamFailed || s == Skipped
+    }
+
+    def cascadeUpstreamFailure(id: String): Unit = {
+      downstream(id).foreach { d =>
+        if (status.get(d) == Pending) {
+          status.put(d, UpstreamFailed)
+          results.put(d, Result(byId(d), UpstreamFailed, scala.None, 0, 0))
+          if (remaining.decrementAndGet() == 0) done.countDown()
+          cascadeUpstreamFailure(d)
+        }
+      }
+    }
+
+    def submitReady(): Unit = lock.synchronized {
+      instances.filter(i => ready(i.id)).foreach { i =>
+        status.put(i.id, Running)
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val t0 = System.nanoTime()
+            var attempt = 0
+            var err: Option[Throwable] = scala.None
+            var ok = false
+            while (!ok && attempt <= retries) {
+              attempt += 1
+              try { exec(i); ok = true; err = scala.None }
+              catch { case e: Throwable =>
+                err = Some(e)
+                if (attempt <= retries && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+              }
+            }
+            val ms = (System.nanoTime() - t0) / 1000000
+            lock.synchronized {
+              if (ok) {
+                status.put(i.id, Succeeded)
+                results.put(i.id, Result(i, Succeeded, scala.None, attempt, ms))
+              } else {
+                status.put(i.id, Failed)
+                results.put(i.id, Result(i, Failed, err, attempt, ms))
+                if (i.blocking) cascadeUpstreamFailure(i.id)
+                else ()
+              }
+              if (remaining.decrementAndGet() == 0) done.countDown()
+              submitReady()
+            }
+          }
+        })
+      }
+      // deadlock guard: nothing running, nothing ready, but instances pending
+      val anyActive = instances.exists(i => status.get(i.id) == Running)
+      val anyReady = instances.exists(i => ready(i.id))
+      if (!anyActive && !anyReady && instances.exists(i => !terminal(i.id))) {
+        instances.filter(i => !terminal(i.id)).foreach { i =>
+          status.put(i.id, Skipped)
+          results.put(i.id, Result(i, Skipped, scala.None, 0, 0))
+          if (remaining.decrementAndGet() == 0) done.countDown()
+        }
+      }
+    }
+
+    if (instances.isEmpty) { pool.shutdown(); return Map.empty }
+    submitReady()
+    done.await(24, TimeUnit.HOURS)
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.SECONDS)
+    results.asScala.toMap
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exec.{Lint, PipelineRunner, Scheduler, Selector, Sensors}
+import graft.model._
+
+class SchedulerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val pipelineDir = "src/test/resources/pipelines/demo"
+
+  test("end-to-end: seed -> sql asset -> checks -> downstream") {
+    val p = AssetParser.loadPipeline(pipelineDir)
+    assert(p.name == "demo" && p.assets.map(_.name).sorted ==
+      Seq("expensive_products", "product_summary", "raw_products"))
+    assert(Lint.validate(p).isEmpty, Lint.validate(p).mkString("; "))
+
+    val runner = new PipelineRunner(spark, baseDir = pipelineDir)
+    val results = runner.run(p)
+    assert(results.values.forall(_.status == Scheduler.Succeeded),
+      results.filter(_._2.status != Scheduler.Succeeded).keys.mkString(", "))
+
+    val rows = spark.table("expensive_products").orderBy("product_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2)) // var.min_price=300 rendered
+    val summary = spark.table("product_summary").head()
+    assert(summary.getLong(0) == 2L && summary.getDouble(1) == 499.99)
+  }
+
+  test("blocking check failure cascades; non-blocking does not") {
+    def pipeline(blocking: Boolean) = Pipeline(name = "p", assets = Seq(
+      Asset(name = "a", columns = Seq(Column("x", "INT",
+        checks = Seq(ColumnCheck("failcheck", blocking = blocking))))),
+      Asset(name = "b", upstreams = Seq(Upstream("a")))))
+
+    def run(blocking: Boolean) =
+      Scheduler.run(pipeline(blocking), {
+        case i if i.id == "a:check:x:failcheck" => throw new RuntimeException("boom")
+        case _ => ()
+      }, concurrency = 2)
+
+    val blocked = run(blocking = true)
+    assert(blocked("a:check:x:failcheck").status == Scheduler.Failed)
+    assert(blocked("b").status == Scheduler.UpstreamFailed)
+
+    val soft = run(blocking = false)
+    assert(soft("a:check:x:failcheck").status == Scheduler.Failed)
+    assert(soft("b").status == Scheduler.Succeeded)
+  }
+
+  test("retries recover flaky instances") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = Pipeline(name = "p", assets = Seq(Asset(name = "flaky")))
+    val res = Scheduler.run(p, _ => {
+      if (attempts.incrementAndGet() < 3) throw new RuntimeException("flaky")
+    }, retries = 3)
+    assert(res("flaky").status == Scheduler.Succeeded && res("flaky").attempts == 3)
+  }
+
+  test("selectors: upstream/downstream closure, tags, component") {
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "a"),
+      Asset(name = "b", upstreams = Seq(Upstream("a")), tags = Seq("gold")),
+      Asset(name = "c", upstreams = Seq(Upstream("b"))),
+      Asset(name = "d")))
+    assert(Selector.select(p, Seq("+c")) == Set("a", "b", "c"))
+    assert(Selector.select(p, Seq("1+c")) == Set("b", "c"))
+    assert(Selector.select(p, Seq("a+")) == Set("a", "b", "c"))
+    assert(Selector.select(p, Seq("tag:gold")) == Set("b"))
+    assert(Selector.select(p, Seq("@a")) == Set("a", "b", "c"))
+    assert(Selector.select(p, Seq("d", "b")) == Set("d", "b"))
+  }
+
+  test("sensors: modes and timeout") {
+    assert(Sensors.querySensor(spark, "SELECT 1", mode = "once") == Sensors.Met)
+    assert(Sensors.querySensor(spark, "SELECT 0", mode = "skip") == Sensors.SkipRun)
+    intercept[Sensors.SensorTimeout] {
+      Sensors.querySensor(spark, "SELECT 0", mode = "wait",
+        pokeIntervalMs = 1, timeoutMs = 3, sleep = _ => ())
+    }
+    spark.sql("DROP TABLE IF EXISTS sensor_target")
+    intercept[Sensors.SensorTimeout] {
+      Sensors.tableSensor(spark, "sensor_target", mode = "once")
+    }
+    spark.sql("CREATE TABLE sensor_target USING parquet AS SELECT 1 AS x")
+    assert(Sensors.tableSensor(spark, "sensor_target", mode = "once") == Sensors.Met)
+  }
+
+  test("lint catches bad configs and cycles") {
+    val bad = Pipeline(name = "p", assets = Seq(
+      Asset(name = "x", upstreams = Seq(Upstream("ghost")),
+        materialization = Materialization(typ = MaterializationType.Table,
+          strategy = Some(Strategy.DeleteInsert))),
+      Asset(name = "y", upstreams = Seq(Upstream("z"))),
+      Asset(name = "z", upstreams = Seq(Upstream("y")))))
+    val issues = Lint.validate(bad)
+    assert(issues.exists(_.rule == "dependency-exists"))
+    assert(issues.exists(_.rule == "materialization-config"))
+    assert(issues.exists(_.rule == "acyclic-pipeline"))
+
+    assert(Lint.dryRun(spark, "SELECT nope FROM missing_table").isLeft)
+    assert(Lint.dryRun(spark, "SELECT 1").isRight)
+  }
+}
