@@ -1,0 +1,117 @@
+package graft.diff
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** data-diff profiling (reference pkg/diff/types.go:11-22 type classes,
+  * :437-534 per-class stats; DuckDB impl pkg/duckdb/db.go:479+):
+  * every column maps onto one of 7 common classes and gets class-specific
+  * stats, computed in ONE aggregation pass per table (all stat expressions
+  * in a single agg → one scan, map-side combined).
+  */
+object DataDiff {
+
+  sealed trait TypeClass { def name: String }
+  case object NumericClass  extends TypeClass { val name = "numeric" }
+  case object StringClass   extends TypeClass { val name = "string" }
+  case object BooleanClass  extends TypeClass { val name = "boolean" }
+  case object DatetimeClass extends TypeClass { val name = "datetime" }
+  case object BinaryClass   extends TypeClass { val name = "binary" }
+  case object JsonClass     extends TypeClass { val name = "json" }
+  case object UnknownClass  extends TypeClass { val name = "unknown" }
+
+  def classify(dt: DataType): TypeClass = dt match {
+    case _: NumericType => NumericClass
+    case StringType => StringClass
+    case BooleanType => BooleanClass
+    case DateType | TimestampType | TimestampNTZType => DatetimeClass
+    case BinaryType => BinaryClass
+    case _ => UnknownClass
+  }
+
+  final case class ColumnStat(column: String, typeClass: String, stat: String, value: String)
+
+  /** One-pass profile: long-format (column, type_class, stat, value). */
+  def profile(df: DataFrame): Seq[ColumnStat] = {
+    val fields = df.schema.fields
+    val exprs = fields.flatMap { f =>
+      val c = col(f.name)
+      val tag = f.name
+      classify(f.dataType) match {
+        case NumericClass => Seq(
+          count(c).as(s"$tag::count"),
+          sum(when(c.isNull, 1).otherwise(0)).as(s"$tag::null_count"),
+          min(c).cast("double").as(s"$tag::min"),
+          max(c).cast("double").as(s"$tag::max"),
+          round(avg(c.cast("double")), 3).as(s"$tag::avg"),
+          round(sum(c.cast("double")), 3).as(s"$tag::sum"),
+          round(stddev(c.cast("double")), 3).as(s"$tag::stddev"))
+        case StringClass => Seq(
+          count(c).as(s"$tag::count"),
+          sum(when(c.isNull, 1).otherwise(0)).as(s"$tag::null_count"),
+          countDistinct(c).as(s"$tag::distinct"),
+          min(length(c)).as(s"$tag::min_length"),
+          max(length(c)).as(s"$tag::max_length"),
+          round(avg(length(c).cast("double")), 3).as(s"$tag::avg_length"),
+          sum(when(c === "", 1).otherwise(0)).as(s"$tag::empty"))
+        case BooleanClass => Seq(
+          sum(when(c === true, 1).otherwise(0)).as(s"$tag::true_count"),
+          sum(when(c === false, 1).otherwise(0)).as(s"$tag::false_count"),
+          sum(when(c.isNull, 1).otherwise(0)).as(s"$tag::null_count"))
+        case DatetimeClass => Seq(
+          count(c).as(s"$tag::count"),
+          countDistinct(c).as(s"$tag::unique"),
+          min(c).cast("string").as(s"$tag::min"),
+          max(c).cast("string").as(s"$tag::max"))
+        case BinaryClass => Seq(
+          count(c).as(s"$tag::count"),
+          round(avg(octet_length(c).cast("double")), 3).as(s"$tag::avg_bytes"))
+        case _ => Seq(count(c).as(s"$tag::count"))
+      }
+    }
+    val row = df.agg(exprs.head, exprs.tail.toSeq: _*).head()
+    val classByCol = fields.map(f => f.name -> classify(f.dataType).name).toMap
+    row.schema.fields.zipWithIndex.map { case (f, i) =>
+      val Array(colName, stat) = f.name.split("::", 2)
+      ColumnStat(colName, classByCol(colName), stat,
+        Option(row.get(i)).map(String.valueOf(_)).orNull)
+    }.toSeq
+  }
+
+  def profileDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val stats = profile(spark.table(table)) :+
+      ColumnStat("*", "table", "row_count", spark.table(table).count().toString)
+    stats.toDF("col_name", "type_class", "stat", "value")
+  }
+
+  final case class SchemaDiff(column: String, kind: String, detail: String)
+
+  /** Schema comparison (reference pkg/diff/schema.go:98+). */
+  def compareSchemas(a: StructType, b: StructType): Seq[SchemaDiff] = {
+    val aCols = a.fields.map(f => f.name -> f.dataType).toMap
+    val bCols = b.fields.map(f => f.name -> f.dataType).toMap
+    val missing = aCols.keySet.diff(bCols.keySet).toSeq.sorted
+      .map(c => SchemaDiff(c, "only_in_left", aCols(c).simpleString))
+    val added = bCols.keySet.diff(aCols.keySet).toSeq.sorted
+      .map(c => SchemaDiff(c, "only_in_right", bCols(c).simpleString))
+    val changed = aCols.keySet.intersect(bCols.keySet).toSeq.sorted
+      .filter(c => classify(aCols(c)) != classify(bCols(c)))
+      .map(c => SchemaDiff(c, "type_class_changed",
+        s"${classify(aCols(c)).name} -> ${classify(bCols(c)).name}"))
+    missing ++ added ++ changed
+  }
+
+  /** Full table diff: schema diffs + per-column stat deltas. */
+  def diffTables(spark: SparkSession, left: String, right: String): DataFrame = {
+    import spark.implicits._
+    val l = profile(spark.table(left)).map(s => (s.column, s.stat) -> s.value).toMap
+    val r = profile(spark.table(right)).map(s => (s.column, s.stat) -> s.value).toMap
+    val keys = (l.keySet ++ r.keySet).toSeq.sorted
+    keys.map { k =>
+      (k._1, k._2, l.get(k).orNull, r.get(k).orNull,
+        l.get(k) == r.get(k))
+    }.toDF("column", "stat", "left", "right", "equal")
+  }
+}

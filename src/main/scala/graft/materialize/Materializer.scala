@@ -56,19 +56,24 @@ object Materializer {
   // ======================================================================
 
   /** Materialize `asset` whose rendered SELECT is `query`. */
-  def execute(wh: Warehouse, asset: Asset, query: String, ctx: Context = Context()): Unit = {
-    val spark = wh.spark
+  def execute(wh: Warehouse, asset: Asset, query: String, ctx: Context = Context()): Unit =
+    executeDf(wh, asset, wh.spark.sql(query), ctx)
+
+  /** DataFrame-input variant — used by streaming foreachBatch (where the
+    * batch lives in a cloned session) and the Python-handoff ingester.
+    * `input` is by-name: the ddl strategy never evaluates its query. */
+  def executeDf(wh: Warehouse, asset: Asset, input: => DataFrame, ctx: Context = Context()): Unit = {
     val name = asset.name
     val mat = asset.materialization
-    def df: DataFrame = spark.sql(query)
+    lazy val df: DataFrame = input
 
     mat.typ match {
       case MaterializationType.None =>
-        spark.sql(query).collect() // run as-is (reference materializer.go:23-27)
+        df.collect() // run as-is (reference materializer.go:23-27)
       case MaterializationType.View =>
         // In-session mapping of CREATE OR REPLACE VIEW (temp views may
         // reference other temp views; permanent views may not).
-        spark.sql(query).createOrReplaceTempView(name.split('.').last)
+        df.createOrReplaceTempView(name.split('.').last)
       case MaterializationType.Table =>
         effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace) match {
           case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy)

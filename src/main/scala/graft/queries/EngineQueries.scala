@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.diff.DataDiff
+import graft.exec.PipelineRunner
+import graft.lineage.Lineage
+import graft.materialize.SessionCatalogWarehouse
+import graft.model._
+import graft.semantic.Semantic
+import graft.sources.Seeds
+import graft.streaming.Streams
+
+/** Oracle-checked runs of the remaining engine surfaces: semantic layer,
+  * lineage, data-diff, seeds, the full pipeline runner, and streaming. */
+object EngineQueries {
+
+  // ---- semantic layer -----------------------------------------------------
+
+  private val semanticModel = Semantic.Model(
+    table = "orders",
+    dimensions = Seq(
+      Semantic.Dimension("status", "o_orderstatus"),
+      Semantic.Dimension("priority", "o_orderpriority"),
+      Semantic.Dimension("order_month", "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)")),
+    metrics = Seq(
+      Semantic.Metric("order_count", "COUNT(1)"),
+      Semantic.Metric("revenue", "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"),
+      Semantic.Metric("big_orders", "COUNT(1)", filter = Some("o_totalprice > 250000")),
+      Semantic.Metric("avg_order_value", "{revenue} / {order_count}"),
+      // running totals accumulate over an EXACT base (bigint) — double
+      // running sums are not bit-stable across engines (DuckDB's windowed
+      // SUM uses segment trees, so the accumulation order differs)
+      Semantic.Metric("running_orders", "{order_count}",
+        window = Some(Semantic.WindowSpec("running_total", orderBy = "order_month"))),
+      Semantic.Metric("prev_month_revenue", "{revenue}",
+        window = Some(Semantic.WindowSpec("lag", orderBy = "order_month"))),
+      Semantic.Metric("revenue_rank", "{revenue}",
+        window = Some(Semantic.WindowSpec("rank", orderBy = "order_month"))),
+      Semantic.Metric("pct_of_orders", "{order_count}",
+        window = Some(Semantic.WindowSpec("percent_of_total", orderBy = "order_month")))),
+    segments = Map("fulfilled" -> "o_orderstatus = 'F'"))
+
+  /** simple path: dims + plain/derived/filtered metrics + dim & metric filters. */
+  val semanticSimple: OQ = {
+    val sql = Semantic.generateSql(semanticModel, Semantic.Query(
+      dimensions = Seq("status", "priority"),
+      metrics = Seq("order_count", "revenue", "big_orders", "avg_order_value"),
+      filters = Seq(
+        Semantic.Filter("priority", "not_in", Seq("5-LOW")),
+        Semantic.Filter("order_count", "gt", Seq("5")))))
+    OQ.shared("semantic_simple", sql)
+  }
+
+  /** segment + between + sort + limit. */
+  val semanticSegment: OQ = {
+    val sql = Semantic.generateSql(semanticModel, Semantic.Query(
+      dimensions = Seq("order_month"),
+      metrics = Seq("order_count", "revenue"),
+      filters = Seq(Semantic.Filter("order_month", "between", Seq("1996-01-01", "1998-12-31"))),
+      segments = Seq("fulfilled"),
+      sort = Seq("order_month" -> "asc"),
+      limit = Some(24)))
+    OQ.shared("semantic_segment", sql)
+  }
+
+  /** wrapped path: window metrics (running_total, lag, rank, percent_of_total).
+    * DuckDB widens windowed SUM(BIGINT) to HUGEINT, so its side casts back. */
+  val semanticWindow: OQ = {
+    val sql = Semantic.generateSql(semanticModel, Semantic.Query(
+      dimensions = Seq("order_month"),
+      metrics = Seq("revenue", "running_orders", "prev_month_revenue",
+        "revenue_rank", "pct_of_orders")))
+    val runningExpr = "SUM(base.order_count) OVER (ORDER BY base.order_month ROWS UNBOUNDED PRECEDING)"
+    OQ.split("semantic_window", sql,
+      sql.replace(s"$runningExpr AS running_orders",
+        s"CAST($runningExpr AS BIGINT) AS running_orders"))
+  }
+
+  // ---- lineage ------------------------------------------------------------
+
+  private val lineageSql =
+    """SELECT n_name AS nation,
+      |  SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** Column lineage of a 4-table join — the expected edges are static, so the
+    * oracle is a VALUES literal. */
+  val lineageColumns: OQ = OQ.df("lineage_column_level",
+    (s, _) => {
+      import s.implicits._
+      val l = Lineage.columnLineage(s, lineageSql)
+      val rows = l.columns.map(c =>
+        (c.column, c.upstreams.map(u => s"${u.table}.${u.column}").mkString(","))) ++
+        Seq(("__non_selected__", l.nonSelected.map(u => s"${u.table}.${u.column}").mkString(",")))
+      rows.toDF("out_column", "upstreams")
+    },
+    """SELECT * FROM (VALUES
+      |  ('nation', 'nation.n_name'),
+      |  ('revenue', 'lineitem.l_discount,lineitem.l_extendedprice'),
+      |  ('n_items', ''),
+      |  ('__non_selected__', 'customer.c_custkey,customer.c_nationkey,lineitem.l_orderkey,nation.n_nationkey,orders.o_custkey,orders.o_orderdate,orders.o_orderkey')
+      |) t(out_column, upstreams)""".stripMargin)
+
+  /** UsedTables (auto-dependency inference input). */
+  val lineageUsedTables: OQ = OQ.df("lineage_used_tables",
+    (s, _) => {
+      import s.implicits._
+      Lineage.usedTables(s, lineageSql).toDF("table_name")
+    },
+    "SELECT * FROM (VALUES ('customer'), ('lineitem'), ('nation'), ('orders')) t(table_name)")
+
+  // ---- data-diff profile ---------------------------------------------------
+
+  val diffProfile: OQ = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, 'numeric' AS type_class, stat, value FROM (
+         |  SELECT 'count' AS stat, CAST(count($c) AS VARCHAR) AS value FROM customer UNION ALL
+         |  SELECT 'null_count', CAST(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'min', CAST(CAST(min($c) AS DOUBLE) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'max', CAST(CAST(max($c) AS DOUBLE) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'avg', CAST(round(avg(CAST($c AS DOUBLE)), 3) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'sum', CAST(round(sum(CAST($c AS DOUBLE)), 3) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'stddev', CAST(round(stddev(CAST($c AS DOUBLE)), 3) AS VARCHAR) FROM customer) s""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, 'string' AS type_class, stat, value FROM (
+         |  SELECT 'count' AS stat, CAST(count($c) AS VARCHAR) AS value FROM customer UNION ALL
+         |  SELECT 'null_count', CAST(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'distinct', CAST(count(DISTINCT $c) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'min_length', CAST(min(length($c)) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'max_length', CAST(max(length($c)) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'avg_length', CAST(round(avg(CAST(length($c) AS DOUBLE)), 3) AS VARCHAR) FROM customer UNION ALL
+         |  SELECT 'empty', CAST(CAST(sum(CASE WHEN $c = '' THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR) FROM customer) s""".stripMargin
+    OQ.df("diff_profile",
+      (s, _) => DataDiff.profileDf(s, "customer"),
+      Seq(num("c_custkey"), str("c_name"), num("c_nationkey"), num("c_acctbal"),
+        str("c_mktsegment"),
+        "SELECT '*' AS col_name, 'table' AS type_class, 'row_count' AS stat, CAST(count(*) AS VARCHAR) AS value FROM customer")
+        .mkString("\nUNION ALL\n"))
+  }
+
+  // ---- seeds ---------------------------------------------------------------
+
+  private val seedCsvPath = "/tmp/graft_seed_demo.csv"
+
+  val seedCsv: OQ = OQ.df("seed_csv",
+    (s, _) => {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(seedCsvPath),
+        "id,name,price\n1,Widget,499.99\n2,Gadget,899.0\n3,Trinket,49.5\n")
+      val asset = Asset(name = "g_seed_demo", assetType = AssetType.Seed,
+        parameters = Map("path" -> seedCsvPath),
+        columns = Seq(Column("id", "INT"), Column("name", "STRING"), Column("price", "DOUBLE")))
+      val wh = new SessionCatalogWarehouse(s)
+      wh.drop("g_seed_demo")
+      wh.createOrReplace("g_seed_demo", Seeds.load(s, asset, "/tmp"))
+      s.table("g_seed_demo")
+    },
+    s"""SELECT CAST(id AS INT) AS id, CAST(name AS STRING) AS name, CAST(price AS DOUBLE) AS price
+       |FROM read_csv_auto('$seedCsvPath')""".stripMargin)
+
+  // ---- full pipeline end-to-end ---------------------------------------------
+
+  /** The whole engine in one query: a 4-asset pipeline (SQL staging →
+    * aggregate with column+custom checks → sensor → summary) scheduled
+    * concurrently; output is the final table. */
+  val pipelineE2e: OQ = OQ.df("pipeline_end_to_end",
+    (s, _) => {
+      val p = Pipeline(name = "e2e", concurrency = 4, assets = Seq(
+        Asset(name = "g_e2e_stg",
+          content = """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+                      |FROM orders WHERE o_orderdate < TIMESTAMP '{{ var.cutoff }} 00:00:00'""".stripMargin,
+          materialization = Materialization(MaterializationType.Table, Some(Strategy.CreateReplace))),
+        Asset(name = "g_e2e_gate", assetType = AssetType.SensorQuery,
+          content = "SELECT count(*) FROM g_e2e_stg",
+          upstreams = Seq(Upstream("g_e2e_stg"))),
+        Asset(name = "g_e2e_agg",
+          content = """SELECT o_orderstatus,
+                      |  COUNT(*) AS n_orders,
+                      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                      |FROM g_e2e_stg GROUP BY o_orderstatus""".stripMargin,
+          upstreams = Seq(Upstream("g_e2e_stg"), Upstream("g_e2e_gate")),
+          materialization = Materialization(MaterializationType.Table, Some(Strategy.CreateReplace)),
+          columns = Seq(
+            Column("o_orderstatus", "STRING", checks = Seq(ColumnCheck("not_null"), ColumnCheck("unique"))),
+            Column("n_orders", "BIGINT", checks = Seq(ColumnCheck("positive")))),
+          customChecks = Seq(CustomCheck("has_revenue",
+            "SELECT count(*) FROM g_e2e_agg WHERE revenue <= 0", value = Some(0)))),
+        Asset(name = "g_e2e_summary",
+          content = """SELECT count(*) AS n_statuses,
+                      |  CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                      |FROM g_e2e_agg""".stripMargin,
+          upstreams = Seq(Upstream("g_e2e_agg")),
+          materialization = Materialization(MaterializationType.Table, Some(Strategy.CreateReplace)))),
+        variables = Map("cutoff" -> "2000-01-01"))
+      Seq("g_e2e_stg", "g_e2e_agg", "g_e2e_summary").foreach(t =>
+        new SessionCatalogWarehouse(s).drop(t))
+      val results = new PipelineRunner(s).run(p)
+      val failed = results.filter(_._2.status != graft.exec.Scheduler.Succeeded)
+      require(failed.isEmpty, s"pipeline failures: ${failed.keys.mkString(", ")}")
+      s.table("g_e2e_summary")
+    },
+    """WITH stg AS (SELECT o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+      |agg AS (SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM stg GROUP BY o_orderstatus)
+      |SELECT count(*) AS n_statuses,
+      |  CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |FROM agg""".stripMargin)
+
+  // ---- streaming -------------------------------------------------------------
+
+  /** Structured Streaming tumbling-window aggregation run to completion over
+    * the events table; the oracle is the equivalent batch bucketing. */
+  val streamWindow: OQ = OQ.df("stream_window_counts",
+    (s, dir) => {
+      val agg = Streams.windowedCounts(Streams.eventStream(s, s"$dir/events.parquet"))
+      Streams.runToCompletion(s, agg, s"stream_out_${System.nanoTime()}")
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+    """SELECT CAST(CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS STRING) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin)
+
+  val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow,
+    lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow)
+}

@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, Expression, Literal, Now}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** Thin bridge into spark-sql private[sql] surface (plan → DataFrame), used
+  * for the unit-test harness's plan rewrites. Lives in an org.apache.spark.sql
+  * subpackage on purpose — the standard extension-point pattern.
+  */
+object SqlBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The freeze rewrite, usable on parsed (UnresolvedFunction) and analyzed
+    * (CurrentTimestamp/Now/CurrentDate) plans alike. */
+  private def freezeExpressions(plan: LogicalPlan, epochMicros: Long): LogicalPlan = {
+    def frozenFor(name: String): Option[Expression] = name.toLowerCase match {
+      case "current_timestamp" | "now" | "localtimestamp" =>
+        Some(Literal(epochMicros, TimestampType))
+      case "current_date" | "curdate" =>
+        Some(Literal((epochMicros / 86400000000L).toInt, DateType))
+      case _ => scala.None
+    }
+    plan.transformAllExpressions {
+      case _: CurrentTimestamp => Literal(epochMicros, TimestampType)
+      case _: Now              => Literal(epochMicros, TimestampType)
+      case _: CurrentDate      => Literal((epochMicros / 86400000000L).toInt, DateType)
+      case f: UnresolvedFunction
+        if f.nameParts.size == 1 && frozenFor(f.nameParts.head).nonEmpty =>
+        frozenFor(f.nameParts.head).get
+    }
+  }
+
+  /** FreezeTime (reference pkg/sqlparser/parser.go:451-461): replace
+    * now()/current_timestamp/current_date with literals so test runs are
+    * deterministic. Plan-level, not regex — comments/strings are safe. */
+  def freezeTime(spark: SparkSession, sql: String, epochMicros: Long): DataFrame =
+    ofRows(spark, freezeExpressions(spark.sessionState.sqlParser.parsePlan(sql), epochMicros))
+
+  /** SelectFromCTE (reference parser.go:440-450): rewrite a WITH query to
+    * select a named CTE's output — used for per-CTE unit-test assertions. */
+  def selectFromCte(spark: SparkSession, sql: String, cteName: String,
+                    epochMicros: Option[Long] = None): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val rewritten = parsed match {
+      case w: UnresolvedWith if w.cteRelations.exists(_._1 == cteName) =>
+        // keep the CTE prologue, swap the main query for SELECT * FROM cte
+        w.copy(child = UnresolvedRelation(Seq(cteName)))
+      case _ =>
+        throw new IllegalArgumentException(s"query has no CTE named '$cteName'")
+    }
+    val frozen = epochMicros match {
+      case Some(us) => freezeExpressions(rewritten, us)
+      case scala.None => rewritten
+    }
+    ofRows(spark, frozen)
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.diff.DataDiff
+import graft.lineage.Lineage
+import graft.materialize.SessionCatalogWarehouse
+import graft.model._
+import graft.render.QuerySplitter
+import graft.semantic.Semantic
+import graft.sources.PythonHandoff
+import graft.streaming.Streams
+import graft.unittest.UnitTests
+
+class EngineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("unit-test harness: fixtures, freeze time, subset/exact semantics") {
+    val pipeline = Pipeline(name = "p", assets = Seq(
+      Asset(name = "analytics.orders", columns = Seq(
+        Column("id", "INT"), Column("status", "STRING"), Column("amount", "DOUBLE"))),
+      Asset(name = "rev",
+        content = """SELECT status, CAST(sum(amount) AS DOUBLE) AS revenue,
+                    |  CAST(current_timestamp() AS STRING) AS computed_at
+                    |FROM analytics.orders WHERE status = 'paid' GROUP BY status""".stripMargin,
+        upstreams = Seq(Upstream("analytics.orders")))))
+    val asset = pipeline.asset("rev").get
+    val test = UnitTest("refunds_excluded",
+      inputs = Seq(UnitTestFixture("analytics.orders", Seq(
+        Map("id" -> 1, "status" -> "paid", "amount" -> 100.0),
+        Map("id" -> 2, "status" -> "refunded", "amount" -> 999.0),
+        Map("id" -> 3, "status" -> "paid")))), // sparse: amount -> NULL
+      expected = UnitTestExpectation(
+        rows = Seq(Map("status" -> "paid", "revenue" -> 100,
+          "computed_at" -> "2024-01-01 00:00:00")),
+        count = Some(1), matchMode = "exact"),
+      executionTime = Some("2024-01-01T00:00:00"))
+    assert(UnitTests.run(spark, pipeline, asset, test).isEmpty)
+
+    val failing = test.copy(expected = test.expected.copy(
+      rows = Seq(Map("status" -> "paid", "revenue" -> 123))))
+    assert(UnitTests.run(spark, pipeline, asset, failing).nonEmpty)
+  }
+
+  test("selectFromCte rewrites to a named CTE") {
+    val sql = """WITH paid AS (SELECT 1 AS id, 100 AS amt),
+                |big AS (SELECT * FROM paid WHERE amt > 10)
+                |SELECT count(*) AS n FROM big""".stripMargin
+    val df = org.apache.spark.sql.graft.SqlBridge.selectFromCte(spark, sql, "paid")
+    assert(df.columns.toSeq == Seq("id", "amt") && df.count() == 1)
+    intercept[IllegalArgumentException](
+      org.apache.spark.sql.graft.SqlBridge.selectFromCte(spark, sql, "nope"))
+  }
+
+  test("query splitter respects strings, comments, dollar quotes") {
+    val sql =
+      """-- leading comment with ; inside
+        |SELECT 'a;b' AS x; /* block; comment */
+        |INSERT INTO t VALUES ('it''s; fine');
+        |SELECT $$weird; stuff$$;
+        |""".stripMargin
+    val stmts = QuerySplitter.split(sql)
+    assert(stmts.size == 3)
+    assert(stmts(0) == "SELECT 'a;b' AS x")
+    assert(stmts(1).startsWith("INSERT INTO t"))
+    assert(stmts(2).contains("$$weird; stuff$$"))
+    assert(QuerySplitter.isSingleSelect("WITH a AS (SELECT 1) SELECT * FROM a"))
+    assert(!QuerySplitter.isSingleSelect("SELECT 1; SELECT 2"))
+    assert(QuerySplitter.addLimit("SELECT * FROM t;", 5).endsWith("LIMIT 5"))
+  }
+
+  test("lineage: missing dependency inference") {
+    Tables.register(spark, sfDir)
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "orders"), Asset(name = "customer"),
+      Asset(name = "joined",
+        content = "SELECT * FROM orders JOIN customer ON o_custkey = c_custkey",
+        upstreams = Seq(Upstream("orders")))))
+    assert(Lineage.missingDependencies(spark, p, p.asset("joined").get) == Seq("customer"))
+  }
+
+  test("semantic: validation rejects unknown refs and cycles") {
+    val m = Semantic.Model("t",
+      dimensions = Seq(Semantic.Dimension("d", "d")),
+      metrics = Seq(
+        Semantic.Metric("a", "{b}"), Semantic.Metric("b", "{a}"),
+        Semantic.Metric("n", "COUNT(1)")))
+    intercept[IllegalArgumentException](
+      Semantic.generateSql(m, Semantic.Query(metrics = Seq("nope"))))
+    intercept[IllegalArgumentException](
+      Semantic.generateSql(m, Semantic.Query(metrics = Seq("a"))))
+    val sql = Semantic.generateSql(m, Semantic.Query(dimensions = Seq("d"), metrics = Seq("n")))
+    assert(sql == "SELECT d AS d, COUNT(1) AS n FROM t GROUP BY 1")
+  }
+
+  test("data-diff: schema compare and table diff") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
+      StructField("gone", StringType)))
+    val b = StructType(Seq(StructField("id", IntegerType), StructField("x", StringType),
+      StructField("added", StringType)))
+    val diffs = DataDiff.compareSchemas(a, b)
+    assert(diffs.map(d => (d.column, d.kind)).toSet == Set(
+      ("gone", "only_in_left"), ("added", "only_in_right"), ("x", "type_class_changed")))
+    // id: long -> int is the same numeric class => not reported
+
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dl AS SELECT 1 AS id, 'x' AS s")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dr AS SELECT 2 AS id, 'x' AS s")
+    val d = DataDiff.diffTables(spark, "dl", "dr")
+    assert(d.where("equal = false").count() > 0)
+    assert(d.where("stat = 'count' AND equal = true").count() > 0)
+  }
+
+  test("python handoff: strategy mapping + parquet ingest applies merge") {
+    val wh = new SessionCatalogWarehouse(spark)
+    assert(PythonHandoff.mappedStrategy(Some(Strategy.SCD2ByColumn)) == Strategy.CreateReplace)
+    assert(PythonHandoff.mappedStrategy(Some(Strategy.Merge)) == Strategy.Merge)
+
+    val handoff = s"/tmp/graft-handoff-${ProcessHandle.current().pid()}"
+    val asset = Asset(name = "t_py_out",
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING", updateOnMerge = true)),
+      materialization = Materialization(MaterializationType.Table, Some(Strategy.Merge)))
+    wh.drop("t_py_out")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.mode("overwrite").parquet(handoff)
+    PythonHandoff.ingest(wh, asset, handoff)
+    Seq((2, "b2"), (3, "c")).toDF("id", "v").write.mode("overwrite").parquet(handoff)
+    PythonHandoff.ingest(wh, asset, handoff)
+    val rows = spark.table("t_py_out").orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("streaming merge upserts each micro-batch") {
+    val wh = new SessionCatalogWarehouse(spark)
+    wh.drop("t_stream_merge")
+    val asset = Asset(name = "t_stream_merge",
+      columns = Seq(Column("user_id", "BIGINT", primaryKey = true),
+        Column("value", "DOUBLE", updateOnMerge = true)),
+      materialization = Materialization(MaterializationType.Table, Some(Strategy.Merge)))
+    val events = Streams.eventStream(spark, s"$sfDir/events.parquet")
+      .selectExpr("user_id", "value").groupBy("user_id").agg(
+        org.apache.spark.sql.functions.max("value").as("value"))
+    // complete-mode aggregate can't feed foreachBatch merge directly; use raw
+    val raw = Streams.eventStream(spark, s"$sfDir/events.parquet")
+      .selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .dropDuplicates("user_id")
+    val q = Streams.streamingMerge(wh, asset, raw)
+    q.awaitTermination()
+    assert(spark.table("t_stream_merge").count() > 0)
+  }
+}
