@@ -14,11 +14,15 @@ object Bench {
         s"/tmp/graft-wh-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the JVM + parquet footers so the first timed query isn't charged
+    // for session bring-up
+    graft.core.Tables.register(spark, sfDir)
+    graft.core.Tables.all.foreach(t => spark.table(t).count())
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -66,15 +66,37 @@ object Dedup {
   /** MinHash signatures: numHashes universal-hash mins over shingle hashes.
     * h_j(x) = (a_j·x + b_j) mod p with deterministic a_j, b_j. One groupBy
     * computes all mins (map-side partial agg). */
+  /** JVM twin of [[shingleHash32]] — identical md5-derived value. */
+  private def shingleHash32Jvm(gram: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(gram.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   def minhashSignatures(sh: DataFrame, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame = {
-    val x = shingleHash32(col("gram"))
-    val aggs = (0 until numHashes).map { j =>
-      val a = 2L * j + 1
-      val b = 1L * j * j + 7
-      min((x * a + b) % MinhashPrime).as(s"h$j")
-    }
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    // one pass per doc with primitive arrays: hash each shingle once, update
+    // all minima in a tight loop (the 128-aggregate SQL form pays wide-row
+    // hash-agg state + per-agg expression eval — ~10x slower)
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sigs = sh.select(col(idCol).cast("long"), col("gram")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (id: Long, it: Iterator[(Long, String)]) =>
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        it.foreach { case (_, g) =>
+          val x = shingleHash32Jvm(g)
+          var j = 0
+          while (j < numHashes) {
+            val h = ((2L * j + 1) * x + 1L * j * j + 7) % MinhashPrime
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        (id, mins)
+      }
+    sigs.select(col("_1").as(idCol) +:
+      (0 until numHashes).map(j => col("_2")(j).as(s"h$j")): _*)
   }
 
   /** MinHash + LSH banding + exact-Jaccard verification.
