@@ -18,7 +18,10 @@ final class PipelineRunner(
     startDate: LocalDateTime = LocalDateTime.of(2024, 1, 1, 0, 0),
     endDate: LocalDateTime = LocalDateTime.of(2024, 1, 2, 0, 0),
     fullRefresh: Boolean = false,
-    frozenNow: Option[String] = None) {
+    frozenNow: Option[String] = None,
+    /** Run-level `--sensor-mode` override (reference cmd/run.go `--sensor-mode`
+      * skip|once|wait); None = per-asset `mode` parameter (default once). */
+    sensorMode: Option[String] = None) {
 
   val warehouse: Warehouse = new SessionCatalogWarehouse(spark)
 
@@ -65,17 +68,26 @@ final class PipelineRunner(
         warehouse.createOrReplace(asset.name, Seeds.load(spark, asset, baseDir),
           asset.materialization.partitionBy)
       case AssetType.SensorQuery =>
-        Sensors.querySensor(spark, renderAsset(pipeline, asset),
-          mode = asset.parameters.getOrElse("mode", "once"),
-          pokeIntervalMs = 10, timeoutMs = 1000)
+        surfaceSkip(asset)(Sensors.querySensor(spark, renderAsset(pipeline, asset),
+          mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
       case AssetType.SensorTable =>
-        Sensors.tableSensor(spark, asset.parameters.getOrElse("table", asset.content.trim),
-          mode = asset.parameters.getOrElse("mode", "once"),
-          pokeIntervalMs = 10, timeoutMs = 1000)
+        surfaceSkip(asset)(Sensors.tableSensor(spark,
+          asset.parameters.getOrElse("table", asset.content.trim),
+          mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
       case _ =>
         Materializer.execute(warehouse, asset, renderAsset(pipeline, asset), matContext)
     }
     post.foreach(h => spark.sql(Template.render(h, templateContext(pipeline, asset))))
+  }
+
+  private def modeFor(asset: Asset): String =
+    sensorMode.getOrElse(asset.parameters.getOrElse("mode", "once"))
+
+  /** A skip-mode sensor whose condition is unmet marks its instance Skipped
+    * (and downstream cascades) instead of silently succeeding. */
+  private def surfaceSkip(asset: Asset)(outcome: Sensors.Outcome): Unit = outcome match {
+    case Sensors.SkipRun => throw Scheduler.SkipTask(s"sensor condition unmet: ${asset.name}")
+    case Sensors.Met     => ()
   }
 
   /** Run the pipeline DAG; returns per-instance results. */

@@ -53,6 +53,12 @@ object Scheduler {
   final case class Result(instance: Instance, status: Status, error: Option[Throwable],
                           attempts: Int, millis: Long)
 
+  /** Thrown by an operator to mark its instance Skipped (not Failed) — e.g. a
+    * skip-mode sensor whose condition is unmet. Downstream instances cascade
+    * to Skipped, mirroring the reference's markTaskInstanceIfNotSkipped
+    * downstream walk (scheduler.go:595-623). */
+  final case class SkipTask(reason: String) extends RuntimeException(reason)
+
   /** Expand a pipeline (optionally filtered to `selected` asset names) into
     * instances + dependency edges. */
   def expand(pipeline: Pipeline, selected: Option[Set[String]] = None)
@@ -108,16 +114,17 @@ object Scheduler {
       s == Succeeded || s == Failed || s == UpstreamFailed || s == Skipped
     }
 
-    def cascadeUpstreamFailure(id: String): Unit = {
+    def cascade(id: String, to: Status): Unit = {
       downstream(id).foreach { d =>
         if (status.get(d) == Pending) {
-          status.put(d, UpstreamFailed)
-          results.put(d, Result(byId(d), UpstreamFailed, scala.None, 0, 0))
+          status.put(d, to)
+          results.put(d, Result(byId(d), to, scala.None, 0, 0))
           if (remaining.decrementAndGet() == 0) done.countDown()
-          cascadeUpstreamFailure(d)
+          cascade(d, to)
         }
       }
     }
+    def cascadeUpstreamFailure(id: String): Unit = cascade(id, UpstreamFailed)
 
     def submitReady(): Unit = lock.synchronized {
       instances.filter(i => ready(i.id)).foreach { i =>
@@ -128,12 +135,15 @@ object Scheduler {
             var attempt = 0
             var err: Option[Throwable] = scala.None
             var ok = false
-            while (!ok && attempt <= retries) {
+            var skip = false
+            while (!ok && !skip && attempt <= retries) {
               attempt += 1
               try { exec(i); ok = true; err = scala.None }
-              catch { case e: Throwable =>
-                err = Some(e)
-                if (attempt <= retries && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+              catch {
+                case s: SkipTask => skip = true; err = Some(s)
+                case e: Throwable =>
+                  err = Some(e)
+                  if (attempt <= retries && retryDelayMs > 0) Thread.sleep(retryDelayMs)
               }
             }
             val ms = (System.nanoTime() - t0) / 1000000
@@ -141,6 +151,10 @@ object Scheduler {
               if (ok) {
                 status.put(i.id, Succeeded)
                 results.put(i.id, Result(i, Succeeded, scala.None, attempt, ms))
+              } else if (skip) {
+                status.put(i.id, Skipped)
+                results.put(i.id, Result(i, Skipped, scala.None, attempt, ms))
+                if (i.blocking) cascade(i.id, Skipped)
               } else {
                 status.put(i.id, Failed)
                 results.put(i.id, Result(i, Failed, err, attempt, ms))

@@ -57,7 +57,20 @@ object Materializer {
 
   /** Materialize `asset` whose rendered SELECT is `query`. */
   def execute(wh: Warehouse, asset: Asset, query: String, ctx: Context = Context()): Unit =
-    executeDf(wh, asset, wh.spark.sql(query), ctx)
+    asset.materialization.typ match {
+      case MaterializationType.View if asset.name.contains('.') =>
+        // Qualified view assets become real catalog views so checks and
+        // downstream SQL referencing the full asset name resolve (reference
+        // duckdb/materialization.go:81-83 CREATE OR REPLACE VIEW). Falls back
+        // to a session temp view when the query references temp relations
+        // (permanent views may not reference temporary ones).
+        wh.ensureSchema(asset.name)
+        try wh.spark.sql(s"CREATE OR REPLACE VIEW ${asset.name} AS\n$query")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          wh.spark.sql(query).createOrReplaceTempView(asset.name.split('.').last)
+        }
+      case _ => executeDf(wh, asset, wh.spark.sql(query), ctx)
+    }
 
   /** DataFrame-input variant — used by streaming foreachBatch (where the
     * batch lives in a cloned session) and the Python-handoff ingester.
@@ -69,7 +82,10 @@ object Materializer {
 
     mat.typ match {
       case MaterializationType.None =>
-        df.collect() // run as-is (reference materializer.go:23-27)
+        // Run as-is without fetching to the driver (reference
+        // materializer.go:23-27 executes without a result set). The noop v2
+        // sink evaluates the full plan distributed; rows never leave executors.
+        df.write.format("noop").mode("overwrite").save()
       case MaterializationType.View =>
         // In-session mapping of CREATE OR REPLACE VIEW (temp views may
         // reference other temp views; permanent views may not).
@@ -79,10 +95,10 @@ object Materializer {
           case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy)
           case Strategy.Append         =>
             if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy)
-            else wh.append(name, df)
+            else wh.append(name, df, mat.partitionBy)
           case Strategy.TruncateInsert =>
             if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy)
-            else wh.overwrite(name, df)
+            else wh.overwrite(name, df, mat.partitionBy)
           case Strategy.DeleteInsert   => deleteInsert(wh, asset, df)
           case Strategy.Merge          => merge(wh, asset, df)
           case Strategy.TimeInterval   => timeInterval(wh, asset, df, ctx)
@@ -121,18 +137,21 @@ object Materializer {
     val target = wh.table(asset.name)
     val cols = target.columns.toSeq
 
-    // dedupe source on the pk so the upsert is deterministic
+    // dedupe source on the pk so the upsert is deterministic. Frames alias as
+    // target/source — the names render() and the reference use — so an
+    // incremental_predicate written per convention ("target.updated_at > …")
+    // resolves here too (reference ansisql/materialization.go:23-34).
     val src = df.dropDuplicates(pks).withColumn("__s", lit(1))
     val tgt = target.withColumn("__t", lit(1))
     val joinCond = pks.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val extraOn = asset.materialization.incrementalPredicate.map(expr).map(_ && joinCond)
-    val joined = tgt.alias("t").join(src.alias("s"), extraOn.getOrElse(joinCond), "full_outer")
+    val joined = tgt.alias("target").join(src.alias("source"), extraOn.getOrElse(joinCond), "full_outer")
 
     val out = cols.map { c =>
-      val tC = col(s"t.$c"); val sC = col(s"s.$c")
+      val tC = col(s"target.$c"); val sC = col(s"source.$c")
       val merged =
-        when(col("t.__t").isNull, sC)                                 // insert
-          .when(col("s.__s").isNull, tC)                              // untouched
+        when(col("target.__t").isNull, sC)                            // insert
+          .when(col("source.__s").isNull, tC)                         // untouched
           .otherwise(if (updateCols.contains(c)) sC else tC)          // matched
       merged.as(c)
     }
@@ -291,7 +310,7 @@ object Materializer {
 
     if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, hashed, asset.materialization.partitionBy); return }
     val fresh = hashed.join(wh.table(asset.name).select(hk), Seq(hk), "left_anti")
-    wh.append(asset.name, fresh)
+    wh.append(asset.name, fresh, asset.materialization.partitionBy)
   }
 
   /** datavault satellite: dedup source, drop consecutive duplicate hashdiffs
@@ -326,7 +345,7 @@ object Materializer {
       .where(col("tip_hk").isNull ||
         (col(loadCol) > col("tip_load") && !(col("hashdiff") <=> col("tip_hashdiff"))))
       .drop("tip_hk", "tip_hashdiff", "tip_load")
-    wh.append(asset.name, fresh)
+    wh.append(asset.name, fresh, asset.materialization.partitionBy)
   }
 
   // ======================================================================

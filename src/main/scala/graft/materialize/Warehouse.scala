@@ -20,9 +20,9 @@ trait Warehouse {
     * fully written before the old table disappears and b) the SELECT may read
     * the table it replaces (self-referencing rebuilds: SCD2, merge). */
   def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
-  def append(name: String, df: DataFrame): Unit
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
   /** INSERT OVERWRITE keeping the table definition. */
-  def overwrite(name: String, df: DataFrame): Unit
+  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
   def drop(name: String): Unit
   def ensureSchema(name: String): Unit
 }
@@ -43,24 +43,50 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
 
   override def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
     ensureSchema(name)
-    val stage = s"${name}__stage"
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
-    write(df, partitionBy).mode(SaveMode.Overwrite).saveAsTable(stage)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+    // Unique stage name: two overlapping runs of the same asset never collide
+    // on the staging table. On a v2 catalog (Delta/Iceberg) this whole method
+    // becomes a single atomic CREATE OR REPLACE TABLE AS.
+    val stage = s"${name}__stage_${java.lang.Long.toHexString(System.nanoTime())}"
+    try {
+      write(df, partitionBy).mode(SaveMode.Overwrite).saveAsTable(stage)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+      // Hive-style partition metadata stores absolute locations; the rename
+      // moves the directory, so re-discover partitions from the new path.
+      if (partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $name")
+    } catch {
+      case e: Throwable =>
+        try spark.sql(s"DROP TABLE IF EXISTS $stage") catch { case _: Throwable => () }
+        throw e
+    }
   }
 
-  override def append(name: String, df: DataFrame): Unit = {
+  override def append(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
     ensureSchema(name)
-    write(df, Nil).mode(SaveMode.Append).saveAsTable(name)
+    // Keep the table's partition layout on append — writing unpartitioned
+    // into a partitioned table silently forks its layout.
+    val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
+    write(df, parts).mode(SaveMode.Append).saveAsTable(name)
   }
 
-  override def overwrite(name: String, df: DataFrame): Unit = {
-    // The writer can't overwrite a table it reads from; stage-swap instead.
-    createOrReplace(name, df)
+  override def overwrite(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    // The writer can't overwrite a table it reads from; stage-swap instead,
+    // preserving the partition layout.
+    val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
+    createOrReplace(name, df, parts)
   }
 
   override def drop(name: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  /** Existing partition columns of `name` ([] when absent/unpartitioned). */
+  private def tablePartitionColumns(name: String): Seq[String] =
+    if (!exists(name)) Nil
+    else
+      try {
+        import scala.jdk.CollectionConverters._
+        spark.catalog.listColumns(name).collectAsList().asScala.toSeq
+          .filter(_.isPartition).map(_.name)
+      } catch { case _: Throwable => Nil }
 
   private def write(df: DataFrame, partitionBy: Seq[String]) = {
     // Cluster writes by the partition columns so each output partition is

@@ -66,11 +66,16 @@ object Dedup {
   /** MinHash signatures: numHashes universal-hash mins over shingle hashes.
     * h_j(x) = (a_j·x + b_j) mod p with deterministic a_j, b_j. One groupBy
     * computes all mins (map-side partial agg). */
+  /** One MessageDigest per executor thread: getInstance per gram is a
+    * measurable hot-path allocation at billions of shingles; digest() resets
+    * the instance, so thread-local reuse is safe. */
+  private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** JVM twin of [[shingleHash32]] — identical md5-derived value. */
   private def shingleHash32Jvm(gram: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(gram.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+    val d = md5Local.get().digest(gram.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   def minhashSignatures(sh: DataFrame, numHashes: Int,

@@ -84,8 +84,8 @@ object TextAnalysis {
   }
 
   /** Content fingerprints: md5 of normalized text + a 60-bit numeric
-    * fingerprint (hex prefix of the md5 — portable across engines; a custom
-    * rolling-hash Expression is in [[graft.functions.RollingHash]]). */
+    * fingerprint (hex prefix of the md5 — portable across engines, unlike
+    * xxhash64/murmur whose seeds vary). */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = normText(col(textCol))
     df.withColumn("content_md5", md5(norm))

@@ -26,23 +26,23 @@ object UnitTests {
       df.createOrReplaceTempView(viewName(fx.asset))
     }
     // unmocked upstreams with declared columns → empty typed relations
-    asset.upstreams.filterNot(u => test.inputs.exists(_.asset == u.value)).foreach { u =>
-      pipeline.asset(u.value).filter(_.columns.nonEmpty).foreach { ua =>
+    val emptied = asset.upstreams.filterNot(u => test.inputs.exists(_.asset == u.value)).flatMap { u =>
+      pipeline.asset(u.value).filter(_.columns.nonEmpty).map { ua =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema(ua))
           .createOrReplaceTempView(viewName(u.value))
+        u.value
       }
     }
 
-    // 2. rewrite table refs to the mocked views + freeze time
-    val sql = test.inputs.map(_.asset).foldLeft(asset.content) { (q, t) =>
-      q.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(t)}\\b", viewName(t))
-    }
+    // 2. rewrite table refs to the mocked views (plan-level — string literals
+    //    and comments are safe, reference RenameTables parser.go:263-270) +
+    //    freeze time
+    val mapping = (test.inputs.map(_.asset) ++ emptied).map(t => t -> viewName(t)).toMap
+    val plan = SqlBridge.renameTables(
+      spark.sessionState.sqlParser.parsePlan(asset.content), mapping)
     val frozenMicros = test.executionTime.map(parseMicros)
-    val result =
-      frozenMicros match {
-        case Some(us) => SqlBridge.freezeTime(spark, sql, us)
-        case scala.None => spark.sql(sql)
-      }
+    val result = SqlBridge.ofRows(spark,
+      frozenMicros.fold(plan)(us => SqlBridge.freezeExpressions(plan, us)))
 
     // 3. compare
     compare(result, test.expected, test.name)

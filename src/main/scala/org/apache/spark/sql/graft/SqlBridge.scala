@@ -18,7 +18,7 @@ object SqlBridge {
 
   /** The freeze rewrite, usable on parsed (UnresolvedFunction) and analyzed
     * (CurrentTimestamp/Now/CurrentDate) plans alike. */
-  private def freezeExpressions(plan: LogicalPlan, epochMicros: Long): LogicalPlan = {
+  def freezeExpressions(plan: LogicalPlan, epochMicros: Long): LogicalPlan = {
     def frozenFor(name: String): Option[Expression] = name.toLowerCase match {
       case "current_timestamp" | "now" | "localtimestamp" =>
         Some(Literal(epochMicros, TimestampType))
@@ -41,6 +41,42 @@ object SqlBridge {
     * deterministic. Plan-level, not regex — comments/strings are safe. */
   def freezeTime(spark: SparkSession, sql: String, epochMicros: Long): DataFrame =
     ofRows(spark, freezeExpressions(spark.sessionState.sqlParser.parsePlan(sql), epochMicros))
+
+  /** RenameTables (reference pkg/sqlparser/parser.go:263-270): rewrite table
+    * references per `mapping` at the plan level, so matches inside string
+    * literals and comments are untouched (unlike a regex rewrite). CTE names
+    * shadow catalog tables and are never renamed. Used by the unit-test
+    * fixture injection and the dev-environment schema_prefix rewrite. */
+  def renameTables(plan: LogicalPlan, mapping: Map[String, String]): LogicalPlan = {
+    val norm = mapping.map { case (k, v) => k.toLowerCase -> v }
+    val cteNames = plan.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    // transformWithSubqueries descends into IN/EXISTS/scalar subquery plans too
+    plan.transformWithSubqueries {
+      case r: UnresolvedRelation
+        if !cteNames.contains(r.multipartIdentifier.mkString(".").toLowerCase) &&
+           norm.contains(r.multipartIdentifier.mkString(".").toLowerCase) =>
+        UnresolvedRelation(norm(r.multipartIdentifier.mkString(".").toLowerCase).split('.').toSeq)
+    }
+  }
+
+  def renameTablesSql(spark: SparkSession, sql: String, mapping: Map[String, String]): DataFrame =
+    ofRows(spark, renameTables(spark.sessionState.sqlParser.parsePlan(sql), mapping))
+
+  /** ExtractSelect (reference parser.go:429-439): pull the SELECT out of a
+    * DML/DDL statement (INSERT INTO … SELECT, CTAS, CREATE VIEW). Returns the
+    * original SQL's query child, or the plan itself when already a query. */
+  def extractSelect(spark: SparkSession, sql: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case i: InsertIntoStatement => i.query
+      case c: CreateTableAsSelect => c.query
+      case r: ReplaceTableAsSelect => r.query
+      case v: CreateView => v.query
+      case other => other
+    }
+  }
 
   /** SelectFromCTE (reference parser.go:440-450): rewrite a WITH query to
     * select a named CTE's output — used for per-CTE unit-test assertions. */

@@ -42,6 +42,37 @@ class EngineSpec extends AnyFunSuite {
     assert(UnitTests.run(spark, pipeline, asset, failing).nonEmpty)
   }
 
+  test("unit tests rewrite tables at the plan level; unmocked upstreams mock empty") {
+    import org.apache.spark.sql.graft.SqlBridge
+    // 1. table name inside a string literal survives the rename
+    spark.sql("SELECT 1 AS id").createOrReplaceTempView("renamed_target")
+    val df = SqlBridge.renameTablesSql(spark,
+      "SELECT id, 'orders_src untouched' AS note FROM orders_src",
+      Map("orders_src" -> "renamed_target"))
+    val row = df.head()
+    assert(row.getInt(0) == 1 && row.getString(1) == "orders_src untouched")
+
+    // 2. an unmocked upstream with declared columns reads as empty, not as the
+    //    real table (or an analysis failure)
+    val pipeline = Pipeline(name = "p", assets = Seq(
+      Asset(name = "ut.base", columns = Seq(Column("id", "INT"))),
+      Asset(name = "ut.extra", columns = Seq(Column("id", "INT"))),
+      Asset(name = "combo",
+        content = "SELECT count(*) AS n FROM ut.base UNION ALL SELECT count(*) FROM ut.extra",
+        upstreams = Seq(Upstream("ut.base"), Upstream("ut.extra")))))
+    val test0 = UnitTest("only_base_mocked",
+      inputs = Seq(UnitTestFixture("ut.base", Seq(Map("id" -> 1), Map("id" -> 2)))),
+      expected = UnitTestExpectation(
+        rows = Seq(Map("n" -> 2), Map("n" -> 0)), matchMode = "exact"))
+    assert(UnitTests.run(spark, pipeline, pipeline.asset("combo").get, test0).isEmpty)
+
+    // 3. extractSelect pulls the query child out of DML
+    val sel = SqlBridge.extractSelect(spark, "INSERT INTO tgt SELECT id FROM src")
+    val out = SqlBridge.ofRows(spark,
+      SqlBridge.renameTables(sel, Map("src" -> "renamed_target"))).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("selectFromCte rewrites to a named CTE") {
     val sql = """WITH paid AS (SELECT 1 AS id, 100 AS amt),
                 |big AS (SELECT * FROM paid WHERE amt > 10)

@@ -123,4 +123,70 @@ class MaterializerSpec extends AnyFunSuite {
     assert(seed.assetType == AssetType.Seed)
     assert(seed.parameters("path") == "./seed.csv")
   }
+
+  test("merge honors incremental_predicate written as target./source.") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "t_pred_merge",
+      columns = Seq(
+        Column("id", "INT", primaryKey = true),
+        Column("v", "INT", updateOnMerge = true),
+        Column("updated_at", "INT")),
+      materialization = Materialization(
+        typ = MaterializationType.Table, strategy = Some(Strategy.Merge),
+        incrementalPredicate = Some("target.updated_at < source.updated_at")))
+    wh.drop("t_pred_merge")
+    Materializer.execute(wh, asset,
+      "SELECT * FROM VALUES (1, 10, 5), (2, 20, 5) AS t(id, v, updated_at)")
+    // id=1 source is OLDER than target -> predicate blocks the update AND the
+    // row inserts as unmatched (reference semantics: the predicate is part of
+    // the merge ON / NOT EXISTS condition, duckdb/materialization.go:158-166);
+    // id=2 is newer -> updates; id=3 is brand new -> inserts
+    Materializer.execute(wh, asset,
+      "SELECT * FROM VALUES (1, 99, 1), (2, 99, 9), (3, 30, 9) AS t(id, v, updated_at)")
+    val rows = spark.table("t_pred_merge").orderBy("id", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1, 10), (1, 99), (2, 99), (3, 30)))
+  }
+
+  test("append and truncate_insert keep the table's partition layout") {
+    val wh = new SessionCatalogWarehouse(spark)
+    def partCols(t: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      spark.catalog.listColumns(t).collectAsList().asScala.toSeq
+        .filter(_.isPartition).map(_.name)
+    }
+    val asset = Asset(name = "t_part_append",
+      materialization = Materialization(typ = MaterializationType.Table,
+        strategy = Some(Strategy.Append), partitionBy = Seq("p")))
+    wh.drop("t_part_append")
+    Materializer.execute(wh, asset, "SELECT 1 AS x, 'a' AS p")
+    assert(partCols("t_part_append") == Seq("p"))
+    Materializer.execute(wh, asset, "SELECT 2 AS x, 'b' AS p")
+    assert(partCols("t_part_append") == Seq("p"))
+    assert(spark.table("t_part_append").count() == 2)
+
+    val trunc = asset.copy(name = "t_part_trunc",
+      materialization = asset.materialization.copy(strategy = Some(Strategy.TruncateInsert)))
+    wh.drop("t_part_trunc")
+    Materializer.execute(wh, trunc, "SELECT 1 AS x, 'a' AS p")
+    Materializer.execute(wh, trunc, "SELECT 2 AS x, 'b' AS p")
+    assert(partCols("t_part_trunc") == Seq("p"))
+    assert(spark.table("t_part_trunc").count() == 1)
+  }
+
+  test("qualified view assets resolve under their full name") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "viewschema.v_prices",
+      materialization = Materialization(typ = MaterializationType.View))
+    Materializer.execute(wh, asset, "SELECT 42 AS answer")
+    assert(spark.sql("SELECT answer FROM viewschema.v_prices").head().getInt(0) == 42)
+    spark.sql("DROP VIEW IF EXISTS viewschema.v_prices")
+  }
+
+  test("none materialization executes without collecting") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "noop_asset") // default type = none
+    // would OOM the driver if collected at scale; here just assert it runs
+    Materializer.execute(wh, asset, "SELECT explode(sequence(1, 1000)) AS n")
+  }
 }

@@ -100,4 +100,26 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Lint.dryRun(spark, "SELECT nope FROM missing_table").isLeft)
     assert(Lint.dryRun(spark, "SELECT 1").isRight)
   }
+
+  test("skip-mode sensor with unmet condition skips itself and downstream") {
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "gate", assetType = AssetType.SensorQuery,
+        content = "SELECT 0", parameters = Map("mode" -> "skip")),
+      Asset(name = "after_gate", content = "SELECT 1 AS x",
+        upstreams = Seq(Upstream("gate")),
+        materialization = Materialization(typ = MaterializationType.Table)),
+      Asset(name = "independent", content = "SELECT 2 AS y",
+        materialization = Materialization(typ = MaterializationType.Table))))
+    val runner = new PipelineRunner(spark)
+    val results = runner.run(p)
+    assert(results("gate").status == Scheduler.Skipped)
+    assert(results("after_gate").status == Scheduler.Skipped)
+    assert(results("independent").status == Scheduler.Succeeded)
+
+    // run-level --sensor-mode override flips the same pipeline to wait/once
+    val failing = new PipelineRunner(spark, sensorMode = Some("once"))
+    val r2 = failing.run(p)
+    assert(r2("gate").status == Scheduler.Failed)
+    assert(r2("after_gate").status == Scheduler.UpstreamFailed)
+  }
 }
