@@ -1,19 +1,26 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * Brute-force cosine against a broadcast index is the exactness baseline —
-  * the standard Spark shape for dense linear algebra (HOF folds and
-  * crossJoins of array columns are orders of magnitude slower: not
-  * codegen-friendly, and the join materializes every pair). The index
-  * (id, vector, norm) is broadcast once; queries stream through
-  * mapPartitions with primitive-array inner loops. Scales to any corpus size
-  * on the query side; the index side must fit in executor memory — beyond
-  * that, [[lshTopK]] buckets first (hyperplane LSH), or shard the index and
-  * merge per-shard top-k.
+  * Scale design — no driver-side index. Exact search runs as a *blocked*
+  * self-join: the index is hash-sharded into S shards sized to task memory,
+  * queries are hash-grouped into Q groups, and every (group, shard) cell is
+  * one cogroup task that scores its queries against its in-memory shard with
+  * primitive-array loops. Per-task memory is bounded by the shard size
+  * (`shardBytes`), compute parallelism by Q×S, and nothing ever collects to
+  * the driver — the same plan that runs at sf0.001 runs against a 100 TB
+  * corpus by raising S. Per-shard top-k results merge to the global exact
+  * top-k with one row_number window (k·S candidate rows per query).
+  *
+  * The approximate path ([[lshTopK]]) is multi-table hyperplane LSH: L
+  * independent b-bit signatures; candidates score exactly within each
+  * (table, bucket); per-query global merge + dedup. Recall grows with L,
+  * per-task memory is bounded by the bucket cap, and [[autoBits]] scales b
+  * with the corpus so the expected bucket size stays constant as data grows.
   */
 object Similarity {
 
@@ -50,15 +57,58 @@ object Similarity {
   private def round6(x: Double): Double =
     new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
 
-  private def collectIndex(emb: DataFrame, idCol: String, vecCol: String)
-    : Array[(Long, Array[Float], Double)] = {
+  // ---- blocked exact search ------------------------------------------------
+
+  /** Default per-task index shard budget (bytes of raw vector data). */
+  val DefaultShardBytes: Long = 256L << 20
+
+  private def vecs(emb: DataFrame, idCol: String, vecCol: String): Dataset[(Long, Array[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) => (id, v, normP(v)) }
-      .sortBy(_._1)
+    emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+  }
+
+  /** (row count, dims) in one distributed aggregation. */
+  private def stats(emb: DataFrame, vecCol: String): (Long, Int) = {
+    val r = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+  }
+
+  /** Block grid: S index shards sized to `shardBytes`, Q query groups sized
+    * so Q×S tasks saturate the cluster. */
+  private def grid(emb: DataFrame, vecCol: String, shardBytes: Long): (Int, Int) = {
+    val (n, dims) = stats(emb, vecCol)
+    val bytes = n * dims.toLong * 4
+    val s = math.max(1L, (bytes + shardBytes - 1) / shardBytes).toInt
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val q = math.max(1, math.ceil(2.0 * par / s).toInt)
+    (q, s)
+  }
+
+  /** Run `score` once per (query group, index shard) cell with the shard
+    * materialized as a primitive array; flatMap the per-cell results. */
+  private def blocked[T: org.apache.spark.sql.Encoder](
+      emb: DataFrame, idCol: String, vecCol: String, shardBytes: Long)(
+      score: (Iterator[(Long, Array[Float])], Array[(Long, Array[Float], Double)]) => Iterator[T])
+    : Dataset[T] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (qGroups, sShards) = grid(emb, vecCol, shardBytes)
+    val base = vecs(emb, idCol, vecCol)
+    // index rows land in one shard, replicated to every query group
+    val idxRep = base.flatMap { case (id, v) =>
+      val s = (math.floorMod(id, sShards.toLong)).toInt
+      Iterator.range(0, qGroups).map(q => (q * sShards + s, id, v))
+    }
+    // query rows stay in one group, replicated to every shard
+    val qRep = base.flatMap { case (id, v) =>
+      val q = (math.floorMod(id, qGroups.toLong)).toInt
+      Iterator.range(0, sShards).map(s => (q * sShards + s, id, v))
+    }
+    idxRep.groupByKey(_._1).cogroup(qRep.groupByKey(_._1)) { (_, idxIt, qIt) =>
+      val shard = idxIt.map { case (_, id, v) => (id, v, normP(v)) }.toArray
+      score(qIt.map { case (_, id, v) => (id, v) }, shard)
+    }
   }
 
   /** All-pairs cosine similarity (a < b), rounded for cross-engine stability. */
@@ -73,68 +123,73 @@ object Similarity {
     pairsAbove(emb, threshold, idCol, vecCol)
 
   private def pairsAbove(emb: DataFrame, threshold: Double,
-                         idCol: String, vecCol: String): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val index = spark.sparkContext.broadcast(collectIndex(emb, idCol, vecCol))
-    val out = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val idx = index.value
-        it.flatMap { case (a, va) =>
-          val na = normP(va)
-          idx.iterator
-            .filter(_._1 > a) // a < b, each pair once
-            .map { case (b, vb, nb) => (a, b, round6(dotP(va, vb) / (na * nb))) }
-            .filter(_._3 >= threshold)
-        }
+                         idCol: String, vecCol: String,
+                         shardBytes: Long = DefaultShardBytes): DataFrame = {
+    import emb.sparkSession.implicits._
+    // each unordered pair meets in exactly one cell (b's shard × a's group),
+    // so no global dedup pass is needed
+    blocked[(Long, Long, Double)](emb, idCol, vecCol, shardBytes) { (queries, shard) =>
+      queries.flatMap { case (a, va) =>
+        val na = normP(va)
+        shard.iterator
+          .filter(_._1 > a) // a < b, each pair once
+          .map { case (b, vb, nb) => (a, b, round6(dotP(va, vb) / (na * nb))) }
+          .filter(_._3 >= threshold)
       }
-      .toDF("a", "b", "cos")
-    out
+    }.toDF("a", "b", "cos")
   }
 
-  /** Brute-force cosine top-k neighbors per vector (directed: every vector
-    * gets its k nearest others). Deterministic rank: (rounded cos desc, id). */
+  /** Exact cosine top-k neighbors per vector (directed: every vector gets its
+    * k nearest others). Deterministic rank: (rounded cos desc, id). Per-shard
+    * top-k in each cell, then one window merges the ≤ k·S candidates per
+    * query to the global top-k — identical to single-pass ranking because
+    * per-cell selection uses the same total order. */
   def cosineTopK(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val index = spark.sparkContext.broadcast(collectIndex(emb, idCol, vecCol))
-    emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val idx = index.value
-        it.flatMap { case (a, va) =>
-          val na = normP(va)
-          val scored = idx.collect { case (b, vb, nb) if b != a =>
-            (b, round6(dotP(va, vb) / (na * nb)))
-          }
-          scored.sortBy { case (b, c) => (-c, b) }
-            .take(k).zipWithIndex
-            .map { case ((b, c), r) => (a, b, c, r + 1) }
-        }
+                 vecCol: String = "embedding",
+                 shardBytes: Long = DefaultShardBytes): DataFrame = {
+    import emb.sparkSession.implicits._
+    val perShard = blocked[(Long, Long, Double)](emb, idCol, vecCol, shardBytes) { (queries, shard) =>
+      queries.flatMap { case (a, va) =>
+        val na = normP(va)
+        shard.iterator.collect { case (b, vb, nb) if b != a =>
+          (b, round6(dotP(va, vb) / (na * nb)))
+        }.toArray
+          .sortBy { case (b, c) => (-c, b) }
+          .take(k)
+          .map { case (b, c) => (a, b, c) }
       }
-      .toDF("a", "b", "cos", "rank")
+    }.toDF("a", "b", "cos")
+    perShard
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= k)
+      .select(col("a"), col("b"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane components for (bit, dim):
+  // ---- hyperplane LSH ------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplane components for (table, bit, dim):
     * md5-derived values in [-0.5, 0.5). Reproducible on any engine/cluster. */
-  def planes(bits: Int, dims: Int): Array[Array[Double]] = {
+  def planes(table: Int, bits: Int, dims: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(bits, dims) { (bit, i) =>
-      val hex = md.digest(s"$bit-$i".getBytes("UTF-8"))
+      val hex = md.digest(s"$table:$bit-$i".getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
     }
   }
 
-  /** Hyperplane-LSH bucket id (`bits`-bit signature of dot-product signs).
-    * The scale path: vectors land in ~2^bits buckets; search within bucket. */
+  /** Signature bits so the *expected* bucket size stays ~`targetBucket` as
+    * the corpus grows: b = ceil(log2(n / targetBucket)), min 2. */
+  def autoBits(n: Long, targetBucket: Int = 512): Int =
+    math.max(2, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+
+  /** Hyperplane-LSH bucket id for one table (`bits`-bit signature of
+    * dot-product signs). */
   def lshBucket(emb: DataFrame, bits: Int = 8, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding", table: Int = 0): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    val ps = spark.sparkContext.broadcast(planes(bits, dims = 4096))
+    val ps = spark.sparkContext.broadcast(planes(table, bits, dims = 4096))
     val bucketOf = udf { (v: Seq[Float]) =>
       val pl = ps.value
       var bucket = 0L
@@ -151,29 +206,49 @@ object Similarity {
     emb.withColumn("bucket", bucketOf(col(vecCol)))
   }
 
-  /** LSH-bucketed approximate top-k: exact cosine ranking *within* each
-    * bucket. Recall < 1 by construction; bucket count trades recall/speed.
-    * Per-bucket pair space ≈ (n/2^bits)² — the 100 TB path when the index
-    * exceeds broadcast size. */
-  def lshTopK(emb: DataFrame, k: Int = 10, bits: Int = 8,
+  /** Multi-table LSH approximate top-k: exact cosine ranking *within* each
+    * (table, bucket); per-query merge deduplicates candidates across tables
+    * and takes the global top-k. Recall rises with `tables`; per-task memory
+    * is bounded by `maxBucket` (oversized buckets — skew or too-few bits —
+    * are truncated by smallest id, trading recall, never memory). */
+  def lshTopK(emb: DataFrame, k: Int = 10, bits: Int = 8, tables: Int = 4,
+              maxBucket: Int = 100000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bucketed = lshBucket(emb, bits, idCol, vecCol)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"), col("bucket"))
-      .as[(Long, Array[Float], Long)]
-    bucketed
+    val perTable = (0 until tables).map { t =>
+      lshBucket(emb, bits, idCol, vecCol, table = t)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+          (col("bucket") + t.toLong * (1L << bits)).as("tb"))
+        .as[(Long, Array[Float], Long)]
+    }.reduce(_ union _)
+    perTable
       .groupByKey(_._3)
-      .flatMapGroups { (bucket: Long, members: Iterator[(Long, Array[Float], Long)]) =>
-        val ms = members.map { case (id, v, _) => (id, v, normP(v)) }.toArray.sortBy(_._1)
+      .flatMapGroups { (_: Long, members: Iterator[(Long, Array[Float], Long)]) =>
+        val all = members.map { case (id, v, _) => (id, v, normP(v)) }.toArray
+        val ms = if (all.length <= maxBucket) all
+                 else all.sortBy(_._1).take(maxBucket)
         ms.iterator.flatMap { case (a, va, na) =>
           ms.collect { case (b, vb, nb) if b != a =>
             (b, round6(dotP(va, vb) / (na * nb)))
           }.sortBy { case (b, c) => (-c, b) }
-            .take(k).zipWithIndex
-            .map { case ((b, c), r) => (a, b, c, r + 1, bucket) }
+            .take(k)
+            .map { case (b, c) => (a, b, c) }
         }
       }
-      .toDF("a", "b", "cos", "rank", "bucket")
+      .toDF("a", "b", "cos")
+      .dropDuplicates("a", "b") // same pair can surface from several tables
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= k)
+  }
+
+  /** [[lshTopK]] with `bits` scaled to the corpus size — the default entry
+    * point at unknown scale. */
+  def lshTopKAuto(emb: DataFrame, k: Int = 10, tables: Int = 4,
+                  targetBucket: Int = 512, maxBucket: Int = 100000,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = emb.count()
+    lshTopK(emb, k, autoBits(n, targetBucket), tables, maxBucket, idCol, vecCol)
   }
 }

@@ -151,9 +151,10 @@ object DataOpsQueries {
        |WHERE rank <= 10""".stripMargin)
 
   /** LSH-bucketed ANN — approximate by construction; rows-only gate plus the
-    * recall spec in SimilaritySpec. */
+    * recall≥0.9 spec in DataOpsSpec. Auto-scaled bits: expected bucket size
+    * stays constant as the corpus grows. */
   val annLsh: OQ = OQ.rowsOnly("ann_lsh_bucketed",
-    (s, _) => Similarity.lshTopK(s.table("embeddings"), k = 5, bits = 6))
+    (s, _) => Similarity.lshTopKAuto(s.table("embeddings"), k = 5))
 
   // ---- multimodal ---------------------------------------------------------
 

@@ -29,11 +29,18 @@ class DataOpsSpec extends AnyFunSuite {
     assert(dists.nonEmpty && dists.forall(_ <= 20), s"near-dups should be simhash-close, got ${dists.toSeq}")
   }
 
-  test("lsh ANN has reasonable recall against brute force") {
+  test("multi-table lsh ANN reaches 0.9 recall against brute force") {
     val brute = Similarity.cosineTopK(emb, 5).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(emb, 5, bits = 4).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall is tunable via (bits, tables): coarser buckets × more tables →
+    // more candidates → higher recall, bounded memory via the bucket cap
+    val lsh = Similarity.lshTopK(emb, 5, bits = 2, tables = 8).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
-    assert(recall > 0.1, s"bucketed recall too low: $recall") // 4-bit buckets ⇒ coarse
+    assert(recall >= 0.9, s"multi-table recall too low: $recall")
+
+    // auto-scaled bits keep expected bucket size constant as the corpus grows
+    assert(Similarity.autoBits(1000000, 512) == 11)
+    val auto = Similarity.lshTopKAuto(emb, 5).select("a", "b").collect()
+    assert(auto.nonEmpty)
   }
 
   test("language id agrees with stopword evidence") {
