@@ -14,7 +14,8 @@ object SparkEntry {
   /** All oracle-checked queries, one per operator. */
   def registry: Seq[OQ] =
     Relational.all ++ Materializations.all ++ ChecksQueries.all ++
-      MacroQueries.all ++ DataOpsQueries.all ++ EngineQueries.all
+      MacroQueries.all ++ DataOpsQueries.all ++ EngineQueries.all ++
+      IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

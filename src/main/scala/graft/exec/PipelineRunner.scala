@@ -67,6 +67,8 @@ final class PipelineRunner(
       case AssetType.Seed =>
         warehouse.createOrReplace(asset.name, Seeds.load(spark, asset, baseDir),
           asset.materialization.partitionBy)
+      case AssetType.Ingest =>
+        graft.sources.Ingest.run(warehouse, asset, baseDir, matContext)
       case AssetType.SensorQuery =>
         surfaceSkip(asset)(Sensors.querySensor(spark, renderAsset(pipeline, asset),
           mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))

@@ -107,6 +107,7 @@ object AssetParser {
       primaryKey = bool(m, "primary_key").getOrElse(false),
       updateOnMerge = bool(m, "update_on_merge").getOrElse(false),
       nullable = bool(m, "nullable").getOrElse(true),
+      mask = str(m, "mask").getOrElse(""),
       checks = checks)
   }
 

@@ -121,6 +121,9 @@ final case class Column(
     primaryKey: Boolean = false,
     updateOnMerge: Boolean = false,
     nullable: Boolean = true,
+    /** masking function applied on ingestion: hash|md5|star|null
+      * (reference ingestr --mask, pkg/ingestr/operator.go:138-176). */
+    mask: String = "",
     checks: Seq[ColumnCheck] = Nil,
     upstreams: Seq[ColumnLineageRef] = Nil)
 

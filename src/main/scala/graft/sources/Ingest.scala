@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.materialize.{Materializer, Warehouse}
+import graft.model._
+
+/** Ingestion operator — the ingestr-equivalent (reference
+  * pkg/ingestr/operator.go:184-437; flag surface pkg/python/helper.go:13-201):
+  * copy an external source (JDBC database or file) into the warehouse with an
+  * incremental strategy, primary keys, column type hints, interval filtering
+  * and column masking. The write half reuses the [[Materializer]] strategy
+  * writers, exactly like the reference maps ingestr strategies onto its
+  * materialization strategies (pkg/python/materialization_mapping.go:9-31).
+  *
+  * Asset parameters:
+  *  - `source_uri`    — `jdbc:<subprotocol>://…` or a file path/URI. A file
+  *                      URI may force its format with a scheme prefix
+  *                      (`csv://data/x.txt`) or via `file_type`.
+  *  - `source_table`  — JDBC table (or `(SELECT …) q` pushdown subquery).
+  *  - `incremental_strategy` — replace | append | merge | delete+insert |
+  *                      truncate+insert (reference BruinToIngestrStrategyMap).
+  *  - `incremental_key`, `interval_start`, `interval_end` — source rows are
+  *    filtered to key ∈ [start, end] (reference --interval-start/--interval-end).
+  *  - `jdbc_*`        — passed through to the JDBC reader; at scale set
+  *    `jdbc_partitionColumn`/`jdbc_lowerBound`/`jdbc_upperBound`/
+  *    `jdbc_numPartitions` so the scan parallelizes instead of reading the
+  *    whole table through one connection.
+  *
+  * Column hints come from the asset's declared columns (cast, like the
+  * reference `--columns name:type`); `mask:` on a column applies hash/md5/
+  * star/null before the data ever lands (reference --mask col:fn).
+  */
+object Ingest {
+
+  /** reference python/materialization_mapping.go:9-31. */
+  def strategyOf(name: String): Strategy = name.trim.toLowerCase match {
+    case "" | "replace" | "create+replace" => Strategy.CreateReplace
+    case "append"                          => Strategy.Append
+    case "merge"                           => Strategy.Merge
+    case "delete+insert"                   => Strategy.DeleteInsert
+    case "truncate+insert"                 => Strategy.TruncateInsert
+    case other =>
+      throw new IllegalArgumentException(s"unknown incremental_strategy: $other")
+  }
+
+  /** Read the external source as a DataFrame (no action triggered). */
+  def read(spark: SparkSession, asset: Asset, baseDir: String = "."): DataFrame = {
+    val uri = asset.parameters.getOrElse("source_uri",
+      throw new IllegalArgumentException(s"${asset.name}: ingest needs parameters.source_uri"))
+    if (uri.startsWith("jdbc:")) {
+      val table = asset.parameters.getOrElse("source_table",
+        throw new IllegalArgumentException(s"${asset.name}: JDBC ingest needs parameters.source_table"))
+      val reader = spark.read.format("jdbc")
+        .option("url", uri).option("dbtable", table)
+      val withOpts = asset.parameters.foldLeft(reader) {
+        case (r, (k, v)) if k.startsWith("jdbc_") => r.option(k.stripPrefix("jdbc_"), v)
+        case (r, _) => r
+      }
+      withOpts.load()
+    } else {
+      // file source; scheme prefix (csv://…) or file_type forces the format
+      val (fmt, path) = uri.split("://", 2) match {
+        case Array(sch, p) if Seeds.SupportedExtensions.contains(sch.toLowerCase) =>
+          (Some(sch.toLowerCase), p)
+        case _ => (asset.parameters.get("file_type"), uri)
+      }
+      val resolved = if (path.startsWith("/")) path else s"$baseDir/${path.stripPrefix("./")}"
+      fmt match {
+        case Some(f)    => Seeds.readAs(spark, f, resolved)
+        case scala.None => Seeds.read(spark, resolved)
+      }
+    }
+  }
+
+  /** Interval filter + type hints + masking, all as one narrow projection
+    * (no shuffle; filters reach the source scan via pushdown). */
+  def transform(df: DataFrame, asset: Asset): DataFrame = {
+    val filtered = (asset.parameters.get("incremental_key"),
+                    asset.parameters.get("interval_start"),
+                    asset.parameters.get("interval_end")) match {
+      case (Some(k), Some(lo), Some(hi)) =>
+        df.where(col(k) >= to_timestamp(lit(lo)) && col(k) <= to_timestamp(lit(hi)))
+      case _ => df
+    }
+    masked(Seeds.applyColumns(filtered, asset), asset)
+  }
+
+  /** Column masking (reference ingestr --mask; fn per pkg/mask). */
+  def masked(df: DataFrame, asset: Asset): DataFrame =
+    asset.columns.filter(_.mask.nonEmpty).foldLeft(df) { (d, c) =>
+      val m = c.mask.toLowerCase match {
+        case "hash"  => sha2(col(c.name).cast("string"), 256)
+        case "md5"   => md5(col(c.name).cast("string"))
+        case "star"  => when(col(c.name).isNull, lit(null)).otherwise(lit("****"))
+        case "null"  => lit(null).cast("string")
+        case other   => throw new IllegalArgumentException(s"unknown mask function: $other")
+      }
+      d.withColumn(c.name, m)
+    }
+
+  /** Full ingest: read → transform → strategy write via the Materializer. */
+  def run(wh: Warehouse, asset: Asset, baseDir: String = ".",
+          ctx: Materializer.Context = Materializer.Context()): Unit = {
+    val df = transform(read(wh.spark, asset, baseDir), asset)
+    val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
+    val effective = asset.copy(materialization = asset.materialization.copy(
+      typ = MaterializationType.Table,
+      strategy = Some(strategy),
+      incrementalKey = asset.parameters.get("incremental_key")
+        .orElse(asset.materialization.incrementalKey)))
+    Materializer.executeDf(wh, effective, df, ctx)
+  }
+}

@@ -12,8 +12,13 @@ object Seeds {
 
   val SupportedExtensions: Set[String] = Set("csv", "parquet", "json", "jsonl", "ndjson", "avro")
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val ext = path.split('.').last.toLowerCase
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAs(spark, path.split('.').last.toLowerCase, path)
+
+  /** Read `path` as an explicit format (reference file_type override,
+    * ingestr/operator.go:330-334). */
+  def readAs(spark: SparkSession, format: String, path: String): DataFrame = {
+    val ext = format.toLowerCase
     ext match {
       case "csv" =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)

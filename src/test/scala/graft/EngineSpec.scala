@@ -73,6 +73,35 @@ class EngineSpec extends AnyFunSuite {
     assert(out.map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("JDBC ingest applies incremental merge across runs") {
+    import graft.sources.Ingest
+    val url = "jdbc:derby:memory:ingdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE src (id INT, v VARCHAR(16), secret VARCHAR(16))")
+    st.execute("INSERT INTO src VALUES (1, 'one', 'pw1'), (2, 'two', 'pw2')")
+
+    val wh = new graft.materialize.SessionCatalogWarehouse(spark)
+    wh.drop("jdbc_tgt")
+    val asset = Asset(name = "jdbc_tgt", assetType = AssetType.Ingest,
+      columns = Seq(
+        Column("ID", "INT", primaryKey = true),
+        Column("V", "STRING", updateOnMerge = true),
+        Column("SECRET", mask = "star")), // masked before landing
+      parameters = Map("source_uri" -> url, "source_table" -> "src",
+        "incremental_strategy" -> "merge"))
+    Ingest.run(wh, asset)
+    assert(spark.table("jdbc_tgt").count() == 2)
+
+    st.execute("UPDATE src SET v = 'uno' WHERE id = 1")
+    st.execute("INSERT INTO src VALUES (3, 'three', 'pw3')")
+    conn.close()
+    Ingest.run(wh, asset)
+    val rows = spark.table("jdbc_tgt").orderBy("ID")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, "uno", "****"), (2, "two", "****"), (3, "three", "****")))
+  }
+
   test("selectFromCte rewrites to a named CTE") {
     val sql = """WITH paid AS (SELECT 1 AS id, 100 AS amt),
                 |big AS (SELECT * FROM paid WHERE amt > 10)
