@@ -1,0 +1,239 @@
+package graft
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.SparkSession
+import graft.config.{Config, Environment}
+import graft.diff.DataDiff
+import graft.exec.{Lint, PipelineRunner, Scheduler}
+import graft.lineage.Lineage
+import graft.materialize.Materializer
+import graft.model._
+import graft.render.Template
+import graft.unittest.UnitTests
+
+/** CLI entry points (reference main.go:62-86): run, render, lint, query,
+  * unit-test, lineage, data-diff, environments. One JVM, one SparkSession —
+  * the Spark analogue of `bruin <cmd>`.
+  *
+  * Usage:
+  *   graft run <pipeline-dir> [--select term]... [--environment env]
+  *       [--full-refresh] [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD]
+  *       [--sensor-mode skip|once|wait] [--concurrency n]
+  *   graft render <pipeline-dir> <asset>
+  *   graft lint <pipeline-dir>
+  *   graft query --q "SELECT …" [--limit n] [--export /path/out.csv]
+  *   graft unit-test <pipeline-dir> [asset]
+  *   graft lineage <pipeline-dir> <asset>
+  *   graft data-diff <table1> <table2>
+  *   graft environments <dir>
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toIndexedSeq))
+
+  /** Exit-code-returning core, testable without System.exit. */
+  def run(args: Seq[String], spark0: Option[SparkSession] = scala.None): Int = {
+    val (flags, pos) = parseArgs(args.drop(1))
+    def spark: SparkSession = spark0.getOrElse(newSession())
+    args.headOption match {
+      case Some("run")          => cmdRun(spark, flags, pos)
+      case Some("render")       => cmdRender(flags, pos)
+      case Some("lint")         => cmdLint(pos)
+      case Some("query")        => cmdQuery(spark, flags)
+      case Some("unit-test")    => cmdUnitTest(spark, pos)
+      case Some("lineage")      => cmdLineage(spark, pos)
+      case Some("data-diff")    => cmdDiff(spark, pos)
+      case Some("environments") => cmdEnvironments(pos)
+      case _ =>
+        System.err.println(
+          "usage: graft run|render|lint|query|unit-test|lineage|data-diff|environments …")
+        2
+    }
+  }
+
+  /** --key value / --flag / positionals; repeated --select accumulates. */
+  private def parseArgs(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
+    val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
+    val pos = scala.collection.mutable.ArrayBuffer[String]()
+    val boolFlags = Set("--full-refresh", "--no-validation")
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.stripPrefix("--")
+        if (boolFlags.contains(a) || i + 1 >= args.length) { flags(k) = flags(k) :+ "true"; i += 1 }
+        else { flags(k) = flags(k) :+ args(i + 1); i += 2 }
+      } else { pos += a; i += 1 }
+    }
+    (flags.toMap.withDefaultValue(Nil), pos.toSeq)
+  }
+
+  private def newSession(): SparkSession =
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  private def date(flags: Map[String, Seq[String]], key: String,
+                   dflt: LocalDateTime): LocalDateTime =
+    flags(key).lastOption.map(d => LocalDateTime.parse(d.take(10) + "T00:00:00")).getOrElse(dflt)
+
+  private def envFor(dir: String, flags: Map[String, Seq[String]]): Environment =
+    Config.load(dir).environment(flags("environment").lastOption)
+
+  // ---- run ----------------------------------------------------------------
+
+  private def cmdRun(spark: SparkSession, flags: Map[String, Seq[String]],
+                     pos: Seq[String]): Int = {
+    val dir = pos.headOption.getOrElse(".")
+    val pipeline = AssetParser.loadPipeline(dir)
+    if (!flags.contains("no-validation")) {
+      val issues = Lint.validate(pipeline)
+      if (issues.nonEmpty) {
+        issues.foreach(i => System.err.println(s"[lint] ${i.rule}: ${i.message}"))
+        return 1
+      }
+    }
+    val runner = new PipelineRunner(spark,
+      baseDir = dir,
+      startDate = date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
+      endDate = date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
+      fullRefresh = flags.contains("full-refresh"),
+      sensorMode = flags("sensor-mode").lastOption,
+      environment = envFor(dir, flags))
+    val results = runner.run(pipeline,
+      selectorTerms = flags("select"),
+      concurrency = flags("concurrency").lastOption.map(_.toInt).getOrElse(0))
+    val byStatus = results.values.groupBy(_.status).map { case (k, v) => k -> v.size }
+    println(s"run finished: ${byStatus.map { case (k, v) => s"$v $k" }.mkString(", ")}")
+    results.values.toSeq.sortBy(_.instance.id)
+      .filter(r => r.status == Scheduler.Failed)
+      .foreach(r => System.err.println(
+        s"[failed] ${r.instance.id}: ${r.error.map(_.getMessage).getOrElse("")}"))
+    if (results.values.exists(r =>
+      r.status == Scheduler.Failed || r.status == Scheduler.UpstreamFailed)) 1 else 0
+  }
+
+  // ---- render -------------------------------------------------------------
+
+  private def cmdRender(flags: Map[String, Seq[String]], pos: Seq[String]): Int =
+    pos match {
+      case Seq(dir, assetName) =>
+        val pipeline = AssetParser.loadPipeline(dir)
+        pipeline.asset(assetName) match {
+          case Some(asset) =>
+            val ctx = Template.context(
+              date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
+              date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
+              executionDate = date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
+              pipelineName = pipeline.name, runId = "render",
+              fullRefresh = flags.contains("full-refresh"),
+              thisAsset = asset.name, vars = pipeline.variables)
+            val sql = Template.render(asset.content, ctx)
+            Materializer.render(asset, sql).foreach(s => println(s + ";"))
+            0
+          case scala.None =>
+            System.err.println(s"no such asset: $assetName"); 1
+        }
+      case _ => System.err.println("usage: graft render <dir> <asset>"); 2
+    }
+
+  // ---- lint ---------------------------------------------------------------
+
+  private def cmdLint(pos: Seq[String]): Int = {
+    val pipeline = AssetParser.loadPipeline(pos.headOption.getOrElse("."))
+    val issues = Lint.validate(pipeline)
+    issues.foreach(i => println(s"${i.rule}: ${i.message}"))
+    if (issues.isEmpty) { println("ok"); 0 } else 1
+  }
+
+  // ---- query --------------------------------------------------------------
+
+  /** Ad-hoc query + CSV export (reference cmd/fetch.go:46-390). */
+  private def cmdQuery(spark: SparkSession, flags: Map[String, Seq[String]]): Int = {
+    val q = flags("q").lastOption.getOrElse {
+      System.err.println("usage: graft query --q 'SELECT …' [--limit n] [--export out.csv]")
+      return 2
+    }
+    val limited = flags("limit").lastOption.map(_.toInt) match {
+      case Some(n) => spark.sql(q).limit(n)
+      case scala.None => spark.sql(q)
+    }
+    flags("export").lastOption match {
+      case Some(path) =>
+        limited.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        println(s"exported to $path")
+      case scala.None => limited.show(flags("limit").lastOption.map(_.toInt).getOrElse(20), false)
+    }
+    0
+  }
+
+  // ---- unit-test ----------------------------------------------------------
+
+  private def cmdUnitTest(spark: SparkSession, pos: Seq[String]): Int = {
+    val pipeline = AssetParser.loadPipeline(pos.headOption.getOrElse("."))
+    val assets = pos.lift(1) match {
+      case Some(name) => pipeline.asset(name).toSeq
+      case scala.None => pipeline.assets
+    }
+    var failures = 0
+    assets.foreach { a =>
+      a.unitTests.foreach { t =>
+        UnitTests.run(spark, pipeline, a, t) match {
+          case scala.None => println(s"[pass] ${a.name} :: ${t.name}")
+          case Some(f) => failures += 1; println(s"[FAIL] ${a.name} :: ${t.name} — ${f.reason}")
+        }
+      }
+    }
+    if (failures == 0) 0 else 1
+  }
+
+  // ---- lineage ------------------------------------------------------------
+
+  private def cmdLineage(spark: SparkSession, pos: Seq[String]): Int =
+    pos match {
+      case Seq(dir, assetName) =>
+        val pipeline = AssetParser.loadPipeline(dir)
+        pipeline.asset(assetName) match {
+          case Some(asset) =>
+            println(s"asset: ${asset.name}")
+            println(s"uses: ${Lineage.usedTables(spark, asset.content).mkString(", ")}")
+            val lin = Lineage.columnLineage(spark, asset.content)
+            lin.columns.foreach { c =>
+              println(s"  ${c.column} <- ${c.upstreams.map(u => s"${u.table}.${u.column}").mkString(", ")}")
+            }
+            if (lin.nonSelected.nonEmpty)
+              println(s"  (non-selected: ${lin.nonSelected.map(u => s"${u.table}.${u.column}").mkString(", ")})")
+            0
+          case scala.None => System.err.println(s"no such asset: $assetName"); 1
+        }
+      case _ => System.err.println("usage: graft lineage <dir> <asset>"); 2
+    }
+
+  // ---- data-diff ----------------------------------------------------------
+
+  private def cmdDiff(spark: SparkSession, pos: Seq[String]): Int =
+    pos match {
+      case Seq(left, right) =>
+        DataDiff.diffTables(spark, left, right).show(200, false)
+        0
+      case _ => System.err.println("usage: graft data-diff <table1> <table2>"); 2
+    }
+
+  // ---- environments -------------------------------------------------------
+
+  private def cmdEnvironments(pos: Seq[String]): Int = {
+    val cfg = Config.load(pos.headOption.getOrElse("."))
+    if (cfg.environments.isEmpty) println("(no .graft.yml — implicit default environment)")
+    cfg.environments.values.foreach { e =>
+      val marker = if (e.name == cfg.defaultEnvironment) "*" else " "
+      println(s"$marker ${e.name}" +
+        (if (e.schemaPrefix.nonEmpty) s" (schema_prefix=${e.schemaPrefix})" else "") +
+        (if (e.connections.nonEmpty) s" connections: ${e.connections.keys.mkString(", ")}" else ""))
+    }
+    0
+  }
+}

@@ -79,6 +79,30 @@ object Checks {
     }
   }
 
+  /** Custom check with dev-environment table renames applied at the plan
+    * level (reference devenv modifier wraps check queries the same way). */
+  def runCustom(spark: SparkSession, check: CustomCheck,
+                rename: Map[String, String]): CheckResult =
+    if (rename.isEmpty) runCustom(spark, check)
+    else {
+      val df = org.apache.spark.sql.graft.SqlBridge.renameTablesSql(
+        spark, check.query.stripSuffix(";"), rename)
+      check.count match {
+        case Some(expectedCount) =>
+          CheckResult(s"custom:${check.name}", "", "", expectedCount, df.count())
+        case scala.None =>
+          val raw = df.head().get(0)
+          val actual = raw match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case d: java.math.BigDecimal => d.longValue
+            case d: Double => d.toLong
+            case other => String.valueOf(other).toDouble.toLong
+          }
+          CheckResult(s"custom:${check.name}", "", "", check.value.getOrElse(0L), actual)
+      }
+    }
+
   private def sqlValue(check: ColumnCheck, name: String): String =
     CheckValue.toSql(check.value.getOrElse(
       throw new IllegalArgumentException(s"check $name needs a value")))

@@ -2,7 +2,9 @@ package graft.exec
 
 import java.time.LocalDateTime
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.SqlBridge
 import graft.checks.Checks
+import graft.config.Environment
 import graft.materialize.{Materializer, SessionCatalogWarehouse, Warehouse}
 import graft.model._
 import graft.render.Template
@@ -11,6 +13,11 @@ import graft.sources.Seeds
 /** End-to-end pipeline execution: render → materialize → checks, scheduled
   * as a DAG (reference cmd/run.go:571-1573 flow; operator dispatch mirrors
   * SetupExecutors run.go:1953-2300).
+  *
+  * With a dev [[Environment]] (schema_prefix), every asset materializes under
+  * its prefixed physical name and table references to pipeline assets are
+  * rewritten at the plan level (reference pkg/devenv/modifier.go +
+  * RenameTables parser.go:263-270) — string literals and comments untouched.
   */
 final class PipelineRunner(
     spark: SparkSession,
@@ -21,14 +28,25 @@ final class PipelineRunner(
     frozenNow: Option[String] = None,
     /** Run-level `--sensor-mode` override (reference cmd/run.go `--sensor-mode`
       * skip|once|wait); None = per-asset `mode` parameter (default once). */
-    sensorMode: Option[String] = None) {
+    sensorMode: Option[String] = None,
+    /** Selected `.graft.yml` environment (connections + dev schema_prefix). */
+    environment: Environment = Environment()) {
 
   val warehouse: Warehouse = new SessionCatalogWarehouse(spark)
+
+  if (environment.fullRefreshRestricted && fullRefresh)
+    throw new IllegalArgumentException(
+      s"environment '${environment.name}' restricts --full-refresh")
+
+  def physical(name: String): String = environment.physicalName(name)
+
+  private def renameMap(pipeline: Pipeline): Map[String, String] =
+    environment.renameMapping(pipeline.assets.map(_.name))
 
   def templateContext(pipeline: Pipeline, asset: Asset): Template.Ctx =
     Template.context(startDate, endDate, executionDate = startDate,
       pipelineName = pipeline.name, runId = "run",
-      fullRefresh = fullRefresh, thisAsset = asset.name,
+      fullRefresh = fullRefresh, thisAsset = physical(asset.name),
       vars = pipeline.variables)
 
   private def matContext: Materializer.Context = {
@@ -46,13 +64,13 @@ final class PipelineRunner(
   def executeInstance(pipeline: Pipeline)(i: Scheduler.Instance): Unit = i.typ match {
     case Scheduler.Main => executeMain(pipeline, i.asset)
     case Scheduler.ColumnCheckInstance(column, ck) =>
-      val r = Checks.run(spark, i.asset.name, column, ck)
+      val r = Checks.run(spark, physical(i.asset.name), column, ck)
       if (!r.passed)
         throw new RuntimeException(s"check failed: ${i.asset.name}.$column ${ck.name} " +
           s"(expected ${r.expected}, got ${r.actual})")
     case Scheduler.CustomCheckInstance(ck) =>
       val rendered = ck.copy(query = Template.render(ck.query, templateContext(pipeline, i.asset)))
-      val r = Checks.runCustom(spark, rendered)
+      val r = Checks.runCustom(spark, rendered, renameMap(pipeline))
       if (!r.passed)
         throw new RuntimeException(s"custom check failed: ${ck.name} " +
           s"(expected ${r.expected}, got ${r.actual})")
@@ -61,26 +79,54 @@ final class PipelineRunner(
   def executeMain(pipeline: Pipeline, asset: Asset): Unit = {
     val pre = asset.parameters.get("pre_hook")
     val post = asset.parameters.get("post_hook")
-    pre.foreach(h => spark.sql(Template.render(h, templateContext(pipeline, asset))))
+    val rename = renameMap(pipeline)
+    def hook(h: String): Unit = {
+      val rendered = Template.render(h, templateContext(pipeline, asset))
+      if (rename.isEmpty) spark.sql(rendered)
+      else SqlBridge.renameTablesSql(spark, rendered, rename).foreach(_ => ())
+    }
+    pre.foreach(hook)
+    val target = if (rename.isEmpty) asset else asset.copy(name = physical(asset.name))
     asset.assetType match {
       case AssetType.Empty => () // pure DAG node (reference executor/empty.go)
       case AssetType.Seed =>
-        warehouse.createOrReplace(asset.name, Seeds.load(spark, asset, baseDir),
+        warehouse.createOrReplace(target.name, Seeds.load(spark, asset, baseDir),
           asset.materialization.partitionBy)
       case AssetType.Ingest =>
-        graft.sources.Ingest.run(warehouse, asset, baseDir, matContext)
+        graft.sources.Ingest.run(warehouse, resolveConnection(target), baseDir, matContext)
       case AssetType.SensorQuery =>
         surfaceSkip(asset)(Sensors.querySensor(spark, renderAsset(pipeline, asset),
           mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
       case AssetType.SensorTable =>
-        surfaceSkip(asset)(Sensors.tableSensor(spark,
-          asset.parameters.getOrElse("table", asset.content.trim),
+        val t = asset.parameters.getOrElse("table", asset.content.trim)
+        surfaceSkip(asset)(Sensors.tableSensor(spark, rename.getOrElse(t, t),
           mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
       case _ =>
-        Materializer.execute(warehouse, asset, renderAsset(pipeline, asset), matContext)
+        val sql = renderAsset(pipeline, asset)
+        if (rename.isEmpty) Materializer.execute(warehouse, asset, sql, matContext)
+        else {
+          // dev env: plan-level rename of upstream refs, prefixed target
+          val plan = SqlBridge.renameTables(
+            spark.sessionState.sqlParser.parsePlan(sql), rename)
+          Materializer.executeDf(warehouse, target, SqlBridge.ofRows(spark, plan), matContext)
+        }
     }
-    post.foreach(h => spark.sql(Template.render(h, templateContext(pipeline, asset))))
+    post.foreach(hook)
   }
+
+  /** Resolve `source_connection` through the environment's connections into
+    * the concrete source_uri + reader options (reference
+    * ingestruri.ForConnection, pkg/ingestr/operator.go:213-220). */
+  private def resolveConnection(asset: Asset): Asset =
+    asset.parameters.get("source_connection") match {
+      case scala.None => asset
+      case Some(cn) =>
+        val conn = environment.connection(cn).getOrElse(
+          throw new IllegalArgumentException(
+            s"${asset.name}: connection '$cn' not defined in environment '${environment.name}'"))
+        val opts = conn.options.map { case (k, v) => s"jdbc_$k" -> v }
+        asset.copy(parameters = asset.parameters ++ opts + ("source_uri" -> conn.uri))
+    }
 
   private def modeFor(asset: Asset): String =
     sensorMode.getOrElse(asset.parameters.getOrElse("mode", "once"))

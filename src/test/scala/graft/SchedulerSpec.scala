@@ -101,6 +101,59 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Lint.dryRun(spark, "SELECT 1").isRight)
   }
 
+  test("CLI drives the demo pipeline end-to-end") {
+    assert(Main.run(Seq("run", pipelineDir), Some(spark)) == 0)
+    assert(spark.table("expensive_products").count() == 2)
+    assert(Main.run(Seq("lint", pipelineDir), Some(spark)) == 0)
+    assert(Main.run(Seq("render", pipelineDir, "product_summary"), Some(spark)) == 0)
+    assert(Main.run(Seq("query", "--q", "SELECT 1 AS one", "--limit", "5"), Some(spark)) == 0)
+    assert(Main.run(Seq("nonsense"), Some(spark)) == 2)
+    // selector subset: only the seed runs
+    assert(Main.run(Seq("run", pipelineDir, "--select", "raw_products"), Some(spark)) == 0)
+  }
+
+  test("dev environment schema_prefix renames targets and references") {
+    import graft.config.{Config, Environment}
+    val cfg = Config.parse(
+      """default_environment: default
+        |environments:
+        |  default:
+        |    connections: {}
+        |  dev:
+        |    schema_prefix: dev_
+        |    connections:
+        |      src_db:
+        |        type: jdbc
+        |        uri: jdbc:derby:memory:${DERBY_DB_NAME};create=true
+        |""".stripMargin, env = Map("DERBY_DB_NAME" -> "cfgdb"))
+    assert(cfg.environment(scala.None).name == "default")
+    val dev = cfg.environment(Some("dev"))
+    assert(dev.schemaPrefix == "dev_")
+    assert(dev.connection("src_db").get.uri == "jdbc:derby:memory:cfgdb;create=true")
+    // the SCHEMA segment gets the prefix (reference devenv/modifier.go:110)
+    assert(dev.physicalName("sales.orders") == "dev_sales.orders")
+    assert(dev.physicalName("cat.sales.orders") == "cat.dev_sales.orders")
+    assert(dev.physicalName("orders") == "dev_orders")
+
+    spark.sql("DROP TABLE IF EXISTS dev_expensive_products")
+    spark.sql("DROP TABLE IF EXISTS dev_product_summary")
+    val p = AssetParser.loadPipeline(pipelineDir)
+    val runner = new PipelineRunner(spark, baseDir = pipelineDir, environment = dev)
+    val results = runner.run(p)
+    assert(results.values.forall(r => r.status == Scheduler.Succeeded),
+      results.filter(_._2.status != Scheduler.Succeeded).keys.mkString(", "))
+    // targets landed under the prefix, and downstream read the prefixed upstream
+    assert(spark.table("dev_expensive_products").count() == 2)
+    assert(spark.table("dev_product_summary").head().getLong(0) == 2L)
+
+    // full-refresh restriction
+    val restricted = Environment(name = "prod", fullRefreshRestricted = true)
+    intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, baseDir = pipelineDir,
+        fullRefresh = true, environment = restricted)
+    }
+  }
+
   test("skip-mode sensor with unmet condition skips itself and downstream") {
     val p = Pipeline(name = "p", assets = Seq(
       Asset(name = "gate", assetType = AssetType.SensorQuery,
