@@ -38,7 +38,20 @@ object EngineQueries {
         window = Some(Semantic.WindowSpec("rank", orderBy = "order_month"))),
       Semantic.Metric("pct_of_orders", "{order_count}",
         window = Some(Semantic.WindowSpec("percent_of_total", orderBy = "order_month")))),
-    segments = Map("fulfilled" -> "o_orderstatus = 'F'"))
+    segments = Map("fulfilled" -> "o_orderstatus = 'F'"),
+    name = "orders_model",
+    joins = Seq(Semantic.Join("customers", "many_to_one", foreignKey = "o_custkey")))
+
+  /** Joined dimension model (reference semantic-engine joins,
+    * model.go:22-29 + graph.go fromSQL). */
+  private val customerModel = Semantic.Model(
+    table = "customer", name = "customers", primaryKey = "c_custkey",
+    dimensions = Seq(
+      Semantic.Dimension("segment", "c_mktsegment"),
+      Semantic.Dimension("name", "c_name")),
+    metrics = Nil)
+
+  private val semanticModels = Map("customers" -> customerModel)
 
   /** simple path: dims + plain/derived/filtered metrics + dim & metric filters. */
   val semanticSimple: OQ = {
@@ -74,6 +87,18 @@ object EngineQueries {
     OQ.split("semantic_window", sql,
       sql.replace(s"$runningExpr AS running_orders",
         s"CAST($runningExpr AS BIGINT) AS running_orders"))
+  }
+
+  /** joined path: many_to_one dimension from the customers model — base
+    * grain preserved (fan-out-safe), LEFT JOIN on fk = target pk, qualified
+    * refs, sanitized output aliases. */
+  val semanticJoin: OQ = {
+    val sql = Semantic.generateSql(semanticModel, Semantic.Query(
+      dimensions = Seq("status", "customers.segment"),
+      metrics = Seq("order_count", "revenue", "big_orders"),
+      filters = Seq(Semantic.Filter("customers.segment", "not_in", Seq("FURNITURE"))),
+      segments = Seq("fulfilled")), semanticModels)
+    OQ.shared("semantic_join", sql)
   }
 
   // ---- lineage ------------------------------------------------------------
@@ -229,6 +254,6 @@ object EngineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin)
 
-  val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow,
+  val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow)
 }

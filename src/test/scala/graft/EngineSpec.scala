@@ -153,6 +153,37 @@ class EngineSpec extends AnyFunSuite {
     assert(sql == "SELECT d AS d, COUNT(1) AS n FROM t GROUP BY 1")
   }
 
+  test("semantic joins: qualified SQL, fan-out and missing-key rejection") {
+    val dim = Semantic.Model("dims", name = "dims", primaryKey = "id",
+      dimensions = Seq(Semantic.Dimension("kind", "kind")), metrics = Nil)
+    def base(rel: String, targetKey: String = "") = Semantic.Model("facts",
+      dimensions = Seq(Semantic.Dimension("day", "CAST(d AS STRING)")),
+      metrics = Seq(Semantic.Metric("n", "COUNT(1)"),
+        Semantic.Metric("total", "SUM(amount)")),
+      joins = Seq(Semantic.Join("dims", rel, foreignKey = "dim_id", targetKey = targetKey)))
+    val models = Map("dims" -> dim)
+
+    val sql = Semantic.generateSql(base("many_to_one"),
+      Semantic.Query(dimensions = Seq("day", "dims.kind"), metrics = Seq("n", "total")), models)
+    assert(sql ==
+      "SELECT CAST(base.d AS STRING) AS day, dims.kind AS dims_kind, COUNT(1) AS n, " +
+        "SUM(base.amount) AS total" +
+        " FROM (SELECT * FROM facts) base LEFT JOIN (SELECT * FROM dims) dims" +
+        " ON base.dim_id = dims.id GROUP BY 1, 2")
+
+    // fan-out: to-many relationships are not queryable as dimensions
+    intercept[IllegalArgumentException](Semantic.generateSql(base("one_to_many"),
+      Semantic.Query(dimensions = Seq("dims.kind"), metrics = Seq("n")), models))
+    // missing target key and no primary_key on target
+    intercept[IllegalArgumentException](Semantic.generateSql(
+      base("many_to_one").copy(joins = Seq(Semantic.Join("dims", "many_to_one", "dim_id"))),
+      Semantic.Query(dimensions = Seq("dims.kind"), metrics = Seq("n")),
+      Map("dims" -> dim.copy(primaryKey = ""))))
+    // unknown relationship
+    intercept[IllegalArgumentException](Semantic.generateSql(base("sideways"),
+      Semantic.Query(dimensions = Seq("dims.kind"), metrics = Seq("n")), models))
+  }
+
   test("data-diff: schema compare and table diff") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
