@@ -57,9 +57,13 @@ final class PipelineRunner(
       fullRefresh = fullRefresh)
   }
 
+  /** User macro files `*.sql` files in the macros dir, prepended to every render (reference
+    * pkg/jinja/jinja.go:37-68 LoadMacros). */
+  private lazy val macroPrelude: String = Template.loadMacros(baseDir)
+
   /** Render an asset's SQL (hooks around it; reference pipeline/hooks.go). */
   def renderAsset(pipeline: Pipeline, asset: Asset): String =
-    Template.render(asset.content, templateContext(pipeline, asset))
+    Template.render(macroPrelude + asset.content, templateContext(pipeline, asset)).trim
 
   def executeInstance(pipeline: Pipeline)(i: Scheduler.Instance): Unit = i.typ match {
     case Scheduler.Main => executeMain(pipeline, i.asset)
@@ -69,7 +73,8 @@ final class PipelineRunner(
         throw new RuntimeException(s"check failed: ${i.asset.name}.$column ${ck.name} " +
           s"(expected ${r.expected}, got ${r.actual})")
     case Scheduler.CustomCheckInstance(ck) =>
-      val rendered = ck.copy(query = Template.render(ck.query, templateContext(pipeline, i.asset)))
+      val rendered = ck.copy(query =
+        Template.render(macroPrelude + ck.query, templateContext(pipeline, i.asset)).trim)
       val r = Checks.runCustom(spark, rendered, renameMap(pipeline))
       if (!r.passed)
         throw new RuntimeException(s"custom check failed: ${ck.name} " +
@@ -81,7 +86,7 @@ final class PipelineRunner(
     val post = asset.parameters.get("post_hook")
     val rename = renameMap(pipeline)
     def hook(h: String): Unit = {
-      val rendered = Template.render(h, templateContext(pipeline, asset))
+      val rendered = Template.render(macroPrelude + h, templateContext(pipeline, asset)).trim
       if (rename.isEmpty) spark.sql(rendered)
       else SqlBridge.renameTablesSql(spark, rendered, rename).foreach(_ => ())
     }

@@ -112,6 +112,17 @@ object MacroQueries {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM orders WHERE o_orderdate >= TIMESTAMP '{{ start_date }} 00:00:00'""".stripMargin)
 
-  val all: Seq[OQ] = Seq(arithmetic, pivot, dedup, widthBucket, haversine,
+  /** user-defined {% macro %} + {% for %}/loop control flow (reference
+    * jinja.go:37-68 user macros): the macro expands to a portable CASE
+    * bucketing expression shared by both engines. */
+  val userMacro: OQ = macroQ("macro_user_defined",
+    """{% macro price_bucket(col, bounds) -%}
+      |CASE{% for b in bounds %} WHEN {{ col }} < {{ b }} THEN {{ loop.index0 }}{% endfor %} ELSE -1 END
+      |{%- endmacro %}
+      |SELECT {{ price_bucket('o_totalprice', [50000, 150000, 300000]) }} AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1""".stripMargin)
+
+  val all: Seq[OQ] = Seq(arithmetic, pivot, dedup, widthBucket, haversine, userMacro,
     dateSpine, series, urls, contextVars)
 }

@@ -20,4 +20,4 @@ custom_checks:
     query: SELECT count(*) FROM expensive_products
     value: 2
 @bruin */
-SELECT product_id, name, price FROM raw_products WHERE price >= {{ var.min_price }}
+SELECT product_id, name, price FROM raw_products WHERE {{ price_filter('price', var.min_price) }}

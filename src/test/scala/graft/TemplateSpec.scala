@@ -51,4 +51,45 @@ class TemplateSpec extends AnyFunSuite {
     val batch = Checks.batchSql("t", Seq("a" -> ColumnCheck("not_null"), "b" -> ColumnCheck("positive")))
     assert(batch.startsWith("SELECT count(CASE WHEN a IS NULL") && batch.contains("AS v1"))
   }
+
+  test("control flow: if/elif/else with operators") {
+    val t = "{% if var.env == 'prod' %}real{% elif var.env == 'dev' %}fake{% else %}none{% endif %}"
+    assert(Template.render(t, ctx) == "real")
+    assert(Template.render(t, ctx + ("var" -> Map("env" -> "dev"))) == "fake")
+    assert(Template.render(t, ctx + ("var" -> Map("env" -> "x"))) == "none")
+    assert(Template.render("{% if var.limit > 5 and not full_refresh %}y{% endif %}", ctx) == "y")
+    assert(Template.render("{% if 'b' in ['a', 'b'] %}has{% endif %}", ctx) == "has")
+    assert(Template.render("{% if var.limit >= 10 or false %}ok{% endif %}", ctx) == "ok")
+  }
+
+  test("control flow: for with loop variables and whitespace trim") {
+    val t = "SELECT{% for c in ['a', 'b', 'c'] %} {{ c }}{% if not loop.last %},{% endif %}{% endfor %} FROM t"
+    assert(Template.render(t, ctx) == "SELECT a, b, c FROM t")
+    assert(Template.render("{% for i in [1, 2] %}{{ loop.index }}:{{ i * 10 }} {% endfor %}", ctx)
+      == "1:10 2:20 ")
+    assert(Template.render("x {%- if true %} y{% endif %}", ctx) == "x y")
+  }
+
+  test("set and arithmetic") {
+    assert(Template.render("{% set n = var.limit * 2 %}LIMIT {{ n }}", ctx) == "LIMIT 20")
+    assert(Template.render("{{ 7 % 3 }}-{{ 2 + 3 * 4 }}-{{ 'a' ~ 'b' }}", ctx) == "1-14-ab")
+    assert(Template.render("{{ (2 + 3) * 4 }}", ctx) == "20")
+  }
+
+  test("user macros: definitions, defaults, kwargs, macro files") {
+    val t =
+      """{% macro gte(col, threshold=0) -%}
+        |{{ col }} >= {{ threshold }}
+        |{%- endmacro %}WHERE {{ gte('price', 300) }} AND {{ gte('qty') }}""".stripMargin
+    assert(Template.render(t, ctx) == "WHERE price >= 300 AND qty >= 0")
+
+    // macro files concatenate and prepend (reference jinja.go LoadMacros)
+    val dir = java.nio.file.Files.createTempDirectory("graft-macros")
+    java.nio.file.Files.createDirectory(dir.resolve("macros"))
+    java.nio.file.Files.writeString(dir.resolve("macros/m.sql"),
+      "{% macro upper_env() %}{{ var.env }}{% endmacro %}")
+    val prelude = Template.loadMacros(dir.toString)
+    assert(Template.render(prelude + "env={{ upper_env() }}", ctx).trim == "env=prod")
+    assert(Template.loadMacros("/nonexistent-dir") == "")
+  }
 }
