@@ -99,6 +99,9 @@ final class PipelineRunner(
           asset.materialization.partitionBy)
       case AssetType.Ingest =>
         graft.sources.Ingest.run(warehouse, resolveConnection(target), baseDir, matContext)
+      case AssetType.SparkPython =>
+        graft.sources.PythonRunner.run(warehouse, target, baseDir, matContext,
+          templateContext(pipeline, asset), environment)
       case AssetType.SensorQuery =>
         surfaceSkip(asset)(Sensors.querySensor(spark, renderAsset(pipeline, asset),
           mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))

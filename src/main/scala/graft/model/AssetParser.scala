@@ -85,6 +85,11 @@ object AssetParser {
       content = if (content.nonEmpty) content else str(root, "query").getOrElse(""),
       upstreams = upstreams, columns = columns, materialization = mat,
       customChecks = custom, parameters = params,
+      secrets = seq(root, "secrets").map { s =>
+        val m = asMap(s)
+        val key = str(m, "key").getOrElse("")
+        SecretMapping(key, str(m, "inject_as").getOrElse(key))
+      },
       tags = seq(root, "tags").map(String.valueOf(_)),
       owner = str(root, "owner").getOrElse(""),
       unitTests = unitTests)

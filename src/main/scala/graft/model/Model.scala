@@ -171,6 +171,11 @@ final case class UnitTest(
     expected: UnitTestExpectation = UnitTestExpectation(),
     executionTime: Option[String] = None)
 
+/** Secret mapping (reference pipeline.go Secrets + python/operator.go:152-182):
+  * connection `key` from the environment config is injected into the asset
+  * subprocess as env var `injectAs` (JSON connection details). */
+final case class SecretMapping(key: String, injectAs: String)
+
 final case class Asset(
     name: String,
     assetType: String = AssetType.SparkSql,
@@ -180,6 +185,7 @@ final case class Asset(
     materialization: Materialization = Materialization(),
     customChecks: Seq[CustomCheck] = Nil,
     parameters: Map[String, String] = Map.empty,
+    secrets: Seq[SecretMapping] = Nil,
     tags: Seq[String] = Nil,
     owner: String = "",
     unitTests: Seq[UnitTest] = Nil) {

@@ -5,6 +5,7 @@ import graft.core.Tables
 import graft.diff.DataDiff
 import graft.lineage.Lineage
 import graft.materialize.SessionCatalogWarehouse
+import graft.exec.{PipelineRunner, Scheduler}
 import graft.model._
 import graft.render.QuerySplitter
 import graft.semantic.Semantic
@@ -100,6 +101,45 @@ class EngineSpec extends AnyFunSuite {
     val rows = spark.table("jdbc_tgt").orderBy("ID")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
     assert(rows == Seq((1, "uno", "****"), (2, "two", "****"), (3, "three", "****")))
+  }
+
+  test("python asset runner executes materialize() through strategy writers") {
+    import graft.config.{Connection, Environment}
+    val script =
+      """import os, json
+        |def materialize():
+        |    conn = json.loads(os.environ["WAREHOUSE_CONN"])
+        |    assert conn["type"] == "jdbc", conn
+        |    start = os.environ["GRAFT_START_DATE"]
+        |    if start == "2024-01-01":
+        |        return [{"id": 1, "v": "a", "seen": start},
+        |                {"id": 2, "v": "b", "seen": start}]
+        |    return [{"id": 2, "v": "b2", "seen": start},
+        |            {"id": 3, "v": "c", "seen": start}]
+        |""".stripMargin
+    val asset = Asset(name = "py_merged", assetType = AssetType.SparkPython,
+      content = script,
+      columns = Seq(
+        Column("id", "INT", primaryKey = true),
+        Column("v", "STRING", updateOnMerge = true),
+        Column("seen", "STRING", updateOnMerge = true)),
+      materialization = Materialization(typ = MaterializationType.Table,
+        strategy = Some(Strategy.Merge)),
+      secrets = Seq(SecretMapping("wh", "WAREHOUSE_CONN")))
+    val env = Environment(name = "t",
+      connections = Map("wh" -> Connection("wh", typ = "jdbc", uri = "jdbc:derby:memory:x")))
+    val p = Pipeline(name = "pyp", assets = Seq(asset))
+
+    spark.sql("DROP TABLE IF EXISTS py_merged")
+    val r1 = new PipelineRunner(spark, environment = env)
+    assert(r1.run(p).values.forall(_.status == Scheduler.Succeeded))
+    val r2 = new PipelineRunner(spark, environment = env,
+      startDate = java.time.LocalDateTime.of(2024, 2, 1, 0, 0))
+    assert(r2.run(p).values.forall(_.status == Scheduler.Succeeded))
+
+    val rows = spark.table("py_merged").select("id", "v", "seen").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, "a", "2024-01-01"), (2, "b2", "2024-02-01"), (3, "c", "2024-02-01")))
   }
 
   test("selectFromCte rewrites to a named CTE") {
