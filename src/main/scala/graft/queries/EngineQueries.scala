@@ -240,19 +240,27 @@ object EngineQueries {
 
   // ---- streaming -------------------------------------------------------------
 
-  /** Structured Streaming tumbling-window aggregation run to completion over
-    * the events table; the oracle is the equivalent batch bucketing. */
+  /** Structured Streaming tumbling-window aggregation over the events table
+    * via the PRODUCTION path: append mode + watermark into a catalog table.
+    * Append emits only watermark-finalized windows — end ≤ max observed
+    * event time − watermark delay — so the oracle applies the same cutoff. */
   val streamWindow: OQ = OQ.df("stream_window_counts",
     (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_sink")
       val agg = Streams.windowedCounts(Streams.eventStream(s, s"$dir/events.parquet"))
-      Streams.runToCompletion(s, agg, s"stream_out_${System.nanoTime()}")
+      Streams.runAppendToTable(s, agg, "g_stream_sink")
         .select(col("window_start").cast("string").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
     },
-    """SELECT CAST(CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS STRING) AS window_start,
-      |  event_type, count(*) AS n,
+    """WITH w AS (
+      |  SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS wstart,
+      |    event_type, value, CAST(ts AS TIMESTAMP) AS tss
+      |  FROM events)
+      |SELECT CAST(wstart AS STRING) AS window_start, event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY 1, 2""".stripMargin)
+      |FROM w
+      |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
+      |GROUP BY 1, 2""".stripMargin)
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow)

@@ -53,9 +53,9 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Run a streaming aggregation to completion against a static dir and
-    * return the result (memory sink, complete mode) — deterministic batch
-    * replay of the streaming plan. */
+  /** Test-only harness: run a streaming aggregation to completion into a
+    * memory sink (complete mode). Keeps ALL aggregation state in driver
+    * memory — never the production path; see [[runAppendToTable]]. */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     val q = agg.writeStream
       .format("memory").queryName(name)
@@ -64,6 +64,27 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Production sink: append-mode watermarked write into a catalog table.
+    * Only finalized windows are emitted (watermark-evicted, plus the
+    * termination flush up to the max observed event time for AvailableNow
+    * runs), so state is pruned and the sink table scales with the window
+    * count, not with driver memory. Windows still open at the end of input —
+    * those whose end exceeds the last event time — remain in state/checkpoint
+    * and emit on the next run. */
+  def runAppendToTable(spark: SparkSession, agg: DataFrame, table: String,
+                       checkpoint: Option[String] = None,
+                       trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-stream-cp").toString)
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .toTable(table)
+    q.awaitTermination()
+    spark.table(table)
   }
 
   /** CDC-style streaming merge: each micro-batch upserts into the target via
@@ -84,5 +105,15 @@ object Streams {
     params.get("flush_interval") match {
       case Some(iv) => Trigger.ProcessingTime(iv)
       case scala.None => Trigger.AvailableNow()
+    }
+
+  /** flush_records ↦ per-micro-batch record cap as source options
+    * (kafka `maxOffsetsPerTrigger` counts records; file sources cap files).
+    * Bounds batch size so a backlogged stream catches up in steady
+    * memory-sized increments instead of one giant batch. */
+  def sourceOptionsFor(params: Map[String, String]): Map[String, String] =
+    params.get("flush_records") match {
+      case Some(n) => Map("maxOffsetsPerTrigger" -> n, "maxFilesPerTrigger" -> "1")
+      case scala.None => Map.empty
     }
 }

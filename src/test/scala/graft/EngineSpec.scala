@@ -261,6 +261,23 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a"), (2, "b2"), (3, "c")))
   }
 
+  test("streaming append path writes finalized windows to a catalog table") {
+    spark.sql("DROP TABLE IF EXISTS t_stream_append")
+    val agg = Streams.windowedCounts(Streams.eventStream(spark, s"$sfDir/events.parquet"))
+    val out = Streams.runAppendToTable(spark, agg, "t_stream_append")
+    assert(out.count() > 0)
+    // state pruning means strictly fewer rows than the all-state complete mode
+    val complete = Streams.runToCompletion(spark,
+      Streams.windowedCounts(Streams.eventStream(spark, s"$sfDir/events.parquet")), "t_stream_c")
+    assert(out.count() < complete.count())
+
+    import org.apache.spark.sql.streaming.Trigger
+    assert(Streams.triggerFor(Map("flush_interval" -> "5 seconds")) ==
+      Trigger.ProcessingTime("5 seconds"))
+    assert(Streams.sourceOptionsFor(Map("flush_records" -> "1000"))("maxOffsetsPerTrigger") == "1000")
+    assert(Streams.sourceOptionsFor(Map.empty).isEmpty)
+  }
+
   test("streaming merge upserts each micro-batch") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("t_stream_merge")
