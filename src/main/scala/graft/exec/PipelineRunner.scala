@@ -43,17 +43,26 @@ final class PipelineRunner(
   private def renameMap(pipeline: Pipeline): Map[String, String] =
     environment.renameMapping(pipeline.assets.map(_.name))
 
-  def templateContext(pipeline: Pipeline, asset: Asset): Template.Ctx =
-    Template.context(startDate, endDate, executionDate = startDate,
+  /** Per-asset run window: interval_modifiers shift the pipeline dates
+    * (reference pipeline.go:1375-1499; applied python/helper.go:90-110). */
+  private def assetDates(asset: Asset): (LocalDateTime, LocalDateTime) = (
+    asset.intervalModifiers.start.map(IntervalModifiers.shift(startDate, _)).getOrElse(startDate),
+    asset.intervalModifiers.end.map(IntervalModifiers.shift(endDate, _)).getOrElse(endDate))
+
+  def templateContext(pipeline: Pipeline, asset: Asset): Template.Ctx = {
+    val (s, e) = assetDates(asset)
+    Template.context(s, e, executionDate = s,
       pipelineName = pipeline.name, runId = "run",
       fullRefresh = fullRefresh, thisAsset = physical(asset.name),
       vars = pipeline.variables)
+  }
 
-  private def matContext: Materializer.Context = {
+  private def matContext(asset: Asset): Materializer.Context = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val (s, e) = assetDates(asset)
     Materializer.Context(
       now = frozenNow.getOrElse(java.time.LocalDateTime.now.format(fmt)),
-      startTs = startDate.format(fmt), endTs = endDate.format(fmt),
+      startTs = s.format(fmt), endTs = e.format(fmt),
       fullRefresh = fullRefresh)
   }
 
@@ -82,8 +91,9 @@ final class PipelineRunner(
   }
 
   def executeMain(pipeline: Pipeline, asset: Asset): Unit = {
-    val pre = asset.parameters.get("pre_hook")
-    val post = asset.parameters.get("post_hook")
+    // hook lists (reference pipeline/hooks.go:24-54) + single-param legacy form
+    val pre = asset.hooks.pre ++ asset.parameters.get("pre_hook").toSeq
+    val post = asset.hooks.post ++ asset.parameters.get("post_hook").toSeq
     val rename = renameMap(pipeline)
     def hook(h: String): Unit = {
       val rendered = Template.render(macroPrelude + h, templateContext(pipeline, asset)).trim
@@ -98,9 +108,9 @@ final class PipelineRunner(
         warehouse.createOrReplace(target.name, Seeds.load(spark, asset, baseDir),
           asset.materialization.partitionBy)
       case AssetType.Ingest =>
-        graft.sources.Ingest.run(warehouse, resolveConnection(target), baseDir, matContext)
+        graft.sources.Ingest.run(warehouse, resolveConnection(target), baseDir, matContext(asset))
       case AssetType.SparkPython =>
-        graft.sources.PythonRunner.run(warehouse, target, baseDir, matContext,
+        graft.sources.PythonRunner.run(warehouse, target, baseDir, matContext(asset),
           templateContext(pipeline, asset), environment)
       case AssetType.SensorQuery =>
         surfaceSkip(asset)(Sensors.querySensor(spark, renderAsset(pipeline, asset),
@@ -111,12 +121,12 @@ final class PipelineRunner(
           mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
       case _ =>
         val sql = renderAsset(pipeline, asset)
-        if (rename.isEmpty) Materializer.execute(warehouse, asset, sql, matContext)
+        if (rename.isEmpty) Materializer.execute(warehouse, asset, sql, matContext(asset))
         else {
           // dev env: plan-level rename of upstream refs, prefixed target
           val plan = SqlBridge.renameTables(
             spark.sessionState.sqlParser.parsePlan(sql), rename)
-          Materializer.executeDf(warehouse, target, SqlBridge.ofRows(spark, plan), matContext)
+          Materializer.executeDf(warehouse, target, SqlBridge.ofRows(spark, plan), matContext(asset))
         }
     }
     post.foreach(hook)
@@ -154,6 +164,9 @@ final class PipelineRunner(
       else Some(Selector.select(pipeline, selectorTerms))
     Scheduler.run(pipeline, executeInstance(pipeline),
       concurrency = if (concurrency > 0) concurrency else math.max(1, pipeline.concurrency),
-      selected = selected, retries = pipeline.retries)
+      selected = selected, retries = pipeline.retries,
+      connectionLimits = environment.connections.collect {
+        case (name, c) if c.concurrency > 0 => name -> c.concurrency
+      })
   }
 }

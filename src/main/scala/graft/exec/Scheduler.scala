@@ -87,13 +87,46 @@ object Scheduler {
   }
 
   /** Run with `concurrency` workers. `exec` performs one instance; throwing
-    * fails it. Per-asset retries with `retryDelayMs` between attempts. */
+    * fails it. Per-asset retries with `retryDelayMs` between attempts
+    * (asset `retries`/`rerun_cooldown` parameters override per instance;
+    * `timeout` bounds one attempt, reference pipeline.go:1332-1335).
+    * `connectionLimits` caps parallel instances per connection via fair
+    * semaphores (reference scheduler.go:387-493). */
   def run(pipeline: Pipeline,
           exec: Instance => Unit,
           concurrency: Int = 4,
           selected: Option[Set[String]] = None,
           retries: Int = 0,
-          retryDelayMs: Long = 0L): Map[String, Result] = {
+          retryDelayMs: Long = 0L,
+          connectionLimits: Map[String, Int] = Map.empty): Map[String, Result] = {
+    val semaphores = connectionLimits.collect {
+      case (name, limit) if limit > 0 => name -> new java.util.concurrent.Semaphore(limit, true)
+    }
+    def withConnectionSlots[T](i: Instance)(body: => T): T = {
+      // acquire in sorted order so two instances sharing connections never
+      // deadlock on acquisition order
+      val held = i.asset.connections.sorted.flatMap(semaphores.get)
+      held.foreach(_.acquire())
+      try body finally held.reverse.foreach(_.release())
+    }
+    def execOnce(i: Instance): Unit = i.asset.timeoutSeconds match {
+      case scala.None => exec(i)
+      case Some(sec) =>
+        // run the attempt on a dedicated thread so it can be interrupted
+        var err: Option[Throwable] = scala.None
+        val t = new Thread(() =>
+          try exec(i) catch { case e: Throwable => err = Some(e) },
+          s"graft-timeout-${i.id}")
+        t.setDaemon(true)
+        t.start()
+        t.join(sec * 1000)
+        if (t.isAlive) {
+          t.interrupt()
+          throw new java.util.concurrent.TimeoutException(
+            s"${i.id}: timed out after ${sec}s")
+        }
+        err.foreach(throw _)
+    }
     val (instances, deps) = expand(pipeline, selected)
     val byId = instances.map(i => i.id -> i).toMap
     val downstream = mutable.Map[String, Set[String]]().withDefaultValue(Set.empty)
@@ -132,18 +165,20 @@ object Scheduler {
         pool.submit(new Runnable {
           override def run(): Unit = {
             val t0 = System.nanoTime()
+            val maxRetries = i.asset.retriesOverride.getOrElse(retries)
+            val delayMs = i.asset.rerunCooldownSeconds.map(_ * 1000).getOrElse(retryDelayMs)
             var attempt = 0
             var err: Option[Throwable] = scala.None
             var ok = false
             var skip = false
-            while (!ok && !skip && attempt <= retries) {
+            while (!ok && !skip && attempt <= maxRetries) {
               attempt += 1
-              try { exec(i); ok = true; err = scala.None }
+              try { withConnectionSlots(i)(execOnce(i)); ok = true; err = scala.None }
               catch {
                 case s: SkipTask => skip = true; err = Some(s)
                 case e: Throwable =>
                   err = Some(e)
-                  if (attempt <= retries && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+                  if (attempt <= maxRetries && delayMs > 0) Thread.sleep(delayMs)
               }
             }
             val ms = (System.nanoTime() - t0) / 1000000

@@ -90,6 +90,14 @@ object AssetParser {
         val key = str(m, "key").getOrElse("")
         SecretMapping(key, str(m, "inject_as").getOrElse(key))
       },
+      intervalModifiers = map(root, "interval_modifiers").map { m =>
+        IntervalModifiers(start = str(m, "start"), end = str(m, "end"))
+      }.getOrElse(IntervalModifiers()),
+      hooks = map(root, "hooks").map { h =>
+        Hooks(
+          pre = seq(h, "pre").map(String.valueOf(_)),
+          post = seq(h, "post").map(String.valueOf(_)))
+      }.getOrElse(Hooks()),
       tags = seq(root, "tags").map(String.valueOf(_)),
       owner = str(root, "owner").getOrElse(""),
       unitTests = unitTests)

@@ -171,6 +171,32 @@ final case class UnitTest(
     expected: UnitTestExpectation = UnitTestExpectation(),
     executionTime: Option[String] = None)
 
+/** Per-asset interval shift (reference pipeline.go:1375-1499 TimeModifier /
+  * IntervalModifiers): scalar forms like "-2h", "1d", "30m", "45s", "1M". */
+final case class IntervalModifiers(start: Option[String] = None, end: Option[String] = None)
+
+object IntervalModifiers {
+  /** Apply a "-2h"-style modifier to a timestamp. */
+  def shift(t: java.time.LocalDateTime, modifier: String): java.time.LocalDateTime = {
+    val m = """(-?\d+)\s*([smhdM])""".r
+    modifier.trim match {
+      case m(n, unit) =>
+        val v = n.toLong
+        unit match {
+          case "s" => t.plusSeconds(v)
+          case "m" => t.plusMinutes(v)
+          case "h" => t.plusHours(v)
+          case "d" => t.plusDays(v)
+          case "M" => t.plusMonths(v)
+        }
+      case other => throw new IllegalArgumentException(s"bad interval modifier: '$other'")
+    }
+  }
+}
+
+/** Pre/post hook query lists (reference pipeline/hooks.go:24-54). */
+final case class Hooks(pre: Seq[String] = Nil, post: Seq[String] = Nil)
+
 /** Secret mapping (reference pipeline.go Secrets + python/operator.go:152-182):
   * connection `key` from the environment config is injected into the asset
   * subprocess as env var `injectAs` (JSON connection details). */
@@ -186,9 +212,19 @@ final case class Asset(
     customChecks: Seq[CustomCheck] = Nil,
     parameters: Map[String, String] = Map.empty,
     secrets: Seq[SecretMapping] = Nil,
+    intervalModifiers: IntervalModifiers = IntervalModifiers(),
+    hooks: Hooks = Hooks(),
     tags: Seq[String] = Nil,
     owner: String = "",
     unitTests: Seq[UnitTest] = Nil) {
+
+  /** Per-asset execution knobs (reference pipeline.go:1332-1335). */
+  def timeoutSeconds: Option[Long] = parameters.get("timeout").map(_.toLong)
+  def rerunCooldownSeconds: Option[Long] = parameters.get("rerun_cooldown").map(_.toLong)
+  def retriesOverride: Option[Int] = parameters.get("retries").map(_.toInt)
+  /** connections this asset touches (concurrency limits key off these). */
+  def connections: Seq[String] =
+    (parameters.get("connection").toSeq ++ parameters.get("source_connection").toSeq).distinct
 
   def primaryKeys: Seq[String] = columns.filter(_.primaryKey).map(_.name)
   def mergeUpdateColumns: Seq[String] = columns.filter(_.updateOnMerge).map(_.name)

@@ -154,6 +154,74 @@ class SchedulerSpec extends AnyFunSuite {
     }
   }
 
+  test("connection concurrency limits serialize instances on one connection") {
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = Pipeline(name = "p", concurrency = 4, assets = (1 to 6).map(i =>
+      Asset(name = s"a$i", parameters = Map("connection" -> "db1"))))
+    val results = Scheduler.run(p, { _ =>
+      val n = active.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, n))
+      Thread.sleep(30)
+      active.decrementAndGet()
+      ()
+    }, concurrency = 4, connectionLimits = Map("db1" -> 2))
+    assert(results.values.forall(_.status == Scheduler.Succeeded))
+    assert(maxSeen.get() <= 2, s"limit of 2 exceeded: ${maxSeen.get()}")
+  }
+
+  test("per-asset timeout and rerun_cooldown") {
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "slow", parameters = Map("timeout" -> "1")),
+      Asset(name = "fast", parameters = Map("timeout" -> "30"))))
+    val results = Scheduler.run(p, { i =>
+      if (i.asset.name == "slow") Thread.sleep(10000)
+    }, concurrency = 2)
+    assert(results("slow").status == Scheduler.Failed)
+    assert(results("slow").error.exists(_.isInstanceOf[java.util.concurrent.TimeoutException]))
+    assert(results("fast").status == Scheduler.Succeeded)
+
+    // rerun_cooldown spaces per-asset retries; retries parameter overrides
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.nanoTime()
+    val p2 = Pipeline(name = "p", assets = Seq(
+      Asset(name = "flaky", parameters = Map("retries" -> "2", "rerun_cooldown" -> "1"))))
+    val r2 = Scheduler.run(p2, { _ =>
+      if (attempts.incrementAndGet() < 3) throw new RuntimeException("boom")
+    }, concurrency = 1)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(r2("flaky").status == Scheduler.Succeeded && attempts.get() == 3)
+    assert(elapsedMs >= 2000, s"cooldown not applied: ${elapsedMs}ms")
+  }
+
+  test("interval modifiers shift per-asset template dates; hook lists run in order") {
+    assert(IntervalModifiers.shift(
+      java.time.LocalDateTime.of(2024, 1, 10, 12, 0), "-2h") ==
+      java.time.LocalDateTime.of(2024, 1, 10, 10, 0))
+    assert(IntervalModifiers.shift(
+      java.time.LocalDateTime.of(2024, 1, 10, 12, 0), "1d") ==
+      java.time.LocalDateTime.of(2024, 1, 11, 12, 0))
+    assert(IntervalModifiers.shift(
+      java.time.LocalDateTime.of(2024, 1, 10, 12, 0), "-1M") ==
+      java.time.LocalDateTime.of(2023, 12, 10, 12, 0))
+
+    spark.sql("DROP TABLE IF EXISTS im_out")
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "im_out",
+        content = "SELECT '{{ start_datetime }}' AS s, '{{ end_datetime }}' AS e",
+        materialization = Materialization(typ = MaterializationType.Table),
+        intervalModifiers = IntervalModifiers(start = Some("-2h"), end = Some("30m")),
+        hooks = Hooks(
+          pre = Seq("CREATE OR REPLACE TEMPORARY VIEW hook_order AS SELECT 'pre' AS step"),
+          post = Seq("CREATE OR REPLACE TEMPORARY VIEW hook_order AS SELECT 'post' AS step")))))
+    val runner = new PipelineRunner(spark)
+    assert(runner.run(p).values.forall(_.status == Scheduler.Succeeded))
+    val row = spark.table("im_out").head()
+    assert(row.getString(0) == "2023-12-31T22:00:00") // start 2024-01-01 - 2h
+    assert(row.getString(1) == "2024-01-02T00:30:00") // end + 30m
+    assert(spark.table("hook_order").head().getString(0) == "post")
+  }
+
   test("skip-mode sensor with unmet condition skips itself and downstream") {
     val p = Pipeline(name = "p", assets = Seq(
       Asset(name = "gate", assetType = AssetType.SensorQuery,
