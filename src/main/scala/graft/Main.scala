@@ -55,7 +55,7 @@ object Main {
   private def parseArgs(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
     val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
     val pos = scala.collection.mutable.ArrayBuffer[String]()
-    val boolFlags = Set("--full-refresh", "--no-validation")
+    val boolFlags = Set("--full-refresh", "--no-validation", "--continue")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -90,8 +90,9 @@ object Main {
                      pos: Seq[String]): Int = {
     val dir = pos.headOption.getOrElse(".")
     val pipeline = AssetParser.loadPipeline(dir)
+    val environment = envFor(dir, flags)
     if (!flags.contains("no-validation")) {
-      val issues = Lint.validate(pipeline)
+      val issues = Lint.validate(pipeline, Some(environment))
       if (issues.nonEmpty) {
         issues.foreach(i => System.err.println(s"[lint] ${i.rule}: ${i.message}"))
         return 1
@@ -103,10 +104,11 @@ object Main {
       endDate = date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
       fullRefresh = flags.contains("full-refresh"),
       sensorMode = flags("sensor-mode").lastOption,
-      environment = envFor(dir, flags))
+      environment = environment)
     val results = runner.run(pipeline,
       selectorTerms = flags("select"),
-      concurrency = flags("concurrency").lastOption.map(_.toInt).getOrElse(0))
+      concurrency = flags("concurrency").lastOption.map(_.toInt).getOrElse(0),
+      continueRun = flags.contains("continue"))
     val byStatus = results.values.groupBy(_.status).map { case (k, v) => k -> v.size }
     println(s"run finished: ${byStatus.map { case (k, v) => s"$v $k" }.mkString(", ")}")
     results.values.toSeq.sortBy(_.instance.id)

@@ -14,9 +14,32 @@ object Lint {
   private val KnownChecks = Set("not_null", "unique", "positive", "non_negative",
     "negative", "min", "max", "accepted_values", "pattern")
 
-  def validate(pipeline: Pipeline): Seq[Issue] = {
+  private val KnownAssetTypes = Set(AssetType.SparkSql, AssetType.SparkPython,
+    AssetType.Ingest, AssetType.Seed, AssetType.SensorQuery, AssetType.SensorTable,
+    AssetType.Empty)
+  private val KnownSchedules = Set("", "continuous", "hourly", "daily", "weekly", "monthly")
+  private val KnownStrategyNames = Set("", "replace", "create+replace", "append",
+    "merge", "delete+insert", "truncate+insert")
+
+  def validate(pipeline: Pipeline,
+               environment: Option[graft.config.Environment] = scala.None): Seq[Issue] = {
     val issues = scala.collection.mutable.ArrayBuffer[Issue]()
     val names = pipeline.assets.map(_.name)
+
+    // pipeline-level rules (reference list.go valid-pipeline-*)
+    if (pipeline.name.isEmpty || ValidName.findFirstIn(pipeline.name).isEmpty)
+      issues += Issue("valid-pipeline-name", "", s"invalid pipeline name '${pipeline.name}'")
+    if (!KnownSchedules.contains(pipeline.schedule) &&
+        !pipeline.schedule.matches("""^(@\w+|[\d*,/\- ]+)$"""))
+      issues += Issue("valid-pipeline-schedule", "",
+        s"schedule '${pipeline.schedule}' is neither a named schedule nor cron")
+    if (pipeline.startDate.nonEmpty &&
+        scala.util.Try(java.time.LocalDate.parse(pipeline.startDate.take(10))).isFailure)
+      issues += Issue("valid-pipeline-start-date", "",
+        s"start_date '${pipeline.startDate}' is not a date")
+    if (pipeline.concurrency < 1)
+      issues += Issue("valid-pipeline-concurrency", "",
+        s"concurrency must be >= 1, got ${pipeline.concurrency}")
 
     // duplicate asset names
     names.groupBy(identity).filter(_._2.size > 1).keys.foreach { n =>
@@ -72,6 +95,85 @@ object Lint {
       // seed config
       if (a.assetType == AssetType.Seed && !a.parameters.contains("path"))
         issues += Issue("valid-seed", a.name, "seed asset requires parameters.path")
+
+      // asset type + name shape
+      if (!KnownAssetTypes.contains(a.assetType))
+        issues += Issue("valid-task-type", a.name, s"unknown asset type '${a.assetType}'")
+      if (a.name.split('.').length > 3)
+        issues += Issue("asset-name-component-count", a.name,
+          "asset name has more than 3 dot-separated components")
+
+      // executable content (reference valid-executable-file)
+      if ((a.assetType == AssetType.SparkSql || a.assetType == AssetType.SensorQuery) &&
+          a.content.trim.isEmpty)
+        issues += Issue("valid-executable-file", a.name, "asset has no SQL content")
+      if (a.assetType == AssetType.SparkPython &&
+          a.content.trim.isEmpty && !a.parameters.contains("path"))
+        issues += Issue("valid-executable-file", a.name,
+          "python asset needs a script body or parameters.path")
+
+      // ingest config (reference valid-ingestr)
+      if (a.assetType == AssetType.Ingest) {
+        if (!a.parameters.contains("source_uri") && !a.parameters.contains("source_connection"))
+          issues += Issue("valid-ingestr", a.name,
+            "ingest asset requires source_uri or source_connection")
+        val strat = a.parameters.getOrElse("incremental_strategy", "")
+        if (!KnownStrategyNames.contains(strat))
+          issues += Issue("valid-ingestr", a.name, s"unknown incremental_strategy '$strat'")
+        if (strat == "merge" && a.primaryKeys.isEmpty)
+          issues += Issue("valid-ingestr", a.name, "merge ingestion requires primary_key columns")
+        if (strat == "delete+insert" && !a.parameters.contains("incremental_key"))
+          issues += Issue("valid-ingestr", a.name, "delete+insert ingestion requires incremental_key")
+      }
+
+      // sensor config (reference valid-table-sensor-table / valid-sensor-timeout)
+      if (a.assetType == AssetType.SensorTable &&
+          !a.parameters.contains("table") && a.content.trim.isEmpty)
+        issues += Issue("valid-table-sensor-table", a.name, "table sensor needs parameters.table")
+      a.parameters.get("mode").foreach { m =>
+        if ((a.assetType == AssetType.SensorQuery || a.assetType == AssetType.SensorTable) &&
+            !Set("skip", "once", "wait")(m))
+          issues += Issue("valid-sensor-mode", a.name, s"unknown sensor mode '$m'")
+      }
+
+      // numeric execution knobs (reference valid-timeout)
+      Seq("timeout", "rerun_cooldown", "retries").foreach { k =>
+        a.parameters.get(k).foreach { v =>
+          if (scala.util.Try(v.toLong).toOption.forall(_ < 0))
+            issues += Issue("valid-timeout", a.name, s"$k must be a non-negative number, got '$v'")
+        }
+      }
+
+      // interval modifiers parse (reference valid-time-interval shape)
+      Seq(a.intervalModifiers.start, a.intervalModifiers.end).flatten.foreach { m =>
+        if (scala.util.Try(IntervalModifiers.shift(java.time.LocalDateTime.now, m)).isFailure)
+          issues += Issue("valid-interval-modifiers", a.name, s"bad interval modifier '$m'")
+      }
+
+      // custom checks (reference custom-check-query-exists)
+      a.customChecks.groupBy(_.name).filter(_._2.size > 1).keys.foreach { n =>
+        issues += Issue("custom-check-name-unique", a.name, s"custom check '$n' defined twice")
+      }
+      a.customChecks.filter(_.query.trim.isEmpty).foreach { c =>
+        issues += Issue("custom-check-query-exists", a.name,
+          s"custom check '${c.name}' has no query")
+      }
+
+      // duplicate tags
+      a.tags.groupBy(identity).filter(_._2.size > 1).keys.foreach { t =>
+        issues += Issue("duplicate-tags", a.name, s"tag '$t' repeated")
+      }
+
+      // secrets (reference secret-mapping-key-exists)
+      a.secrets.groupBy(_.injectAs).filter(_._2.size > 1).keys.foreach { k =>
+        issues += Issue("secret-mapping-unique", a.name, s"secret injected twice as '$k'")
+      }
+      environment.foreach { env =>
+        a.secrets.filter(s => env.connection(s.key).isEmpty).foreach { s =>
+          issues += Issue("secret-mapping-key-exists", a.name,
+            s"secret '${s.key}' not found in environment '${env.name}'")
+        }
+      }
     }
 
     // acyclic-pipeline

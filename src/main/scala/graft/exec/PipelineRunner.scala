@@ -156,17 +156,25 @@ final class PipelineRunner(
     case Sensors.Met     => ()
   }
 
-  /** Run the pipeline DAG; returns per-instance results. */
+  /** Run the pipeline DAG; returns per-instance results. Run state persists
+    * under baseDir/logs/runs for `--continue` (pass `continueRun = true` to
+    * skip instances that already succeeded last run). */
   def run(pipeline: Pipeline, selectorTerms: Seq[String] = Nil,
-          concurrency: Int = 0): Map[String, Scheduler.Result] = {
+          concurrency: Int = 0,
+          continueRun: Boolean = false): Map[String, Scheduler.Result] = {
     val selected =
       if (selectorTerms.isEmpty) scala.None
       else Some(Selector.select(pipeline, selectorTerms))
-    Scheduler.run(pipeline, executeInstance(pipeline),
+    val completed =
+      if (continueRun) RunState.completedIds(baseDir, pipeline.name) else Set.empty[String]
+    val results = Scheduler.run(pipeline, executeInstance(pipeline),
       concurrency = if (concurrency > 0) concurrency else math.max(1, pipeline.concurrency),
       selected = selected, retries = pipeline.retries,
       connectionLimits = environment.connections.collect {
         case (name, c) if c.concurrency > 0 => name -> c.concurrency
-      })
+      },
+      completed = completed)
+    RunState.save(baseDir, pipeline.name, results)
+    results
   }
 }

@@ -98,7 +98,11 @@ object Scheduler {
           selected: Option[Set[String]] = None,
           retries: Int = 0,
           retryDelayMs: Long = 0L,
-          connectionLimits: Map[String, Int] = Map.empty): Map[String, Result] = {
+          connectionLimits: Map[String, Int] = Map.empty,
+          /** instance ids already successful in a previous run (`--continue`,
+            * reference cmd/run.go:1575-1589): counted as satisfied
+            * dependencies, never re-executed. */
+          completed: Set[String] = Set.empty): Map[String, Result] = {
     val semaphores = connectionLimits.collect {
       case (name, limit) if limit > 0 => name -> new java.util.concurrent.Semaphore(limit, true)
     }
@@ -134,7 +138,12 @@ object Scheduler {
 
     val status = new ConcurrentHashMap[String, Status](instances.map(_.id -> (Pending: Status)).toMap.asJava)
     val results = new ConcurrentHashMap[String, Result]()
-    val remaining = new java.util.concurrent.atomic.AtomicInteger(instances.size)
+    val preDone = instances.filter(i => completed.contains(i.id))
+    preDone.foreach { i =>
+      status.put(i.id, Succeeded)
+      results.put(i.id, Result(i, Succeeded, scala.None, 0, 0))
+    }
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(instances.size - preDone.size)
     val done = new CountDownLatch(1)
     val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
     val lock = new Object
@@ -214,7 +223,9 @@ object Scheduler {
       }
     }
 
-    if (instances.isEmpty) { pool.shutdown(); return Map.empty }
+    if (instances.isEmpty || remaining.get() == 0) {
+      pool.shutdown(); return results.asScala.toMap
+    }
     submitReady()
     done.await(24, TimeUnit.HOURS)
     pool.shutdown()

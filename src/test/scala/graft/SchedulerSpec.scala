@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.exec.{Lint, PipelineRunner, Scheduler, Selector, Sensors}
+import graft.exec.{Lint, PipelineRunner, RunState, Scheduler, Selector, Sensors}
 import graft.model._
 
 class SchedulerSpec extends AnyFunSuite {
@@ -152,6 +152,80 @@ class SchedulerSpec extends AnyFunSuite {
       new PipelineRunner(spark, baseDir = pipelineDir,
         fullRefresh = true, environment = restricted)
     }
+  }
+
+  test("lint rule table: each bad config trips its rule") {
+    def issuesOf(p: Pipeline, env: Option[graft.config.Environment] = scala.None) =
+      Lint.validate(p, env).map(_.rule).toSet
+    def one(a: Asset) = Pipeline(name = "p", assets = Seq(a))
+
+    val cases: Seq[(String, Pipeline)] = Seq(
+      "valid-pipeline-name" -> Pipeline(name = "bad name!"),
+      "valid-pipeline-schedule" -> Pipeline(name = "p", schedule = "sometimes"),
+      "valid-pipeline-start-date" -> Pipeline(name = "p", startDate = "not-a-date"),
+      "valid-pipeline-concurrency" -> Pipeline(name = "p", concurrency = 0),
+      "valid-task-type" -> one(Asset(name = "a", assetType = "teradata.sql")),
+      "asset-name-component-count" -> one(Asset(name = "a.b.c.d", content = "SELECT 1")),
+      "valid-executable-file" -> one(Asset(name = "a", content = "")),
+      "valid-ingestr" -> one(Asset(name = "a", assetType = AssetType.Ingest)),
+      "valid-table-sensor-table" -> one(Asset(name = "a", assetType = AssetType.SensorTable)),
+      "valid-sensor-mode" -> one(Asset(name = "a", assetType = AssetType.SensorQuery,
+        content = "SELECT 1", parameters = Map("mode" -> "maybe"))),
+      "valid-timeout" -> one(Asset(name = "a", content = "SELECT 1",
+        parameters = Map("timeout" -> "-5"))),
+      "valid-interval-modifiers" -> one(Asset(name = "a", content = "SELECT 1",
+        intervalModifiers = IntervalModifiers(start = Some("2 fortnights")))),
+      "custom-check-query-exists" -> one(Asset(name = "a", content = "SELECT 1",
+        customChecks = Seq(CustomCheck("c", query = " ")))),
+      "custom-check-name-unique" -> one(Asset(name = "a", content = "SELECT 1",
+        customChecks = Seq(CustomCheck("c", "SELECT 1"), CustomCheck("c", "SELECT 2")))),
+      "duplicate-tags" -> one(Asset(name = "a", content = "SELECT 1", tags = Seq("x", "x"))),
+      "secret-mapping-unique" -> one(Asset(name = "a", content = "SELECT 1",
+        secrets = Seq(SecretMapping("k1", "ENV"), SecretMapping("k2", "ENV")))))
+    cases.foreach { case (rule, p) =>
+      assert(issuesOf(p).contains(rule), s"expected rule $rule for $p")
+    }
+    // secret key resolution needs the environment
+    val withSecret = one(Asset(name = "a", content = "SELECT 1",
+      secrets = Seq(SecretMapping("ghost", "G"))))
+    assert(issuesOf(withSecret, Some(graft.config.Environment()))
+      .contains("secret-mapping-key-exists"))
+    // a clean pipeline trips nothing
+    assert(issuesOf(one(Asset(name = "ok", content = "SELECT 1"))).isEmpty)
+  }
+
+  test("run state persists and --continue skips completed instances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-continue").toString
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    var failB = true
+    val p = Pipeline(name = "cp", assets = Seq(
+      Asset(name = "a", content = "SELECT 1 AS x",
+        materialization = Materialization(typ = MaterializationType.Table)),
+      Asset(name = "b", content = "SELECT 1 AS x", upstreams = Seq(Upstream("a")),
+        materialization = Materialization(typ = MaterializationType.Table)),
+      Asset(name = "c", content = "SELECT 1 AS x", upstreams = Seq(Upstream("b")),
+        materialization = Materialization(typ = MaterializationType.Table))))
+
+    // hand-rolled exec so we can fail b and observe what re-runs
+    def runOnce(continueRun: Boolean): Map[String, Scheduler.Result] = {
+      val completed = if (continueRun) RunState.completedIds(dir, p.name) else Set.empty[String]
+      val results = Scheduler.run(p, { i =>
+        ran += i.id
+        if (i.asset.name == "b" && failB) throw new RuntimeException("boom")
+      }, concurrency = 1, completed = completed)
+      RunState.save(dir, p.name, results)
+      results
+    }
+
+    val first = runOnce(continueRun = false)
+    assert(first("a").status == Scheduler.Succeeded)
+    assert(first("b").status == Scheduler.Failed)
+    assert(first("c").status == Scheduler.UpstreamFailed)
+
+    ran.clear(); failB = false
+    val second = runOnce(continueRun = true)
+    assert(ran.toSeq == Seq("b", "c"), s"only b and c should re-run, ran: $ran")
+    assert(second.values.forall(_.status == Scheduler.Succeeded))
   }
 
   test("connection concurrency limits serialize instances on one connection") {
