@@ -53,9 +53,39 @@ object Similarity {
   }
 
   /** Same rounding as Catalyst's round() (HALF_UP over the exact binary
-    * expansion) so results are bit-identical to the SQL form. */
-  private def round6(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    * expansion) so results are bit-identical to the SQL form. Fast path in
+    * plain doubles: for |x| ≤ ~1 the scaled error is < 1e-10, so any value
+    * farther than 1e-9 from a .5 decision boundary rounds identically; only
+    * boundary-adjacent values (vanishingly rare) pay the exact BigDecimal. */
+  private def round6(x: Double): Double = {
+    val scaled = x * 1e6
+    val fl = math.floor(scaled)
+    val frac = scaled - fl
+    if (math.abs(frac - 0.5) > 1e-9 && math.abs(scaled) < 4e15)
+      (if (frac > 0.5) fl + 1 else fl) / 1e6
+    else
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
+  /** Bounded top-k selector by (score desc, id asc) — insertion into k-sized
+    * arrays beats sorting every candidate when k ≪ n (k·n shifts worst case,
+    * usually ~n comparisons). */
+  private final class TopK(k: Int) {
+    private val ids = new Array[Long](k)
+    private val cs = new Array[Double](k)
+    private var n = 0
+    def offer(id: Long, c: Double): Unit = {
+      if (n == k && (c < cs(n - 1) || (c == cs(n - 1) && id > ids(n - 1)))) return
+      var pos = if (n < k) n else n - 1
+      while (pos > 0 && (c > cs(pos - 1) || (c == cs(pos - 1) && id < ids(pos - 1)))) pos -= 1
+      var i = math.min(n, k - 1)
+      while (i > pos) { ids(i) = ids(i - 1); cs(i) = cs(i - 1); i -= 1 }
+      ids(pos) = id; cs(pos) = c
+      if (n < k) n += 1
+    }
+    def iterator: Iterator[(Long, Double)] =
+      Iterator.range(0, n).map(i => (ids(i), cs(i)))
+  }
 
   // ---- blocked exact search ------------------------------------------------
 
@@ -151,12 +181,14 @@ object Similarity {
     val perShard = blocked[(Long, Long, Double)](emb, idCol, vecCol, shardBytes) { (queries, shard) =>
       queries.flatMap { case (a, va) =>
         val na = normP(va)
-        shard.iterator.collect { case (b, vb, nb) if b != a =>
-          (b, round6(dotP(va, vb) / (na * nb)))
-        }.toArray
-          .sortBy { case (b, c) => (-c, b) }
-          .take(k)
-          .map { case (b, c) => (a, b, c) }
+        val top = new TopK(k)
+        var i = 0
+        while (i < shard.length) {
+          val (b, vb, nb) = shard(i)
+          if (b != a) top.offer(b, round6(dotP(va, vb) / (na * nb)))
+          i += 1
+        }
+        top.iterator.map { case (b, c) => (a, b, c) }
       }
     }.toDF("a", "b", "cos")
     perShard
@@ -181,7 +213,7 @@ object Similarity {
 
   /** Signature bits so the *expected* bucket size stays ~`targetBucket` as
     * the corpus grows: b = ceil(log2(n / targetBucket)), min 2. */
-  def autoBits(n: Long, targetBucket: Int = 512): Int =
+  def autoBits(n: Long, targetBucket: Int = 256): Int =
     math.max(2, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
 
   /** Hyperplane-LSH bucket id for one table (`bits`-bit signature of
@@ -229,11 +261,14 @@ object Similarity {
         val ms = if (all.length <= maxBucket) all
                  else all.sortBy(_._1).take(maxBucket)
         ms.iterator.flatMap { case (a, va, na) =>
-          ms.collect { case (b, vb, nb) if b != a =>
-            (b, round6(dotP(va, vb) / (na * nb)))
-          }.sortBy { case (b, c) => (-c, b) }
-            .take(k)
-            .map { case (b, c) => (a, b, c) }
+          val top = new TopK(k)
+          var i = 0
+          while (i < ms.length) {
+            val (b, vb, nb) = ms(i)
+            if (b != a) top.offer(b, round6(dotP(va, vb) / (na * nb)))
+            i += 1
+          }
+          top.iterator.map { case (b, c) => (a, b, c) }
         }
       }
       .toDF("a", "b", "cos")
@@ -246,7 +281,7 @@ object Similarity {
   /** [[lshTopK]] with `bits` scaled to the corpus size — the default entry
     * point at unknown scale. */
   def lshTopKAuto(emb: DataFrame, k: Int = 10, tables: Int = 4,
-                  targetBucket: Int = 512, maxBucket: Int = 100000,
+                  targetBucket: Int = 256, maxBucket: Int = 100000,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = emb.count()
     lshTopK(emb, k, autoBits(n, targetBucket), tables, maxBucket, idCol, vecCol)
