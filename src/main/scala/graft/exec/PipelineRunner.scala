@@ -129,6 +129,10 @@ final class PipelineRunner(
           Materializer.executeDf(warehouse, target, SqlBridge.ofRows(spark, plan), matContext(asset))
         }
     }
+    // metadata push: descriptions → catalog comments (reference
+    // cmd/run.go:2007-2038; opt-in like the reference's --push-metadata)
+    if (asset.parameters.get("push_metadata").contains("true") && warehouse.exists(target.name))
+      graft.materialize.MetadataPush.push(spark, asset, target.name)
     post.foreach(hook)
   }
 

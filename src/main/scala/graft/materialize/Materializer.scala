@@ -92,13 +92,13 @@ object Materializer {
         df.createOrReplaceTempView(name.split('.').last)
       case MaterializationType.Table =>
         effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace) match {
-          case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy)
+          case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy)
           case Strategy.Append         =>
-            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy)
-            else wh.append(name, df, mat.partitionBy)
+            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy)
+            else wh.append(name, df, mat.partitionBy, mat.clusterBy)
           case Strategy.TruncateInsert =>
-            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy)
-            else wh.overwrite(name, df, mat.partitionBy)
+            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy)
+            else wh.overwrite(name, df, mat.partitionBy, mat.clusterBy)
           case Strategy.DeleteInsert   => deleteInsert(wh, asset, df)
           case Strategy.Merge          => merge(wh, asset, df)
           case Strategy.TimeInterval   => timeInterval(wh, asset, df, ctx)
@@ -118,11 +118,11 @@ object Materializer {
   private def deleteInsert(wh: Warehouse, asset: Asset, df: DataFrame): Unit = {
     val k = asset.materialization.incrementalKey.getOrElse(
       throw new IllegalArgumentException(s"${asset.name}: delete+insert needs incremental_key"))
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
     val incoming = df.cache() // read once: keys + insert
     val keys = incoming.select(col(k)).where(col(k).isNotNull).distinct()
     val kept = wh.table(asset.name).join(keys, Seq(k), "left_anti")
-    wh.createOrReplace(asset.name, kept.unionByName(incoming), asset.materialization.partitionBy)
+    wh.createOrReplace(asset.name, kept.unionByName(incoming), asset.materialization.partitionBy, asset.materialization.clusterBy)
     incoming.unpersist()
   }
 
@@ -132,7 +132,7 @@ object Materializer {
   private def merge(wh: Warehouse, asset: Asset, df: DataFrame): Unit = {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: merge needs primary_key columns")
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
     val updateCols = asset.mergeUpdateColumns.toSet
     val target = wh.table(asset.name)
     val cols = target.columns.toSeq
@@ -147,15 +147,20 @@ object Materializer {
     val extraOn = asset.materialization.incrementalPredicate.map(expr).map(_ && joinCond)
     val joined = tgt.alias("target").join(src.alias("source"), extraOn.getOrElse(joinCond), "full_outer")
 
+    val mergeSqlByCol = asset.columns.filter(_.mergeSql.nonEmpty)
+      .map(c => c.name -> c.mergeSql).toMap
     val out = cols.map { c =>
       val tC = col(s"target.$c"); val sC = col(s"source.$c")
+      // matched value: merge_sql expression > update_on_merge source > target
+      val matchedValue = mergeSqlByCol.get(c).map(expr)
+        .getOrElse(if (updateCols.contains(c)) sC else tC)
       val merged =
         when(col("target.__t").isNull, sC)                            // insert
           .when(col("source.__s").isNull, tC)                         // untouched
-          .otherwise(if (updateCols.contains(c)) sC else tC)          // matched
+          .otherwise(matchedValue)                                    // matched
       merged.as(c)
     }
-    wh.createOrReplace(asset.name, joined.select(out: _*), asset.materialization.partitionBy)
+    wh.createOrReplace(asset.name, joined.select(out: _*), asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   /** time_interval: replace the [start,end] window of the incremental key
@@ -164,7 +169,7 @@ object Materializer {
   private def timeInterval(wh: Warehouse, asset: Asset, df: DataFrame, ctx: Context): Unit = {
     val k = asset.materialization.incrementalKey.getOrElse(
       throw new IllegalArgumentException(s"${asset.name}: time_interval needs incremental_key"))
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
     val (lo, hi) = asset.materialization.timeGranularity match {
       case TimeGranularity.Date => (to_date(lit(ctx.startTs.take(10))), to_date(lit(ctx.endTs.take(10))))
       case TimeGranularity.Timestamp => (to_timestamp(lit(ctx.startTs)), to_timestamp(lit(ctx.endTs)))
@@ -173,7 +178,7 @@ object Materializer {
     val kept = wh.table(asset.name).where(coalesce(!inWindow, lit(true)))
     // At scale with partition_by=k this becomes a partition overwrite
     // (INSERT OVERWRITE … replaceWhere) instead of a full rebuild.
-    wh.createOrReplace(asset.name, kept.unionByName(df), asset.materialization.partitionBy)
+    wh.createOrReplace(asset.name, kept.unionByName(df), asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   /** ddl: CREATE TABLE IF NOT EXISTS from declared columns
@@ -184,7 +189,7 @@ object Materializer {
       asset.columns.map(c => s"${c.name} ${if (c.typ.nonEmpty) c.typ else "STRING"}").mkString(", "))
     val empty = wh.spark.createDataFrame(
       wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    wh.createOrReplace(asset.name, empty, asset.materialization.partitionBy)
+    wh.createOrReplace(asset.name, empty, asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   /** SCD2 shared plumbing: initial load stamps every row current-as-of-now. */
@@ -200,7 +205,7 @@ object Materializer {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: scd2_by_column needs primary_key columns")
     if (!wh.exists(asset.name)) {
-      wh.createOrReplace(asset.name, scd2Initial(df, ctx), asset.materialization.partitionBy); return
+      wh.createOrReplace(asset.name, scd2Initial(df, ctx), asset.materialization.partitionBy, asset.materialization.clusterBy); return
     }
     val target = wh.table(asset.name)
     val dataCols = target.columns.toSeq.filterNot(Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent).contains)
@@ -237,7 +242,7 @@ object Materializer {
 
     val rebuilt = hist.select((dataCols ++ Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent)).map(col): _*)
       .unionByName(keepCurr).unionByName(expired).unionByName(inserted)
-    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy)
+    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   /** scd2_by_time: change-detection = CAST(s.incremental_key AS TIMESTAMP) >
@@ -252,7 +257,7 @@ object Materializer {
         .withColumn(ScdValidFrom, col(ik).cast("timestamp"))
         .withColumn(ScdValidUntil, to_timestamp(lit(ScdMaxTs)))
         .withColumn(ScdIsCurrent, lit(true))
-      wh.createOrReplace(asset.name, init, asset.materialization.partitionBy); return
+      wh.createOrReplace(asset.name, init, asset.materialization.partitionBy, asset.materialization.clusterBy); return
     }
     val target = wh.table(asset.name)
     val dataCols = target.columns.toSeq.filterNot(Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent).contains)
@@ -287,7 +292,7 @@ object Materializer {
 
     val rebuilt = hist.select((dataCols ++ Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent)).map(col): _*)
       .unionByName(keepCurr).unionByName(expired).unionByName(inserted)
-    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy)
+    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   /** datavault hub/link: insert-only distinct keyed rows not already present
@@ -308,9 +313,9 @@ object Materializer {
       .withColumn("load_dt", to_timestamp(lit(ctx.now)))
       .withColumn("record_src", lit(recordSrc))
 
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, hashed, asset.materialization.partitionBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, hashed, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
     val fresh = hashed.join(wh.table(asset.name).select(hk), Seq(hk), "left_anti")
-    wh.append(asset.name, fresh, asset.materialization.partitionBy)
+    wh.append(asset.name, fresh, asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   /** datavault satellite: dedup source, drop consecutive duplicate hashdiffs
@@ -334,7 +339,7 @@ object Materializer {
       .where(col("__prev").isNull || !(col("__prev") <=> col("hashdiff")))
       .drop("__prev")
 
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, dedup, asset.materialization.partitionBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, dedup, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
     // only rows newer than + different from the current tip per parent key
     val tip = wh.table(asset.name)
       .withColumn("__rn", row_number().over(
@@ -345,7 +350,7 @@ object Materializer {
       .where(col("tip_hk").isNull ||
         (col(loadCol) > col("tip_load") && !(col("hashdiff") <=> col("tip_hashdiff"))))
       .drop("tip_hk", "tip_hashdiff", "tip_load")
-    wh.append(asset.name, fresh, asset.materialization.partitionBy)
+    wh.append(asset.name, fresh, asset.materialization.partitionBy, asset.materialization.clusterBy)
   }
 
   // ======================================================================
@@ -373,7 +378,11 @@ object Materializer {
           case Strategy.Merge =>
             val pks = asset.primaryKeys
             val on = pks.map(k => s"target.$k <=> source.$k").mkString(" AND ")
-            val upd = asset.mergeUpdateColumns.map(c => s"target.$c = source.$c").mkString(", ")
+            val upd = asset.columns
+              .filter(c => c.mergeSql.nonEmpty || c.updateOnMerge)
+              .map(c => s"target.${c.name} = " +
+                (if (c.mergeSql.nonEmpty) c.mergeSql else s"source.${c.name}"))
+              .mkString(", ")
             val updClause = if (upd.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $upd\n" else ""
             Seq(s"MERGE INTO $name AS target\nUSING ($q) AS source\nON $on\n$updClause" +
               "WHEN NOT MATCHED THEN INSERT *")

@@ -19,10 +19,13 @@ trait Warehouse {
   /** Full-table replace. Implemented stage-then-rename so a) the new data is
     * fully written before the old table disappears and b) the SELECT may read
     * the table it replaces (self-referencing rebuilds: SCD2, merge). */
-  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
-  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
+  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+                      clusterBy: Seq[String] = Nil): Unit
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+             clusterBy: Seq[String] = Nil): Unit
   /** INSERT OVERWRITE keeping the table definition. */
-  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
+  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+                clusterBy: Seq[String] = Nil): Unit
   def drop(name: String): Unit
   def ensureSchema(name: String): Unit
 }
@@ -41,14 +44,15 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts.dropRight(1).mkString(".")}")
   }
 
-  override def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+  override def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String],
+                               clusterBy: Seq[String]): Unit = {
     ensureSchema(name)
     // Unique stage name: two overlapping runs of the same asset never collide
     // on the staging table. On a v2 catalog (Delta/Iceberg) this whole method
     // becomes a single atomic CREATE OR REPLACE TABLE AS.
     val stage = s"${name}__stage_${java.lang.Long.toHexString(System.nanoTime())}"
     try {
-      write(df, partitionBy).mode(SaveMode.Overwrite).saveAsTable(stage)
+      write(df, partitionBy, clusterBy).mode(SaveMode.Overwrite).saveAsTable(stage)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(s"ALTER TABLE $stage RENAME TO $name")
       // Hive-style partition metadata stores absolute locations; the rename
@@ -61,19 +65,21 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
     }
   }
 
-  override def append(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+  override def append(name: String, df: DataFrame, partitionBy: Seq[String],
+                      clusterBy: Seq[String]): Unit = {
     ensureSchema(name)
     // Keep the table's partition layout on append — writing unpartitioned
     // into a partitioned table silently forks its layout.
     val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
-    write(df, parts).mode(SaveMode.Append).saveAsTable(name)
+    write(df, parts, clusterBy).mode(SaveMode.Append).saveAsTable(name)
   }
 
-  override def overwrite(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+  override def overwrite(name: String, df: DataFrame, partitionBy: Seq[String],
+                         clusterBy: Seq[String]): Unit = {
     // The writer can't overwrite a table it reads from; stage-swap instead,
     // preserving the partition layout.
     val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
-    createOrReplace(name, df, parts)
+    createOrReplace(name, df, parts, clusterBy)
   }
 
   override def drop(name: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -88,14 +94,21 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
           .filter(_.isPartition).map(_.name)
       } catch { case _: Throwable => Nil }
 
-  private def write(df: DataFrame, partitionBy: Seq[String]) = {
+  private def write(df: DataFrame, partitionBy: Seq[String], clusterBy: Seq[String] = Nil) = {
     // Cluster writes by the partition columns so each output partition is
     // written by few tasks (avoids the small-files explosion at scale).
     val clustered =
       if (partitionBy.nonEmpty)
         df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df
-    val w = clustered.write.format("parquet")
+    // cluster_by: co-locate rows within each file so min/max row-group stats
+    // prune on those columns at read time (the parquet-table analogue of
+    // Delta Z-ORDER; reference bigquery/materialization.go:518-548 CLUSTER BY)
+    val sorted =
+      if (clusterBy.nonEmpty)
+        clustered.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      else clustered
+    val w = sorted.write.format("parquet")
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 }

@@ -82,6 +82,7 @@ object AssetParser {
 
     Asset(
       name = name, assetType = typ,
+      description = str(root, "description").getOrElse(""),
       content = if (content.nonEmpty) content else str(root, "query").getOrElse(""),
       upstreams = upstreams, columns = columns, materialization = mat,
       customChecks = custom, parameters = params,
@@ -121,6 +122,7 @@ object AssetParser {
       updateOnMerge = bool(m, "update_on_merge").getOrElse(false),
       nullable = bool(m, "nullable").getOrElse(true),
       mask = str(m, "mask").getOrElse(""),
+      mergeSql = str(m, "merge_sql").getOrElse(""),
       checks = checks)
   }
 

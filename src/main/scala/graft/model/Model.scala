@@ -124,6 +124,10 @@ final case class Column(
     /** masking function applied on ingestion: hash|md5|star|null
       * (reference ingestr --mask, pkg/ingestr/operator.go:138-176). */
     mask: String = "",
+    /** custom matched-update expression for merge, with target./source.
+      * aliases (reference Column.MergeSQL, duckdb/materialization.go:146-151);
+      * overrides update_on_merge when set. */
+    mergeSql: String = "",
     checks: Seq[ColumnCheck] = Nil,
     upstreams: Seq[ColumnLineageRef] = Nil)
 
@@ -205,6 +209,7 @@ final case class SecretMapping(key: String, injectAs: String)
 final case class Asset(
     name: String,
     assetType: String = AssetType.SparkSql,
+    description: String = "",
     content: String = "",                     // SQL body (post header strip)
     upstreams: Seq[Upstream] = Nil,
     columns: Seq[Column] = Nil,

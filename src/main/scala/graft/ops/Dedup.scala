@@ -38,13 +38,27 @@ object Dedup {
   }
 
   /** Candidate pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
-    * Self-equi-join on the shingle — the exact (non-LSH) baseline. */
+    * Self-equi-join on the shingle — the exact (non-LSH) baseline.
+    *
+    * `maxDocFreq` (0 = off) drops shingles appearing in more than that many
+    * documents from the JOIN side only: a shingle shared by d docs produces
+    * d² candidate rows, so one ubiquitous boilerplate gram turns the join
+    * quadratic. Capping trades recall for a hard bound on the pair explosion
+    * (common grams carry almost no Jaccard signal anyway); n_grams counts
+    * stay exact, so surviving pairs keep their exact Jaccard. */
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDocFreq: Int = 0): DataFrame = {
     val sh = shingles(df, n, idCol, textCol).cache()
     val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
-    val a = sh.select(col(idCol).as("a"), col("gram"))
-    val b = sh.select(col(idCol).as("b"), col("gram"))
+    val joinSide =
+      if (maxDocFreq <= 0) sh
+      else sh.join(
+        sh.groupBy("gram").agg(count("*").as("__df"))
+          .where(col("__df") <= maxDocFreq).select("gram"),
+        Seq("gram"))
+    val a = joinSide.select(col(idCol).as("a"), col("gram"))
+    val b = joinSide.select(col(idCol).as("b"), col("gram"))
     val common = a.join(b, Seq("gram")).where(col("a") < col("b"))
       .groupBy("a", "b").agg(count("*").as("common"))
     common

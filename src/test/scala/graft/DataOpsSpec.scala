@@ -43,6 +43,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(auto.nonEmpty)
   }
 
+  test("jaccard hot-shingle cap bounds the candidate explosion") {
+    // with the cap off, every co-occurring gram joins; with a tight cap the
+    // ubiquitous grams are excluded from candidate generation
+    val uncapped = Dedup.jaccardPairs(docs, 3, 0.0).count()
+    val capped = Dedup.jaccardPairs(docs, 3, 0.0, maxDocFreq = 2).count()
+    assert(capped <= uncapped)
+    // planted near-dup pairs share many RARE shingles, so a reasonable cap
+    // keeps every high-similarity pair
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5).select("a", "b").collect().toSet
+    val cappedHigh = Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50).select("a", "b").collect().toSet
+    assert(cappedHigh == exact)
+  }
+
   test("language id agrees with stopword evidence") {
     val out = TextAnalysis.languageId(docs)
     // whenever a detected language is claimed, its score is the max and positive

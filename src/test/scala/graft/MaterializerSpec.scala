@@ -183,6 +183,67 @@ class MaterializerSpec extends AnyFunSuite {
     spark.sql("DROP VIEW IF EXISTS viewschema.v_prices")
   }
 
+  test("merge_sql column expressions accumulate on match") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "t_merge_sql",
+      columns = Seq(
+        Column("id", "INT", primaryKey = true),
+        Column("qty", "INT", mergeSql = "target.qty + source.qty"),
+        Column("v", "STRING", updateOnMerge = true)),
+      materialization = Materialization(
+        typ = MaterializationType.Table, strategy = Some(Strategy.Merge)))
+    wh.drop("t_merge_sql")
+    Materializer.execute(wh, asset, "SELECT * FROM VALUES (1, 10, 'a') AS t(id, qty, v)")
+    Materializer.execute(wh, asset,
+      "SELECT * FROM VALUES (1, 5, 'a2'), (2, 7, 'b') AS t(id, qty, v)")
+    val rows = spark.table("t_merge_sql").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, 15, "a2"), (2, 7, "b"))) // qty accumulated, v replaced
+
+    // render emits the custom expression in the UPDATE SET clause
+    val rendered = Materializer.render(asset, "SELECT 1").head
+    assert(rendered.contains("target.qty = target.qty + source.qty"))
+    assert(rendered.contains("target.v = source.v"))
+  }
+
+  test("cluster_by sorts rows within written files") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "t_clustered",
+      materialization = Materialization(typ = MaterializationType.Table,
+        strategy = Some(Strategy.CreateReplace), clusterBy = Seq("k")))
+    wh.drop("t_clustered")
+    Materializer.execute(wh, asset,
+      "SELECT id % 7 AS k, id AS v FROM range(1000)")
+    // rows inside each file are ordered by k (monotonic per input split)
+    import org.apache.spark.sql.functions._
+    val disorder = spark.table("t_clustered")
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("k", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .where(col("prev") > col("k")).count()
+    assert(disorder == 0)
+    assert(spark.table("t_clustered").count() == 1000)
+  }
+
+  test("metadata push lands descriptions as catalog comments") {
+    import graft.materialize.MetadataPush
+    spark.sql("DROP TABLE IF EXISTS t_meta")
+    spark.sql("CREATE TABLE t_meta USING parquet AS SELECT 1 AS id, 'x' AS name")
+    val asset = Asset(name = "t_meta", description = "core entity table",
+      columns = Seq(
+        Column("id", "INT", description = "primary identifier"),
+        Column("name", "STRING", description = "display name"),
+        Column("ghost", "INT", description = "not in the table")))
+    assert(MetadataPush.push(spark, asset) == 3) // table + 2 real columns
+    val comments = spark.sql("DESCRIBE TABLE t_meta").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(comments("id") == "primary identifier")
+    assert(comments("name") == "display name")
+    // v1 promotes the 'comment' property to the table comment
+    assert(spark.catalog.getTable("t_meta").description == "core entity table")
+  }
+
   test("none materialization executes without collecting") {
     val wh = new SessionCatalogWarehouse(spark)
     val asset = Asset(name = "noop_asset") // default type = none
