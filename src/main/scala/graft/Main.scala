@@ -68,6 +68,13 @@ object Main {
     (flags.toMap.withDefaultValue(Nil), pos.toSeq)
   }
 
+  private def parseScalar(v: String): Any =
+    if (v.matches("-?\\d+")) v.toLong
+    else if (v.matches("-?\\d+\\.\\d+")) v.toDouble
+    else if (v.equalsIgnoreCase("true")) true
+    else if (v.equalsIgnoreCase("false")) false
+    else v
+
   private def newSession(): SparkSession =
     SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -89,10 +96,21 @@ object Main {
   private def cmdRun(spark: SparkSession, flags: Map[String, Seq[String]],
                      pos: Seq[String]): Int = {
     val dir = pos.headOption.getOrElse(".")
-    val pipeline = AssetParser.loadPipeline(dir)
+    val loaded = AssetParser.loadPipeline(dir)
     val environment = envFor(dir, flags)
+    // --variant preset then --var k=v overrides (reference run.go:812-915)
+    val withVariant = flags("variant").lastOption
+      .map(v => Variables.applyVariant(loaded, v)).getOrElse(loaded)
+    val overrides = flags("var").map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> parseScalar(v)
+    }.toMap
+    val pipeline =
+      if (overrides.isEmpty) withVariant
+      else Variables.applyOverrides(withVariant, overrides)
     if (!flags.contains("no-validation")) {
-      val issues = Lint.validate(pipeline, Some(environment))
+      val glossary = graft.model.Glossary.load(dir)
+      val issues = Lint.validate(pipeline, Some(environment),
+        if (glossary.isEmpty) scala.None else Some(glossary))
       if (issues.nonEmpty) {
         issues.foreach(i => System.err.println(s"[lint] ${i.rule}: ${i.message}"))
         return 1

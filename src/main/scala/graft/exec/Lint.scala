@@ -22,9 +22,13 @@ object Lint {
     "merge", "delete+insert", "truncate+insert")
 
   def validate(pipeline: Pipeline,
-               environment: Option[graft.config.Environment] = scala.None): Seq[Issue] = {
+               environment: Option[graft.config.Environment] = scala.None,
+               glossary: Option[Glossary] = scala.None): Seq[Issue] = {
     val issues = scala.collection.mutable.ArrayBuffer[Issue]()
     val names = pipeline.assets.map(_.name)
+
+    // variables schema + variants (reference valid-variables)
+    Variables.validate(pipeline).foreach(m => issues += Issue("valid-variables", "", m))
 
     // pipeline-level rules (reference list.go valid-pipeline-*)
     if (pipeline.name.isEmpty || ValidName.findFirstIn(pipeline.name).isEmpty)
@@ -172,6 +176,28 @@ object Lint {
         a.secrets.filter(s => env.connection(s.key).isEmpty).foreach { s =>
           issues += Issue("secret-mapping-key-exists", a.name,
             s"secret '${s.key}' not found in environment '${env.name}'")
+        }
+      }
+
+      // glossary entity references (reference valid-entity-references)
+      a.columns.filter(_.extendsRef.nonEmpty).foreach { c =>
+        c.extendsRef.split("\\.", 2) match {
+          case Array(en, an) =>
+            glossary match {
+              case Some(g) if g.entity(en).isEmpty =>
+                issues += Issue("valid-entity-references", a.name,
+                  s"entity '$en' not found in glossary")
+              case Some(g) if !g.entity(en).get.attributes.contains(an) =>
+                issues += Issue("valid-entity-references", a.name,
+                  s"attribute '$an' not found in entity '$en'")
+              case scala.None =>
+                issues += Issue("valid-entity-references", a.name,
+                  s"column extends '${c.extendsRef}' but no glossary file exists")
+              case _ => ()
+            }
+          case _ =>
+            issues += Issue("valid-entity-references", a.name,
+              s"bad extends reference '${c.extendsRef}' (want Entity.Attribute)")
         }
       }
     }

@@ -123,6 +123,7 @@ object AssetParser {
       nullable = bool(m, "nullable").getOrElse(true),
       mask = str(m, "mask").getOrElse(""),
       mergeSql = str(m, "merge_sql").getOrElse(""),
+      extendsRef = str(m, "extends").getOrElse(""),
       checks = checks)
   }
 
@@ -162,13 +163,39 @@ object AssetParser {
 
   def parsePipelineYaml(text: String): Pipeline = {
     val root = Option(new Yaml().load[Any](text)).map(asMap).getOrElse(Map.empty)
+    // variables accept both the plain form (`env: prod`) and the reference's
+    // schema form (`env: {type: string, default: prod}` —
+    // pkg/pipeline/variables.go:17-81)
+    val rawVars = map(root, "variables").getOrElse(Map.empty)
+    val (schemaForm, plainForm) = rawVars.partition {
+      case (_, m: java.util.Map[_, _]) => asMap(m).contains("default")
+      case _ => false
+    }
+    val schema = schemaForm.map { case (k, v) =>
+      k -> asMap(v).map { case (sk, sv) => sk -> toScala(sv) }
+    }
+    val defaults = schema.flatMap { case (k, s) => s.get("default").map(k -> _) }
+    val variants = map(root, "variants").getOrElse(Map.empty).map {
+      case (vn, vv) => vn -> asMap(vv).map { case (k, v) => k -> toScala(v) }
+    }
     Pipeline(
       name = str(root, "name").getOrElse("pipeline"),
       schedule = str(root, "schedule").getOrElse(""),
       startDate = str(root, "start_date").getOrElse(""),
-      variables = map(root, "variables").getOrElse(Map.empty),
+      variables = plainForm.map { case (k, v) => k -> toScala(v) } ++ defaults,
+      variableSchema = schema,
+      variants = variants,
       concurrency = longOpt(root, "concurrency").map(_.toInt).getOrElse(1),
       retries = longOpt(root, "retries").map(_.toInt).getOrElse(0))
+  }
+
+  /** Recursively convert snakeyaml's java collections to Scala. */
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => String.valueOf(k) -> toScala(vv) }.toMap
+    case l: java.util.List[_] => l.asScala.toSeq.map(toScala)
+    case i: java.lang.Integer => i.toLong
+    case other => other
   }
 
   /** Load a pipeline directory: pipeline.yml + the assets dir. */
@@ -187,7 +214,16 @@ object AssetParser {
           n.endsWith(".sql") || n.endsWith(".py") || n.endsWith(".yml") || n.endsWith(".yaml")
         }
         .map(parseFile).toSeq.sortBy(_.name)
-    base.copy(assets = assets)
+    // glossary enrichment: columns with `extends:` inherit entity-attribute
+    // metadata (reference pipeline.go:1747-1784); unresolvable refs are left
+    // as-is for Lint to report
+    val glossary = Glossary.load(dir.toString)
+    val enriched =
+      if (glossary.isEmpty) assets
+      else assets.map { a =>
+        try Glossary.enrich(a, glossary) catch { case _: IllegalArgumentException => a }
+      }
+    base.copy(assets = enriched)
   }
 
   def loadPipeline(dir: String): Pipeline = loadPipeline(Paths.get(dir))

@@ -128,6 +128,9 @@ final case class Column(
       * aliases (reference Column.MergeSQL, duckdb/materialization.go:146-151);
       * overrides update_on_merge when set. */
     mergeSql: String = "",
+    /** glossary inheritance: `Entity.Attribute` (reference EntityAttribute,
+      * pipeline.go:828-846). */
+    extendsRef: String = "",
     checks: Seq[ColumnCheck] = Nil,
     upstreams: Seq[ColumnLineageRef] = Nil)
 
@@ -242,8 +245,73 @@ final case class Pipeline(
     startDate: String = "",
     assets: Seq[Asset] = Nil,
     variables: Map[String, Any] = Map.empty,
+    /** per-variable JSON-schema-ish declarations (type/description/default —
+      * reference pkg/pipeline/variables.go:17-81). */
+    variableSchema: Map[String, Map[String, Any]] = Map.empty,
+    /** named variable presets (reference variant.go:22-105). */
+    variants: Map[String, Map[String, Any]] = Map.empty,
     concurrency: Int = 1,
     retries: Int = 0) {
 
   def asset(name: String): Option[Asset] = assets.find(_.name == name)
+}
+
+/** Variable override/variant plumbing (reference variables.go + variant.go). */
+object Variables {
+
+  /** JSON-schema primitive type check (reference variant.go:64-99). */
+  def typeMatches(value: Any, declared: String): Boolean = declared match {
+    case "string"  => value.isInstanceOf[String]
+    case "integer" => value match {
+      case _: Int | _: Long => true
+      case d: Double => d == math.floor(d) && !d.isInfinite
+      case _ => false
+    }
+    case "number"  => value.isInstanceOf[Int] || value.isInstanceOf[Long] ||
+      value.isInstanceOf[Double] || value.isInstanceOf[Float]
+    case "boolean" => value.isInstanceOf[Boolean]
+    case "array"   => value.isInstanceOf[Seq[_]]
+    case "object"  => value.isInstanceOf[Map[_, _]]
+    case "null"    => value == null
+    case _         => true // unknown type — permissive, like the reference
+  }
+
+  /** `--var k=v` overrides: unknown variables and schema-type mismatches
+    * throw (reference Variables.Merge / validateOverrideType). */
+  def applyOverrides(p: Pipeline, overrides: Map[String, Any]): Pipeline = {
+    overrides.foreach { case (k, v) =>
+      require(p.variables.contains(k) || p.variableSchema.contains(k),
+        s"no such variable '$k'")
+      p.variableSchema.get(k).flatMap(_.get("type")).map(String.valueOf).foreach { t =>
+        require(typeMatches(v, t),
+          s"variable '$k': type mismatch, expected $t, got ${String.valueOf(v)}")
+      }
+    }
+    p.copy(variables = p.variables ++ overrides)
+  }
+
+  /** Apply a named variant preset. */
+  def applyVariant(p: Pipeline, variant: String): Pipeline =
+    applyOverrides(p, p.variants.getOrElse(variant,
+      throw new IllegalArgumentException(
+        s"unknown variant '$variant' (have: ${p.variants.keys.toSeq.sorted.mkString(", ")})")))
+
+  /** Validation issues: schema vars need defaults; variants must reference
+    * known variables with matching types. */
+  def validate(p: Pipeline): Seq[String] = {
+    val noDefault = p.variableSchema.collect {
+      case (k, schema) if !schema.contains("default") && !p.variables.contains(k) =>
+        s"variable '$k' must have a default value"
+    }.toSeq
+    val badVariants = p.variants.toSeq.flatMap { case (vn, overrides) =>
+      overrides.flatMap { case (k, v) =>
+        if (!p.variables.contains(k) && !p.variableSchema.contains(k))
+          Some(s"variant '$vn' references unknown variable '$k'")
+        else p.variableSchema.get(k).flatMap(_.get("type")).map(String.valueOf)
+          .filterNot(t => typeMatches(v, t))
+          .map(t => s"variant '$vn' variable '$k': type mismatch (expected $t)")
+      }
+    }
+    noDefault ++ badVariants
+  }
 }

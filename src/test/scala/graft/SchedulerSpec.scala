@@ -194,6 +194,72 @@ class SchedulerSpec extends AnyFunSuite {
     assert(issuesOf(one(Asset(name = "ok", content = "SELECT 1"))).isEmpty)
   }
 
+  test("glossary entities enrich extends: columns; lint validates references") {
+    val g = Glossary.parse(
+      """entities:
+        |  - name: Customer
+        |    description: A person
+        |    attributes:
+        |      ID:
+        |        type: BIGINT
+        |        description: unique customer id
+        |      Email:
+        |        type: STRING
+        |        description: contact email
+        |""".stripMargin)
+    assert(g.entity("Customer").get.attributes("ID").typ == "BIGINT")
+
+    val asset = Asset(name = "a", content = "SELECT 1", columns = Seq(
+      Column("customer_id", extendsRef = "Customer.ID", description = "declared wins"),
+      Column("", extendsRef = "Customer.Email")))
+    val enriched = Glossary.enrich(asset, g)
+    assert(enriched.columns(0).typ == "BIGINT")
+    assert(enriched.columns(0).description == "declared wins") // declared value kept
+    assert(enriched.columns(1).name == "Email")                // inherited name
+    assert(enriched.columns(1).description == "contact email")
+
+    val bad = Pipeline(name = "p", assets = Seq(Asset(name = "a", content = "SELECT 1",
+      columns = Seq(Column("x", extendsRef = "Ghost.Nope")))))
+    assert(Lint.validate(bad, glossary = Some(g)).exists(_.rule == "valid-entity-references"))
+    assert(Lint.validate(bad).exists(_.rule == "valid-entity-references")) // no glossary at all
+  }
+
+  test("variables schema, variants, and --var overrides") {
+    val p = AssetParser.parsePipelineYaml(
+      """name: vp
+        |variables:
+        |  env:
+        |    type: string
+        |    default: dev
+        |  limit:
+        |    type: integer
+        |    default: 10
+        |  plain_legacy: hello
+        |variants:
+        |  prod_run:
+        |    env: prod
+        |    limit: 100
+        |  broken:
+        |    limit: not_a_number
+        |""".stripMargin)
+    assert(p.variables == Map("env" -> "dev", "limit" -> 10L, "plain_legacy" -> "hello"))
+    assert(p.variableSchema("env")("type") == "string")
+
+    val prod = Variables.applyVariant(p, "prod_run")
+    assert(prod.variables("env") == "prod" && prod.variables("limit") == 100L)
+    intercept[IllegalArgumentException](Variables.applyVariant(p, "nope"))
+    intercept[IllegalArgumentException](
+      Variables.applyOverrides(p, Map("limit" -> "ten"))) // type mismatch
+    intercept[IllegalArgumentException](
+      Variables.applyOverrides(p, Map("ghost" -> 1)))     // unknown var
+    val ok = Variables.applyOverrides(p, Map("limit" -> 42L))
+    assert(ok.variables("limit") == 42L)
+
+    // lint surfaces the broken variant
+    val issues = Lint.validate(p.copy(assets = Seq(Asset(name = "a", content = "SELECT 1"))))
+    assert(issues.exists(i => i.rule == "valid-variables" && i.message.contains("broken")))
+  }
+
   test("run state persists and --continue skips completed instances") {
     val dir = java.nio.file.Files.createTempDirectory("graft-continue").toString
     val ran = scala.collection.mutable.ArrayBuffer[String]()
