@@ -70,6 +70,20 @@ object DataOpsQueries {
        |    + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality_score
        |FROM base""".stripMargin)
 
+  /** Native codegen rolling-hash Expression ([[graft.functions.RollingHash]])
+    * against its DuckDB list_reduce twin. */
+  val rollingHash: OQ = OQ.df("text_rolling_hash",
+    (s, _) => {
+      org.apache.spark.sql.graft.SqlBridge.registerFunction(s, "rolling_hash",
+        exprs => graft.functions.RollingHash(exprs.head))
+      s.table("documents").selectExpr("doc_id", "rolling_hash(text) AS rh")
+    },
+    """SELECT doc_id, list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+      |  (h, c) -> (h * 31 + c) % 2147483647) AS rh
+      |FROM documents""".stripMargin)
+
   val fingerprint: OQ = OQ.df("text_fingerprint",
     (s, _) => TextAnalysis.fingerprint(s.table("documents"))
       .select(col("doc_id"), col("content_md5"), col("fp60")),
@@ -175,7 +189,7 @@ object DataOpsQueries {
     (s, _) => Multimodal.sampleFrames(Multimodal.toMediaTable(s.table("documents")),
       chunk = 64, every = 2))
 
-  val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint,
+  val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     dedupExact, ngramJaccard, minhashLsh, simhash,
     embeddingNearDup, annTopK, annLsh, mmFeatures, mmFrames)
 }

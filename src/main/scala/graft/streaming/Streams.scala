@@ -100,6 +100,36 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC apply: events carry Debezium-style op codes (`c`/`r`/`u` = upsert,
+    * `d` = delete) plus a sequence column ordering changes per key. Each
+    * micro-batch reduces to the LAST change per primary key, then rebuilds
+    * the target: untouched rows survive, upserted keys take their latest
+    * values, deleted keys disappear (reference CDC ingestion auto-merge,
+    * pkg/ingestr/operator.go:229-324; `<scheme>+cdc` sources). */
+  def cdcApply(wh: Warehouse, asset: Asset, events: DataFrame,
+               opCol: String = "op", seqCol: String = "seq"): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pks = asset.primaryKeys
+        require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(pks.map(col): _*).orderBy(col(seqCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .drop("__rn")
+        val upserts = latest.where(col(opCol) =!= "d").drop(opCol, seqCol)
+        if (!wh.exists(asset.name))
+          wh.createOrReplace(asset.name, upserts, asset.materialization.partitionBy)
+        else {
+          val touched = latest.select(pks.map(col): _*).distinct()
+          val kept = wh.table(asset.name).join(touched, pks, "left_anti")
+          wh.createOrReplace(asset.name, kept.unionByName(upserts),
+            asset.materialization.partitionBy)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */
   def triggerFor(params: Map[String, String]): Trigger =
     params.get("flush_interval") match {

@@ -42,6 +42,13 @@ object SqlBridge {
   def freezeTime(spark: SparkSession, sql: String, epochMicros: Long): DataFrame =
     ofRows(spark, freezeExpressions(spark.sessionState.sqlParser.parsePlan(sql), epochMicros))
 
+  /** Register a native Catalyst expression as a session SQL function —
+    * the extension path for custom expressions (SparkSessionExtensions'
+    * injectFunction equivalent, scoped to one session). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+
   /** RenameTables (reference pkg/sqlparser/parser.go:263-270): rewrite table
     * references per `mapping` at the plan level, so matches inside string
     * literals and comments are untouched (unlike a regex rewrite). CTE names

@@ -56,6 +56,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(cappedHigh == exact)
   }
 
+  test("rolling hash expression stays inside whole-stage codegen") {
+    import org.apache.spark.sql.graft.SqlBridge
+    SqlBridge.registerFunction(spark, "rolling_hash",
+      exprs => graft.functions.RollingHash(exprs.head))
+    val df = docs.selectExpr("doc_id", "rolling_hash(text) AS rh")
+    // codegen plan: the '*' marker means the Project containing the
+    // expression compiled into a WholeStageCodegen stage (no codegen fence)
+    assert(df.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("rolling_hash") && l.trim.startsWith("*")))
+    // generated code agrees with interpreted eval
+    val viaSql = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaEval = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.RollingHash.hash(r.getString(1))).toMap
+    assert(viaSql == viaEval)
+    assert(graft.functions.RollingHash.hash("") == 0L)
+  }
+
   test("language id agrees with stopword evidence") {
     val out = TextAnalysis.languageId(docs)
     // whenever a detected language is claimed, its score is the max and positive

@@ -278,6 +278,30 @@ class EngineSpec extends AnyFunSuite {
     assert(Streams.sourceOptionsFor(Map.empty).isEmpty)
   }
 
+  test("CDC apply upserts and deletes keyed changes per micro-batch") {
+    import org.apache.spark.sql.functions._
+    val wh = new SessionCatalogWarehouse(spark)
+    wh.drop("cdc_target")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
+    // batch of Debezium-style change events; later seq wins per key
+    spark.createDataFrame(Seq(
+      (1, "one", "c", 1L), (2, "two", "c", 2L), (3, "three", "c", 3L),
+      (1, "uno", "u", 4L),      // update key 1
+      (2, "TWO", "u", 5L), (2, "x", "d", 6L), // update then DELETE key 2
+      (4, "four", "c", 7L), (4, "quatro", "u", 8L)))
+      .toDF("id", "v", "op", "seq")
+      .write.parquet(dir.toString + "/events")
+    val events = spark.readStream
+      .schema("id INT, v STRING, op STRING, seq BIGINT")
+      .parquet(dir.toString + "/events")
+    val asset = Asset(name = "cdc_target",
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")))
+    Streams.cdcApply(wh, asset, events).awaitTermination()
+    val rows = spark.table("cdc_target").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "uno"), (3, "three"), (4, "quatro"))) // 2 deleted
+  }
+
   test("streaming merge upserts each micro-batch") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("t_stream_merge")
