@@ -44,9 +44,11 @@ object Main {
       case Some("lineage")      => cmdLineage(spark, pos)
       case Some("data-diff")    => cmdDiff(spark, pos)
       case Some("environments") => cmdEnvironments(pos)
+      case Some("format")       => cmdFormat(flags, pos)
+      case Some("docs")         => cmdDocs(pos)
       case _ =>
         System.err.println(
-          "usage: graft run|render|lint|query|unit-test|lineage|data-diff|environments …")
+          "usage: graft run|render|lint|query|unit-test|lineage|data-diff|environments|format|docs …")
         2
     }
   }
@@ -242,6 +244,51 @@ object Main {
         0
       case _ => System.err.println("usage: graft data-diff <table1> <table2>"); 2
     }
+
+  // ---- format -------------------------------------------------------------
+
+  /** Canonical re-serialization of asset files (reference cmd/format.go).
+    * A file is rewritten only when re-parsing the formatted text yields the
+    * identical asset — guaranteed lossless; anything else is reported and
+    * left untouched. `--check` reports without writing. */
+  private def cmdFormat(flags: Map[String, Seq[String]], pos: Seq[String]): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(pos.headOption.getOrElse("."), "assets")
+    if (!Files.isDirectory(dir)) { System.err.println(s"no assets dir under ${pos.headOption.getOrElse(".")}"); return 1 }
+    val checkOnly = flags.contains("check")
+    var changed = 0
+    var skipped = 0
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && (p.toString.endsWith(".sql") || p.toString.endsWith(".py")))
+      .foreach { p =>
+        val original = Files.readString(p)
+        val asset = AssetParser.parse(p.toString, original)
+        val formatted = Formatter.formatAsset(asset)
+        if (formatted != original) {
+          if (AssetParser.parse(p.toString, formatted) == asset) {
+            changed += 1
+            if (checkOnly) println(s"would format: $p")
+            else { Files.writeString(p, formatted); println(s"formatted: $p") }
+          } else { skipped += 1; println(s"skipped (round-trip not lossless): $p") }
+        }
+      }
+    println(s"$changed formatted, $skipped skipped")
+    if (checkOnly && changed > 0) 1 else 0
+  }
+
+  // ---- docs ---------------------------------------------------------------
+
+  private def cmdDocs(pos: Seq[String]): Int = {
+    val dir = pos.headOption.getOrElse(".")
+    val pipeline = AssetParser.loadPipeline(dir)
+    val md = Docs.markdown(pipeline)
+    pos.lift(1) match {
+      case Some(out) => java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)
+      case scala.None => println(md)
+    }
+    0
+  }
 
   // ---- environments -------------------------------------------------------
 

@@ -44,6 +44,12 @@ object Checks {
   def buildSql(table: String, column: String, check: ColumnCheck): String =
     s"SELECT ${violationExpr(column, check)} AS violations FROM $table"
 
+  /** Check-annotation comment prepended to generated assertion SQL so
+    * warehouse query logs attribute the scan (reference
+    * ansisql/checks.go:57-62 + pkg/query/logging.go). */
+  def annotation(pipeline: String, asset: String, column: String, check: String): String =
+    s"""-- graft.check: {"pipeline": "$pipeline", "asset": "$asset", "column": "$column", "check": "$check"}"""
+
   /** One scan for many checks: SELECT c1, c2, … FROM table. */
   def batchSql(table: String, checks: Seq[(String, ColumnCheck)]): String = {
     val exprs = checks.zipWithIndex.map { case ((col, ck), i) =>
@@ -52,8 +58,11 @@ object Checks {
     s"SELECT ${exprs.mkString(", ")} FROM $table"
   }
 
-  def run(spark: SparkSession, table: String, column: String, check: ColumnCheck): CheckResult = {
-    val actual = spark.sql(buildSql(table, column, check)).head().getLong(0)
+  def run(spark: SparkSession, table: String, column: String, check: ColumnCheck,
+          annotationComment: String = ""): CheckResult = {
+    val sql = (if (annotationComment.nonEmpty) annotationComment + "\n" else "") +
+      buildSql(table, column, check)
+    val actual = spark.sql(sql).head().getLong(0)
     CheckResult(check.name, table, column, expected = 0, actual = actual)
   }
 

@@ -77,7 +77,8 @@ final class PipelineRunner(
   def executeInstance(pipeline: Pipeline)(i: Scheduler.Instance): Unit = i.typ match {
     case Scheduler.Main => executeMain(pipeline, i.asset)
     case Scheduler.ColumnCheckInstance(column, ck) =>
-      val r = Checks.run(spark, physical(i.asset.name), column, ck)
+      val r = Checks.run(spark, physical(i.asset.name), column, ck,
+        Checks.annotation(pipeline.name, i.asset.name, column, ck.name))
       if (!r.passed)
         throw new RuntimeException(s"check failed: ${i.asset.name}.$column ${ck.name} " +
           s"(expected ${r.expected}, got ${r.actual})")

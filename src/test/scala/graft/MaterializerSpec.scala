@@ -244,6 +244,55 @@ class MaterializerSpec extends AnyFunSuite {
     assert(spark.catalog.getTable("t_meta").description == "core entity table")
   }
 
+  test("format: canonical serialization round-trips losslessly") {
+    val text =
+      """/* @bruin
+        |name: sales.orders
+        |type: duckdb.sql
+        |description: daily orders
+        |depends:
+        |  - raw.events
+        |materialization:
+        |  type: table
+        |  strategy: merge
+        |columns:
+        |  - name: id
+        |    type: BIGINT
+        |    primary_key: true
+        |    checks: [not_null, unique]
+        |  - name: qty
+        |    type: INT
+        |    merge_sql: target.qty + source.qty
+        |custom_checks:
+        |  - name: has_rows
+        |    query: SELECT count(*) FROM sales.orders
+        |    value: 1
+        |parameters:
+        |  timeout: "30"
+        |hooks:
+        |  pre:
+        |    - SELECT 1
+        |@bruin */
+        |SELECT * FROM raw.events
+        |""".stripMargin
+    val asset = AssetParser.parse("assets/orders.sql", text)
+    val formatted = graft.model.Formatter.formatAsset(asset)
+    // round trip: formatting then re-parsing yields the identical asset,
+    // and formatting is idempotent
+    assert(AssetParser.parse("assets/orders.sql", formatted) == asset)
+    assert(graft.model.Formatter.formatAsset(
+      AssetParser.parse("assets/orders.sql", formatted)) == formatted)
+
+    // docs render mentions assets and columns
+    val md = graft.model.Docs.markdown(Pipeline(name = "p", assets = Seq(asset)))
+    assert(md.contains("## sales.orders") && md.contains("| id | BIGINT |"))
+
+    // CLI: format --check on the demo pipeline must not flag lossy skips
+    val rc = Main.run(Seq("format", "src/test/resources/pipelines/demo", "--check"))
+    assert(rc == 0 || rc == 1) // exit 1 just means files would be reformatted
+    assert(Main.run(Seq("docs", "src/test/resources/pipelines/demo")) == 0)
+  }
+
   test("none materialization executes without collecting") {
     val wh = new SessionCatalogWarehouse(spark)
     val asset = Asset(name = "noop_asset") // default type = none
