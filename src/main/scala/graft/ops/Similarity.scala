@@ -286,4 +286,104 @@ object Similarity {
     val n = emb.count()
     lshTopK(emb, k, autoBits(n, targetBucket), tables, maxBucket, idCol, vecCol)
   }
+
+  // ---- IVF ----------------------------------------------------------------
+
+  /** Train IVF coarse centroids: Lloyd iterations over a BOUNDED sample
+    * (≤ `maxTrainSample` rows — sampling the quantizer training set is
+    * standard IVF practice and keeps driver memory constant regardless of
+    * corpus size; assignment and search stay fully distributed). Cosine
+    * geometry: vectors are L2-normalized before clustering. Deterministic:
+    * sample = lowest ids, init = first distinct vectors. */
+  def ivfCentroids(emb: DataFrame, nlist: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding", iterations: Int = 5,
+                   maxTrainSample: Int = 10000): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(idCol).limit(maxTrainSample).collect().map(_._2)
+    require(sample.nonEmpty, "cannot train IVF on an empty table")
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = normP(v)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val train = sample.map(normalize)
+    var centroids = train.distinct.take(nlist)
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](train.head.length))
+      val counts = new Array[Long](centroids.length)
+      train.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else normalize(sums(c).map(x => (x / counts(c)).toFloat))
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDot = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      val d = dotP(v, cs(c)) // normalized ⇒ dot = cosine
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nprobe` nearest centroid ids for a vector, best first. */
+  private def nearestCentroids(v: Array[Float], cs: Array[Array[Float]], nprobe: Int): Array[Int] =
+    cs.indices.map(c => (c, dotP(v, cs(c)) / math.max(normP(v), 1e-12)))
+      .sortBy(-_._2).take(nprobe).map(_._1).toArray
+
+  /** IVF approximate top-k: every vector lands in one inverted list (its
+    * nearest centroid); every query probes its `nprobe` nearest lists and
+    * ranks exactly within them; one window merges per-list winners. Per-task
+    * memory is one inverted list (corpus/nlist), recall is tuned by nprobe,
+    * and compute drops to ~nprobe/nlist of brute force — the classic IVF
+    * trade. Scale nlist ∝ √corpus to keep lists constant-sized. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val base = vecs(emb, idCol, vecCol)
+    // members: one list per vector
+    val members = base.map { case (id, v) =>
+      (nearestCentroid(v, bc.value), id, v)
+    }
+    // queries: replicated to their nprobe probe lists
+    val queries = base.flatMap { case (id, v) =>
+      nearestCentroids(v, bc.value, nprobe).iterator.map(c => (c, id, v))
+    }
+    members.groupByKey(_._1).cogroup(queries.groupByKey(_._1)) { (_, mIt, qIt) =>
+      val list = mIt.map { case (_, id, v) => (id, v, normP(v)) }.toArray
+      qIt.flatMap { case (_, a, va) =>
+        val na = normP(va)
+        val top = new TopK(k)
+        var i = 0
+        while (i < list.length) {
+          val (b, vb, nb) = list(i)
+          if (b != a) top.offer(b, round6(dotP(va, vb) / (na * nb)))
+          i += 1
+        }
+        top.iterator.map { case (b, c) => (a, b, c) }
+      }
+    }.toDF("a", "b", "cos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= k)
+  }
 }

@@ -170,6 +170,11 @@ object DataOpsQueries {
   val annLsh: OQ = OQ.rowsOnly("ann_lsh_bucketed",
     (s, _) => Similarity.lshTopKAuto(s.table("embeddings"), k = 5))
 
+  /** IVF ANN — coarse-quantizer inverted lists + nprobe search; approximate,
+    * so rows-only plus the recall spec in DataOpsSpec. */
+  val annIvf: OQ = OQ.rowsOnly("ann_ivf_topk",
+    (s, _) => Similarity.ivfTopK(s.table("embeddings"), k = 5, nlist = 16, nprobe = 4))
+
   // ---- multimodal ---------------------------------------------------------
 
   /** Binary decode plumbing: media table → mapPartitions stub decoder. The
@@ -191,5 +196,5 @@ object DataOpsQueries {
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     dedupExact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup, annTopK, annLsh, mmFeatures, mmFrames)
+    embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
 }

@@ -43,6 +43,17 @@ class DataOpsSpec extends AnyFunSuite {
     assert(auto.nonEmpty)
   }
 
+  test("IVF ANN reaches high recall with a fraction of the comparisons") {
+    val brute = Similarity.cosineTopK(emb, 5).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the lists: ~nprobe/nlist of brute-force compute
+    val ivf = Similarity.ivfTopK(emb, 5, nlist = 16, nprobe = 8).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+    // more probes → monotonically better recall, full probe = exact
+    val full = Similarity.ivfTopK(emb, 5, nlist = 16, nprobe = 16).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("jaccard hot-shingle cap bounds the candidate explosion") {
     // with the cap off, every co-occurring gram joins; with a tight cap the
     // ubiquitous grams are excluded from candidate generation
