@@ -122,8 +122,22 @@ final class PipelineRunner(
           mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
       case _ =>
         val sql = renderAsset(pipeline, asset)
-        if (rename.isEmpty) Materializer.execute(warehouse, asset, sql, matContext(asset))
-        else {
+        val statements = graft.render.QuerySplitter.split(sql)
+        if (statements.length > 1) {
+          // multi-statement script asset: run each statement in order
+          // (reference duckdb/operator.go:55-161 splits then executes);
+          // materialization strategies need exactly one query
+          require(asset.materialization.typ == MaterializationType.None,
+            s"${asset.name}: materialization requires a single query, " +
+              s"got ${statements.length} statements")
+          statements.foreach { st =>
+            val df = if (rename.isEmpty) spark.sql(st)
+                     else SqlBridge.renameTablesSql(spark, st, rename)
+            df.foreach(_ => ()) // force SELECTs; commands already ran
+          }
+        } else if (rename.isEmpty) {
+          Materializer.execute(warehouse, asset, sql, matContext(asset))
+        } else {
           // dev env: plan-level rename of upstream refs, prefixed target
           val plan = SqlBridge.renameTables(
             spark.sessionState.sqlParser.parsePlan(sql), rename)

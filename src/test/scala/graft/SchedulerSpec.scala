@@ -194,6 +194,27 @@ class SchedulerSpec extends AnyFunSuite {
     assert(issuesOf(one(Asset(name = "ok", content = "SELECT 1"))).isEmpty)
   }
 
+  test("multi-statement script assets run each statement in order") {
+    spark.sql("DROP TABLE IF EXISTS ms_a")
+    spark.sql("DROP TABLE IF EXISTS ms_b")
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "script", content =
+        """CREATE TABLE ms_a USING parquet AS SELECT 1 AS x;
+          |CREATE TABLE ms_b USING parquet AS SELECT x + 1 AS y FROM ms_a;
+          |""".stripMargin)))
+    val results = new PipelineRunner(spark).run(p)
+    assert(results("script").status == Scheduler.Succeeded)
+    assert(spark.table("ms_b").head().getInt(0) == 2)
+
+    // a materialization strategy over multiple statements is rejected
+    val bad = Pipeline(name = "p", assets = Seq(
+      Asset(name = "bad_script", content = "SELECT 1; SELECT 2",
+        materialization = Materialization(typ = MaterializationType.Table))))
+    val r2 = new PipelineRunner(spark).run(bad)
+    assert(r2("bad_script").status == Scheduler.Failed)
+    assert(r2("bad_script").error.exists(_.getMessage.contains("single query")))
+  }
+
   test("glossary entities enrich extends: columns; lint validates references") {
     val g = Glossary.parse(
       """entities:
