@@ -23,19 +23,40 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as("keep_id"), count("*").as("n_docs"))
 
-  /** Distinct word n-gram shingles per doc: (id, gram). */
-  def shingles(df: DataFrame, n: Int = 3,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val exploded = df
-      .select(col(idCol), posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "word")))
-    val gram = (0 until n).map(i => if (i == 0) col("word") else lead("word", i).over(w))
-      .reduce((a, b) => concat_ws(" ", a, b))
-    exploded
-      .withColumn("gram", gram)
-      .where(size(split(col("gram"), " ")) === n) // drop tail grams
-      .select(col(idCol), col("gram")).distinct()
+  /** Distinct word n-gram shingles per doc as ONE array column — a pure
+    * scan-side map, no window/explode/distinct shuffle. At 100 TB this is
+    * the difference between zero shuffles and two full-corpus shuffles
+    * before any dedup work starts. Normalization/tokenization stays the
+    * Catalyst [[TextAnalysis.words]] expression (oracle-identical); the
+    * linear gram walk runs in JVM code (array HOFs would re-inline the
+    * tokenizer per gram — quadratic). */
+  def shingleArray(df: DataFrame, n: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), TextAnalysis.words(col(textCol)))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val arr = ws.toArray
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i + n <= arr.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(arr(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        (id, seen.toArray(new Array[String](seen.size)).toSeq)
+      }.toDF(idCol, "grams")
   }
+
+  /** Distinct word n-gram shingles per doc: (id, gram) rows. */
+  def shingles(df: DataFrame, n: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleArray(df, n, idCol, textCol)
+      .select(col(idCol), explode(col("grams")).as("gram"))
 
   /** Candidate pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
     * Self-equi-join on the shingle — the exact (non-LSH) baseline.
@@ -92,18 +113,19 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  def minhashSignatures(sh: DataFrame, numHashes: Int,
+  /** Signatures straight from the per-doc gram ARRAY (see [[shingleArray]]):
+    * all of a document's grams live in one row, so the minima compute in a
+    * single map with primitive arrays — ZERO shuffles (the previous
+    * groupByKey pass shuffled every gram; the 128-aggregate SQL form pays
+    * wide-row hash-agg state — both strictly worse). */
+  def minhashSignatures(shArr: DataFrame, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame = {
-    // one pass per doc with primitive arrays: hash each shingle once, update
-    // all minima in a tight loop (the 128-aggregate SQL form pays wide-row
-    // hash-agg state + per-agg expression eval — ~10x slower)
-    val spark = sh.sparkSession
+    val spark = shArr.sparkSession
     import spark.implicits._
-    val sigs = sh.select(col(idCol).cast("long"), col("gram")).as[(Long, String)]
-      .groupByKey(_._1)
-      .mapGroups { (id: Long, it: Iterator[(Long, String)]) =>
+    val sigs = shArr.select(col(idCol).cast("long"), col("grams")).as[(Long, Seq[String])]
+      .map { case (id, grams) =>
         val mins = Array.fill(numHashes)(Long.MaxValue)
-        it.foreach { case (_, g) =>
+        grams.foreach { g =>
           val x = shingleHash32Jvm(g)
           var j = 0
           while (j < numHashes) {
@@ -126,8 +148,9 @@ object Dedup {
                  rowsPerBand: Int = 2, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val sh = shingles(df, n, idCol, textCol).cache()
-    val sig = minhashSignatures(sh, numHashes, idCol)
+    val shArr = shingleArray(df, n, idCol, textCol).cache()
+    val sh = shArr.select(col(idCol), explode(col("grams")).as("gram"))
+    val sig = minhashSignatures(shArr, numHashes, idCol)
 
     // band buckets: (band_id, md5(joined sig slice))
     val bandCols = (0 until bands).map { bd =>
