@@ -189,10 +189,18 @@ object DataOpsQueries {
       |  md5(text) AS content_hash
       |FROM documents""".stripMargin)
 
-  /** Frame-sampling generator (no driver loop); rows-only + spec. */
-  val mmFrames: OQ = OQ.rowsOnly("mm_frame_sample",
+  /** Frame-sampling generator (no driver loop): every-2nd 64-byte chunk
+    * boundary; the DuckDB oracle replays the same chunk arithmetic. */
+  val mmFrames: OQ = OQ.df("mm_frame_sample",
     (s, _) => Multimodal.sampleFrames(Multimodal.toMediaTable(s.table("documents")),
-      chunk = 64, every = 2))
+      chunk = 64, every = 2),
+    """WITH m AS (SELECT doc_id AS media_id,
+      |  greatest(CAST(1 AS BIGINT),
+      |    CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 64) AS BIGINT)) AS n_chunks
+      |  FROM documents)
+      |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  CAST(frame_no * 64 AS BIGINT) AS byte_offset
+      |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     dedupExact, ngramJaccard, minhashLsh, simhash,

@@ -139,9 +139,9 @@ object Materializations {
            |UNION ALL SELECT * FROM b""".stripMargin))
   }
 
-  /** ddl: declared-schema table creation; surfaced as DESCRIBE output
-    * (no DuckDB-side table exists → rows-only check). */
-  val ddl: OQ = OQ.rowsOnly("mat_ddl",
+  /** ddl: declared-schema table creation; surfaced as DESCRIBE output and
+    * pinned against the expected schema as a VALUES oracle. */
+  val ddl: OQ = OQ.df("mat_ddl",
     (s, _) => {
       val a = tableAsset("g_mat_ddl", Strategy.DDL, columns = Seq(
         Column("id", "BIGINT", nullable = false, primaryKey = true),
@@ -151,8 +151,12 @@ object Materializations {
       val wh = new SessionCatalogWarehouse(s)
       wh.drop(a.name); wh.drop(s"${a.name}__stage")
       Materializer.execute(wh, a, "", Context(now = T1))
-      s.sql("DESCRIBE TABLE g_mat_ddl")
-    })
+      s.sql("DESCRIBE TABLE g_mat_ddl").selectExpr("col_name", "data_type")
+    },
+    """SELECT * FROM (VALUES
+      |  ('id', 'bigint'), ('name', 'string'),
+      |  ('price', 'decimal(10,2)'), ('created_at', 'timestamp')
+      |) t(col_name, data_type)""".stripMargin)
 
   /** scd2_by_column: odd-key prices change in the batch, even-key rows are
     * unchanged, pre-1998 rows vanish; validity windows frozen at T1/T2. */
