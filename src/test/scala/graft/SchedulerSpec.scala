@@ -194,6 +194,42 @@ class SchedulerSpec extends AnyFunSuite {
     assert(issuesOf(one(Asset(name = "ok", content = "SELECT 1"))).isEmpty)
   }
 
+  test("full fixture pipeline: seed + ingest + macros + python + sensor + glossary") {
+    val dir = "src/test/resources/pipelines/full"
+    Seq("raw_products", "raw_orders", "product_stats", "product_flags",
+        "dev_raw_products", "dev_raw_orders", "dev_product_stats", "dev_product_flags")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // glossary enrichment happened at load
+    val p = AssetParser.loadPipeline(dir)
+    val statCol = p.asset("product_stats").get.columns.head
+    assert(statCol.name == "product_id" && statCol.description == "unique product identifier")
+
+    // default environment, default variables: only the 499.99 widget clears
+    // the 400 price floor
+    assert(Main.run(Seq("run", dir), Some(spark)) == 0)
+    assert(spark.table("raw_orders").select("secret").distinct().head().getString(0) == "****")
+    assert(spark.table("product_stats").count() == 1)
+    assert(spark.table("run_marker").head().getString(0) == "done") // hooks ran
+    assert(spark.table("product_flags").count() == 2)
+
+    // variant lowers the floor: two products qualify
+    assert(Main.run(Seq("run", dir, "--variant", "cheap"), Some(spark)) == 0)
+    assert(spark.table("product_stats").count() == 2)
+
+    // --var override beats the default — and an impossible floor leaves the
+    // table empty, so the blocking has_rows check fails the run (exit 1)
+    assert(Main.run(Seq("run", dir, "--var", "min_price=1000"), Some(spark)) == 1)
+    assert(spark.table("product_stats").count() == 0)
+    // variant restores a passing state for the runs below
+    assert(Main.run(Seq("run", dir, "--variant", "cheap"), Some(spark)) == 0)
+
+    // dev environment: everything lands under dev_ prefixed names
+    assert(Main.run(Seq("run", dir, "--environment", "dev"), Some(spark)) == 0)
+    assert(spark.table("dev_product_stats").count() == 1)
+    assert(spark.table("dev_product_flags").count() == 2)
+  }
+
   test("multi-statement script assets run each statement in order") {
     spark.sql("DROP TABLE IF EXISTS ms_a")
     spark.sql("DROP TABLE IF EXISTS ms_b")
