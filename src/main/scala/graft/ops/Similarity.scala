@@ -105,14 +105,17 @@ object Similarity {
   }
 
   /** Block grid: S index shards sized to `shardBytes`, Q query groups sized
-    * so Q×S tasks saturate the cluster. */
+    * so Q×S tasks saturate the cluster — but never more groups than the
+    * corpus supports (index replication costs Q×, so tiny corpora get few
+    * groups instead of paying 2·cores× replication for sub-second tasks). */
   private def grid(emb: DataFrame, vecCol: String, shardBytes: Long): (Int, Int) = {
     val (n, dims) = stats(emb, vecCol)
     val bytes = n * dims.toLong * 4
     val s = math.max(1L, (bytes + shardBytes - 1) / shardBytes).toInt
     val par = emb.sparkSession.sparkContext.defaultParallelism
-    val q = math.max(1, math.ceil(2.0 * par / s).toInt)
-    (q, s)
+    val byCores = math.max(1, math.ceil(2.0 * par / s).toInt)
+    val byCorpus = math.max(1, math.ceil(n / 256.0).toInt)
+    (math.min(byCores, byCorpus), s)
   }
 
   /** Run `score` once per (query group, index shard) cell with the shard
@@ -143,14 +146,16 @@ object Similarity {
 
   /** All-pairs cosine similarity (a < b), rounded for cross-engine stability. */
   def cosinePairs(emb: DataFrame, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame =
-    pairsAbove(emb, threshold = -2.0, idCol, vecCol)
+                  vecCol: String = "embedding",
+                  shardBytes: Long = DefaultShardBytes): DataFrame =
+    pairsAbove(emb, threshold = -2.0, idCol, vecCol, shardBytes)
 
   /** Near-duplicate vectors: cosine ≥ threshold (threshold applies to the
     * rounded similarity, matching the SQL oracle). */
   def cosineNearDup(emb: DataFrame, threshold: Double = 0.95,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    pairsAbove(emb, threshold, idCol, vecCol)
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    shardBytes: Long = DefaultShardBytes): DataFrame =
+    pairsAbove(emb, threshold, idCol, vecCol, shardBytes)
 
   private def pairsAbove(emb: DataFrame, threshold: Double,
                          idCol: String, vecCol: String,

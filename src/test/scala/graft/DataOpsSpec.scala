@@ -43,6 +43,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(auto.nonEmpty)
   }
 
+  test("sharded exact search equals the single-shard result") {
+    // force many index shards (tiny per-task budget) — the 100 TB code path —
+    // and require bit-identical results to the default plan
+    val tiny = 16L * 1024 // ~16KB of vector data per shard => multiple shards
+    val one = Similarity.cosineTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val sharded = Similarity.cosineTopK(emb, 5, shardBytes = tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sharded == one)
+
+    val pairsOne = Similarity.cosineNearDup(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairsSharded = Similarity.cosineNearDup(emb, 0.45, shardBytes = tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsOne.nonEmpty && pairsSharded == pairsOne)
+  }
+
   test("IVF ANN reaches high recall with a fraction of the comparisons") {
     val brute = Similarity.cosineTopK(emb, 5).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // probing half the lists: ~nprobe/nlist of brute-force compute
