@@ -115,11 +115,11 @@ final class PipelineRunner(
           templateContext(pipeline, asset), environment)
       case AssetType.SensorQuery =>
         surfaceSkip(asset)(Sensors.querySensor(spark, renderAsset(pipeline, asset),
-          mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
+          mode = modeFor(asset), pokeIntervalMs = pokeMs(asset), timeoutMs = sensorTimeoutMs(asset)))
       case AssetType.SensorTable =>
         val t = asset.parameters.getOrElse("table", asset.content.trim)
         surfaceSkip(asset)(Sensors.tableSensor(spark, rename.getOrElse(t, t),
-          mode = modeFor(asset), pokeIntervalMs = 10, timeoutMs = 1000))
+          mode = modeFor(asset), pokeIntervalMs = pokeMs(asset), timeoutMs = sensorTimeoutMs(asset)))
       case _ =>
         val sql = renderAsset(pipeline, asset)
         val statements = graft.render.QuerySplitter.split(sql)
@@ -167,6 +167,13 @@ final class PipelineRunner(
 
   private def modeFor(asset: Asset): String =
     sensorMode.getOrElse(asset.parameters.getOrElse("mode", "once"))
+
+  /** poke_interval (seconds, default 30 — reference sensor docs) and the
+    * sensor's own timeout (default 8h, reference ansisql/operator.go). */
+  private def pokeMs(asset: Asset): Long =
+    asset.parameters.get("poke_interval").map(_.toLong * 1000).getOrElse(30000L)
+  private def sensorTimeoutMs(asset: Asset): Long =
+    asset.timeoutSeconds.map(_ * 1000).getOrElse(8L * 3600 * 1000)
 
   /** A skip-mode sensor whose condition is unmet marks its instance Skipped
     * (and downstream cascades) instead of silently succeeding. */

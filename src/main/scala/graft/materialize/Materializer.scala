@@ -92,13 +92,13 @@ object Materializer {
         df.createOrReplaceTempView(name.split('.').last)
       case MaterializationType.Table =>
         effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace) match {
-          case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy)
+          case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
           case Strategy.Append         =>
-            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy)
-            else wh.append(name, df, mat.partitionBy, mat.clusterBy)
+            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+            else wh.append(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
           case Strategy.TruncateInsert =>
-            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy)
-            else wh.overwrite(name, df, mat.partitionBy, mat.clusterBy)
+            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+            else wh.overwrite(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
           case Strategy.DeleteInsert   => deleteInsert(wh, asset, df)
           case Strategy.Merge          => merge(wh, asset, df)
           case Strategy.TimeInterval   => timeInterval(wh, asset, df, ctx)

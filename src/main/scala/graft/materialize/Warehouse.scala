@@ -20,12 +20,15 @@ trait Warehouse {
     * fully written before the old table disappears and b) the SELECT may read
     * the table it replaces (self-referencing rebuilds: SCD2, merge). */
   def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-                      clusterBy: Seq[String] = Nil): Unit
+                      clusterBy: Seq[String] = Nil,
+                      bucketBy: Seq[String] = Nil, buckets: Int = 0): Unit
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-             clusterBy: Seq[String] = Nil): Unit
+             clusterBy: Seq[String] = Nil,
+             bucketBy: Seq[String] = Nil, buckets: Int = 0): Unit
   /** INSERT OVERWRITE keeping the table definition. */
   def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-                clusterBy: Seq[String] = Nil): Unit
+                clusterBy: Seq[String] = Nil,
+                bucketBy: Seq[String] = Nil, buckets: Int = 0): Unit
   def drop(name: String): Unit
   def ensureSchema(name: String): Unit
 }
@@ -45,14 +48,15 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
   }
 
   override def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String],
-                               clusterBy: Seq[String]): Unit = {
+                               clusterBy: Seq[String],
+                               bucketBy: Seq[String], buckets: Int): Unit = {
     ensureSchema(name)
     // Unique stage name: two overlapping runs of the same asset never collide
     // on the staging table. On a v2 catalog (Delta/Iceberg) this whole method
     // becomes a single atomic CREATE OR REPLACE TABLE AS.
     val stage = s"${name}__stage_${java.lang.Long.toHexString(System.nanoTime())}"
     try {
-      write(df, partitionBy, clusterBy).mode(SaveMode.Overwrite).saveAsTable(stage)
+      write(df, partitionBy, clusterBy, bucketBy, buckets).mode(SaveMode.Overwrite).saveAsTable(stage)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(s"ALTER TABLE $stage RENAME TO $name")
       // Hive-style partition metadata stores absolute locations; the rename
@@ -66,20 +70,22 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
   }
 
   override def append(name: String, df: DataFrame, partitionBy: Seq[String],
-                      clusterBy: Seq[String]): Unit = {
+                      clusterBy: Seq[String],
+                      bucketBy: Seq[String], buckets: Int): Unit = {
     ensureSchema(name)
     // Keep the table's partition layout on append — writing unpartitioned
     // into a partitioned table silently forks its layout.
     val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
-    write(df, parts, clusterBy).mode(SaveMode.Append).saveAsTable(name)
+    write(df, parts, clusterBy, bucketBy, buckets).mode(SaveMode.Append).saveAsTable(name)
   }
 
   override def overwrite(name: String, df: DataFrame, partitionBy: Seq[String],
-                         clusterBy: Seq[String]): Unit = {
+                         clusterBy: Seq[String],
+                         bucketBy: Seq[String], buckets: Int): Unit = {
     // The writer can't overwrite a table it reads from; stage-swap instead,
     // preserving the partition layout.
     val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
-    createOrReplace(name, df, parts, clusterBy)
+    createOrReplace(name, df, parts, clusterBy, bucketBy, buckets)
   }
 
   override def drop(name: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -94,7 +100,8 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
           .filter(_.isPartition).map(_.name)
       } catch { case _: Throwable => Nil }
 
-  private def write(df: DataFrame, partitionBy: Seq[String], clusterBy: Seq[String] = Nil) = {
+  private def write(df: DataFrame, partitionBy: Seq[String], clusterBy: Seq[String] = Nil,
+                    bucketBy: Seq[String] = Nil, buckets: Int = 0) = {
     // Cluster writes by the partition columns so each output partition is
     // written by few tasks (avoids the small-files explosion at scale).
     val clustered =
@@ -108,7 +115,12 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
       if (clusterBy.nonEmpty)
         clustered.sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
       else clustered
-    val w = sorted.write.format("parquet")
-    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    val w0 = sorted.write.format("parquet")
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    // bucketed layout: co-bucketed tables join/aggregate on the bucket keys
+    // WITHOUT a shuffle (Spark reads bucket files as pre-hashed partitions)
+    if (bucketBy.nonEmpty && buckets > 0)
+      w1.bucketBy(buckets, bucketBy.head, bucketBy.tail: _*).sortBy(bucketBy.head, bucketBy.tail: _*)
+    else w1
   }
 }

@@ -133,6 +133,8 @@ object AssetParser {
       strategy = str(m, "strategy").map(Strategy.parse),
       partitionBy = strOrList(m, "partition_by"),
       clusterBy = strOrList(m, "cluster_by"),
+      bucketBy = strOrList(m, "bucket_by"),
+      buckets = longOpt(m, "buckets").map(_.toInt).getOrElse(0),
       incrementalKey = str(m, "incremental_key"),
       incrementalPredicate = str(m, "incremental_predicate"),
       timeGranularity = str(m, "time_granularity").map(TimeGranularity.parse)

@@ -63,6 +63,10 @@ final case class Materialization(
     strategy: Option[Strategy] = None,
     partitionBy: Seq[String] = Nil,
     clusterBy: Seq[String] = Nil,
+    /** hash-bucketed layout (Spark-native): joins/aggregations between
+      * co-bucketed tables on the bucket keys skip the shuffle entirely. */
+    bucketBy: Seq[String] = Nil,
+    buckets: Int = 0,
     incrementalKey: Option[String] = None,
     incrementalPredicate: Option[String] = None,
     timeGranularity: TimeGranularity = TimeGranularity.Timestamp)

@@ -104,16 +104,16 @@ object Template {
     while (i < text.length) {
       val o1 = text.indexOf("{{", i)
       val o2 = text.indexOf("{%", i)
-      val open = (o1, o2) match {
-        case (-1, -1) => -1
-        case (-1, b) => b
-        case (a, -1) => a
-        case (a, b) => math.min(a, b)
-      }
+      val o3 = text.indexOf("{#", i)
+      val open = Seq(o1, o2, o3).filter(_ >= 0).minOption.getOrElse(-1)
       if (open < 0) { raw += TextT(text.substring(i)); i = text.length }
       else {
         if (open > i) raw += TextT(text.substring(i, open))
-        if (text.startsWith("{{", open)) {
+        if (text.startsWith("{#", open)) { // jinja comment: dropped entirely
+          val close = text.indexOf("#}", open + 2)
+          require(close >= 0, s"unclosed {# at offset $open")
+          i = close + 2
+        } else if (text.startsWith("{{", open)) {
           val close = text.indexOf("}}", open + 2)
           require(close >= 0, s"unclosed {{ at offset $open")
           raw += OutT(text.substring(open + 2, close).trim)

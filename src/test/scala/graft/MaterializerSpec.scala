@@ -226,6 +226,30 @@ class MaterializerSpec extends AnyFunSuite {
     assert(spark.table("t_clustered").count() == 1000)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val wh = new SessionCatalogWarehouse(spark)
+    def bucketedAsset(name: String) = Asset(name = name,
+      materialization = Materialization(typ = MaterializationType.Table,
+        strategy = Some(Strategy.CreateReplace),
+        bucketBy = Seq("k"), buckets = 4))
+    wh.drop("t_bucket_a"); wh.drop("t_bucket_b")
+    Materializer.execute(wh, bucketedAsset("t_bucket_a"),
+      "SELECT id AS k, id * 2 AS v FROM range(1000)")
+    Materializer.execute(wh, bucketedAsset("t_bucket_b"),
+      "SELECT id AS k, id * 3 AS w FROM range(1000)")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.sql(
+        "SELECT a.k, a.v, b.w FROM t_bucket_a a JOIN t_bucket_b b ON a.k = b.k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed sides read as pre-hashed partitions: zero exchanges
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("metadata push lands descriptions as catalog comments") {
     import graft.materialize.MetadataPush
     spark.sql("DROP TABLE IF EXISTS t_meta")

@@ -70,6 +70,11 @@ class TemplateSpec extends AnyFunSuite {
     assert(Template.render("x {%- if true %} y{% endif %}", ctx) == "x y")
   }
 
+  test("jinja comments are dropped") {
+    assert(Template.render("a{# anything {{ even_this }} #}b", ctx) == "ab")
+    intercept[IllegalArgumentException](Template.render("a{# unclosed", ctx))
+  }
+
   test("set and arithmetic") {
     assert(Template.render("{% set n = var.limit * 2 %}LIMIT {{ n }}", ctx) == "LIMIT 20")
     assert(Template.render("{{ 7 % 3 }}-{{ 2 + 3 * 4 }}-{{ 'a' ~ 'b' }}", ctx) == "1-14-ab")
