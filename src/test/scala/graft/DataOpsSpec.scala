@@ -101,6 +101,20 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.functions.RollingHash.hash("") == 0L)
   }
 
+  test("salted join spreads a hot key and preserves results") {
+    import graft.ops.SkewJoin
+    import spark.implicits._
+    // 90% of the big side lands on one key — the pathological case
+    val big = spark.range(10000)
+      .selectExpr("CASE WHEN id % 10 = 0 THEN id % 7 ELSE 3 END AS k", "id AS v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "hot"),
+      (4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count("*"), sum("v")).head()
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), salt = 8)
+      .agg(count("*"), sum("v")).head()
+    assert(salted == plain)
+  }
+
   test("language id agrees with stopword evidence") {
     val out = TextAnalysis.languageId(docs)
     // whenever a detected language is claimed, its score is the max and positive

@@ -206,6 +206,25 @@ class MaterializerSpec extends AnyFunSuite {
     assert(rendered.contains("target.v = source.v"))
   }
 
+  test("merge matches NULL primary keys null-safely") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "t_null_merge",
+      columns = Seq(
+        Column("k", "INT", primaryKey = true),
+        Column("v", "STRING", updateOnMerge = true)),
+      materialization = Materialization(
+        typ = MaterializationType.Table, strategy = Some(Strategy.Merge)))
+    wh.drop("t_null_merge")
+    Materializer.execute(wh, asset,
+      "SELECT * FROM VALUES (1, 'one'), (CAST(NULL AS INT), 'null-row') AS t(k, v)")
+    // NULL key matches NULL key (<=>): updates instead of duplicating
+    Materializer.execute(wh, asset,
+      "SELECT * FROM VALUES (CAST(NULL AS INT), 'null-row-v2'), (2, 'two') AS t(k, v)")
+    val rows = spark.table("t_null_merge").orderBy(org.apache.spark.sql.functions.col("k").asc_nulls_last)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "one"), (2, "two"), (-1, "null-row-v2")))
+  }
+
   test("cluster_by sorts rows within written files") {
     val wh = new SessionCatalogWarehouse(spark)
     val asset = Asset(name = "t_clustered",
