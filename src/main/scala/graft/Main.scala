@@ -57,7 +57,8 @@ object Main {
   private def parseArgs(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
     val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
     val pos = scala.collection.mutable.ArrayBuffer[String]()
-    val boolFlags = Set("--full-refresh", "--no-validation", "--continue")
+    val boolFlags = Set("--full-refresh", "--no-validation", "--continue",
+      "--downstream", "--push-metadata")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -124,9 +125,14 @@ object Main {
       endDate = date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
       fullRefresh = flags.contains("full-refresh"),
       sensorMode = flags("sensor-mode").lastOption,
-      environment = environment)
+      environment = environment,
+      pushMetadata = flags.contains("push-metadata"))
+    // --downstream: selected assets also pull their transitive downstream
+    val terms = if (!flags.contains("downstream")) flags("select")
+      else flags("select").map(t =>
+        if (t.endsWith("+") || t.startsWith("tag:") || t.startsWith("@")) t else s"$t+")
     val results = runner.run(pipeline,
-      selectorTerms = flags("select"),
+      selectorTerms = terms,
       concurrency = flags("concurrency").lastOption.map(_.toInt).getOrElse(0),
       continueRun = flags.contains("continue"))
     val byStatus = results.values.groupBy(_.status).map { case (k, v) => k -> v.size }

@@ -30,7 +30,10 @@ final class PipelineRunner(
       * skip|once|wait); None = per-asset `mode` parameter (default once). */
     sensorMode: Option[String] = None,
     /** Selected `.graft.yml` environment (connections + dev schema_prefix). */
-    environment: Environment = Environment()) {
+    environment: Environment = Environment(),
+    /** Run-level `--push-metadata` (reference cmd/run.go): push descriptions
+      * for every asset, not just those opting in via parameters. */
+    pushMetadata: Boolean = false) {
 
   val warehouse: Warehouse = new SessionCatalogWarehouse(spark)
 
@@ -145,8 +148,9 @@ final class PipelineRunner(
         }
     }
     // metadata push: descriptions → catalog comments (reference
-    // cmd/run.go:2007-2038; opt-in like the reference's --push-metadata)
-    if (asset.parameters.get("push_metadata").contains("true") && warehouse.exists(target.name))
+    // cmd/run.go:2007-2038; per-asset opt-in or run-level --push-metadata)
+    if ((pushMetadata || asset.parameters.get("push_metadata").contains("true")) &&
+        warehouse.exists(target.name))
       graft.materialize.MetadataPush.push(spark, asset, target.name)
     post.foreach(hook)
   }

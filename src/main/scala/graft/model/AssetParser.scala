@@ -155,9 +155,19 @@ object AssetParser {
         matchMode = str(em, "match").getOrElse("subset"),
         order = str(em, "order").getOrElse("any"))
     }.getOrElse(UnitTestExpectation())
+    def parseExpectation(em: Map[String, Any]): UnitTestExpectation =
+      UnitTestExpectation(
+        rows = seq(em, "rows").map(asMap),
+        count = longOpt(em, "count"),
+        matchMode = str(em, "match").getOrElse("subset"),
+        order = str(em, "order").getOrElse("any"))
+    val ctes = map(m, "expected_ctes").getOrElse(Map.empty).map {
+      case (cte, body) => cte -> parseExpectation(asMap(body))
+    }
     UnitTest(
       name = str(m, "name").getOrElse(""),
       inputs = inputs, expected = exp,
+      cteExpectations = ctes,
       executionTime = str(m, "execution_time"))
   }
 

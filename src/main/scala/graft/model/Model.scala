@@ -180,6 +180,9 @@ final case class UnitTest(
     name: String,
     inputs: Seq[UnitTestFixture] = Nil,
     expected: UnitTestExpectation = UnitTestExpectation(),
+    /** per-CTE expected outputs (reference SelectFromCTE assertions,
+      * pkg/unittest/warehouse.go + parser.go:440-450). */
+    cteExpectations: Map[String, UnitTestExpectation] = Map.empty,
     executionTime: Option[String] = None)
 
 /** Per-asset interval shift (reference pipeline.go:1375-1499 TimeModifier /

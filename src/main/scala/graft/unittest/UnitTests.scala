@@ -44,7 +44,22 @@ object UnitTests {
     val result = SqlBridge.ofRows(spark,
       frozenMicros.fold(plan)(us => SqlBridge.freezeExpressions(plan, us)))
 
-    // 3. compare
+    // 3. per-CTE assertions (reference SelectFromCTE, parser.go:440-450):
+    //    re-point the query at each asserted CTE under the same fixtures
+    val cteFailure = test.cteExpectations.view.flatMap { case (cte, exp) =>
+      val ctePlan =
+        try SqlBridge.renameTables(
+          SqlBridge.selectFromCtePlan(spark, asset.content, cte), mapping)
+        catch { case e: IllegalArgumentException =>
+          return Some(TestFailure(test.name, e.getMessage))
+        }
+      val cteResult = SqlBridge.ofRows(spark,
+        frozenMicros.fold(ctePlan)(us => SqlBridge.freezeExpressions(ctePlan, us)))
+      compare(cteResult, exp, s"${test.name} [cte $cte]")
+    }.headOption
+    if (cteFailure.nonEmpty) return cteFailure
+
+    // 4. compare the main result
     compare(result, test.expected, test.name)
   }
 

@@ -59,13 +59,21 @@ object SqlBridge {
     val cteNames = plan.collect {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
-    // transformWithSubqueries descends into IN/EXISTS/scalar subquery plans too
-    plan.transformWithSubqueries {
-      case r: UnresolvedRelation
-        if !cteNames.contains(r.multipartIdentifier.mkString(".").toLowerCase) &&
-           norm.contains(r.multipartIdentifier.mkString(".").toLowerCase) =>
-        UnresolvedRelation(norm(r.multipartIdentifier.mkString(".").toLowerCase).split('.').toSeq)
-    }
+    def rewrite(p: LogicalPlan): LogicalPlan =
+      // transformWithSubqueries descends into IN/EXISTS/scalar subquery plans;
+      // CTE definitions are NOT plan children (UnresolvedWith keeps them in
+      // cteRelations), so they recurse explicitly
+      p.transformWithSubqueries {
+        case w: UnresolvedWith =>
+          w.copy(cteRelations = w.cteRelations.map { case (n, rel, mr) =>
+            (n, rewrite(rel).asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], mr)
+          })
+        case r: UnresolvedRelation
+          if !cteNames.contains(r.multipartIdentifier.mkString(".").toLowerCase) &&
+             norm.contains(r.multipartIdentifier.mkString(".").toLowerCase) =>
+          UnresolvedRelation(norm(r.multipartIdentifier.mkString(".").toLowerCase).split('.').toSeq)
+      }
+    rewrite(plan)
   }
 
   def renameTablesSql(spark: SparkSession, sql: String, mapping: Map[String, String]): DataFrame =
@@ -85,18 +93,20 @@ object SqlBridge {
     }
   }
 
-  /** SelectFromCTE (reference parser.go:440-450): rewrite a WITH query to
-    * select a named CTE's output — used for per-CTE unit-test assertions. */
-  def selectFromCte(spark: SparkSession, sql: String, cteName: String,
-                    epochMicros: Option[Long] = None): DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val rewritten = parsed match {
+  /** SelectFromCTE (reference parser.go:440-450) at the plan level: keep the
+    * CTE prologue, swap the main query for SELECT * FROM cte. */
+  def selectFromCtePlan(spark: SparkSession, sql: String, cteName: String): LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
       case w: UnresolvedWith if w.cteRelations.exists(_._1 == cteName) =>
-        // keep the CTE prologue, swap the main query for SELECT * FROM cte
         w.copy(child = UnresolvedRelation(Seq(cteName)))
       case _ =>
         throw new IllegalArgumentException(s"query has no CTE named '$cteName'")
     }
+
+  /** SelectFromCTE — used for per-CTE unit-test assertions. */
+  def selectFromCte(spark: SparkSession, sql: String, cteName: String,
+                    epochMicros: Option[Long] = None): DataFrame = {
+    val rewritten = selectFromCtePlan(spark, sql, cteName)
     val frozen = epochMicros match {
       case Some(us) => freezeExpressions(rewritten, us)
       case scala.None => rewritten

@@ -74,6 +74,47 @@ class EngineSpec extends AnyFunSuite {
     assert(out.map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("unit tests assert per-CTE outputs") {
+    val pipeline = Pipeline(name = "p", assets = Seq(
+      Asset(name = "src_tbl", columns = Seq(Column("v", "INT"))),
+      Asset(name = "agg",
+        content = """WITH filtered AS (SELECT v FROM src_tbl WHERE v > 10),
+                    |totals AS (SELECT CAST(count(*) AS BIGINT) AS n FROM filtered)
+                    |SELECT * FROM totals""".stripMargin,
+        upstreams = Seq(Upstream("src_tbl")))))
+    val asset = pipeline.asset("agg").get
+    val good = UnitTest("cte_assertions",
+      inputs = Seq(UnitTestFixture("src_tbl",
+        Seq(Map("v" -> 5), Map("v" -> 20), Map("v" -> 30)))),
+      expected = UnitTestExpectation(rows = Seq(Map("n" -> 2)), matchMode = "exact"),
+      cteExpectations = Map(
+        "filtered" -> UnitTestExpectation(
+          rows = Seq(Map("v" -> 20), Map("v" -> 30)), matchMode = "exact")))
+    assert(UnitTests.run(spark, pipeline, asset, good).isEmpty)
+
+    val badCte = good.copy(cteExpectations = Map(
+      "filtered" -> UnitTestExpectation(rows = Seq(Map("v" -> 999)), matchMode = "exact")))
+    val failure = UnitTests.run(spark, pipeline, asset, badCte)
+    assert(failure.exists(_.reason.nonEmpty))
+
+    val unknownCte = good.copy(cteExpectations = Map(
+      "ghost" -> UnitTestExpectation(count = Some(1))))
+    assert(UnitTests.run(spark, pipeline, asset, unknownCte).nonEmpty)
+
+    // yaml surface parses expected_ctes
+    val parsed = AssetParser.parse("assets/a.sql",
+      """/* @bruin
+        |name: a
+        |unit_tests:
+        |  - name: t
+        |    expected_ctes:
+        |      filtered:
+        |        count: 2
+        |@bruin */
+        |SELECT 1""".stripMargin)
+    assert(parsed.unitTests.head.cteExpectations("filtered").count.contains(2L))
+  }
+
   test("JDBC ingest applies incremental merge across runs") {
     import graft.sources.Ingest
     val url = "jdbc:derby:memory:ingdb;create=true"
