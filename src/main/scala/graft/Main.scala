@@ -58,7 +58,7 @@ object Main {
     val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     val boolFlags = Set("--full-refresh", "--no-validation", "--continue",
-      "--downstream", "--push-metadata")
+      "--downstream", "--push-metadata", "--check")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -160,7 +160,9 @@ object Main {
               pipelineName = pipeline.name, runId = "render",
               fullRefresh = flags.contains("full-refresh"),
               thisAsset = asset.name, vars = pipeline.variables)
-            val sql = Template.render(asset.content, ctx)
+            // same macro prelude the runner uses — assets calling user
+            // macro files render identically here
+            val sql = Template.render(Template.loadMacros(dir) + asset.content, ctx).trim
             Materializer.render(asset, sql).foreach(s => println(s + ";"))
             0
           case scala.None =>

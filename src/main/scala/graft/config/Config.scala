@@ -57,7 +57,9 @@ final case class Config(
   def environment(name: Option[String] = scala.None): Environment = {
     val n = name.getOrElse(defaultEnvironment)
     environments.getOrElse(n,
-      if (name.isEmpty) Environment() // no config file ⇒ implicit default env
+      // only a missing config file yields the implicit default; a config
+      // whose default_environment names nothing is a typo, not a fallback
+      if (name.isEmpty && environments.isEmpty) Environment()
       else throw new IllegalArgumentException(
         s"unknown environment '$n' (have: ${environments.keys.mkString(", ")})"))
   }

@@ -144,7 +144,15 @@ final class PipelineRunner(
           // dev env: plan-level rename of upstream refs, prefixed target
           val plan = SqlBridge.renameTables(
             spark.sessionState.sqlParser.parsePlan(sql), rename)
-          Materializer.executeDf(warehouse, target, SqlBridge.ofRows(spark, plan), matContext(asset))
+          val renamedDf = SqlBridge.ofRows(spark, plan)
+          if (asset.materialization.typ == MaterializationType.View)
+            // a renamed plan has no SQL text to CREATE VIEW from, and a temp
+            // view can't carry the prefixed qualified name — in the dev
+            // sandbox, view assets materialize as tables under the physical
+            // name so downstream renames and checks resolve
+            warehouse.createOrReplace(target.name, renamedDf)
+          else
+            Materializer.executeDf(warehouse, target, renamedDf, matContext(asset))
         }
     }
     // metadata push: descriptions → catalog comments (reference

@@ -16,8 +16,12 @@ object RunState {
            results: Map[String, Scheduler.Result]): Path = {
     val p = statePath(baseDir, pipelineName)
     Files.createDirectories(p.getParent)
-    val body = results.toSeq.sortBy(_._1).map { case (id, r) =>
-      s""""${id.replace("\"", "")}": ${r.status}"""
+    // merge over the prior state: a subset (--select) run must not erase the
+    // completion record of instances it didn't touch
+    val merged = load(baseDir, pipelineName) ++
+      results.map { case (id, r) => id -> r.status.toString }
+    val body = merged.toSeq.sortBy(_._1).map { case (id, st) =>
+      s""""${id.replace("\"", "")}": $st"""
     }.mkString("", "\n", "\n")
     Files.writeString(p, body)
     p

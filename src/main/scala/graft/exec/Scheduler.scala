@@ -126,6 +126,7 @@ object Scheduler {
         t.join(sec * 1000)
         if (t.isAlive) {
           t.interrupt()
+          t.join(5000) // grace: let the attempt observe the interrupt
           throw new java.util.concurrent.TimeoutException(
             s"${i.id}: timed out after ${sec}s")
         }
@@ -180,11 +181,17 @@ object Scheduler {
             var err: Option[Throwable] = scala.None
             var ok = false
             var skip = false
-            while (!ok && !skip && attempt <= maxRetries) {
+            var fatal = false
+            while (!ok && !skip && !fatal && attempt <= maxRetries) {
               attempt += 1
               try { withConnectionSlots(i)(execOnce(i)); ok = true; err = scala.None }
               catch {
                 case s: SkipTask => skip = true; err = Some(s)
+                case e: java.util.concurrent.TimeoutException =>
+                  // terminal: the timed-out attempt thread may still be
+                  // draining (Spark actions don't always honor interrupts) —
+                  // a retry would run a concurrent duplicate of the instance
+                  err = Some(e); fatal = true
                 case e: Throwable =>
                   err = Some(e)
                   if (attempt <= maxRetries && delayMs > 0) Thread.sleep(delayMs)

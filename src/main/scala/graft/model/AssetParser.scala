@@ -179,8 +179,12 @@ object AssetParser {
     // schema form (`env: {type: string, default: prod}` —
     // pkg/pipeline/variables.go:17-81)
     val rawVars = map(root, "variables").getOrElse(Map.empty)
+    // schema form is recognized by `type` OR `default` — a schema entry
+    // missing its default must NOT leak into plain variables (it would render
+    // the raw map into SQL); Variables.validate reports it instead
     val (schemaForm, plainForm) = rawVars.partition {
-      case (_, m: java.util.Map[_, _]) => asMap(m).contains("default")
+      case (_, m: java.util.Map[_, _]) =>
+        val mm = asMap(m); mm.contains("default") || mm.contains("type")
       case _ => false
     }
     val schema = schemaForm.map { case (k, v) =>

@@ -37,7 +37,7 @@ object Dedup {
     df.select(col(idCol).cast("long"), TextAnalysis.words(col(textCol)))
       .as[(Long, Seq[String])]
       .map { case (id, ws) =>
-        val arr = ws.toArray
+        val arr = if (ws == null) Array.empty[String] else ws.toArray // NULL text ⇒ no grams
         val seen = new java.util.LinkedHashSet[String]()
         val sb = new java.lang.StringBuilder
         var i = 0
@@ -150,7 +150,10 @@ object Dedup {
     val bands = numHashes / rowsPerBand
     val shArr = shingleArray(df, n, idCol, textCol).cache()
     val sh = shArr.select(col(idCol), explode(col("grams")).as("gram"))
-    val sig = minhashSignatures(shArr, numHashes, idCol)
+    // gramless docs (shorter than n words / NULL text) get NO signature —
+    // otherwise every one of them shares the all-MaxValue signature and they
+    // band-bucket into a quadratic candidate clique
+    val sig = minhashSignatures(shArr.where(size(col("grams")) > 0), numHashes, idCol)
 
     // band buckets: (band_id, md5(joined sig slice))
     val bandCols = (0 until bands).map { bd =>

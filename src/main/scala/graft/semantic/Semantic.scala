@@ -185,6 +185,25 @@ object Semantic {
         }
         sb.append(expr.substring(i, j))
         i = j
+      } else if (c == '`') { // backtick-quoted identifier: copy verbatim
+        var j = i + 1
+        while (j < expr.length && expr.charAt(j) != '`') j += 1
+        if (j < expr.length) j += 1
+        sb.append(expr.substring(i, j))
+        i = j
+      } else if (c.isDigit) { // numeric literal incl. scientific notation
+        var j = i
+        while (j < expr.length && (expr.charAt(j).isDigit || expr.charAt(j) == '.')) j += 1
+        if (j < expr.length && (expr.charAt(j) == 'e' || expr.charAt(j) == 'E')) {
+          var k = j + 1
+          if (k < expr.length && (expr.charAt(k) == '+' || expr.charAt(k) == '-')) k += 1
+          if (k < expr.length && expr.charAt(k).isDigit) {
+            while (k < expr.length && expr.charAt(k).isDigit) k += 1
+            j = k
+          }
+        }
+        sb.append(expr.substring(i, j))
+        i = j
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < expr.length && (expr.charAt(j).isLetterOrDigit || expr.charAt(j) == '_')) j += 1

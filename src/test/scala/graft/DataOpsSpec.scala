@@ -101,6 +101,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.functions.RollingHash.hash("") == 0L)
   }
 
+  test("dedup tolerates NULL and too-short documents") {
+    import spark.implicits._
+    val messy = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, null.asInstanceOf[String]),  // NULL text
+      (4L, "short"), (5L, "also short"), (6L, ""),
+      (7L, "completely different words in this document entirely")
+    ).toDF("doc_id", "text")
+    // no NPE, and short/NULL docs never pair with each other
+    val pairs = Dedup.minhashLsh(messy, 3, 128, 2, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val jac = Dedup.jaccardPairs(messy, 3, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((1L, 2L)))
+  }
+
   test("salted join spreads a hot key and preserves results") {
     import graft.ops.SkewJoin
     import spark.implicits._

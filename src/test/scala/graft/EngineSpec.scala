@@ -263,6 +263,12 @@ class EngineSpec extends AnyFunSuite {
     // unknown relationship
     intercept[IllegalArgumentException](Semantic.generateSql(base("sideways"),
       Semantic.Query(dimensions = Seq("dims.kind"), metrics = Seq("n")), models))
+
+    // identifier qualification leaves backticked names and scientific
+    // notation untouched
+    assert(Semantic.qualify("`order` * amount", "base") == "`order` * base.amount")
+    assert(Semantic.qualify("amount * 1e-2 + 2E3", "base") == "base.amount * 1e-2 + 2E3")
+    assert(Semantic.qualify("x * 1.5e+10", "base") == "base.x * 1.5e+10")
   }
 
   test("data-diff: schema compare and table diff") {

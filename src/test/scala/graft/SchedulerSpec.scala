@@ -105,7 +105,10 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Main.run(Seq("run", pipelineDir), Some(spark)) == 0)
     assert(spark.table("expensive_products").count() == 2)
     assert(Main.run(Seq("lint", pipelineDir), Some(spark)) == 0)
-    assert(Main.run(Seq("render", pipelineDir, "product_summary"), Some(spark)) == 0)
+    // expensive_products calls a user macro file — render must load macros
+    assert(Main.run(Seq("render", pipelineDir, "expensive_products"), Some(spark)) == 0)
+    // --check is a boolean flag: the dir after it is still the positional arg
+    assert(Main.run(Seq("format", "--check", pipelineDir), Some(spark)) >= 0)
     assert(Main.run(Seq("query", "--q", "SELECT 1 AS one", "--limit", "5"), Some(spark)) == 0)
     assert(Main.run(Seq("nonsense"), Some(spark)) == 2)
     // selector subset: only the seed runs
@@ -152,6 +155,23 @@ class SchedulerSpec extends AnyFunSuite {
       new PipelineRunner(spark, baseDir = pipelineDir,
         fullRefresh = true, environment = restricted)
     }
+
+    // qualified VIEW assets resolve under the prefix too (materialized as
+    // tables in the dev sandbox)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dev_vs")
+    spark.sql("DROP TABLE IF EXISTS dev_vs.v_prices")
+    spark.sql("DROP TABLE IF EXISTS dev_vs.price_stats")
+    val vp = Pipeline(name = "vp", assets = Seq(
+      Asset(name = "vs.v_prices", content = "SELECT 42 AS price",
+        materialization = Materialization(typ = MaterializationType.View)),
+      Asset(name = "vs.price_stats",
+        content = "SELECT max(price) AS max_price FROM vs.v_prices",
+        upstreams = Seq(Upstream("vs.v_prices")),
+        materialization = Materialization(typ = MaterializationType.Table))))
+    val vr = new PipelineRunner(spark, environment = dev).run(vp)
+    assert(vr.values.forall(_.status == Scheduler.Succeeded),
+      vr.filter(_._2.status != Scheduler.Succeeded).mkString(", "))
+    assert(spark.table("dev_vs.price_stats").head().getInt(0) == 42)
   }
 
   test("lint rule table: each bad config trips its rule") {
@@ -315,6 +335,24 @@ class SchedulerSpec extends AnyFunSuite {
     // lint surfaces the broken variant
     val issues = Lint.validate(p.copy(assets = Seq(Asset(name = "a", content = "SELECT 1"))))
     assert(issues.exists(i => i.rule == "valid-variables" && i.message.contains("broken")))
+
+    // a schema-form variable WITHOUT a default stays out of the rendered
+    // values and trips valid-variables instead of leaking its raw map
+    val noDflt = AssetParser.parsePipelineYaml(
+      """name: vp2
+        |variables:
+        |  env:
+        |    type: string
+        |""".stripMargin)
+    assert(!noDflt.variables.contains("env"))
+    assert(Lint.validate(noDflt).exists(i =>
+      i.rule == "valid-variables" && i.message.contains("default")))
+
+    // a config whose default_environment names nothing is an error, not an
+    // implicit empty environment
+    val cfg = graft.config.Config.parse(
+      "default_environment: prod\nenvironments:\n  production:\n    connections: {}\n")
+    intercept[IllegalArgumentException](cfg.environment(scala.None))
   }
 
   test("run state persists and --continue skips completed instances") {
@@ -349,6 +387,14 @@ class SchedulerSpec extends AnyFunSuite {
     val second = runOnce(continueRun = true)
     assert(ran.toSeq == Seq("b", "c"), s"only b and c should re-run, ran: $ran")
     assert(second.values.forall(_.status == Scheduler.Succeeded))
+
+    // a subset run merges into (not overwrites) the saved state
+    val subsetOnly = Scheduler.run(p, _ => (), concurrency = 1,
+      selected = Some(Set("a")))
+    RunState.save(dir, p.name, subsetOnly)
+    val merged = RunState.load(dir, p.name)
+    assert(merged("b") == "Succeeded" && merged("c") == "Succeeded",
+      s"subset save lost prior state: $merged")
   }
 
   test("connection concurrency limits serialize instances on one connection") {
