@@ -182,11 +182,42 @@ object Main {
 
   // ---- query --------------------------------------------------------------
 
-  /** Ad-hoc query + CSV export (reference cmd/fetch.go:46-390). */
+  /** Ad-hoc query + CSV export + asset/semantic paths
+    * (reference cmd/fetch.go:46-390; semantic path :593-893). */
   private def cmdQuery(spark: SparkSession, flags: Map[String, Seq[String]]): Int = {
-    val q = flags("q").lastOption.getOrElse {
-      System.err.println("usage: graft query --q 'SELECT …' [--limit n] [--export out.csv]")
-      return 2
+    val q: String = (flags("q").lastOption, flags("asset").lastOption,
+                     flags("model").lastOption) match {
+      case (Some(sql), _, _) => sql
+      case (_, Some(assetName), _) =>
+        // render an asset's SQL with the pipeline context (fetch.go:461-584)
+        val dir = flags("dir").lastOption.getOrElse(".")
+        val pipeline = AssetParser.loadPipeline(dir)
+        pipeline.asset(assetName) match {
+          case Some(a) =>
+            Template.render(Template.loadMacros(dir) + a.content,
+              Template.context(
+                date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
+                date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
+                executionDate = date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
+                pipelineName = pipeline.name, runId = "query", thisAsset = a.name,
+                vars = pipeline.variables)).trim
+          case scala.None => System.err.println(s"no such asset: $assetName"); return 1
+        }
+      case (_, _, Some(modelPath)) =>
+        // semantic query: dimensions/metrics compiled against a model file
+        val (model, others) = graft.semantic.Semantic.parseModel(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(modelPath)))
+        val query = graft.semantic.Semantic.Query(
+          dimensions = flags("dimensions").flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+          metrics = flags("metrics").flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+          segments = flags("segments").flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+          limit = flags("limit").lastOption.map(_.toInt))
+        graft.semantic.Semantic.generateSql(model, query, others)
+      case _ =>
+        System.err.println(
+          "usage: graft query --q 'SELECT …' | --asset name [--dir d] | " +
+            "--model m.yml --dimensions d1,d2 --metrics m1 [--limit n] [--export out.csv]")
+        return 2
     }
     val limited = flags("limit").lastOption.map(_.toInt) match {
       case Some(n) => spark.sql(q).limit(n)

@@ -64,6 +64,48 @@ object Semantic {
       sort: Seq[(String, String)] = Nil, // (field, asc|desc)
       limit: Option[Int] = None)
 
+  /** Load a semantic model (and optional joined models) from YAML —
+    * the reference's model.yaml surface (semantic-engine/model.go). */
+  def parseModel(text: String): (Model, Map[String, Model]) = {
+    import scala.jdk.CollectionConverters._
+    def asMap(v: Any): Map[String, Any] = v match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }.toMap
+      case _ => Map.empty
+    }
+    def seqOf(m: Map[String, Any], k: String): Seq[Map[String, Any]] = m.get(k) match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(asMap)
+      case _ => Nil
+    }
+    def str(m: Map[String, Any], k: String): String =
+      m.get(k).map(String.valueOf).getOrElse("")
+    def parseOne(m: Map[String, Any]): Model = Model(
+      table = str(m, "table"),
+      name = str(m, "name"),
+      primaryKey = str(m, "primary_key"),
+      dimensions = seqOf(m, "dimensions").map(d =>
+        Dimension(str(d, "name"), if (str(d, "expression").nonEmpty) str(d, "expression") else str(d, "name"))),
+      metrics = seqOf(m, "metrics").map { mm =>
+        val w = Option(mm.getOrElse("window", null)).map(asMap).map(wm =>
+          WindowSpec(str(wm, "type"), str(wm, "order_by"),
+            wm.get("partition_by") match {
+              case Some(l: java.util.List[_]) => l.asScala.toSeq.map(String.valueOf(_))
+              case _ => Nil
+            },
+            mm.get("offset").map(String.valueOf(_).toInt).getOrElse(0)))
+        Metric(str(mm, "name"), str(mm, "expression"),
+          filter = Some(str(mm, "filter")).filter(_.nonEmpty), window = w)
+      },
+      segments = seqOf(m, "segments").map(s0 => str(s0, "name") -> str(s0, "filter")).toMap,
+      joins = seqOf(m, "joins").map(j => Join(str(j, "name"), str(j, "relationship"),
+        foreignKey = str(j, "foreign_key"), model = str(j, "model"),
+        targetKey = str(j, "target_key"))))
+    val root = asMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
+    val main = parseOne(root)
+    val others = seqOf(root, "models").map(parseOne).map(m => m.name -> m).toMap
+    (main, others)
+  }
+
   private val RefPattern = """\{([a-zA-Z0-9_]+)\}""".r
 
   def isDerived(m: Metric): Boolean = RefPattern.findFirstIn(m.expression).nonEmpty

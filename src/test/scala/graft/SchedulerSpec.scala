@@ -109,6 +109,25 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Main.run(Seq("render", pipelineDir, "expensive_products"), Some(spark)) == 0)
     // --check is a boolean flag: the dir after it is still the positional arg
     assert(Main.run(Seq("format", "--check", pipelineDir), Some(spark)) >= 0)
+    // query --asset renders (with macros) and runs the asset's SQL
+    assert(Main.run(Seq("query", "--asset", "expensive_products",
+      "--dir", pipelineDir, "--limit", "5"), Some(spark)) == 0)
+    // semantic model file query
+    val modelFile = java.nio.file.Files.createTempFile("graft-model", ".yml")
+    java.nio.file.Files.writeString(modelFile,
+      """name: products_model
+        |table: raw_products
+        |dimensions:
+        |  - name: pname
+        |    expression: name
+        |metrics:
+        |  - name: n
+        |    expression: COUNT(1)
+        |  - name: total_price
+        |    expression: CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |""".stripMargin)
+    assert(Main.run(Seq("query", "--model", modelFile.toString,
+      "--dimensions", "pname", "--metrics", "n,total_price"), Some(spark)) == 0)
     assert(Main.run(Seq("query", "--q", "SELECT 1 AS one", "--limit", "5"), Some(spark)) == 0)
     assert(Main.run(Seq("nonsense"), Some(spark)) == 2)
     // selector subset: only the seed runs
