@@ -174,8 +174,11 @@ object Main {
   // ---- lint ---------------------------------------------------------------
 
   private def cmdLint(pos: Seq[String]): Int = {
-    val pipeline = AssetParser.loadPipeline(pos.headOption.getOrElse("."))
-    val issues = Lint.validate(pipeline)
+    val dir = pos.headOption.getOrElse(".")
+    val pipeline = AssetParser.loadPipeline(dir)
+    val glossary = graft.model.Glossary.load(dir)
+    val issues = Lint.validate(pipeline,
+      glossary = if (glossary.isEmpty) scala.None else Some(glossary))
     issues.foreach(i => println(s"${i.rule}: ${i.message}"))
     if (issues.isEmpty) { println("ok"); 0 } else 1
   }

@@ -107,9 +107,5 @@ object Config {
       environments = envs)
   }
 
-  private def asMap(v: Any): Map[String, Any] = v match {
-    case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }.toMap
-    case _ => Map.empty
-  }
+  private def asMap(v: Any): Map[String, Any] = graft.model.YamlUtil.asMap(v)
 }

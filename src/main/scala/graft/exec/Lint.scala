@@ -33,8 +33,13 @@ object Lint {
     // pipeline-level rules (reference list.go valid-pipeline-*)
     if (pipeline.name.isEmpty || ValidName.findFirstIn(pipeline.name).isEmpty)
       issues += Issue("valid-pipeline-name", "", s"invalid pipeline name '${pipeline.name}'")
+    val cronOk = {
+      val fields = pipeline.schedule.trim.split("\\s+")
+      (fields.length == 5 || fields.length == 6) &&
+        fields.forall(_.matches("""[\dA-Za-z*,/\-]+""")) // MON/JAN names allowed
+    }
     if (!KnownSchedules.contains(pipeline.schedule) &&
-        !pipeline.schedule.matches("""^(@\w+|[\d*,/\- ]+)$"""))
+        !pipeline.schedule.matches("""^@\w+$""") && !cronOk)
       issues += Issue("valid-pipeline-schedule", "",
         s"schedule '${pipeline.schedule}' is neither a named schedule nor cron")
     if (pipeline.startDate.nonEmpty &&

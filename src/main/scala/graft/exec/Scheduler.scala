@@ -114,12 +114,17 @@ object Scheduler {
       try body finally held.reverse.foreach(_.release())
     }
     def execOnce(i: Instance): Unit = i.asset.timeoutSeconds match {
-      case scala.None => exec(i)
+      case scala.None => withConnectionSlots(i)(exec(i))
       case Some(sec) =>
-        // run the attempt on a dedicated thread so it can be interrupted
+        // run the attempt on a dedicated thread so it can be interrupted; the
+        // connection permits are acquired AND released inside that thread —
+        // if the attempt outlives its timeout (Spark actions don't always
+        // honor interrupts), the zombie keeps holding its permits, so the
+        // per-connection cap is never exceeded by newly admitted work
         var err: Option[Throwable] = scala.None
         val t = new Thread(() =>
-          try exec(i) catch { case e: Throwable => err = Some(e) },
+          try withConnectionSlots(i)(exec(i))
+          catch { case e: Throwable => err = Some(e) },
           s"graft-timeout-${i.id}")
         t.setDaemon(true)
         t.start()
@@ -184,7 +189,7 @@ object Scheduler {
             var fatal = false
             while (!ok && !skip && !fatal && attempt <= maxRetries) {
               attempt += 1
-              try { withConnectionSlots(i)(execOnce(i)); ok = true; err = scala.None }
+              try { execOnce(i); ok = true; err = scala.None }
               catch {
                 case s: SkipTask => skip = true; err = Some(s)
                 case e: java.util.concurrent.TimeoutException =>

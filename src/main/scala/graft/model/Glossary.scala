@@ -92,9 +92,5 @@ object Glossary {
     if (g.isEmpty) asset
     else asset.copy(columns = asset.columns.map(enrichColumn(_, g)))
 
-  private def asMap(v: Any): Map[String, Any] = v match {
-    case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }.toMap
-    case _ => Map.empty
-  }
+  private def asMap(v: Any): Map[String, Any] = YamlUtil.asMap(v)
 }

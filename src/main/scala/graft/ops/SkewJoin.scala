@@ -21,6 +21,11 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // only big-side-preserving joins are salt-correct: a right/full outer
+    // would surface the replicated small side `salt` times for unmatched keys
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")(
+      joinType.toLowerCase),
+      s"saltedJoin supports inner/left-preserving joins, got '$joinType'")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedSmall = small

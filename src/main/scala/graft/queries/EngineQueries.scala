@@ -248,7 +248,9 @@ object EngineQueries {
     (s, dir) => {
       s.sql("DROP TABLE IF EXISTS g_stream_sink")
       val agg = Streams.windowedCounts(Streams.eventStream(s, s"$dir/events.parquet"))
-      Streams.runAppendToTable(s, agg, "g_stream_sink")
+      // fresh checkpoint: the oracle drops the sink and wants a full replay
+      Streams.runAppendToTable(s, agg, "g_stream_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-oracle-cp").toString))
         .select(col("window_start").cast("string").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
     },

@@ -116,7 +116,14 @@ object Template {
         } else if (text.startsWith("{{", open)) {
           val close = text.indexOf("}}", open + 2)
           require(close >= 0, s"unclosed {{ at offset $open")
-          raw += OutT(text.substring(open + 2, close).trim)
+          // {{- expr -}} whitespace control: markers are stripped here and the
+          // neighbour trim is applied via a zero-width tag marker below
+          val body = text.substring(open + 2, close)
+          val trimL = body.startsWith("-")
+          val trimR = body.endsWith("-") && body.length > 1
+          if (trimL) raw += TagT("__ws_trim__", trimL = true, trimR = false)
+          raw += OutT(body.stripPrefix("-").stripSuffix("-").trim)
+          if (trimR) raw += TagT("__ws_trim__", trimL = false, trimR = true)
           i = close + 2
         } else {
           val close = text.indexOf("%}", open + 2)
@@ -163,6 +170,7 @@ object Template {
       toks(i) match {
         case TextT(s) => nodes += TextN(s); i += 1
         case OutT(e)  => nodes += OutN(e); i += 1
+        case TagT("__ws_trim__", _, _) => i += 1 // zero-width whitespace marker
         case TagT(body, _, _) =>
           val word = body.takeWhile(!_.isWhitespace)
           if (stop.contains(word)) return (nodes.result(), i)
@@ -321,11 +329,13 @@ object Template {
       if (s.substring(pos, j) == kw) { pos = j; true } else false
     }
 
+    // jinja semantics: or/and return an OPERAND, not a Boolean —
+    // `{{ var.suffix or 'dev' }}` renders the fallback string, never "true"
     private def parseOr(): Any = {
       var left = parseAnd()
       while (tryKeyword("or")) {
-        val r = truthy(parseAnd()) // always parse: no short-circuit skipping
-        left = truthy(left) || r
+        val r = parseAnd() // always parse: no short-circuit skipping
+        left = if (truthy(left)) left else r
       }
       left
     }
@@ -333,9 +343,8 @@ object Template {
     private def parseAnd(): Any = {
       var left = parseNot()
       while (tryKeyword("and")) {
-        val l = truthy(left)
-        val r = truthy(parseNot()) // no short-circuit: strict-undefined anyway
-        left = l && r
+        val r = parseNot()
+        left = if (truthy(left)) r else left
       }
       left
     }

@@ -68,11 +68,7 @@ object Semantic {
     * the reference's model.yaml surface (semantic-engine/model.go). */
   def parseModel(text: String): (Model, Map[String, Model]) = {
     import scala.jdk.CollectionConverters._
-    def asMap(v: Any): Map[String, Any] = v match {
-      case m: java.util.Map[_, _] =>
-        m.asScala.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }.toMap
-      case _ => Map.empty
-    }
+    def asMap(v: Any): Map[String, Any] = graft.model.YamlUtil.asMap(v)
     def seqOf(m: Map[String, Any], k: String): Seq[Map[String, Any]] = m.get(k) match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map(asMap)
       case _ => Nil

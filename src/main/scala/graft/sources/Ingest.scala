@@ -65,7 +65,11 @@ object Ingest {
           (Some(sch.toLowerCase), p)
         case _ => (asset.parameters.get("file_type"), uri)
       }
-      val resolved = if (path.startsWith("/")) path else s"$baseDir/${path.stripPrefix("./")}"
+      // remote URIs (s3://, hdfs://, file://) pass through untouched — only
+      // plain relative paths resolve against the pipeline dir
+      val resolved =
+        if (path.startsWith("/") || path.contains("://")) path
+        else s"$baseDir/${path.stripPrefix("./")}"
       fmt match {
         case Some(f)    => Seeds.readAs(spark, f, resolved)
         case scala.None => Seeds.read(spark, resolved)

@@ -34,7 +34,7 @@ object PythonRunner {
       |if hasattr(mod, "materialize"):
       |    result = mod.materialize()
       |    if result is None:
-      |        rows = []
+      |        rows = []  # file still written: empty result replaces stale data
       |    elif hasattr(result, "to_dict"):  # pandas DataFrame
       |        rows = result.to_dict("records")
       |    elif isinstance(result, list):
@@ -119,8 +119,19 @@ object PythonRunner {
     val code = proc.waitFor()
     try {
       require(code == 0, s"${asset.name}: python exited $code\n$output")
-      if (Files.exists(out) && Files.size(out) > 0) {
-        val df = Seeds.applyColumns(wh.spark.read.json(out.toString), asset)
+      // file existence = materialize() was defined; zero bytes = it returned
+      // an empty result, which still materializes (an empty typed table) —
+      // stale data from the previous run must not survive
+      if (Files.exists(out)) {
+        val df =
+          if (Files.size(out) > 0) Seeds.applyColumns(wh.spark.read.json(out.toString), asset)
+          else {
+            require(asset.columns.nonEmpty,
+              s"${asset.name}: materialize() returned no rows — declare columns so the empty table has a schema")
+            wh.spark.createDataFrame(
+              wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              graft.unittest.UnitTests.declaredSchema(asset))
+          }
         val effective = asset.copy(materialization = asset.materialization.copy(
           typ = MaterializationType.Table,
           strategy = Some(PythonHandoff.mappedStrategy(asset.materialization.strategy))))

@@ -76,8 +76,13 @@ object Streams {
   def runAppendToTable(spark: SparkSession, agg: DataFrame, table: String,
                        checkpoint: Option[String] = None,
                        trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    // default checkpoint is STABLE per sink table (under the warehouse dir):
+    // re-runs resume from committed offsets instead of replaying the whole
+    // source and appending duplicates. Pass an explicit fresh checkpoint to
+    // deliberately replay (as the oracle harness does after dropping the sink).
     val cp = checkpoint.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-stream-cp").toString)
+      spark.conf.get("spark.sql.warehouse.dir") +
+        s"/_graft_checkpoints/${table.replace('.', '_')}")
     val q = agg.writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)

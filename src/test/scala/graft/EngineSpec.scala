@@ -311,7 +311,8 @@ class EngineSpec extends AnyFunSuite {
   test("streaming append path writes finalized windows to a catalog table") {
     spark.sql("DROP TABLE IF EXISTS t_stream_append")
     val agg = Streams.windowedCounts(Streams.eventStream(spark, s"$sfDir/events.parquet"))
-    val out = Streams.runAppendToTable(spark, agg, "t_stream_append")
+    val out = Streams.runAppendToTable(spark, agg, "t_stream_append",
+      checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-test-cp").toString))
     assert(out.count() > 0)
     // state pruning means strictly fewer rows than the all-state complete mode
     val complete = Streams.runToCompletion(spark,

@@ -75,6 +75,17 @@ class TemplateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Template.render("a{# unclosed", ctx))
   }
 
+  test("or/and return operands; {{- -}} trims whitespace") {
+    // jinja fallback idiom must render the operand, never a Boolean
+    assert(Template.render("tbl_{{ var.env or 'dev' }}", ctx) == "tbl_prod")
+    assert(Template.render("tbl_{{ '' or 'dev' }}", ctx) == "tbl_dev")
+    assert(Template.render("{{ var.env and 'suffix' }}", ctx) == "suffix")
+    assert(Template.render("{{ '' and 'suffix' }}", ctx) == "")
+    // expression-tag whitespace control
+    assert(Template.render("a {{- 'X' -}} b", ctx) == "aXb")
+    assert(Template.render("a {{- var.env }}", ctx) == "aprod")
+  }
+
   test("set and arithmetic") {
     assert(Template.render("{% set n = var.limit * 2 %}LIMIT {{ n }}", ctx) == "LIMIT 20")
     assert(Template.render("{{ 7 % 3 }}-{{ 2 + 3 * 4 }}-{{ 'a' ~ 'b' }}", ctx) == "1-14-ab")
