@@ -46,6 +46,11 @@ object Main {
       case Some("environments") => cmdEnvironments(pos)
       case Some("format")       => cmdFormat(flags, pos)
       case Some("docs")         => cmdDocs(pos)
+      case Some("parse-pipeline") =>
+        // machine-readable model dump for tooling (reference internal.go)
+        println(graft.model.JsonDump.pipeline(
+          AssetParser.loadPipeline(pos.headOption.getOrElse(".")))); 0
+      case Some("clean")        => cmdClean(spark)
       case _ =>
         System.err.println(
           "usage: graft run|render|lint|query|unit-test|lineage|data-diff|environments|format|docs …")
@@ -329,6 +334,25 @@ object Main {
       case Some(out) => java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)
       case scala.None => println(md)
     }
+    0
+  }
+
+  // ---- clean --------------------------------------------------------------
+
+  /** Drop staging tables left behind by interrupted create-or-replace swaps
+    * (reference cmd/clean.go drops bruin's temp artifacts). */
+  private def cmdClean(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    var dropped = 0
+    spark.catalog.listDatabases().collectAsList().asScala.foreach { db =>
+      spark.catalog.listTables(db.name).collectAsList().asScala
+        .filter(_.name.contains("__stage_"))
+        .foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${db.name}.${t.name}")
+          dropped += 1
+        }
+    }
+    println(s"dropped $dropped staging table(s)")
     0
   }
 

@@ -109,6 +109,11 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Main.run(Seq("render", pipelineDir, "expensive_products"), Some(spark)) == 0)
     // --check is a boolean flag: the dir after it is still the positional arg
     assert(Main.run(Seq("format", "--check", pipelineDir), Some(spark)) >= 0)
+    // parse-pipeline emits valid JSON with the full asset model
+    val jsonOut = graft.model.JsonDump.pipeline(AssetParser.loadPipeline(pipelineDir))
+    assert(jsonOut.contains("\"name\":\"demo\"") && jsonOut.contains("\"expensive_products\""))
+    assert(Main.run(Seq("parse-pipeline", pipelineDir), Some(spark)) == 0)
+    assert(Main.run(Seq("clean"), Some(spark)) == 0)
     // query --asset renders (with macros) and runs the asset's SQL
     assert(Main.run(Seq("query", "--asset", "expensive_products",
       "--dir", pipelineDir, "--limit", "5"), Some(spark)) == 0)
