@@ -61,12 +61,29 @@ object Materializer {
       case MaterializationType.View if asset.name.contains('.') =>
         // Qualified view assets become real catalog views so checks and
         // downstream SQL referencing the full asset name resolve (reference
-        // duckdb/materialization.go:81-83 CREATE OR REPLACE VIEW). Falls back
-        // to a session temp view when the query references temp relations
-        // (permanent views may not reference temporary ones).
+        // duckdb/materialization.go:81-83 CREATE OR REPLACE VIEW). An existing
+        // TABLE under the name (asset switched table → view) is replaced
+        // first — otherwise CREATE OR REPLACE VIEW fails and a stale table
+        // would shadow the result. Falls back to a session temp view ONLY
+        // for the temp-relation case (permanent views may not reference
+        // temporary ones), after removing any stale permanent object that
+        // would otherwise shadow the fallback.
         wh.ensureSchema(asset.name)
+        def dropStale(): Unit =
+          if (wh.spark.catalog.tableExists(asset.name)) {
+            val isView =
+              try wh.spark.catalog.getTable(asset.name).tableType == "VIEW"
+              catch { case _: Exception => false }
+            if (isView) wh.spark.sql(s"DROP VIEW IF EXISTS ${asset.name}")
+            else wh.spark.sql(s"DROP TABLE IF EXISTS ${asset.name}")
+          }
+        val existsAsTable = wh.spark.catalog.tableExists(asset.name) &&
+          (try wh.spark.catalog.getTable(asset.name).tableType != "VIEW"
+           catch { case _: Exception => false })
+        if (existsAsTable) dropStale()
         try wh.spark.sql(s"CREATE OR REPLACE VIEW ${asset.name} AS\n$query")
         catch { case _: org.apache.spark.sql.AnalysisException =>
+          dropStale() // never leave a stale object shadowing the temp view
           wh.spark.sql(query).createOrReplaceTempView(asset.name.split('.').last)
         }
       case _ => executeDf(wh, asset, wh.spark.sql(query), ctx)
@@ -118,11 +135,13 @@ object Materializer {
   private def deleteInsert(wh: Warehouse, asset: Asset, df: DataFrame): Unit = {
     val k = asset.materialization.incrementalKey.getOrElse(
       throw new IllegalArgumentException(s"${asset.name}: delete+insert needs incremental_key"))
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return }
     val incoming = df.cache() // read once: keys + insert
     val keys = incoming.select(col(k)).where(col(k).isNotNull).distinct()
     val kept = wh.table(asset.name).join(keys, Seq(k), "left_anti")
-    wh.createOrReplace(asset.name, kept.unionByName(incoming), asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.createOrReplace(asset.name, kept.unionByName(incoming), asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
     incoming.unpersist()
   }
 
@@ -132,7 +151,8 @@ object Materializer {
   private def merge(wh: Warehouse, asset: Asset, df: DataFrame): Unit = {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: merge needs primary_key columns")
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return }
     val updateCols = asset.mergeUpdateColumns.toSet
     val target = wh.table(asset.name)
     val cols = target.columns.toSeq
@@ -160,7 +180,8 @@ object Materializer {
           .otherwise(matchedValue)                                    // matched
       merged.as(c)
     }
-    wh.createOrReplace(asset.name, joined.select(out: _*), asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.createOrReplace(asset.name, joined.select(out: _*), asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   /** time_interval: replace the [start,end] window of the incremental key
@@ -169,7 +190,8 @@ object Materializer {
   private def timeInterval(wh: Warehouse, asset: Asset, df: DataFrame, ctx: Context): Unit = {
     val k = asset.materialization.incrementalKey.getOrElse(
       throw new IllegalArgumentException(s"${asset.name}: time_interval needs incremental_key"))
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, df, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return }
     val (lo, hi) = asset.materialization.timeGranularity match {
       case TimeGranularity.Date => (to_date(lit(ctx.startTs.take(10))), to_date(lit(ctx.endTs.take(10))))
       case TimeGranularity.Timestamp => (to_timestamp(lit(ctx.startTs)), to_timestamp(lit(ctx.endTs)))
@@ -178,7 +200,8 @@ object Materializer {
     val kept = wh.table(asset.name).where(coalesce(!inWindow, lit(true)))
     // At scale with partition_by=k this becomes a partition overwrite
     // (INSERT OVERWRITE … replaceWhere) instead of a full rebuild.
-    wh.createOrReplace(asset.name, kept.unionByName(df), asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.createOrReplace(asset.name, kept.unionByName(df), asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   /** ddl: CREATE TABLE IF NOT EXISTS from declared columns
@@ -189,7 +212,8 @@ object Materializer {
       asset.columns.map(c => s"${c.name} ${if (c.typ.nonEmpty) c.typ else "STRING"}").mkString(", "))
     val empty = wh.spark.createDataFrame(
       wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    wh.createOrReplace(asset.name, empty, asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.createOrReplace(asset.name, empty, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   /** SCD2 shared plumbing: initial load stamps every row current-as-of-now. */
@@ -205,7 +229,8 @@ object Materializer {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: scd2_by_column needs primary_key columns")
     if (!wh.exists(asset.name)) {
-      wh.createOrReplace(asset.name, scd2Initial(df, ctx), asset.materialization.partitionBy, asset.materialization.clusterBy); return
+      wh.createOrReplace(asset.name, scd2Initial(df, ctx), asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return
     }
     val target = wh.table(asset.name)
     val dataCols = target.columns.toSeq.filterNot(Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent).contains)
@@ -242,7 +267,8 @@ object Materializer {
 
     val rebuilt = hist.select((dataCols ++ Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent)).map(col): _*)
       .unionByName(keepCurr).unionByName(expired).unionByName(inserted)
-    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   /** scd2_by_time: change-detection = CAST(s.incremental_key AS TIMESTAMP) >
@@ -257,7 +283,8 @@ object Materializer {
         .withColumn(ScdValidFrom, col(ik).cast("timestamp"))
         .withColumn(ScdValidUntil, to_timestamp(lit(ScdMaxTs)))
         .withColumn(ScdIsCurrent, lit(true))
-      wh.createOrReplace(asset.name, init, asset.materialization.partitionBy, asset.materialization.clusterBy); return
+      wh.createOrReplace(asset.name, init, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return
     }
     val target = wh.table(asset.name)
     val dataCols = target.columns.toSeq.filterNot(Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent).contains)
@@ -292,7 +319,8 @@ object Materializer {
 
     val rebuilt = hist.select((dataCols ++ Seq(ScdValidFrom, ScdValidUntil, ScdIsCurrent)).map(col): _*)
       .unionByName(keepCurr).unionByName(expired).unionByName(inserted)
-    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.createOrReplace(asset.name, rebuilt, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   /** datavault hub/link: insert-only distinct keyed rows not already present
@@ -313,9 +341,11 @@ object Materializer {
       .withColumn("load_dt", to_timestamp(lit(ctx.now)))
       .withColumn("record_src", lit(recordSrc))
 
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, hashed, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, hashed, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return }
     val fresh = hashed.join(wh.table(asset.name).select(hk), Seq(hk), "left_anti")
-    wh.append(asset.name, fresh, asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.append(asset.name, fresh, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   /** datavault satellite: dedup source, drop consecutive duplicate hashdiffs
@@ -339,7 +369,8 @@ object Materializer {
       .where(col("__prev").isNull || !(col("__prev") <=> col("hashdiff")))
       .drop("__prev")
 
-    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, dedup, asset.materialization.partitionBy, asset.materialization.clusterBy); return }
+    if (!wh.exists(asset.name)) { wh.createOrReplace(asset.name, dedup, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets); return }
     // only rows newer than + different from the current tip per parent key
     val tip = wh.table(asset.name)
       .withColumn("__rn", row_number().over(
@@ -350,7 +381,8 @@ object Materializer {
       .where(col("tip_hk").isNull ||
         (col(loadCol) > col("tip_load") && !(col("hashdiff") <=> col("tip_hashdiff"))))
       .drop("tip_hk", "tip_hashdiff", "tip_load")
-    wh.append(asset.name, fresh, asset.materialization.partitionBy, asset.materialization.clusterBy)
+    wh.append(asset.name, fresh, asset.materialization.partitionBy, asset.materialization.clusterBy,
+      asset.materialization.bucketBy, asset.materialization.buckets)
   }
 
   // ======================================================================

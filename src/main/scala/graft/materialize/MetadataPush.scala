@@ -16,11 +16,17 @@ object MetadataPush {
     * Returns the number of comments applied. */
   def push(spark: SparkSession, asset: Asset, tableName: String = ""): Int = {
     val table = if (tableName.nonEmpty) tableName else asset.name
+    val isView =
+      try spark.catalog.getTable(table).tableType == "VIEW"
+      catch { case _: Exception => false }
     var applied = 0
     if (asset.description.nonEmpty) {
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('comment' = '${q(asset.description)}')")
+      // views take ALTER VIEW; ALTER TABLE on a view throws
+      val kind = if (isView) "VIEW" else "TABLE"
+      spark.sql(s"ALTER $kind $table SET TBLPROPERTIES('comment' = '${q(asset.description)}')")
       applied += 1
     }
+    if (isView) return applied // column comments are table-only DDL
     val existing = spark.table(table).columns.toSet
     asset.columns.filter(c => c.description.nonEmpty && existing.contains(c.name)).foreach { c =>
       try

@@ -55,16 +55,22 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
     // on the staging table. On a v2 catalog (Delta/Iceberg) this whole method
     // becomes a single atomic CREATE OR REPLACE TABLE AS.
     val stage = s"${name}__stage_${java.lang.Long.toHexString(System.nanoTime())}"
+    var targetDropped = false
     try {
       write(df, partitionBy, clusterBy, bucketBy, buckets).mode(SaveMode.Overwrite).saveAsTable(stage)
       spark.sql(s"DROP TABLE IF EXISTS $name")
+      targetDropped = true
       spark.sql(s"ALTER TABLE $stage RENAME TO $name")
       // Hive-style partition metadata stores absolute locations; the rename
       // moves the directory, so re-discover partitions from the new path.
       if (partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $name")
     } catch {
       case e: Throwable =>
-        try spark.sql(s"DROP TABLE IF EXISTS $stage") catch { case _: Throwable => () }
+        // only reap the stage while the old target still exists — once the
+        // target is dropped, the stage holds the ONLY copy of the data and
+        // must survive for recovery (`graft clean` reaps abandoned stages)
+        if (!targetDropped)
+          try spark.sql(s"DROP TABLE IF EXISTS $stage") catch { case _: Throwable => () }
         throw e
     }
   }

@@ -32,24 +32,27 @@ object Dedup {
     * tokenizer per gram — quadratic). */
   def shingleArray(df: DataFrame, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), TextAnalysis.words(col(textCol)))
-      .as[(Long, Seq[String])]
-      .map { case (id, ws) =>
-        val arr = if (ws == null) Array.empty[String] else ws.toArray // NULL text ⇒ no grams
-        val seen = new java.util.LinkedHashSet[String]()
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i + n <= arr.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) { if (j > 0) sb.append(' '); sb.append(arr(i + j)); j += 1 }
-          seen.add(sb.toString)
-          i += 1
-        }
-        (id, seen.toArray(new Array[String](seen.size)).toSeq)
-      }.toDF(idCol, "grams")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    // Row-encoded so the id keeps its ORIGINAL type (string/long/null alike)
+    val projected = df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+    val outSchema = StructType(Seq(
+      projected.schema.head, StructField("grams", ArrayType(StringType), nullable = false)))
+    projected.map { row =>
+      val ws: Seq[String] = if (row.isNullAt(1)) Nil else row.getSeq[String](1) // NULL text ⇒ no grams
+      val arr = ws.toArray
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= arr.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(arr(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      Row(row.get(0), seen.toArray(new Array[String](seen.size)).toSeq)
+    }(Encoders.row(outSchema)).toDF(idCol, "grams")
   }
 
   /** Distinct word n-gram shingles per doc: (id, gram) rows. */
@@ -120,24 +123,27 @@ object Dedup {
     * wide-row hash-agg state — both strictly worse). */
   def minhashSignatures(shArr: DataFrame, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame = {
-    val spark = shArr.sparkSession
-    import spark.implicits._
-    val sigs = shArr.select(col(idCol).cast("long"), col("grams")).as[(Long, Seq[String])]
-      .map { case (id, grams) =>
-        val mins = Array.fill(numHashes)(Long.MaxValue)
-        grams.foreach { g =>
-          val x = shingleHash32Jvm(g)
-          var j = 0
-          while (j < numHashes) {
-            val h = ((2L * j + 1) * x + 1L * j * j + 7) % MinhashPrime
-            if (h < mins(j)) mins(j) = h
-            j += 1
-          }
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val projected = shArr.select(col(idCol), col("grams"))
+    val outSchema = StructType(Seq(
+      projected.schema.head, StructField("__sig", ArrayType(LongType), nullable = false)))
+    val sigs = projected.map { row =>
+      val grams: Seq[String] = if (row.isNullAt(1)) Nil else row.getSeq[String](1)
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      grams.foreach { g =>
+        val x = shingleHash32Jvm(g)
+        var j = 0
+        while (j < numHashes) {
+          val h = ((2L * j + 1) * x + 1L * j * j + 7) % MinhashPrime
+          if (h < mins(j)) mins(j) = h
+          j += 1
         }
-        (id, mins)
       }
-    sigs.select(col("_1").as(idCol) +:
-      (0 until numHashes).map(j => col("_2")(j).as(s"h$j")): _*)
+      Row(row.get(0), mins.toSeq)
+    }(Encoders.row(outSchema))
+    sigs.select(col(idCol) +:
+      (0 until numHashes).map(j => col("__sig")(j).as(s"h$j")): _*)
   }
 
   /** MinHash + LSH banding + exact-Jaccard verification.

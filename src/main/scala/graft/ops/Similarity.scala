@@ -52,6 +52,13 @@ object Similarity {
     math.sqrt(s)
   }
 
+  /** Rounded cosine, zero-norm-safe: an all-zero vector has undefined
+    * cosine; define it as 0.0 instead of letting 0/0 = NaN crash round6. */
+  private def cosineOf(va: Array[Float], vb: Array[Float], na: Double, nb: Double): Double = {
+    val denom = na * nb
+    if (denom == 0 || denom.isNaN) 0.0 else round6(dotP(va, vb) / denom)
+  }
+
   /** Same rounding as Catalyst's round() (HALF_UP over the exact binary
     * expansion) so results are bit-identical to the SQL form. Fast path in
     * plain doubles: for |x| ≤ ~1 the scaled error is < 1e-10, so any value
@@ -168,7 +175,7 @@ object Similarity {
         val na = normP(va)
         shard.iterator
           .filter(_._1 > a) // a < b, each pair once
-          .map { case (b, vb, nb) => (a, b, round6(dotP(va, vb) / (na * nb))) }
+          .map { case (b, vb, nb) => (a, b, cosineOf(va, vb, na, nb)) }
           .filter(_._3 >= threshold)
       }
     }.toDF("a", "b", "cos")
@@ -190,7 +197,7 @@ object Similarity {
         var i = 0
         while (i < shard.length) {
           val (b, vb, nb) = shard(i)
-          if (b != a) top.offer(b, round6(dotP(va, vb) / (na * nb)))
+          if (b != a) top.offer(b, cosineOf(va, vb, na, nb))
           i += 1
         }
         top.iterator.map { case (b, c) => (a, b, c) }
@@ -270,7 +277,7 @@ object Similarity {
           var i = 0
           while (i < ms.length) {
             val (b, vb, nb) = ms(i)
-            if (b != a) top.offer(b, round6(dotP(va, vb) / (na * nb)))
+            if (b != a) top.offer(b, cosineOf(va, vb, na, nb))
             i += 1
           }
           top.iterator.map { case (b, c) => (a, b, c) }
@@ -314,7 +321,7 @@ object Similarity {
       if (n == 0) v else v.map(x => (x / n).toFloat)
     }
     val train = sample.map(normalize)
-    var centroids = train.distinct.take(nlist)
+    var centroids = train.map(_.toSeq).distinct.take(nlist).map(_.toArray) // content equality, not array reference
     var iter = 0
     while (iter < iterations) {
       val sums = Array.fill(centroids.length)(new Array[Double](train.head.length))
@@ -381,7 +388,7 @@ object Similarity {
         var i = 0
         while (i < list.length) {
           val (b, vb, nb) = list(i)
-          if (b != a) top.offer(b, round6(dotP(va, vb) / (na * nb)))
+          if (b != a) top.offer(b, cosineOf(va, vb, na, nb))
           i += 1
         }
         top.iterator.map { case (b, c) => (a, b, c) }

@@ -112,28 +112,32 @@ object Streams {
     * values, deleted keys disappear (reference CDC ingestion auto-merge,
     * pkg/ingestr/operator.go:229-324; `<scheme>+cdc` sources). */
   def cdcApply(wh: Warehouse, asset: Asset, events: DataFrame,
-               opCol: String = "op", seqCol: String = "seq"): StreamingQuery =
+               opCol: String = "op", seqCol: String = "seq"): StreamingQuery = {
+    val pks = asset.primaryKeys
+    require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pks = asset.primaryKeys
-        require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(pks.map(col): _*).orderBy(col(seqCol).desc)
+        // op is the deterministic tie-breaker when two changes share a seq
+        val w = Window.partitionBy(pks.map(col): _*)
+          .orderBy(col(seqCol).desc, col(opCol).desc)
         val latest = batch
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .drop("__rn")
         val upserts = latest.where(col(opCol) =!= "d").drop(opCol, seqCol)
         if (!wh.exists(asset.name))
-          wh.createOrReplace(asset.name, upserts, asset.materialization.partitionBy)
+          wh.createOrReplace(asset.name, upserts, asset.materialization.partitionBy,
+            asset.materialization.clusterBy)
         else {
           val touched = latest.select(pks.map(col): _*).distinct()
           val kept = wh.table(asset.name).join(touched, pks, "left_anti")
           wh.createOrReplace(asset.name, kept.unionByName(upserts),
-            asset.materialization.partitionBy)
+            asset.materialization.partitionBy, asset.materialization.clusterBy)
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */
   def triggerFor(params: Map[String, String]): Trigger =

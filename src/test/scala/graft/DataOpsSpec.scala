@@ -117,6 +117,19 @@ class DataOpsSpec extends AnyFunSuite {
     val jac = Dedup.jaccardPairs(messy, 3, 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(jac == Set((1L, 2L)))
+
+    // non-numeric ids survive the whole pipeline (id type is preserved)
+    val stringIds = Seq(
+      ("doc-a", "the quick brown fox jumps over the lazy dog"),
+      ("doc-b", "the quick brown fox jumps over the lazy dog"),
+      ("doc-c", "unrelated content goes here with different words")
+    ).toDF("doc_id", "text")
+    val sPairs = Dedup.jaccardPairs(stringIds, 3, 0.5)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sPairs == Set(("doc-a", "doc-b")))
+    val sLsh = Dedup.minhashLsh(stringIds, 3, 128, 2, 0.5)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sLsh == Set(("doc-a", "doc-b")))
   }
 
   test("salted join spreads a hot key and preserves results") {
