@@ -77,7 +77,15 @@ final class PipelineRunner(
   def renderAsset(pipeline: Pipeline, asset: Asset): String =
     Template.render(macroPrelude + asset.content, templateContext(pipeline, asset)).trim
 
-  def executeInstance(pipeline: Pipeline)(i: Scheduler.Instance): Unit = i.typ match {
+  def executeInstance(pipeline: Pipeline)(i: Scheduler.Instance): Unit = {
+    // tag this attempt's Spark jobs so a timeout can cancel them for real
+    // (thread interrupts alone don't stop running Spark stages)
+    spark.sparkContext.setJobGroup(i.id, s"graft:${i.id}", interruptOnCancel = true)
+    try executeInstanceBody(pipeline)(i)
+    finally spark.sparkContext.clearJobGroup()
+  }
+
+  private def executeInstanceBody(pipeline: Pipeline)(i: Scheduler.Instance): Unit = i.typ match {
     case Scheduler.Main => executeMain(pipeline, i.asset)
     case Scheduler.ColumnCheckInstance(column, ck) =>
       val r = Checks.run(spark, physical(i.asset.name), column, ck,
@@ -211,7 +219,8 @@ final class PipelineRunner(
       connectionLimits = environment.connections.collect {
         case (name, c) if c.concurrency > 0 => name -> c.concurrency
       },
-      completed = completed)
+      completed = completed,
+      onTimeout = i => spark.sparkContext.cancelJobGroup(i.id))
     RunState.save(baseDir, pipeline.name, results)
     results
   }

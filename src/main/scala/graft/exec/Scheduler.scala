@@ -102,7 +102,10 @@ object Scheduler {
           /** instance ids already successful in a previous run (`--continue`,
             * reference cmd/run.go:1575-1589): counted as satisfied
             * dependencies, never re-executed. */
-          completed: Set[String] = Set.empty): Map[String, Result] = {
+          completed: Set[String] = Set.empty,
+          /** invoked when an attempt times out — gives the runner a chance to
+            * cancel the instance's in-flight Spark jobs (job-group cancel). */
+          onTimeout: Instance => Unit = _ => ()): Map[String, Result] = {
     val semaphores = connectionLimits.collect {
       case (name, limit) if limit > 0 => name -> new java.util.concurrent.Semaphore(limit, true)
     }
@@ -130,8 +133,9 @@ object Scheduler {
         t.start()
         t.join(sec * 1000)
         if (t.isAlive) {
+          try onTimeout(i) catch { case _: Throwable => () } // cancel Spark jobs
           t.interrupt()
-          t.join(5000) // grace: let the attempt observe the interrupt
+          t.join(5000) // grace: let the attempt observe the cancel/interrupt
           throw new java.util.concurrent.TimeoutException(
             s"${i.id}: timed out after ${sec}s")
         }

@@ -441,12 +441,14 @@ class SchedulerSpec extends AnyFunSuite {
     val p = Pipeline(name = "p", assets = Seq(
       Asset(name = "slow", parameters = Map("timeout" -> "1")),
       Asset(name = "fast", parameters = Map("timeout" -> "30"))))
+    val cancelled = new java.util.concurrent.atomic.AtomicReference[String]("")
     val results = Scheduler.run(p, { i =>
       if (i.asset.name == "slow") Thread.sleep(10000)
-    }, concurrency = 2)
+    }, concurrency = 2, onTimeout = i => cancelled.set(i.id))
     assert(results("slow").status == Scheduler.Failed)
     assert(results("slow").error.exists(_.isInstanceOf[java.util.concurrent.TimeoutException]))
     assert(results("fast").status == Scheduler.Succeeded)
+    assert(cancelled.get() == "slow") // job-group cancel hook fired
 
     // rerun_cooldown spaces per-asset retries; retries parameter overrides
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
