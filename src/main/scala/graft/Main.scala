@@ -33,7 +33,13 @@ object Main {
 
   /** Exit-code-returning core, testable without System.exit. */
   def run(args: Seq[String], spark0: Option[SparkSession] = scala.None): Int = {
-    val (flags, pos) = parseArgs(args.drop(1))
+    val (flags, pos) =
+      try parseArgs(args.drop(1))
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"graft: ${e.getMessage}")
+          return 2
+      }
     def spark: SparkSession = spark0.getOrElse(newSession())
     args.headOption match {
       case Some("run")          => cmdRun(spark, flags, pos)
@@ -58,8 +64,10 @@ object Main {
     }
   }
 
-  /** --key value / --flag / positionals; repeated --select accumulates. */
-  private def parseArgs(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
+  /** --key value / --flag / positionals; repeated --select accumulates.
+    * A value flag with no value (last token, or followed by another --flag)
+    * is a usage error, not a silent boolean (ADVICE r2). */
+  private[graft] def parseArgs(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
     val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     val boolFlags = Set("--full-refresh", "--no-validation", "--continue",
@@ -69,7 +77,9 @@ object Main {
       val a = args(i)
       if (a.startsWith("--")) {
         val k = a.stripPrefix("--")
-        if (boolFlags.contains(a) || i + 1 >= args.length) { flags(k) = flags(k) :+ "true"; i += 1 }
+        if (boolFlags.contains(a)) { flags(k) = flags(k) :+ "true"; i += 1 }
+        else if (i + 1 >= args.length || args(i + 1).startsWith("--"))
+          throw new IllegalArgumentException(s"flag $a requires a value")
         else { flags(k) = flags(k) :+ args(i + 1); i += 2 }
       } else { pos += a; i += 1 }
     }

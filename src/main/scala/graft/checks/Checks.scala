@@ -47,8 +47,11 @@ object Checks {
   /** Check-annotation comment prepended to generated assertion SQL so
     * warehouse query logs attribute the scan (reference
     * ansisql/checks.go:57-62 + pkg/query/logging.go). */
-  def annotation(pipeline: String, asset: String, column: String, check: String): String =
-    s"""-- graft.check: {"pipeline": "$pipeline", "asset": "$asset", "column": "$column", "check": "$check"}"""
+  def annotation(pipeline: String, asset: String, column: String, check: String): String = {
+    import graft.model.JsonDump.q
+    // names are user input — escape so a quote/backslash can't break the JSON
+    s"""-- graft.check: {"pipeline": ${q(pipeline)}, "asset": ${q(asset)}, "column": ${q(column)}, "check": ${q(check)}}"""
+  }
 
   /** One scan for many checks: SELECT c1, c2, … FROM table. */
   def batchSql(table: String, checks: Seq[(String, ColumnCheck)]): String = {

@@ -110,7 +110,8 @@ final class PipelineRunner(
     def hook(h: String): Unit = {
       val rendered = Template.render(macroPrelude + h, templateContext(pipeline, asset)).trim
       if (rename.isEmpty) spark.sql(rendered)
-      else SqlBridge.renameTablesSql(spark, rendered, rename).foreach(_ => ())
+      else SqlBridge.renameTablesSql(spark, rendered, rename,
+        environment.physicalName).foreach(_ => ())
     }
     pre.foreach(hook)
     val target = if (rename.isEmpty) asset else asset.copy(name = physical(asset.name))
@@ -142,8 +143,12 @@ final class PipelineRunner(
             s"${asset.name}: materialization requires a single query, " +
               s"got ${statements.length} statements")
           statements.foreach { st =>
+            // dev env: asset-name refs rename per the map, and any OTHER
+            // write/DDL target gets the sandbox prefix so script DDL can
+            // never land on prod names (ADVICE r2, devenv isolation)
             val df = if (rename.isEmpty) spark.sql(st)
-                     else SqlBridge.renameTablesSql(spark, st, rename)
+                     else SqlBridge.renameTablesSql(spark, st, rename,
+                       environment.physicalName)
             df.foreach(_ => ()) // force SELECTs; commands already ran
           }
         } else if (rename.isEmpty) {

@@ -5,7 +5,7 @@ package graft.model
   * consumes): stable-keyed JSON of the parsed model, no execution. */
 object JsonDump {
 
-  private def q(s: String): String =
+  private[graft] def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -65,26 +65,52 @@ object Dedup {
     * Self-equi-join on the shingle — the exact (non-LSH) baseline.
     *
     * `maxDocFreq` (0 = off) drops shingles appearing in more than that many
-    * documents from the JOIN side only: a shingle shared by d docs produces
-    * d² candidate rows, so one ubiquitous boilerplate gram turns the join
-    * quadratic. Capping trades recall for a hard bound on the pair explosion
-    * (common grams carry almost no Jaccard signal anyway); n_grams counts
-    * stay exact, so surviving pairs keep their exact Jaccard. */
+    * documents from CANDIDATE GENERATION only: a shingle shared by d docs
+    * produces d² candidate rows, so one ubiquitous boilerplate gram turns
+    * the join quadratic. Surviving candidates are re-verified against the
+    * FULL gram sets (same shape as [[minhashLsh]]'s verify stage), so every
+    * emitted pair carries its exact Jaccard and thresholding is exact over
+    * the candidate set — the only recall loss is pairs sharing *no* uncapped
+    * gram (ADVICE r2: the old form thresholded an underestimate). */
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxDocFreq: Int = 0): DataFrame = {
     val sh = shingles(df, n, idCol, textCol).cache()
     val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
-    val joinSide =
-      if (maxDocFreq <= 0) sh
-      else sh.join(
+    if (maxDocFreq <= 0) {
+      // uncapped: the self-join IS the exact common count — no re-verify pass
+      val a = sh.select(col(idCol).as("a"), col("gram"))
+      val b = sh.select(col(idCol).as("b"), col("gram"))
+      val common = a.join(b, Seq("gram")).where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count("*").as("common"))
+      finishJaccard(common, counts, threshold, idCol)
+    } else {
+      val joinSide = sh.join(
         sh.groupBy("gram").agg(count("*").as("__df"))
           .where(col("__df") <= maxDocFreq).select("gram"),
         Seq("gram"))
-    val a = joinSide.select(col(idCol).as("a"), col("gram"))
-    val b = joinSide.select(col(idCol).as("b"), col("gram"))
-    val common = a.join(b, Seq("gram")).where(col("a") < col("b"))
+      val a = joinSide.select(col(idCol).as("a"), col("gram"))
+      val b = joinSide.select(col(idCol).as("b"), col("gram"))
+      val candidates = a.join(b, Seq("gram")).where(col("a") < col("b"))
+        .select("a", "b").distinct()
+      verifyJaccard(candidates, sh, counts, threshold, idCol)
+    }
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set over the FULL
+    * (uncapped) gram rows: count common grams per pair, then threshold on
+    * the exact value. Shared by [[jaccardPairs]] (capped) and [[minhashLsh]]. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, counts: DataFrame,
+                            threshold: Double, idCol: String): DataFrame = {
+    val aSh = sh.select(col(idCol).as("a"), col("gram"))
+    val bSh = sh.select(col(idCol).as("b"), col("gram"))
+    val common = candidates.join(aSh, Seq("a")).join(bSh, Seq("b", "gram"))
       .groupBy("a", "b").agg(count("*").as("common"))
+    finishJaccard(common, counts, threshold, idCol)
+  }
+
+  private def finishJaccard(common: DataFrame, counts: DataFrame,
+                            threshold: Double, idCol: String): DataFrame =
     common
       .join(counts.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
       .join(counts.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
@@ -92,7 +118,6 @@ object Dedup {
         (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Portable 32-bit shingle hash: first 8 hex chars of md5 (same value
     * derivable in any engine — keeps LSH reproducible cluster-to-cluster). */
@@ -176,17 +201,7 @@ object Dedup {
 
     // exact verification on the candidate set only
     val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
-    val aSh = sh.select(col(idCol).as("a"), col("gram"))
-    val bSh = sh.select(col(idCol).as("b"), col("gram"))
-    val common = candidates.join(aSh, Seq("a")).join(bSh, Seq("b", "gram"))
-      .groupBy("a", "b").agg(count("*").as("common"))
-    common
-      .join(counts.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
-      .join(counts.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (col("na") + col("nb") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, sh, counts, threshold, idCol)
   }
 
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is

@@ -126,7 +126,14 @@ object Similarity {
   }
 
   /** Run `score` once per (query group, index shard) cell with the shard
-    * materialized as a primitive array; flatMap the per-cell results. */
+    * materialized as a primitive array; flatMap the per-cell results.
+    *
+    * Index and query replicas are emitted in ONE pass over the projected
+    * input (tag 0 = index copy → every query group; tag 1 = query copy →
+    * every shard), grouped by cell with tag-sorted groups so the shard
+    * array builds from the leading index rows while the trailing query
+    * rows stream — the input is scanned once, not once per replication
+    * side, and per-task memory stays bounded by the shard size. */
   private def blocked[T: org.apache.spark.sql.Encoder](
       emb: DataFrame, idCol: String, vecCol: String, shardBytes: Long)(
       score: (Iterator[(Long, Array[Float])], Array[(Long, Array[Float], Double)]) => Iterator[T])
@@ -135,19 +142,20 @@ object Similarity {
     import spark.implicits._
     val (qGroups, sShards) = grid(emb, vecCol, shardBytes)
     val base = vecs(emb, idCol, vecCol)
-    // index rows land in one shard, replicated to every query group
-    val idxRep = base.flatMap { case (id, v) =>
+    val tagged = base.flatMap { case (id, v) =>
       val s = (math.floorMod(id, sShards.toLong)).toInt
-      Iterator.range(0, qGroups).map(q => (q * sShards + s, id, v))
-    }
-    // query rows stay in one group, replicated to every shard
-    val qRep = base.flatMap { case (id, v) =>
       val q = (math.floorMod(id, qGroups.toLong)).toInt
-      Iterator.range(0, sShards).map(s => (q * sShards + s, id, v))
+      Iterator.range(0, qGroups).map(g => (g * sShards + s, 0, id, v)) ++
+        Iterator.range(0, sShards).map(sh => (q * sShards + sh, 1, id, v))
     }
-    idxRep.groupByKey(_._1).cogroup(qRep.groupByKey(_._1)) { (_, idxIt, qIt) =>
-      val shard = idxIt.map { case (_, id, v) => (id, v, normP(v)) }.toArray
-      score(qIt.map { case (_, id, v) => (id, v) }, shard)
+    tagged.groupByKey(_._1).flatMapSortedGroups(col("_2")) { (_, it) =>
+      val buf = it.buffered
+      val shard = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      while (buf.hasNext && buf.head._2 == 0) {
+        val r = buf.next()
+        shard += ((r._3, r._4, normP(r._4)))
+      }
+      score(buf.map(r => (r._3, r._4)), shard.toArray)
     }
   }
 
@@ -269,9 +277,17 @@ object Similarity {
     perTable
       .groupByKey(_._3)
       .flatMapGroups { (_: Long, members: Iterator[(Long, Array[Float], Long)]) =>
-        val all = members.map { case (id, v, _) => (id, v, normP(v)) }.toArray
-        val ms = if (all.length <= maxBucket) all
-                 else all.sortBy(_._1).take(maxBucket)
+        // cap while STREAMING the iterator: a bounded max-heap keeps the
+        // maxBucket smallest ids, so per-task memory is O(maxBucket) even
+        // when a skewed/under-bitted bucket is far larger (ADVICE r2 — the
+        // old toArray-then-truncate held the whole bucket before capping)
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Array[Float])](Ordering.by[(Long, Array[Float]), Long](_._1))
+        members.foreach { case (id, v, _) =>
+          if (heap.size < maxBucket) heap.enqueue((id, v))
+          else if (id < heap.head._1) { heap.dequeue(); heap.enqueue((id, v)) }
+        }
+        val ms = heap.toArray.map(t => (t._1, t._2, normP(t._2)))
         ms.iterator.flatMap { case (a, va, na) =>
           val top = new TopK(k)
           var i = 0

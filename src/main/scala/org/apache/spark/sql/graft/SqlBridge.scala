@@ -2,8 +2,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, Expression, Literal, Now}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, UnresolvedWith}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Thin bridge into spark-sql private[sql] surface (plan → DataFrame), used
@@ -53,9 +53,27 @@ object SqlBridge {
     * references per `mapping` at the plan level, so matches inside string
     * literals and comments are untouched (unlike a regex rewrite). CTE names
     * shadow catalog tables and are never renamed. Used by the unit-test
-    * fixture injection and the dev-environment schema_prefix rewrite. */
-  def renameTables(plan: LogicalPlan, mapping: Map[String, String]): LogicalPlan = {
+    * fixture injection and the dev-environment schema_prefix rewrite.
+    *
+    * Write/DDL targets are renamed too: CTAS / REPLACE TABLE / CREATE VIEW
+    * name their target with an [[UnresolvedIdentifier]], DROP/ALTER/REFRESH
+    * with [[UnresolvedTable]]/[[UnresolvedTableOrView]], and INSERT with a
+    * plain [[UnresolvedRelation]] — all four shapes go through `mapping`.
+    * `prefixUnmapped` (the dev sandbox's physicalName) additionally rewrites
+    * DDL targets that are NOT in the mapping, so a script asset's ad-hoc
+    * `CREATE TABLE scratch AS …` lands in the sandbox instead of prod
+    * (reference devenv/modifier.go isolation contract). Reads of unmapped
+    * tables are never prefixed — dev runs read prod sources by design. */
+  def renameTables(plan: LogicalPlan, mapping: Map[String, String],
+                   prefixUnmapped: String => String = identity): LogicalPlan = {
     val norm = mapping.map { case (k, v) => k.toLowerCase -> v }
+    def target(parts: Seq[String]): Option[Seq[String]] = {
+      val key = parts.mkString(".").toLowerCase
+      norm.get(key).orElse {
+        val p = prefixUnmapped(parts.mkString("."))
+        if (p == parts.mkString(".")) scala.None else Some(p)
+      }.map(_.split('.').toSeq)
+    }
     val cteNames = plan.collect {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
@@ -68,16 +86,31 @@ object SqlBridge {
           w.copy(cteRelations = w.cteRelations.map { case (n, rel, mr) =>
             (n, rewrite(rel).asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], mr)
           })
+        // INSERT's target is a plain UnresolvedRelation — at the statement
+        // level it is a write, so the unmapped-prefix fallback applies
+        case ins: InsertIntoStatement =>
+          ins.table match {
+            case r: UnresolvedRelation if target(r.multipartIdentifier).nonEmpty =>
+              ins.copy(table = UnresolvedRelation(target(r.multipartIdentifier).get))
+            case _ => ins
+          }
         case r: UnresolvedRelation
           if !cteNames.contains(r.multipartIdentifier.mkString(".").toLowerCase) &&
              norm.contains(r.multipartIdentifier.mkString(".").toLowerCase) =>
           UnresolvedRelation(norm(r.multipartIdentifier.mkString(".").toLowerCase).split('.').toSeq)
+        case i: UnresolvedIdentifier if target(i.nameParts).nonEmpty =>
+          i.copy(nameParts = target(i.nameParts).get)
+        case t: UnresolvedTable if target(t.multipartIdentifier).nonEmpty =>
+          t.copy(multipartIdentifier = target(t.multipartIdentifier).get)
+        case tv: UnresolvedTableOrView if target(tv.multipartIdentifier).nonEmpty =>
+          tv.copy(multipartIdentifier = target(tv.multipartIdentifier).get)
       }
     rewrite(plan)
   }
 
-  def renameTablesSql(spark: SparkSession, sql: String, mapping: Map[String, String]): DataFrame =
-    ofRows(spark, renameTables(spark.sessionState.sqlParser.parsePlan(sql), mapping))
+  def renameTablesSql(spark: SparkSession, sql: String, mapping: Map[String, String],
+                      prefixUnmapped: String => String = identity): DataFrame =
+    ofRows(spark, renameTables(spark.sessionState.sqlParser.parsePlan(sql), mapping, prefixUnmapped))
 
   /** ExtractSelect (reference parser.go:429-439): pull the SELECT out of a
     * DML/DDL statement (INSERT INTO … SELECT, CTAS, CREATE VIEW). Returns the

@@ -84,6 +84,42 @@ class DataOpsSpec extends AnyFunSuite {
     assert(cappedHigh == exact)
   }
 
+  test("capped jaccard re-verifies surviving pairs against full gram sets") {
+    import spark.implicits._
+    // boilerplate tail shared by EVERY doc: its grams exceed maxDocFreq and
+    // are excluded from candidate generation, but must still count toward
+    // the reported Jaccard (ADVICE r2: the old form thresholded an
+    // underestimate that ignored capped grams)
+    val boiler = "subscribe to our newsletter today"
+    val docsDf = (Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"alpha beta gamma delta epsilon $boiler")) ++
+      (3 to 9).map(i => (i.toLong, s"unique$i second$i third$i fourth$i $boiler"))
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docsDf, 3, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.jaccardPairs(docsDf, 3, 0.5, maxDocFreq = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(uncapped.get((1L, 2L)).contains(1.0))
+    // identical docs share rare grams → survive candidate gen; their
+    // reported Jaccard is the EXACT 1.0, not a capped-gram lower bound
+    assert(capped.get((1L, 2L)).contains(1.0))
+  }
+
+  test("lsh bucket cap keeps the smallest ids per bucket") {
+    val bits = 2
+    val bucketed = Similarity.lshBucket(emb, bits)
+      .select(col("vec_id").cast("long"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = bucketed.groupBy(_._2).values.flatMap(_.map(_._1).sorted.take(3)).toSet
+    assert(bucketed.groupBy(_._2).exists(_._2.length > 3), "fixture should overflow the cap")
+    // the streaming bounded-heap cap admits exactly the maxBucket smallest
+    // ids of each bucket — same selection the old sort-then-truncate made
+    val out = Similarity.lshTopK(emb, 5, bits = bits, tables = 1, maxBucket = 3)
+      .select("a", "b").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty && out.subsetOf(kept), s"ids beyond the cap leaked: ${out.diff(kept)}")
+  }
+
   test("rolling hash expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.SqlBridge
     SqlBridge.registerFunction(spark, "rolling_hash",

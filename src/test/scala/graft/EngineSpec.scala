@@ -74,6 +74,24 @@ class EngineSpec extends AnyFunSuite {
     assert(out.map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("renameTables rewrites write/DDL targets, with unmapped-prefix fallback") {
+    import org.apache.spark.sql.graft.SqlBridge
+    val m = Map("tgt" -> "dev_tgt", "src" -> "dev_src")
+    def planOf(sql: String, prefix: String => String = identity): String =
+      SqlBridge.renameTables(
+        spark.sessionState.sqlParser.parsePlan(sql), m, prefix).toString
+    // mapped CTAS target + read both rename
+    val ctas = planOf("CREATE TABLE tgt AS SELECT * FROM src")
+    assert(ctas.contains("dev_tgt") && ctas.contains("dev_src"))
+    // CREATE VIEW / DROP / INSERT targets rename through the mapping too
+    assert(planOf("CREATE OR REPLACE VIEW tgt AS SELECT 1").contains("dev_tgt"))
+    assert(planOf("DROP TABLE tgt").contains("dev_tgt"))
+    assert(planOf("INSERT INTO tgt SELECT * FROM src").contains("dev_tgt"))
+    // UNMAPPED write target gets the sandbox prefix; unmapped READ does not
+    val adhoc = planOf("CREATE TABLE scratch AS SELECT * FROM external_raw", "sbx_" + _)
+    assert(adhoc.contains("sbx_scratch") && !adhoc.contains("sbx_external_raw"))
+  }
+
   test("unit tests assert per-CTE outputs") {
     val pipeline = Pipeline(name = "p", assets = Seq(
       Asset(name = "src_tbl", columns = Seq(Column("v", "INT"))),

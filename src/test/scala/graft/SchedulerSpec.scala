@@ -198,6 +198,51 @@ class SchedulerSpec extends AnyFunSuite {
     assert(spark.table("dev_vs.price_stats").head().getInt(0) == 42)
   }
 
+  test("dev environment isolates script-asset DDL write targets") {
+    import graft.config.Environment
+    val dev = Environment(name = "dev", schemaPrefix = "dev_")
+    Seq("scr_src", "dev_scr_src", "scr_scratch", "dev_scr_scratch")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // the script's CTAS names an AD-HOC table (not a pipeline asset): the
+    // sandbox prefix must still apply, or dev runs would write prod names
+    // (ADVICE r2 — write targets of script DDL were not renamed)
+    val p = Pipeline(name = "script", assets = Seq(
+      Asset(name = "scr_src", content = "SELECT 1 AS x",
+        materialization = Materialization(typ = MaterializationType.Table)),
+      Asset(name = "scr_script", upstreams = Seq(Upstream("scr_src")), content =
+        """CREATE TABLE scr_scratch AS SELECT x FROM scr_src;
+          |INSERT INTO scr_scratch SELECT 2 AS x;
+          |""".stripMargin)))
+    val r = new PipelineRunner(spark, environment = dev).run(p)
+    assert(r.values.forall(_.status == Scheduler.Succeeded),
+      r.filter(_._2.status != Scheduler.Succeeded).keys.mkString(", "))
+    // CTAS + INSERT landed under the prefix; the prod names never existed
+    assert(spark.table("dev_scr_scratch").count() == 2)
+    assert(!spark.catalog.tableExists("scr_scratch"))
+    assert(!spark.catalog.tableExists("scr_src"))
+    // DROP in a dev script drops the sandbox table, not prod
+    val drop = Pipeline(name = "drop", assets = Seq(
+      Asset(name = "scr_drop", content = "DROP TABLE scr_scratch; SELECT 1 AS ok;")))
+    val dr = new PipelineRunner(spark, environment = dev).run(drop)
+    assert(dr.values.forall(_.status == Scheduler.Succeeded))
+    assert(!spark.catalog.tableExists("dev_scr_scratch"))
+  }
+
+  test("value flags without values are usage errors, not silent booleans") {
+    // trailing value flag (ADVICE r2: was parsed as boolean "true")
+    assert(Main.run(Seq("run", pipelineDir, "--start-date"), Some(spark)) == 2)
+    // value flag consuming the next --flag as its value
+    assert(Main.run(Seq("run", pipelineDir, "--select", "--full-refresh"), Some(spark)) == 2)
+    // boolean flags still fine in last position
+    assert(Main.run(Seq("lint", pipelineDir, "--full-refresh"), Some(spark)) == 0)
+  }
+
+  test("check annotation JSON survives quotes and backslashes in names") {
+    val a = graft.checks.Checks.annotation("""pipe"line""", """as\set""", "col", "not_null")
+    assert(a ==
+      """-- graft.check: {"pipeline": "pipe\"line", "asset": "as\\set", "column": "col", "check": "not_null"}""")
+  }
+
   test("lint rule table: each bad config trips its rule") {
     def issuesOf(p: Pipeline, env: Option[graft.config.Environment] = scala.None) =
       Lint.validate(p, env).map(_.rule).toSet
