@@ -204,6 +204,50 @@ object Dedup {
     verifyJaccard(candidates, sh, counts, threshold, idCol)
   }
 
+  /** Near-dup CLUSTERS: connected components over a duplicate-pair edge set
+    * (e.g. [[jaccardPairs]] / [[minhashLsh]] output), labeling every document
+    * with the smallest reachable id — the canonical representative a
+    * training-data pipeline keeps. Distributed min-label propagation with
+    * pointer jumping: each round propagates labels across edges AND through
+    * current labels, so convergence takes O(log diameter) rounds, each a
+    * bounded number of shuffles on (id, label) pairs — no per-component state
+    * ever materializes on one task, so a 100 TB corpus with million-member
+    * boilerplate clusters still converges. Driver only checks the per-round
+    * convergence count (a scalar), never the data. */
+  def clusters(docs: DataFrame, pairs: DataFrame,
+               idCol: String = "doc_id", maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
+      .union(pairs.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
+      .cache()
+    var labels = docs.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("cluster_id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // min label among neighbors
+      val nbrMin = edges.join(labels, edges("y") === labels("id"))
+        .groupBy("x").agg(min("cluster_id").as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("x"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jump: label(id) := label(label(id)) — halves chain depth
+      val jump = stepped.as("l")
+        .join(stepped.select(col("id").as("jid"), col("cluster_id").as("jlab")).as("r"),
+          col("l.cluster_id") === col("r.jid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster_id"), coalesce(col("jlab"), col("l.cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = jump.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .where(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = jump
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.toDF(idCol, "cluster_id")
+  }
+
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
     * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0. Explodes words×bits —
     * wide but flat; at scale this is a single flatMap + groupBy(id). */

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization for storage/serving: per-vector int8 scalar
+  * quantization (the faiss `SQ8` scheme — per-vector min/max affine map to
+  * [0, 255]). A pure projection over the embedding array (array HOFs, all
+  * codegen) — no shuffle, no state: each 4-byte float becomes 1 byte plus
+  * two floats of per-vector header, a 4× storage cut at scan speed.
+  */
+object Quantize {
+
+  private def vmin(v: Column) = array_min(v).cast("double")
+  private def vmax(v: Column) = array_max(v).cast("double")
+
+  /** Quantized codes + header. `scale` = (max-min)/255; constant vectors
+    * (scale 0) quantize to all-zero codes. Codes are INT (0-255) — the
+    * byte-packing is a writer concern, the math is the operator. */
+  def int8(emb: DataFrame, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val scale = (vmax(v) - vmin(v)) / 255.0
+    emb.select(
+      col(idCol),
+      vmin(v).as("qmin"),
+      vmax(v).as("qmax"),
+      scale.as("scale"),
+      transform(v, x =>
+        when(scale === 0.0, lit(0))
+          .otherwise(round((x.cast("double") - vmin(v)) / scale, 0).cast("int")))
+        .as("codes"))
+  }
+
+  /** Round-trip summary per vector — the oracle-friendly shape: exact
+    * integer code sum plus the rounded header. `qsum` pins every code
+    * (an off-by-one anywhere changes the sum); header pins the affine map. */
+  def int8Summary(emb: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    int8(emb, idCol, vecCol).select(
+      col(idCol),
+      col("qmin"),
+      col("qmax"),
+      round(col("scale"), 6).as("scale"),
+      aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("qsum"),
+      size(col("codes")).cast("long").as("dims"))
+}

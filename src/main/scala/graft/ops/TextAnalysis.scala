@@ -83,6 +83,32 @@ object TextAnalysis {
           least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2, 6))
   }
 
+  /** Top-k TF-IDF terms per document: tf = term count in doc, idf =
+    * ln((N+1)/(df+1)) with df = docs containing the term. Two hash
+    * aggregations on compact (id, word) keys plus one broadcast of the
+    * scalar corpus count — the word-df table is a second groupBy on the
+    * word alone (map-side combinable, no skew: df caps at N). Rank is
+    * deterministic: (rounded score desc, word asc). */
+  def tfIdf(df: DataFrame, topK: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    val tf = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
+    val wdf = ws.select(col(idCol), col("word")).distinct()
+      .groupBy("word").agg(count("*").as("df"))
+    val n = df.agg(count("*").as("n_docs"))
+    tf.join(wdf, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("score").desc, col("word"))))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("word"), col("tf"), col("df"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Content fingerprints: md5 of normalized text + a 60-bit numeric
     * fingerprint (hex prefix of the md5 — portable across engines, unlike
     * xxhash64/murmur whose seeds vary). */

@@ -91,6 +91,70 @@ object DataOpsQueries {
        |  CAST('0x' || substr(md5($NORM), 1, 15) AS BIGINT) AS fp60
        |FROM documents""".stripMargin)
 
+  /** Top-3 TF-IDF terms per document (rank by rounded score desc, word). */
+  val tfIdf: OQ = OQ.df("text_tfidf",
+    (s, _) => TextAnalysis.tfIdf(s.table("documents"), topK = 3)
+      .selectExpr("doc_id", "word", "CAST(tf AS BIGINT) AS tf",
+        "CAST(df AS BIGINT) AS df", "score", "CAST(rank AS INT) AS rank"),
+    s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(ws) AS word FROM dws),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |wdf AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.word, tf.tf, wdf.df,
+       |  round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (wdf.df + 1)), 6) AS score
+       |  FROM tf JOIN wdf USING (word) CROSS JOIN n)
+       |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  score, CAST(rank AS INT) AS rank
+       |FROM (SELECT scored.*,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 3""".stripMargin)
+
+  // ---- sampling -----------------------------------------------------------
+
+  /** Portable md5 bucket in both dialects. */
+  private val DUCK_BUCKET =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+  /** Deterministic stratified sample: 50% of 'en', 100% of 'de', 10% rest. */
+  val sampleStratified: OQ = OQ.df("sample_stratified",
+    (s, _) => graft.ops.Sampling.stratified(s.table("documents"), "lang",
+      Map("en" -> 50, "de" -> 100), defaultRate = 10)
+      .select("doc_id", "lang", "source"),
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE $DUCK_BUCKET <
+       |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 10 END""".stripMargin)
+
+  /** Deterministic 80/10/10 split; oracle checks the per-(split, lang)
+    * histogram — the contamination-sensitive invariant. */
+  val sampleSplit: OQ = OQ.df("sample_split",
+    (s, _) => graft.ops.Sampling.split(s.table("documents"), 80, 10)
+      .groupBy("split", "lang").agg(count("*").cast("long").as("n")),
+    s"""SELECT CASE WHEN $DUCK_BUCKET < 80 THEN 'train'
+       |            WHEN $DUCK_BUCKET < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*) AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin)
+
+  // ---- quantization -------------------------------------------------------
+
+  /** int8 scalar quantization round-trip summary: header (min/max/scale) +
+    * exact integer code sum pins every quantized value. */
+  val quantizeInt8: OQ = OQ.df("emb_quantize_int8",
+    (s, _) => graft.ops.Quantize.int8Summary(s.table("embeddings")),
+    """WITH q AS (SELECT vec_id,
+      |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
+      |  CAST(list_max(embedding) AS DOUBLE) AS qmax,
+      |  (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc,
+      |  embedding FROM embeddings)
+      |SELECT vec_id, qmin, qmax, round(sc, 6) AS scale,
+      |  CAST(list_sum(list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+      |    ELSE CAST(round((CAST(x AS DOUBLE) - qmin) / sc, 0) AS INT) END)) AS BIGINT) AS qsum,
+      |  CAST(len(embedding) AS BIGINT) AS dims
+      |FROM q""".stripMargin)
+
   // ---- dedup family -------------------------------------------------------
 
   val dedupExact: OQ = OQ.df("dedup_exact",
@@ -98,9 +162,9 @@ object DataOpsQueries {
     s"""SELECT md5($NORM) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1""".stripMargin)
 
-  /** Shared DuckDB CTE for 3-gram shingle Jaccard pairs ≥ threshold. */
-  private def duckJaccard(threshold: Double) =
-    s"""WITH docs AS (SELECT doc_id, $NORM AS norm FROM documents),
+  /** Shared DuckDB CTE prologue ending at `j` = (a, b, common, na, nb). */
+  private val duckJaccardCtes =
+    s"""docs AS (SELECT doc_id, $NORM AS norm FROM documents),
        |toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
        |wrds AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM toks),
        |grams3 AS (SELECT doc_id,
@@ -112,7 +176,11 @@ object DataOpsQueries {
        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
        |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
-       |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id JOIN counts cb ON pairs.b = cb.doc_id)
+       |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id JOIN counts cb ON pairs.b = cb.doc_id)""".stripMargin
+
+  /** DuckDB 3-gram shingle Jaccard pairs ≥ threshold. */
+  private def duckJaccard(threshold: Double) =
+    s"""WITH $duckJaccardCtes
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold""".stripMargin
 
@@ -127,6 +195,27 @@ object DataOpsQueries {
     (s, _) => Dedup.minhashLsh(s.table("documents"),
       n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5),
     duckJaccard(0.5))
+
+  /** Connected components over the Jaccard≥0.5 edge set: every document
+    * labeled with its canonical (smallest reachable) id. Spark = distributed
+    * min-label propagation with pointer jumping; oracle = recursive CTE
+    * transitive closure (fine at oracle scale; the Spark side is the one
+    * that has to survive 100 TB). */
+  val dedupCluster: OQ = OQ.df("dedup_cluster",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.clusters(docs, Dedup.jaccardPairs(docs, n = 3, threshold = 0.5))
+    },
+    s"""WITH RECURSIVE $duckJaccardCtes,
+       |edges AS (SELECT a, b FROM j
+       |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+       |und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
+       |reach(x, y) AS (SELECT x, y FROM und
+       |  UNION SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+       |m AS (SELECT x, min(y) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.x""".stripMargin)
 
   val simhash: OQ = OQ.df("dedup_simhash",
     (s, _) => Dedup.simhash(s.table("documents")),
@@ -203,6 +292,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
-    dedupExact, ngramJaccard, minhashLsh, simhash,
+    tfIdf, sampleStratified, sampleSplit, quantizeInt8,
+    dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
 }

@@ -120,6 +120,71 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.subsetOf(kept), s"ids beyond the cap leaked: ${out.diff(kept)}")
   }
 
+  test("near-dup clustering: transitive closure via pointer-jumping") {
+    import spark.implicits._
+    val docsDf = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 7-long chain (forces multiple propagation rounds) + an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (8L, 9L))
+      .toDF("a", "b")
+    val got = graft.ops.Dedup.clusters(docsDf, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(got(_) == 1L), s"chain should collapse to 1: $got")
+    assert(got(8L) == 8L && got(9L) == 8L)
+  }
+
+  test("deterministic sampling: stable splits, stratified rates, no overlap") {
+    import graft.ops.Sampling
+    val s1 = Sampling.split(docs).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Sampling.split(docs).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2, "split must be deterministic across runs")
+    assert(s1.values.sum == docs.count())
+    assert(s1("train") > s1("valid") && s1("train") > s1("test"))
+    // stratified: 'de' keeps everything, 'en' about half, rest ~10%
+    val strat = Sampling.stratified(docs, "lang", Map("en" -> 50, "de" -> 100),
+      defaultRate = 0)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == total("de"))
+    assert(byLang("en") < total("en") && byLang("en") > 0)
+    assert(!byLang.contains("es"), "defaultRate=0 strata must drop entirely")
+  }
+
+  test("int8 quantization: codes bounded, round-trip error within scale/2") {
+    import spark.implicits._
+    val q = graft.ops.Quantize.int8(emb).cache()
+    val codes = q.select(explode(col("codes"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    // reconstruct and bound the error: |x - (qmin + code*scale)| <= scale/2
+    val bad = graft.ops.Quantize.int8(emb)
+      .join(emb, "vec_id")
+      .select(explode(arrays_zip(col("embedding"), col("codes"))).as("z"),
+        col("qmin"), col("scale"))
+      .where(abs(col("z.embedding").cast("double") -
+        (col("qmin") + col("z.codes") * col("scale"))) > col("scale") / 2 + 1e-9)
+      .count()
+    assert(bad == 0, s"$bad codes outside half-step reconstruction error")
+    // constant vector quantizes to all zeros
+    val const = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val cc = graft.ops.Quantize.int8(const).select("codes").head().getSeq[Int](0)
+    assert(cc.forall(_ == 0))
+  }
+
+  test("tf-idf ranks at most k terms per doc, highest score first") {
+    val t = graft.ops.TextAnalysis.tfIdf(docs, topK = 3).cache()
+    val perDoc = t.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(perDoc.forall(_ <= 3))
+    val mono = t.select("doc_id", "rank", "score").collect()
+      .groupBy(_.getLong(0)).values
+    assert(mono.forall { rows =>
+      val sorted = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      sorted.zip(sorted.tail).forall { case (hi, lo) => hi >= lo }
+    })
+  }
+
   test("rolling hash expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.SqlBridge
     SqlBridge.registerFunction(spark, "rolling_hash",
