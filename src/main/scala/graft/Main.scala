@@ -168,16 +168,25 @@ object Main {
         val pipeline = AssetParser.loadPipeline(dir)
         pipeline.asset(assetName) match {
           case Some(asset) =>
+            val env = envFor(dir, flags)
             val ctx = Template.context(
               date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
               date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
               executionDate = date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
               pipelineName = pipeline.name, runId = "render",
               fullRefresh = flags.contains("full-refresh"),
-              thisAsset = asset.name, vars = pipeline.variables)
+              thisAsset = env.physicalName(asset.name), vars = pipeline.variables)
             // same macro prelude the runner uses — assets calling user
             // macro files render identically here
             val sql = Template.render(Template.loadMacros(dir) + asset.content, ctx).trim
+            // dev environments rename at the PLAN level (no SQL text form),
+            // so the rendered text shows logical names; surface the mapping
+            // that execution will apply instead of hiding it
+            val rename = env.renameMapping(pipeline.assets.map(_.name))
+            if (rename.nonEmpty) {
+              println(s"-- environment '${env.name}': plan-level renames applied at run time:")
+              rename.toSeq.sorted.foreach { case (l, p) => println(s"--   $l -> $p") }
+            }
             Materializer.render(asset, sql).foreach(s => println(s + ";"))
             0
           case scala.None =>

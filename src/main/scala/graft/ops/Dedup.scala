@@ -207,45 +207,58 @@ object Dedup {
   /** Near-dup CLUSTERS: connected components over a duplicate-pair edge set
     * (e.g. [[jaccardPairs]] / [[minhashLsh]] output), labeling every document
     * with the smallest reachable id — the canonical representative a
-    * training-data pipeline keeps. Distributed min-label propagation with
-    * pointer jumping: each round propagates labels across edges AND through
-    * current labels, so convergence takes O(log diameter) rounds, each a
-    * bounded number of shuffles on (id, label) pairs — no per-component state
-    * ever materializes on one task, so a 100 TB corpus with million-member
-    * boilerplate clusters still converges. Driver only checks the per-round
-    * convergence count (a scalar), never the data. */
+    * training-data pipeline keeps.
+    *
+    * Scale design: the iteration runs ONLY over the duplicate graph (nodes
+    * with ≥1 edge) — a small fraction of any corpus — as an RDD min-label
+    * propagation with pointer jumping, every step co-partitioned by one
+    * shared HashPartitioner sized to the edge count. Co-partitioning makes
+    * the iterative joins narrow (no re-shuffle of the resident sides); each
+    * round shuffles just the new label messages, converging in O(log
+    * diameter) rounds with no per-component state on any single task.
+    * Singletons never enter the loop; one final join labels the full corpus.
+    * (RDD is deliberate here: a DataFrame loop re-plans and re-shuffles every
+    * round — partitioner reuse across iterations is exactly the case
+    * Catalyst can't express.) */
   def clusters(docs: DataFrame, pairs: DataFrame,
                idCol: String = "doc_id", maxIterations: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
-      .union(pairs.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
-      .cache()
-    var labels = docs.select(col(idCol).cast("long").as("id"),
-      col(idCol).cast("long").as("cluster_id")).cache()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val pds = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd.cache()
+    val nEdges = pds.count()
+    val nParts = math.max(1, math.min((nEdges / 500000L).toInt + 1, sc.defaultParallelism))
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val edges = pds.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    var labels = edges.keys.map(k => (k, k)).reduceByKey(part, math.min(_: Long, _: Long)).cache()
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
-      // min label among neighbors
-      val nbrMin = edges.join(labels, edges("y") === labels("id"))
-        .groupBy("x").agg(min("cluster_id").as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("x"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-      // pointer jump: label(id) := label(label(id)) — halves chain depth
-      val jump = stepped.as("l")
-        .join(stepped.select(col("id").as("jid"), col("cluster_id").as("jlab")).as("r"),
-          col("l.cluster_id") === col("r.jid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.cluster_id"), coalesce(col("jlab"), col("l.cluster_id"))).as("cluster_id"))
-        .cache()
-      val changed = jump.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .where(col("cluster_id") < col("old")).count()
+      // each node sends its label to its neighbors; min over inbox ∪ own
+      val msgs = edges.join(labels).map { case (_, (y, lx)) => (y, lx) }
+      val stepped = labels.union(msgs).reduceByKey(part, math.min(_: Long, _: Long))
+      // pointer jump: label := label(label) — halves chain depth per round
+      val jumped = stepped.map { case (id, l) => (l, id) }
+        .join(stepped)                                  // (l, (id, label(l)))
+        .map { case (l, (id, ll)) => (id, math.min(l, ll)) }
+        .reduceByKey(part, math.min(_: Long, _: Long)).cache()
+      // narrow count: both sides share `part`, no shuffle
+      val changed = jumped.join(labels)
+        .filter { case (_, (n, o)) => n < o }.count()
       labels.unpersist()
-      labels = jump
+      labels = jumped
       converged = changed == 0
       iter += 1
     }
+    val labDf = labels.toDF("id", "cluster_id")
     edges.unpersist()
-    labels.toDF(idCol, "cluster_id")
+    pds.unpersist()
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(labDf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
