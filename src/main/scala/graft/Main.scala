@@ -44,7 +44,7 @@ object Main {
     args.headOption match {
       case Some("run")          => cmdRun(spark, flags, pos)
       case Some("render")       => cmdRender(flags, pos)
-      case Some("lint")         => cmdLint(pos)
+      case Some("lint")         => cmdLint(flags, pos, () => spark)
       case Some("query")        => cmdQuery(spark, flags)
       case Some("unit-test")    => cmdUnitTest(spark, pos)
       case Some("lineage")      => cmdLineage(spark, pos)
@@ -71,7 +71,7 @@ object Main {
     val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     val boolFlags = Set("--full-refresh", "--no-validation", "--continue",
-      "--downstream", "--push-metadata", "--check")
+      "--downstream", "--push-metadata", "--check", "--dry-run")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -197,12 +197,16 @@ object Main {
 
   // ---- lint ---------------------------------------------------------------
 
-  private def cmdLint(pos: Seq[String]): Int = {
+  private def cmdLint(flags: Map[String, Seq[String]], pos: Seq[String],
+                      sparkFor: () => SparkSession): Int = {
     val dir = pos.headOption.getOrElse(".")
     val pipeline = AssetParser.loadPipeline(dir)
     val glossary = graft.model.Glossary.load(dir)
     val issues = Lint.validate(pipeline,
-      glossary = if (glossary.isEmpty) scala.None else Some(glossary))
+      glossary = if (glossary.isEmpty) scala.None else Some(glossary),
+      // --dry-run additionally parse-checks hook/custom-check SQL (needs a
+      // session; plain lint stays session-free and instant)
+      spark = if (flags.contains("dry-run")) Some(sparkFor()) else scala.None)
     issues.foreach(i => println(s"${i.rule}: ${i.message}"))
     if (issues.isEmpty) { println("ok"); 0 } else 1
   }

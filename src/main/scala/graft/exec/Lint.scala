@@ -23,9 +23,35 @@ object Lint {
 
   def validate(pipeline: Pipeline,
                environment: Option[graft.config.Environment] = scala.None,
-               glossary: Option[Glossary] = scala.None): Seq[Issue] = {
+               glossary: Option[Glossary] = scala.None,
+               /** when present, hook + custom-check SQL is analyze-dry-run
+                 * (reference hook-query-dry-run / custom-check-query-dry-run;
+                 * needs a session, so plain lint stays warehouse-free). */
+               spark: Option[SparkSession] = scala.None): Seq[Issue] = {
     val issues = scala.collection.mutable.ArrayBuffer[Issue]()
     val names = pipeline.assets.map(_.name)
+
+    def lintNotifications(n: Notifications, asset: String): Unit = {
+      val channels = n.slack.map(_.stripPrefix("#"))
+      channels.filter(_.isEmpty).foreach { _ =>
+        issues += Issue("valid-notifications", asset, "slack channel is empty")
+      }
+      channels.filter(_.nonEmpty).groupBy(identity).filter(_._2.size > 1).keys.foreach { c =>
+        issues += Issue("valid-notifications", asset, s"slack channel '#$c' repeated")
+      }
+      n.emails.filter(_.isEmpty).foreach { _ =>
+        issues += Issue("valid-notifications", asset, "email notification has no recipients")
+      }
+      n.emails.flatten.filter(r => r.trim.isEmpty || !r.contains('@')).foreach { r =>
+        issues += Issue("valid-notifications", asset, s"bad email recipient '$r'")
+      }
+      n.emails.map(_.map(_.trim).sorted).groupBy(identity)
+        .filter(_._2.size > 1).keys.foreach { g =>
+          issues += Issue("valid-notifications", asset,
+            s"email recipient group repeated: ${g.mkString(", ")}")
+        }
+    }
+    lintNotifications(pipeline.notifications, "")
 
     // variables schema + variants (reference valid-variables)
     Variables.validate(pipeline).foreach(m => issues += Issue("valid-variables", "", m))
@@ -171,6 +197,37 @@ object Lint {
       // duplicate tags
       a.tags.groupBy(identity).filter(_._2.size > 1).keys.foreach { t =>
         issues += Issue("duplicate-tags", a.name, s"tag '$t' repeated")
+      }
+
+      // criticality tier 1..5 (reference valid-asset-tier, rules.go:62)
+      if (a.tier != 0 && (a.tier < 1 || a.tier > 5))
+        issues += Issue("valid-asset-tier", a.name,
+          s"tier must be between 1 and 5, got ${a.tier}")
+
+      // notification targets (reference valid-pipeline/asset-notifications)
+      lintNotifications(a.notifications, a.name)
+
+      // analyze-only dry-run of hook + custom-check SQL (reference
+      // hook-query-dry-run / custom-check-query-dry-run); parse errors only —
+      // unresolved tables are expected before the pipeline ever ran
+      spark.foreach { s =>
+        // render with a placeholder context first — hooks/checks are templates
+        val ctx = graft.render.Template.context(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+          java.time.LocalDateTime.of(2024, 1, 2, 0, 0),
+          executionDate = java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+          pipelineName = pipeline.name, runId = "lint",
+          thisAsset = a.name, vars = pipeline.variables)
+        def parses(sql: String): Boolean = scala.util.Try {
+          s.sessionState.sqlParser.parsePlan(graft.render.Template.render(sql, ctx))
+        }.isSuccess
+        (a.hooks.pre ++ a.hooks.post).filterNot(parses).foreach { h =>
+          issues += Issue("hook-query-dry-run", a.name, s"hook does not parse: $h")
+        }
+        a.customChecks.filter(c => c.query.trim.nonEmpty && !parses(c.query)).foreach { c =>
+          issues += Issue("custom-check-query-dry-run", a.name,
+            s"custom check '${c.name}' query does not parse")
+        }
       }
 
       // secrets (reference secret-mapping-key-exists)

@@ -101,8 +101,23 @@ object AssetParser {
       }.getOrElse(Hooks()),
       tags = seq(root, "tags").map(String.valueOf(_)),
       owner = str(root, "owner").getOrElse(""),
+      tier = longOpt(root, "tier").map(_.toInt).getOrElse(0),
+      notifications = parseNotifications(root),
       unitTests = unitTests)
   }
+
+  /** `notifications:` block (reference pipeline.go Notifications): slack
+    * entries are `{channel: "#x"}` maps or bare channel strings; email
+    * entries are `{recipients: [a@b, …]}` groups. */
+  private def parseNotifications(root: Map[String, Any]): Notifications =
+    map(root, "notifications").map { n =>
+      Notifications(
+        slack = seq(n, "slack").map {
+          case s: String => s
+          case m => str(asMap(m), "channel").getOrElse("")
+        },
+        emails = seq(n, "email").map(e => seq(asMap(e), "recipients").map(String.valueOf(_))))
+    }.getOrElse(Notifications())
 
   private def parseColumn(m: Map[String, Any]): Column = {
     val checks = seq(m, "checks").map {
@@ -202,7 +217,8 @@ object AssetParser {
       variableSchema = schema,
       variants = variants,
       concurrency = longOpt(root, "concurrency").map(_.toInt).getOrElse(1),
-      retries = longOpt(root, "retries").map(_.toInt).getOrElse(0))
+      retries = longOpt(root, "retries").map(_.toInt).getOrElse(0),
+      notifications = parseNotifications(root))
   }
 
   /** Recursively convert snakeyaml's java collections to Scala. */

@@ -27,6 +27,7 @@ object Docs {
       if (a.dependsOn.nonEmpty)
         sb.append(s"- depends: ${a.dependsOn.map(d => s"`$d`").mkString(", ")}\n")
       if (a.owner.nonEmpty) sb.append(s"- owner: ${a.owner}\n")
+      if (a.tier > 0) sb.append(s"- tier: ${a.tier}\n")
       if (a.tags.nonEmpty) sb.append(s"- tags: ${a.tags.mkString(", ")}\n")
       if (a.columns.nonEmpty) {
         sb.append("\n| column | type | description | checks |\n|---|---|---|---|\n")

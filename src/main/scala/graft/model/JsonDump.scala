@@ -46,7 +46,8 @@ object JsonDump {
     "custom_checks" -> arr(a.customChecks.map(c => q(c.name))),
     "parameters" -> obj(a.parameters.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) }),
     "tags" -> arr(a.tags.map(q)),
-    "owner" -> q(a.owner)))
+    "owner" -> q(a.owner),
+    "tier" -> a.tier.toString))
 
   def pipeline(p: Pipeline): String = obj(Seq(
     "name" -> q(p.name),

@@ -211,6 +211,14 @@ object IntervalModifiers {
 /** Pre/post hook query lists (reference pipeline/hooks.go:24-54). */
 final case class Hooks(pre: Seq[String] = Nil, post: Seq[String] = Nil)
 
+/** Notification routing (reference pipeline.go Notifications — slack
+  * channels + email recipient groups; delivery is a platform concern, the
+  * model and its lint validation are the engine's). */
+final case class Notifications(slack: Seq[String] = Nil,
+                               emails: Seq[Seq[String]] = Nil) {
+  def isEmpty: Boolean = slack.isEmpty && emails.isEmpty
+}
+
 /** Secret mapping (reference pipeline.go Secrets + python/operator.go:152-182):
   * connection `key` from the environment config is injected into the asset
   * subprocess as env var `injectAs` (JSON connection details). */
@@ -231,6 +239,9 @@ final case class Asset(
     hooks: Hooks = Hooks(),
     tags: Seq[String] = Nil,
     owner: String = "",
+    /** criticality 1 (highest) .. 5; 0 = unset (reference pipeline.go Tier). */
+    tier: Int = 0,
+    notifications: Notifications = Notifications(),
     unitTests: Seq[UnitTest] = Nil) {
 
   /** Per-asset execution knobs (reference pipeline.go:1332-1335). */
@@ -258,7 +269,8 @@ final case class Pipeline(
     /** named variable presets (reference variant.go:22-105). */
     variants: Map[String, Map[String, Any]] = Map.empty,
     concurrency: Int = 1,
-    retries: Int = 0) {
+    retries: Int = 0,
+    notifications: Notifications = Notifications()) {
 
   def asset(name: String): Option[Asset] = assets.find(_.name == name)
 }

@@ -101,6 +101,42 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Lint.dryRun(spark, "SELECT 1").isRight)
   }
 
+  test("lint validates tier, notifications, and dry-runs hooks/checks") {
+    val bad = Pipeline(name = "p",
+      notifications = Notifications(slack = Seq("#ops", "ops")), // dup after '#' strip
+      assets = Seq(
+        Asset(name = "a", content = "SELECT 1", tier = 9,
+          notifications = Notifications(
+            slack = Seq(""), emails = Seq(Nil, Seq("not-an-email"))),
+          hooks = Hooks(pre = Seq("SELEC BROKEN FROM")),
+          customChecks = Seq(CustomCheck(name = "c1", query = "SELECT count(* FROM t", value = Some(0))))))
+    val rules = Lint.validate(bad, spark = Some(spark)).map(_.rule)
+    assert(rules.contains("valid-asset-tier"))
+    assert(rules.count(_ == "valid-notifications") >= 4,
+      s"want dup-channel + empty-channel + empty-recipients + bad-email, got $rules")
+    assert(rules.contains("hook-query-dry-run"))
+    assert(rules.contains("custom-check-query-dry-run"))
+    // clean config passes every new rule
+    val ok = Pipeline(name = "p",
+      notifications = Notifications(slack = Seq("#ops"), emails = Seq(Seq("a@b.co"))),
+      assets = Seq(Asset(name = "a", content = "SELECT 1", tier = 1,
+        hooks = Hooks(pre = Seq("SELECT {{ start_date }}")),
+        customChecks = Seq(CustomCheck(name = "c1", query = "SELECT count(*) FROM t", count = Some(1))))))
+    assert(Lint.validate(ok, spark = Some(spark)).isEmpty)
+    // header YAML parses the new fields
+    val parsed = AssetParser.fromYaml("n",
+      """name: n
+        |tier: 2
+        |notifications:
+        |  slack:
+        |    - channel: "#alerts"
+        |  email:
+        |    - recipients: [x@y.co]
+        |""".stripMargin, "SELECT 1")
+    assert(parsed.tier == 2 && parsed.notifications.slack == Seq("#alerts") &&
+      parsed.notifications.emails == Seq(Seq("x@y.co")))
+  }
+
   test("CLI drives the demo pipeline end-to-end") {
     assert(Main.run(Seq("run", pipelineDir), Some(spark)) == 0)
     assert(spark.table("expensive_products").count() == 2)
