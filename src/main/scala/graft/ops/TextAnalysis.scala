@@ -109,6 +109,47 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** PII patterns shared with the oracle SQL. Kept alternation-free so
+    * Java (backtracking, leftmost-first) and RE2-family engines
+    * (leftmost-longest) match identically — greedy character-class
+    * quantifiers agree across both. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9()\\s-]{6,}[0-9]"
+
+  /** PII scrubbing — the mandatory pre-training pass: replace emails, IPv4
+    * addresses and international-format phone numbers with typed tokens,
+    * and count what was removed. Pure regexp projection: codegen, no
+    * shuffle, scan-speed over 100 TB. Order matters: emails first (an
+    * address is not a phone), then IPs (dotted quads are not phones),
+    * then phones. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
+  /** Corpus vocabulary: top-`n` words by document-corpus frequency with a
+    * deterministic (count desc, word) rank — one map-side-combinable
+    * groupBy on the word, then a single ordered take. */
+  def vocabulary(df: DataFrame, topN: Int = 100, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count("*").as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("word"))))
+      .where(col("rank") <= topN)
+      .select(col("word"), col("n"), col("rank").cast("int").as("rank"))
+  }
+
   /** Content fingerprints: md5 of normalized text + a 60-bit numeric
     * fingerprint (hex prefix of the md5 — portable across engines, unlike
     * xxhash64/murmur whose seeds vary). */

@@ -112,6 +112,38 @@ object DataOpsQueries {
        |  FROM scored) r
        |WHERE rank <= 3""".stripMargin)
 
+  /** PII redaction: counts + md5 of the scrubbed text (pins every byte of
+    * the redaction without hauling full text through the compare). */
+  val piiRedact: OQ = {
+    val email = TextAnalysis.EmailRe
+    val ip = TextAnalysis.Ipv4Re
+    val phone = TextAnalysis.PhoneRe
+    OQ.df("text_pii_redact",
+      (s, _) => TextAnalysis.redactPii(s.table("documents"))
+        .selectExpr("doc_id", "CAST(n_emails AS BIGINT) AS n_emails",
+          "CAST(n_ips AS BIGINT) AS n_ips", "CAST(n_phones AS BIGINT) AS n_phones",
+          "md5(redacted) AS redacted_md5"),
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$ip', '[IP]', 'g'),
+         |    '$phone', '[PHONE]', 'g')) AS redacted_md5
+         |FROM documents""".stripMargin)
+  }
+
+  /** Top-100 corpus vocabulary, rank = (count desc, word). */
+  val vocab: OQ = OQ.df("text_vocab",
+    (s, _) => TextAnalysis.vocabulary(s.table("documents"), topN = 100)
+      .selectExpr("word", "CAST(n AS BIGINT) AS n", "CAST(rank AS INT) AS rank"),
+    s"""WITH w AS (SELECT unnest(string_split($NORM, ' ')) AS word FROM documents),
+       |c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1)
+       |SELECT word, n, CAST(rank AS INT) AS rank
+       |FROM (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c) r
+       |WHERE rank <= 100""".stripMargin)
+
   // ---- sampling -----------------------------------------------------------
 
   /** Portable md5 bucket in both dialects. */
@@ -292,7 +324,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
-    tfIdf, sampleStratified, sampleSplit, quantizeInt8,
+    tfIdf, piiRedact, vocab, sampleStratified, sampleSplit, quantizeInt8,
     dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
 }

@@ -185,6 +185,27 @@ class DataOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("pii redaction scrubs emails, ips, phones; vocabulary ranks by frequency") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "contact alice@example.com or +1 (555) 123-4567 from 192.168.1.100 today"),
+      (2L, "no personal data here at all")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.redactPii(pii).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Int]("n_emails") == 1 && r(1L).getAs[Int]("n_ips") == 1 &&
+      r(1L).getAs[Int]("n_phones") == 1)
+    val red = r(1L).getAs[String]("redacted")
+    assert(red.contains("[EMAIL]") && red.contains("[IP]") && red.contains("[PHONE]"))
+    assert(!red.contains("example.com") && !red.contains("192.168") && !red.contains("555"))
+    assert(r(2L).getAs[String]("redacted") == "no personal data here at all")
+
+    val v = graft.ops.TextAnalysis.vocabulary(docs, topN = 10).collect()
+    assert(v.length == 10)
+    val ns = v.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (hi, lo) => hi >= lo })
+  }
+
   test("rolling hash expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.SqlBridge
     SqlBridge.registerFunction(spark, "rolling_hash",
