@@ -137,16 +137,19 @@ object TextAnalysis {
   }
 
   /** Corpus vocabulary: top-`n` words by document-corpus frequency with a
-    * deterministic (count desc, word) rank — one map-side-combinable
-    * groupBy on the word, then a single ordered take. */
+    * deterministic (count desc, word) rank. One map-side-combinable groupBy
+    * on the word, then orderBy+limit — Spark plans that as a distributed
+    * TakeOrderedAndProject (per-partition top-n, merged on the driver), so
+    * a billion-word vocabulary never single-partitions; the rank window
+    * runs over only the `topN` survivors. */
   def vocabulary(df: DataFrame, topN: Int = 100, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.select(explode(words(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("word"))))
-      .where(col("rank") <= topN)
       .select(col("word"), col("n"), col("rank").cast("int").as("rank"))
   }
 
