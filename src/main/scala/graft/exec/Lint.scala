@@ -52,6 +52,9 @@ object Lint {
         }
     }
     lintNotifications(pipeline.notifications, "")
+    pipeline.unknownFields.foreach { k =>
+      issues += Issue("unknown-pipeline-fields", "", s"unknown pipeline.yml key '$k'")
+    }
 
     // variables schema + variants (reference valid-variables)
     Variables.validate(pipeline).foreach(m => issues += Issue("valid-variables", "", m))
@@ -197,6 +200,11 @@ object Lint {
       // duplicate tags
       a.tags.groupBy(identity).filter(_._2.size > 1).keys.foreach { t =>
         issues += Issue("duplicate-tags", a.name, s"tag '$t' repeated")
+      }
+
+      // typo'd header keys (reference unknown-asset-fields)
+      a.unknownFields.foreach { k =>
+        issues += Issue("unknown-asset-fields", a.name, s"unknown asset header key '$k'")
       }
 
       // criticality tier 1..5 (reference valid-asset-tier, rules.go:62)

@@ -103,8 +103,21 @@ object AssetParser {
       owner = str(root, "owner").getOrElse(""),
       tier = longOpt(root, "tier").map(_.toInt).getOrElse(0),
       notifications = parseNotifications(root),
+      unknownFields = (root.keySet -- KnownAssetKeys).toSeq.sorted,
       unitTests = unitTests)
   }
+
+  /** Header keys the parser understands — anything else is a typo the
+    * unknown-asset-fields lint surfaces (reference lint/list.go). */
+  private val KnownAssetKeys = Set(
+    "name", "type", "description", "query", "depends", "columns",
+    "materialization", "custom_checks", "parameters", "unit_tests",
+    "secrets", "interval_modifiers", "hooks", "tags", "owner", "tier",
+    "notifications")
+
+  private val KnownPipelineKeys = Set(
+    "name", "schedule", "start_date", "variables", "variants",
+    "concurrency", "retries", "notifications")
 
   /** `notifications:` block (reference pipeline.go Notifications): slack
     * entries are `{channel: "#x"}` maps or bare channel strings; email
@@ -218,7 +231,8 @@ object AssetParser {
       variants = variants,
       concurrency = longOpt(root, "concurrency").map(_.toInt).getOrElse(1),
       retries = longOpt(root, "retries").map(_.toInt).getOrElse(0),
-      notifications = parseNotifications(root))
+      notifications = parseNotifications(root),
+      unknownFields = (root.keySet -- KnownPipelineKeys).toSeq.sorted)
   }
 
   /** Recursively convert snakeyaml's java collections to Scala. */

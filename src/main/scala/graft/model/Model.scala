@@ -242,6 +242,9 @@ final case class Asset(
     /** criticality 1 (highest) .. 5; 0 = unset (reference pipeline.go Tier). */
     tier: Int = 0,
     notifications: Notifications = Notifications(),
+    /** header keys the parser did not recognize (reference
+      * unknown-asset-fields — typo'd keys silently dropped are a lint). */
+    unknownFields: Seq[String] = Nil,
     unitTests: Seq[UnitTest] = Nil) {
 
   /** Per-asset execution knobs (reference pipeline.go:1332-1335). */
@@ -270,7 +273,8 @@ final case class Pipeline(
     variants: Map[String, Map[String, Any]] = Map.empty,
     concurrency: Int = 1,
     retries: Int = 0,
-    notifications: Notifications = Notifications()) {
+    notifications: Notifications = Notifications(),
+    unknownFields: Seq[String] = Nil) {
 
   def asset(name: String): Option[Asset] = assets.find(_.name == name)
 }

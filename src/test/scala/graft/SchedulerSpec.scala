@@ -123,6 +123,13 @@ class SchedulerSpec extends AnyFunSuite {
         hooks = Hooks(pre = Seq("SELECT {{ start_date }}")),
         customChecks = Seq(CustomCheck(name = "c1", query = "SELECT count(*) FROM t", count = Some(1))))))
     assert(Lint.validate(ok, spark = Some(spark)).isEmpty)
+    // typo'd header keys surface as unknown-asset-fields
+    val typo = AssetParser.fromYaml("n", "name: n\nmaterialisation:\n  type: table\n", "SELECT 1")
+    assert(typo.unknownFields == Seq("materialisation"))
+    assert(Lint.validate(Pipeline(name = "p", assets = Seq(typo)))
+      .exists(_.rule == "unknown-asset-fields"))
+    assert(AssetParser.parsePipelineYaml("name: p\nschedle: daily\n").unknownFields == Seq("schedle"))
+
     // header YAML parses the new fields
     val parsed = AssetParser.fromYaml("n",
       """name: n
