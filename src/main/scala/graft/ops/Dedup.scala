@@ -261,6 +261,21 @@ object Dedup {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents that share any word
+    * n-gram with an evaluation/benchmark corpus (the GPT-3-style n-gram
+    * overlap check). One equi-join on the gram key: eval grams deduplicate
+    * first (the eval set is small — Spark broadcasts it), so the train side
+    * streams through at scan speed and only contaminated docs shuffle to
+    * the per-doc count. */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainSh = shingles(train, n, idCol, textCol)
+    val evalGrams = shingles(eval, n, idCol, textCol).select("gram").distinct()
+    trainSh.join(evalGrams, Seq("gram"))
+      .groupBy(idCol)
+      .agg(count("*").as("n_contaminated_grams"))
+  }
+
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
     * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0. Explodes words×bits —
     * wide but flat; at scale this is a single flatMap + groupBy(id). */

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization: split each user's event stream into sessions at
+  * inactivity gaps. The classic two-window program — a lag to mark session
+  * starts, a running sum to number them — over ONE shuffle on the user key;
+  * both windows and the final per-session aggregation share the same
+  * (user) partitioning, so Catalyst plans a single Exchange. Deterministic:
+  * the order key includes the event id to break timestamp ties.
+  */
+object Sessions {
+
+  /** Per-session rollup: (user, session_no, start, end, n_events, sum_value).
+    * `gapMinutes` of inactivity closes a session. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 orderCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(orderCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val newSession = when(prev.isNull ||
+      unix_micros(col(tsCol)) - prev > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_no", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_no"))
+      .agg(
+        min(col(tsCol)).cast("string").as("session_start"),
+        max(col(tsCol)).cast("string").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+}

@@ -153,6 +153,27 @@ object TextAnalysis {
       .select(col("word"), col("n"), col("rank").cast("int").as("rank"))
   }
 
+  /** Repetition metrics (the Gopher-style quality filter): the fraction of
+    * a document's word bigrams taken by its single most frequent bigram —
+    * boilerplate and degenerate generations score high. Non-distinct
+    * bigrams come from one index-HOF projection (codegen), then two hash
+    * aggregations on the compact (id, bigram) key. Docs with < 2 words
+    * have no bigrams and drop out (mirrors the SQL form). */
+  def repetition(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val bigrams = transform(
+      sequence(lit(0), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))
+    df.where(size(ws) >= 2)
+      .select(col(idCol), explode(bigrams).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count("*").as("cnt"))
+      .groupBy(idCol)
+      .agg(max("cnt").as("top_bigram_n"), sum("cnt").as("n_bigrams"))
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6))
+  }
+
   /** Content fingerprints: md5 of normalized text + a 60-bit numeric
     * fingerprint (hex prefix of the md5 — portable across engines, unlike
     * xxhash64/murmur whose seeds vary). */

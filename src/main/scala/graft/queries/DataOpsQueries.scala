@@ -144,6 +144,70 @@ object DataOpsQueries {
        |FROM (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c) r
        |WHERE rank <= 100""".stripMargin)
 
+  /** Event sessionization: 30-min inactivity gap; session bounds emitted as
+    * exact micros (string-formatting timestamps differs across engines). */
+  val sessionize: OQ = OQ.df("rel_sessionize",
+    (s, _) => graft.ops.Sessions.sessionize(s.table("events"))
+      .selectExpr("user_id", "CAST(session_no AS BIGINT) AS session_no",
+        "unix_micros(CAST(session_start AS TIMESTAMP)) AS start_us",
+        "unix_micros(CAST(session_end AS TIMESTAMP)) AS end_us",
+        "CAST(n_events AS BIGINT) AS n_events", "sum_value"),
+    """WITH e AS (SELECT user_id, ts, event_id, value,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM e)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY 1, 2""".stripMargin)
+
+  /** Benchmark decontamination: flag training docs sharing any distinct
+    * 5-gram with the held-out eval slice (portable md5 bucket < 10). */
+  val contaminated: OQ = {
+    val bucket = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    OQ.df("dedup_contamination",
+      (s, _) => {
+        val docs = s.table("documents")
+        val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+        Dedup.contamination(docs.where(b >= 10), docs.where(b < 10), n = 5)
+          .selectExpr("doc_id", "CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams")
+      },
+      s"""WITH docs AS (SELECT doc_id, $NORM AS norm, $bucket AS b FROM documents),
+         |toks AS (SELECT doc_id, b, string_split(norm, ' ') AS w FROM docs),
+         |wrds AS (SELECT doc_id, b, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM toks),
+         |g5 AS (SELECT doc_id, b,
+         |  word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win
+         |    || ' ' || lead(word,3) OVER win || ' ' || lead(word,4) OVER win AS gram
+         |  FROM wrds WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, b, gram FROM g5
+         |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 5),
+         |ev AS (SELECT DISTINCT gram FROM sh WHERE b < 10),
+         |tr AS (SELECT doc_id, gram FROM sh WHERE b >= 10)
+         |SELECT tr.doc_id, count(*) AS n_contaminated_grams
+         |FROM tr JOIN ev ON tr.gram = ev.gram
+         |GROUP BY 1""".stripMargin)
+  }
+
+  /** Gopher-style repetition: top-bigram fraction per doc. */
+  val repetition: OQ = OQ.df("text_repetition",
+    (s, _) => TextAnalysis.repetition(s.table("documents"))
+      .selectExpr("doc_id", "CAST(top_bigram_n AS BIGINT) AS top_bigram_n",
+        "CAST(n_bigrams AS BIGINT) AS n_bigrams", "top_bigram_frac"),
+    s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
+       |wr AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM dws),
+       |bg AS (SELECT doc_id,
+       |  word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM wr),
+       |b2 AS (SELECT doc_id, bigram FROM bg
+       |  WHERE bigram IS NOT NULL AND len(string_split(bigram, ' ')) = 2),
+       |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b2 GROUP BY 1, 2)
+       |SELECT doc_id, max(cnt) AS top_bigram_n, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
+       |FROM c GROUP BY 1""".stripMargin)
+
   // ---- sampling -----------------------------------------------------------
 
   /** Portable md5 bucket in both dialects. */
@@ -324,7 +388,8 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
-    tfIdf, piiRedact, vocab, sampleStratified, sampleSplit, quantizeInt8,
+    tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
+    sessionize, contaminated,
     dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
 }

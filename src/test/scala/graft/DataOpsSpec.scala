@@ -206,6 +206,39 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (hi, lo) => hi >= lo })
   }
 
+  test("sessionize splits on the inactivity gap; contamination flags eval overlap") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, t0, 7L, 1.0), (2L, plus(10), 7L, 2.0),   // session 1: 2 events
+      (3L, plus(50), 7L, 3.0),                       // 40-min gap → session 2
+      (4L, plus(55), 8L, 4.0)                        // other user: own session 1
+    ).toDF("event_id", "ts", "user_id", "value")
+    val s = graft.ops.Sessions.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(s((7L, 1L)) == (2L, 3.0) && s((7L, 2L)) == (1L, 3.0) && s((8L, 1L)) == (1L, 4.0))
+
+    val train = Seq((1L, "aa bb cc dd ee ff gg"), (2L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val eval = Seq((100L, "qq aa bb cc dd ee rr")).toDF("doc_id", "text")
+    val c = graft.ops.Dedup.contamination(train, eval, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly one distinct 5-gram ("aa bb cc dd ee"); doc 2 none
+    assert(c == Map(1L -> 1L))
+  }
+
+  test("repetition: top-bigram fraction catches degenerate docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),        // one bigram repeated 4×
+      (2L, "all words here are fully distinct")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.repetition(d).collect()
+      .map(row => row.getLong(0) -> row.getDouble(3)).toMap
+    assert(r(1L) == 1.0, s"degenerate doc should score 1.0: $r")
+    assert(r(2L) < 0.5)
+  }
+
   test("rolling hash expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.SqlBridge
     SqlBridge.registerFunction(spark, "rolling_hash",
