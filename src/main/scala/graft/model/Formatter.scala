@@ -12,6 +12,7 @@ object Formatter {
     if (asset.assetType.nonEmpty) sb.append(s"type: ${asset.assetType}\n")
     if (asset.description.nonEmpty) sb.append(s"description: ${quote(asset.description)}\n")
     if (asset.owner.nonEmpty) sb.append(s"owner: ${asset.owner}\n")
+    if (asset.tier > 0) sb.append(s"tier: ${asset.tier}\n")
     if (asset.tags.nonEmpty) sb.append(s"tags: [${asset.tags.mkString(", ")}]\n")
 
     if (asset.upstreams.nonEmpty) {
@@ -94,6 +95,19 @@ object Formatter {
       sb.append("\ninterval_modifiers:\n")
       asset.intervalModifiers.start.foreach(m => sb.append(s"  start: ${quote(m)}\n"))
       asset.intervalModifiers.end.foreach(m => sb.append(s"  end: ${quote(m)}\n"))
+    }
+
+    if (!asset.notifications.isEmpty) {
+      sb.append("\nnotifications:\n")
+      if (asset.notifications.slack.nonEmpty) {
+        sb.append("  slack:\n")
+        asset.notifications.slack.foreach(c => sb.append(s"    - channel: ${quote(c)}\n"))
+      }
+      if (asset.notifications.emails.nonEmpty) {
+        sb.append("  email:\n")
+        asset.notifications.emails.foreach(g =>
+          sb.append(s"    - recipients: [${g.mkString(", ")}]\n"))
+      }
     }
 
     if (asset.hooks != Hooks()) {

@@ -293,6 +293,12 @@ class MaterializerSpec extends AnyFunSuite {
         |name: sales.orders
         |type: duckdb.sql
         |description: daily orders
+        |tier: 2
+        |notifications:
+        |  slack:
+        |    - channel: "#data-alerts"
+        |  email:
+        |    - recipients: [oncall@example.com]
         |depends:
         |  - raw.events
         |materialization:
