@@ -123,6 +123,13 @@ object MacroQueries {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM orders GROUP BY 1""".stripMargin)
 
+  /** slugify renders at template time into an identifier-safe literal;
+    * the oracle pins the expansion (digit-leading names get a '_' guard). */
+  val slugifyQ: OQ = macroQ("macro_slugify",
+    """SELECT '{{ slugify("Data Team's Report #1") }}' AS slug,
+      |  '{{ slugify("2024 Q1 Revenue") }}' AS digit_led,
+      |  CAST(count(*) AS BIGINT) AS n FROM region""".stripMargin)
+
   val all: Seq[OQ] = Seq(arithmetic, pivot, dedup, widthBucket, haversine, userMacro,
-    dateSpine, series, urls, contextVars)
+    dateSpine, series, urls, contextVars, slugifyQ)
 }
