@@ -78,7 +78,10 @@ object Main {
       if (a.startsWith("--")) {
         val k = a.stripPrefix("--")
         if (boolFlags.contains(a)) { flags(k) = flags(k) :+ "true"; i += 1 }
-        else if (i + 1 >= args.length || args(i + 1).startsWith("--"))
+        // a value is "missing" when the next token itself looks like a flag
+        // (--word shape) — but an SQL comment ("-- daily\nSELECT…") or other
+        // '--'-leading VALUE with spaces/newlines is still accepted
+        else if (i + 1 >= args.length || args(i + 1).matches("--[A-Za-z][A-Za-z0-9-]*"))
           throw new IllegalArgumentException(s"flag $a requires a value")
         else { flags(k) = flags(k) :+ args(i + 1); i += 2 }
       } else { pos += a; i += 1 }
@@ -129,10 +132,10 @@ object Main {
       val glossary = graft.model.Glossary.load(dir)
       val issues = Lint.validate(pipeline, Some(environment),
         if (glossary.isEmpty) scala.None else Some(glossary))
-      if (issues.nonEmpty) {
-        issues.foreach(i => System.err.println(s"[lint] ${i.rule}: ${i.message}"))
-        return 1
-      }
+      issues.foreach(i =>
+        System.err.println(s"[lint:${i.severity}] ${i.rule}: ${i.message}"))
+      // warnings (e.g. unknown forward-compatible header keys) don't block
+      if (issues.exists(_.isError)) return 1
     }
     val runner = new PipelineRunner(spark,
       baseDir = dir,
@@ -206,9 +209,11 @@ object Main {
       glossary = if (glossary.isEmpty) scala.None else Some(glossary),
       // --dry-run additionally parse-checks hook/custom-check SQL (needs a
       // session; plain lint stays session-free and instant)
-      spark = if (flags.contains("dry-run")) Some(sparkFor()) else scala.None)
-    issues.foreach(i => println(s"${i.rule}: ${i.message}"))
-    if (issues.isEmpty) { println("ok"); 0 } else 1
+      spark = if (flags.contains("dry-run")) Some(sparkFor()) else scala.None,
+      // dry-run renders with the same user-macro prelude the runner uses
+      macroPrelude = Template.loadMacros(dir))
+    issues.foreach(i => println(s"[${i.severity}] ${i.rule}: ${i.message}"))
+    if (issues.exists(_.isError)) 1 else { if (issues.isEmpty) println("ok"); 0 }
   }
 
   // ---- query --------------------------------------------------------------

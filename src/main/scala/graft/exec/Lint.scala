@@ -8,7 +8,13 @@ import graft.model._
   */
 object Lint {
 
-  final case class Issue(rule: String, asset: String, message: String)
+  /** `severity`: "error" fails runs/lint; "warning" is reported but not
+    * fatal (reference has warning-level rules — forward-compatible header
+    * keys must not abort pipelines that ran before the rule existed). */
+  final case class Issue(rule: String, asset: String, message: String,
+                         severity: String = "error") {
+    def isError: Boolean = severity == "error"
+  }
 
   private val ValidName = """^[a-zA-Z0-9_\-\.]+$""".r
   private val KnownChecks = Set("not_null", "unique", "positive", "non_negative",
@@ -27,7 +33,11 @@ object Lint {
                /** when present, hook + custom-check SQL is analyze-dry-run
                  * (reference hook-query-dry-run / custom-check-query-dry-run;
                  * needs a session, so plain lint stays warehouse-free). */
-               spark: Option[SparkSession] = scala.None): Seq[Issue] = {
+               spark: Option[SparkSession] = scala.None,
+               /** user macro files prelude — dry-run renders with the SAME
+                 * prelude the runner prepends, else project-macro hooks
+                 * would falsely fail to parse. */
+               macroPrelude: String = ""): Seq[Issue] = {
     val issues = scala.collection.mutable.ArrayBuffer[Issue]()
     val names = pipeline.assets.map(_.name)
 
@@ -53,7 +63,8 @@ object Lint {
     }
     lintNotifications(pipeline.notifications, "")
     pipeline.unknownFields.foreach { k =>
-      issues += Issue("unknown-pipeline-fields", "", s"unknown pipeline.yml key '$k'")
+      issues += Issue("unknown-pipeline-fields", "", s"unknown pipeline.yml key '$k'",
+        severity = "warning")
     }
 
     // variables schema + variants (reference valid-variables)
@@ -202,9 +213,11 @@ object Lint {
         issues += Issue("duplicate-tags", a.name, s"tag '$t' repeated")
       }
 
-      // typo'd header keys (reference unknown-asset-fields)
+      // typo'd header keys (reference unknown-asset-fields) — warning, not
+      // error: forward-compatible metadata must not abort existing runs
       a.unknownFields.foreach { k =>
-        issues += Issue("unknown-asset-fields", a.name, s"unknown asset header key '$k'")
+        issues += Issue("unknown-asset-fields", a.name, s"unknown asset header key '$k'",
+          severity = "warning")
       }
 
       // criticality tier 1..5 (reference valid-asset-tier, rules.go:62)
@@ -227,7 +240,8 @@ object Lint {
           pipelineName = pipeline.name, runId = "lint",
           thisAsset = a.name, vars = pipeline.variables)
         def parses(sql: String): Boolean = scala.util.Try {
-          s.sessionState.sqlParser.parsePlan(graft.render.Template.render(sql, ctx))
+          s.sessionState.sqlParser.parsePlan(
+            graft.render.Template.render(macroPrelude + sql, ctx))
         }.isSuccess
         (a.hooks.pre ++ a.hooks.post).filterNot(parses).foreach { h =>
           issues += Issue("hook-query-dry-run", a.name, s"hook does not parse: $h")

@@ -224,41 +224,79 @@ object Dedup {
                idCol: String = "doc_id", maxIterations: Int = 25): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
-    val pds = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].rdd.cache()
-    val nEdges = pds.count()
+    // ids keep their family: numeric ids label with the numeric min,
+    // anything else (string/UUID ids — supported by the whole dedup stack)
+    // with the lexicographic min
+    val numericIds =
+      pairs.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericIds) {
+      val pds = pairs.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].rdd.cache()
+      val labels = ccLabels(pds, maxIterations).toDF("id", "cluster_id")
+      val out = docs.select(col(idCol).cast("long").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      pds.unpersist()
+      out
+    } else {
+      val pds = pairs.select(col("a").cast("string"), col("b").cast("string"))
+        .as[(String, String)].rdd.cache()
+      val labels = ccLabels(pds, maxIterations).toDF("id", "cluster_id")
+      val out = docs.select(col(idCol).cast("string").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      pds.unpersist()
+      out
+    }
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected edge
+    * list. Every keyed RDD shares ONE HashPartitioner sized to the edge
+    * count, so the merge joins (labels ⟕ inbox, stepped ⟕ jump, the
+    * convergence count) are narrow; the only shuffles per round are the
+    * two message re-keys (neighbor sends + pointer-jump re-key), both
+    * bounded by the duplicate-graph node set. Converges in O(log diameter)
+    * rounds; the driver only ever sees the per-round changed-count scalar. */
+  private def ccLabels[K](pairs: org.apache.spark.rdd.RDD[(K, K)], maxIterations: Int)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K])
+    : org.apache.spark.rdd.RDD[(K, K)] = {
+    val sc = pairs.sparkContext
+    val nEdges = pairs.count()
     val nParts = math.max(1, math.min((nEdges / 500000L).toInt + 1, sc.defaultParallelism))
     val part = new org.apache.spark.HashPartitioner(nParts)
-    val edges = pds.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    val edges = pairs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).cache()
-    var labels = edges.keys.map(k => (k, k)).reduceByKey(part, math.min(_: Long, _: Long)).cache()
+    var labels = edges.keys.map(k => (k, k)).reduceByKey(part, ord.min(_, _)).cache()
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
-      // each node sends its label to its neighbors; min over inbox ∪ own
-      val msgs = edges.join(labels).map { case (_, (y, lx)) => (y, lx) }
-      val stepped = labels.union(msgs).reduceByKey(part, math.min(_: Long, _: Long))
-      // pointer jump: label := label(label) — halves chain depth per round
-      val jumped = stepped.map { case (id, l) => (l, id) }
+      // each node sends its label to its neighbors (shuffle 1: messages)
+      val inbox = edges.join(labels).map { case (_, (y, lx)) => (y, lx) }
+        .reduceByKey(part, ord.min(_, _))
+      // narrow merge: labels and inbox are co-partitioned
+      val stepped = labels.leftOuterJoin(inbox).mapValues {
+        case (l, m) => m.fold(l)(ord.min(l, _))
+      }
+      // pointer jump: label := label(label) (shuffle 2: re-key by label)
+      val jumpMsgs = stepped.map { case (id, l) => (l, id) }
         .join(stepped)                                  // (l, (id, label(l)))
-        .map { case (l, (id, ll)) => (id, math.min(l, ll)) }
-        .reduceByKey(part, math.min(_: Long, _: Long)).cache()
-      // narrow count: both sides share `part`, no shuffle
+        .map { case (_, (id, ll)) => (id, ll) }
+        .reduceByKey(part, ord.min(_, _))
+      val jumped = stepped.leftOuterJoin(jumpMsgs).mapValues {
+        case (l, m) => m.fold(l)(ord.min(l, _))
+      }.cache()
+      // narrow convergence count — both sides share `part`
       val changed = jumped.join(labels)
-        .filter { case (_, (n, o)) => n < o }.count()
+        .filter { case (_, (n, o)) => ord.lt(n, o) }.count()
       labels.unpersist()
       labels = jumped
       converged = changed == 0
       iter += 1
     }
-    val labDf = labels.toDF("id", "cluster_id")
     edges.unpersist()
-    pds.unpersist()
-    docs.select(col(idCol).cast("long").as("id"))
-      .join(labDf, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    labels
   }
 
   /** Benchmark DECONTAMINATION: flag training documents that share any word

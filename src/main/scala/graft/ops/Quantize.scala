@@ -16,20 +16,30 @@ object Quantize {
 
   /** Quantized codes + header. `scale` = (max-min)/255; constant vectors
     * (scale 0) quantize to all-zero codes. Codes are INT (0-255) — the
-    * byte-packing is a writer concern, the math is the operator. */
+    * byte-packing is a writer concern, the math is the operator.
+    *
+    * The header (min/max/scale) materializes as columns in a FIRST
+    * projection, and the transform lambda references those columns: an
+    * inlined array_min/array_max inside the lambda would re-scan the whole
+    * vector per element — O(d²) per vector, the array-HOF re-inline trap. */
   def int8(emb: DataFrame, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
-    val scale = (vmax(v) - vmin(v)) / 255.0
     emb.select(
       col(idCol),
+      v.as("__v"),
       vmin(v).as("qmin"),
       vmax(v).as("qmax"),
-      scale.as("scale"),
-      transform(v, x =>
-        when(scale === 0.0, lit(0))
-          .otherwise(round((x.cast("double") - vmin(v)) / scale, 0).cast("int")))
-        .as("codes"))
+      ((vmax(v) - vmin(v)) / 255.0).as("scale"))
+      .select(
+        col(idCol),
+        col("qmin"),
+        col("qmax"),
+        col("scale"),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round((x.cast("double") - col("qmin")) / col("scale"), 0).cast("int")))
+          .as("codes"))
   }
 
   /** Round-trip summary per vector — the oracle-friendly shape: exact

@@ -266,6 +266,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, k: Int = 10, bits: Int = 8, tables: Int = 4,
               maxBucket: Int = 100000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val spark = emb.sparkSession
     import spark.implicits._
     val perTable = (0 until tables).map { t =>

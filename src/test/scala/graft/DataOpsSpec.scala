@@ -130,6 +130,14 @@ class DataOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 7L).forall(got(_) == 1L), s"chain should collapse to 1: $got")
     assert(got(8L) == 8L && got(9L) == 8L)
+
+    // string ids cluster too (lexicographic min representative)
+    val sDocs = Seq("doc-a", "doc-b", "doc-c", "doc-z").map((_, "t")).toDF("doc_id", "text")
+    val sPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("a", "b")
+    val sGot = graft.ops.Dedup.clusters(sDocs, sPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
   }
 
   test("deterministic sampling: stable splits, stratified rates, no overlap") {
