@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** Same sessions via Spark's NATIVE session_window aggregation (one
+    * SessionWindow operator instead of two windows + regroup; also the
+    * streaming-capable form). Window end is last-event + gap by Spark's
+    * definition. Cross-validates [[sessionize]]: both must agree on the
+    * session boundaries. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapMinutes minutes"))
+      .agg(
+        min(col(tsCol)).as("first_event"),
+        max(col(tsCol)).as("last_event"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Per-session rollup: (user, session_no, start, end, n_events, sum_value).
     * `gapMinutes` of inactivity closes a session. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30,

@@ -165,6 +165,28 @@ object DataOpsQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY 1, 2""".stripMargin)
 
+  /** Spark's native SessionWindow operator against the gap-islands SQL:
+    * window end = last event + gap by Spark's definition. */
+  val sessionWindow: OQ = OQ.df("rel_session_window",
+    (s, _) => graft.ops.Sessions.sessionizeNative(s.table("events"))
+      .selectExpr("user_id", "start_us", "end_us",
+        "CAST(n_events AS BIGINT) AS n_events", "sum_value"),
+    """WITH e AS (SELECT user_id, ts, event_id, value,
+      |  -- Spark sessions span [start, last+gap): a gap of EXACTLY the
+      |  -- timeout starts a new session, hence >= (the manual rel_sessionize
+      |  -- islands use >, the common analytics convention)
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM e)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us,
+      |  epoch_us(max(ts)) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_no""".stripMargin)
+
   /** Benchmark decontamination: flag training docs sharing any distinct
     * 5-gram with the held-out eval slice (portable md5 bucket < 10). */
   val contaminated: OQ = {
@@ -389,7 +411,7 @@ object DataOpsQueries {
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
-    sessionize, contaminated,
+    sessionize, sessionWindow, contaminated,
     dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
 }

@@ -226,6 +226,10 @@ class DataOpsSpec extends AnyFunSuite {
     val s = graft.ops.Sessions.sessionize(ev).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getDouble(5))).toMap
     assert(s((7L, 1L)) == (2L, 3.0) && s((7L, 2L)) == (1L, 3.0) && s((8L, 1L)) == (1L, 4.0))
+    // the native SessionWindow operator finds the same sessions
+    val nat = graft.ops.Sessions.sessionizeNative(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(nat == Set((7L, 2L, 3.0), (7L, 1L, 3.0), (8L, 1L, 4.0)))
 
     val train = Seq((1L, "aa bb cc dd ee ff gg"), (2L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
     val eval = Seq((100L, "qq aa bb cc dd ee rr")).toDF("doc_id", "text")
