@@ -210,8 +210,9 @@ object Main {
       // --dry-run additionally parse-checks hook/custom-check SQL (needs a
       // session; plain lint stays session-free and instant)
       spark = if (flags.contains("dry-run")) Some(sparkFor()) else scala.None,
-      // dry-run renders with the same user-macro prelude the runner uses
-      macroPrelude = Template.loadMacros(dir))
+      // dry-run renders with the same user-macro prelude the runner uses;
+      // plain lint skips the macro-dir I/O entirely
+      macroPrelude = if (flags.contains("dry-run")) Template.loadMacros(dir) else "")
     issues.foreach(i => println(s"[${i.severity}] ${i.rule}: ${i.message}"))
     if (issues.exists(_.isError)) 1 else { if (issues.isEmpty) println("ok"); 0 }
   }

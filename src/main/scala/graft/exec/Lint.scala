@@ -13,6 +13,9 @@ object Lint {
     * keys must not abort pipelines that ran before the rule existed). */
   final case class Issue(rule: String, asset: String, message: String,
                          severity: String = "error") {
+    // closed set — a typo'd severity must not silently fail open
+    require(severity == "error" || severity == "warning",
+      s"unknown severity '$severity'")
     def isError: Boolean = severity == "error"
   }
 

@@ -222,34 +222,40 @@ object Dedup {
     * Catalyst can't express.) */
   def clusters(docs: DataFrame, pairs: DataFrame,
                idCol: String = "doc_id", maxIterations: Int = 25): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // ids keep their family: numeric ids label with the numeric min,
     // anything else (string/UUID ids — supported by the whole dedup stack)
-    // with the lexicographic min
-    val numericIds =
-      pairs.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (numericIds) {
-      val pds = pairs.select(col("a").cast("long"), col("b").cast("long"))
-        .as[(Long, Long)].rdd.cache()
-      val labels = ccLabels(pds, maxIterations).toDF("id", "cluster_id")
-      val out = docs.select(col(idCol).cast("long").as("id"))
-        .join(labels, Seq("id"), "left")
-        .select(col("id").as(idCol),
-          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      pds.unpersist()
-      out
-    } else {
-      val pds = pairs.select(col("a").cast("string"), col("b").cast("string"))
-        .as[(String, String)].rdd.cache()
-      val labels = ccLabels(pds, maxIterations).toDF("id", "cluster_id")
-      val out = docs.select(col(idCol).cast("string").as("id"))
-        .join(labels, Seq("id"), "left")
-        .select(col("id").as(idCol),
-          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      pds.unpersist()
-      out
-    }
+    // with the lexicographic min. The col() projection resolves the pair
+    // columns with Spark's (case-insensitive) resolution before the
+    // dataType check, so 'A'/'B'-named inputs work too.
+    val numericIds = pairs.select(col("a")).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericIds)
+      runClusters[Long](docs, pairs, idCol, "long", maxIterations)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        implicitly, implicitly)
+    else
+      runClusters[String](docs, pairs, idCol, "string", maxIterations)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING),
+        implicitly, implicitly)
+  }
+
+  /** Shared cast → label loop → join-back glue for one id family. */
+  private def runClusters[K](docs: DataFrame, pairs: DataFrame, idCol: String,
+                             castType: String, maxIterations: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[(K, K)],
+      ct: scala.reflect.ClassTag[K], ord: Ordering[K]): DataFrame = {
+    val pds = pairs.select(col("a").cast(castType), col("b").cast(castType))
+      .as[(K, K)](enc).rdd.cache()
+    val labels = docs.sparkSession.createDataset(ccLabels(pds, maxIterations))(enc)
+      .toDF("id", "cluster_id")
+    val out = docs.select(col(idCol).cast(castType).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    pds.unpersist()
+    out
   }
 
   /** Min-label propagation with pointer jumping over an undirected edge

@@ -155,35 +155,46 @@ object TextAnalysis {
 
   /** Repetition metrics (the Gopher-style quality filter): the fraction of
     * a document's word bigrams taken by its single most frequent bigram —
-    * boilerplate and degenerate generations score high. Per-doc bigram
-    * counting runs entirely inside one JVM map over the tokenized row
-    * (same pattern as [[graft.ops.Dedup.shingleArray]]) — ZERO shuffles,
-    * scan speed at 100 TB. (An array-HOF form re-inlines the tokenizer
-    * per element access — quadratic per doc; measured 5× slower.)
-    * Docs with < 2 words have no bigrams and drop out (mirrors the SQL). */
+    * boilerplate and degenerate generations score high. Per-row bigram
+    * counting runs inside one JVM flatMap over the tokenized row (same
+    * pattern as [[graft.ops.Dedup.shingleArray]]; an array-HOF form
+    * re-inlines the tokenizer per element — quadratic per doc, measured
+    * 5× slower), emitting pre-aggregated (bigram, cnt) pairs that two
+    * compact-key hash aggregations merge per id. Docs with < 2 words have
+    * no bigrams and drop out (mirrors the SQL form). */
   def repetition(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val projected = df.select(col(idCol), words(col(textCol)).as("__ws"))
-    val outSchema = StructType(Seq(projected.schema.head,
-      StructField("top_bigram_n", LongType, nullable = false),
-      StructField("n_bigrams", LongType, nullable = false)))
-    projected.map { row =>
+    // per-row JVM pre-aggregation: one (bigram, cnt) pair per DISTINCT
+    // bigram — far smaller than exploding every occurrence. The groupBys
+    // below merge rows that share an id (duplicate-id inputs must collapse,
+    // matching the oracle's GROUP BY doc_id); for unique ids the map-side
+    // combine makes them near-free.
+    val rowSchema = StructType(Seq(projected.schema.head,
+      StructField("bigram", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    projected.flatMap { row =>
       val ws: Seq[String] = if (row.isNullAt(1)) Nil else row.getSeq[String](1)
       val arr = ws.toArray
-      val counts = new java.util.HashMap[String, Long]()
-      var top = 0L
+      val counts = new java.util.LinkedHashMap[String, Long]()
       var i = 0
       while (i + 2 <= arr.length) {
         val bg = arr(i) + " " + arr(i + 1)
-        val c = counts.merge(bg, 1L, (a, b) => a + b)
-        if (c > top) top = c
+        counts.merge(bg, 1L, (a, b) => a + b)
         i += 1
       }
-      Row(row.get(0), top, math.max(0L, arr.length - 1L))
-    }(Encoders.row(outSchema)).toDF(idCol, "top_bigram_n", "n_bigrams")
-      .where(col("n_bigrams") >= 1)
+      val id = row.get(0)
+      val it = counts.entrySet().iterator()
+      new Iterator[Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = { val e = it.next(); Row(id, e.getKey, e.getValue) }
+      }
+    }(Encoders.row(rowSchema)).toDF(idCol, "bigram", "cnt")
+      .groupBy(col(idCol), col("bigram")).agg(sum("cnt").as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max("cnt").as("top_bigram_n"), sum("cnt").as("n_bigrams"))
       .withColumn("top_bigram_frac",
         round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6))
   }

@@ -166,17 +166,19 @@ object DataOpsQueries {
       |FROM s GROUP BY 1, 2""".stripMargin)
 
   /** Spark's native SessionWindow operator against the gap-islands SQL:
-    * window end = last event + gap by Spark's definition. */
+    * window end = last event + gap by Spark's definition; boundary rule
+    * shared with [[sessionize]] (a gap must EXCEED the timeout to split). */
   val sessionWindow: OQ = OQ.df("rel_session_window",
     (s, _) => graft.ops.Sessions.sessionizeNative(s.table("events"))
       .selectExpr("user_id", "start_us", "end_us",
         "CAST(n_events AS BIGINT) AS n_events", "sum_value"),
     """WITH e AS (SELECT user_id, ts, event_id, value,
-      |  -- Spark sessions span [start, last+gap): a gap of EXACTLY the
-      |  -- timeout starts a new session, hence >= (the manual rel_sessionize
-      |  -- islands use >, the common analytics convention)
+      |  -- Spark's session_window MERGES events exactly gap apart (verified
+      |  -- on Spark 4.1.2: events 30 min apart with a 30-min gap form one
+      |  -- session), so a new session starts only when the gap EXCEEDS the
+      |  -- timeout — same > rule as rel_sessionize
       |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (SELECT user_id, ts, value,
       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no

@@ -249,6 +249,13 @@ class DataOpsSpec extends AnyFunSuite {
       .map(row => row.getLong(0) -> row.getDouble(3)).toMap
     assert(r(1L) == 1.0, s"degenerate doc should score 1.0: $r")
     assert(r(2L) < 0.5)
+
+    // duplicate ids merge into ONE row with counts summed (oracle GROUP BY)
+    val dup = Seq((5L, "a b a b"), (5L, "a b c d")).toDF("doc_id", "text")
+    val m = graft.ops.TextAnalysis.repetition(dup).collect()
+    assert(m.length == 1)
+    // "a b"×2 + "b a" from row 1, "a b" + "b c" + "c d" from row 2
+    assert(m.head.getLong(1) == 3L && m.head.getLong(2) == 6L)
   }
 
   test("rolling hash expression stays inside whole-stage codegen") {
