@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape invariants for the scale-critical operators: the properties
+  * that make a query survive a 100× scale-up (pushdown reaching the scan,
+  * broadcast of small sides, bounded Exchanges, distributed top-N) are
+  * asserted on the compiled plan so a refactor can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("stratified sampling is a pure pruned scan — no shuffle, no extra columns") {
+    val p = planOf("sample_stratified")
+    assert(!p.contains("Exchange"), "sampling must not shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      "scan must prune to exactly the projected columns")
+  }
+
+  test("vocabulary top-N plans as distributed TakeOrderedAndProject") {
+    val p = planOf("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-N must not single-partition the vocabulary")
+  }
+
+  test("sessionize shares one user-key Exchange across windows and rollup") {
+    val p = planOf("rel_sessionize")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"windows + aggregation should reuse one user-key shuffle:\n$p")
+  }
+
+  test("contamination broadcasts the eval gram set") {
+    assert(planOf("dedup_contamination").contains("BroadcastHashJoin"),
+      "train side must stream against a broadcast eval side")
+  }
+
+  test("no cartesian products anywhere in the registry's relational plans") {
+    // simhash's deliberate words×bits crossJoin with a 60-row literal side is
+    // the single sanctioned exception (flat, skew-free by construction)
+    val sanctioned = Set("dedup_simhash")
+    SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unbounded at scale")
+    }
+  }
+}
