@@ -18,8 +18,12 @@ class PlanSpec extends AnyFunSuite {
   test("stratified sampling is a pure pruned scan — no shuffle, no extra columns") {
     val p = planOf("sample_stratified")
     assert(!p.contains("Exchange"), "sampling must not shuffle")
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
-      "scan must prune to exactly the projected columns")
+    // the scan prunes to exactly the projected columns — through the parquet
+    // reader, or through the cached-relation scan when another suite already
+    // cached the table in this shared session
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>") ||
+      """InMemoryTableScan \[doc_id#\d+L?, lang#\d+, source#\d+\]""".r.findFirstIn(p).nonEmpty,
+      s"scan must prune to exactly the projected columns:\n$p")
   }
 
   test("vocabulary top-N plans as distributed TakeOrderedAndProject") {
