@@ -258,6 +258,39 @@ object DataOpsQueries {
        |  lang, count(*) AS n
        |FROM documents GROUP BY 1, 2""".stripMargin)
 
+  /** Capstone: the curation pipeline end-to-end — exact-dedup to canonical
+    * docs, quality-filter, deterministic 80/10/10 split — reported as the
+    * per-(split, lang) corpus histogram. Composes [[Dedup.exact]],
+    * [[TextAnalysis.qualityScore]] and [[Sampling.split]] in one plan:
+    * dedup's keep-set joins back semi-style, everything else stays a
+    * scan-side projection, and the final rollup is one small groupBy. */
+  val curation: OQ = OQ.df("pipeline_data_curation",
+    (s, _) => {
+      val docs = s.table("documents")
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+      val curated = docs.join(keep, Seq("doc_id"))
+        .join(q, Seq("doc_id")).where(col("quality_score") >= 0.5)
+      graft.ops.Sampling.split(curated)
+        .groupBy("split", "lang")
+        .agg(count("*").cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+    },
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
+       |q AS (SELECT doc_id,
+       |  round(CAST(len(list_distinct(string_split($NORM, ' '))) AS DOUBLE) / len(string_split($NORM, ' ')) * 0.5
+       |    + least(CAST(len(list_filter(string_split($NORM, ' '), w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(string_split($NORM, ' ')) * 5.0, 1.0) * 0.3
+       |    + least(CAST(len(string_split($NORM, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality_score
+       |  FROM documents),
+       |f AS (SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |  JOIN keep USING (doc_id) JOIN q USING (doc_id)
+       |  WHERE q.quality_score >= 0.5)
+       |SELECT CASE WHEN $DUCK_BUCKET < 80 THEN 'train'
+       |            WHEN $DUCK_BUCKET < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM f GROUP BY 1, 2""".stripMargin)
+
   // ---- quantization -------------------------------------------------------
 
   /** int8 scalar quantization round-trip summary: header (min/max/scale) +
@@ -413,7 +446,7 @@ object DataOpsQueries {
 
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
-    sessionize, sessionWindow, contaminated,
+    sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
 }
