@@ -192,6 +192,11 @@ object TextAnalysis {
         def next(): Row = { val e = it.next(); Row(id, e.getKey, e.getValue) }
       }
     }(Encoders.row(rowSchema)).toDF(idCol, "bigram", "cnt")
+      // ONE shuffle: hash-partitioning on the id alone satisfies the
+      // clustering requirement of BOTH aggregations (id is a subset of
+      // (id, bigram)), so the per-bigram merge and the per-id rollup both
+      // run shuffle-free on the repartitioned stream
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("bigram")).agg(sum("cnt").as("cnt"))
       .groupBy(col(idCol))
       .agg(max("cnt").as("top_bigram_n"), sum("cnt").as("n_bigrams"))

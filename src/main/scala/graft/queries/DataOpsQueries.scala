@@ -13,6 +13,14 @@ object DataOpsQueries {
   /** Shared DuckDB normalization fragment. */
   private val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** Shared DuckDB quality-score expression over `documents.text` — ONE
+    * definition used by text_quality_score and pipeline_data_curation so
+    * the capstone provably filters with the same formula it claims to. */
+  private val DUCK_QUALITY =
+    s"""round(CAST(len(list_distinct(string_split($NORM, ' '))) AS DOUBLE) / len(string_split($NORM, ' ')) * 0.5
+       |    + least(CAST(len(list_filter(string_split($NORM, ' '), w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(string_split($NORM, ' ')) * 5.0, 1.0) * 0.3
+       |    + least(CAST(len(string_split($NORM, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)""".stripMargin
+
   // ---- text analysis ------------------------------------------------------
 
   val tokenCount: OQ = OQ.df("text_token_count",
@@ -65,9 +73,7 @@ object DataOpsQueries {
        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
        |  CAST(len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(ws) AS stop_ratio,
        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-       |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 0.5
-       |    + least(CAST(len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(ws) * 5.0, 1.0) * 0.3
-       |    + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality_score
+       |  $DUCK_QUALITY AS quality_score
        |FROM base""".stripMargin)
 
   /** Native codegen rolling-hash Expression ([[graft.functions.RollingHash]])
@@ -216,17 +222,18 @@ object DataOpsQueries {
          |GROUP BY 1""".stripMargin)
   }
 
-  /** Gopher-style repetition: top-bigram fraction per doc. */
+  /** Gopher-style repetition: top-bigram fraction per doc. The oracle
+    * builds bigrams with a PER-ROW list comprehension (no window), so
+    * duplicate-id rows contribute their own bigram streams and only the
+    * counts merge — exactly the Spark side's semantics. */
   val repetition: OQ = OQ.df("text_repetition",
     (s, _) => TextAnalysis.repetition(s.table("documents"))
       .selectExpr("doc_id", "CAST(top_bigram_n AS BIGINT) AS top_bigram_n",
         "CAST(n_bigrams AS BIGINT) AS n_bigrams", "top_bigram_frac"),
     s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
-       |wr AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM dws),
-       |bg AS (SELECT doc_id,
-       |  word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM wr),
-       |b2 AS (SELECT doc_id, bigram FROM bg
-       |  WHERE bigram IS NOT NULL AND len(string_split(bigram, ' ')) = 2),
+       |b2 AS (SELECT doc_id,
+       |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bigram
+       |  FROM dws WHERE len(ws) >= 2),
        |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b2 GROUP BY 1, 2)
        |SELECT doc_id, max(cnt) AS top_bigram_n, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
@@ -277,11 +284,7 @@ object DataOpsQueries {
           sum("n_chars").cast("long").as("sum_chars"))
     },
     s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
-       |q AS (SELECT doc_id,
-       |  round(CAST(len(list_distinct(string_split($NORM, ' '))) AS DOUBLE) / len(string_split($NORM, ' ')) * 0.5
-       |    + least(CAST(len(list_filter(string_split($NORM, ' '), w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(string_split($NORM, ' ')) * 5.0, 1.0) * 0.3
-       |    + least(CAST(len(string_split($NORM, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality_score
-       |  FROM documents),
+       |q AS (SELECT doc_id, $DUCK_QUALITY AS quality_score FROM documents),
        |f AS (SELECT d.doc_id, d.lang, d.n_chars FROM documents d
        |  JOIN keep USING (doc_id) JOIN q USING (doc_id)
        |  WHERE q.quality_score >= 0.5)

@@ -32,10 +32,18 @@ class PlanSpec extends AnyFunSuite {
       "global top-N must not single-partition the vocabulary")
   }
 
-  test("sessionize shares one user-key Exchange across windows and rollup") {
+  test("sessionize shares one user-key shuffle across windows and rollup") {
     val p = planOf("rel_sessionize")
-    assert("Exchange".r.findAllIn(p).size == 1,
+    // count SHUFFLE exchanges specifically — a BroadcastExchange or
+    // ReusedExchange elsewhere would not violate the invariant
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"windows + aggregation should reuse one user-key shuffle:\n$p")
+  }
+
+  test("repetition runs both aggregations on one id-keyed shuffle") {
+    val p = planOf("text_repetition")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"id-partitioning should serve the per-bigram and per-id aggregations:\n$p")
   }
 
   test("contamination broadcasts the eval gram set") {
@@ -44,10 +52,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no cartesian products anywhere in the registry's relational plans") {
-    // simhash's deliberate words×bits crossJoin with a 60-row literal side is
-    // the single sanctioned exception (flat, skew-free by construction)
-    val sanctioned = Set("dedup_simhash")
-    SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
+    // no exemptions: even simhash's deliberate words×bits crossJoin plans as
+    // a BroadcastNestedLoopJoin over the 60-row literal side, never a
+    // CartesianProduct
+    SparkEntry.queries.keys.foreach { name =>
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct — unbounded at scale")
