@@ -97,6 +97,35 @@ object Relational {
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
 
+  /** GROUP BY CUBE with GROUPING() markers — the Expand operator: one scan
+    * fans out to all 4 grouping sets, partial-aggregated map-side. */
+  val cube: OQ = OQ.shared("rel_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+
+  /** EXCEPT / INTERSECT set operators (Catalyst plans them as anti/semi
+    * aggregate joins — distinct semantics, portable text). */
+  val exceptIntersect: OQ = OQ.shared("rel_except_intersect",
+    """SELECT 'only_cust' AS side, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier) e
+      |UNION ALL
+      |SELECT 'both' AS side, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier) i""".stripMargin)
+
+  /** RANGE window frame — value-based framing (deterministic under ties,
+    * unlike ROWS), the moving-aggregate shape time-series assets use. */
+  val windowRange: OQ = OQ.shared("rel_window_range",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY l_returnflag ORDER BY l_quantity
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_price
+      |FROM lineitem WHERE l_orderkey < 1000""".stripMargin)
+
   /** Pivot via conditional aggregation (the `pivot` jinja macro shape,
     * bruin_funcs.go:169-175) — portable across both dialects. */
   val pivot: OQ = OQ.shared("rel_pivot",
@@ -139,5 +168,6 @@ object Relational {
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
-    unionDistinct, rollup, pivot, topK, groupByOrdinal, dateSpine, eventDaily)
+    unionDistinct, rollup, cube, exceptIntersect, windowRange,
+    pivot, topK, groupByOrdinal, dateSpine, eventDaily)
 }
