@@ -117,6 +117,22 @@ object Relational {
       |  SELECT c_nationkey AS nk FROM customer
       |  INTERSECT SELECT s_nationkey FROM supplier) i""".stripMargin)
 
+  /** Exact continuous percentiles (profile-grade stats): Spark's
+    * percentile() and DuckDB's quantile_cont() share the linear-
+    * interpolation definition; rounded to absorb last-ulp arithmetic
+    * differences. */
+  val percentiles: OQ = OQ.split("rel_percentiles",
+    """SELECT l_returnflag,
+      |  round(percentile(l_quantity, 0.5), 4) AS qty_p50,
+      |  round(percentile(l_quantity, 0.9), 4) AS qty_p90,
+      |  round(percentile(l_extendedprice, 0.5), 4) AS price_p50
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
   /** RANGE window frame — value-based framing (deterministic under ties,
     * unlike ROWS), the moving-aggregate shape time-series assets use. */
   val windowRange: OQ = OQ.shared("rel_window_range",
@@ -168,6 +184,6 @@ object Relational {
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
-    unionDistinct, rollup, cube, exceptIntersect, windowRange,
+    unionDistinct, rollup, cube, exceptIntersect, windowRange, percentiles,
     pivot, topK, groupByOrdinal, dateSpine, eventDaily)
 }
