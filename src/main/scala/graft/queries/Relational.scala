@@ -120,7 +120,10 @@ object Relational {
   /** Exact continuous percentiles (profile-grade stats): Spark's
     * percentile() and DuckDB's quantile_cont() share the linear-
     * interpolation definition; rounded to absorb last-ulp arithmetic
-    * differences. */
+    * differences. Exact percentile buffers each group's values — right
+    * for oracle-grade determinism over bounded groups (3 here); at
+    * 100 TB with high-cardinality groups use approx_percentile (t-digest,
+    * constant memory) and accept the documented error bound. */
   val percentiles: OQ = OQ.split("rel_percentiles",
     """SELECT l_returnflag,
       |  round(percentile(l_quantity, 0.5), 4) AS qty_p50,
