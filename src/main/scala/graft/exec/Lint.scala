@@ -108,6 +108,13 @@ object Lint {
         if (!nameSet.contains(u.value))
           issues += Issue("dependency-exists", a.name, s"upstream '${u.value}' is not in the pipeline")
       }
+      // cross-pipeline uri dependencies must be scheme-qualified
+      // (reference cross-pipeline-uri-dependencies)
+      a.upstreams.filter(_.typ == "uri").foreach { u =>
+        if (!u.value.contains("://") || u.value.endsWith("://"))
+          issues += Issue("cross-pipeline-uri-dependencies", a.name,
+            s"uri dependency '${u.value}' is not a scheme-qualified uri")
+      }
 
       // duplicate column names
       a.columns.groupBy(_.name).filter(_._2.size > 1).keys.foreach { c =>

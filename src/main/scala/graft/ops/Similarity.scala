@@ -136,26 +136,29 @@ object Similarity {
     * side, and per-task memory stays bounded by the shard size. */
   private def blocked[T: org.apache.spark.sql.Encoder](
       emb: DataFrame, idCol: String, vecCol: String, shardBytes: Long)(
-      score: (Iterator[(Long, Array[Float])], Array[(Long, Array[Float], Double)]) => Iterator[T])
+      score: (Iterator[(Long, Array[Float], Double)], Array[(Long, Array[Float], Double)]) => Iterator[T])
     : Dataset[T] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (qGroups, sShards) = grid(emb, vecCol, shardBytes)
-    val base = vecs(emb, idCol, vecCol)
-    val tagged = base.flatMap { case (id, v) =>
+    // norms compute ONCE per row before replication — at Q (resp. S)
+    // replicas each, recomputing per copy would redo the d-length scan
+    // Q+S times per vector
+    val base = vecs(emb, idCol, vecCol).map { case (id, v) => (id, v, normP(v)) }
+    val tagged = base.flatMap { case (id, v, n) =>
       val s = (math.floorMod(id, sShards.toLong)).toInt
       val q = (math.floorMod(id, qGroups.toLong)).toInt
-      Iterator.range(0, qGroups).map(g => (g * sShards + s, 0, id, v)) ++
-        Iterator.range(0, sShards).map(sh => (q * sShards + sh, 1, id, v))
+      Iterator.range(0, qGroups).map(g => (g * sShards + s, 0, id, v, n)) ++
+        Iterator.range(0, sShards).map(sh => (q * sShards + sh, 1, id, v, n))
     }
     tagged.groupByKey(_._1).flatMapSortedGroups(col("_2")) { (_, it) =>
       val buf = it.buffered
       val shard = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
       while (buf.hasNext && buf.head._2 == 0) {
         val r = buf.next()
-        shard += ((r._3, r._4, normP(r._4)))
+        shard += ((r._3, r._4, r._5))
       }
-      score(buf.map(r => (r._3, r._4)), shard.toArray)
+      score(buf.map(r => (r._3, r._4, r._5)), shard.toArray)
     }
   }
 
@@ -179,8 +182,7 @@ object Similarity {
     // each unordered pair meets in exactly one cell (b's shard × a's group),
     // so no global dedup pass is needed
     blocked[(Long, Long, Double)](emb, idCol, vecCol, shardBytes) { (queries, shard) =>
-      queries.flatMap { case (a, va) =>
-        val na = normP(va)
+      queries.flatMap { case (a, va, na) =>
         shard.iterator
           .filter(_._1 > a) // a < b, each pair once
           .map { case (b, vb, nb) => (a, b, cosineOf(va, vb, na, nb)) }
@@ -199,8 +201,7 @@ object Similarity {
                  shardBytes: Long = DefaultShardBytes): DataFrame = {
     import emb.sparkSession.implicits._
     val perShard = blocked[(Long, Long, Double)](emb, idCol, vecCol, shardBytes) { (queries, shard) =>
-      queries.flatMap { case (a, va) =>
-        val na = normP(va)
+      queries.flatMap { case (a, va, na) =>
         val top = new TopK(k)
         var i = 0
         while (i < shard.length) {
