@@ -222,6 +222,9 @@ object Main {
   /** Ad-hoc query + CSV export + asset/semantic paths
     * (reference cmd/fetch.go:46-390; semantic path :593-893). */
   private def cmdQuery(spark: SparkSession, flags: Map[String, Seq[String]]): Int = {
+    // dev-environment renames apply when querying through an asset (the
+    // pipeline context is known there); plain --q has no pipeline scope
+    var rename: Map[String, String] = Map.empty
     val q: String = (flags("q").lastOption, flags("asset").lastOption,
                      flags("model").lastOption) match {
       case (Some(sql), _, _) => sql
@@ -229,6 +232,8 @@ object Main {
         // render an asset's SQL with the pipeline context (fetch.go:461-584)
         val dir = flags("dir").lastOption.getOrElse(".")
         val pipeline = AssetParser.loadPipeline(dir)
+        val env = envFor(dir, flags)
+        rename = env.renameMapping(pipeline.assets.map(_.name))
         pipeline.asset(assetName) match {
           case Some(a) =>
             Template.render(Template.loadMacros(dir) + a.content,
@@ -236,7 +241,8 @@ object Main {
                 date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
                 date(flags, "end-date", LocalDateTime.of(2024, 1, 2, 0, 0)),
                 executionDate = date(flags, "start-date", LocalDateTime.of(2024, 1, 1, 0, 0)),
-                pipelineName = pipeline.name, runId = "query", thisAsset = a.name,
+                pipelineName = pipeline.name, runId = "query",
+                thisAsset = env.physicalName(a.name),
                 vars = pipeline.variables)).trim
           case scala.None => System.err.println(s"no such asset: $assetName"); return 1
         }
@@ -256,9 +262,12 @@ object Main {
             "--model m.yml --dimensions d1,d2 --metrics m1 [--limit n] [--export out.csv]")
         return 2
     }
+    val base =
+      if (rename.isEmpty) spark.sql(q)
+      else org.apache.spark.sql.graft.SqlBridge.renameTablesSql(spark, q, rename)
     val limited = flags("limit").lastOption.map(_.toInt) match {
-      case Some(n) => spark.sql(q).limit(n)
-      case scala.None => spark.sql(q)
+      case Some(n) => base.limit(n)
+      case scala.None => base
     }
     flags("export").lastOption match {
       case Some(path) =>

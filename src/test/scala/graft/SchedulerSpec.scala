@@ -360,6 +360,18 @@ class SchedulerSpec extends AnyFunSuite {
     assert(Main.run(Seq("run", dir, "--environment", "dev"), Some(spark)) == 0)
     assert(spark.table("dev_product_stats").count() == 1)
     assert(spark.table("dev_product_flags").count() == 2)
+
+    // query --asset under the dev environment reads the dev tables, not
+    // prod: with the prod upstreams dropped, the query only resolves if
+    // the renames actually applied
+    spark.sql("DROP TABLE IF EXISTS raw_products")
+    spark.sql("DROP TABLE IF EXISTS raw_orders")
+    assert(Main.run(Seq("query", "--asset", "product_stats", "--dir", dir,
+      "--environment", "dev", "--limit", "5"), Some(spark)) == 0)
+    intercept[Exception] { // un-renamed read hits the dropped prod tables
+      Main.run(Seq("query", "--asset", "product_stats", "--dir", dir,
+        "--limit", "5"), Some(spark))
+    }
   }
 
   test("multi-statement script assets run each statement in order") {
