@@ -258,6 +258,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(m.head.getLong(1) == 3L && m.head.getLong(2) == 6L)
   }
 
+  test("data ops tolerate empty inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.Dedup.exact(emptyDocs).count() == 0)
+    assert(graft.ops.Dedup.jaccardPairs(emptyDocs, 3, 0.5).count() == 0)
+    assert(graft.ops.Dedup.clusters(emptyDocs, emptyPairs).count() == 0)
+    assert(graft.ops.Dedup.contamination(emptyDocs, emptyDocs, 3).count() == 0)
+    assert(graft.ops.TextAnalysis.tfIdf(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.vocabulary(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.repetition(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.redactPii(emptyDocs).count() == 0)
+    assert(graft.ops.Sampling.split(emptyDocs).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.Quantize.int8Summary(emptyEmb).count() == 0)
+    assert(graft.ops.Similarity.cosineTopK(emptyEmb, 5).count() == 0)
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(graft.ops.Sessions.sessionize(emptyEvents).count() == 0)
+  }
+
   test("rolling hash expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.SqlBridge
     SqlBridge.registerFunction(spark, "rolling_hash",
