@@ -225,6 +225,7 @@ object Main {
     // dev-environment renames apply when querying through an asset (the
     // pipeline context is known there); plain --q has no pipeline scope
     var rename: Map[String, String] = Map.empty
+    var sandboxPrefix: String => String = identity
     val q: String = (flags("q").lastOption, flags("asset").lastOption,
                      flags("model").lastOption) match {
       case (Some(sql), _, _) => sql
@@ -234,6 +235,10 @@ object Main {
         val pipeline = AssetParser.loadPipeline(dir)
         val env = envFor(dir, flags)
         rename = env.renameMapping(pipeline.assets.map(_.name))
+        // ad-hoc DDL targets in a queried asset get the sandbox prefix,
+        // exactly as the run path applies it — query must not be a hole
+        // in the dev write-isolation guarantee
+        if (rename.nonEmpty) sandboxPrefix = env.physicalName
         pipeline.asset(assetName) match {
           case Some(a) =>
             Template.render(Template.loadMacros(dir) + a.content,
@@ -264,7 +269,7 @@ object Main {
     }
     val base =
       if (rename.isEmpty) spark.sql(q)
-      else org.apache.spark.sql.graft.SqlBridge.renameTablesSql(spark, q, rename)
+      else org.apache.spark.sql.graft.SqlBridge.renameTablesSql(spark, q, rename, sandboxPrefix)
     val limited = flags("limit").lastOption.map(_.toInt) match {
       case Some(n) => base.limit(n)
       case scala.None => base

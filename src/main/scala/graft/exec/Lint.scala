@@ -108,10 +108,10 @@ object Lint {
         if (!nameSet.contains(u.value))
           issues += Issue("dependency-exists", a.name, s"upstream '${u.value}' is not in the pipeline")
       }
-      // cross-pipeline uri dependencies must be scheme-qualified
-      // (reference cross-pipeline-uri-dependencies)
+      // cross-pipeline uri dependencies must be scheme-qualified with a
+      // non-empty scheme AND path (reference cross-pipeline-uri-dependencies)
       a.upstreams.filter(_.typ == "uri").foreach { u =>
-        if (!u.value.contains("://") || u.value.endsWith("://"))
+        if (!u.value.matches("[A-Za-z][A-Za-z0-9+.-]*://.+"))
           issues += Issue("cross-pipeline-uri-dependencies", a.name,
             s"uri dependency '${u.value}' is not a scheme-qualified uri")
       }

@@ -313,10 +313,16 @@ class SchedulerSpec extends AnyFunSuite {
         customChecks = Seq(CustomCheck("c", "SELECT 1"), CustomCheck("c", "SELECT 2")))),
       "duplicate-tags" -> one(Asset(name = "a", content = "SELECT 1", tags = Seq("x", "x"))),
       "secret-mapping-unique" -> one(Asset(name = "a", content = "SELECT 1",
-        secrets = Seq(SecretMapping("k1", "ENV"), SecretMapping("k2", "ENV")))))
+        secrets = Seq(SecretMapping("k1", "ENV"), SecretMapping("k2", "ENV")))),
+      "cross-pipeline-uri-dependencies" -> one(Asset(name = "a", content = "SELECT 1",
+        upstreams = Seq(Upstream("://no-scheme/events", typ = "uri")))))
     cases.foreach { case (rule, p) =>
       assert(issuesOf(p).contains(rule), s"expected rule $rule for $p")
     }
+    // a well-formed uri dependency is clean
+    assert(!issuesOf(one(Asset(name = "a", content = "SELECT 1",
+      upstreams = Seq(Upstream("pipeline://other/events", typ = "uri")))))
+      .contains("cross-pipeline-uri-dependencies"))
     // secret key resolution needs the environment
     val withSecret = one(Asset(name = "a", content = "SELECT 1",
       secrets = Seq(SecretMapping("ghost", "G"))))
