@@ -264,6 +264,27 @@ object EngineQueries {
       |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Stateful streaming dedup over a deliberately DOUBLED source (every
+    * event replayed once — the at-least-once broker shape): the sink must
+    * contain each event exactly once, pinned per event_type against the
+    * batch distinct. */
+  val streamDedup: OQ = OQ.df("stream_dedup_counts",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_dedup_sink")
+      val deduped = Streams.dedupedEvents(
+        Streams.eventStream(s, s"$dir/events.parquet", copies = 2))
+      Streams.runAppendToTable(s, deduped, "g_stream_dedup_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString))
+      s.table("g_stream_dedup_sink")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    },
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin)
+
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
-    lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow)
+    lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
+    streamDedup)
 }

@@ -22,24 +22,38 @@ object Streams {
   /** File-backed event stream with an explicit schema (required by
     * readStream). Stands in for a broker source in tests/local runs.
     * FileStreamSource wants a directory, so a single parquet file is staged
-    * behind a symlink dir. */
-  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    * behind a symlink dir. `copies` > 1 links the file that many times —
+    * an at-least-once source replaying every event, the input shape the
+    * streaming dedup operator exists to clean up. */
+  def eventStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(src)) path
       else {
         val d = java.nio.file.Paths.get(
-          s"/tmp/graft-stream-${math.abs(path.hashCode)}")
+          s"/tmp/graft-stream-${math.abs(path.hashCode)}-$copies")
         java.nio.file.Files.createDirectories(d)
-        val link = d.resolve(src.getFileName)
-        if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+        (0 until copies).foreach { i =>
+          val link = d.resolve(s"c$i-${src.getFileName}")
+          if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+        }
         d.toString
       }
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Stateful streaming dedup (exactly-once consumption of an
+    * at-least-once feed): watermark-bounded duplicate drop on the event id.
+    * dropDuplicatesWithinWatermark keeps state only inside the watermark
+    * horizon, so a replaying broker is cleaned with BOUNDED state — the
+    * production form of `dropDuplicates` for infinite streams. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes",
+                    idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Tumbling-window aggregation with watermark — event-time correctness at
     * scale (late data bounded by the watermark, state store pruned). */
