@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.materialize.{Materializer, Warehouse}
@@ -151,6 +151,65 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One closed per-user visit (inactivity-gap session) emitted by the
+    * custom-state sessionizer. Money accumulates in integer cents so the
+    * total is independent of in-batch arrival order. */
+  final case class Visit(user_id: Long, n_events: Long, total_cents: Long,
+                         first_us: Long, last_us: Long)
+
+  /** CUSTOM-STATE streaming sessionization via flatMapGroupsWithState:
+    * per-user state carries the open visit; an event-time timeout (last
+    * event + gap vs the watermark) closes and emits it — the operator shape
+    * for stateful logic Spark's built-ins can't express (emit-on-close,
+    * arbitrary per-key accumulators). Append-mode with watermarked timeout:
+    * state is pruned as the watermark advances, so a 100 TB/day feed holds
+    * state only for users active inside the gap+watermark horizon. */
+  def userVisits(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "10 minutes"): Dataset[Visit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    // the event-time ATTRIBUTE must flow into the stateful operator
+    // unchanged — any projection/map that rewrites it drops the watermark
+    // metadata the timeout check requires; micros convert inside the func
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val wm = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        round(col("value").cast("double") * 100, 0).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    wm.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), Visit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, c, f, l) = state.get
+            state.remove()
+            Iterator.single(Visit(uid, n, c, f, l))
+          } else {
+            var (n, c, f, l) =
+              state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Visit]
+            // in-batch rows arrive unordered; the per-user per-batch set is
+            // small, so sorting here is bounded work
+            rows.toSeq.map { case (_, t, cents) => (us(t), cents) }
+              .sortBy(_._1).foreach { case (ts, cents) =>
+                if (l != Long.MinValue && ts - l > gapUs) {
+                  out += Visit(uid, n, c, f, l)
+                  n = 0L; c = 0L; f = Long.MaxValue
+                }
+                n += 1; c += cents
+                if (ts < f) f = ts
+                if (ts > l) l = ts
+              }
+            state.update((n, c, f, l))
+            // close the visit when the watermark passes last event + gap
+            state.setTimeoutTimestamp(l / 1000 + gapMinutes.toLong * 60 * 1000)
+            out.iterator
+          }
+      }
   }
 
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */

@@ -344,6 +344,32 @@ class EngineSpec extends AnyFunSuite {
     assert(Streams.sourceOptionsFor(Map.empty).isEmpty)
   }
 
+  test("custom-state sessionizer closes visits on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val visits = graft.streaming.Streams.userVisits(
+      ms.toDF().toDF("user_id", "ts", "value"))
+    val q = visits.writeStream.format("memory").queryName("t_visits")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 has two events 10 min apart — one open visit
+      ms.addData((7L, ts("2024-01-01 10:00:00"), 1.25), (7L, ts("2024-01-01 10:10:00"), 2.50))
+      q.processAllAvailable()
+      assert(spark.table("t_visits").count() == 0, "visit must stay open until timeout")
+      // batch 2: a much later event pushes the watermark past 10:40 + gap,
+      // so the open visit times out and emits; the new event opens visit 2
+      ms.addData((7L, ts("2024-01-01 13:00:00"), 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("t_visits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((7L, 2L, 375L)), // 2 events, 3.75 in cents
+        s"expected the closed first visit, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("CDC apply upserts and deletes keyed changes per micro-batch") {
     import org.apache.spark.sql.functions._
     val wh = new SessionCatalogWarehouse(spark)
