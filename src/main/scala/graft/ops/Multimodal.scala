@@ -72,6 +72,39 @@ object Multimodal {
       lit(3).as("channels"),
       md5(col("content")).as("content_hash"))
 
+  final case class ResizedMedia(
+      media_id: Long, out_width: Int, out_height: Int,
+      n_bytes_in: Long, n_bytes_out: Long, resized_hash: String)
+
+  /** STUB resize: downsample the payload by a deterministic stride so the
+    * output byte count tracks the target dimensions (a real implementation
+    * swaps the stride loop for a codec scale — same signature, same batch
+    * shape). The per-partition iterator pass is the mapInPandas contract:
+    * one batch walk, fixed output schema, no per-row task overhead. */
+  def resize(media: DataFrame, targetWidth: Int = 256, targetHeight: Int = 192): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val target = targetWidth.toLong * targetHeight
+    media.select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          // ??? real implementation: decode → scale(targetWidth, targetHeight)
+          val stride = math.max(1L, b.length.toLong / math.max(1L, target))
+          val outLen = if (b.isEmpty) 0 else ((b.length - 1) / stride + 1).toInt
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) { out(i) = b((i * stride).toInt); i += 1 }
+          md.reset()
+          ResizedMedia(id, targetWidth, targetHeight, b.length.toLong, outLen.toLong,
+            md.digest(out).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic frame-sampling plan for timed media: pick `every`-th chunk
     * boundary from the payload — stands in for video frame sampling, produces
     * (media_id, frame_no, offset) rows via a generator, not a driver loop. */

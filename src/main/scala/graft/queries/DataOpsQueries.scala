@@ -434,6 +434,22 @@ object DataOpsQueries {
       |  md5(text) AS content_hash
       |FROM documents""".stripMargin)
 
+  /** Resize stage plumbing: the oracle pins the stride arithmetic
+    * (dimensions + in/out byte counts); the stub's resized-byte hash is
+    * spec-covered (byte striding has no portable SQL form for multi-byte
+    * text payloads). */
+  val mmResize: OQ = OQ.df("mm_resize",
+    (s, _) => Multimodal.resize(Multimodal.toMediaTable(s.table("documents")),
+      targetWidth = 16, targetHeight = 8)
+      .select("media_id", "out_width", "out_height", "n_bytes_in", "n_bytes_out"),
+    """WITH m AS (SELECT doc_id AS media_id,
+      |  octet_length(CAST(text AS BLOB)) AS len FROM documents),
+      |s AS (SELECT media_id, len, greatest(1, len // 128) AS stride FROM m)
+      |SELECT media_id, CAST(16 AS INT) AS out_width, CAST(8 AS INT) AS out_height,
+      |  CAST(len AS BIGINT) AS n_bytes_in,
+      |  CAST(CASE WHEN len = 0 THEN 0 ELSE (len - 1) // stride + 1 END AS BIGINT) AS n_bytes_out
+      |FROM s""".stripMargin)
+
   /** Frame-sampling generator (no driver loop): every-2nd 64-byte chunk
     * boundary; the DuckDB oracle replays the same chunk arithmetic. */
   val mmFrames: OQ = OQ.df("mm_frame_sample",
@@ -451,5 +467,5 @@ object DataOpsQueries {
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
-    embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames)
+    embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames, mmResize)
 }

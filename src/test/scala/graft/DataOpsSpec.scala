@@ -351,6 +351,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("multimodal resize stub: stride arithmetic and deterministic hash") {
+    val media = graft.ops.Multimodal.toMediaTable(docs)
+    val r1 = graft.ops.Multimodal.resize(media, 16, 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r2 = graft.ops.Multimodal.resize(media, 16, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    r1.foreach { case (id, row) =>
+      val (in, out) = (row.getLong(3), row.getLong(4))
+      val stride = math.max(1L, in / 128)
+      assert(out == (if (in == 0) 0L else (in - 1) / stride + 1),
+        s"stride arithmetic off for $id: in=$in out=$out")
+      assert(row.getString(5) == r2(id), "resized hash must be deterministic")
+    }
+    // shrinking the target shrinks the output
+    val small = graft.ops.Multimodal.resize(media, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    r1.foreach { case (id, row) => assert(small(id) <= row.getLong(4)) }
+  }
+
   test("multimodal feature extraction matches its SQL twin and frame sampling is bounded") {
     val media = Multimodal.toMediaTable(docs)
     val viaPartitions = Multimodal.extractFeatures(media).orderBy("media_id").collect()
