@@ -75,45 +75,65 @@ object Dedup {
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol).cache()
-    val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
+    // No cache (r3 cached the exploded rows and never unpersisted — a leak
+    // in a long-lived session, and pointless at 100 TB where the shingled
+    // corpus doesn't fit in storage memory anyway). Instead the per-doc gram
+    // count rides ALONG the exploded rows (it's just size(grams), computed
+    // before the explode), so the join output already carries na/nb and the
+    // old two count-joins — two more full re-tokenizations of the corpus —
+    // disappear from the plan.
+    val shx = shingleArray(df, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
     if (maxDocFreq <= 0) {
       // uncapped: the self-join IS the exact common count — no re-verify pass
-      val a = sh.select(col(idCol).as("a"), col("gram"))
-      val b = sh.select(col(idCol).as("b"), col("gram"))
+      val a = shx.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+      val b = shx.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
       val common = a.join(b, Seq("gram")).where(col("a") < col("b"))
-        .groupBy("a", "b").agg(count("*").as("common"))
-      finishJaccard(common, counts, threshold, idCol)
+        .groupBy("a", "b", "na", "nb").agg(count("*").as("common"))
+      finishJaccard(common, threshold)
     } else {
-      val joinSide = sh.join(
-        sh.groupBy("gram").agg(count("*").as("__df"))
-          .where(col("__df") <= maxDocFreq).select("gram"),
-        Seq("gram"))
-      val a = joinSide.select(col(idCol).as("a"), col("gram"))
-      val b = joinSide.select(col(idCol).as("b"), col("gram"))
-      val candidates = a.join(b, Seq("gram")).where(col("a") < col("b"))
-        .select("a", "b").distinct()
-      verifyJaccard(candidates, sh, counts, threshold, idCol)
+      // One shuffle generates AND caps the candidates: group doc ids by
+      // gram, drop buckets over the df cap (each bucket is ≤ maxDocFreq ids,
+      // so the collect_list row is bounded — this is exactly why the capped
+      // path can use the bucket form while the uncapped path must self-join),
+      // emit in-bucket pairs with two narrow explodes. The old shape filtered
+      // the exploded rows through a df-count join and THEN self-joined —
+      // three corpus-wide shuffles where one suffices.
+      val buckets = shx.groupBy("gram").agg(collect_list(col(idCol)).as("__ids"))
+        .where(size(col("__ids")).between(2, maxDocFreq))
+      val candidates = buckets
+        .select(explode(col("__ids")).as("a"), col("__ids"))
+        .select(col("a"), explode(col("__ids")).as("b"))
+        .where(col("a") < col("b"))
+        .distinct()
+      verifyJaccard(candidates, shingleArray(df, n, idCol, textCol), threshold, idCol)
     }
   }
 
   /** Exact-Jaccard verification of a candidate pair set over the FULL
-    * (uncapped) gram rows: count common grams per pair, then threshold on
-    * the exact value. Shared by [[jaccardPairs]] (capped) and [[minhashLsh]]. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, counts: DataFrame,
+    * (uncapped) gram sets. Joins each pair to its two gram ARRAYS and
+    * intersects in place — the grams are distinct by construction, so
+    * |array_intersect| IS the exact common count and the array lengths are
+    * the exact per-doc totals (no separate counts pass). Versus the old
+    * exploded 3-way join + groupBy this moves per-pair work off the shuffle
+    * entirely: the only shuffled payload is one gram array per candidate
+    * doc, and the intersection is a linear in-task pass. Shared by
+    * [[jaccardPairs]] (capped) and [[minhashLsh]]. */
+  private def verifyJaccard(candidates: DataFrame, shArr: DataFrame,
                             threshold: Double, idCol: String): DataFrame = {
-    val aSh = sh.select(col(idCol).as("a"), col("gram"))
-    val bSh = sh.select(col(idCol).as("b"), col("gram"))
-    val common = candidates.join(aSh, Seq("a")).join(bSh, Seq("b", "gram"))
-      .groupBy("a", "b").agg(count("*").as("common"))
-    finishJaccard(common, counts, threshold, idCol)
+    val ga = shArr.select(col(idCol).as("a"), col("grams").as("__ga"))
+    val gb = shArr.select(col(idCol).as("b"), col("grams").as("__gb"))
+    val common = candidates.join(ga, Seq("a")).join(gb, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
+        size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))
+    finishJaccard(common, threshold)
   }
 
-  private def finishJaccard(common: DataFrame, counts: DataFrame,
-                            threshold: Double, idCol: String): DataFrame =
+  /** (a, b, common, na, nb) → thresholded exact-Jaccard pairs. */
+  private def finishJaccard(common: DataFrame, threshold: Double): DataFrame =
     common
-      .join(counts.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
-      .join(counts.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
@@ -179,8 +199,10 @@ object Dedup {
                  rowsPerBand: Int = 2, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val shArr = shingleArray(df, n, idCol, textCol).cache()
-    val sh = shArr.select(col(idCol), explode(col("grams")).as("gram"))
+    // Uncached on purpose: shArr is consumed twice (signatures, verify) but
+    // is pure scan+tokenize — at 100 TB recomputing from the scan beats
+    // pinning the whole shingled corpus in storage memory.
+    val shArr = shingleArray(df, n, idCol, textCol)
     // gramless docs (shorter than n words / NULL text) get NO signature —
     // otherwise every one of them shares the all-MaxValue signature and they
     // band-bucket into a quadratic candidate clique
@@ -200,8 +222,7 @@ object Dedup {
       .select("a", "b").distinct()
 
     // exact verification on the candidate set only
-    val counts = sh.groupBy(idCol).agg(count("*").as("n_grams"))
-    verifyJaccard(candidates, sh, counts, threshold, idCol)
+    verifyJaccard(candidates, shArr, threshold, idCol)
   }
 
   /** Near-dup CLUSTERS: connected components over a duplicate-pair edge set
@@ -321,22 +342,51 @@ object Dedup {
   }
 
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
-    * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0. Explodes words×bits —
-    * wide but flat; at scale this is a single flatMap + groupBy(id). */
+    * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0.
+    *
+    * ONE JVM pass per document over the (already-tokenized) word array — all
+    * `bits` bit-sums accumulate in a primitive array, ZERO shuffles (the r3
+    * form exploded words×bits into a groupBy(id, b): ~60× the shuffle bytes
+    * for the same signature). Tokenization stays the Catalyst
+    * [[TextAnalysis.words]] expression, so values are oracle-identical; the
+    * word hash is the first 15 md5 hex chars (= top 60 bits of the digest),
+    * same value as the old `conv(substring(md5(w),1,15),16,10)` SQL form.
+    * Docs whose text tokenizes to no words (NULL text) emit no row, matching
+    * the old explode semantics. */
   def simhash(df: DataFrame, bits: Int = 60,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val wordsDf = df
-      .select(col(idCol), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("word"))
-      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-    val bitContrib = df.sparkSession.range(bits).select(col("id").cast("int").as("b"))
-    wordsDf.crossJoin(bitContrib)
-      .withColumn("contrib",
-        when(expr("shiftright(h, b)") % 2 === 1, 1).otherwise(-1))
-      .groupBy(idCol, "b")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L)))
-      .groupBy(idCol)
-      .agg(sum("bitval").cast("long").as("simhash"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(bits <= 60, "simhash uses a 60-bit md5-derived word hash")
+    val projected = df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+    val outSchema = StructType(Seq(
+      projected.schema.head, StructField("simhash", LongType, nullable = false)))
+    projected.flatMap { row =>
+      val ws: Seq[String] = if (row.isNullAt(1)) Nil else row.getSeq[String](1)
+      if (ws.isEmpty) Iterator.empty
+      else {
+        val seen = new java.util.HashSet[String]()
+        val sums = new Array[Int](bits)
+        ws.foreach { w =>
+          if (seen.add(w)) {
+            val d = md5Local.get().digest(w.getBytes("UTF-8"))
+            // first 15 hex chars: bytes 0-6 whole + the high nibble of byte 7
+            var hv = 0L
+            var i = 0
+            while (i < 7) { hv = (hv << 8) | (d(i) & 0xffL); i += 1 }
+            hv = (hv << 4) | ((d(7) >> 4) & 0xfL)
+            var b = 0
+            while (b < bits) {
+              if (((hv >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+              b += 1
+            }
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < bits) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
+        Iterator(Row(row.get(0), sig))
+      }
+    }(Encoders.row(outSchema)).toDF(idCol, "simhash")
   }
 }
