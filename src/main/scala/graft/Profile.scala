@@ -101,6 +101,72 @@ object Profile {
     time("verify bcast gram maps") { verifyBroadcast() }
     cand.unpersist()
 
+    // capped full-query variants
+    def shArr() = graft.ops.Dedup.shingleArray(docs)
+    def bucketCand() = {
+      val shx = shArr().select(col("doc_id"), explode(col("grams")).as("gram"))
+      shx.groupBy("gram").agg(collect_list(col("doc_id")).as("__ids"))
+        .where(size(col("__ids")).between(2, 20))
+        .select(explode(col("__ids")).as("a"), col("__ids"))
+        .select(col("a"), explode(col("__ids")).as("b"))
+        .where(col("a") < col("b"))
+    }
+    def finish(c: org.apache.spark.sql.DataFrame): Long =
+      c.select(col("a"), col("b"),
+          size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
+          size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))
+        .where(col("common") / (col("na") + col("nb") - col("common")) >= 0.5)
+        .count()
+    time("V1 full capped20 (current)") { graft.ops.Dedup.jaccardPairs(docs, maxDocFreq = 20).count() }
+    time("V2 grpBy+bcast verify") {
+      val cand = bucketCand().groupBy("a", "b").agg(count("*").as("cc"))
+      finish(cand
+        .join(broadcast(shArr().select(col("doc_id").as("a"), col("grams").as("__ga"))), Seq("a"))
+        .join(broadcast(shArr().select(col("doc_id").as("b"), col("grams").as("__gb"))), Seq("b")))
+    }
+    time("V3 distinct+bcast verify") {
+      val cand = bucketCand().distinct()
+      finish(cand
+        .join(broadcast(shArr().select(col("doc_id").as("a"), col("grams").as("__ga"))), Seq("a"))
+        .join(broadcast(shArr().select(col("doc_id").as("b"), col("grams").as("__gb"))), Seq("b")))
+    }
+    time("V5 distinct+repart+bcast") {
+      val cand = bucketCand().distinct().repartition(32)
+      finish(cand
+        .join(broadcast(shArr().select(col("doc_id").as("a"), col("grams").as("__ga"))), Seq("a"))
+        .join(broadcast(shArr().select(col("doc_id").as("b"), col("grams").as("__gb"))), Seq("b")))
+    }
+    time("V6 V5+noDoubleEval") {
+      val cand = bucketCand().distinct().repartition(32)
+      val joined = cand
+        .join(broadcast(shArr().select(col("doc_id").as("a"), col("grams").as("__ga"))), Seq("a"))
+        .join(broadcast(shArr().select(col("doc_id").as("b"), col("grams").as("__gb"))), Seq("b"))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("a", LongType), StructField("b", LongType),
+        StructField("jaccard", DoubleType)))
+      joined.select(col("a").cast("long"), col("b").cast("long"), col("__ga"), col("__gb"))
+        .flatMap { r =>
+          val ga = r.getSeq[String](2).toSet
+          val gb = r.getSeq[String](3)
+          val common = gb.count(ga.contains)
+          val j = common.toDouble / (ga.size + gb.size - common)
+          if (j >= 0.5) Iterator(Row(r.getLong(0), r.getLong(1), j)) else Iterator.empty
+        }(org.apache.spark.sql.Encoders.row(schema)).count()
+    }
+    time("V4 semijoin cand") {
+      val sh0 = graft.ops.Dedup.shingles(docs)
+      val ok = sh0.groupBy("gram").agg(count("*").as("__df"))
+        .where(col("__df").between(2, 20)).select("gram")
+      val joinSide = sh0.join(ok, Seq("gram"))
+      val cand = joinSide.select(col("doc_id").as("a"), col("gram"))
+        .join(joinSide.select(col("doc_id").as("b"), col("gram")), Seq("gram"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      finish(cand
+        .join(broadcast(shArr().select(col("doc_id").as("a"), col("grams").as("__ga"))), Seq("a"))
+        .join(broadcast(shArr().select(col("doc_id").as("b"), col("grams").as("__gb"))), Seq("b")))
+    }
+
     // candidate volume diagnostics
     val sh = graft.ops.Dedup.shingles(docs)
     val gramDf = sh.groupBy("gram").agg(count("*").as("df"))

@@ -122,9 +122,16 @@ object Dedup {
     * [[jaccardPairs]] (capped) and [[minhashLsh]]. */
   private def verifyJaccard(candidates: DataFrame, shArr: DataFrame,
                             threshold: Double, idCol: String): DataFrame = {
+    // AQE coalesces the candidate exchange by BYTES, but this stage is
+    // compute-bound (two array intersections per candidate pair — the pair
+    // rows are tiny, the work per row is not), so byte-based coalescing
+    // serializes the verify onto one task. Spread it across the cluster's
+    // cores explicitly; the extra exchange moves only (a, b) id pairs.
+    val spread = candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
     val ga = shArr.select(col(idCol).as("a"), col("grams").as("__ga"))
     val gb = shArr.select(col(idCol).as("b"), col("grams").as("__gb"))
-    val common = candidates.join(ga, Seq("a")).join(gb, Seq("b"))
+    val common = spread.join(ga, Seq("a")).join(gb, Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
         size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))

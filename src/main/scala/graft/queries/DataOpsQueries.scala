@@ -318,8 +318,9 @@ object DataOpsQueries {
     s"""SELECT md5($NORM) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1""".stripMargin)
 
-  /** Shared DuckDB CTE prologue ending at `j` = (a, b, common, na, nb). */
-  private val duckJaccardCtes =
+  /** DuckDB 3-gram shingle CTEs ending at `sh` = (doc_id, gram) distinct and
+    * `counts` = (doc_id, n_grams). */
+  private val duckShCtes =
     s"""docs AS (SELECT doc_id, $NORM AS norm FROM documents),
        |toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
        |wrds AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM toks),
@@ -328,7 +329,11 @@ object DataOpsQueries {
        |  FROM wrds WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
        |sh AS (SELECT DISTINCT doc_id, gram FROM grams3
        |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3),
-       |counts AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+       |counts AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1)""".stripMargin
+
+  /** Shared DuckDB CTE prologue ending at `j` = (a, b, common, na, nb). */
+  private val duckJaccardCtes =
+    s"""$duckShCtes,
        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
        |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
@@ -343,6 +348,30 @@ object DataOpsQueries {
   val ngramJaccard: OQ = OQ.df("dedup_ngram_jaccard",
     (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5),
     duckJaccard(0.5))
+
+  /** The SCALE-SAFE Jaccard form: shingles appearing in more than
+    * `maxDocFreq` documents are dropped from candidate generation (bounding
+    * the per-gram candidate blowup at d², the shape that melts down on
+    * boilerplate-heavy corpora), then surviving pairs are re-verified with
+    * exact Jaccard over the FULL gram sets. Oracle replays the identical
+    * semantics: df-capped candidate join, exact re-verification. */
+  val ngramJaccardCapped: OQ = OQ.df("dedup_ngram_jaccard_capped",
+    (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5,
+      maxDocFreq = 20),
+    s"""WITH $duckShCtes,
+       |gdf AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1),
+       |csh AS (SELECT sh.doc_id, sh.gram FROM sh
+       |  JOIN gdf ON sh.gram = gdf.gram AND gdf.df BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM csh a JOIN csh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.a, c.b, count(*) AS common
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.gram = sa.gram GROUP BY 1, 2),
+       |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
+       |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id
+       |  JOIN counts cb ON pairs.b = cb.doc_id)
+       |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+       |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
 
   /** MinHash+LSH (128 hashes, 64 bands × 2) with exact re-verification — the
     * verified output equals brute-force Jaccard (recall loss at j≥0.5 with
@@ -466,6 +495,6 @@ object DataOpsQueries {
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
-    dedupExact, ngramJaccard, minhashLsh, simhash, dedupCluster,
+    dedupExact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames, mmResize)
 }

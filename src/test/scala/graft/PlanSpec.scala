@@ -51,6 +51,17 @@ class PlanSpec extends AnyFunSuite {
       "train side must stream against a broadcast eval side")
   }
 
+  test("capped jaccard never self-joins raw gram rows") {
+    val p = planOf("dedup_ngram_jaccard_capped")
+    assert(p.contains("collect_list"),
+      "candidates must come from df-bounded gram buckets (one shuffle)")
+    val joinLines = p.split("\n").filter(_.contains("Join"))
+    assert(!joinLines.exists(_.contains("gram#")),
+      s"raw gram rows must never be a join key in the capped path:\n${joinLines.mkString("\n")}")
+    assert(p.contains("array_intersect"),
+      "surviving candidates must be exact-verified over the full gram sets")
+  }
+
   test("no cartesian products anywhere in the registry's relational plans") {
     // no exemptions: even simhash's deliberate words×bits crossJoin plans as
     // a BroadcastNestedLoopJoin over the 60-row literal side, never a
