@@ -18,7 +18,7 @@ object Bench {
     // for session bring-up
     graft.core.Tables.register(spark, sfDir)
     graft.core.Tables.all.foreach(t => spark.table(t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

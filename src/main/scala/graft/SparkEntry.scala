@@ -29,4 +29,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     OQ.toOracleMap(registry)
+
+  /** The bench surface: the full oracle registry plus approximate-ANN
+    * configs that have no SQL oracle (recall-gated in DataOpsSpec instead)
+    * but whose round-over-round timings we keep tracking. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    OQ.toQueryMap(registry ++ DataOpsQueries.benchOnly)
 }

@@ -438,15 +438,39 @@ object DataOpsQueries {
        |  FROM sims WHERE a <> b) r
        |WHERE rank <= 10""".stripMargin)
 
-  /** LSH-bucketed ANN — approximate by construction; rows-only gate plus the
-    * recall≥0.9 spec in DataOpsSpec. Auto-scaled bits: expected bucket size
-    * stays constant as the corpus grows. */
-  val annLsh: OQ = OQ.rowsOnly("ann_lsh_bucketed",
-    (s, _) => Similarity.lshTopKAuto(s.table("embeddings"), k = 5))
+  private def duckTopK(k: Int) =
+    s"""$duckSims
+       |SELECT a, b, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT a, b, cos, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
+       |  FROM sims WHERE a <> b) r
+       |WHERE rank <= $k""".stripMargin
 
-  /** IVF ANN — coarse-quantizer inverted lists + nprobe search; approximate,
-    * so rows-only plus the recall spec in DataOpsSpec. */
-  val annIvf: OQ = OQ.rowsOnly("ann_ivf_topk",
+  /** LSH exactness witness: 1 table × 0 bits ⇒ every vector lands in ONE
+    * bucket ⇒ the candidate set provably covers, so the bucketed machinery
+    * must reproduce brute-force top-k bit-for-bit — oracle-checked against
+    * it. The production config (auto-scaled bits, 4 tables) is the same code
+    * path, recall-gated ≥0.9 in DataOpsSpec and benched as
+    * `ann_lsh_bucketed` (bench-only: approximate output has no SQL oracle). */
+  val annLshExact: OQ = OQ.df("ann_lsh_exact",
+    (s, _) => Similarity.lshTopK(s.table("embeddings"), k = 5, bits = 0, tables = 1),
+    duckTopK(5))
+
+  /** IVF exactness witness: probing every list (nprobe = nlist) makes IVF
+    * provably exhaustive — each vector lives in exactly one inverted list
+    * and every list is searched — so the oracle is brute-force top-k. The
+    * approximate config (nprobe=4) is recall-gated ≥0.8 in DataOpsSpec and
+    * benched as `ann_ivf_topk`. */
+  val annIvfFullProbe: OQ = OQ.df("ann_ivf_full_probe",
+    (s, _) => Similarity.ivfTopK(s.table("embeddings"), k = 5, nlist = 16, nprobe = 16),
+    duckTopK(5))
+
+  /** Bench-only approximate ANN configs — the r3 registry entries, kept
+    * under their original bench names so round-over-round timings stay
+    * comparable. NOT in the oracle registry: approximate top-k has no SQL
+    * oracle; their semantics are recall-gated in DataOpsSpec. */
+  val annLshBench: OQ = OQ.rowsOnly("ann_lsh_bucketed",
+    (s, _) => Similarity.lshTopKAuto(s.table("embeddings"), k = 5))
+  val annIvfBench: OQ = OQ.rowsOnly("ann_ivf_topk",
     (s, _) => Similarity.ivfTopK(s.table("embeddings"), k = 5, nlist = 16, nprobe = 4))
 
   // ---- multimodal ---------------------------------------------------------
@@ -496,5 +520,9 @@ object DataOpsQueries {
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, dedupCluster,
-    embeddingNearDup, annTopK, annLsh, annIvf, mmFeatures, mmFrames, mmResize)
+    embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
+    mmFeatures, mmFrames, mmResize)
+
+  /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
+  val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench)
 }
