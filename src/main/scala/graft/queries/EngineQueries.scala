@@ -284,7 +284,85 @@ object EngineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin)
 
+  /** CDC apply end-to-end: a Debezium-shaped change feed derived from
+    * `orders` — snapshot (`r`, seq 0); +100 price update (`u`, seq 2) on
+    * keys %7; delete (`d`, seq 3) on keys %13; and a LATE -50 update (`u`,
+    * seq 1) on keys %5 — staged as 3 files consumed one per micro-batch
+    * (maxFilesPerTrigger=1), so the final batch arrives OUT OF ORDER: its
+    * seq-1 changes must neither roll back the seq-2 updates nor resurrect
+    * the seq-3 deletes. The oracle replays global last-writer-wins by
+    * (seq, op) over the same derived feed in DuckDB. */
+  val streamCdc: OQ = OQ.df("stream_cdc_apply",
+    (s, _) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      import org.apache.spark.sql.{Column => SCol, DataFrame}
+      s.sql("DROP VIEW IF EXISTS g_cdc_orders")
+      s.sql("DROP TABLE IF EXISTS g_cdc_orders__cdc_state")
+      val base = s.table("orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def dec(c: SCol) = c.cast("decimal(18,4)")
+      def change(rows: DataFrame, price: SCol, op: String, seq: Long) =
+        rows.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          price.cast("double").as("o_totalprice"), lit(op).as("op"), lit(seq).as("seq"))
+      val snap = change(base, col("o_totalprice"), "r", 0L)
+      val upd2 = change(base.where(col("o_orderkey") % 7 === 0),
+        dec(col("o_totalprice")) + dec(lit(100)), "u", 2L)
+      val del3 = base.where(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit("d").as("op"), lit(3L).as("seq"))
+      val late1 = change(base.where(col("o_orderkey") % 5 === 0),
+        dec(col("o_totalprice")) - dec(lit(50)), "u", 1L)
+
+      // three files, strictly increasing mtimes: FileStreamSource orders by
+      // modification time, so AvailableNow + maxFilesPerTrigger=1 yields
+      // exactly the batch sequence [snapshot, updates+deletes, late]
+      val feed = Files.createTempDirectory("graft-cdc-feed")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-cdc-stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = feed.resolve(name)
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = 1700000000000L // fixed, deterministic staging mtimes
+      stage(snap, "b0.parquet", t0)
+      stage(upd2.unionByName(del3), "b1.parquet", t0 + 60000)
+      stage(late1, "b2.parquet", t0 + 120000)
+
+      val stream = s.readStream
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, op STRING, seq BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed.toString)
+      val wh = new SessionCatalogWarehouse(s)
+      val a = Asset(name = "g_cdc_orders", assetType = AssetType.Ingest,
+        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)))
+      Streams.cdcApply(wh, a, stream).awaitTermination()
+      s.table("g_cdc_orders")
+    },
+    """WITH ch AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'r' AS op, 0 AS seq
+      |    FROM orders
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE), 'u', 2
+      |    FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL SELECT o_orderkey, NULL, NULL, NULL, 'd', 3
+      |    FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) - 50 AS DOUBLE), 'u', 1
+      |    FROM orders WHERE o_orderkey % 5 = 0),
+      |last AS (SELECT ch.*, row_number() OVER (
+      |    PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn FROM ch)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(seq AS BIGINT) AS seq
+      |FROM last WHERE rn = 1 AND op <> 'd'""".stripMargin)
+
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup)
+    streamDedup, streamCdc)
 }

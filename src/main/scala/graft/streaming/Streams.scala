@@ -31,8 +31,15 @@ object Streams {
     val dir =
       if (java.nio.file.Files.isDirectory(src)) path
       else {
-        val d = java.nio.file.Paths.get(
-          s"/tmp/graft-stream-${math.abs(path.hashCode)}-$copies")
+        // stage dir keyed on (resolved path, size, mtime, copies) — a string
+        // hashCode collision, or a re-generated file at the same path, must
+        // never silently feed a stale staging dir into the stream
+        val real = src.toRealPath()
+        val sig = s"$real:${java.nio.file.Files.size(real)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(real).toMillis}:$copies"
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        val d = java.nio.file.Paths.get(s"/tmp/graft-stream-$key")
         java.nio.file.Files.createDirectories(d)
         (0 until copies).foreach { i =>
           val link = d.resolve(s"c$i-${src.getFileName}")
@@ -120,34 +127,46 @@ object Streams {
       .start()
 
   /** CDC apply: events carry Debezium-style op codes (`c`/`r`/`u` = upsert,
-    * `d` = delete) plus a sequence column ordering changes per key. Each
-    * micro-batch reduces to the LAST change per primary key, then rebuilds
-    * the target: untouched rows survive, upserted keys take their latest
-    * values, deleted keys disappear (reference CDC ingestion auto-merge,
-    * pkg/ingestr/operator.go:229-324; `<scheme>+cdc` sources). */
+    * `d` = delete) plus a sequence column ordering changes per key
+    * (reference CDC ingestion auto-merge, pkg/ingestr/operator.go:229-324;
+    * `<scheme>+cdc` sources).
+    *
+    * LAST-WRITER-WINS BY `seq`, not by arrival: the internal
+    * `<name>__cdc_state` table keeps the winning change per key — INCLUDING
+    * delete tombstones — so a micro-batch arriving out of order (a lower
+    * `seq` than something already applied) can neither roll a key back nor
+    * resurrect a deleted one. The asset itself is a view over the state
+    * table filtering tombstones, so readers never see deletes. State size is
+    * one row per ever-seen key; at warehouse scale the per-batch rebuild is
+    * the documented no-Delta fallback (swap in MERGE on a transactional
+    * format to make it incremental). */
   def cdcApply(wh: Warehouse, asset: Asset, events: DataFrame,
                opCol: String = "op", seqCol: String = "seq"): StreamingQuery = {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
+    val state = asset.name + "__cdc_state"
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
         // op is the deterministic tie-breaker when two changes share a seq
+        // (an exact replay resolves to the identical row either way)
         val w = Window.partitionBy(pks.map(col): _*)
           .orderBy(col(seqCol).desc, col(opCol).desc)
-        val latest = batch
+        def latestOf(df: DataFrame) = df
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .drop("__rn")
-        val upserts = latest.where(col(opCol) =!= "d").drop(opCol, seqCol)
-        if (!wh.exists(asset.name))
-          wh.createOrReplace(asset.name, upserts, asset.materialization.partitionBy,
-            asset.materialization.clusterBy)
-        else {
-          val touched = latest.select(pks.map(col): _*).distinct()
-          val kept = wh.table(asset.name).join(touched, pks, "left_anti")
-          wh.createOrReplace(asset.name, kept.unionByName(upserts),
-            asset.materialization.partitionBy, asset.materialization.clusterBy)
-        }
+        val incoming = latestOf(batch)
+        val merged =
+          if (!wh.exists(state)) incoming
+          else latestOf(wh.table(state).unionByName(incoming))
+        wh.createOrReplace(state, merged, asset.materialization.partitionBy,
+          asset.materialization.clusterBy)
+        val spark = batch.sparkSession
+        val dataCols = merged.columns.filterNot(_ == opCol)
+          .map(c => s"`$c`").mkString(", ")
+        spark.sql(s"CREATE OR REPLACE VIEW ${asset.name} AS " +
+          s"SELECT $dataCols FROM $state WHERE `$opCol` <> 'd'")
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

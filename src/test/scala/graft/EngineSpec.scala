@@ -373,7 +373,8 @@ class EngineSpec extends AnyFunSuite {
   test("CDC apply upserts and deletes keyed changes per micro-batch") {
     import org.apache.spark.sql.functions._
     val wh = new SessionCatalogWarehouse(spark)
-    wh.drop("cdc_target")
+    spark.sql("DROP VIEW IF EXISTS cdc_target")
+    wh.drop("cdc_target__cdc_state")
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
     // batch of Debezium-style change events; later seq wins per key
     spark.createDataFrame(Seq(
@@ -389,9 +390,21 @@ class EngineSpec extends AnyFunSuite {
     val asset = Asset(name = "cdc_target",
       columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")))
     Streams.cdcApply(wh, asset, events).awaitTermination()
-    val rows = spark.table("cdc_target").orderBy("id")
+    def state() = spark.table("cdc_target").orderBy("id")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
-    assert(rows == Seq((1, "uno"), (3, "three"), (4, "quatro"))) // 2 deleted
+    assert(state() == Seq((1, "uno"), (3, "three"), (4, "quatro"))) // 2 deleted
+    // a LATE batch (lower seq than what's applied) must neither roll back
+    // key 1 nor resurrect deleted key 2 — last-writer-wins by seq, not
+    // by arrival order
+    spark.createDataFrame(Seq((1, "stale", "u", 0L), (2, "ghost", "u", 1L)))
+      .toDF("id", "v", "op", "seq")
+      .write.parquet(dir.toString + "/late")
+    val lateEvents = spark.readStream
+      .schema("id INT, v STRING, op STRING, seq BIGINT")
+      .parquet(dir.toString + "/late")
+    Streams.cdcApply(wh, asset, lateEvents).awaitTermination()
+    assert(state() == Seq((1, "uno"), (3, "three"), (4, "quatro")),
+      "late low-seq changes must lose to the applied state")
   }
 
   test("streaming merge upserts each micro-batch") {
