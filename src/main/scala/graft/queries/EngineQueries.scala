@@ -284,6 +284,30 @@ object EngineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin)
 
+  /** Custom-state streaming sessionizer end-to-end, with the end-of-input
+    * flush: EVERY event in the feed must land in exactly one emitted visit
+    * (the oracle is total batch sessionization — same `>` gap rule as
+    * rel_sessionize — so a single stranded open visit fails the hash). */
+  val streamVisits: OQ = OQ.df("stream_user_visits",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_visits")
+      val visits = Streams.userVisitsComplete(s, s"$dir/events.parquet")
+      Streams.runAppendToTable(s, visits.toDF(), "g_stream_visits",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-visits-cp").toString))
+      s.table("g_stream_visits")
+    },
+    """WITH e AS (SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, cents,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+      |FROM s GROUP BY user_id, sid""".stripMargin)
+
   /** CDC apply end-to-end: a Debezium-shaped change feed derived from
     * `orders` — snapshot (`r`, seq 0); +100 price update (`u`, seq 2) on
     * keys %7; delete (`d`, seq 3) on keys %13; and a LATE -50 update (`u`,
@@ -364,5 +388,5 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamCdc)
+    streamDedup, streamCdc, streamVisits)
 }

@@ -231,6 +231,33 @@ object Streams {
       }
   }
 
+  /** [[userVisits]] with an END-OF-INPUT FLUSH for file-backed feeds: the
+    * source is unioned with a one-row sentinel stream whose event time
+    * exceeds max(ts) + gap + watermark, so by the time the AvailableNow run
+    * drains, the watermark has passed every open visit's timeout and the
+    * sessionizer emits it (without the sentinel, event-time timeouts still
+    * pending at end-of-input never fire and the last visit of every user is
+    * silently stranded in state — r3 verdict #5). The sentinel user (id -1)
+    * is the one visit left open, and is filtered out of the result. */
+  def userVisitsComplete(spark: SparkSession, path: String, gapMinutes: Int = 30,
+                         watermarkMinutes: Int = 10): Dataset[Visit] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxNs = spark.read.parquet(path)
+      .agg(max(col("ts"))).head().getLong(0)
+    val sentinelNs = maxNs +
+      (gapMinutes + watermarkMinutes + 60).toLong * 60L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-visit-sentinel")
+    spark.createDataFrame(Seq(
+        (-1L, sentinelNs, -1L, "__sentinel", 0.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val feed = eventStream(spark, path)
+      .unionByName(eventStream(spark, dir.toString))
+    userVisits(feed, gapMinutes, s"$watermarkMinutes minutes")
+      .filter(_.user_id != -1L)
+  }
+
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */
   def triggerFor(params: Map[String, String]): Trigger =
     params.get("flush_interval") match {
