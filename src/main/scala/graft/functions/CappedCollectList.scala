@@ -1,0 +1,89 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** `collect_list` with a hard buffer bound: stops accumulating once the
+  * group holds `cap + 1` elements. Groups at or under the cap return their
+  * EXACT full list; groups over it return exactly `cap + 1` elements — a
+  * detectable overflow marker (`size(...) > cap`) the caller filters on.
+  *
+  * Why it exists: the df-capped Jaccard candidate stage groups doc ids by
+  * shingle and drops buckets whose document frequency exceeds the cap. A
+  * plain `collect_list` + size filter materializes the FULL id list before
+  * the filter drops it — a boilerplate gram appearing in millions of
+  * documents builds a multi-hundred-MB array in one task's hash-agg state,
+  * the exact pathology the cap defends against. This aggregate bounds every
+  * buffer (map-side partial, shuffle row, and final merge alike) at
+  * `cap + 1` elements, keeping the one-shuffle bucket plan memory-safe at
+  * any skew.
+  *
+  * Truncation-at-merge is lossless for the caller: element counts only ever
+  * grow, so a buffer frozen at `cap + 1` stays over-cap through every merge
+  * and is filtered either way; buffers that never reach `cap + 1` were never
+  * truncated. (Order within a group is partition-dependent, as with
+  * `collect_list` itself — callers treat the result as a set.)
+  */
+case class CappedCollectList(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]] {
+
+  require(cap >= 1, "capped_collect_list requires cap >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "capped_collect_list"
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer.empty[Any]
+
+  override def update(buffer: mutable.ArrayBuffer[Any],
+                      input: InternalRow): mutable.ArrayBuffer[Any] = {
+    if (buffer.length <= cap) { // ≤ cap ⇒ room up to the cap+1 overflow mark
+      val v = child.eval(input)
+      if (v != null) buffer += InternalRow.copyValue(v)
+    }
+    buffer
+  }
+
+  override def merge(buffer: mutable.ArrayBuffer[Any],
+                     other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+    val it = other.iterator
+    while (buffer.length <= cap && it.hasNext) buffer += it.next()
+    buffer
+  }
+
+  override def eval(buffer: mutable.ArrayBuffer[Any]): Any =
+    new GenericArrayData(buffer.toArray)
+
+  private lazy val projection = UnsafeProjection.create(
+    Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+  override def serialize(obj: mutable.ArrayBuffer[Any]): Array[Byte] =
+    projection.apply(InternalRow.apply(new GenericArrayData(obj.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
+    val buffer = createAggregationBuffer()
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    row.getArray(0).foreach(child.dataType, (_, v: Any) => buffer += v)
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectList =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectList =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CappedCollectList =
+    copy(child = newChildren.head)
+}

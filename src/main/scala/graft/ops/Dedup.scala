@@ -94,13 +94,19 @@ object Dedup {
       finishJaccard(common, threshold)
     } else {
       // One shuffle generates AND caps the candidates: group doc ids by
-      // gram, drop buckets over the df cap (each bucket is ≤ maxDocFreq ids,
-      // so the collect_list row is bounded — this is exactly why the capped
-      // path can use the bucket form while the uncapped path must self-join),
+      // gram with a size-CAPPED collect ([[graft.functions.CappedCollectList]]
+      // stops buffering at maxDocFreq+1 — a plain collect_list would
+      // materialize the FULL id list of a million-doc boilerplate gram in one
+      // task's hash-agg state before the size filter could drop it), drop
+      // over-cap buckets (they surface as exactly maxDocFreq+1 elements),
       // emit in-bucket pairs with two narrow explodes. The old shape filtered
       // the exploded rows through a df-count join and THEN self-joined —
       // three corpus-wide shuffles where one suffices.
-      val buckets = shx.groupBy("gram").agg(collect_list(col(idCol)).as("__ids"))
+      import org.apache.spark.sql.graft.SqlBridge
+      val cappedIds = SqlBridge.column(
+        graft.functions.CappedCollectList(
+          SqlBridge.expression(col(idCol)), maxDocFreq).toAggregateExpression())
+      val buckets = shx.groupBy("gram").agg(cappedIds.as("__ids"))
         .where(size(col("__ids")).between(2, maxDocFreq))
       val candidates = buckets
         .select(explode(col("__ids")).as("a"), col("__ids"))

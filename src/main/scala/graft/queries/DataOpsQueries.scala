@@ -345,20 +345,12 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold""".stripMargin
 
-  val ngramJaccard: OQ = OQ.df("dedup_ngram_jaccard",
-    (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5),
-    duckJaccard(0.5))
-
-  /** The SCALE-SAFE Jaccard form: shingles appearing in more than
-    * `maxDocFreq` documents are dropped from candidate generation (bounding
-    * the per-gram candidate blowup at d², the shape that melts down on
-    * boilerplate-heavy corpora), then surviving pairs are re-verified with
-    * exact Jaccard over the FULL gram sets. Oracle replays the identical
-    * semantics: df-capped candidate join, exact re-verification. */
-  val ngramJaccardCapped: OQ = OQ.df("dedup_ngram_jaccard_capped",
-    (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5,
-      maxDocFreq = 20),
-    s"""WITH $duckShCtes,
+  /** Capped-candidate CTE prologue ending at `j` = (a, b, common, na, nb):
+    * df-capped candidate generation (grams in >20 docs never generate
+    * candidates), exact re-verification over the FULL gram sets — the
+    * independent SQL replay of [[Dedup.jaccardPairs]]'s capped semantics. */
+  private val duckCappedJaccardCtes =
+    s"""$duckShCtes,
        |gdf AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1),
        |csh AS (SELECT sh.doc_id, sh.gram FROM sh
        |  JOIN gdf ON sh.gram = gdf.gram AND gdf.df BETWEEN 2 AND 20),
@@ -369,9 +361,29 @@ object DataOpsQueries {
        |  JOIN sh sb ON sb.doc_id = c.b AND sb.gram = sa.gram GROUP BY 1, 2),
        |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
        |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id
-       |  JOIN counts cb ON pairs.b = cb.doc_id)
+       |  JOIN counts cb ON pairs.b = cb.doc_id)""".stripMargin
+
+  /** THE n-gram Jaccard dedup — the SCALE-SAFE df-capped form is the
+    * headline (r4 verdict task #1): shingles appearing in more than
+    * `maxDocFreq` documents are dropped from candidate generation (bounding
+    * the per-gram candidate blowup at d², the shape that melts down on
+    * boilerplate-heavy corpora), then surviving pairs are re-verified with
+    * exact Jaccard over the FULL gram sets. Oracle replays the identical
+    * semantics: df-capped candidate join, exact re-verification. */
+  val ngramJaccard: OQ = OQ.df("dedup_ngram_jaccard",
+    (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5,
+      maxDocFreq = 20),
+    s"""WITH $duckCappedJaccardCtes
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
+
+  /** Explicit opt-in to the UNCAPPED exact self-join (full recall including
+    * pairs whose only shared grams are ubiquitous) — quadratic in per-gram
+    * document frequency, so NOT the form to run on a boilerplate-heavy
+    * corpus at scale; kept as the oracle-parity baseline. */
+  val ngramJaccardUncapped: OQ = OQ.df("dedup_ngram_jaccard_exact_uncapped",
+    (s, _) => Dedup.jaccardPairs(s.table("documents"), n = 3, threshold = 0.5),
+    duckJaccard(0.5))
 
   /** MinHash+LSH (128 hashes, 64 bands × 2) with exact re-verification — the
     * verified output equals brute-force Jaccard (recall loss at j≥0.5 with
@@ -389,9 +401,13 @@ object DataOpsQueries {
   val dedupCluster: OQ = OQ.df("dedup_cluster",
     (s, _) => {
       val docs = s.table("documents")
-      Dedup.clusters(docs, Dedup.jaccardPairs(docs, n = 3, threshold = 0.5))
+      // edges from the df-CAPPED pair generator (r4 verdict task #1): the
+      // CC loop was already scale-correct; the edge set now is too. The
+      // oracle derives its edges with the same capped semantics.
+      Dedup.clusters(docs, Dedup.jaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDocFreq = 20))
     },
-    s"""WITH RECURSIVE $duckJaccardCtes,
+    s"""WITH RECURSIVE $duckCappedJaccardCtes,
        |edges AS (SELECT a, b FROM j
        |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
        |und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
@@ -519,7 +535,7 @@ object DataOpsQueries {
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
-    dedupExact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, dedupCluster,
+    dedupExact, ngramJaccard, ngramJaccardUncapped, minhashLsh, simhash, dedupCluster,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 

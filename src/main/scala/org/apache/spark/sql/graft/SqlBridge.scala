@@ -16,6 +16,15 @@ object SqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Wrap a raw Catalyst expression as a user-facing Column (Spark 4 Columns
+    * are ColumnNode-backed; this is the classic-session escape hatch). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The inverse: the Catalyst expression behind a Column. */
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** The freeze rewrite, usable on parsed (UnresolvedFunction) and analyzed
     * (CurrentTimestamp/Now/CurrentDate) plans alike. */
   def freezeExpressions(plan: LogicalPlan, epochMicros: Long): LogicalPlan = {

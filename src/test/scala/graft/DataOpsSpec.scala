@@ -106,6 +106,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(capped.get((1L, 2L)).contains(1.0))
   }
 
+  test("capped collect freezes over-cap buckets at cap+1 across many partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.SqlBridge
+    // 100 "hot" rows spread over 32 partitions (partial buffers merge at the
+    // reduce side), 3 "cold" rows: hot must surface as exactly cap+1 elements
+    // (the overflow marker — never the full 100), cold as its exact full set
+    val df = ((1 to 100).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 11L), ("cold", 12L), ("cold", 13L)))
+      .toDF("k", "v").repartition(32)
+    val capped = SqlBridge.column(graft.functions.CappedCollectList(
+      SqlBridge.expression(col("v")), 5).toAggregateExpression())
+    val out = df.groupBy("k").agg(capped.as("ids")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("hot").size == 6, s"over-cap bucket must freeze at cap+1, got ${out("hot").size}")
+    assert(out("cold").toSet == Set(11L, 12L, 13L), "under-cap bucket must be exact")
+  }
+
   test("lsh bucket cap keeps the smallest ids per bucket") {
     val bits = 2
     val bucketed = Similarity.lshBucket(emb, bits)

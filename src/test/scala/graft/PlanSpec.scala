@@ -52,7 +52,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("capped jaccard never self-joins raw gram rows") {
-    val p = planOf("dedup_ngram_jaccard_capped")
+    val p = planOf("dedup_ngram_jaccard")
     assert(p.contains("collect_list"),
       "candidates must come from df-bounded gram buckets (one shuffle)")
     val joinLines = p.split("\n").filter(_.contains("Join"))
