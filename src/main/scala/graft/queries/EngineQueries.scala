@@ -383,7 +383,7 @@ object EngineQueries {
       |    FROM orders WHERE o_orderkey % 5 = 0),
       |last AS (SELECT ch.*, row_number() OVER (
       |    PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn FROM ch)
-      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(seq AS BIGINT) AS seq
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM last WHERE rn = 1 AND op <> 'd'""".stripMargin)
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A pluggable streaming source, keyed by URI scheme.
+  *
+  * The reference addresses stream inputs by URI — `kafka://topic`,
+  * `kinesis://stream`, and CDC variants spelled `<scheme>+cdc://…`
+  * (pkg/ingestr/operator.go:596-640, :229-324). This sandbox has no broker
+  * jars, so the only bundled implementation is the file-backed stand-in —
+  * but the OPERATORS ([[Streams.cdcApply]], dedup, windowing, sessionize)
+  * only ever see the DataFrame this trait returns. Dropping a kafka jar in
+  * means registering one more [[StreamSource]]; no operator code changes.
+  */
+trait StreamSource {
+  /** URI scheme this source serves (lowercase, without any `+cdc` suffix). */
+  def scheme: String
+
+  /** Resolve a URI to an unbounded streaming DataFrame. */
+  def load(spark: SparkSession, uri: java.net.URI,
+           options: Map[String, String] = Map.empty): DataFrame
+}
+
+/** The file-backed broker stand-in: `file:///path/to/events.parquet`.
+  * Delegates to [[Streams.eventStream]] (content-keyed staging dir, symlink
+  * fan-out for at-least-once replay via the `copies` option). */
+object FileEventSource extends StreamSource {
+  override val scheme = "file"
+  override def load(spark: SparkSession, uri: java.net.URI,
+                    options: Map[String, String]): DataFrame =
+    Streams.eventStream(spark, uri.getPath,
+      copies = options.getOrElse("copies", "1").toInt)
+}
+
+/** Scheme → [[StreamSource]] registry with `<scheme>+cdc` URI parsing. */
+object StreamSources {
+  private val registry =
+    new scala.collection.concurrent.TrieMap[String, StreamSource]()
+  register(FileEventSource)
+
+  def register(src: StreamSource): Unit = registry.put(src.scheme, src)
+
+  /** Parsed stream address: the source to read from and whether the URI
+    * requested CDC semantics (`postgres+cdc://…` ⇒ changes apply through
+    * [[Streams.cdcApply]] instead of plain append). */
+  final case class Resolved(source: StreamSource, uri: java.net.URI, cdc: Boolean)
+
+  /** Resolve `kafka://t`, `file:///p`, `mysql+cdc://db/t`, … — unknown
+    * schemes fail fast, naming what IS registered. */
+  def forUri(rawUri: String): Resolved = {
+    val uri = java.net.URI.create(rawUri)
+    val rawScheme = Option(uri.getScheme).getOrElse(
+      throw new IllegalArgumentException(s"stream URI has no scheme: $rawUri"))
+    val (scheme, cdc) = rawScheme.toLowerCase.split('+') match {
+      case Array(s, "cdc") => (s, true)
+      case Array(s)        => (s, false)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported stream URI scheme '$rawScheme' (expected scheme or scheme+cdc)")
+    }
+    val src = registry.getOrElse(scheme, throw new IllegalArgumentException(
+      s"no stream source registered for scheme '$scheme' " +
+        s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+    Resolved(src, uri, cdc)
+  }
+}

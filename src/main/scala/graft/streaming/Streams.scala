@@ -126,6 +126,37 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** How a CDC micro-batch's winning changes fold into the per-key state
+    * table. The bundled [[RebuildStateWriter]] is the format-agnostic
+    * fallback (rebuild + staged swap — O(total keys) per batch); on a
+    * transactional catalog (Delta/Iceberg) a MERGE-based implementation
+    * plugs in here and makes the apply incremental AND atomic without
+    * touching [[Streams.cdcApply]]. */
+  trait CdcStateWriter {
+    /** Fold `incoming` (one winning row per key already) into `state`.
+      * `latestOf` reduces any union of state+changes to the per-key winner
+      * (last-writer-wins by seq, op tie-break). */
+    def upsert(wh: Warehouse, state: String, incoming: DataFrame,
+               latestOf: DataFrame => DataFrame,
+               partitionBy: Seq[String], clusterBy: Seq[String]): Unit
+  }
+
+  /** No-transactional-format fallback: union old state with the incoming
+    * winners, re-reduce, rebuild the state table via the staged swap. */
+  object RebuildStateWriter extends CdcStateWriter {
+    override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
+                        latestOf: DataFrame => DataFrame,
+                        partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+      val merged =
+        if (!wh.exists(state)) incoming
+        else latestOf(wh.table(state).unionByName(incoming))
+      wh.createOrReplace(state, merged, partitionBy, clusterBy)
+    }
+  }
+
+  private def quoteIdent(name: String): String =
+    name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
   /** CDC apply: events carry Debezium-style op codes (`c`/`r`/`u` = upsert,
     * `d` = delete) plus a sequence column ordering changes per key
     * (reference CDC ingestion auto-merge, pkg/ingestr/operator.go:229-324;
@@ -136,15 +167,28 @@ object Streams {
     * delete tombstones — so a micro-batch arriving out of order (a lower
     * `seq` than something already applied) can neither roll a key back nor
     * resurrect a deleted one. The asset itself is a view over the state
-    * table filtering tombstones, so readers never see deletes. State size is
-    * one row per ever-seen key; at warehouse scale the per-batch rebuild is
-    * the documented no-Delta fallback (swap in MERGE on a transactional
-    * format to make it incremental). */
+    * table filtering tombstones and projecting DATA columns only (op and seq
+    * are replication metadata — reference CDC auto-merge exposes data
+    * columns, not transport bookkeeping). State size is one row per
+    * ever-seen key; how each batch folds in is the `writer`'s choice
+    * (see [[CdcStateWriter]]). */
   def cdcApply(wh: Warehouse, asset: Asset, events: DataFrame,
-               opCol: String = "op", seqCol: String = "seq"): StreamingQuery = {
+               opCol: String = "op", seqCol: String = "seq",
+               writer: CdcStateWriter = RebuildStateWriter): StreamingQuery = {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
     val state = asset.name + "__cdc_state"
+    // the asset must be (or become) a VIEW over the state table; a
+    // pre-existing TABLE of the same name (e.g. a previous streamingMerge
+    // target) would make CREATE OR REPLACE VIEW crash mid-stream — fail
+    // fast with a migration path instead
+    val cat = wh.spark.catalog
+    if (cat.tableExists(asset.name) &&
+        cat.getTable(asset.name).tableType != "VIEW")
+      throw new IllegalStateException(
+        s"${asset.name} already exists as a TABLE; CDC apply materializes a " +
+          s"view over $state. Drop or rename the table (its rows are not " +
+          "change events and cannot be folded into CDC state) and re-run.")
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
@@ -155,17 +199,13 @@ object Streams {
         def latestOf(df: DataFrame) = df
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .drop("__rn")
-        val incoming = latestOf(batch)
-        val merged =
-          if (!wh.exists(state)) incoming
-          else latestOf(wh.table(state).unionByName(incoming))
-        wh.createOrReplace(state, merged, asset.materialization.partitionBy,
-          asset.materialization.clusterBy)
+        writer.upsert(wh, state, latestOf(batch), latestOf,
+          asset.materialization.partitionBy, asset.materialization.clusterBy)
         val spark = batch.sparkSession
-        val dataCols = merged.columns.filterNot(_ == opCol)
+        val dataCols = batch.columns.filterNot(c => c == opCol || c == seqCol)
           .map(c => s"`$c`").mkString(", ")
-        spark.sql(s"CREATE OR REPLACE VIEW ${asset.name} AS " +
-          s"SELECT $dataCols FROM $state WHERE `$opCol` <> 'd'")
+        spark.sql(s"CREATE OR REPLACE VIEW ${quoteIdent(asset.name)} AS " +
+          s"SELECT $dataCols FROM ${quoteIdent(state)} WHERE `$opCol` <> 'd'")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -243,15 +283,27 @@ object Streams {
                          watermarkMinutes: Int = 10): Dataset[Visit] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxNs = spark.read.parquet(path)
-      .agg(max(col("ts"))).head().getLong(0)
+    val maxRow = spark.read.parquet(path).agg(max(col("ts"))).head()
+    // empty source ⇒ no visits to flush (and no sentinel arithmetic on a
+    // NULL max) — return an empty result instead of NPE-ing
+    if (maxRow.isNullAt(0)) return spark.emptyDataset[Visit]
+    val maxNs = maxRow.getLong(0)
     val sentinelNs = maxNs +
       (gapMinutes + watermarkMinutes + 60).toLong * 60L * 1000000000L
-    val dir = java.nio.file.Files.createTempDirectory("graft-visit-sentinel")
-    spark.createDataFrame(Seq(
-        (-1L, sentinelNs, -1L, "__sentinel", 0.0, "")))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // content-keyed sentinel dir (same scheme as eventStream's stage dir):
+    // repeated runs over the same input reuse one directory instead of
+    // leaking a fresh temp dir per call
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$path:$sentinelNs".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = java.nio.file.Paths.get(s"/tmp/graft-visit-sentinel-$key")
+    // _SUCCESS (not bare dir existence) gates the skip — a torn write must
+    // not leave a silent no-sentinel dir behind; overwrite mode self-heals
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      spark.createDataFrame(Seq(
+          (-1L, sentinelNs, -1L, "__sentinel", 0.0, "")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val feed = eventStream(spark, path)
       .unionByName(eventStream(spark, dir.toString))
     userVisits(feed, gapMinutes, s"$watermarkMinutes minutes")

@@ -407,6 +407,82 @@ class EngineSpec extends AnyFunSuite {
       "late low-seq changes must lose to the applied state")
   }
 
+  test("CDC apply accepts a pluggable state writer and rejects a table-shaped target") {
+    import org.apache.spark.sql.functions._
+    val wh = new SessionCatalogWarehouse(spark)
+    spark.sql("DROP VIEW IF EXISTS cdc_plug")
+    wh.drop("cdc_plug__cdc_state")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-plug")
+    spark.createDataFrame(Seq((1, "one", "c", 1L), (1, "uno", "u", 2L)))
+      .toDF("id", "v", "op", "seq").write.parquet(dir.toString + "/events")
+    def events() = spark.readStream
+      .schema("id INT, v STRING, op STRING, seq BIGINT")
+      .parquet(dir.toString + "/events")
+    val asset = Asset(name = "cdc_plug",
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")))
+    // a mock writer slots into the seam: counts the upsert calls and
+    // delegates — operator output must be identical to the default path
+    var upserts = 0
+    val counting = new Streams.CdcStateWriter {
+      override def upsert(wh: graft.materialize.Warehouse, state: String,
+                          incoming: org.apache.spark.sql.DataFrame,
+                          latestOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                          partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+        upserts += 1
+        Streams.RebuildStateWriter.upsert(wh, state, incoming, latestOf, partitionBy, clusterBy)
+      }
+    }
+    Streams.cdcApply(wh, asset, events(), writer = counting).awaitTermination()
+    assert(upserts == 1)
+    // op and seq are replication metadata — the reader-visible view carries
+    // data columns only
+    assert(spark.table("cdc_plug").columns.toSeq == Seq("id", "v"))
+    assert(spark.table("cdc_plug").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((1, "uno")))
+    // a pre-existing TABLE under the asset name must fail fast (CREATE OR
+    // REPLACE VIEW would crash mid-stream with no migration hint)
+    spark.sql("DROP VIEW IF EXISTS cdc_clash")
+    wh.createOrReplace("cdc_clash", spark.range(3).toDF("id"))
+    val clash = Asset(name = "cdc_clash",
+      columns = Seq(Column("id", "BIGINT", primaryKey = true)))
+    val e = intercept[IllegalStateException] {
+      Streams.cdcApply(wh, clash, events())
+    }
+    assert(e.getMessage.contains("already exists as a TABLE"))
+    wh.drop("cdc_clash")
+  }
+
+  test("stream sources resolve by scheme; +cdc URIs flag CDC semantics") {
+    val mock = new graft.streaming.StreamSource {
+      override val scheme = "mockbroker"
+      override def load(s: org.apache.spark.sql.SparkSession, uri: java.net.URI,
+                        options: Map[String, String]) =
+        Streams.eventStream(s, s"$sfDir/events.parquet")
+    }
+    graft.streaming.StreamSources.register(mock)
+    val plain = graft.streaming.StreamSources.forUri("mockbroker://events")
+    assert(plain.source eq mock)
+    assert(!plain.cdc)
+    val cdc = graft.streaming.StreamSources.forUri("mockbroker+cdc://events")
+    assert(cdc.source eq mock)
+    assert(cdc.cdc)
+    // the file stand-in is pre-registered and yields a streaming frame
+    val f = graft.streaming.StreamSources.forUri(s"file://$sfDir/events.parquet")
+    assert(f.source.load(spark, f.uri).isStreaming)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamSources.forUri("kafka://topic")
+    }
+    assert(err.getMessage.contains("registered:"))
+  }
+
+  test("userVisitsComplete returns empty on an empty source instead of crashing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-events")
+    spark.createDataFrame(Seq.empty[(Long, Long, Long, String, Double, String)])
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir.toString)
+    assert(Streams.userVisitsComplete(spark, dir.toString).isEmpty)
+  }
+
   test("streaming merge upserts each micro-batch") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("t_stream_merge")
