@@ -23,10 +23,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only a tail of stdout, which truncates the
+    // per-query map once it outgrows the window — persist the full map as a
+    // sidecar so every registered query's timing survives for comparison.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

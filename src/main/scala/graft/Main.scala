@@ -26,6 +26,11 @@ import graft.unittest.UnitTests
   *   graft lineage <pipeline-dir> <asset>
   *   graft data-diff <table1> <table2>
   *   graft environments <dir>
+  *   graft init [template] [folder] [--in-place]
+  *   graft connections list|add|delete|test [dir] [--environment e] …
+  *   graft import <dir> --schema s [--no-columns]
+  *   graft patch fill-asset-dependencies|fill-columns-from-db <dir|file>
+  *   graft render-ddl <dir> <asset>
   */
 object Main {
 
@@ -57,9 +62,15 @@ object Main {
         println(graft.model.JsonDump.pipeline(
           AssetParser.loadPipeline(pos.headOption.getOrElse(".")))); 0
       case Some("clean")        => cmdClean(spark)
+      case Some("init")         => graft.cli.ProjectCli.cmdInit(flags, pos)
+      case Some("connections")  => graft.cli.ProjectCli.cmdConnections(flags, pos)
+      case Some("import")       => graft.cli.ProjectCli.cmdImport(spark, flags, pos)
+      case Some("patch")        => graft.cli.ProjectCli.cmdPatch(spark, flags, pos)
+      case Some("render-ddl")   => graft.cli.ProjectCli.cmdRenderDdl(flags, pos)
       case _ =>
         System.err.println(
-          "usage: graft run|render|lint|query|unit-test|lineage|data-diff|environments|format|docs …")
+          "usage: graft run|render|render-ddl|lint|query|unit-test|lineage|data-diff|" +
+            "environments|format|docs|init|connections|import|patch …")
         2
     }
   }
@@ -71,7 +82,8 @@ object Main {
     val flags = scala.collection.mutable.Map[String, Seq[String]]().withDefaultValue(Nil)
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     val boolFlags = Set("--full-refresh", "--no-validation", "--continue",
-      "--downstream", "--push-metadata", "--check", "--dry-run")
+      "--downstream", "--push-metadata", "--check", "--dry-run", "--in-place",
+      "--no-columns")
     var i = 0
     while (i < args.length) {
       val a = args(i)

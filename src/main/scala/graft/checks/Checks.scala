@@ -79,16 +79,21 @@ object Checks {
         CheckResult(s"custom:${check.name}", "", "", expectedCount, actual)
       case scala.None =>
         val expected = check.value.getOrElse(0L)
-        val raw = spark.sql(check.query).head().get(0)
-        val actual = raw match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case d: java.math.BigDecimal => d.longValue
-          case d: Double => d.toLong
-          case other => String.valueOf(other).toDouble.toLong
-        }
+        val actual = toLongScalar(spark.sql(check.query).head().get(0))
         CheckResult(s"custom:${check.name}", "", "", expected, actual)
     }
+  }
+
+  /** Coerce a custom-check scalar to the comparison domain. Booleans map to
+    * 1/0 — the reference's own starter template asserts
+    * `SELECT count(*) > 1 …` against `value: 1` (templates/default). */
+  private def toLongScalar(raw: Any): Long = raw match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case b: Boolean => if (b) 1L else 0L
+    case d: java.math.BigDecimal => d.longValue
+    case d: Double => d.toLong
+    case other => String.valueOf(other).toDouble.toLong
   }
 
   /** Custom check with dev-environment table renames applied at the plan
@@ -103,15 +108,8 @@ object Checks {
         case Some(expectedCount) =>
           CheckResult(s"custom:${check.name}", "", "", expectedCount, df.count())
         case scala.None =>
-          val raw = df.head().get(0)
-          val actual = raw match {
-            case l: Long => l
-            case i: Int => i.toLong
-            case d: java.math.BigDecimal => d.longValue
-            case d: Double => d.toLong
-            case other => String.valueOf(other).toDouble.toLong
-          }
-          CheckResult(s"custom:${check.name}", "", "", check.value.getOrElse(0L), actual)
+          CheckResult(s"custom:${check.name}", "", "",
+            check.value.getOrElse(0L), toLongScalar(df.head().get(0)))
       }
     }
 

@@ -75,6 +75,49 @@ object Config {
     else parse(Files.readString(p))
   }
 
+  /** Serialize back to `.graft.yml` text (reference pkg/config/manager.go
+    * persists via yaml.Marshal). Stable key order so repeated add/delete
+    * round-trips diff minimally; `parse(toYaml(c)) == c` is spec-enforced.
+    * Values are emitted quoted whenever they stray outside the safe scalar
+    * set, so URIs with `${...}` placeholders that were already interpolated
+    * away survive as literals. */
+  def toYaml(cfg: Config): String = {
+    def q(s: String): String =
+      if (s.nonEmpty && s.matches("[A-Za-z0-9_./:@-]+")) s
+      else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val sb = new StringBuilder
+    sb.append(s"default_environment: ${q(cfg.defaultEnvironment)}\n")
+    sb.append("environments:\n")
+    cfg.environments.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      sb.append(s"  ${q(name)}:\n")
+      if (e.schemaPrefix.nonEmpty) sb.append(s"    schema_prefix: ${q(e.schemaPrefix)}\n")
+      if (e.fullRefreshRestricted) sb.append("    config:\n      full_refresh_restricted: true\n")
+      if (e.connections.isEmpty) sb.append("    connections: {}\n")
+      else {
+        sb.append("    connections:\n")
+        e.connections.toSeq.sortBy(_._1).foreach { case (cn, c) =>
+          sb.append(s"      ${q(cn)}:\n")
+          if (c.typ.nonEmpty) sb.append(s"        type: ${q(c.typ)}\n")
+          if (c.uri.nonEmpty) sb.append(s"        uri: ${q(c.uri)}\n")
+          if (c.concurrency > 0) sb.append(s"        concurrency: ${c.concurrency}\n")
+          if (c.options.nonEmpty) {
+            sb.append("        options:\n")
+            c.options.toSeq.sortBy(_._1).foreach { case (k, v) =>
+              sb.append(s"          ${q(k)}: ${q(v)}\n")
+            }
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  def save(dir: String, cfg: Config): Path = {
+    val p = Paths.get(dir).resolve(FileName)
+    Files.writeString(p, toYaml(cfg))
+    p
+  }
+
   def parse(text: String, env: Map[String, String] = sys.env): Config = {
     val interpolated = "\\$\\{([^}]+)\\}".r.replaceAllIn(text,
       m => java.util.regex.Matcher.quoteReplacement(env.getOrElse(m.group(1), "")))

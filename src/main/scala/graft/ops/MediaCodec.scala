@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** Injectable media codec behind the multimodal operators (round-4 verdict
+  * task #5): the Spark-side plumbing (binary columns, per-partition batch
+  * decode, fixed output schema) is identical whichever codec is plugged in;
+  * only the byte-level decode differs.
+  *
+  *  - [[StubCodec]] — the deterministic fake used when no real codec fits
+  *    the payload (or the sandbox lacks one). Oracle-pinned end-to-end.
+  *  - [[ImageIOCodec]] — real JPEG/PNG/GIF/BMP decode via `javax.imageio`,
+  *    which ships in the JDK (no external jar). Drop-in for image columns;
+  *    an ffmpeg-backed codec for video would implement the same trait.
+  *
+  * Implementations must be Serializable: they ride inside `mapPartitions`
+  * closures to the executors.
+  */
+trait MediaCodec extends Serializable {
+
+  /** Decode dimensions/channels, or None when the payload isn't decodable
+    * by this codec (callers fall back to the stub arithmetic so a mixed or
+    * corrupt corpus never fails the whole stage). */
+  def decode(bytes: Array[Byte]): Option[MediaCodec.Dims]
+
+  /** Re-encode `bytes` scaled to `w`×`h`, or None when not decodable. */
+  def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
+}
+
+object MediaCodec {
+  final case class Dims(width: Int, height: Int, channels: Int)
+
+  /** Registry keyed by name so a pipeline parameter (`media_codec: imageio`)
+    * or env selects the codec without code changes. */
+  def forName(name: String): MediaCodec = name.trim.toLowerCase match {
+    case "" | "stub" => StubCodec
+    case "imageio"   => ImageIOCodec
+    case other => throw new IllegalArgumentException(
+      s"unknown media codec '$other' (have: stub, imageio)")
+  }
+}
+
+/** Deterministic fake: dimensions derived from payload length. Never fails,
+  * never inspects content — the honest sandbox default. */
+object StubCodec extends MediaCodec {
+  override def decode(bytes: Array[Byte]): Option[MediaCodec.Dims] = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    Some(MediaCodec.Dims((1 + n % 1024).toInt, (1 + (n * 7) % 768).toInt, 3))
+  }
+
+  /** Stride-downsample so output size tracks the target dims. */
+  override def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val target = w.toLong * h
+    val stride = math.max(1L, b.length.toLong / math.max(1L, target))
+    val outLen = if (b.isEmpty) 0 else ((b.length - 1) / stride + 1).toInt
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = b((i * stride).toInt); i += 1 }
+    Some(out)
+  }
+}
+
+/** Real image decode via the JDK's ImageIO — JPEG/PNG/GIF/BMP with zero
+  * external dependencies. Returns None on non-image payloads. */
+object ImageIOCodec extends MediaCodec {
+
+  override def decode(bytes: Array[Byte]): Option[MediaCodec.Dims] =
+    read(bytes).map(img =>
+      MediaCodec.Dims(img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
+
+  override def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    read(bytes).map { img =>
+      val scaled = new BufferedImage(w, h,
+        if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+        else BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+
+  private def read(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null || bytes.isEmpty) scala.None
+    else
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => scala.None }
+}

@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch decode / feature-extract stages.
   *
-  * The real decode libs (libjpeg/ffmpeg) are not in this container, so the
-  * decoder is a clearly-marked deterministic STUB — but the Spark-side
-  * contract is real: binary column + metadata struct in, fixed-schema feature
-  * rows out, processed per-partition in batches (the Scala analogue of
-  * `mapInPandas`: one iterator pass, no per-row task overhead, arrow-sized
-  * batches on a cluster).
+  * Decode is injectable ([[MediaCodec]]): [[StubCodec]] is the deterministic
+  * default (the synthetic corpus isn't imagery), [[ImageIOCodec]] does real
+  * JPEG/PNG decode via the JDK, and an ffmpeg-backed codec would implement
+  * the same trait. The Spark-side contract is the same for all of them:
+  * binary column + metadata struct in, fixed-schema feature rows out,
+  * processed per-partition in batches (the Scala analogue of `mapInPandas`:
+  * one iterator pass, no per-row task overhead, arrow-sized batches on a
+  * cluster).
   */
 object Multimodal {
 
@@ -37,27 +39,27 @@ object Multimodal {
       media_id: Long, n_bytes: Long, width: Int, height: Int,
       channels: Int, content_hash: String)
 
-  /** STUB decoder: deterministic fake dimensions derived from the payload.
-    * Replace `decodeStub` with a real codec behind the same signature. */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = if (bytes == null) 0L else bytes.length.toLong
-    // ??? real implementation: ImageIO/ffmpeg decode of `bytes`
-    val width = (1 + n % 1024).toInt
-    val height = (1 + (n * 7) % 768).toInt
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hash = md.digest(if (bytes == null) Array.emptyByteArray else bytes)
-      .map("%02x".format(_)).mkString
-    MediaFeatures(id, n, width, height, channels = 3, content_hash = hash)
-  }
-
   /** Batch feature extraction over partitions (mapPartitions — one JVM pass
-    * per partition, like one pandas batch per partition in mapInPandas). */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * per partition, like one pandas batch per partition in mapInPandas).
+    * The codec is injectable ([[MediaCodec]]): [[StubCodec]] is the sandbox
+    * default; [[ImageIOCodec]] decodes real JPEG/PNG via the JDK. Payloads
+    * the codec can't decode fall back to the stub arithmetic so a mixed or
+    * corrupt corpus degrades per-row, never per-stage. */
+  def extractFeatures(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "content")
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val dims = codec.decode(b).getOrElse(StubCodec.decode(b).get)
+          md.reset()
+          MediaFeatures(id, b.length.toLong, dims.width, dims.height,
+            dims.channels, md.digest(b).map("%02x".format(_)).mkString)
+        }
+      }
       .toDF()
   }
 
@@ -76,29 +78,25 @@ object Multimodal {
       media_id: Long, out_width: Int, out_height: Int,
       n_bytes_in: Long, n_bytes_out: Long, resized_hash: String)
 
-  /** STUB resize: downsample the payload by a deterministic stride so the
-    * output byte count tracks the target dimensions (a real implementation
-    * swaps the stride loop for a codec scale — same signature, same batch
-    * shape). The per-partition iterator pass is the mapInPandas contract:
-    * one batch walk, fixed output schema, no per-row task overhead. */
-  def resize(media: DataFrame, targetWidth: Int = 256, targetHeight: Int = 192): DataFrame = {
+  /** Batched resize through the injectable codec. [[StubCodec]] stride-
+    * downsamples so the output byte count tracks the target dimensions;
+    * [[ImageIOCodec]] does a real bilinear scale + PNG re-encode. The
+    * per-partition iterator pass is the mapInPandas contract: one batch
+    * walk, fixed output schema, no per-row task overhead. */
+  def resize(media: DataFrame, targetWidth: Int = 256, targetHeight: Int = 192,
+             codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val target = targetWidth.toLong * targetHeight
     media.select("media_id", "content")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val b = if (bytes == null) Array.emptyByteArray else bytes
-          // ??? real implementation: decode → scale(targetWidth, targetHeight)
-          val stride = math.max(1L, b.length.toLong / math.max(1L, target))
-          val outLen = if (b.isEmpty) 0 else ((b.length - 1) / stride + 1).toInt
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) { out(i) = b((i * stride).toInt); i += 1 }
+          val out = codec.resize(b, targetWidth, targetHeight)
+            .getOrElse(StubCodec.resize(b, targetWidth, targetHeight).get)
           md.reset()
-          ResizedMedia(id, targetWidth, targetHeight, b.length.toLong, outLen.toLong,
+          ResizedMedia(id, targetWidth, targetHeight, b.length.toLong, out.length.toLong,
             md.digest(out).map("%02x".format(_)).mkString)
         }
       }

@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.{ProjectCli, Templates}
+import graft.config.{Config, Connection, Environment}
+import graft.model.{AssetParser, AssetType}
+
+/** Onboarding surface: init / connections / import / patch / render-ddl
+  * (round-5 verdict tasks #2, #3, #6). */
+class CliSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  // ---- init ---------------------------------------------------------------
+
+  test("init scaffolds every template and each parses + lints clean") {
+    Templates.names.foreach { t =>
+      val root = tmpDir(s"graft-init-$t")
+      val target = root.resolve("pipe").toString
+      assert(Main.run(Seq("init", t, target), Some(spark)) == 0, s"init $t")
+      val p = AssetParser.loadPipeline(target)
+      assert(p.name.nonEmpty)
+      val issues = graft.exec.Lint.validate(p)
+      assert(!issues.exists(_.isError), s"$t: ${issues.mkString("; ")}")
+    }
+  }
+
+  test("init default scaffold runs green end-to-end") {
+    val root = tmpDir("graft-init-run")
+    val target = root.resolve("starter").toString
+    assert(Main.run(Seq("init", "default", target), Some(spark)) == 0)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dataset")
+    spark.sql("DROP TABLE IF EXISTS dataset.player_stats")
+    spark.sql("DROP TABLE IF EXISTS dataset.players")
+    assert(Main.run(Seq("run", target), Some(spark)) == 0)
+    val stats = spark.table("dataset.player_stats").orderBy("name").collect()
+    assert(stats.length == 4) // 5 seed rows, Magnus twice
+    assert(stats.find(_.getString(0) == "Magnus").get.getLong(1) == 2L)
+  }
+
+  test("init refuses to overwrite an existing pipeline; unknown template errors") {
+    val root = tmpDir("graft-init-clash")
+    val target = root.resolve("p").toString
+    assert(Main.run(Seq("init", "empty", target), Some(spark)) == 0)
+    assert(Main.run(Seq("init", "empty", target), Some(spark)) == 1)
+    assert(Main.run(Seq("init", "no-such-template"), Some(spark)) == 2)
+  }
+
+  test("init merges template environments into a parent .graft.yml") {
+    val root = tmpDir("graft-init-merge")
+    Config.save(root.toString, Config("prod", Map(
+      "prod" -> Environment("prod", connections = Map(
+        "wh" -> Connection("wh", "spark"))))))
+    val target = root.resolve("nested").toString
+    assert(Main.run(Seq("init", "default", target), Some(spark)) == 0)
+    // template's own config file removed; parent gained the default env
+    assert(!Files.exists(root.resolve("nested").resolve(Config.FileName)))
+    val merged = Config.load(root.toString)
+    assert(merged.defaultEnvironment == "prod")
+    assert(merged.environments.keySet == Set("prod", "default"))
+    assert(merged.environments("prod").connections.contains("wh"))
+  }
+
+  // ---- connections ---------------------------------------------------------
+
+  test("connections add/list/delete round-trips through .graft.yml") {
+    val dir = tmpDir("graft-conns").toString
+    assert(Main.run(Seq("connections", "add", dir, "--name", "src_files",
+      "--type", "file", "--uri", "/root/testdata/sf0.001"), Some(spark)) == 0)
+    assert(Main.run(Seq("connections", "add", dir, "--name", "jdbc_src",
+      "--type", "jdbc", "--uri", "jdbc:h2:mem:x", "--environment", "default",
+      "--option", "user=sa", "--concurrency", "2"), Some(spark)) == 0)
+    // duplicate add fails
+    assert(Main.run(Seq("connections", "add", dir, "--name", "src_files",
+      "--type", "file"), Some(spark)) == 1)
+    val cfg = Config.load(dir)
+    val conns = cfg.environments("default").connections
+    assert(conns.keySet == Set("src_files", "jdbc_src"))
+    assert(conns("jdbc_src").options("user") == "sa" && conns("jdbc_src").concurrency == 2)
+    assert(Main.run(Seq("connections", "list", dir), Some(spark)) == 0)
+    assert(Main.run(Seq("connections", "list", dir, "--output", "json"), Some(spark)) == 0)
+    assert(Main.run(Seq("connections", "delete", dir, "--name", "jdbc_src"), Some(spark)) == 0)
+    assert(Config.load(dir).environments("default").connections.keySet == Set("src_files"))
+    assert(Main.run(Seq("connections", "delete", dir, "--name", "nope"), Some(spark)) == 1)
+  }
+
+  test("connections test probes by type") {
+    assert(ProjectCli.testConnection(Connection("a", "file", "/root/testdata/sf0.001")).isEmpty)
+    assert(ProjectCli.testConnection(Connection("a", "file", "/no/such/path")).nonEmpty)
+    assert(ProjectCli.testConnection(Connection("a", "file", "")).nonEmpty)
+    assert(ProjectCli.testConnection(Connection("a", "jdbc", "not-a-url")).nonEmpty)
+    assert(ProjectCli.testConnection(Connection("a", "spark")).isEmpty) // active session
+    assert(ProjectCli.testConnection(Connection("a", "kafka", "b:9092")).nonEmpty)
+    val dir = tmpDir("graft-conntest").toString
+    assert(Main.run(Seq("connections", "add", dir, "--name", "ok",
+      "--type", "file", "--uri", "/root/testdata/sf0.001"), Some(spark)) == 0)
+    assert(Main.run(Seq("connections", "test", dir), Some(spark)) == 0)
+    assert(Main.run(Seq("connections", "add", dir, "--name", "bad",
+      "--type", "file", "--uri", "/no/such"), Some(spark)) == 0)
+    assert(Main.run(Seq("connections", "test", dir), Some(spark)) == 1)
+    assert(Main.run(Seq("connections", "test", dir, "--name", "ok"), Some(spark)) == 0)
+  }
+
+  test("config yaml serialization round-trips exactly") {
+    val cfg = Config("dev", Map(
+      "dev" -> Environment("dev", schemaPrefix = "dev_", connections = Map(
+        "c1" -> Connection("c1", "jdbc", "jdbc:pg://h/db",
+          options = Map("user" -> "u", "password" -> "p w!"), concurrency = 3)),
+        fullRefreshRestricted = true),
+      "prod" -> Environment("prod")))
+    assert(Config.parse(Config.toYaml(cfg)) == cfg)
+    assert(Config.parse(Config.toYaml(Config())) == Config())
+  }
+
+  // ---- import ---------------------------------------------------------------
+
+  test("import adopts catalog tables as empty assets with columns") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS import_src")
+    spark.sql("DROP TABLE IF EXISTS import_src.t_adopt")
+    spark.sql("CREATE TABLE import_src.t_adopt AS SELECT 1 AS id, 'x' AS label")
+    val dir = tmpDir("graft-import").toString
+    assert(Main.run(Seq("import", dir, "--schema", "import_src"), Some(spark)) == 0)
+    val p = AssetParser.loadPipeline(dir)
+    val a = p.asset("import_src.t_adopt").get
+    assert(a.assetType == AssetType.Empty)
+    assert(a.columns.map(c => (c.name, c.typ)) == Seq(("id", "INT"), ("label", "STRING")))
+    // second import skips the now-declared asset instead of clobbering it
+    assert(Main.run(Seq("import", dir, "--schema", "import_src"), Some(spark)) == 0)
+    assert(AssetParser.loadPipeline(dir).assets.count(_.name == "import_src.t_adopt") == 1)
+    // --no-columns leaves metadata empty
+    val dir2 = tmpDir("graft-import2").toString
+    assert(Main.run(Seq("import", dir2, "--schema", "import_src", "--no-columns"),
+      Some(spark)) == 0)
+    assert(AssetParser.loadPipeline(dir2).asset("import_src.t_adopt").get.columns.isEmpty)
+    assert(Main.run(Seq("import", dir, "--schema", "no_such_schema"), Some(spark)) == 1)
+    // the imported pipeline runs green: empty assets are DAG no-ops
+    assert(Main.run(Seq("run", dir), Some(spark)) == 0)
+  }
+
+  // ---- patch ----------------------------------------------------------------
+
+  test("patch fill-asset-dependencies adds missing depends from the SQL") {
+    val dir = tmpDir("graft-patch-deps")
+    val assets = dir.resolve("assets")
+    Files.createDirectories(assets)
+    Files.writeString(dir.resolve("pipeline.yml"), "name: patchme\n")
+    Files.writeString(assets.resolve("base.sql"),
+      "/* @bruin\nname: base\n@bruin */\nSELECT 1 AS id\n")
+    Files.writeString(assets.resolve("child.sql"),
+      "/* @bruin\nname: child\ndepends:\n  - base\n@bruin */\n" +
+        "SELECT b.id, o.id AS oid FROM base b JOIN other o ON b.id = o.id\n")
+    Files.writeString(assets.resolve("other.sql"),
+      "/* @bruin\nname: other\n@bruin */\nSELECT 2 AS id\n")
+    assert(Main.run(Seq("patch", "fill-asset-dependencies", dir.toString), Some(spark)) == 0)
+    val child = AssetParser.loadPipeline(dir).asset("child").get
+    // existing upstream kept, missing one added; non-asset tables ignored
+    assert(child.upstreams.map(_.value).sorted == Seq("base", "other"))
+    // idempotent
+    assert(Main.run(Seq("patch", "fill-asset-dependencies", dir.toString), Some(spark)) == 0)
+    assert(AssetParser.loadPipeline(dir).asset("child").get.upstreams.size == 2)
+  }
+
+  test("patch fill-columns-from-db merges catalog schema into the asset") {
+    spark.sql("DROP TABLE IF EXISTS patch_cols")
+    spark.sql("CREATE TABLE patch_cols AS SELECT 1 AS id, 'x' AS label, 2.5 AS score")
+    val dir = tmpDir("graft-patch-cols")
+    val assets = dir.resolve("assets")
+    Files.createDirectories(assets)
+    Files.writeString(dir.resolve("pipeline.yml"), "name: patchcols\n")
+    Files.writeString(assets.resolve("patch_cols.sql"),
+      "/* @bruin\nname: patch_cols\ncolumns:\n  - name: id\n    description: key\n" +
+        "@bruin */\nSELECT 1 AS id, 'x' AS label, 2.5 AS score\n")
+    assert(Main.run(Seq("patch", "fill-columns-from-db", dir.toString), Some(spark)) == 0)
+    val a = AssetParser.loadPipeline(dir).asset("patch_cols").get
+    assert(a.columns.map(_.name) == Seq("id", "label", "score"))
+    // declared description preserved, type filled from catalog
+    val id = a.columns.find(_.name == "id").get
+    assert(id.description == "key" && id.typ == "INT")
+    assert(Main.run(Seq("patch", "bogus-sub", dir.toString), Some(spark)) == 2)
+  }
+
+  // ---- render-ddl ------------------------------------------------------------
+
+  test("render-ddl prints the CREATE TABLE program for any asset with columns") {
+    val dir = tmpDir("graft-ddl")
+    val assets = dir.resolve("assets")
+    Files.createDirectories(assets)
+    Files.writeString(dir.resolve("pipeline.yml"), "name: ddl\n")
+    Files.writeString(assets.resolve("t.sql"),
+      "/* @bruin\nname: sch.t\nmaterialization:\n  type: table\n  strategy: merge\n" +
+        "  partition_by: [d]\ncolumns:\n  - name: id\n    type: BIGINT\n" +
+        "    nullable: false\n  - name: d\n    type: DATE\n@bruin */\nSELECT 1\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Seq("render-ddl", dir.toString, "sch.t"), Some(spark))
+    }
+    assert(rc == 0)
+    val text = out.toString
+    assert(text.contains("CREATE TABLE IF NOT EXISTS sch.t"))
+    assert(text.contains("id BIGINT NOT NULL"))
+    assert(text.contains("PARTITIONED BY (d)"))
+    assert(Main.run(Seq("render-ddl", dir.toString, "nope"), Some(spark)) == 1)
+  }
+}

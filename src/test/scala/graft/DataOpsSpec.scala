@@ -396,4 +396,43 @@ class DataOpsSpec extends AnyFunSuite {
     assert(frames.where(col("frame_no") % 2 =!= 0).count() == 0)
     assert(frames.groupBy("media_id").count().where(col("count") < 1).count() == 0)
   }
+
+  test("mm_decode_real: ImageIO codec decodes and resizes a generated PNG") {
+    import graft.ops.{ImageIOCodec, MediaCodec, StubCodec}
+    // paint a real 64x48 RGB PNG in memory — no external files or jars
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 48)
+      img.setRGB(x, y, (x * 4 << 16) | (y * 5 << 8) | ((x + y) & 0xff))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    assert(ImageIOCodec.decode(png).contains(MediaCodec.Dims(64, 48, 3)))
+    val resized = ImageIOCodec.resize(png, 8, 6).get
+    assert(ImageIOCodec.decode(resized).contains(MediaCodec.Dims(8, 6, 3)))
+    // not-an-image payloads are rejected (→ callers fall back to the stub)
+    assert(ImageIOCodec.decode("plain text".getBytes).isEmpty)
+    assert(MediaCodec.forName("imageio") eq ImageIOCodec)
+    assert(MediaCodec.forName("stub") eq StubCodec)
+    intercept[IllegalArgumentException](MediaCodec.forName("ffmpeg"))
+
+    // end-to-end through the Spark operators: a real PNG row decodes to its
+    // true dims; a text row falls back to stub arithmetic — one stage, both
+    val rows = Seq((1L, png, "image/png"), (2L, "not an image".getBytes, "text/plain"))
+    val media = spark.createDataFrame(rows).toDF("media_id", "content", "media_type")
+    val feats = Multimodal.extractFeatures(media, ImageIOCodec)
+      .orderBy("media_id").collect()
+    assert(feats(0).getInt(2) == 64 && feats(0).getInt(3) == 48 && feats(0).getInt(4) == 3)
+    val textLen = "not an image".getBytes.length
+    assert(feats(1).getInt(2) == 1 + textLen % 1024, "text row must use stub dims")
+    val out = Multimodal.resize(media, 8, 6, ImageIOCodec).orderBy("media_id").collect()
+    assert(out(0).getLong(4) > 0)
+    // the PNG really was rescaled: its output is itself a decodable 8x6 image
+    val stubOut = Multimodal.resize(media, 8, 6).orderBy("media_id").collect()
+    assert(out(0).getString(5) != stubOut(0).getString(5),
+      "real codec output must differ from stub stride-sampling")
+    assert(out(1).getString(5) == stubOut(1).getString(5),
+      "undecodable rows must fall back to the stub deterministically")
+  }
 }
