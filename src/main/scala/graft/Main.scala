@@ -394,20 +394,30 @@ object Main {
 
   // ---- clean --------------------------------------------------------------
 
-  /** Drop staging tables left behind by interrupted create-or-replace swaps
-    * (reference cmd/clean.go drops bruin's temp artifacts). */
+  /** Drop temp artifacts left behind by interrupted swaps (reference
+    * cmd/clean.go): legacy `__stage_` tables, plus `__gen_` generation
+    * tables no longer referenced by their asset's view (a torn write, or a
+    * strategy switch that replaced the view). */
   private def cmdClean(spark: SparkSession): Int = {
     import scala.jdk.CollectionConverters._
+    import graft.materialize.SessionCatalogWarehouse.{GenSep, backingTable}
     var dropped = 0
     spark.catalog.listDatabases().collectAsList().asScala.foreach { db =>
       spark.catalog.listTables(db.name).collectAsList().asScala
-        .filter(_.name.contains("__stage_"))
+        .filter(t => t.tableType != "TEMPORARY")
         .foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS ${db.name}.${t.name}")
-          dropped += 1
+          val fq = s"${db.name}.${t.name}"
+          val orphanGen = t.name.contains(GenSep) && {
+            val base = s"${db.name}.${t.name.substring(0, t.name.indexOf(GenSep))}"
+            !backingTable(spark, base).contains(fq)
+          }
+          if (t.name.contains("__stage_") || orphanGen) {
+            spark.sql(s"DROP TABLE IF EXISTS $fq")
+            dropped += 1
+          }
         }
     }
-    println(s"dropped $dropped staging table(s)")
+    println(s"dropped $dropped abandoned staging/generation table(s)")
     0
   }
 

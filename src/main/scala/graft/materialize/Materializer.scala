@@ -69,14 +69,11 @@ object Materializer {
         // temporary ones), after removing any stale permanent object that
         // would otherwise shadow the fallback.
         wh.ensureSchema(asset.name)
+        // dropAny also reaps generation tables when the asset switched from
+        // a table strategy (whose output is a generation view) to view
         def dropStale(): Unit =
-          if (wh.spark.catalog.tableExists(asset.name)) {
-            val isView =
-              try wh.spark.catalog.getTable(asset.name).tableType == "VIEW"
-              catch { case _: Exception => false }
-            if (isView) wh.spark.sql(s"DROP VIEW IF EXISTS ${asset.name}")
-            else wh.spark.sql(s"DROP TABLE IF EXISTS ${asset.name}")
-          }
+          if (wh.spark.catalog.tableExists(asset.name))
+            SessionCatalogWarehouse.dropAny(wh.spark, asset.name)
         val existsAsTable = wh.spark.catalog.tableExists(asset.name) &&
           (try wh.spark.catalog.getTable(asset.name).tableType != "VIEW"
            catch { case _: Exception => false })

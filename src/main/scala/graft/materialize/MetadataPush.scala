@@ -26,14 +26,19 @@ object MetadataPush {
       spark.sql(s"ALTER $kind $table SET TBLPROPERTIES('comment' = '${q(asset.description)}')")
       applied += 1
     }
-    if (isView) return applied // column comments are table-only DDL
-    val existing = spark.table(table).columns.toSet
+    // column comments are table-only DDL: a graft generation view forwards
+    // them to its backing table (DESCRIBE through the view still shows them);
+    // a plain user view has nowhere to put them
+    val colTarget =
+      if (!isView) table
+      else SessionCatalogWarehouse.backingTable(spark, table).getOrElse { return applied }
+    val existing = spark.table(colTarget).columns.toSet
     asset.columns.filter(c => c.description.nonEmpty && existing.contains(c.name)).foreach { c =>
       try
-        spark.sql(s"ALTER TABLE $table ALTER COLUMN ${c.name} COMMENT '${q(c.description)}'")
+        spark.sql(s"ALTER TABLE $colTarget ALTER COLUMN ${c.name} COMMENT '${q(c.description)}'")
       catch { case _: Exception =>
-        val typ = spark.table(table).schema(c.name).dataType.sql
-        spark.sql(s"ALTER TABLE $table CHANGE COLUMN ${c.name} ${c.name} $typ COMMENT '${q(c.description)}'")
+        val typ = spark.table(colTarget).schema(c.name).dataType.sql
+        spark.sql(s"ALTER TABLE $colTarget CHANGE COLUMN ${c.name} ${c.name} $typ COMMENT '${q(c.description)}'")
       }
       applied += 1
     }

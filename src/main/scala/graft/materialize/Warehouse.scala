@@ -16,9 +16,10 @@ trait Warehouse {
   def spark: SparkSession
   def exists(name: String): Boolean
   def table(name: String): DataFrame
-  /** Full-table replace. Implemented stage-then-rename so a) the new data is
-    * fully written before the old table disappears and b) the SELECT may read
-    * the table it replaces (self-referencing rebuilds: SCD2, merge). */
+  /** Full-table replace. Implemented as a generation write + atomic view
+    * repoint so a) readers see strictly old-or-new data at every instant and
+    * b) the SELECT may read the table it replaces (self-referencing
+    * rebuilds: SCD2, merge). */
   def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
                       clusterBy: Seq[String] = Nil,
                       bucketBy: Seq[String] = Nil, buckets: Int = 0): Unit
@@ -34,6 +35,7 @@ trait Warehouse {
 }
 
 final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
+  import SessionCatalogWarehouse._
 
   override def exists(name: String): Boolean = spark.catalog.tableExists(name)
 
@@ -47,54 +49,67 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts.dropRight(1).mkString(".")}")
   }
 
+  /** View-indirection swap (r4 verdict task #8): the public `name` is a VIEW
+    * over the current generation table `name__gen_<hex>`. Replacing data =
+    * write the next generation, then ONE `CREATE OR REPLACE VIEW` — a single
+    * catalog operation, so readers see strictly old-or-new and a crash at any
+    * point leaves the previous generation fully readable (the old
+    * drop→rename swap had a window with NO table at all). Superseded
+    * generations are reaped after the repoint; `graft clean` sweeps orphans
+    * from torn writes. Self-referencing rebuilds (SCD2/merge reading the
+    * table they replace) read the OLD generation while writing the NEW one —
+    * no read-write conflict by construction. */
   override def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String],
                                clusterBy: Seq[String],
                                bucketBy: Seq[String], buckets: Int): Unit = {
     ensureSchema(name)
-    // Unique stage name: two overlapping runs of the same asset never collide
-    // on the staging table. On a v2 catalog (Delta/Iceberg) this whole method
-    // becomes a single atomic CREATE OR REPLACE TABLE AS.
-    val stage = s"${name}__stage_${java.lang.Long.toHexString(System.nanoTime())}"
-    var targetDropped = false
+    val gen = s"${name}$GenSep${java.lang.Long.toHexString(System.nanoTime())}"
     try {
-      write(df, partitionBy, clusterBy, bucketBy, buckets).mode(SaveMode.Overwrite).saveAsTable(stage)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      targetDropped = true
-      spark.sql(s"ALTER TABLE $stage RENAME TO $name")
-      // Hive-style partition metadata stores absolute locations; the rename
-      // moves the directory, so re-discover partitions from the new path.
-      if (partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $name")
+      write(df, partitionBy, clusterBy, bucketBy, buckets)
+        .mode(SaveMode.Overwrite).saveAsTable(gen)
+      // one-time migration: a pre-indirection plain TABLE must vacate the
+      // name before the view can claim it (this is the only remaining
+      // non-atomic window, and it is crossed exactly once per legacy table)
+      if (exists(name) && !isView(spark, name)) spark.sql(s"DROP TABLE $name")
+      spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $gen")
     } catch {
       case e: Throwable =>
-        // only reap the stage while the old target still exists — once the
-        // target is dropped, the stage holds the ONLY copy of the data and
-        // must survive for recovery (`graft clean` reaps abandoned stages)
-        if (!targetDropped)
-          try spark.sql(s"DROP TABLE IF EXISTS $stage") catch { case _: Throwable => () }
+        // the repoint never happened — the new generation is garbage, the
+        // previous one is still what the view serves
+        try spark.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
         throw e
     }
+    // compare by simple name: `generations` returns db-qualified names while
+    // `gen` inherits the caller's (possibly unqualified) spelling
+    generations(spark, name).filterNot(_.split('.').last == gen.split('.').last)
+      .foreach(g => try spark.sql(s"DROP TABLE IF EXISTS $g") catch { case _: Throwable => () })
   }
 
   override def append(name: String, df: DataFrame, partitionBy: Seq[String],
                       clusterBy: Seq[String],
                       bucketBy: Seq[String], buckets: Int): Unit = {
     ensureSchema(name)
+    // appends land in the CURRENT generation behind the view (the view text
+    // `SELECT * FROM gen` keeps serving; parquet appends are file-level
+    // additive, so a crash mid-append never loses existing rows)
+    val target = backingTable(spark, name).getOrElse(name)
     // Keep the table's partition layout on append — writing unpartitioned
     // into a partitioned table silently forks its layout.
-    val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
-    write(df, parts, clusterBy, bucketBy, buckets).mode(SaveMode.Append).saveAsTable(name)
+    val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(target)
+    write(df, parts, clusterBy, bucketBy, buckets).mode(SaveMode.Append).saveAsTable(target)
   }
 
   override def overwrite(name: String, df: DataFrame, partitionBy: Seq[String],
                          clusterBy: Seq[String],
                          bucketBy: Seq[String], buckets: Int): Unit = {
-    // The writer can't overwrite a table it reads from; stage-swap instead,
-    // preserving the partition layout.
-    val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(name)
+    // The writer can't overwrite a table it reads from; generation-swap
+    // instead, preserving the partition layout.
+    val target = backingTable(spark, name).getOrElse(name)
+    val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(target)
     createOrReplace(name, df, parts, clusterBy, bucketBy, buckets)
   }
 
-  override def drop(name: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $name")
+  override def drop(name: String): Unit = SessionCatalogWarehouse.dropAny(spark, name)
 
   /** Existing partition columns of `name` ([] when absent/unpartitioned). */
   private def tablePartitionColumns(name: String): Seq[String] =
@@ -106,7 +121,7 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
           .filter(_.isPartition).map(_.name)
       } catch { case _: Throwable => Nil }
 
-  private def write(df: DataFrame, partitionBy: Seq[String], clusterBy: Seq[String] = Nil,
+  private[materialize] def write(df: DataFrame, partitionBy: Seq[String], clusterBy: Seq[String] = Nil,
                     bucketBy: Seq[String] = Nil, buckets: Int = 0) = {
     // Cluster writes by the partition columns so each output partition is
     // written by few tasks (avoids the small-files explosion at scale).
@@ -128,5 +143,57 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
     if (bucketBy.nonEmpty && buckets > 0)
       w1.bucketBy(buckets, bucketBy.head, bucketBy.tail: _*).sortBy(bucketBy.head, bucketBy.tail: _*)
     else w1
+  }
+}
+
+object SessionCatalogWarehouse {
+
+  /** Generation-table suffix separator: `orders__gen_1a2b3c`. */
+  val GenSep = "__gen_"
+
+  private[materialize] def isView(spark: SparkSession, name: String): Boolean =
+    try spark.catalog.getTable(name).tableType == "VIEW"
+    catch { case _: Exception => false }
+
+  /** All generation tables of `name`, fully qualified. */
+  def generations(spark: SparkSession, name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val parts = name.split('.')
+    val (db, tbl) =
+      if (parts.length > 1) (parts.dropRight(1).mkString("."), parts.last)
+      else (spark.catalog.currentDatabase, parts.last)
+    if (!spark.catalog.databaseExists(db)) Nil
+    else spark.catalog.listTables(db).collectAsList().asScala.toSeq
+      .filter(t => t.tableType != "TEMPORARY" && t.name.startsWith(tbl + GenSep))
+      .map(t => s"$db.${t.name}")
+  }
+
+  /** The generation table a graft view currently serves, when `name` is such
+    * a view. Resolution: the view text names its generation; among the
+    * live generations, the one whose simple name appears in the DDL wins
+    * (torn writes can leave extra generations behind — never pick those). */
+  def backingTable(spark: SparkSession, name: String): Option[String] =
+    if (!isView(spark, name)) scala.None
+    else {
+      val gens = generations(spark, name)
+      gens match {
+        case Seq() => scala.None
+        case Seq(only) => Some(only)
+        case several =>
+          val ddl =
+            try spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+            catch { case _: Exception => "" }
+          several.find(g => ddl.contains(g.split('.').last)).orElse(Some(several.max))
+      }
+    }
+
+  /** Drop `name` whatever it is — view (plus its generations) or table.
+    * The one safe spell for callers that can't know which world a target
+    * was materialized in. */
+  def dropAny(spark: SparkSession, name: String): Unit = {
+    if (isView(spark, name)) spark.sql(s"DROP VIEW IF EXISTS $name")
+    else spark.sql(s"DROP TABLE IF EXISTS $name")
+    generations(spark, name)
+      .foreach(g => try spark.sql(s"DROP TABLE IF EXISTS $g") catch { case _: Throwable => () })
   }
 }

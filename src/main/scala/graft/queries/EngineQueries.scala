@@ -321,7 +321,8 @@ object EngineQueries {
       import java.nio.file.{Files, StandardCopyOption}
       import org.apache.spark.sql.{Column => SCol, DataFrame}
       s.sql("DROP VIEW IF EXISTS g_cdc_orders")
-      s.sql("DROP TABLE IF EXISTS g_cdc_orders__cdc_state")
+      // the state table is itself a generation view now — drop whichever
+      graft.materialize.SessionCatalogWarehouse.dropAny(s, "g_cdc_orders__cdc_state")
       val base = s.table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))

@@ -178,17 +178,21 @@ object Streams {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
     val state = asset.name + "__cdc_state"
-    // the asset must be (or become) a VIEW over the state table; a
-    // pre-existing TABLE of the same name (e.g. a previous streamingMerge
-    // target) would make CREATE OR REPLACE VIEW crash mid-stream — fail
-    // fast with a migration path instead
+    // the asset must be (or become) the CDC VIEW over the state table; a
+    // pre-existing TABLE — or a warehouse-materialized generation view (a
+    // previous streamingMerge / batch target) — holds rows that are not
+    // change events and cannot be folded into CDC state. Fail fast with a
+    // migration path instead of crashing (or silently shadowing data)
+    // mid-stream. Re-runs pass: the CDC view itself backs onto no __gen_.
     val cat = wh.spark.catalog
-    if (cat.tableExists(asset.name) &&
-        cat.getTable(asset.name).tableType != "VIEW")
+    val tableShaped = cat.tableExists(asset.name) &&
+      (cat.getTable(asset.name).tableType != "VIEW" ||
+        graft.materialize.SessionCatalogWarehouse.backingTable(wh.spark, asset.name).nonEmpty)
+    if (tableShaped)
       throw new IllegalStateException(
-        s"${asset.name} already exists as a TABLE; CDC apply materializes a " +
-          s"view over $state. Drop or rename the table (its rows are not " +
-          "change events and cannot be folded into CDC state) and re-run.")
+        s"${asset.name} already exists as a TABLE-backed target; CDC apply " +
+          s"materializes a view over $state. Drop or rename it (its rows are " +
+          "not change events and cannot be folded into CDC state) and re-run.")
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window

@@ -36,8 +36,8 @@ class CliSpec extends AnyFunSuite {
     val target = root.resolve("starter").toString
     assert(Main.run(Seq("init", "default", target), Some(spark)) == 0)
     spark.sql("CREATE DATABASE IF NOT EXISTS dataset")
-    spark.sql("DROP TABLE IF EXISTS dataset.player_stats")
-    spark.sql("DROP TABLE IF EXISTS dataset.players")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "dataset.player_stats")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "dataset.players")
     assert(Main.run(Seq("run", target), Some(spark)) == 0)
     val stats = spark.table("dataset.player_stats").orderBy("name").collect()
     assert(stats.length == 4) // 5 seed rows, Magnus twice
@@ -122,7 +122,7 @@ class CliSpec extends AnyFunSuite {
 
   test("import adopts catalog tables as empty assets with columns") {
     spark.sql("CREATE DATABASE IF NOT EXISTS import_src")
-    spark.sql("DROP TABLE IF EXISTS import_src.t_adopt")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "import_src.t_adopt")
     spark.sql("CREATE TABLE import_src.t_adopt AS SELECT 1 AS id, 'x' AS label")
     val dir = tmpDir("graft-import").toString
     assert(Main.run(Seq("import", dir, "--schema", "import_src"), Some(spark)) == 0)
@@ -167,7 +167,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("patch fill-columns-from-db merges catalog schema into the asset") {
-    spark.sql("DROP TABLE IF EXISTS patch_cols")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "patch_cols")
     spark.sql("CREATE TABLE patch_cols AS SELECT 1 AS id, 'x' AS label, 2.5 AS score")
     val dir = tmpDir("graft-patch-cols")
     val assets = dir.resolve("assets")

@@ -189,7 +189,7 @@ class EngineSpec extends AnyFunSuite {
       connections = Map("wh" -> Connection("wh", typ = "jdbc", uri = "jdbc:derby:memory:x")))
     val p = Pipeline(name = "pyp", assets = Seq(asset))
 
-    spark.sql("DROP TABLE IF EXISTS py_merged")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "py_merged")
     val r1 = new PipelineRunner(spark, environment = env)
     assert(r1.run(p).values.forall(_.status == Scheduler.Succeeded))
     val r2 = new PipelineRunner(spark, environment = env,
@@ -327,7 +327,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("streaming append path writes finalized windows to a catalog table") {
-    spark.sql("DROP TABLE IF EXISTS t_stream_append")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "t_stream_append")
     val agg = Streams.windowedCounts(Streams.eventStream(spark, s"$sfDir/events.parquet"))
     val out = Streams.runAppendToTable(spark, agg, "t_stream_append",
       checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-test-cp").toString))

@@ -150,9 +150,12 @@ class MaterializerSpec extends AnyFunSuite {
 
   test("append and truncate_insert keep the table's partition layout") {
     val wh = new SessionCatalogWarehouse(spark)
+    // partition layout is a property of the current generation table (the
+    // public name is a view since the atomic-swap change)
     def partCols(t: String): Seq[String] = {
       import scala.jdk.CollectionConverters._
-      spark.catalog.listColumns(t).collectAsList().asScala.toSeq
+      val target = SessionCatalogWarehouse.backingTable(spark, t).getOrElse(t)
+      spark.catalog.listColumns(target).collectAsList().asScala.toSeq
         .filter(_.isPartition).map(_.name)
     }
     val asset = Asset(name = "t_part_append",
@@ -347,5 +350,61 @@ class MaterializerSpec extends AnyFunSuite {
     val asset = Asset(name = "noop_asset") // default type = none
     // would OOM the driver if collected at scale; here just assert it runs
     Materializer.execute(wh, asset, "SELECT explode(sequence(1, 1000)) AS n")
+  }
+
+  test("createOrReplace swap is atomic: no crash window without a readable table") {
+    val wh = new SessionCatalogWarehouse(spark)
+    val name = "swap_atomic_t"
+    wh.drop(name)
+    wh.createOrReplace(name, spark.range(5).toDF("n"))
+    assert(spark.table(name).count() == 5)
+    // the public name is a view over exactly one generation table
+    def isView(n: String) = spark.catalog.getTable(n).tableType == "VIEW"
+    assert(isView(name))
+    assert(SessionCatalogWarehouse.generations(spark, name).size == 1)
+    val gen1 = SessionCatalogWarehouse.backingTable(spark, name).get
+
+    // simulate a writer that crashed AFTER writing its generation but BEFORE
+    // the view repoint: an extra generation table appears — readers are
+    // untouched, and the backing resolution still picks the live generation
+    spark.range(99).toDF("n").write.saveAsTable(
+      s"$name${SessionCatalogWarehouse.GenSep}deadbeef")
+    assert(spark.table(name).count() == 5, "torn write must not affect readers")
+    assert(SessionCatalogWarehouse.backingTable(spark, name).contains(gen1))
+
+    // `graft clean` reaps the orphan, not the live generation
+    assert(Main.run(Seq("clean"), Some(spark)) == 0)
+    assert(!spark.catalog.tableExists(s"$name${SessionCatalogWarehouse.GenSep}deadbeef"))
+    assert(spark.table(name).count() == 5)
+
+    // a replace swaps generations atomically and reaps the old one
+    wh.createOrReplace(name, spark.range(7).toDF("n"))
+    assert(spark.table(name).count() == 7)
+    assert(SessionCatalogWarehouse.generations(spark, name).size == 1)
+    assert(SessionCatalogWarehouse.backingTable(spark, name).get != gen1)
+
+    // a failed replace leaves the current generation serving
+    intercept[Exception] {
+      wh.createOrReplace(name, spark.sql("SELECT assert_true(false) AS n"))
+    }
+    assert(spark.table(name).count() == 7, "failed swap must leave old data live")
+    assert(SessionCatalogWarehouse.generations(spark, name).size == 1)
+
+    // appends land in the current generation through the view
+    wh.append(name, spark.range(3).toDF("n"))
+    assert(spark.table(name).count() == 10)
+
+    // legacy migration: a plain pre-indirection TABLE is adopted on replace
+    val legacy = "swap_legacy_t"
+    spark.sql(s"DROP VIEW IF EXISTS $legacy")
+    spark.sql(s"DROP TABLE IF EXISTS $legacy")
+    spark.range(2).toDF("n").write.saveAsTable(legacy)
+    wh.createOrReplace(legacy, spark.range(4).toDF("n"))
+    assert(spark.table(legacy).count() == 4)
+    assert(isView(legacy))
+    wh.drop(legacy)
+    wh.drop(name)
+    assert(SessionCatalogWarehouse.generations(spark, name).isEmpty,
+      "drop must reap generations")
   }
 }

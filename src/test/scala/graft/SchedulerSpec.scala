@@ -77,7 +77,7 @@ class SchedulerSpec extends AnyFunSuite {
       Sensors.querySensor(spark, "SELECT 0", mode = "wait",
         pokeIntervalMs = 1, timeoutMs = 3, sleep = _ => ())
     }
-    spark.sql("DROP TABLE IF EXISTS sensor_target")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "sensor_target")
     intercept[Sensors.SensorTimeout] {
       Sensors.tableSensor(spark, "sensor_target", mode = "once")
     }
@@ -205,8 +205,8 @@ class SchedulerSpec extends AnyFunSuite {
     assert(dev.physicalName("cat.sales.orders") == "cat.dev_sales.orders")
     assert(dev.physicalName("orders") == "dev_orders")
 
-    spark.sql("DROP TABLE IF EXISTS dev_expensive_products")
-    spark.sql("DROP TABLE IF EXISTS dev_product_summary")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "dev_expensive_products")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "dev_product_summary")
     val p = AssetParser.loadPipeline(pipelineDir)
     val runner = new PipelineRunner(spark, baseDir = pipelineDir, environment = dev)
     val results = runner.run(p)
@@ -226,8 +226,8 @@ class SchedulerSpec extends AnyFunSuite {
     // qualified VIEW assets resolve under the prefix too (materialized as
     // tables in the dev sandbox)
     spark.sql("CREATE DATABASE IF NOT EXISTS dev_vs")
-    spark.sql("DROP TABLE IF EXISTS dev_vs.v_prices")
-    spark.sql("DROP TABLE IF EXISTS dev_vs.price_stats")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "dev_vs.v_prices")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "dev_vs.price_stats")
     val vp = Pipeline(name = "vp", assets = Seq(
       Asset(name = "vs.v_prices", content = "SELECT 42 AS price",
         materialization = Materialization(typ = MaterializationType.View)),
@@ -245,7 +245,7 @@ class SchedulerSpec extends AnyFunSuite {
     import graft.config.Environment
     val dev = Environment(name = "dev", schemaPrefix = "dev_")
     Seq("scr_src", "dev_scr_src", "scr_scratch", "dev_scr_scratch")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
     // the script's CTAS names an AD-HOC table (not a pipeline asset): the
     // sandbox prefix must still apply, or dev runs would write prod names
     // (ADVICE r2 — write targets of script DDL were not renamed)
@@ -336,7 +336,7 @@ class SchedulerSpec extends AnyFunSuite {
     val dir = "src/test/resources/pipelines/full"
     Seq("raw_products", "raw_orders", "product_stats", "product_flags",
         "dev_raw_products", "dev_raw_orders", "dev_product_stats", "dev_product_flags")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
 
     // glossary enrichment happened at load
     val p = AssetParser.loadPipeline(dir)
@@ -370,8 +370,8 @@ class SchedulerSpec extends AnyFunSuite {
     // query --asset under the dev environment reads the dev tables, not
     // prod: with the prod upstreams dropped, the query only resolves if
     // the renames actually applied
-    spark.sql("DROP TABLE IF EXISTS raw_products")
-    spark.sql("DROP TABLE IF EXISTS raw_orders")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "raw_products")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "raw_orders")
     assert(Main.run(Seq("query", "--asset", "product_stats", "--dir", dir,
       "--environment", "dev", "--limit", "5"), Some(spark)) == 0)
     intercept[Exception] { // un-renamed read hits the dropped prod tables
@@ -381,8 +381,8 @@ class SchedulerSpec extends AnyFunSuite {
   }
 
   test("multi-statement script assets run each statement in order") {
-    spark.sql("DROP TABLE IF EXISTS ms_a")
-    spark.sql("DROP TABLE IF EXISTS ms_b")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "ms_a")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "ms_b")
     val p = Pipeline(name = "p", assets = Seq(
       Asset(name = "script", content =
         """CREATE TABLE ms_a USING parquet AS SELECT 1 AS x;
@@ -580,7 +580,7 @@ class SchedulerSpec extends AnyFunSuite {
       java.time.LocalDateTime.of(2024, 1, 10, 12, 0), "-1M") ==
       java.time.LocalDateTime.of(2023, 12, 10, 12, 0))
 
-    spark.sql("DROP TABLE IF EXISTS im_out")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "im_out")
     val p = Pipeline(name = "p", assets = Seq(
       Asset(name = "im_out",
         content = "SELECT '{{ start_datetime }}' AS s, '{{ end_datetime }}' AS e",
