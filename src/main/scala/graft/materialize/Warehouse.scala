@@ -32,6 +32,13 @@ trait Warehouse {
                 bucketBy: Seq[String] = Nil, buckets: Int = 0): Unit
   def drop(name: String): Unit
   def ensureSchema(name: String): Unit
+  /** Dynamic-partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition untouched — the incremental write
+    * primitive for partition-bucketed state (cost scales with touched
+    * partitions, not table size). The table must exist and be partitioned.
+    * NOT atomic across partitions (file-level replace per partition); on a
+    * transactional catalog this maps to `replaceWhere`/`MERGE`. */
+  def overwritePartitions(name: String, df: DataFrame): Unit
 }
 
 final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
@@ -64,24 +71,33 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
                                bucketBy: Seq[String], buckets: Int): Unit = {
     ensureSchema(name)
     val gen = s"${name}$GenSep${java.lang.Long.toHexString(System.nanoTime())}"
-    try {
-      write(df, partitionBy, clusterBy, bucketBy, buckets)
-        .mode(SaveMode.Overwrite).saveAsTable(gen)
-      // one-time migration: a pre-indirection plain TABLE must vacate the
-      // name before the view can claim it (this is the only remaining
-      // non-atomic window, and it is crossed exactly once per legacy table)
-      if (exists(name) && !isView(spark, name)) spark.sql(s"DROP TABLE $name")
-      spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $gen")
-    } catch {
-      case e: Throwable =>
-        // the repoint never happened — the new generation is garbage, the
-        // previous one is still what the view serves
-        try spark.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
-        throw e
-    }
-    // compare by simple name: `generations` returns db-qualified names while
-    // `gen` inherits the caller's (possibly unqualified) spelling
-    generations(spark, name).filterNot(_.split('.').last == gen.split('.').last)
+    // resolve the outgoing generation BEFORE the repoint (one SHOW CREATE
+    // TABLE) — a listTables scan per write would make every materialization
+    // pay O(catalog size); orphans from torn writes are `graft clean`'s job
+    val prevBacking =
+      try {
+        write(df, partitionBy, clusterBy, bucketBy, buckets)
+          .mode(SaveMode.Overwrite).saveAsTable(gen)
+        val prev =
+          if (!exists(name)) scala.None
+          else if (!isView(spark, name)) {
+            // one-time migration: a pre-indirection plain TABLE must vacate
+            // the name before the view can claim it (the only remaining
+            // non-atomic window, crossed exactly once per legacy table)
+            spark.sql(s"DROP TABLE $name"); scala.None
+          } else backingFromDdl(spark, name)
+        spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $gen")
+        prev
+      } catch {
+        case e: Throwable =>
+          // the repoint never happened — the new generation is garbage, the
+          // previous one is still what the view serves
+          try spark.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+          throw e
+      }
+    // compare by simple name: resolution may return a db-qualified spelling
+    // while `gen` inherits the caller's (possibly unqualified) one
+    prevBacking.filterNot(_.split('.').last == gen.split('.').last)
       .foreach(g => try spark.sql(s"DROP TABLE IF EXISTS $g") catch { case _: Throwable => () })
   }
 
@@ -110,6 +126,23 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
   }
 
   override def drop(name: String): Unit = SessionCatalogWarehouse.dropAny(spark, name)
+
+  override def overwritePartitions(name: String, df: DataFrame): Unit = {
+    // resolve through the generation view to the physical table; insertInto
+    // is position-based, so align to the table's column order first
+    val target = backingTable(spark, name).getOrElse(name)
+    val ordered = df.select(spark.table(target).columns.map(org.apache.spark.sql.functions.col): _*)
+    // the write executes under df's session (a foreachBatch clone, in the
+    // streaming path) — flip the overwrite mode THERE, not on wh.spark
+    val sess = ordered.sparkSession
+    val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try ordered.write.mode(SaveMode.Overwrite).insertInto(target)
+    finally prev match {
+      case Some(v) => sess.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case scala.None => sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** Existing partition columns of `name` ([] when absent/unpartitioned). */
   private def tablePartitionColumns(name: String): Seq[String] =
@@ -168,23 +201,36 @@ object SessionCatalogWarehouse {
       .map(t => s"$db.${t.name}")
   }
 
+  private val GenRef = ("[A-Za-z0-9_.]*" + GenSep + "[0-9a-f]+").r
+
+  /** Fast backing resolution: parse the generation reference straight out of
+    * the view's stored text (one catalog call, no table listing). */
+  private[materialize] def backingFromDdl(spark: SparkSession, name: String): Option[String] =
+    try {
+      val ddl = spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+        .replace("`", "")
+      // re-qualify an unqualified reference with the view's own schema so
+      // callers in a different current database still hit the right table
+      GenRef.findFirstIn(ddl).map { g =>
+        if (g.contains('.') || !name.contains('.')) g
+        else name.split('.').dropRight(1).mkString(".") + "." + g
+      }
+    } catch { case _: Exception => scala.None }
+
   /** The generation table a graft view currently serves, when `name` is such
-    * a view. Resolution: the view text names its generation; among the
-    * live generations, the one whose simple name appears in the DDL wins
-    * (torn writes can leave extra generations behind — never pick those). */
+    * a view. Resolution: the view text names its generation (fast path); the
+    * listing fallback covers views whose text a catalog quirk hides. Torn
+    * writes can leave EXTRA generations behind — never pick those. */
   def backingTable(spark: SparkSession, name: String): Option[String] =
     if (!isView(spark, name)) scala.None
-    else {
-      val gens = generations(spark, name)
-      gens match {
-        case Seq() => scala.None
-        case Seq(only) => Some(only)
-        case several =>
-          val ddl =
-            try spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
-            catch { case _: Exception => "" }
-          several.find(g => ddl.contains(g.split('.').last)).orElse(Some(several.max))
-      }
+    else backingFromDdl(spark, name) match {
+      case some @ Some(_) => some
+      case scala.None =>
+        generations(spark, name) match {
+          case Seq() => scala.None
+          case Seq(only) => Some(only)
+          case several => Some(several.max)
+        }
     }
 
   /** Drop `name` whatever it is — view (plus its generations) or table.

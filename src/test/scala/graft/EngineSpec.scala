@@ -452,6 +452,61 @@ class EngineSpec extends AnyFunSuite {
     wh.drop("cdc_clash")
   }
 
+  test("bucketed CDC state writer rewrites only the touched hash buckets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val wh = new SessionCatalogWarehouse(spark)
+    wh.drop("bkt_state")
+    val w = new Streams.BucketedStateWriter(Seq("id"), buckets = 8)
+    val win = Window.partitionBy(col("id")).orderBy(col("seq").desc, col("op").desc)
+    def latestOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
+
+    val b1 = spark.createDataFrame(Seq(
+      (1, "one", "c", 1L), (2, "two", "c", 1L), (3, "three", "c", 1L)))
+      .toDF("id", "v", "op", "seq")
+    w.upsert(wh, "bkt_state", latestOf(b1), latestOf, Nil, Nil)
+
+    // state is a generation view over a table partitioned by the key bucket
+    val backing = SessionCatalogWarehouse.backingTable(spark, "bkt_state").get
+    import scala.jdk.CollectionConverters._
+    assert(spark.catalog.listColumns(backing).collectAsList().asScala
+      .filter(_.isPartition).map(_.name).toSeq == Seq("__bucket"))
+
+    val filesBefore = spark.table("bkt_state")
+      .select(col("id"), input_file_name().as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    // second batch: update id=1 (higher seq), insert id=4, late-loser for
+    // id=2 (lower seq must NOT win) — buckets of ids 2,3 untouched unless
+    // they collide with 1/4's buckets
+    val b2 = spark.createDataFrame(Seq(
+      (1, "uno", "u", 3L), (4, "four", "c", 2L), (2, "stale", "u", 0L)))
+      .toDF("id", "v", "op", "seq")
+    w.upsert(wh, "bkt_state", latestOf(b2), latestOf, Nil, Nil)
+
+    val rows = spark.table("bkt_state")
+      .select("id", "v").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows == Map(1 -> "uno", 2 -> "two", 3 -> "three", 4 -> "four"),
+      s"LWW by seq violated: $rows")
+
+    // rows whose bucket was NOT in the batch keep their exact files —
+    // the incremental write never rewrote their partitions
+    val bucketOf = spark.range(0).sparkSession.createDataFrame(
+      Seq(Tuple1(1), Tuple1(2), Tuple1(3), Tuple1(4))).toDF("id")
+      .select(col("id"), pmod(hash(col("id")), lit(8)).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val touched = Set(bucketOf(1), bucketOf(2), bucketOf(4))
+    val filesAfter = spark.table("bkt_state")
+      .select(col("id"), input_file_name().as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    Seq(2, 3).filterNot(id => touched(bucketOf(id))).foreach { id =>
+      assert(filesAfter(id) == filesBefore(id),
+        s"untouched bucket of id=$id was rewritten")
+    }
+    wh.drop("bkt_state")
+  }
+
   test("stream sources resolve by scheme; +cdc URIs flag CDC semantics") {
     val mock = new graft.streaming.StreamSource {
       override val scheme = "mockbroker"
