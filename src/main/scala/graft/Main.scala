@@ -61,7 +61,7 @@ object Main {
         // machine-readable model dump for tooling (reference internal.go)
         println(graft.model.JsonDump.pipeline(
           AssetParser.loadPipeline(pos.headOption.getOrElse(".")))); 0
-      case Some("clean")        => cmdClean(spark)
+      case Some("clean")        => cmdClean(spark, flags)
       case Some("init")         => graft.cli.ProjectCli.cmdInit(flags, pos)
       case Some("connections")  => graft.cli.ProjectCli.cmdConnections(flags, pos)
       case Some("import")       => graft.cli.ProjectCli.cmdImport(spark, flags, pos)
@@ -397,10 +397,19 @@ object Main {
   /** Drop temp artifacts left behind by interrupted swaps (reference
     * cmd/clean.go): legacy `__stage_` tables, plus `__gen_` generation
     * tables no longer referenced by their asset's view (a torn write, or a
-    * strategy switch that replaced the view). */
-  private def cmdClean(spark: SparkSession): Int = {
+    * strategy switch that replaced the view). `--grace <seconds>` (default
+    * 900) keeps generations younger than the window: a createOrReplace that
+    * has written its generation but not yet repointed the view looks exactly
+    * like an orphan, so reaping without a grace period would drop an
+    * in-flight write's data out from under it. The generation suffix IS its
+    * creation nanoTime (same-machine monotonic clock), so age needs no extra
+    * catalog round-trip; an unparseable suffix is treated as old. */
+  private def cmdClean(spark: SparkSession, flags: Map[String, Seq[String]]): Int = {
     import scala.jdk.CollectionConverters._
     import graft.materialize.SessionCatalogWarehouse.{GenSep, backingTable}
+    val graceNanos =
+      flags("--grace").headOption.map(_.toLong).getOrElse(900L) * 1000000000L
+    val now = System.nanoTime()
     var dropped = 0
     spark.catalog.listDatabases().collectAsList().asScala.foreach { db =>
       spark.catalog.listTables(db.name).collectAsList().asScala
@@ -409,7 +418,10 @@ object Main {
           val fq = s"${db.name}.${t.name}"
           val orphanGen = t.name.contains(GenSep) && {
             val base = s"${db.name}.${t.name.substring(0, t.name.indexOf(GenSep))}"
-            !backingTable(spark, base).contains(fq)
+            val pastGrace = scala.util.Try(java.lang.Long.parseUnsignedLong(
+              t.name.substring(t.name.indexOf(GenSep) + GenSep.length), 16))
+              .toOption.forall(created => now - created > graceNanos)
+            pastGrace && !backingTable(spark, base).contains(fq)
           }
           if (t.name.contains("__stage_") || orphanGen) {
             spark.sql(s"DROP TABLE IF EXISTS $fq")

@@ -77,7 +77,12 @@ object Materializer {
         val existsAsTable = wh.spark.catalog.tableExists(asset.name) &&
           (try wh.spark.catalog.getTable(asset.name).tableType != "VIEW"
            catch { case _: Exception => false })
-        if (existsAsTable) dropStale()
+        // a generation VIEW (asset switched table→view) must also vacate:
+        // CREATE OR REPLACE VIEW would succeed over it but strand its
+        // generations as orphans and leave a stale backing-cache entry
+        if (existsAsTable ||
+            SessionCatalogWarehouse.backingTable(wh.spark, asset.name).nonEmpty)
+          dropStale()
         try wh.spark.sql(s"CREATE OR REPLACE VIEW ${asset.name} AS\n$query")
         catch { case _: org.apache.spark.sql.AnalysisException =>
           dropStale() // never leave a stale object shadowing the temp view

@@ -74,6 +74,7 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
     // resolve the outgoing generation BEFORE the repoint (one SHOW CREATE
     // TABLE) — a listTables scan per write would make every materialization
     // pay O(catalog size); orphans from torn writes are `graft clean`'s job
+    var legacyDropped = false
     val prevBacking =
       try {
         write(df, partitionBy, clusterBy, bucketBy, buckets)
@@ -84,15 +85,25 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
             // one-time migration: a pre-indirection plain TABLE must vacate
             // the name before the view can claim it (the only remaining
             // non-atomic window, crossed exactly once per legacy table)
-            spark.sql(s"DROP TABLE $name"); scala.None
+            spark.sql(s"DROP TABLE $name"); legacyDropped = true; scala.None
           } else backingFromDdl(spark, name)
         spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $gen")
+        backingCache.put(cacheKey(spark, name), qualified(spark, gen))
         prev
       } catch {
         case e: Throwable =>
-          // the repoint never happened — the new generation is garbage, the
-          // previous one is still what the view serves
-          try spark.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+          invalidateBacking(spark, name)
+          // the repoint never happened. When a previous view (or nothing) held
+          // the name, the new generation is garbage — reap it. But on the
+          // one-time migration path the legacy table is already gone, so `gen`
+          // is the ONLY remaining copy of the data: leave it on disk for
+          // recovery (`graft clean --grace` keeps fresh generations safe).
+          if (!legacyDropped)
+            try spark.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+          else System.err.println(
+            s"graft: view repoint for $name failed after migrating a legacy " +
+              s"table; data preserved in $gen — recover with CREATE OR " +
+              s"REPLACE VIEW $name AS SELECT * FROM $gen")
           throw e
       }
     // compare by simple name: resolution may return a db-qualified spelling
@@ -132,16 +143,19 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
     // is position-based, so align to the table's column order first
     val target = backingTable(spark, name).getOrElse(name)
     val ordered = df.select(spark.table(target).columns.map(org.apache.spark.sql.functions.col): _*)
-    // the write executes under df's session (a foreachBatch clone, in the
-    // streaming path) — flip the overwrite mode THERE, not on wh.spark
-    val sess = ordered.sparkSession
-    val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try ordered.write.mode(SaveMode.Overwrite).insertInto(target)
-    finally prev match {
-      case Some(v) => sess.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case scala.None => sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // run the insert under a CLONED session with dynamic overwrite mode:
+    // toggling the shared session's conf would race concurrent writers into
+    // the wrong mode, and the per-write DataFrameWriter option is ignored by
+    // insertInto's analysis path (verifyNotReadPath fires under static mode)
+    val sess = org.apache.spark.sql.graft.SqlBridge.sessionWithConf(
+      ordered.sparkSession, "spark.sql.sources.partitionOverwriteMode" -> "dynamic")
+    org.apache.spark.sql.graft.SqlBridge
+      .ofRows(sess, org.apache.spark.sql.graft.SqlBridge.analyzedPlan(ordered))
+      .write.mode(SaveMode.Overwrite).insertInto(target)
+    // the insert refreshed the CLONE's relation cache; readers resolve
+    // through the original sessions, whose cached file listings are now stale
+    ordered.sparkSession.catalog.refreshTable(target)
+    if (!(spark eq ordered.sparkSession)) spark.catalog.refreshTable(target)
   }
 
   /** Existing partition columns of `name` ([] when absent/unpartitioned). */
@@ -184,6 +198,29 @@ object SessionCatalogWarehouse {
   /** Generation-table suffix separator: `orders__gen_1a2b3c`. */
   val GenSep = "__gen_"
 
+  /** In-process view→generation resolution cache. Every materialization (and,
+    * worse, every streaming micro-batch) otherwise pays a SHOW CREATE TABLE
+    * round-trip just to find its backing table. All writers in this JVM go
+    * through this object, so the cache is invalidated exactly at the two
+    * mutation points (repoint, drop); a cross-path drop is caught by the
+    * cheap tableExists guard on read. Keys are catalog-qualified lowercase
+    * names, so resolution is stable across currentDatabase changes. */
+  private val backingCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cacheKey(spark: SparkSession, name: String): String = {
+    val n = name.replace("`", "").toLowerCase
+    if (n.contains('.')) n else s"${spark.catalog.currentDatabase.toLowerCase}.$n"
+  }
+
+  private def qualified(spark: SparkSession, name: String): String =
+    if (name.contains('.')) name else s"${spark.catalog.currentDatabase}.$name"
+
+  /** Drop `name`'s cached backing resolution — required after any view
+    * repoint or drop that bypasses this object (e.g. a raw CREATE OR REPLACE
+    * VIEW claiming a name a generation view previously held). */
+  def invalidateBacking(spark: SparkSession, name: String): Unit =
+    backingCache.remove(cacheKey(spark, name))
+
   private[materialize] def isView(spark: SparkSession, name: String): Boolean =
     try spark.catalog.getTable(name).tableType == "VIEW"
     catch { case _: Exception => false }
@@ -218,25 +255,45 @@ object SessionCatalogWarehouse {
     } catch { case _: Exception => scala.None }
 
   /** The generation table a graft view currently serves, when `name` is such
-    * a view. Resolution: the view text names its generation (fast path); the
-    * listing fallback covers views whose text a catalog quirk hides. Torn
-    * writes can leave EXTRA generations behind — never pick those. */
-  def backingTable(spark: SparkSession, name: String): Option[String] =
-    if (!isView(spark, name)) scala.None
-    else backingFromDdl(spark, name) match {
+    * a view. Resolution: the in-process cache (no catalog round-trip beyond
+    * a tableExists guard); else the view text names its generation (one SHOW
+    * CREATE TABLE); the listing fallback covers views whose text a catalog
+    * quirk hides. Torn writes can leave EXTRA generations behind — never
+    * pick those. */
+  def backingTable(spark: SparkSession, name: String): Option[String] = {
+    val key = cacheKey(spark, name)
+    val cached = Option(backingCache.get(key))
+      .filter(g => try spark.catalog.tableExists(g) catch { case _: Exception => false })
+    cached match {
       case some @ Some(_) => some
       case scala.None =>
-        generations(spark, name) match {
-          case Seq() => scala.None
-          case Seq(only) => Some(only)
-          case several => Some(several.max)
-        }
+        backingCache.remove(key)
+        val resolved =
+          if (!isView(spark, name)) scala.None
+          else backingFromDdl(spark, name) match {
+            case some @ Some(_) => some
+            case scala.None =>
+              generations(spark, name) match {
+                case Seq() => scala.None
+                case Seq(only) => Some(only)
+                // latest by PARSED nanoTime suffix: lexicographic max
+                // mis-orders hex strings of different lengths ("f…" > "10…")
+                case several => Some(several.maxBy(g => scala.util.Try(
+                  java.lang.Long.parseUnsignedLong(
+                    g.substring(g.lastIndexOf(GenSep) + GenSep.length), 16))
+                  .getOrElse(Long.MinValue)))
+              }
+          }
+        resolved.foreach(g => backingCache.put(key, qualified(spark, g)))
+        resolved
     }
+  }
 
   /** Drop `name` whatever it is — view (plus its generations) or table.
     * The one safe spell for callers that can't know which world a target
     * was materialized in. */
   def dropAny(spark: SparkSession, name: String): Unit = {
+    invalidateBacking(spark, name)
     if (isView(spark, name)) spark.sql(s"DROP VIEW IF EXISTS $name")
     else spark.sql(s"DROP TABLE IF EXISTS $name")
     generations(spark, name)

@@ -367,11 +367,10 @@ object EngineQueries {
         .parquet(feed.toString)
       val wh = new SessionCatalogWarehouse(s)
       val a = Asset(name = "g_cdc_orders", assetType = AssetType.Ingest,
-        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)),
-        // 32 hash buckets at this scale (default 256 sizes for production);
-        // the default AutoStateWriter → BucketedStateWriter path is what
-        // this oracle row now proves correct across out-of-order batches
-        parameters = Map("cdc_buckets" -> "32"))
+        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)))
+      // no cdc_buckets pin: the oracle row proves the full default path —
+      // auto-sized bucket count at state creation, then the wide-batch
+      // rebuild fallback (batches 2/3 touch every bucket under uniform hash)
       Streams.cdcApply(wh, a, stream).awaitTermination()
       s.table("g_cdc_orders")
     },

