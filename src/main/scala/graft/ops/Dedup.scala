@@ -268,7 +268,8 @@ object Dedup {
     * round — partitioner reuse across iterations is exactly the case
     * Catalyst can't express.) */
   def clusters(docs: DataFrame, pairs: DataFrame,
-               idCol: String = "doc_id", maxIterations: Int = 25): DataFrame = {
+               idCol: String = "doc_id", maxIterations: Int = 25,
+               driverEdgeCap: Long = 1000000L): DataFrame = {
     // ids keep their family: numeric ids label with the numeric min,
     // anything else (string/UUID ids — supported by the whole dedup stack)
     // with the lexicographic min. The col() projection resolves the pair
@@ -277,12 +278,12 @@ object Dedup {
     val numericIds = pairs.select(col("a")).schema.head.dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     if (numericIds)
-      runClusters[Long](docs, pairs, idCol, "long", maxIterations)(
+      runClusters[Long](docs, pairs, idCol, "long", maxIterations, driverEdgeCap)(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
         implicitly, implicitly)
     else
-      runClusters[String](docs, pairs, idCol, "string", maxIterations)(
+      runClusters[String](docs, pairs, idCol, "string", maxIterations, driverEdgeCap)(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING),
         implicitly, implicitly)
@@ -290,12 +291,13 @@ object Dedup {
 
   /** Shared cast → label loop → join-back glue for one id family. */
   private def runClusters[K](docs: DataFrame, pairs: DataFrame, idCol: String,
-                             castType: String, maxIterations: Int)(
+                             castType: String, maxIterations: Int, driverEdgeCap: Long)(
       implicit enc: org.apache.spark.sql.Encoder[(K, K)],
       ct: scala.reflect.ClassTag[K], ord: Ordering[K]): DataFrame = {
     val pds = pairs.select(col("a").cast(castType), col("b").cast(castType))
       .as[(K, K)](enc).rdd.cache()
-    val labels = docs.sparkSession.createDataset(ccLabels(pds, maxIterations))(enc)
+    val labels = docs.sparkSession
+      .createDataset(ccLabels(pds, maxIterations, driverEdgeCap))(enc)
       .toDF("id", "cluster_id")
     val out = docs.select(col(idCol).cast(castType).as("id"))
       .join(labels, Seq("id"), "left")
@@ -311,25 +313,35 @@ object Dedup {
     * convergence count) are narrow; the only shuffles per round are the
     * two message re-keys (neighbor sends + pointer-jump re-key), both
     * bounded by the duplicate-graph node set. Converges in O(log diameter)
-    * rounds; the driver only ever sees the per-round changed-count scalar. */
-  private def ccLabels[K](pairs: org.apache.spark.rdd.RDD[(K, K)], maxIterations: Int)(
+    * rounds; the driver only ever sees the per-round changed-count scalar.
+    *
+    * Below `driverEdgeCap` edges the loop is skipped entirely for a driver
+    * union-find: the duplicate graph is a sliver of any corpus (only docs
+    * with ≥1 near-dup edge), and each distributed round costs a fixed
+    * ~0.5 s of job latency that dwarfs the actual work on a small graph.
+    * The cap bounds driver memory (1M edges ≈ 16 MB of longs); past it the
+    * co-partitioned loop — checking convergence every TWO rounds, since the
+    * count action is half the per-round latency — takes over. Same labels
+    * either way: min reachable id. */
+  private def ccLabels[K](pairs: org.apache.spark.rdd.RDD[(K, K)], maxIterations: Int,
+                          driverEdgeCap: Long = 1000000L)(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K])
     : org.apache.spark.rdd.RDD[(K, K)] = {
     val sc = pairs.sparkContext
     val nEdges = pairs.count()
+    if (nEdges <= driverEdgeCap) return sc.parallelize(unionFind(pairs.collect()), 1)
     val nParts = math.max(1, math.min((nEdges / 500000L).toInt + 1, sc.defaultParallelism))
     val part = new org.apache.spark.HashPartitioner(nParts)
     val edges = pairs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).cache()
     var labels = edges.keys.map(k => (k, k)).reduceByKey(part, ord.min(_, _)).cache()
-    var iter = 0
-    var converged = false
-    while (iter < maxIterations && !converged) {
+    // one propagate+jump round (two shuffles, all joins narrow via `part`)
+    def step(ls: org.apache.spark.rdd.RDD[(K, K)]): org.apache.spark.rdd.RDD[(K, K)] = {
       // each node sends its label to its neighbors (shuffle 1: messages)
-      val inbox = edges.join(labels).map { case (_, (y, lx)) => (y, lx) }
+      val inbox = edges.join(ls).map { case (_, (y, lx)) => (y, lx) }
         .reduceByKey(part, ord.min(_, _))
       // narrow merge: labels and inbox are co-partitioned
-      val stepped = labels.leftOuterJoin(inbox).mapValues {
+      val stepped = ls.leftOuterJoin(inbox).mapValues {
         case (l, m) => m.fold(l)(ord.min(l, _))
       }
       // pointer jump: label := label(label) (shuffle 2: re-key by label)
@@ -337,19 +349,48 @@ object Dedup {
         .join(stepped)                                  // (l, (id, label(l)))
         .map { case (_, (id, ll)) => (id, ll) }
         .reduceByKey(part, ord.min(_, _))
-      val jumped = stepped.leftOuterJoin(jumpMsgs).mapValues {
+      stepped.leftOuterJoin(jumpMsgs).mapValues {
         case (l, m) => m.fold(l)(ord.min(l, _))
-      }.cache()
-      // narrow convergence count — both sides share `part`
+      }
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      val jumped = step(step(labels)).cache()
+      // narrow convergence count — both sides share `part`; checked once per
+      // TWO rounds (detection is at most one round late, the sequential
+      // latency bill is halved)
       val changed = jumped.join(labels)
         .filter { case (_, (n, o)) => ord.lt(n, o) }.count()
       labels.unpersist()
       labels = jumped
       converged = changed == 0
-      iter += 1
+      iter += 2
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side min-label union-find (path compression + union-by-min):
+    * root of every set is its minimum member, so resolving each node's root
+    * yields exactly the distributed loop's labels. */
+  private def unionFind[K](edges: Array[(K, K)])(implicit ord: Ordering[K]): Seq[(K, K)] = {
+    val parent = scala.collection.mutable.HashMap.empty[K, K]
+    def find(x: K): K = {
+      var root = x
+      while (parent.get(root).exists(r => !ord.equiv(r, root))) root = parent(root)
+      var cur = x
+      while (!ord.equiv(cur, root)) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (!ord.equiv(ra, rb)) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toSeq
   }
 
   /** Benchmark DECONTAMINATION: flag training documents that share any word
