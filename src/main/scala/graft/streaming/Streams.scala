@@ -185,7 +185,8 @@ object Streams {
     *    touches every bucket, so "incremental" was never on the table for
     *    such batches.)
     *  - The bucket count auto-sizes at state creation (≈256k rows per
-    *    bucket, clamped to [8, 4096]) unless pinned by `cdc_buckets`, and is
+    *    bucket, capped at 4096; 1 ⇒ unpartitioned) unless pinned by
+    *    `cdc_buckets`, and is
     *    SELF-DESCRIBING: partition values are `b<n>_<i>`, so a restart over
     *    existing state recovers the exact count from any single row —
     *    re-deriving it any other way risks assigning a key to a different
@@ -215,14 +216,19 @@ object Streams {
     override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
                         latestOf: DataFrame => DataFrame,
                         partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+      // n=1 ⇒ the state is too small for incremental rewrites to pay for
+      // themselves: keep it UNPARTITIONED (partitioning by a single value
+      // would funnel the whole write through one task) and rebuild per
+      // batch — RebuildStateWriter semantics until the state earns buckets
+      def parts(n: Int) = if (n > 1) Seq("__bucket") else Nil
       if (!wh.exists(state)) {
         val n = effective.getOrElse {
           val rows = incoming.count()
-          math.max(8L, math.min(4096L, rows / RowsPerBucket + 1)).toInt
+          math.min(4096L, rows / RowsPerBucket + 1).toInt
         }
         effective = Some(n)
         wh.createOrReplace(state, incoming.withColumn("__bucket", bucketCol(n)),
-          partitionBy = Seq("__bucket"), clusterBy = clusterBy)
+          partitionBy = parts(n), clusterBy = clusterBy)
       } else {
         val n = effective.getOrElse(bucketCountOf(wh, state))
         effective = Some(n)
@@ -232,7 +238,7 @@ object Streams {
           .collect().map(_.getString(0)).toSeq
         if (touched.size * 2 > n) {
           val merged = latestOf(wh.table(state).unionByName(withBucket))
-          wh.createOrReplace(state, merged, partitionBy = Seq("__bucket"),
+          wh.createOrReplace(state, merged, partitionBy = parts(n),
             clusterBy = clusterBy)
         } else {
           val old = wh.table(state).where(col("__bucket").isin(touched: _*))
