@@ -23,7 +23,14 @@ object Bench {
     // contention); the min of repeated runs is the standard low-noise
     // estimator for a deterministic workload
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run while iterating on one
+    // operator; unset = the full registered set (what the driver runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter { case (k, _) => only(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

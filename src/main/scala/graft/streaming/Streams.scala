@@ -184,10 +184,13 @@ object Streams {
     *    (With n buckets, a uniform-hash batch of ≳ n·ln(n) distinct keys
     *    touches every bucket, so "incremental" was never on the table for
     *    such batches.)
-    *  - The bucket count auto-sizes at state creation (≈256k rows per
-    *    bucket, capped at 4096; 1 ⇒ unpartitioned) unless pinned by
-    *    `cdc_buckets`, and is
-    *    SELF-DESCRIBING: partition values are `b<n>_<i>`, so a restart over
+    *  - The bucket count auto-sizes WITH THE STATE unless pinned by
+    *    `cdc_buckets`: born unbucketed (1 = unpartitioned; creation is one
+    *    atomic write either way), re-sized at each rebuild from the state's
+    *    row count (≈256k rows per bucket, capped at 4096) — rebuilds rewrite
+    *    every row anyway, so growth earns buckets for free and later
+    *    localized batches get the incremental path. The count is
+    *    SELF-DESCRIBING: bucket values are `b<n>_<i>`, so a restart over
     *    existing state recovers the exact count from any single row —
     *    re-deriving it any other way risks assigning a key to a different
     *    bucket than its old row, which would silently duplicate the key.
@@ -222,10 +225,10 @@ object Streams {
       // batch — RebuildStateWriter semantics until the state earns buckets
       def parts(n: Int) = if (n > 1) Seq("__bucket") else Nil
       if (!wh.exists(state)) {
-        val n = effective.getOrElse {
-          val rows = incoming.count()
-          math.min(4096L, rows / RowsPerBucket + 1).toInt
-        }
+        // born unbucketed (unless pinned): creation is one atomic write
+        // either way, and the first REBUILD re-sizes from the state's own
+        // row count — no extra counting pass on the hot create path
+        val n = effective.orElse(buckets0).getOrElse(1)
         effective = Some(n)
         wh.createOrReplace(state, incoming.withColumn("__bucket", bucketCol(n)),
           partitionBy = parts(n), clusterBy = clusterBy)
@@ -237,8 +240,19 @@ object Streams {
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getString(0)).toSeq
         if (touched.size * 2 > n) {
-          val merged = latestOf(wh.table(state).unionByName(withBucket))
-          wh.createOrReplace(state, merged, partitionBy = parts(n),
+          // rebuild rewrites every row anyway — the cheap moment to re-size
+          // the bucket count to the state's growth (parquet count() is a
+          // metadata-only job), so long-lived streams earn buckets and
+          // later localized batches get the incremental path
+          val stateDf = wh.table(state)
+          val n2 = buckets0.getOrElse(
+            math.min(4096L, stateDf.count() / RowsPerBucket + 1).toInt)
+          val merged = latestOf(stateDf.unionByName(withBucket))
+          val rebucketed =
+            if (n2 == n) merged
+            else merged.drop("__bucket").withColumn("__bucket", bucketCol(n2))
+          effective = Some(n2)
+          wh.createOrReplace(state, rebucketed, partitionBy = parts(n2),
             clusterBy = clusterBy)
         } else {
           val old = wh.table(state).where(col("__bucket").isin(touched: _*))
@@ -295,6 +309,9 @@ object Streams {
         s"${asset.name} already exists as a TABLE-backed target; CDC apply " +
           s"materializes a view over $state. Drop or rename it (its rows are " +
           "not change events and cannot be folded into CDC state) and re-run.")
+    // the asset view's text references the STATE VIEW by (stable) name, so
+    // it is identical every batch — create it once per run, not per batch
+    var viewReady = false
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
@@ -307,13 +324,16 @@ object Streams {
           .drop("__rn")
         effectiveWriter.upsert(wh, state, latestOf(batch), latestOf,
           asset.materialization.partitionBy, asset.materialization.clusterBy)
-        val spark = batch.sparkSession
-        val dataCols = batch.columns.filterNot(c => c == opCol || c == seqCol)
-          .map(c => s"`$c`").mkString(", ")
-        spark.sql(s"CREATE OR REPLACE VIEW ${quoteIdent(asset.name)} AS " +
-          s"SELECT $dataCols FROM ${quoteIdent(state)} WHERE `$opCol` <> 'd'")
-        // this raw repoint bypasses the warehouse — keep its cache honest
-        graft.materialize.SessionCatalogWarehouse.invalidateBacking(spark, asset.name)
+        if (!viewReady) {
+          val spark = batch.sparkSession
+          val dataCols = batch.columns.filterNot(c => c == opCol || c == seqCol)
+            .map(c => s"`$c`").mkString(", ")
+          spark.sql(s"CREATE OR REPLACE VIEW ${quoteIdent(asset.name)} AS " +
+            s"SELECT $dataCols FROM ${quoteIdent(state)} WHERE `$opCol` <> 'd'")
+          // this raw repoint bypasses the warehouse — keep its cache honest
+          graft.materialize.SessionCatalogWarehouse.invalidateBacking(spark, asset.name)
+          viewReady = true
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
