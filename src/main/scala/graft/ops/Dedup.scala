@@ -220,10 +220,23 @@ object Dedup {
   /** MinHash + LSH banding + exact-Jaccard verification.
     * bands of `rowsPerBand` signature values hash to buckets; docs sharing a
     * bucket are candidates; candidates are re-verified with exact Jaccard so
-    * the *output* is exact — LSH only bounds the candidate set. */
+    * the *output* is exact — LSH only bounds the candidate set.
+    *
+    * `maxBucket` (0 = off) bounds CANDIDATE GENERATION the same way the
+    * df-capped Jaccard path does: a band bucket holding d docs emits d²
+    * candidate rows, and on a boilerplate-heavy corpus (or with banding
+    * tuned far below the threshold, like the near-exhaustive 64×2 default)
+    * the big buckets are precisely the ones full of pairs that verification
+    * would reject anyway. Buckets over the cap are dropped via
+    * [[graft.functions.CappedCollectList]] — memory bounded at cap+1 ids
+    * per bucket through every partial/merge — so the recall loss is
+    * confined to pairs whose EVERY colliding bucket is over-cap (with
+    * multiple bands, near-identical pairs keep many chances to surface in
+    * a small bucket; exact-duplicate cliques belong to [[exact]] anyway). */
   def minhashLsh(df: DataFrame, n: Int = 3, numHashes: Int = 128,
                  rowsPerBand: Int = 2, threshold: Double = 0.5,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucket: Int = 0): DataFrame = {
     val bands = numHashes / rowsPerBand
     // Uncached on purpose: shArr is consumed twice (signatures, verify) but
     // is pure scan+tokenize — at 100 TB recomputing from the scan beats
@@ -242,10 +255,27 @@ object Dedup {
     val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
 
-    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
-    val candidates = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val candidates =
+      if (maxBucket <= 0) {
+        val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+        val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+        l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+          .select("a", "b").distinct()
+      } else {
+        // one capped shuffle groups ids per bucket (same plan shape as the
+        // capped Jaccard candidate stage) and in-bucket pairs come from two
+        // narrow explodes — no bucket self-join of raw rows at any skew
+        import org.apache.spark.sql.graft.SqlBridge
+        val cappedIds = SqlBridge.column(
+          graft.functions.CappedCollectList(
+            SqlBridge.expression(col(idCol)), maxBucket).toAggregateExpression())
+        buckets.groupBy("band", "bucket").agg(cappedIds.as("__ids"))
+          .where(size(col("__ids")).between(2, maxBucket))
+          .select(explode(col("__ids")).as("a"), col("__ids"))
+          .select(col("a"), explode(col("__ids")).as("b"))
+          .where(col("a") < col("b"))
+          .select("a", "b").distinct()
+      }
 
     // exact verification on the candidate set only
     verifyJaccard(candidates, shArr, threshold, idCol)

@@ -488,6 +488,12 @@ object DataOpsQueries {
     (s, _) => Similarity.lshTopKAuto(s.table("embeddings"), k = 5))
   val annIvfBench: OQ = OQ.rowsOnly("ann_ivf_topk",
     (s, _) => Similarity.ivfTopK(s.table("embeddings"), k = 5, nlist = 16, nprobe = 4))
+  /** Skew-safe minhash config (bucket-capped candidate stage): recall is
+    * data-dependent (over-cap buckets drop), so no SQL oracle — semantics
+    * are witness-tested in DataOpsSpec; timing tracked per round. */
+  val minhashCappedBench: OQ = OQ.rowsOnly("dedup_minhash_lsh_capped",
+    (s, _) => Dedup.minhashLsh(s.table("documents"),
+      n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5, maxBucket = 20))
 
   // ---- multimodal ---------------------------------------------------------
 
@@ -540,5 +546,5 @@ object DataOpsQueries {
     mmFeatures, mmFrames, mmResize)
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
-  val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench)
+  val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench)
 }

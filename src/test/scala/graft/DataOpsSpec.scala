@@ -190,6 +190,36 @@ class DataOpsSpec extends AnyFunSuite {
       s"boilerplate-only pairs should not surface under the cap: $found")
   }
 
+  test("minhash bucket cap bounds banded candidate generation under skew") {
+    import spark.implicits._
+    // an identical-document clique is LSH's worst case: every band bucket
+    // holds the whole clique, so uncapped banding emits |clique|² candidate
+    // rows per band. The cap drops exactly those buckets (identical cliques
+    // are exact-dedup's job) while pairs in small buckets keep surfacing.
+    val clique = (1 to 30).map(i => (i.toLong,
+      "identical boilerplate body repeated verbatim across the whole " +
+        "clique with enough words to shingle into many grams"))
+    val planted = Seq(
+      (9001L, "a genuinely unique near duplicate sentence pair for lsh checks"),
+      (9002L, "a genuinely unique near duplicate sentence pair for lsh checks"))
+    val rest = (1001 to 1020).map(i => (i.toLong, s"standalone $i x$i y$i z$i w$i"))
+    val docs = (clique ++ planted ++ rest).toDF("doc_id", "text")
+
+    val cappedDf = Dedup.minhashLsh(docs, maxBucket = 20)
+    val capped = cappedDf.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((9001L, 9002L)),
+      s"cap should keep small-bucket pairs and drop the over-cap clique: $capped")
+    // candidate generation must run through the capped one-shuffle group-by,
+    // never a raw bucket self-join
+    assert(cappedDf.queryExecution.executedPlan.toString.contains("capped_collect_list"))
+
+    // uncapped banding finds the clique's 435 pairs too — the cap trades
+    // exactly the over-cap cliques for bounded candidate volume
+    val uncapped = Dedup.minhashLsh(docs).select("a", "b").count()
+    assert(uncapped == 30L * 29 / 2 + 1, s"uncapped should see the clique: $uncapped")
+  }
+
   test("near-dup clustering: transitive closure via pointer-jumping") {
     import spark.implicits._
     val docsDf = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

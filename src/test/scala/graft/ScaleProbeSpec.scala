@@ -94,6 +94,11 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.Dedup.minhashLsh(docs, n = 3, numHashes = 128,
         rowsPerBand = 4, threshold = 0.5).count()
     }
+    t("minhashLsh default banding + bucket cap (64 bands x 2, maxBucket=20)",
+      "near-exhaustive banding made skew-safe by the capped bucket stage") {
+      graft.ops.Dedup.minhashLsh(docs, n = 3, numHashes = 128,
+        rowsPerBand = 2, threshold = 0.5, maxBucket = 20).count()
+    }
     pairs.unpersist()
 
     // ---- CDC state fold at 1.5M keys: snapshot batch (wide → atomic
