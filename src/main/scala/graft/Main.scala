@@ -70,7 +70,7 @@ object Main {
       case _ =>
         System.err.println(
           "usage: graft run|render|render-ddl|lint|query|unit-test|lineage|data-diff|" +
-            "environments|format|docs|init|connections|import|patch …")
+            "environments|format|docs|parse-pipeline|clean|init|connections|import|patch …")
         2
     }
   }

@@ -296,7 +296,22 @@ object SessionCatalogWarehouse {
     invalidateBacking(spark, name)
     if (isView(spark, name)) spark.sql(s"DROP VIEW IF EXISTS $name")
     else spark.sql(s"DROP TABLE IF EXISTS $name")
-    generations(spark, name)
+    (generations(spark, name) ++ overlayTables(spark, name))
       .foreach(g => try spark.sql(s"DROP TABLE IF EXISTS $g") catch { case _: Throwable => () })
+  }
+
+  /** Overlay-layout CDC state tables of `name` (base + overlay chain from
+    * [[graft.streaming.Streams.OverlayStateWriter]]), fully qualified. */
+  private def overlayTables(spark: SparkSession, name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val parts = name.split('.')
+    val (db, tbl) =
+      if (parts.length > 1) (parts.dropRight(1).mkString("."), parts.last)
+      else (spark.catalog.currentDatabase, parts.last)
+    if (!spark.catalog.databaseExists(db)) Nil
+    else spark.catalog.listTables(db).collectAsList().asScala.toSeq
+      .filter(t => t.tableType != "TEMPORARY" &&
+        (t.name.startsWith(tbl + "__cdcbase_") || t.name.startsWith(tbl + "__cdcov_")))
+      .map(t => s"$db.${t.name}")
   }
 }

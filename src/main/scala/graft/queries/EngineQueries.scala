@@ -316,13 +316,33 @@ object EngineQueries {
     * seq-1 changes must neither roll back the seq-2 updates nor resurrect
     * the seq-3 deletes. The oracle replays global last-writer-wins by
     * (seq, op) over the same derived feed in DuckDB. */
-  val streamCdc: OQ = OQ.df("stream_cdc_apply",
+  private val cdcOracleSql =
+    """WITH ch AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'r' AS op, 0 AS seq
+      |    FROM orders
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE), 'u', 2
+      |    FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL SELECT o_orderkey, NULL, NULL, NULL, 'd', 3
+      |    FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) - 50 AS DOUBLE), 'u', 1
+      |    FROM orders WHERE o_orderkey % 5 = 0),
+      |last AS (SELECT ch.*, row_number() OVER (
+      |    PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn FROM ch)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM last WHERE rn = 1 AND op <> 'd'""".stripMargin
+
+  /** The CDC end-to-end query, parameterized by target asset + writer params
+    * so the same feed and oracle prove EVERY [[Streams.CdcStateWriter]]. */
+  private def cdcQuery(qname: String, target: String,
+                       params: Map[String, String]): OQ = OQ.df(qname,
     (s, _) => {
       import java.nio.file.{Files, StandardCopyOption}
       import org.apache.spark.sql.{Column => SCol, DataFrame}
-      s.sql("DROP VIEW IF EXISTS g_cdc_orders")
-      // the state table is itself a generation view now — drop whichever
-      graft.materialize.SessionCatalogWarehouse.dropAny(s, "g_cdc_orders__cdc_state")
+      s.sql(s"DROP VIEW IF EXISTS $target")
+      // the state table is itself a (generation or overlay) view — drop all
+      graft.materialize.SessionCatalogWarehouse.dropAny(s, s"${target}__cdc_state")
       val base = s.table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
@@ -376,31 +396,29 @@ object EngineQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(feed.toString)
       val wh = new SessionCatalogWarehouse(s)
-      val a = Asset(name = "g_cdc_orders", assetType = AssetType.Ingest,
-        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)))
-      // no cdc_buckets pin: the oracle row proves the full default path —
-      // auto-sized bucket count at state creation, then the wide-batch
-      // rebuild fallback (batches 2/3 touch every bucket under uniform hash)
+      val a = Asset(name = target, assetType = AssetType.Ingest,
+        columns = Seq(Column("o_orderkey", "BIGINT", primaryKey = true)),
+        parameters = params)
       Streams.cdcApply(wh, a, stream).awaitTermination()
-      s.table("g_cdc_orders")
+      s.table(target)
     },
-    """WITH ch AS (
-      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'r' AS op, 0 AS seq
-      |    FROM orders
-      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
-      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE), 'u', 2
-      |    FROM orders WHERE o_orderkey % 7 = 0
-      |  UNION ALL SELECT o_orderkey, NULL, NULL, NULL, 'd', 3
-      |    FROM orders WHERE o_orderkey % 13 = 0
-      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
-      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) - 50 AS DOUBLE), 'u', 1
-      |    FROM orders WHERE o_orderkey % 5 = 0),
-      |last AS (SELECT ch.*, row_number() OVER (
-      |    PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn FROM ch)
-      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      |FROM last WHERE rn = 1 AND op <> 'd'""".stripMargin)
+    cdcOracleSql)
+
+  /** CDC through the default bucketed writer — no cdc_buckets pin, so the
+    * row proves the full default path: auto-sized bucket count, then the
+    * wide-batch rebuild fallback (batches 2/3 touch every bucket under
+    * uniform hash). */
+  val streamCdc: OQ = cdcQuery("stream_cdc_apply", "g_cdc_orders", Map.empty)
+
+  /** The same feed through the OVERLAY writer (incremental+atomic composed
+    * view): with 32 pinned buckets the snapshot creates the base and the
+    * two wide batches exercise compaction; the localized overlay path is
+    * witness-tested in EngineSpec. Same oracle — writer choice must never
+    * change CDC semantics. */
+  val streamCdcOverlay: OQ = cdcQuery("stream_cdc_apply_overlay",
+    "g_cdc_orders_ov", Map("cdc_writer" -> "overlay", "cdc_buckets" -> "32"))
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamCdc, streamVisits)
+    streamDedup, streamCdc, streamCdcOverlay, streamVisits)
 }

@@ -262,6 +262,167 @@ object Streams {
     }
   }
 
+  /** INCREMENTAL **AND** ATOMIC no-Delta state writer — the property pair a
+    * Delta/Iceberg MERGE gives, built from catalog primitives instead of a
+    * transactional format (the remaining trade-off note on
+    * [[BucketedStateWriter]]).
+    *
+    * Layout: a bucket-partitioned BASE table plus an ordered chain of small
+    * OVERLAY tables, one per localized batch, each holding the complete
+    * current rows of the buckets that batch touched. The state VIEW composes
+    * them — base and earlier overlays exclude buckets covered by later
+    * overlays — and `CREATE OR REPLACE VIEW` is the single atomic commit
+    * point: every new table is fully written BEFORE the swap, so readers
+    * see strictly old-or-new state across ALL buckets; a crash before the
+    * swap leaves only unreferenced tables (reaped at the next compaction).
+    *
+    * Per-batch cost is O(touched buckets) — read side prunes base partitions
+    * and overlay branches by the exclusion filters — and the overlay chain
+    * is bounded: a batch touching more than half the buckets, or an overlay
+    * chain past `maxOverlays`, triggers COMPACTION (rebuild into a fresh
+    * base, re-sized to the state's growth, one swap, old tables dropped).
+    * Restart recovers the composition from the view text (table names carry
+    * the bucket count and creation order) plus one tiny DISTINCT scan per
+    * overlay for the covered-bucket sets.
+    *
+    * Overlay chains trade read-side work for write-side atomicity: each
+    * uncompacted overlay adds a union branch to every read. `maxOverlays`
+    * bounds that at the same order as a transactional format's uncompacted
+    * delta files. */
+  final class OverlayStateWriter(pks: Seq[String], buckets0: Option[Int] = scala.None,
+                                 maxOverlays: Int = 8) extends CdcStateWriter {
+    require(pks.nonEmpty && buckets0.forall(_ > 0) && maxOverlays >= 1)
+    private val RowsPerBucket = 262144L
+
+    private case class Comp(n: Int, base: String, overlays: List[(String, Set[String])])
+    private var comp: Option[Comp] = scala.None
+
+    private def bucketCol(n: Int) =
+      concat(lit(s"b${n}_"), pmod(hash(pks.map(col): _*), lit(n)))
+
+    private val TableRef = "[A-Za-z0-9_.]*__cdc(?:base|ov)_[0-9]+_[0-9a-f]+".r
+
+    /** Rebuild the composition from the state view's own text: table names
+      * carry kind, bucket count and creation-time ordering; covered-bucket
+      * sets come from one DISTINCT scan per (small) overlay. */
+    private def deriveComp(wh: Warehouse, state: String): Comp = {
+      val ddl = wh.spark.sql(s"SHOW CREATE TABLE ${quoteIdent(state)}")
+        .head().getString(0).replace("`", "")
+      val refs = TableRef.findAllIn(ddl).toSeq.distinct
+      def hexOf(t: String) = java.lang.Long.parseUnsignedLong(t.substring(t.lastIndexOf('_') + 1), 16)
+      val base = refs.filter(_.contains("__cdcbase_")).maxByOption(hexOf)
+        .getOrElse(throw new IllegalStateException(
+          s"$state is not an overlay-composed CDC state view"))
+      val n = {
+        val mid = base.substring(base.indexOf("__cdcbase_") + "__cdcbase_".length)
+        mid.substring(0, mid.indexOf('_')).toInt
+      }
+      val overlays = refs.filter(_.contains("__cdcov_")).sortBy(hexOf).toList
+        .map { t =>
+          val covered = wh.spark.table(t).select("__bucket").distinct()
+            .collect().map(_.getString(0)).toSet
+          (t, covered)
+        }
+      Comp(n, base, overlays)
+    }
+
+    private def writeTable(df: DataFrame, name: String, parted: Boolean): Unit = {
+      val d = if (parted) df.repartition(col("__bucket")) else df
+      val w = d.write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      (if (parted) w.partitionBy("__bucket") else w).saveAsTable(name)
+    }
+
+    /** The composed view text: later overlays shadow earlier coverage. */
+    private def viewSql(state: String, c: Comp): String = {
+      def excl(covered: Set[String]) =
+        if (covered.isEmpty) ""
+        else covered.toSeq.sorted.map(b => s"'$b'")
+          .mkString(" WHERE `__bucket` NOT IN (", ", ", ")")
+      val laterCover = c.overlays.scanRight(Set.empty[String])(_._2 ++ _).tail
+      val branches =
+        s"SELECT * FROM ${quoteIdent(c.base)}${excl(c.overlays.flatMap(_._2).toSet)}" +:
+          c.overlays.zip(laterCover).map { case ((t, _), later) =>
+            s"SELECT * FROM ${quoteIdent(t)}${excl(later)}"
+          }
+      s"CREATE OR REPLACE VIEW ${quoteIdent(state)} AS\n" +
+        branches.mkString("\nUNION ALL\n")
+    }
+
+    private def commit(wh: Warehouse, state: String, next: Comp,
+                       dropAfter: Seq[String]): Unit = {
+      wh.spark.sql(viewSql(state, next))                       // THE atomic point
+      graft.materialize.SessionCatalogWarehouse.invalidateBacking(wh.spark, state)
+      dropAfter.foreach(t =>
+        try wh.spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(t)}")
+        catch { case _: Throwable => () })
+      comp = Some(next)
+    }
+
+    private def freshName(state: String, kind: String, n: Int) =
+      s"${state}__cdc${kind}_${n}_${java.lang.Long.toHexString(System.nanoTime())}"
+
+    override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
+                        latestOf: DataFrame => DataFrame,
+                        partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+      if (!wh.exists(state)) {
+        val n = buckets0.getOrElse(1)
+        val base = freshName(state, "base", n)
+        writeTable(incoming.withColumn("__bucket", bucketCol(n)), base, parted = n > 1)
+        commit(wh, state, Comp(n, base, Nil), Nil)
+      } else {
+        val c = comp.getOrElse(deriveComp(wh, state))
+        val withBucket = incoming.withColumn("__bucket", bucketCol(c.n))
+        val touched = withBucket.select("__bucket").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (touched.size * 2 > c.n || c.overlays.size >= maxOverlays) {
+          // COMPACT: rebuild into a fresh base re-sized to the state's
+          // growth; one swap; every superseded table (including any torn
+          // write's orphans with this state's prefix) is dropped after it
+          val stateDf = wh.table(state)
+          val n2 = buckets0.getOrElse(
+            math.min(4096L, stateDf.count() / RowsPerBucket + 1).toInt)
+          val merged = latestOf(stateDf.unionByName(withBucket))
+          val rebucketed =
+            if (n2 == c.n) merged
+            else merged.drop("__bucket").withColumn("__bucket", bucketCol(n2))
+          val base = freshName(state, "base", n2)
+          writeTable(rebucketed, base, parted = n2 > 1)
+          val stale = staleTables(wh, state, keep = Set(base))
+          commit(wh, state, Comp(n2, base, Nil), stale)
+        } else {
+          // localized: ONE overlay holds the full current rows of the
+          // touched buckets (reads prune to exactly those); earlier
+          // overlays now fully shadowed are reaped after the swap
+          val cur = wh.table(state).where(col("__bucket").isin(touched.toSeq: _*))
+          val ov = freshName(state, "ov", c.n)
+          writeTable(latestOf(cur.unionByName(withBucket)), ov, parted = false)
+          val chained = c.overlays :+ (ov, touched)
+          val liveAfter = chained.zip(chained.scanRight(Set.empty[String])(_._2 ++ _).tail)
+            .filterNot { case ((_, covered), later) => (covered -- later).isEmpty }
+            .map(_._1)
+          val shadowed = c.overlays.map(_._1).filterNot(liveAfter.map(_._1).contains)
+          commit(wh, state, Comp(c.n, c.base, liveAfter), shadowed)
+        }
+      }
+    }
+
+    /** Tables carrying this state's overlay-layout prefix that are not part
+      * of `keep` — superseded generations and torn-write leftovers alike.
+      * Listing runs only at compaction, never on the per-batch path. */
+    private def staleTables(wh: Warehouse, state: String, keep: Set[String]): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val parts = state.split('.')
+      val (db, tbl) =
+        if (parts.length > 1) (parts.dropRight(1).mkString("."), parts.last)
+        else (wh.spark.catalog.currentDatabase, parts.last)
+      wh.spark.catalog.listTables(db).collectAsList().asScala.toSeq
+        .filter(t => t.tableType != "TEMPORARY" &&
+          (t.name.startsWith(tbl + "__cdcbase_") || t.name.startsWith(tbl + "__cdcov_")))
+        .map(t => if (parts.length > 1) s"$db.${t.name}" else t.name)
+        .filterNot(n => keep.contains(n) || keep.contains(n.split('.').last))
+    }
+  }
+
   private def quoteIdent(name: String): String =
     name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
 
@@ -286,11 +447,20 @@ object Streams {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
     // default: the incremental bucketed writer (asset param `cdc_buckets`
-    // pins the hash partitioning; otherwise it auto-sizes from the first
-    // batch so a small state isn't shattered into hundreds of tiny files)
+    // pins the hash partitioning; otherwise it auto-sizes with the state so
+    // a small state isn't shattered into hundreds of tiny files). Asset
+    // param `cdc_writer` selects `overlay` (incremental+atomic composed
+    // view) or `rebuild` (strictly-atomic total rebuild) instead.
     val effectiveWriter = writer match {
-      case AutoStateWriter => new BucketedStateWriter(pks,
-        asset.parameters.get("cdc_buckets").map(_.toInt))
+      case AutoStateWriter =>
+        val bk = asset.parameters.get("cdc_buckets").map(_.toInt)
+        asset.parameters.get("cdc_writer") match {
+          case Some("overlay") => new OverlayStateWriter(pks, bk)
+          case Some("rebuild") => RebuildStateWriter
+          case scala.None | Some("bucketed") => new BucketedStateWriter(pks, bk)
+          case Some(other) => throw new IllegalArgumentException(
+            s"${asset.name}: unknown cdc_writer '$other' (overlay|rebuild|bucketed)")
+        }
       case w => w
     }
     val state = asset.name + "__cdc_state"

@@ -532,6 +532,83 @@ class EngineSpec extends AnyFunSuite {
     wh.drop("bkt_state")
   }
 
+  test("overlay CDC state writer: incremental AND atomic via composed view") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "ov_state")
+    val win = Window.partitionBy(col("id")).orderBy(col("seq").desc, col("op").desc)
+    def latestOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
+    def rows() = spark.table("ov_state").select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    def viewText() = spark.sql("SHOW CREATE TABLE ov_state").head().getString(0)
+
+    val w = new Streams.OverlayStateWriter(Seq("id"), Some(8))
+    val b1 = spark.createDataFrame(Seq(
+      (1, "one", "c", 1L), (2, "two", "c", 1L), (3, "three", "c", 1L)))
+      .toDF("id", "v", "op", "seq")
+    w.upsert(wh, "ov_state", latestOf(b1), latestOf, Nil, Nil)
+    assert(rows() == Map(1 -> "one", 2 -> "two", 3 -> "three"))
+    val filesBefore = spark.table("ov_state")
+      .select(col("id"), input_file_name().as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    // LOCALIZED batch → an overlay table; the single view swap is the
+    // commit, and rows in untouched buckets keep their exact base files
+    val b2 = spark.createDataFrame(Seq((1, "uno", "u", 3L), (2, "stale", "u", 0L)))
+      .toDF("id", "v", "op", "seq")
+    w.upsert(wh, "ov_state", latestOf(b2), latestOf, Nil, Nil)
+    assert(rows() == Map(1 -> "uno", 2 -> "two", 3 -> "three"), s"LWW violated: ${rows()}")
+    assert(viewText().contains("__cdcov_"), "localized batch should append an overlay")
+    val bucketOf = spark.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(3)))
+      .toDF("id").select(col("id"), pmod(hash(col("id")), lit(8)).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val touched2 = Set(bucketOf(1), bucketOf(2))
+    val filesAfter = spark.table("ov_state")
+      .select(col("id"), input_file_name().as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    Seq(2, 3).filterNot(id => touched2(bucketOf(id))).foreach { id =>
+      assert(filesAfter(id) == filesBefore(id), s"untouched bucket of id=$id rewritten")
+    }
+
+    // ATOMICITY: a torn write (overlay table written, view never swapped)
+    // is invisible to readers — the view text is the only commit point
+    spark.createDataFrame(Seq((99, "garbage", "c", 9L)))
+      .toDF("id", "v", "op", "seq")
+      .withColumn("__bucket", lit("b8_0"))
+      .write.mode("overwrite").saveAsTable("ov_state__cdcov_8_deadbeef")
+    assert(rows() == Map(1 -> "uno", 2 -> "two", 3 -> "three"),
+      "an unreferenced (torn) overlay table must not affect readers")
+
+    // RESTART: a fresh writer derives the composition from the view text
+    val w2 = new Streams.OverlayStateWriter(Seq("id"), Some(8))
+    val b3 = spark.createDataFrame(Seq((4, "four", "c", 4L))).toDF("id", "v", "op", "seq")
+    w2.upsert(wh, "ov_state", latestOf(b3), latestOf, Nil, Nil)
+    assert(rows() == Map(1 -> "uno", 2 -> "two", 3 -> "three", 4 -> "four"))
+
+    // WIDE batch → compaction: one fresh base, overlay chain gone, stale
+    // tables (including the torn-write orphan) reaped
+    val wide = spark.createDataFrame(
+      (1 to 40).map(i => (i, s"w$i", "u", 9L))).toDF("id", "v", "op", "seq")
+    w2.upsert(wh, "ov_state", latestOf(wide), latestOf, Nil, Nil)
+    assert(rows() == (1 to 40).map(i => i -> s"w$i").toMap)
+    val vt = viewText()
+    assert(!vt.contains("__cdcov_"), s"compaction should fold overlays: $vt")
+    assert(!spark.catalog.tableExists("ov_state__cdcov_8_deadbeef"),
+      "compaction should reap torn-write orphans")
+    import scala.jdk.CollectionConverters._
+    val leftover = spark.catalog.listTables().collectAsList().asScala
+      .map(_.name).filter(n => n.startsWith("ov_state__cdc"))
+    assert(leftover.size == 1, s"exactly the live base should remain: $leftover")
+
+    // dropAny knows the overlay layout
+    SessionCatalogWarehouse.dropAny(spark, "ov_state")
+    val after = spark.catalog.listTables().collectAsList().asScala
+      .map(_.name).filter(_.startsWith("ov_state"))
+    assert(after.isEmpty, s"dropAny should reap overlay tables: $after")
+  }
+
   test("stream sources resolve by scheme; +cdc URIs flag CDC semantics") {
     val mock = new graft.streaming.StreamSource {
       override val scheme = "mockbroker"
