@@ -133,6 +133,21 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(stateRows == nKeys, s"state must stay one row per key: $stateRows")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_cdc__cdc_state")
 
+    // the OVERLAY writer at the same scale: per-batch cost stays O(touched)
+    // AND the commit is atomic (one view swap) — measured, not argued
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_ov__cdc_state")
+    val ovWriter = new graft.streaming.Streams.OverlayStateWriter(Seq("k"), Some(64))
+    t(s"cdc overlay snapshot fold ($nKeys keys, 64 buckets)", "base table write") {
+      ovWriter.upsert(wh, "probe_ov__cdc_state", latestOf(snap), latestOf, Nil, Nil)
+    }
+    t(s"cdc overlay localized fold ($nLoc keys, 2/64 buckets)",
+      "overlay table + atomic view swap") {
+      ovWriter.upsert(wh, "probe_ov__cdc_state", latestOf(localized), latestOf, Nil, Nil)
+    }
+    val ovRows = spark.table("probe_ov__cdc_state").count()
+    assert(ovRows == nKeys, s"overlay state must stay one row per key: $ovRows")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_ov__cdc_state")
+
     // ---- record the table
     val md = new StringBuilder
     md ++= "# Scale probe — sf1 (10× bench SF), boilerplate-skewed corpus\n\n"
