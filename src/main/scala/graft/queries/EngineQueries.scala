@@ -411,12 +411,12 @@ object EngineQueries {
   val streamCdc: OQ = cdcQuery("stream_cdc_apply", "g_cdc_orders", Map.empty)
 
   /** The same feed through the OVERLAY writer (incremental+atomic composed
-    * view): with 32 pinned buckets the snapshot creates the base and the
-    * two wide batches exercise compaction; the localized overlay path is
-    * witness-tested in EngineSpec. Same oracle — writer choice must never
-    * change CDC semantics. */
+    * view), auto-sized like the default row: the snapshot creates the base
+    * and the two wide batches exercise compaction; the localized overlay
+    * path is witness-tested in EngineSpec. Same oracle — writer choice must
+    * never change CDC semantics. */
   val streamCdcOverlay: OQ = cdcQuery("stream_cdc_apply_overlay",
-    "g_cdc_orders_ov", Map("cdc_writer" -> "overlay", "cdc_buckets" -> "32"))
+    "g_cdc_orders_ov", Map("cdc_writer" -> "overlay"))
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
