@@ -278,9 +278,18 @@ object Streams {
     *
     * Per-batch cost is O(touched buckets) — read side prunes base partitions
     * and overlay branches by the exclusion filters — and the overlay chain
-    * is bounded: a batch touching more than half the buckets, or an overlay
-    * chain past `maxOverlays`, triggers COMPACTION (rebuild into a fresh
-    * base, re-sized to the state's growth, one swap, old tables dropped).
+    * is bounded by TWO compaction tiers:
+    *
+    *  - CHAIN FOLD (`maxOverlays` reached, coverage still ≤ half the
+    *    buckets): fold the chain into one overlay reading only the covered
+    *    buckets — O(covered), atomic. A steady stream of key-localized
+    *    batches therefore never rewrites the base at all, which is the
+    *    steady-state a naive "rebuild every K batches" design loses.
+    *  - FULL COMPACTION (a batch, or accumulated coverage, past half the
+    *    buckets): rebuild into a fresh base re-sized to the state's growth
+    *    — O(state), but only when a rewrite is ~O(state) regardless; also
+    *    reaps superseded tables and torn-write orphans.
+    *
     * Restart recovers the composition from the view text (table names carry
     * the bucket count and creation order) plus one tiny DISTINCT scan per
     * overlay for the covered-bucket sets.
@@ -374,10 +383,13 @@ object Streams {
         val withBucket = incoming.withColumn("__bucket", bucketCol(c.n))
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getString(0)).toSet
-        if (touched.size * 2 > c.n || c.overlays.size >= maxOverlays) {
-          // COMPACT: rebuild into a fresh base re-sized to the state's
-          // growth; one swap; every superseded table (including any torn
-          // write's orphans with this state's prefix) is dropped after it
+        val coveredAfter = c.overlays.flatMap(_._2).toSet ++ touched
+        if (touched.size * 2 > c.n || coveredAfter.size * 2 > c.n) {
+          // FULL compaction — only when the batch (or accumulated overlay
+          // coverage) spans more than half the buckets, i.e. when a rewrite
+          // is ~O(state) regardless: rebuild into a fresh base re-sized to
+          // the state's growth; one swap; every superseded table (including
+          // any torn write's orphans with this state's prefix) is dropped
           val stateDf = wh.table(state)
           val n2 = buckets0.getOrElse(
             math.min(4096L, stateDf.count() / RowsPerBucket + 1).toInt)
@@ -389,6 +401,18 @@ object Streams {
           writeTable(rebucketed, base, parted = n2 > 1)
           val stale = staleTables(wh, state, keep = Set(base))
           commit(wh, state, Comp(n2, base, Nil), stale)
+        } else if (c.overlays.size >= maxOverlays) {
+          // CHAIN FOLD — the steady-state compaction: the chain is long but
+          // its coverage is still localized, so fold chain + batch into ONE
+          // overlay reading only the covered buckets. Cost is O(covered
+          // buckets), never O(state) — a steady stream of localized batches
+          // therefore NEVER rewrites the base (the full compaction above
+          // fires only when coverage genuinely grows past half the buckets).
+          val cur = wh.table(state).where(col("__bucket").isin(coveredAfter.toSeq: _*))
+          val ov = freshName(state, "ov", c.n)
+          writeTable(latestOf(cur.unionByName(withBucket)), ov, parted = false)
+          val stale = c.overlays.map(_._1)
+          commit(wh, state, Comp(c.n, c.base, List((ov, coveredAfter))), stale)
         } else {
           // localized: ONE overlay holds the full current rows of the
           // touched buckets (reads prune to exactly those); earlier

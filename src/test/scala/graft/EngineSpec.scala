@@ -609,6 +609,51 @@ class EngineSpec extends AnyFunSuite {
     assert(after.isEmpty, s"dropAny should reap overlay tables: $after")
   }
 
+  test("overlay writer chain-folds localized batches without touching the base") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "fold_state")
+    val win = Window.partitionBy(col("id")).orderBy(col("seq").desc, col("op").desc)
+    def latestOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
+    def batch(rows: (Int, String, String, Long)*) =
+      latestOf(spark.createDataFrame(rows).toDF("id", "v", "op", "seq"))
+    def ovCount() = "__cdcov_[0-9]+_[0-9a-f]+".r
+      .findAllIn(spark.sql("SHOW CREATE TABLE fold_state").head().getString(0))
+      .toSeq.distinct.size
+
+    // three ids with pairwise-DISTINCT hash buckets, so each localized
+    // batch grows the chain (same-bucket updates would shadow instead)
+    val byBucket = spark.createDataFrame((1 to 50).map(Tuple1(_))).toDF("id")
+      .select(col("id"), pmod(hash(col("id")), lit(8)).as("b"))
+      .collect().map(r => r.getInt(1) -> r.getInt(0)).toMap  // one id per bucket
+    val Seq(a, b, c) = byBucket.values.take(3).toSeq
+
+    // maxOverlays=2 so the third localized batch must fold the chain
+    val w = new Streams.OverlayStateWriter(Seq("id"), Some(8), maxOverlays = 2)
+    w.upsert(wh, "fold_state", batch((a, "one", "c", 1L), (b, "two", "c", 1L),
+      (c, "three", "c", 1L)), latestOf, Nil, Nil)
+    val baseFiles = spark.table("fold_state")
+      .select(col("id"), input_file_name().as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    w.upsert(wh, "fold_state", batch((a, "uno", "u", 2L)), latestOf, Nil, Nil)
+    w.upsert(wh, "fold_state", batch((b, "dos", "u", 2L)), latestOf, Nil, Nil)
+    assert(ovCount() == 2, s"two localized batches → two overlays, got ${ovCount()}")
+    // chain at maxOverlays and coverage ≤ half the buckets → FOLD: one
+    // overlay remains, and the base was never rewritten (id c's file)
+    w.upsert(wh, "fold_state", batch((a, "eins", "u", 3L)), latestOf, Nil, Nil)
+    assert(ovCount() == 1, s"chain should fold into one overlay, got ${ovCount()}")
+    val rows = spark.table("fold_state").select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows == Map(a -> "eins", b -> "dos", c -> "three"), s"fold lost data: $rows")
+    assert(spark.table("fold_state")
+      .select(col("id"), input_file_name().as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap.apply(c) == baseFiles(c),
+      "chain fold must not rewrite the base")
+    SessionCatalogWarehouse.dropAny(spark, "fold_state")
+  }
+
   test("stream sources resolve by scheme; +cdc URIs flag CDC semantics") {
     val mock = new graft.streaming.StreamSource {
       override val scheme = "mockbroker"
