@@ -72,4 +72,54 @@ class PlanSpec extends AnyFunSuite {
         s"$name plans a CartesianProduct — unbounded at scale")
     }
   }
+
+  test("overlay CDC state reads prune base partitions through the composed view") {
+    // the localized-fold cost claim rests on a bucket filter over the
+    // composed (union + NOT IN exclusions) view reaching the base scan as a
+    // PARTITION filter — if pushdown through the view broke, every
+    // "O(touched buckets)" read would silently scan the whole base
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.materialize.SessionCatalogWarehouse
+    import graft.streaming.Streams
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "plan_ov_state")
+    val win = Window.partitionBy(col("id")).orderBy(col("seq").desc, col("op").desc)
+    def latestOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
+    val w = new Streams.OverlayStateWriter(Seq("id"), Some(8))
+    w.upsert(wh, "plan_ov_state", latestOf(
+      spark.createDataFrame((1 to 40).map(i => (i, s"v$i", "c", 1L)))
+        .toDF("id", "v", "op", "seq")), latestOf, Nil, Nil)
+    w.upsert(wh, "plan_ov_state", latestOf(
+      spark.createDataFrame(Seq((1, "uno", "u", 2L))).toDF("id", "v", "op", "seq")),
+      latestOf, Nil, Nil)
+    def scansFor(bucket: String) = spark.table("plan_ov_state")
+      .where(col("__bucket") === bucket)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    val overlaid = spark.table("plan_ov_state").where(col("id") === 1)
+      .select("__bucket").head().getString(0)
+    val other = spark.table("plan_ov_state").select("__bucket").distinct()
+      .collect().map(_.getString(0)).filterNot(_ == overlaid).head
+
+    // a filter on the OVERLAID bucket folds the base branch away entirely
+    // (its NOT IN exclusion contradicts the equality): only the overlay scans
+    val sOverlaid = scansFor(overlaid)
+    assert(sOverlaid.nonEmpty &&
+      sOverlaid.forall(_.tableIdentifier.exists(_.table.contains("__cdcov_"))),
+      s"overlaid-bucket read should touch only overlays: " +
+        s"${sOverlaid.map(_.tableIdentifier)}")
+
+    // a filter on an UN-overlaid bucket reaches the base scan as a PARTITION
+    // filter (pruned listing), and the overlay branch folds away
+    val sBase = scansFor(other)
+    val baseScan = sBase.find(_.tableIdentifier.exists(_.table.contains("__cdcbase_")))
+    assert(baseScan.nonEmpty, s"base scan missing: ${sBase.map(_.tableIdentifier)}")
+    val pf = baseScan.get.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("__bucket"),
+      s"bucket filter must reach the base scan as a partition filter, got: $pf")
+    SessionCatalogWarehouse.dropAny(spark, "plan_ov_state")
+  }
 }
