@@ -140,7 +140,15 @@ object Dedup {
     * doc, and the intersection is a linear in-task pass. Shared by
     * [[jaccardPairs]] (capped) and [[minhashLsh]]. */
   private def verifyJaccard(candidates: DataFrame, shArr: DataFrame,
-                            threshold: Double, idCol: String): DataFrame = {
+                            threshold: Double, idCol: String): DataFrame =
+    verifyJaccard2(candidates, shArr, shArr, threshold, idCol)
+
+  /** Two-sided variant: the `a` side resolves its gram array in `shArrA`,
+    * the `b` side in `shArrB` (equal for self-dedup, distinct for
+    * batch-vs-corpus dedup). */
+  private def verifyJaccard2(candidates: DataFrame, shArrA: DataFrame,
+                             shArrB: DataFrame, threshold: Double,
+                             idCol: String): DataFrame = {
     // AQE coalesces the candidate exchange by BYTES, but this stage is
     // compute-bound (two array intersections per candidate pair — the pair
     // rows are tiny, the work per row is not), so byte-based coalescing
@@ -148,13 +156,50 @@ object Dedup {
     // cores explicitly; the extra exchange moves only (a, b) id pairs.
     val spread = candidates
       .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
-    val ga = shArr.select(col(idCol).as("a"), col("grams").as("__ga"))
-    val gb = shArr.select(col(idCol).as("b"), col("grams").as("__gb"))
+    val ga = shArrA.select(col(idCol).as("a"), col("grams").as("__ga"))
+    val gb = shArrB.select(col(idCol).as("b"), col("grams").as("__gb"))
     val common = spread.join(ga, Seq("a")).join(gb, Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
         size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))
     finishJaccard(common, threshold)
+  }
+
+  /** INCREMENTAL dedup: near-duplicate pairs between an incoming batch and
+    * an existing corpus — the recurring-pipeline shape (dedupe tonight's
+    * crawl against the reference set) where re-running the corpus self-join
+    * per batch would redo quadratic work. One capped aggregation over the
+    * CORPUS grams + one gram-keyed join from the batch side: candidate
+    * volume is bounded by |batch gram rows| × `maxDocFreq`, never corpus².
+    * The df cap applies to the corpus side (ubiquitous corpus grams
+    * generate no candidates — the same documented recall trade-off as
+    * [[jaccardPairs]]); the lossless length-ratio prefilter runs on the raw
+    * candidate stream, and verification is exact over the FULL gram sets of
+    * both sides. Output: (a = incoming id, b = corpus id, jaccard). */
+  def jaccardAgainst(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
+                     threshold: Double = 0.5, idCol: String = "doc_id",
+                     textCol: String = "text", maxDocFreq: Int = 20): DataFrame = {
+    require(maxDocFreq > 0, "jaccardAgainst needs a positive corpus df cap")
+    import org.apache.spark.sql.graft.SqlBridge
+    val corpusSh = shingleArray(corpus, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val cappedIds = SqlBridge.column(
+      graft.functions.CappedCollectList(
+        SqlBridge.expression(struct(col(idCol).as("id"),
+          col("n_grams").as("ng"))), maxDocFreq).toAggregateExpression())
+    val buckets = corpusSh.groupBy("gram").agg(cappedIds.as("__ids"))
+      .where(size(col("__ids")).between(1, maxDocFreq))
+    val newSh = shingleArray(incoming, n, idCol, textCol)
+      .select(col(idCol).as("a"), size(col("grams")).cast("long").as("na"),
+        explode(col("grams")).as("gram"))
+    val candidates = newSh.join(buckets, Seq("gram"))
+      .select(col("a"), col("na"), explode(col("__ids")).as("be"))
+      .where(least(col("na"), col("be.ng")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("be.ng")))
+      .select(col("a"), col("be.id").as("b")).distinct()
+    verifyJaccard2(candidates, shingleArray(incoming, n, idCol, textCol),
+      shingleArray(corpus, n, idCol, textCol), threshold, idCol)
   }
 
   /** (a, b, common, na, nb) → thresholded exact-Jaccard pairs. */

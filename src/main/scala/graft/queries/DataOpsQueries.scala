@@ -377,6 +377,36 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
 
+  /** INCREMENTAL dedup oracle: a 10% "incoming batch" (doc_id % 10 = 3)
+    * deduped against the other 90% as the reference corpus — one capped
+    * corpus aggregation + one gram join per batch instead of a corpus
+    * self-join. The oracle replays the identical semantics: corpus-side df
+    * cap, cross join on shared eligible grams, exact full-set verify. */
+  val dedupIncremental: OQ = OQ.df("dedup_incremental",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.jaccardAgainst(
+        docs.where(col("doc_id") % 10 === 3),
+        docs.where(col("doc_id") % 10 =!= 3),
+        n = 3, threshold = 0.5, maxDocFreq = 20)
+    },
+    s"""WITH $duckShCtes,
+       |newsh AS (SELECT * FROM sh WHERE doc_id % 10 = 3),
+       |corsh AS (SELECT * FROM sh WHERE doc_id % 10 <> 3),
+       |gdf AS (SELECT gram, count(*) AS df FROM corsh GROUP BY 1),
+       |elig AS (SELECT gram FROM gdf WHERE df BETWEEN 1 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM newsh a JOIN corsh b ON a.gram = b.gram
+       |  JOIN elig g ON g.gram = a.gram),
+       |pairs AS (SELECT c.a, c.b, count(*) AS common FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.gram = sa.gram GROUP BY 1, 2),
+       |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
+       |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id
+       |  JOIN counts cb ON pairs.b = cb.doc_id)
+       |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+       |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
+
   /** Explicit opt-in to the UNCAPPED exact self-join (full recall including
     * pairs whose only shared grams are ubiquitous) — quadratic in per-gram
     * document frequency, so NOT the form to run on a boilerplate-heavy
@@ -541,7 +571,8 @@ object DataOpsQueries {
   val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
-    dedupExact, ngramJaccard, ngramJaccardUncapped, minhashLsh, simhash, dedupCluster,
+    dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
+    simhash, dedupCluster,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 

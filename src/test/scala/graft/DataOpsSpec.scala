@@ -190,6 +190,27 @@ class DataOpsSpec extends AnyFunSuite {
       s"boilerplate-only pairs should not surface under the cap: $found")
   }
 
+  test("incremental dedup finds batch-vs-corpus pairs under the corpus df cap") {
+    import spark.implicits._
+    val boiler = "standard legal disclaimer text repeated across the entire corpus verbatim"
+    val corpus = ((1 to 30).map(i => (i.toLong, s"$boiler tail$i")) ++ Seq(
+      (100L, "a very specific sentence about catalyst optimizer internals today"),
+      (101L, "unrelated corpus content mentioning parquet footers and row groups")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (9000L, "a very specific sentence about catalyst optimizer internals today"),
+      (9001L, s"$boiler tail9001"),   // boilerplate-only overlap with corpus
+      (9002L, "entirely novel content with no corpus overlap whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardAgainst(incoming, corpus, n = 3, threshold = 0.5,
+      maxDocFreq = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the true near-dup (rare grams) surfaces; the boilerplate-only match
+    // (corpus df 30 > cap 10) is the documented recall trade-off; novel
+    // content matches nothing
+    assert(got == Set((9000L, 100L)), s"incremental dedup pairs: $got")
+  }
+
   test("minhash bucket cap bounds banded candidate generation under skew") {
     import spark.implicits._
     // an identical-document clique is LSH's worst case: every band bucket
