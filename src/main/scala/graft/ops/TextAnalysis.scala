@@ -56,6 +56,32 @@ object TextAnalysis {
       .drop("__ws")
   }
 
+  /** Fixed-window document CHUNKING for training-sequence preparation:
+    * every document splits into token windows of `chunkTokens` whitespace
+    * tokens advancing by `chunkTokens - overlapTokens` (so consecutive
+    * chunks share `overlapTokens` tokens of context), the standard shape
+    * for packing long documents into bounded training sequences. Output one
+    * row per (doc, chunk): (id, chunk_id, chunk_text, n_tokens); the final
+    * chunk may be short. Entirely codegen'd builtins (sequence → transform
+    * → slice → posexplode) — token arrays never leave the task that
+    * tokenized them, so the operator is a pure narrow map at any corpus
+    * size. Empty/NULL texts produce no chunks. */
+  def chunk(df: DataFrame, chunkTokens: Int = 128, overlapTokens: Int = 16,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      "chunkTokens must exceed overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(concat_ws("", col("__ws")) =!= "")
+      .withColumn("__starts",
+        sequence(lit(0), size(col("__ws")) - 1, lit(step)))
+      .select(col(idCol), posexplode(transform(col("__starts"),
+        s => slice(col("__ws"), s + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex token count
     * (letters runs / digit runs / single punctuation). */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =

@@ -377,6 +377,22 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
 
+  /** Training-window chunking oracle: 64-token windows advancing by 48
+    * (16-token overlap), short tail kept, empty texts dropped — DuckDB
+    * replays via generate_series + list_slice. */
+  val textChunk: OQ = OQ.df("text_chunk",
+    (s, _) => TextAnalysis.chunk(s.table("documents"),
+      chunkTokens = 64, overlapTokens = 16),
+    s"""WITH d AS (SELECT doc_id, $NORM AS norm FROM documents),
+       |toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d
+       |  WHERE coalesce(norm, '') <> ''),
+       |st AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 48)) AS s
+       |  FROM toks)
+       |SELECT doc_id, CAST(s / 48 AS INT) AS chunk_id,
+       |  array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text,
+       |  CAST(len(list_slice(w, s + 1, s + 64)) AS BIGINT) AS n_tokens
+       |FROM st""".stripMargin)
+
   /** INCREMENTAL dedup oracle: a 10% "incoming batch" (doc_id % 10 = 3)
     * deduped against the other 90% as the reference corpus — one capped
     * corpus aggregation + one gram join per batch instead of a corpus
@@ -568,7 +584,7 @@ object DataOpsQueries {
       |  CAST(frame_no * 64 AS BIGINT) AS byte_offset
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
-  val all: Seq[OQ] = Seq(tokenCount, langId, quality, fingerprint, rollingHash,
+  val all: Seq[OQ] = Seq(tokenCount, textChunk, langId, quality, fingerprint, rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,

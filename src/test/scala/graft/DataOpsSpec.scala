@@ -190,6 +190,22 @@ class DataOpsSpec extends AnyFunSuite {
       s"boilerplate-only pairs should not surface under the cap: $found")
   }
 
+  test("chunking: fixed windows with overlap, short tail, empty text dropped") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(d, chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // step 3: windows start at 0,3,6,9; each shares 1 token with the next
+    assert(got.toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4L), (1L, 1, "w4 w5 w6 w7", 4L),
+      (1L, 2, "w7 w8 w9 w10", 4L), (1L, 3, "w10", 1L)),
+      s"chunks: ${got.toSeq}")
+  }
+
   test("incremental dedup finds batch-vs-corpus pairs under the corpus df cap") {
     import spark.implicits._
     val boiler = "standard legal disclaimer text repeated across the entire corpus verbatim"
