@@ -82,6 +82,57 @@ object TextAnalysis {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
+  /** SEQUENCE PACKING: lay documents head-to-tail in id order and cut the
+    * token stream into fixed `seqTokens` windows (the GPT-style
+    * concatenate-then-split training layout). Each document gets
+    * (seq_id, seq_offset) — the sequence and position where its FIRST token
+    * lands; documents may straddle sequence boundaries and the reader
+    * slices accordingly.
+    *
+    * The global running total is computed scale-safely: documents bucket by
+    * an id-VALUE range (one min/max aggregate, uniform split — value-based,
+    * so recomputation across jobs is deterministic with no caching), each
+    * bucket computes local prefix sums in one ordered window, and the
+    * per-bucket totals (≤ #buckets scalars) prefix-sum on the driver and
+    * broadcast back. No single-partition global window, no unbounded
+    * driver traffic. */
+  def packSequences(df: DataFrame, seqTokens: Int, idCol: String = "doc_id",
+                    tokensCol: String = "n_tokens"): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nb = spark.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(tokensCol).cast("long").as("__n"))
+    val mm = base.agg(min("__id"), max("__id")).head()
+    if (mm.isNullAt(0))
+      return base.select(col("__id").as(idCol),
+        lit(0).as("seq_id"), lit(0L).as("seq_offset"), col("__n").as(tokensCol))
+        .where(lit(false))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val w = Window.partitionBy("__b").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base
+      .withColumn("__b", least(lit(nb - 1),
+        ((col("__id") - lo) * nb / span).cast("int")))
+      .withColumn("__local", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // bounded driver traffic: one total per bucket
+    val totals = local.groupBy("__b").agg(sum("__n").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = (0 until nb).map { b =>
+      val o = (b, acc); acc += totals.getOrElse(b, 0L); o
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__b", "__off"))
+    local.join(offDf, Seq("__b"))
+      .withColumn("__cum", col("__local") + col("__off"))
+      .select(col("__id").as(idCol),
+        floor(col("__cum") / seqTokens).cast("int").as("seq_id"),
+        pmod(col("__cum"), lit(seqTokens.toLong)).as("seq_offset"),
+        col("__n").as(tokensCol))
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex token count
     * (letters runs / digit runs / single punctuation). */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =

@@ -393,6 +393,22 @@ object DataOpsQueries {
        |  CAST(len(list_slice(w, s + 1, s + 64)) AS BIGINT) AS n_tokens
        |FROM st""".stripMargin)
 
+  /** Sequence-packing oracle: 512-token training windows over the id-ordered
+    * document stream; DuckDB replays with a single global window cumsum
+    * (fine at oracle scale — the Spark side is the bucketed two-phase form
+    * that survives 100 TB). */
+  val textPack: OQ = OQ.df("text_pack_sequences",
+    (s, _) => TextAnalysis.packSequences(
+      TextAnalysis.tokenCounts(s.table("documents"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("n_tokens")),
+      seqTokens = 512),
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n FROM documents),
+       |c AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+       |SELECT doc_id, CAST(floor(cum / 512.0) AS INT) AS seq_id,
+       |  CAST(cum % 512 AS BIGINT) AS seq_offset, n AS n_tokens FROM c""".stripMargin)
+
   /** INCREMENTAL dedup oracle: a 10% "incoming batch" (doc_id % 10 = 3)
     * deduped against the other 90% as the reference corpus — one capped
     * corpus aggregation + one gram join per batch instead of a corpus
@@ -584,7 +600,8 @@ object DataOpsQueries {
       |  CAST(frame_no * 64 AS BIGINT) AS byte_offset
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
-  val all: Seq[OQ] = Seq(tokenCount, textChunk, langId, quality, fingerprint, rollingHash,
+  val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
+    rollingHash,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,

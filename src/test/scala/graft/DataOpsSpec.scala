@@ -206,6 +206,21 @@ class DataOpsSpec extends AnyFunSuite {
       s"chunks: ${got.toSeq}")
   }
 
+  test("sequence packing: id-ordered global cumsum across value buckets") {
+    import spark.implicits._
+    // ids deliberately sparse and out of insertion order: the pack must be
+    // the GLOBAL id-ordered prefix sum, regardless of which value bucket a
+    // doc lands in (local[4] session → 4 buckets over the id span)
+    val d = Seq((900L, 30L), (5L, 70L), (450L, 60L), (1L, 50L), (899L, 40L))
+      .toDF("doc_id", "n_tokens")
+    val got = TextAnalysis.packSequences(d, seqTokens = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // order 1,5,450,899,900 with cumsums 0,50,120,180,220
+    assert(got == Seq((1L, 0, 0L), (5L, 0, 50L), (450L, 1, 20L),
+      (899L, 1, 80L), (900L, 2, 20L)), s"pack: $got")
+  }
+
   test("incremental dedup finds batch-vs-corpus pairs under the corpus df cap") {
     import spark.implicits._
     val boiler = "standard legal disclaimer text repeated across the entire corpus verbatim"
