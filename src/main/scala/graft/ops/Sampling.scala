@@ -41,4 +41,67 @@ object Sampling {
         .when(b < trainPct + validPct, "valid")
         .otherwise("test"))
   }
+
+  /** Fine-grained portable keep-fraction in [0, 1): six md5-derived decimal
+    * digits — enough resolution for the data-driven rates `mixture` computes
+    * (rates are rounded to the same 6 decimals, so both engines compare the
+    * same numbers). */
+  def hashFrac(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+      % 1000000L).cast("double") / 1000000.0
+
+  /** MIXTURE REBALANCE — downsample a multi-source corpus to target mixture
+    * WEIGHTS (the training-data "data mixing" step: e.g. 60% web / 20% code /
+    * 20% books). Unlike [[stratified]] (caller fixes per-stratum rates), the
+    * rates here are DERIVED from the corpus: capacity = min over weighted
+    * strata of n_s / w_s (the largest total volume reachable without
+    * upsampling any stratum), target_s = w_s · capacity, rate_s = target_s /
+    * n_s — the binding stratum keeps 100%, everything else downsamples to
+    * proportion. Per-row keep decision is the portable md5 fraction, so the
+    * same row survives on any engine and any cluster size.
+    *
+    * Plan shape: one map-side-combinable groupBy over the stratum key (≤
+    * #strata rows), one scalar min, and a broadcast join of the ≤ #strata
+    * rate table back onto the scan — the corpus itself is touched by exactly
+    * one filter pass, no shuffle of data rows at any scale. Strata absent
+    * from `weights` (or weighted 0) are dropped. */
+  def mixture(df: DataFrame, strataCol: String, weights: Map[String, Double],
+              idCol: String = "doc_id"): DataFrame = {
+    require(weights.values.forall(_ >= 0), "mixture weights must be >= 0")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(strataCol).agg(count("*").as("__n"))
+      .withColumn("__w", w).where(col("__w") > 0)
+    val capacity = counts.agg(min(col("__n").cast("double") / col("__w")).as("__cap"))
+    val rates = counts.crossJoin(broadcast(capacity))
+      .withColumn("__rate",
+        round(least(lit(1.0), col("__w") * col("__cap") / col("__n")), 6))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(hashFrac(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
+  /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the training-export layout
+    * step: give every row a portable pseudo-random order key
+    * (md5(seed:id)), assign it to one of `nShards` output shards, and
+    * number its position within the shard. Same seed ⇒ identical layout on
+    * any engine or cluster size; a new seed is a fresh epoch-level
+    * reshuffle. One shuffle on the shard key + one in-shard sort (spillable,
+    * ~corpus/nShards rows per task — size nShards to the target file size,
+    * not the cluster). */
+  def shardAssign(df: DataFrame, nShards: Int, seed: String = "graft",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard_id",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy("shard_id").orderBy("shuffle_key", idCol))
+        .cast("long"))
+  }
 }

@@ -317,6 +317,58 @@ object Similarity {
     lshTopK(emb, k, autoBits(n, targetBucket), tables, maxBucket, idCol, vecCol)
   }
 
+  // ---- semantic dedup ------------------------------------------------------
+
+  /** SEMANTIC NEAR-DUP (SemDeDup-style): cluster the corpus by its own
+    * learned coarse quantizer (the [[ivfCentroids]] Lloyd pass — bounded
+    * driver sample, deterministic init), then score pairwise cosine ONLY
+    * within each cluster and keep pairs ≥ `threshold`. The clustering
+    * restriction is what makes embedding dedup tractable at corpus scale:
+    * work drops from N² to Σ|C|² ≈ N²/nlist (uniform clusters), and recall
+    * loss is confined to near-dups that straddle a cluster boundary —
+    * near-identical vectors almost always quantize together, which is the
+    * SemDeDup bet (recall spec-gated against the exact operator;
+    * precision is 1.0 by construction since in-cluster cosines are exact).
+    *
+    * Plan: the assignment is a narrow typed map under a broadcast centroid
+    * array; pairing is a declarative self-equi-join on the cluster key —
+    * Catalyst shuffles both sides once on `cluster`, streams the pair
+    * space, and the cosine is a codegen'd HOF fold + round (bit-identical
+    * to the SQL form). No driver collection beyond the bounded quantizer
+    * sample; per-task memory is one join partition, and AQE splits skewed
+    * clusters. Scale nlist ∝ corpus/constant to hold cluster sizes flat.
+    *
+    * `probes` > 1 is the multi-probe recall knob: each vector lands in its
+    * `probes` nearest clusters, so a pair is seen whenever ANY cluster is
+    * shared — boundary-straddling near-dups (the recall loss mode) get a
+    * second chance at probes× replication cost. Duplicate sightings of the
+    * same pair collapse with one distinct over the (small) result. */
+  def semanticNearDup(emb: DataFrame, threshold: Double = 0.95, nlist: Int = 16,
+                      probes: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+    require(probes >= 1 && probes <= nlist, "probes must be in [1, nlist]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs(emb, idCol, vecCol)
+      .flatMap { case (id, v) =>
+        nearestCentroids(v, bc.value, probes).iterator.map(c => (c, id, v))
+      }
+      .toDF("cluster", "id", "vec")
+    val lhs = assigned.select(col("cluster"), col("id").as("a"), col("vec").as("__va"))
+    val rhs = assigned.select(col("cluster"), col("id").as("b"), col("vec").as("__vb"))
+    val denom = l2norm(col("__va")) * l2norm(col("__vb"))
+    lhs.join(rhs, Seq("cluster")).where(col("a") < col("b"))
+      .withColumn("cos",
+        when(denom === 0.0 || isnan(denom), lit(0.0))
+          .otherwise(round(dot(col("__va"), col("__vb")) / denom, 6)))
+      .where(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .distinct()
+  }
+
   // ---- IVF ----------------------------------------------------------------
 
   /** Train IVF coarse centroids: Lloyd iterations over a BOUNDED sample

@@ -186,6 +186,36 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Unigram language-model quality score — the classic cheap perplexity
+    * proxy for corpus filtering: score each document by the mean negative
+    * log-probability of its tokens under the corpus's own unigram
+    * distribution (trained and applied in one job). Low avg_nll = common,
+    * fluent vocabulary; high avg_nll = rare-token soup (OCR noise, codes,
+    * gibberish) — the filter axis n-gram-LM pipelines threshold on.
+    *
+    * Two hash aggregations on compact keys: per-(doc, word) term counts and
+    * per-word corpus counts (map-side combinable; corpus-count skew caps at
+    * vocabulary size), one join word→corpus-count (Catalyst broadcasts the
+    * vocab side when small; at 100 TB the shuffle join on the word key is
+    * the right plan), one scalar broadcast of total token count. No driver
+    * collection, no UDF — every expression codegen'd. */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val ws = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    val tf = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
+    val cf = ws.groupBy("word").agg(count("*").as("cf"))
+    val n = ws.agg(count("*").as("n_total"))
+    tf.join(cf, Seq("word"))
+      .crossJoin(broadcast(n))
+      .groupBy(idCol)
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        round(-sum(col("tf") * log(col("cf").cast("double") / col("n_total")))
+          / sum("tf"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+  }
+
   /** PII patterns shared with the oracle SQL. Kept alternation-free so
     * Java (backtracking, leftmost-first) and RE2-family engines
     * (leftmost-longest) match identically — greedy character-class

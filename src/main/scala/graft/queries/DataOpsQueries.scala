@@ -118,6 +118,23 @@ object DataOpsQueries {
        |  FROM scored) r
        |WHERE rank <= 3""".stripMargin)
 
+  /** Unigram-LM quality score: token log-probs under the corpus's own
+    * unigram distribution; per-doc mean NLL + perplexity (exp of the
+    * 6-dp-rounded mean, so both engines exponentiate the same double). */
+  val unigramLm: OQ = OQ.df("text_unigram_lm",
+    (s, _) => TextAnalysis.unigramLogProb(s.table("documents")),
+    s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(ws) AS word FROM dws),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |cf AS (SELECT word, count(*) AS cf FROM w2 GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM w2),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  round(-sum(tf * ln(CAST(cf AS DOUBLE) / n_total)) / CAST(sum(tf) AS DOUBLE), 6)
+       |    AS avg_nll
+       |  FROM tf JOIN cf USING (word) CROSS JOIN n GROUP BY 1)
+       |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl FROM d""".stripMargin)
+
   /** PII redaction: counts + md5 of the scrubbed text (pins every byte of
     * the redaction without hauling full text through the compare). */
   val piiRedact: OQ = {
@@ -264,6 +281,43 @@ object DataOpsQueries {
        |            ELSE 'test' END AS split,
        |  lang, count(*) AS n
        |FROM documents GROUP BY 1, 2""".stripMargin)
+
+  /** Mixture rebalance to target lang weights (en .4 / de .2 / es .2 /
+    * fr .1 / zh .1): per-stratum keep-rates DERIVED from corpus counts
+    * (capacity = min n_s/w_s, binding stratum keeps 100%), portable md5
+    * keep decision — the training-data "data mixing" step. */
+  val sampleMixture: OQ = {
+    val duckW = "CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 " +
+      "WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END"
+    OQ.df("sample_mixture",
+      (s, _) => graft.ops.Sampling.mixture(s.table("documents"), "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
+        .select("doc_id", "lang", "source"),
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |cw AS (SELECT lang, n, CAST($duckW AS DOUBLE) AS w FROM c),
+         |cap AS (SELECT min(CAST(n AS DOUBLE) / w) AS cap FROM cw WHERE w > 0),
+         |r AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE), w * cap / n), 6) AS rate
+         |  FROM cw CROSS JOIN cap WHERE w > 0)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
+         |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)
+  }
+
+  /** Deterministic epoch shuffle + 8-way sharding: portable md5(seed:id)
+    * order key, shard by its leading 32 bits, dense in-shard positions. */
+  val sampleShards: OQ = OQ.df("sample_shards",
+    (s, _) => graft.ops.Sampling.shardAssign(s.table("documents"),
+      nShards = 8, seed = "epoch0")
+      .select("doc_id", "shuffle_key", "shard_id", "shard_pos"),
+    s"""WITH k AS (SELECT doc_id,
+       |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+       |s AS (SELECT doc_id, shuffle_key,
+       |  CAST(CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) % 8 AS INT) AS shard_id
+       |  FROM k)
+       |SELECT doc_id, shuffle_key, shard_id,
+       |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key, doc_id)
+       |    AS BIGINT) AS shard_pos
+       |FROM s""".stripMargin)
 
   /** Capstone: the curation pipeline end-to-end — exact-dedup to canonical
     * docs, quality-filter, deterministic 80/10/10 split — reported as the
@@ -556,6 +610,13 @@ object DataOpsQueries {
   val minhashCappedBench: OQ = OQ.rowsOnly("dedup_minhash_lsh_capped",
     (s, _) => Dedup.minhashLsh(s.table("documents"),
       n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5, maxBucket = 20))
+  /** SemDeDup-style clustered embedding near-dup: recall is data-dependent
+    * (pairs straddling a learned-cluster boundary are unseen), so no SQL
+    * oracle — precision/subset/recall witnesses live in DataOpsSpec; the
+    * nlist=1 config is spec-pinned equal to the exact operator. */
+  val semanticBench: OQ = OQ.rowsOnly("dedup_semantic",
+    (s, _) => Similarity.semanticNearDup(s.table("embeddings"),
+      threshold = 0.45, nlist = 8, probes = 2))
 
   // ---- multimodal ---------------------------------------------------------
 
@@ -601,8 +662,9 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash,
-    tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit, quantizeInt8,
+    rollingHash, unigramLm,
+    tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
+    sampleMixture, sampleShards, quantizeInt8,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
     simhash, dedupCluster,
@@ -610,5 +672,6 @@ object DataOpsQueries {
     mmFeatures, mmFrames, mmResize)
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
-  val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench)
+  val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
+    semanticBench)
 }

