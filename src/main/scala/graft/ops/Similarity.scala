@@ -352,21 +352,30 @@ object Similarity {
     import spark.implicits._
     val centroids = ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assigned = vecs(emb, idCol, vecCol)
+    // one shuffle: vectors to their probe clusters; each cluster scores its
+    // pair space with the same primitive kernels (and the same rounded
+    // cosine) as the exact blocked search — per-task memory is one cluster
+    // (≈ probes·corpus/nlist vectors; scale nlist with the corpus)
+    vecs(emb, idCol, vecCol)
       .flatMap { case (id, v) =>
         nearestCentroids(v, bc.value, probes).iterator.map(c => (c, id, v))
       }
-      .toDF("cluster", "id", "vec")
-    val lhs = assigned.select(col("cluster"), col("id").as("a"), col("vec").as("__va"))
-    val rhs = assigned.select(col("cluster"), col("id").as("b"), col("vec").as("__vb"))
-    val denom = l2norm(col("__va")) * l2norm(col("__vb"))
-    lhs.join(rhs, Seq("cluster")).where(col("a") < col("b"))
-      .withColumn("cos",
-        when(denom === 0.0 || isnan(denom), lit(0.0))
-          .otherwise(round(dot(col("__va"), col("__vb")) / denom, 6)))
-      .where(col("cos") >= threshold)
-      .select("a", "b", "cos")
-      .distinct()
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (_, id, v) => (id, v, normP(v)) }.toArray
+        Iterator.range(0, members.length).flatMap { i =>
+          val (ia, va, na) = members(i)
+          Iterator.range(i + 1, members.length).flatMap { j =>
+            val (ib, vb, nb) = members(j)
+            val c = cosineOf(va, vb, na, nb)
+            if (c >= threshold)
+              Iterator.single((math.min(ia, ib), math.max(ia, ib), c))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("a", "b", "cos")
+      .distinct() // a pair sharing several probe clusters is seen once per share
   }
 
   // ---- IVF ----------------------------------------------------------------

@@ -517,13 +517,16 @@ object DataOpsQueries {
   val dedupCluster: OQ = OQ.df("dedup_cluster",
     (s, _) => {
       val docs = s.table("documents")
-      // edges from the df-CAPPED pair generator (r4 verdict task #1): the
-      // CC loop was already scale-correct; the edge set now is too. The
-      // oracle derives its edges with the same capped semantics.
-      Dedup.clusters(docs, Dedup.jaccardPairs(docs, n = 3, threshold = 0.5,
-        maxDocFreq = 20))
+      // edges from the minhash+LSH generator (r5 verdict task #3): its
+      // verified output equals brute-force Jaccard at these parameters
+      // (recall loss < 1e-8), it is the cheaper edge feed (banded buckets
+      // instead of the capped gram self-join), and the skew-capped
+      // `maxBucket` variant is a drop-in when the corpus is
+      // boilerplate-heavy. The oracle derives the same edge set exactly.
+      Dedup.clusters(docs, Dedup.minhashLsh(docs,
+        n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5))
     },
-    s"""WITH RECURSIVE $duckCappedJaccardCtes,
+    s"""WITH RECURSIVE $duckJaccardCtes,
        |edges AS (SELECT a, b FROM j
        |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
        |und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
