@@ -404,21 +404,20 @@ object EngineQueries {
     },
     cdcOracleSql)
 
-  /** CDC through the default bucketed writer — no cdc_buckets pin, so the
-    * row proves the full default path: auto-sized bucket count, then the
-    * wide-batch rebuild fallback (batches 2/3 touch every bucket under
-    * uniform hash). */
+  /** CDC through the DEFAULT writer (overlay: incremental+atomic composed
+    * view) — no pins, so the row proves the full default path: the snapshot
+    * creates the base, the two wide batches exercise compaction; the
+    * localized overlay path is witness-tested in EngineSpec. */
   val streamCdc: OQ = cdcQuery("stream_cdc_apply", "g_cdc_orders", Map.empty)
 
-  /** The same feed through the OVERLAY writer (incremental+atomic composed
-    * view), auto-sized like the default row: the snapshot creates the base
-    * and the two wide batches exercise compaction; the localized overlay
-    * path is witness-tested in EngineSpec. Same oracle — writer choice must
-    * never change CDC semantics. */
-  val streamCdcOverlay: OQ = cdcQuery("stream_cdc_apply_overlay",
-    "g_cdc_orders_ov", Map("cdc_writer" -> "overlay"))
+  /** The same feed through the BUCKETED writer (dynamic partition
+    * overwrite): auto-sized bucket count, then the wide-batch rebuild
+    * fallback (batches 2/3 touch every bucket under uniform hash). Same
+    * oracle — writer choice must never change CDC semantics. */
+  val streamCdcBucketed: OQ = cdcQuery("stream_cdc_apply_bucketed",
+    "g_cdc_orders_bk", Map("cdc_writer" -> "bucketed"))
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamCdc, streamCdcOverlay, streamVisits)
+    streamDedup, streamCdc, streamCdcBucketed, streamVisits)
 }
