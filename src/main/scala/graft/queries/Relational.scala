@@ -184,9 +184,51 @@ object Relational {
       |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
       |GROUP BY 1, 2""".stripMargin)
 
+  /** AS-OF join: each click matched to the user's latest purchase at-or-
+    * before it ([[graft.ops.AsOf]] — union-and-sweep, one shuffle, no
+    * inequality-join blowup). The oracle replays the same sweep with
+    * DuckDB window functions; the carried payload is a struct in both
+    * engines so a match is atomic. */
+  val asofJoin: OQ = OQ.df("rel_asof_join",
+    (s, _) => {
+      import org.apache.spark.sql.functions.col
+      val ev = s.table("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.ops.AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        payload = Seq("p_event_id", "p_value"), tieCol = "p_event_id")
+        .selectExpr("event_id", "user_id", "unix_micros(ts) AS ts_us", "value",
+          "p_event_id", "p_value")
+    },
+    """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, ts AS t, 1 AS tag, CAST(NULL AS BIGINT) AS tie,
+      |    NULL AS r_pay,
+      |    struct_pack(event_id := event_id, ts := ts, value := value) AS l_pay
+      |  FROM l
+      |  UNION ALL
+      |  SELECT user_id, p_ts AS t, 0 AS tag, p_event_id AS tie,
+      |    struct_pack(p_event_id := p_event_id, p_value := p_value) AS r_pay,
+      |    NULL AS l_pay
+      |  FROM r),
+      |w AS (SELECT user_id, tag, l_pay,
+      |  last_value(r_pay IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY t, tag, tie ASC NULLS FIRST
+      |    ROWS UNBOUNDED PRECEDING) AS m
+      |  FROM u)
+      |SELECT l_pay.event_id AS event_id, user_id, epoch_us(l_pay.ts) AS ts_us,
+      |  l_pay.value AS value, m.p_event_id AS p_event_id, m.p_value AS p_value
+      |FROM w WHERE tag = 1""".stripMargin)
+
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
     unionDistinct, rollup, cube, exceptIntersect, windowRange, percentiles,
-    pivot, topK, groupByOrdinal, dateSpine, eventDaily)
+    pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin)
 }

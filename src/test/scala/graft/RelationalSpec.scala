@@ -50,4 +50,40 @@ class RelationalSpec extends AnyFunSuite {
       Set("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "min_price", "max_price", "count_order"))
   }
+
+  test("as-of join: inclusive/strict bounds, tie-break, no-match nulls") {
+    import org.apache.spark.sql.functions.col
+    // left events at t=5,10,20 for key 1; right versions at t=5 (two rows,
+    // ids 100/101 — tie), t=10, t=15; key 2 has a left row with NO right
+    val left = spark.createDataFrame(Seq(
+      (1L, 1, 5L), (2L, 1, 10L), (3L, 1, 20L), (4L, 2, 7L)))
+      .toDF("eid", "k", "t")
+    val right = spark.createDataFrame(Seq(
+      (100L, 1, 5L, "a"), (101L, 1, 5L, "b"), (110L, 1, 10L, "c"),
+      (115L, 1, 15L, "d")))
+      .toDF("rid", "k", "rt", "v")
+    def run(strict: Boolean) =
+      graft.ops.AsOf.asofJoin(left, right, Seq("k"), "t", "rt",
+        payload = Seq("rid", "v"), tieCol = "rid", strict = strict)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getString(4)))))
+        .toMap
+    val incl = run(strict = false)
+    // t=5: both right rows at 5 visible under <=, greatest rid wins the tie
+    assert(incl(1L) == Some((101L, "b")))
+    assert(incl(2L) == Some((110L, "c")))
+    assert(incl(3L) == Some((115L, "d")))
+    assert(incl(4L) == None, "key with no right side must keep NULL payload")
+    val strict = run(strict = true)
+    assert(strict(1L) == None, "strict < must not see the tying right row")
+    assert(strict(2L) == Some((101L, "b")), "strict at t=10 sees only t=5 rows")
+    assert(strict(3L) == Some((115L, "d")))
+    // plan shape: the sweep is ONE exchange (the key partition), no join
+    val plan = graft.ops.AsOf.asofJoin(left, right, Seq("k"), "t", "rt",
+      payload = Seq("rid", "v"), tieCol = "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"as-of must shuffle exactly once:\n$plan")
+  }
 }
