@@ -613,6 +613,13 @@ object DataOpsQueries {
   val minhashCappedBench: OQ = OQ.rowsOnly("dedup_minhash_lsh_capped",
     (s, _) => Dedup.minhashLsh(s.table("documents"),
       n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5, maxBucket = 20))
+  /** BPE vocabulary induction: iterative argmax training has no
+    * single-statement SQL form (aggregates inside recursion), so no SQL
+    * oracle — the classic-merges witness + determinism live in DataOpsSpec;
+    * timing tracked per round. */
+  val bpeBench: OQ = OQ.rowsOnly("text_bpe_merges",
+    (s, _) => graft.ops.Bpe.bpeMerges(s.table("documents"), numMerges = 16))
+
   /** SemDeDup-style clustered embedding near-dup: recall is data-dependent
     * (pairs straddling a learned-cluster boundary are unseen), so no SQL
     * oracle — precision/subset/recall witnesses live in DataOpsSpec; the
@@ -676,5 +683,5 @@ object DataOpsQueries {
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench)
+    semanticBench, bpeBench)
 }

@@ -654,6 +654,37 @@ class DataOpsSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("BPE induction learns the classic merges and tokenizes with them") {
+    import graft.ops.Bpe
+    // words: low ×3, lower ×1 → pair counts: (l,o)=4, (o,w)=4, (w,</w>)=3,
+    // (w,e)=1, (e,r)=1, (r,</w>)=1; ties break lexicographically so the
+    // deterministic merge order is (l,o) → (lo,w) → (low,</w>)
+    val toy = spark.createDataFrame(Seq(
+      (1L, "low low low"), (2L, "lower"))).toDF("doc_id", "text")
+    val merges = Bpe.bpeMerges(toy, numMerges = 3, minPairCount = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (0, "l", "o", 4L), (1, "lo", "w", 4L), (2, "low", "</w>", 3L)),
+      s"unexpected merges: ${merges.toSeq}")
+    // early stop: nothing else reaches minPairCount=2 after these three
+    val all = Bpe.bpeMerges(toy, numMerges = 10, minPairCount = 2)
+    assert(all.count() == 3, "induction must stop when counts fall below min")
+    // application: 'lowest' tokenizes through the learned merges greedily
+    val toks = Bpe.bpeTokenize(
+      spark.createDataFrame(Seq((1L, "lowest low"))).toDF("doc_id", "text"),
+      Bpe.bpeMerges(toy, numMerges = 3, minPairCount = 2))
+      .select("tokens").head().getSeq[String](0)
+    // 'lowest' stops at the 'low' prefix (merge 3 needs the end marker);
+    // bare 'low' becomes the whole-word token low</w> via merge 3
+    assert(toks == Seq("low", "e", "s", "t", "</w>", "low</w>"),
+      s"unexpected tokens: $toks")
+    // corpus-scale smoke: deterministic across two runs
+    val a = Bpe.bpeMerges(docs, numMerges = 6).collect().toSeq
+    val b = Bpe.bpeMerges(docs, numMerges = 6).collect().toSeq
+    assert(a == b && a.size == 6)
+  }
+
   test("unigram LM score matches a hand-computed toy corpus") {
     val toy = spark.createDataFrame(Seq(
       (1L, "a a b"), (2L, "a c"))).toDF("doc_id", "text")
