@@ -101,6 +101,49 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
     pairs.unpersist()
 
+    // ---- semantic dedup at 100k vectors: 2000 planted near-dup cliques
+    // (50 members each, 0.001-scale jitter); brute force is N(N−1)/2 ≈
+    // 5.0e9 cosines — the clustered path does ~probes²/nlist of that, with
+    // per-task memory one cluster
+    val embDir = "/tmp/graft-scale-sf1-embeddings"
+    spark.range(100000).selectExpr("id AS vec_id",
+      "transform(sequence(0,63), j -> CAST(sin((id % 2000) * (j+1)) " +
+        "+ 0.001*sin(id*(j+1)) AS FLOAT)) AS embedding")
+      .write.mode("overwrite").parquet(embDir)
+    val emb = spark.read.parquet(embDir)
+    results += (("brute-force cosine volume (analytic)", -1.0,
+      "5.0e9 pair cosines — NOT run"))
+    t("semantic near-dup (100k vecs, nlist=256, probes=2)",
+      "learned quantizer + in-cluster exact cosine ≥ 0.95") {
+      val n = graft.ops.Similarity.semanticNearDup(emb, threshold = 0.95,
+        nlist = 256, probes = 2).count()
+      println(s"  pairs: $n"); n
+    }
+
+    // ---- BPE induction on the skewed corpus: the loop runs over the
+    // word-frequency table, so corpus size only prices the first pass
+    t("bpe merges (16 rounds, skewed sf1 corpus)",
+      "corpus pass + 16 argmax rounds over the word-frequency table") {
+      graft.ops.Bpe.bpeMerges(docs, numMerges = 16).count()
+    }
+
+    // ---- as-of join at ~900k events: union-and-sweep is |L|+|R| rows,
+    // one shuffle — no inequality-join blowup to measure
+    val events10 = (0 until 10).map(k => spark.table("events")
+        .select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("user_id"), col("ts"), col("event_type"), col("value")))
+      .reduce(_ unionByName _)
+    t("as-of join (~900k events, clicks vs latest purchase)",
+      "one shuffle + ordered sweep") {
+      val clicks = events10.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = events10.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.ops.AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        payload = Seq("p_event_id", "p_value"), tieCol = "p_event_id").count()
+    }
+
     // ---- CDC state fold at 1.5M keys: snapshot batch (wide → atomic
     // bucketed rebuild), then a key-LOCALIZED batch that must cost
     // O(touched buckets), not O(state)
