@@ -54,4 +54,27 @@ object Quantize {
       round(col("scale"), 6).as("scale"),
       aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("qsum"),
       size(col("codes")).cast("long").as("dims"))
+
+  /** L2 normalization, summarized for the oracle: the rounded norm plus the
+    * element sum of the unit vector (a checksum — any per-element deviation
+    * moves it). Pure array-HOF projection in double precision with a
+    * deterministic left-fold, so the numbers are bit-comparable across
+    * engines; zero vectors keep checksum 0 (norm 0 guard). The normalize
+    * itself is the serving-side prep every cosine index assumes. */
+  def l2NormalizeSummary(emb: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val norm = sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    emb.select(col(idCol), v.as("__v"), norm.as("__n"))
+      .select(
+        col(idCol),
+        round(col("__n"), 6).as("l2_norm"),
+        when(col("__n") === 0.0, lit(0.0))
+          .otherwise(round(aggregate(
+            transform(col("__v"), x => x.cast("double") / col("__n")),
+            lit(0.0), (acc, x) => acc + x), 6)).as("unit_sum"),
+        size(col("__v")).cast("long").as("dims"))
+  }
 }

@@ -83,6 +83,51 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** QUALITY-RANKED TOKEN-BUDGET SELECTION — "give me the best N tokens":
+    * order the corpus by (score desc, id) and keep the greedy prefix whose
+    * PRECEDING token total stays under `tokenBudget` — how a training run
+    * fills a fixed token budget from a quality-scored corpus.
+    *
+    * The global ordered cumsum is computed scale-safely (same recipe as
+    * sequence packing, keyed by score instead of id): rows bucket by a
+    * score RANGE (floor(score·B) — monotone in the sort key, so the
+    * (bucket desc, score desc, id) order IS the global order), each bucket
+    * computes a local prefix sum in one ordered window, and the ≤ B
+    * per-bucket totals prefix-sum on the driver and broadcast back. No
+    * single-partition global window, bounded driver traffic at any corpus
+    * size. Scores are expected in [0, 1] (clamped into the edge buckets
+    * otherwise). Adds `cum_tokens_before`. */
+  def selectByBudget(df: DataFrame, tokenBudget: Long,
+                     scoreCol: String = "quality_score",
+                     tokensCol: String = "n_words",
+                     idCol: String = "doc_id",
+                     buckets: Int = 256): DataFrame = {
+    require(tokenBudget >= 0 && buckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val b = greatest(lit(0), least(lit(buckets - 1),
+      floor(col(scoreCol) * buckets))).cast("int")
+    val w = Window.partitionBy("__b")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = df.withColumn("__b", b)
+      .withColumn("__local",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+    // bounded driver traffic: one total per score bucket, highest first
+    val totals = local.groupBy("__b")
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = totals.keys.toSeq.sorted(Ordering[Int].reverse).map { k =>
+      val o = (k, acc); acc += totals(k); o
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__b", "__off"))
+    local.join(offDf, Seq("__b"))
+      .withColumn("cum_tokens_before", col("__local") + col("__off"))
+      .where(col("cum_tokens_before") < tokenBudget)
+      .drop("__b", "__local", "__off")
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the training-export layout
     * step: give every row a portable pseudo-random order key
     * (md5(seed:id)), assign it to one of `nShards` output shards, and

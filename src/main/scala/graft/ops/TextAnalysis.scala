@@ -216,6 +216,35 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
   }
 
+  /** Bigram (conditional) LM quality score — one order up from
+    * [[unigramLogProb]]: each document scores by the mean negative log of
+    * P(wᵢ | wᵢ₋₁) = c(wᵢ₋₁ wᵢ) / c(wᵢ₋₁ ·), both counts trained on the
+    * corpus itself in the same job. Catches locally-incoherent text that
+    * unigram frequency can't (common words in nonsense order). Documents
+    * with fewer than two tokens produce no row. Same plan skeleton: the
+    * per-doc bigram stream is one codegen'd transform+explode, then three
+    * compact-key hash aggregations and two joins on bigram/context keys. */
+  def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val bi = df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), " +
+          "i -> struct(element_at(__ws, i) AS l, element_at(__ws, i + 1) AS r))"))
+        .as("__bi"))
+      .select(col(idCol), col("__bi.l").as("l"), col("__bi.r").as("r"))
+    val tf = bi.groupBy(idCol, "l", "r").agg(count("*").as("tf"))
+    val c2 = bi.groupBy("l", "r").agg(count("*").as("c2"))
+    val cl = bi.groupBy("l").agg(count("*").as("cl"))
+    tf.join(c2, Seq("l", "r")).join(cl, Seq("l"))
+      .groupBy(idCol)
+      .agg(
+        sum("tf").cast("long").as("n_bigrams"),
+        round(-sum(col("tf") * log(col("c2").cast("double") / col("cl")))
+          / sum("tf"), 6).as("avg_nll2"))
+      .withColumn("ppl2", round(exp(col("avg_nll2")), 4))
+  }
+
   /** PII patterns shared with the oracle SQL. Kept alternation-free so
     * Java (backtracking, leftmost-first) and RE2-family engines
     * (leftmost-longest) match identically — greedy character-class

@@ -135,6 +135,44 @@ object DataOpsQueries {
        |  FROM tf JOIN cf USING (word) CROSS JOIN n GROUP BY 1)
        |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl FROM d""".stripMargin)
 
+  /** Bigram conditional-LM score: P(w|prev) trained on the corpus itself;
+    * docs with <2 tokens produce no row (no bigrams to score). */
+  val bigramLm: OQ = OQ.df("text_bigram_lm",
+    (s, _) => TextAnalysis.bigramLogProb(s.table("documents")),
+    s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws[i] AS l, ws[i + 1] AS r
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM dws WHERE len(ws) >= 2) t),
+       |tf AS (SELECT doc_id, l, r, count(*) AS tf FROM b GROUP BY 1, 2, 3),
+       |c2 AS (SELECT l, r, count(*) AS c2 FROM b GROUP BY 1, 2),
+       |cl AS (SELECT l, count(*) AS cl FROM b GROUP BY 1),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |  round(-sum(tf * ln(CAST(c2 AS DOUBLE) / cl)) / CAST(sum(tf) AS DOUBLE), 6)
+       |    AS avg_nll2
+       |  FROM tf JOIN c2 USING (l, r) JOIN cl USING (l) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, avg_nll2, round(exp(avg_nll2), 4) AS ppl2 FROM d""".stripMargin)
+
+  /** Token-budget selection: quality-ranked greedy prefix under a 30k-token
+    * budget. The oracle computes the SAME prefix with one global window —
+    * fine at oracle scale; the Spark side is the bucketed distributed
+    * cumsum that has to survive 100 TB. */
+  val sampleBudget: OQ = OQ.df("sample_token_budget",
+    (s, _) => graft.ops.Sampling.selectByBudget(
+      TextAnalysis.qualityScore(s.table("documents"))
+        .select(col("doc_id"), col("quality_score"), col("n_words")),
+      tokenBudget = 30000)
+      .selectExpr("doc_id", "quality_score", "CAST(n_words AS BIGINT) AS n_words",
+        "CAST(cum_tokens_before AS BIGINT) AS cum_tokens_before"),
+    s"""WITH q AS (SELECT doc_id, $DUCK_QUALITY AS quality_score,
+       |  len(string_split($NORM, ' ')) AS n_words FROM documents),
+       |c AS (SELECT doc_id, quality_score, n_words,
+       |  coalesce(sum(n_words) OVER (ORDER BY quality_score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens_before
+       |  FROM q)
+       |SELECT doc_id, quality_score, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(cum_tokens_before AS BIGINT) AS cum_tokens_before
+       |FROM c WHERE cum_tokens_before < 30000""".stripMargin)
+
   /** PII redaction: counts + md5 of the scrubbed text (pins every byte of
     * the redaction without hauling full text through the compare). */
   val piiRedact: OQ = {
@@ -364,6 +402,21 @@ object DataOpsQueries {
       |    ELSE CAST(round((CAST(x AS DOUBLE) - qmin) / sc, 0) AS INT) END)) AS BIGINT) AS qsum,
       |  CAST(len(embedding) AS BIGINT) AS dims
       |FROM q""".stripMargin)
+
+  /** L2 normalization summary: rounded norm + unit-vector element checksum
+    * in shared double-precision left-fold arithmetic. */
+  val embNormalize: OQ = OQ.df("emb_l2_normalize",
+    (s, _) => graft.ops.Quantize.l2NormalizeSummary(s.table("embeddings")),
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT vec_id, round(nrm, 6) AS l2_norm,
+      |  CASE WHEN nrm = 0 THEN 0.0 ELSE
+      |    round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)), 6)
+      |  END AS unit_sum,
+      |  CAST(len(embedding) AS BIGINT) AS dims
+      |FROM n""".stripMargin)
 
   // ---- dedup family -------------------------------------------------------
 
@@ -672,9 +725,9 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash, unigramLm,
+    rollingHash, unigramLm, bigramLm,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
-    sampleMixture, sampleShards, quantizeInt8,
+    sampleMixture, sampleShards, sampleBudget, quantizeInt8, embNormalize,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
     simhash, dedupCluster,

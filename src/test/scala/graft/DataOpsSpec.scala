@@ -685,6 +685,48 @@ class DataOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 6)
   }
 
+  test("token-budget selection keeps the quality-ranked greedy prefix") {
+    import graft.ops.Sampling
+    // scores order docs 3 > 1 > 2; tokens 40 + 40 + 40; budget 100 keeps
+    // docs 3 and 1 fully and lets doc 2 start at cum=80 (80 < 100)
+    val toy = spark.createDataFrame(Seq(
+      (1L, 0.8, 40), (2L, 0.5, 40), (3L, 0.9, 40))).toDF("doc_id", "quality_score", "n_words")
+    val out = Sampling.selectByBudget(toy, tokenBudget = 100)
+      .orderBy("cum_tokens_before").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((3L, 0L), (1L, 40L), (2L, 80L)))
+    // budget 80: doc 2's preceding total is 80, not < 80 — cut
+    val cut = Sampling.selectByBudget(toy, tokenBudget = 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cut == Set(3L, 1L))
+    // bucketed distributed cumsum equals the one-window form on real data
+    val scored = graft.ops.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"), col("n_words"))
+    val viaBuckets = Sampling.selectByBudget(scored, 3000)
+      .select("doc_id", "cum_tokens_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWindow = scored
+      .withColumn("c", coalesce(sum(col("n_words").cast("long")).over(w), lit(0L)))
+      .where(col("c") < 3000)
+      .select("doc_id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBuckets == viaWindow)
+  }
+
+  test("bigram LM matches a hand-computed toy corpus") {
+    val toy = spark.createDataFrame(Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "x"))).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(toy).orderBy("doc_id").collect()
+    // contexts: a→{b, c} so P(b|a) = P(c|a) = 1/2; doc 3 has no bigrams
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L &&
+      math.abs(out(0).getDouble(2) - math.log(2.0)) < 1e-6)
+    assert(out(1).getLong(1) == 1L &&
+      math.abs(out(1).getDouble(2) - math.log(2.0)) < 1e-6)
+  }
+
   test("unigram LM score matches a hand-computed toy corpus") {
     val toy = spark.createDataFrame(Seq(
       (1L, "a a b"), (2L, "a c"))).toDF("doc_id", "text")
