@@ -357,6 +357,35 @@ object DataOpsQueries {
        |    AS BIGINT) AS shard_pos
        |FROM s""".stripMargin)
 
+  /** LEAKAGE-PROOF split: the split decision hashes the content-cluster
+    * REPRESENTATIVE (exact-dedup keep_id), so byte-identical documents can
+    * never straddle train/test — the eval-contamination failure mode of
+    * row-wise splitting. Composition of [[Dedup.exact]] + [[Sampling.split]];
+    * reported as the per-(split, lang) histogram like `sample_split`. */
+  val sampleSplitGrouped: OQ = OQ.df("sample_split_grouped",
+    (s, _) => {
+      val docs = s.table("documents")
+      val canon = Dedup.exact(docs)
+        .select(col("content_hash"), col("keep_id"))
+      val withCanon = docs
+        .withColumn("content_hash", md5(TextAnalysis.normText(col("text"))))
+        .join(canon, Seq("content_hash"))
+      graft.ops.Sampling.split(withCanon, 80, 10, idCol = "keep_id")
+        .groupBy("split", "lang").agg(count("*").cast("long").as("n"))
+    },
+    s"""WITH k AS (SELECT md5($NORM) AS content_hash, min(doc_id) AS keep_id
+       |  FROM documents GROUP BY 1),
+       |d AS (SELECT documents.doc_id, documents.lang, k.keep_id
+       |  FROM documents JOIN k ON md5($NORM) = k.content_hash),
+       |b AS (SELECT lang,
+       |  CAST('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+       |    AS bk FROM d)
+       |SELECT CASE WHEN bk < 80 THEN 'train'
+       |            WHEN bk < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*) AS n
+       |FROM b GROUP BY 1, 2""".stripMargin)
+
   /** Capstone: the curation pipeline end-to-end — exact-dedup to canonical
     * docs, quality-filter, deterministic 80/10/10 split — reported as the
     * per-(split, lang) corpus histogram. Composes [[Dedup.exact]],
@@ -727,7 +756,8 @@ object DataOpsQueries {
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     rollingHash, unigramLm, bigramLm,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
-    sampleMixture, sampleShards, sampleBudget, quantizeInt8, embNormalize,
+    sampleMixture, sampleShards, sampleBudget, sampleSplitGrouped,
+    quantizeInt8, embNormalize,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
     simhash, dedupCluster,

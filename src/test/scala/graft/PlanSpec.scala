@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
       "surviving candidates must be exact-verified over the full gram sets")
   }
 
+  test("mixture rebalance broadcasts the rate table — corpus pays one filter pass") {
+    val p = planOf("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <= #strata rate table must broadcast onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the rate join:\n$p")
+  }
+
+  test("token-budget selection never plans a global (unpartitioned) window") {
+    val p = planOf("sample_token_budget")
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected a window in the plan:\n$p")
+    assert(specs.forall(_.contains("__b")),
+      s"every window must partition by the score bucket, got: $specs")
+  }
+
   test("no cartesian products anywhere in the registry's relational plans") {
     // no exemptions: even simhash's deliberate words×bits crossJoin plans as
     // a BroadcastNestedLoopJoin over the 60-row literal side, never a
