@@ -21,6 +21,17 @@ object DataOpsQueries {
        |    + least(CAST(len(list_filter(string_split($NORM, ' '), w -> list_contains(['the','and','of','to','in','is','a','that','it','for'], w))) AS DOUBLE) / len(string_split($NORM, ' ')) * 5.0, 1.0) * 0.3
        |    + least(CAST(len(string_split($NORM, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)""".stripMargin
 
+  /** Exploded-sims CTE shared by the embedding oracles (declared before
+    * first use — object vals initialize in order). */
+  private val duckSims =
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.e * b.e) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i GROUP BY 1, 2),
+      |sims AS (SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      |  FROM dots JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id)""".stripMargin
+
   // ---- text analysis ------------------------------------------------------
 
   val tokenCount: OQ = OQ.df("text_token_count",
@@ -432,6 +443,20 @@ object DataOpsQueries {
       |  CAST(len(embedding) AS BIGINT) AS dims
       |FROM q""".stripMargin)
 
+  /** Native codegen cosine Expression ([[graft.functions.CosineSim]]) on
+    * adjacent-id vector pairs; the oracle reuses the exploded sims CTE. */
+  val cosineExpr: OQ = OQ.df("emb_cosine_expr",
+    (s, _) => {
+      org.apache.spark.sql.graft.SqlBridge.registerFunction(s, "cosine_sim",
+        exprs => graft.functions.CosineSim(exprs(0), exprs(1)))
+      val e1 = s.table("embeddings").select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val e2 = s.table("embeddings").select(col("vec_id").as("b"), col("embedding").as("eb"))
+      e1.join(e2, col("b") === col("a") + 1)
+        .selectExpr("a", "b", "round(cosine_sim(ea, eb), 6) AS cos")
+    },
+    s"""$duckSims
+       |SELECT a, b, cos FROM sims WHERE b = a + 1""".stripMargin)
+
   /** L2 normalization summary: rounded norm + unit-vector element checksum
     * in shared double-precision left-fold arithmetic. */
   val embNormalize: OQ = OQ.df("emb_l2_normalize",
@@ -632,15 +657,6 @@ object DataOpsQueries {
 
   // ---- similarity search --------------------------------------------------
 
-  private val duckSims =
-    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
-      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
-      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
-      |dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.e * b.e) AS dot
-      |  FROM el a JOIN el b ON a.i = b.i GROUP BY 1, 2),
-      |sims AS (SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 6) AS cos
-      |  FROM dots JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id)""".stripMargin
-
   val embeddingNearDup: OQ = OQ.df("dedup_embedding_cosine",
     (s, _) => Similarity.cosineNearDup(s.table("embeddings"), threshold = 0.45),
     s"""$duckSims
@@ -757,7 +773,7 @@ object DataOpsQueries {
     rollingHash, unigramLm, bigramLm,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleShards, sampleBudget, sampleSplitGrouped,
-    quantizeInt8, embNormalize,
+    quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
     simhash, dedupCluster,

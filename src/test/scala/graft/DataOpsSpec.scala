@@ -454,6 +454,38 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.functions.RollingHash.hash("") == 0L)
   }
 
+  test("cosine_sim expression: codegen, kernel parity, edge cases") {
+    import org.apache.spark.sql.graft.SqlBridge
+    SqlBridge.registerFunction(spark, "cosine_sim",
+      exprs => graft.functions.CosineSim(exprs(0), exprs(1)))
+    val e1 = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val e2 = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val df = e1.join(e2, col("b") === col("a") + 1)
+      .selectExpr("a", "b", "round(cosine_sim(ea, eb), 6) AS cos")
+    // stays inside whole-stage codegen (no fence around the expression) —
+    // asserted on an exchange-free projection: under AQE a join's pre-
+    // execution plan hides its final codegen stages
+    val proj = emb.selectExpr("vec_id", "cosine_sim(embedding, embedding) AS self_cos")
+    assert(proj.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("cosine_sim") && l.trim.startsWith("*")))
+    assert(proj.collect().forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9 || r.getDouble(1) == 0.0))
+    // bit-parity with the blocked-search kernel's rounded cosine
+    val viaExpr = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaKernel = Similarity.cosinePairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    viaExpr.foreach { case (k, v) =>
+      assert(viaKernel(k) == v, s"pair $k: expr $v vs kernel ${viaKernel(k)}") }
+    // edge cases: zero vector → 0.0 (not NaN); NULL → NULL; length mismatch
+    val edge = spark.sql(
+      "SELECT cosine_sim(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS z, " +
+        "cosine_sim(CAST(NULL AS ARRAY<FLOAT>), CAST(array(1.0) AS ARRAY<FLOAT>)) AS n, " +
+        "cosine_sim(CAST(array(1.0, 0.0, 5.0) AS ARRAY<FLOAT>), CAST(array(1.0) AS ARRAY<FLOAT>)) AS m")
+      .head()
+    assert(edge.getDouble(0) == 0.0 && edge.isNullAt(1))
+    // common-prefix dot, full-array norms: 1 / (sqrt(26)·1)
+    assert(math.abs(edge.getDouble(2) - 1.0 / math.sqrt(26.0)) < 1e-12)
+  }
+
   test("dedup tolerates NULL and too-short documents") {
     import spark.implicits._
     val messy = Seq(
