@@ -264,6 +264,32 @@ object EngineQueries {
       |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Stream–static enrichment: the event stream broadcast-joined to the
+    * customer dimension per micro-batch, windowed revenue per market
+    * segment; events without a dimension row keep a NULL segment (left
+    * join). Same append-mode watermark cutoff as stream_window_counts. */
+  val streamEnriched: OQ = OQ.df("stream_enriched_counts",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_enriched_sink")
+      val dim = s.table("customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val agg = Streams.enrichedWindowedCounts(
+        Streams.eventStream(s, s"$dir/events.parquet"), dim, "user_id", "segment")
+      Streams.runAppendToTable(s, agg, "g_stream_enriched_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-enrich-cp").toString))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("segment"), col("n"), col("total_value"))
+    },
+    """WITH w AS (
+      |  SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS wstart,
+      |    c.c_mktsegment AS segment, value, CAST(ts AS TIMESTAMP) AS tss
+      |  FROM events LEFT JOIN customer c ON events.user_id = c.c_custkey)
+      |SELECT CAST(wstart AS STRING) AS window_start, segment, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM w
+      |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
+      |GROUP BY 1, 2""".stripMargin)
+
   /** Stateful streaming dedup over a deliberately DOUBLED source (every
     * event replayed once — the at-least-once broker shape): the sink must
     * contain each event exactly once, pinned per event_type against the
@@ -419,5 +445,5 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamCdc, streamCdcBucketed, streamVisits)
+    streamDedup, streamEnriched, streamCdc, streamCdcBucketed, streamVisits)
 }

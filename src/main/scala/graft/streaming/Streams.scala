@@ -74,6 +74,28 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** STREAM–STATIC ENRICHMENT + windowed rollup: join the event stream to a
+    * batch dimension (the lookup-table shape every streaming pipeline has),
+    * then the same watermark + tumbling-window aggregation as
+    * [[windowedCounts]], grouped by the enriched attribute. The dimension
+    * side is broadcast — Structured Streaming re-plans the static side per
+    * micro-batch, so a broadcast join keeps each batch a narrow pass over
+    * the stream with NO stream-side shuffle before the windowed agg; rows
+    * missing from the dimension keep a NULL attribute (left join) rather
+    * than silently dropping events. */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
+                             joinKey: String, attr: String,
+                             window: String = "5 minutes",
+                             watermark: String = "10 minutes"): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinKey), "left")
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(attr))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col(attr),
+        col("n"), col("total_value"))
+
   /** Test-only harness: run a streaming aggregation to completion into a
     * memory sink (complete mode). Keeps ALL aggregation state in driver
     * memory — never the production path; see [[runAppendToTable]]. */
