@@ -125,7 +125,6 @@ object Dedup {
           least(col("ae.ng"), col("be.ng")).cast("double") >=
             lit(threshold) * greatest(col("ae.ng"), col("be.ng")))
         .select(col("ae.id").as("a"), col("be.id").as("b"))
-        .distinct()
       verifyJaccard(candidates, shingleArray(df, n, idCol, textCol), threshold, idCol)
     }
   }
@@ -149,13 +148,17 @@ object Dedup {
   private def verifyJaccard2(candidates: DataFrame, shArrA: DataFrame,
                              shArrB: DataFrame, threshold: Double,
                              idCol: String): DataFrame = {
-    // AQE coalesces the candidate exchange by BYTES, but this stage is
-    // compute-bound (two array intersections per candidate pair — the pair
-    // rows are tiny, the work per row is not), so byte-based coalescing
-    // serializes the verify onto one task. Spread it across the cluster's
-    // cores explicitly; the extra exchange moves only (a, b) id pairs.
+    // ONE exchange both spreads and dedups the candidate stream: an explicit
+    // (a, b)-hash repartition (AQE never coalesces user-specified
+    // partitioning, and byte-based coalescing would serialize this
+    // compute-bound stage — tiny pair rows, two array intersections each —
+    // onto one task), then an in-partition dropDuplicates that reuses the
+    // exchange's clustering. Callers emit raw multi-sighted pairs (one per
+    // shared gram/bucket) and rely on the dedup here.
     val spread = candidates
-      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .dropDuplicates("a", "b")
     val ga = shArrA.select(col(idCol).as("a"), col("grams").as("__ga"))
     val gb = shArrB.select(col(idCol).as("b"), col("grams").as("__gb"))
     val common = spread.join(ga, Seq("a")).join(gb, Seq("b"))
@@ -197,7 +200,7 @@ object Dedup {
       .select(col("a"), col("na"), explode(col("__ids")).as("be"))
       .where(least(col("na"), col("be.ng")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("be.ng")))
-      .select(col("a"), col("be.id").as("b")).distinct()
+      .select(col("a"), col("be.id").as("b"))
     verifyJaccard2(candidates, shingleArray(incoming, n, idCol, textCol),
       shingleArray(corpus, n, idCol, textCol), threshold, idCol)
   }
@@ -305,7 +308,7 @@ object Dedup {
         val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
         val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
         l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
-          .select("a", "b").distinct()
+          .select("a", "b")
       } else {
         // one capped shuffle groups ids per bucket (same plan shape as the
         // capped Jaccard candidate stage) and in-bucket pairs come from two
@@ -319,7 +322,7 @@ object Dedup {
           .select(explode(col("__ids")).as("a"), col("__ids"))
           .select(col("a"), explode(col("__ids")).as("b"))
           .where(col("a") < col("b"))
-          .select("a", "b").distinct()
+          .select("a", "b")
       }
 
     // exact verification on the candidate set only
