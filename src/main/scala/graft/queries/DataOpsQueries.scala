@@ -725,6 +725,14 @@ object DataOpsQueries {
   val semanticBench: OQ = OQ.rowsOnly("dedup_semantic",
     (s, _) => Similarity.semanticNearDup(s.table("embeddings"),
       threshold = 0.45, nlist = 8, probes = 2))
+  /** PQ encode + ADC search: learned codebooks have no SQL form — codes,
+    * reconstruction error and ADC recall are witness-tested in DataOpsSpec;
+    * timing tracked per round. */
+  val pqBench: OQ = OQ.rowsOnly("emb_pq_adc_topk",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      graft.ops.Pq.pqTopK(emb, graft.ops.Pq.pqTrain(emb, m = 16, k = 16), topK = 5)
+    })
 
   // ---- multimodal ---------------------------------------------------------
 
@@ -782,5 +790,5 @@ object DataOpsQueries {
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench, bpeBench)
+    semanticBench, bpeBench, pqBench)
 }

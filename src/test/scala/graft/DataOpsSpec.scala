@@ -759,6 +759,49 @@ class DataOpsSpec extends AnyFunSuite {
       math.abs(out(1).getDouble(2) - math.log(2.0)) < 1e-6)
   }
 
+  test("product quantization: deterministic codes, bounded error, useful ADC recall") {
+    import graft.ops.Pq
+    val books = Pq.pqTrain(emb, m = 16, k = 16)
+    assert(books.length == 16 && books.forall(_.forall(_.length == 4)))
+    // deterministic end to end
+    val again = Pq.pqTrain(emb, m = 16, k = 16)
+    assert(books.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val enc = Pq.pqEncode(emb, books).cache()
+    assert(enc.count() == emb.count())
+    val codes = enc.select("codes").head().getSeq[Int](0)
+    assert(codes.length == 16 && codes.forall(c => c >= 0 && c < 16))
+    // compression keeps most of the signal: mean reconstruction error well
+    // under the mean vector energy
+    val err = enc.agg(avg("recon_err2")).head().getDouble(0)
+    val energy = emb.selectExpr(
+      "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS e")
+      .agg(avg("e")).head().getDouble(0)
+    assert(err < energy * 0.5, s"reconstruction err $err vs energy $energy")
+    enc.unpersist()
+    // ADC search over codes finds most of the true L2 neighborhood (ADC
+    // approximates L2, so the baseline is exact L2 top-k, not cosine)
+    val vecs = emb.selectExpr("CAST(vec_id AS BIGINT)", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val exact = vecs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (bid, bv) => (qid, bid, l2(qv, bv)) }
+        .sortBy(t => (t._3, t._2)).take(5).map(t => (qid, t._2))
+    }.toSet
+    val adc5 = Pq.pqTopK(emb, books, topK = 5).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall5 = (exact intersect adc5).size.toDouble / exact.size
+    val chance = 5.0 / (vecs.length - 1)
+    assert(recall5 >= 3 * chance, s"ADC@5 recall $recall5 not above chance $chance")
+    // the deployment shape: ADC is the SHORTLIST, exact re-rank recovers the
+    // head — recall of the true top-5 within the ADC top-20 shortlist
+    val adc20 = Pq.pqTopK(emb, books, topK = 20).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortlistRecall = (exact intersect adc20).size.toDouble / exact.size
+    assert(shortlistRecall >= 0.6, s"ADC shortlist recall too low: $shortlistRecall")
+  }
+
   test("unigram LM score matches a hand-computed toy corpus") {
     val toy = spark.createDataFrame(Seq(
       (1L, "a a b"), (2L, "a c"))).toDF("doc_id", "text")
