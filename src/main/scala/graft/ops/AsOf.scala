@@ -43,15 +43,18 @@ object AsOf {
     // payload field is legitimately NULL
     val rType = right.select(struct(payload.map(col): _*)).schema.head.dataType
     val lType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    // the tie column keeps its NATIVE type: casting to long would NULL out
+    // string/UUID ids and silently break the greatest-tie-wins contract
+    val tieType = right.select(col(tieCol)).schema.head.dataType
     val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
     val r = right.select(keyCols :+
       col(rightTime).as("__t") :+ lit(rightTag).as("__tag") :+
-      col(tieCol).cast("long").as("__tie") :+
+      col(tieCol).as("__tie") :+
       struct(payload.map(col): _*).as("__r") :+
       lit(null).cast(lType).as("__l"): _*)
     val l = left.select(keyCols :+
       col(leftTime).as("__t") :+ lit(leftTag).as("__tag") :+
-      lit(null).cast("long").as("__tie") :+
+      lit(null).cast(tieType).as("__tie") :+
       lit(null).cast(rType).as("__r") :+
       struct(left.columns.map(col): _*).as("__l"): _*)
     val w = Window.partitionBy(keyCols: _*)

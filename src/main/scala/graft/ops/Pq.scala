@@ -89,8 +89,11 @@ object Pq {
         var err = 0.0
         var sub = 0
         while (sub < m) {
-          val sv = java.util.Arrays.copyOfRange(v, sub * dsub,
-            math.min((sub + 1) * dsub, v.length))
+          // ragged (shorter-than-trained) vectors: clamp BOTH bounds — an
+          // out-of-range 'from' throws, unlike the silently-clamped 'to'
+          val from = math.min(sub * dsub, v.length)
+          val sv = java.util.Arrays.copyOfRange(v, from,
+            math.max(from, math.min((sub + 1) * dsub, v.length)))
           val c = nearestL2(sv, books(sub))
           codes(sub) = c
           val cc = books(sub)(c)
@@ -119,13 +122,14 @@ object Pq {
     // broadcast build under control (4M × 8 × 4B ≈ 128 MB). Past the cap,
     // shard the code table through the blocked grid (Similarity.cosineTopK's
     // layout) instead of raising it.
-    val codesDf = pqEncode(emb, codebooks, idCol, vecCol)
+    // one encode job: collect, then enforce the cap on the collected length
+    // (a separate count() would run the whole distributed encode twice)
+    val codes = pqEncode(emb, codebooks, idCol, vecCol)
       .select(col(idCol), col("codes"))
-    val nCodes = codesDf.count()
-    require(nCodes <= maxBroadcastCodes,
-      s"pqTopK broadcasts the code table ($nCodes rows > cap $maxBroadcastCodes); " +
-        "shard the corpus (blocked grid) for larger indexes")
-    val codes = codesDf.as[(Long, Seq[Int])].collect()
+      .as[(Long, Seq[Int])].collect()
+    require(codes.length <= maxBroadcastCodes,
+      s"pqTopK broadcasts the code table (${codes.length} rows > cap " +
+        s"$maxBroadcastCodes); shard the corpus (blocked grid) for larger indexes")
     val bcCodes = spark.sparkContext.broadcast(codes)
     val bcBooks = spark.sparkContext.broadcast(codebooks)
     emb.select(col(idCol).cast("long"), col(vecCol))
@@ -135,8 +139,9 @@ object Pq {
         val dsub = books(0)(0).length
         // distance table: dt(sub)(c) = ||q_sub - centroid||²
         val dt = Array.tabulate(m) { sub =>
-          val sv = java.util.Arrays.copyOfRange(qv, sub * dsub,
-            math.min((sub + 1) * dsub, qv.length))
+          val from = math.min(sub * dsub, qv.length)
+          val sv = java.util.Arrays.copyOfRange(qv, from,
+            math.max(from, math.min((sub + 1) * dsub, qv.length)))
           books(sub).map { cc =>
             var d2 = 0.0
             var i = 0
@@ -146,17 +151,19 @@ object Pq {
           }
         }
         val all = bcCodes.value
-        // bounded selection: (dist asc, id asc)
-        val top = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.Tuple2(Ordering[Double], Ordering[Long]))
+        // bounded selection: (dist asc, id asc); one ordering instance for
+        // the whole scan — not inside the O(corpus) loop
+        val ord = Ordering.Tuple2(Ordering[Double], Ordering[Long])
+        val top = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
         all.foreach { case (bid, bcodes) =>
           if (bid != qid) {
             var dist = 0.0
             var sub = 0
             while (sub < m) { dist += dt(sub)(bcodes(sub)); sub += 1 }
             if (top.size < topK) top.enqueue((dist, bid))
-            else if (Ordering.Tuple2(Ordering[Double], Ordering[Long])
-              .lt((dist, bid), top.head)) { top.dequeue(); top.enqueue((dist, bid)) }
+            else if (ord.lt((dist, bid), top.head)) {
+              top.dequeue(); top.enqueue((dist, bid))
+            }
           }
         }
         val ordered: Seq[(Double, Long)] = top.dequeueAll

@@ -105,8 +105,13 @@ object Sampling {
     require(tokenBudget >= 0 && buckets > 0)
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val b = greatest(lit(0), least(lit(buckets - 1),
-      floor(col(scoreCol) * buckets))).cast("int")
+    // NULL scores sort LAST globally (score desc nulls-last, matching a
+    // plain ORDER BY): they must land in the BOTTOM bucket — greatest/least
+    // SKIP nulls, so without the explicit branch a NULL floats to the top
+    // bucket and consumes budget ahead of the whole scored corpus
+    val b = when(col(scoreCol).isNull, lit(0))
+      .otherwise(greatest(lit(0), least(lit(buckets - 1),
+        floor(col(scoreCol) * buckets)))).cast("int")
     val w = Window.partitionBy("__b")
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -149,11 +149,12 @@ object Streams {
       .start()
 
   /** How a CDC micro-batch's winning changes fold into the per-key state
-    * table. The default is the incremental [[BucketedStateWriter]]
-    * (O(touched buckets) per batch); [[RebuildStateWriter]] is the
-    * strictly-atomic total-rebuild alternative; on a transactional catalog
-    * (Delta/Iceberg) a MERGE-based implementation plugs in here and gives
-    * incremental AND atomic at once without touching [[Streams.cdcApply]]. */
+    * table. The default is the [[OverlayStateWriter]] (incremental AND
+    * atomic via a composed view); [[BucketedStateWriter]] is the simpler
+    * dynamic-partition-overwrite fold (not atomic across buckets),
+    * [[RebuildStateWriter]] the strictly-atomic total rebuild; on a
+    * transactional catalog (Delta/Iceberg) a MERGE-based implementation
+    * plugs in here without touching [[Streams.cdcApply]]. */
   trait CdcStateWriter {
     /** Fold `incoming` (one winning row per key already) into `state`.
       * `latestOf` reduces any union of state+changes to the per-key winner
@@ -178,9 +179,10 @@ object Streams {
     }
   }
 
-  /** Sentinel default for [[cdcApply]]'s `writer` param: resolved there to a
-    * [[BucketedStateWriter]] over the asset's primary keys (the writer needs
-    * the pks, which a default argument cannot reach). */
+  /** Sentinel default for [[cdcApply]]'s `writer` param: resolved there to an
+    * [[OverlayStateWriter]] over the asset's primary keys (the writer needs
+    * the pks, which a default argument cannot reach); asset param
+    * `cdc_writer` selects `bucketed` or `rebuild` instead. */
   case object AutoStateWriter extends CdcStateWriter {
     override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
                         latestOf: DataFrame => DataFrame,

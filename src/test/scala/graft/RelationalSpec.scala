@@ -85,5 +85,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
     assert("Exchange".r.findAllIn(plan).size == 1,
       s"as-of must shuffle exactly once:\n$plan")
+    // STRING tie columns keep their native ordering (a long cast would
+    // NULL them out and break the greatest-tie-wins determinism)
+    val rightS = right.selectExpr("concat('id', rid) AS srid", "k", "rt", "v")
+    val tied = graft.ops.AsOf.asofJoin(left, rightS, Seq("k"), "t", "rt",
+      payload = Seq("srid", "v"), tieCol = "srid")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(tied(1L) == "id101", s"string tie must pick the greatest: $tied")
   }
 }
