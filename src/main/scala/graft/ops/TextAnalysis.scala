@@ -340,6 +340,53 @@ object TextAnalysis {
         round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** C4/RefinedWeb-style BOILERPLATE SPAN REMOVAL: cut each document into
+    * consecutive `spanTokens`-word segments, drop every segment that occurs
+    * in >= `maxDf` distinct documents (shared navigation chrome, license
+    * headers, injected near-duplicate overlap), and reassemble the
+    * surviving segments in order. Documents whose text is entirely
+    * boilerplate stay in the output with empty text so a downstream filter
+    * can drop or audit them. On a corpus with line structure pass the text
+    * pre-split on '\n' through the same shape; the synthetic corpus is
+    * single-line so the word-window segmentation is the meaningful unit.
+    *
+    * Scale shape: segmentation is a pure projection (sequence → transform →
+    * slice inside the scan task — token arrays never shuffle). Then exactly
+    * three key-hashed exchanges, each map-side combinable and skew-bounded:
+    * segment-df count (df caps at N), a left_anti join against the
+    * boilerplate set (at high maxDf that side is tiny — ≤ totalSpans/maxDf
+    * rows — and AQE converts the join to broadcast at runtime; at maxDf=2
+    * it legitimately shuffles), and the per-doc ordered reassembly (bounded
+    * by document size). No driver traffic, no unbounded collect. */
+  def spanDedup(df: DataFrame, spanTokens: Int = 5, maxDf: Int = 2,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    require(maxDf >= 2, "maxDf < 2 would drop every span")
+    val segs = df
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(concat_ws("", col("__ws")) =!= "")
+      .withColumn("__starts",
+        sequence(lit(0), size(col("__ws")) - 1, lit(spanTokens)))
+      .select(col(idCol), posexplode(transform(col("__starts"),
+        s => concat_ws(" ", slice(col("__ws"), s + 1, lit(spanTokens))))))
+      .select(col(idCol), col("pos").cast("int").as("spos"),
+        col("col").as("segment"))
+    val boilerplate = segs.groupBy("segment")
+      .agg(countDistinct(col(idCol)).as("seg_df"))
+      .where(col("seg_df") >= maxDf)
+      .select("segment")
+    val rebuilt = segs.join(boilerplate, Seq("segment"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("spos"), col("segment")))),
+          x => x.getField("segment"))).as("text_deduped"),
+        count(lit(1)).cast("long").as("n_spans_kept"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
+  }
+
   /** Content fingerprints: md5 of normalized text + a 60-bit numeric
     * fingerprint (hex prefix of the md5 — portable across engines, unlike
     * xxhash64/murmur whose seeds vary). */

@@ -305,6 +305,26 @@ object DataOpsQueries {
        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
        |FROM c GROUP BY 1""".stripMargin)
 
+  /** C4-style boilerplate span removal: 5-word segments shared by >= 2 docs
+    * (the injected near-dup overlap) are dropped and the survivors
+    * reassembled in order; fully-boilerplate docs stay with empty text. */
+  val spanDedup: OQ = OQ.df("text_span_dedup",
+    (s, _) => TextAnalysis.spanDedup(s.table("documents"), spanTokens = 5, maxDf = 2)
+      .select("doc_id", "text_deduped", "n_spans_kept"),
+    s"""WITH ls0 AS (SELECT doc_id, string_split($NORM, ' ') AS ls FROM documents),
+       |toks AS (SELECT doc_id, unnest(ls) AS w, generate_subscripts(ls, 1) - 1 AS pos
+       |  FROM ls0 WHERE len(ls) > 0 AND ls <> ['']),
+       |segs AS (SELECT doc_id, pos // 5 AS spos, string_agg(w, ' ' ORDER BY pos) AS segment
+       |  FROM toks GROUP BY 1, 2),
+       |heavy AS (SELECT segment FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (SELECT s.doc_id, s.spos, s.segment FROM segs s
+       |  LEFT JOIN heavy h USING (segment) WHERE h.segment IS NULL),
+       |agg AS (SELECT doc_id, string_agg(segment, ' ' ORDER BY spos) AS text_deduped,
+       |  count(*) AS n_spans_kept FROM kept GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.text_deduped, '') AS text_deduped,
+       |  CAST(coalesce(a.n_spans_kept, 0) AS BIGINT) AS n_spans_kept
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)
+
   // ---- sampling -----------------------------------------------------------
 
   /** Portable md5 bucket in both dialects. */
@@ -778,7 +798,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash, unigramLm, bigramLm,
+    rollingHash, unigramLm, bigramLm, spanDedup,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleShards, sampleBudget, sampleSplitGrouped,
     quantizeInt8, embNormalize, cosineExpr,

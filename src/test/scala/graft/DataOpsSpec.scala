@@ -416,6 +416,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(m.head.getLong(1) == 3L && m.head.getLong(2) == 6L)
   }
 
+  test("span dedup removes shared spans, keeps order, retains emptied docs") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter now"  // 5 words = one span
+    val fixture = Seq(
+      (1L, s"alpha bravo charlie delta echo $boiler"),
+      (2L, s"$boiler foxtrot golf hotel india juliet"),
+      (3L, boiler),                                  // 100% boilerplate
+      (4L, "kilo lima mike november oscar papa quebec romeo sierra tango")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(fixture, spanTokens = 5, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha bravo charlie delta echo", 1L))
+    assert(out(2L) == ("foxtrot golf hotel india juliet", 1L))
+    assert(out(3L) == ("", 0L))                      // emptied, not dropped
+    assert(out(4L)._2 == 2L)                         // untouched doc keeps both spans
+    assert(out(4L)._1 == "kilo lima mike november oscar papa quebec romeo sierra tango")
+    // raising the df threshold above the boilerplate's df keeps everything
+    val loose = TextAnalysis.spanDedup(fixture, spanTokens = 5, maxDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(3L) == boiler)
+  }
+
   test("data ops tolerate empty inputs") {
     import spark.implicits._
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -428,6 +450,7 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.ops.TextAnalysis.vocabulary(emptyDocs).count() == 0)
     assert(graft.ops.TextAnalysis.repetition(emptyDocs).count() == 0)
     assert(graft.ops.TextAnalysis.redactPii(emptyDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.spanDedup(emptyDocs).count() == 0)
     assert(graft.ops.Sampling.split(emptyDocs).count() == 0)
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.ops.Quantize.int8Summary(emptyEmb).count() == 0)
