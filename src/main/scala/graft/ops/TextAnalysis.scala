@@ -340,6 +340,43 @@ object TextAnalysis {
         round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** Gopher-style RULE-BASED QUALITY FILTER (Rae et al. 2021, §A1.1): the
+    * classic pre-training document gate — word-count bounds, mean-word-length
+    * bounds, minimum stopword evidence, minimum alphabetic-word fraction,
+    * maximum symbol-to-word ratio. Emits the per-document metrics, one
+    * boolean per rule, and the conjunction `passes_gopher`, so pipelines
+    * can either filter on the verdict or audit which rule fired. A pure
+    * single-pass projection over the scan (array builtins only, no shuffle,
+    * no UDF) — runs at scan speed on any corpus size. */
+  def gopherFilter(df: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minStopHits: Int = 2, minAlphaFrac: Double = 0.8,
+                   maxSymbolRatio: Double = 0.1,
+                   textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("n_words", size(ws))
+      .withColumn("mean_word_len",
+        round(aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") /
+          size(ws), 6))
+      .withColumn("n_stop_hits", stopHits(ws, "en"))
+      .withColumn("alpha_frac",
+        round(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
+          size(ws), 6))
+      .withColumn("symbol_ratio",
+        round(size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / size(ws), 6))
+      .withColumn("rule_word_count",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("rule_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("rule_stopwords", col("n_stop_hits") >= minStopHits)
+      .withColumn("rule_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("rule_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("passes_gopher",
+        col("rule_word_count") && col("rule_word_len") &&
+          col("rule_stopwords") && col("rule_alpha") && col("rule_symbols"))
+  }
+
   /** C4/RefinedWeb-style BOILERPLATE SPAN REMOVAL: cut each document into
     * consecutive `spanTokens`-word segments, drop every segment that occurs
     * in >= `maxDf` distinct documents (shared navigation chrome, license

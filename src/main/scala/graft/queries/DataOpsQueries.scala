@@ -305,6 +305,35 @@ object DataOpsQueries {
        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
        |FROM c GROUP BY 1""".stripMargin)
 
+  /** Gopher rule gate: metrics + per-rule verdicts + the conjunction. */
+  val gopher: OQ = {
+    val stops = TextAnalysis.Stopwords.toMap.apply("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    OQ.df("text_gopher_filter",
+      (s, _) => TextAnalysis.gopherFilter(s.table("documents"))
+        .selectExpr("doc_id", "CAST(n_words AS BIGINT) AS n_words",
+          "mean_word_len", "CAST(n_stop_hits AS BIGINT) AS n_stop_hits",
+          "alpha_frac", "symbol_ratio", "rule_word_count", "rule_word_len",
+          "rule_stopwords", "rule_alpha", "rule_symbols", "passes_gopher"),
+      s"""WITH w AS (SELECT doc_id, text, string_split($NORM, ' ') AS ws FROM documents),
+         |m AS (SELECT doc_id, len(ws) AS n_words,
+         |  round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / len(ws), 6) AS mean_word_len,
+         |  len(list_filter(ws, x -> list_contains($stops, x))) AS n_stop_hits,
+         |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 6) AS alpha_frac,
+         |  round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws), 6) AS symbol_ratio
+         |  FROM w),
+         |r AS (SELECT *,
+         |  (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+         |  (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_word_len,
+         |  (n_stop_hits >= 2) AS rule_stopwords,
+         |  (alpha_frac >= 0.8) AS rule_alpha,
+         |  (symbol_ratio <= 0.1) AS rule_symbols FROM m)
+         |SELECT doc_id, n_words, mean_word_len, n_stop_hits, alpha_frac, symbol_ratio,
+         |  rule_word_count, rule_word_len, rule_stopwords, rule_alpha, rule_symbols,
+         |  (rule_word_count AND rule_word_len AND rule_stopwords AND rule_alpha AND rule_symbols) AS passes_gopher
+         |FROM r""".stripMargin)
+  }
+
   /** C4-style boilerplate span removal: 5-word segments shared by >= 2 docs
     * (the injected near-dup overlap) are dropped and the survivors
     * reassembled in order; fully-boilerplate docs stay with empty text. */
@@ -798,7 +827,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash, unigramLm, bigramLm, spanDedup,
+    rollingHash, unigramLm, bigramLm, spanDedup, gopher,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleShards, sampleBudget, sampleSplitGrouped,
     quantizeInt8, embNormalize, cosineExpr,

@@ -438,6 +438,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(loose(3L) == boiler)
   }
 
+  test("gopher filter: each rule fires on its designed violation, no shuffle") {
+    import spark.implicits._
+    val good = Array.fill(20)("the cat and dog ran to the park today").mkString(" ")
+    val fixture = Seq(
+      (1L, good),                                         // passes every rule
+      (2L, "too short"),                                  // word count
+      (3L, Array.fill(60)("supercalifragilisticexpialidocious").mkString(" ")), // word len
+      (4L, Array.fill(60)("kilo lima mike").mkString(" ")),   // no stopwords
+      (5L, (1 to 60).map(_.toString).mkString(" ")),      // non-alphabetic
+      (6L, good + " " + Array.fill(30)("...").mkString(" "))  // symbol ratio
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes_gopher"))
+    assert(!out(2L).getAs[Boolean]("rule_word_count"))
+    assert(!out(3L).getAs[Boolean]("rule_word_len"))
+    assert(!out(4L).getAs[Boolean]("rule_stopwords"))
+    assert(!out(5L).getAs[Boolean]("rule_alpha"))
+    assert(!out(6L).getAs[Boolean]("rule_symbols"))
+    assert(out.values.forall(r => r.getAs[Long]("doc_id") == 1L ||
+      !r.getAs[Boolean]("passes_gopher")))
+    // pure projection: the gate must run at scan speed, no Exchange
+    val plan = TextAnalysis.gopherFilter(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher filter should not shuffle:\n$plan")
+  }
+
   test("data ops tolerate empty inputs") {
     import spark.implicits._
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
