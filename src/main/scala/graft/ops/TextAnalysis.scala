@@ -424,6 +424,24 @@ object TextAnalysis {
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
+  /** Grouped CORPUS STATISTICS — the dataset-card numbers (docs, token
+    * totals, length distribution) per corpus stratum, in ONE hash
+    * aggregation (one shuffle on the group key, every stat map-side
+    * combinable except the exact median, whose per-group memory is bounded
+    * by the number of DISTINCT lengths — small for any real length
+    * distribution; swap in percentile_approx for pathological columns). */
+  def corpusStats(df: DataFrame, groupCols: Seq[String] = Seq("lang", "source"),
+                  textCol: String = "text"): DataFrame = {
+    val len = length(col(textCol))
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(words(col(textCol)))).cast("long").as("total_ws_tokens"),
+      min(len).cast("long").as("min_chars"),
+      max(len).cast("long").as("max_chars"),
+      round(avg(len), 6).as("avg_chars"),
+      round(percentile(len, lit(0.5)), 6).as("median_chars"))
+  }
+
   /** Content fingerprints: md5 of normalized text + a 60-bit numeric
     * fingerprint (hex prefix of the md5 — portable across engines, unlike
     * xxhash64/murmur whose seeds vary). */

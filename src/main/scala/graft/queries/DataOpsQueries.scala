@@ -334,6 +334,17 @@ object DataOpsQueries {
          |FROM r""".stripMargin)
   }
 
+  /** Dataset-card stats per (lang, source) stratum in one aggregation. */
+  val corpusStats: OQ = OQ.df("corpus_stats",
+    (s, _) => TextAnalysis.corpusStats(s.table("documents")),
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(len(string_split($NORM, ' '))) AS BIGINT) AS total_ws_tokens,
+       |  CAST(min(len(text)) AS BIGINT) AS min_chars,
+       |  CAST(max(len(text)) AS BIGINT) AS max_chars,
+       |  round(avg(len(text)), 6) AS avg_chars,
+       |  round(quantile_cont(len(text), 0.5), 6) AS median_chars
+       |FROM documents GROUP BY 1, 2""".stripMargin)
+
   /** C4-style boilerplate span removal: 5-word segments shared by >= 2 docs
     * (the injected near-dup overlap) are dropped and the survivors
     * reassembled in order; fully-boilerplate docs stay with empty text. */
@@ -827,7 +838,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash, unigramLm, bigramLm, spanDedup, gopher,
+    rollingHash, unigramLm, bigramLm, spanDedup, gopher, corpusStats,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleShards, sampleBudget, sampleSplitGrouped,
     quantizeInt8, embNormalize, cosineExpr,
