@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash_windows"),
+      new ExpressionInfo(classOf[RollingHashWindows].getName, "rolling_hash_windows"),
+      (exprs: Seq[Expression]) => RollingHashWindows(exprs(0), exprs(1))))
   }
 }

@@ -486,6 +486,59 @@ object Dedup {
       .agg(count("*").as("n_contaminated_grams"))
   }
 
+  /** EXACT SUBSTRING DEDUP (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): find every maximal character span of
+    * length >= `windowChars` whose content occurs >= `minCount` times in the
+    * corpus (cross-doc or within-doc), as merged [span_start, span_end)
+    * codepoint intervals over the normalized text — the removal targets of
+    * the paper's ExactSubstr method.
+    *
+    * Spark-first replacement for the paper's monolithic suffix array: the
+    * [[graft.functions.RollingHashWindows]] codegen expression emits every
+    * window hash in one O(chars) pass inside the scan, so a duplicated span
+    * of any length >= w appears as a run of duplicated w-window hashes.
+    * Stages: (1) posexplode the hash array — the dominant cost, one row per
+    * codepoint, the same O(n) row volume a distributed suffix-array build
+    * shuffles, all narrow until (2) one hash-keyed aggregate keeps hashes
+    * seen >= minCount times (62-bit double hash: no birthday collisions at
+    * corpus scale — a 31-bit hash would manufacture hundreds of false dup
+    * spans per 10⁶ windows), (3) a semi-join marks duplicated positions
+    * (the dup-hash side is the small one; AQE broadcasts it when it fits),
+    * (4) per-doc gaps-and-islands merge — one window partition keyed by
+    * doc, bounded by doc length. Output: (id, span_id, span_start,
+    * span_end, span_chars), span_id ordered by start. */
+  def substringDupSpans(df: DataFrame, windowChars: Int = 30, minCount: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowChars > 0, "windowChars must be positive")
+    require(minCount >= 2, "minCount < 2 would mark every span a duplicate")
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(df.sparkSession,
+      "rolling_hash_windows",
+      exprs => graft.functions.RollingHashWindows(exprs(0), exprs(1)))
+    val pos = df
+      .select(col(idCol), TextAnalysis.normText(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        posexplode(expr(s"rolling_hash_windows(__norm, $windowChars)")))
+      .select(col(idCol), col("pos"), col("col").as("__h"))
+    val dup = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("__h")
+    val marked = pos.join(dup, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") - col("__prev") > windowChars, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("span_start"), (max("pos") + windowChars).as("span_end"))
+      .select(col(idCol),
+        (col("__island") - 1).cast("int").as("span_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("span_chars"))
+  }
+
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
     * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0.
     *

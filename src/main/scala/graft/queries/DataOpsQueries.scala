@@ -334,6 +334,30 @@ object DataOpsQueries {
          |FROM r""".stripMargin)
   }
 
+  /** Exact substring dedup (Lee et al. ExactSubstr): merged >=30-char spans
+    * whose content repeats anywhere in the corpus. The oracle hashes every
+    * window with md5 while Spark uses the O(n) rolling double-hash — the
+    * compared output is the position spans, which agree unless either hash
+    * collides (62-bit: it doesn't at this scale). */
+  val substringSpans: OQ = OQ.df("dedup_substring_spans",
+    (s, _) => Dedup.substringDupSpans(s.table("documents"), windowChars = 30, minCount = 2),
+    s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(t) - 28)) - 1 AS pos, t FROM n),
+       |hw AS (SELECT doc_id, pos, md5(substr(t, pos + 1, 30)) AS h FROM p),
+       |dup AS (SELECT h FROM hw GROUP BY 1 HAVING count(*) >= 2),
+       |mk AS (SELECT hw.doc_id, hw.pos FROM hw JOIN dup USING (h)),
+       |lg AS (SELECT doc_id, pos,
+       |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
+       |br AS (SELECT doc_id, pos,
+       |  CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END AS brk FROM lg),
+       |isl AS (SELECT doc_id, pos, sum(brk) OVER (
+       |  PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM br)
+       |SELECT doc_id, CAST(island - 1 AS INT) AS span_id,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + 30 AS BIGINT) AS span_end,
+       |  CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_chars
+       |FROM isl GROUP BY doc_id, island""".stripMargin)
+
   /** Dataset-card stats per (lang, source) stratum in one aggregation. */
   val corpusStats: OQ = OQ.df("corpus_stats",
     (s, _) => TextAnalysis.corpusStats(s.table("documents")),
@@ -844,7 +868,7 @@ object DataOpsQueries {
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
-    simhash, dedupCluster,
+    simhash, dedupCluster, substringSpans,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 

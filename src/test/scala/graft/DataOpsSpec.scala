@@ -438,6 +438,43 @@ class DataOpsSpec extends AnyFunSuite {
     assert(loose(3L) == boiler)
   }
 
+  test("substring dedup: rolling windows match direct hashes; spans merge maximally") {
+    import spark.implicits._
+    // window hashes computed by the rolling recurrence == hashing each
+    // substring from scratch (the property the O(n) update must preserve)
+    val s = "abcdefghij abcdefghij xyz"
+    val w = 4
+    val rolled = graft.functions.RollingHashWindows.hashes(s, w)
+      .toLongArray()
+    val direct = (0 to s.length - w).map { i =>
+      val win = s.substring(i, i + w)
+      val h1 = win.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+      val h2 = win.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483629L)
+      h1 * 2147483629L + h2
+    }
+    assert(rolled.toSeq == direct)
+    assert(graft.functions.RollingHashWindows.hashes("abc", 4).numElements() == 0)
+
+    // a 40-char sentence planted in two docs -> one merged span in each,
+    // covering the whole planted region, not per-window fragments
+    val planted = "this exact sentence repeats in both docs"  // 40 chars
+    val fixture = Seq(
+      (1L, s"unique prefix one $planted unique suffix alpha"),
+      (2L, s"different lead-in text here $planted tail two"),
+      (3L, "no duplicated content in this document at all beyond")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(fixture, windowChars = 30, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(spans.map(_._1).toSet == Set(1L, 2L))          // doc 3 clean
+    assert(spans.count(_._1 == 1L) == 1 && spans.count(_._1 == 2L) == 1)
+    val (_, _, s1, e1) = spans.find(_._1 == 1L).get
+    // the merged span must cover the full planted sentence within doc 1
+    val start1 = "unique prefix one ".length
+    assert(s1 <= start1 && e1 >= start1 + planted.length)
+    // tripling the count threshold clears a twice-occurring span
+    assert(Dedup.substringDupSpans(fixture, 30, minCount = 3).count() == 0)
+  }
+
   test("gopher filter: each rule fires on its designed violation, no shuffle") {
     import spark.implicits._
     val good = Array.fill(20)("the cat and dog ran to the park today").mkString(" ")

@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite {
       s"every window must partition by the score bucket, got: $specs")
   }
 
+  test("substring dedup: codegen window hashes, semi-join mark, one doc shuffle") {
+    val p = planOf("dedup_substring_spans")
+    // the O(n) rolling-hash expression runs inside the scan's Generate —
+    // the corpus is never re-read per window, and there is no UDF
+    assert(p.contains("posexplode(rolling_hash_windows"), s"expected native windows:\n$p")
+    assert(p.contains("LeftSemi"), "duplicate marking must be a semi-join")
+    assert(!p.contains("CartesianProduct"))
+    // the island merge + span rollup share ONE doc-keyed Exchange
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1,
+      s"windows and rollup must reuse one doc-keyed shuffle:\n$p")
+  }
+
   test("no cartesian products anywhere in the registry's relational plans") {
     // no exemptions: even simhash's deliberate words×bits crossJoin plans as
     // a BroadcastNestedLoopJoin over the 60-row literal side, never a
