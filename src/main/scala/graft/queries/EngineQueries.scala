@@ -310,6 +310,39 @@ object EngineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin)
 
+  /** Streaming ingestion dedup against a static corpus: documents stream in
+    * REPLAYED TWICE (at-least-once source); half the corpus is already
+    * known (md5 doc_id bucket < 50). The sink must hold each novel content
+    * fingerprint exactly once — checked as (count, total normalized chars)
+    * since exact-duplicate groups make row identity nondeterministic. */
+  val streamCorpusDedup: OQ = {
+    val duckBucket = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    OQ.df("stream_corpus_dedup",
+      (s, dir) => {
+        s.sql("DROP TABLE IF EXISTS g_stream_corpus_sink")
+        val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+        val corpus = s.table("documents").where(b < 50)
+        val incoming = Streams.docStream(s, s"$dir/documents.parquet", copies = 2)
+          .where(graft.ops.Sampling.hashBucket(col("doc_id")) >= 50)
+        val fresh = Streams.dedupAgainstCorpus(incoming, corpus)
+        Streams.runAppendToTable(s, fresh, "g_stream_corpus_sink",
+          checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-corpusdedup-cp").toString))
+        s.table("g_stream_corpus_sink")
+          .agg(count(lit(1)).as("n_new_docs"),
+            sum(length(graft.ops.TextAnalysis.normText(col("text"))))
+              .cast("long").as("total_norm_chars"))
+      },
+      s"""WITH nt AS (SELECT md5($norm) AS h, len($norm) AS l, $duckBucket AS b
+         |  FROM documents),
+         |corpus AS (SELECT DISTINCT h FROM nt WHERE b < 50),
+         |novel AS (SELECT h, min(l) AS l FROM nt WHERE b >= 50 GROUP BY 1),
+         |fresh AS (SELECT n.h, n.l FROM novel n
+         |  LEFT JOIN corpus c USING (h) WHERE c.h IS NULL)
+         |SELECT count(*) AS n_new_docs,
+         |  CAST(sum(l) AS BIGINT) AS total_norm_chars FROM fresh""".stripMargin)
+  }
+
   /** Custom-state streaming sessionizer end-to-end, with the end-of-input
     * flush: EVERY event in the feed must land in exactly one emitted visit
     * (the oracle is total batch sessionization — same `>` gap rule as
@@ -445,5 +478,5 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamEnriched, streamCdc, streamCdcBucketed, streamVisits)
+    streamDedup, streamEnriched, streamCorpusDedup, streamCdc, streamCdcBucketed, streamVisits)
 }

@@ -52,6 +52,55 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** File-backed DOCUMENT stream — the continuous-ingestion shape of a
+    * training-data pipeline (crawl batches arriving as files). Same staged
+    * symlink-dir mechanics as [[eventStream]]. */
+  def docStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val real = src.toRealPath()
+        val sig = s"$real:${java.nio.file.Files.size(real)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(real).toMillis}:$copies"
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        val d = java.nio.file.Paths.get(s"/tmp/graft-stream-$key")
+        java.nio.file.Files.createDirectories(d)
+        (0 until copies).foreach { i =>
+          val link = d.resolve(s"c$i-${src.getFileName}")
+          if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+        }
+        d.toString
+      }
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** STREAMING INGESTION DEDUP against a static corpus: each micro-batch of
+    * incoming documents is content-fingerprinted, anti-joined against the
+    * corpus's fingerprint table (already-known docs dropped), then deduped
+    * WITHIN the stream so an at-least-once source still yields each novel
+    * document exactly once.
+    *
+    * Scale shape: the static side is re-planned per micro-batch, so at
+    * warehouse scale the fingerprint table is a bucketed table on the hash
+    * and each batch's anti-join co-partitions against it (batches are small;
+    * the big side never re-shuffles). Within-stream dedup state is one
+    * 16-byte hash per NOVEL document — for an unbounded feed swap
+    * dropDuplicates for dropDuplicatesWithinWatermark keyed on an arrival
+    * time to bound it. */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val norm = graft.ops.TextAnalysis.normText(col(textCol))
+    val fp = corpus.select(md5(graft.ops.TextAnalysis.normText(col(textCol)))
+      .as("content_hash")).distinct()
+    incoming
+      .withColumn("content_hash", md5(norm))
+      .join(fp, Seq("content_hash"), "left_anti")
+      .dropDuplicates("content_hash")
+  }
+
   /** Stateful streaming dedup (exactly-once consumption of an
     * at-least-once feed): watermark-bounded duplicate drop on the event id.
     * dropDuplicatesWithinWatermark keeps state only inside the watermark
