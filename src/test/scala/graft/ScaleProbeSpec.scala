@@ -100,6 +100,17 @@ class ScaleProbeSpec extends AnyFunSuite {
         rowsPerBand = 2, threshold = 0.5, maxBucket = 20).count()
     }
     pairs.unpersist()
+    // 10 shifted corpus copies mean every span has df >= 10, so maxDf=20
+    // separates structural duplication (10 copies, kept) from the planted
+    // boilerplate (15k docs, dropped) — the C4 removal target
+    t("boilerplate span removal (C4, 5-word spans, maxDf=20)",
+      "pure-projection segmentation + anti-join against heavy spans") {
+      graft.ops.TextAnalysis.spanDedup(docs, spanTokens = 5, maxDf = 20).count()
+    }
+    t("exact substring dup spans (w=30 chars, minCount=2)",
+      "O(chars) rolling window hashes + semi-join + island merge") {
+      graft.ops.Dedup.substringDupSpans(docs).count()
+    }
 
     // ---- semantic dedup at 100k vectors: 2000 planted near-dup cliques
     // (50 members each, 0.001-scale jitter); brute force is N(N−1)/2 ≈
