@@ -809,6 +809,20 @@ object DataOpsQueries {
   val semanticBench: OQ = OQ.rowsOnly("dedup_semantic",
     (s, _) => Similarity.semanticNearDup(s.table("embeddings"),
       threshold = 0.45, nlist = 8, probes = 2))
+  /** Weak-label quality classifier distilling the Gopher rule gate into a
+    * hashed-bag-of-words LR (the fasttext-corpus-filter shape). Learned
+    * coefficients have no SQL form — separation is witness-tested in
+    * DataOpsSpec on a crafted vocabulary-shift corpus; timing tracked. */
+  val qualityClf: OQ = OQ.rowsOnly("text_quality_classifier",
+    (s, _) => {
+      val docs = s.table("documents")
+      val weak = TextAnalysis.gopherFilter(docs).select("doc_id", "passes_gopher")
+      val labeled = docs.join(weak, "doc_id")
+      graft.ops.QualityClassifier.trainAndScore(
+        labeled.where(graft.ops.Sampling.hashBucket(col("doc_id")) < 20),
+        docs, col("passes_gopher"), featureBits = 12, maxIter = 5)
+    })
+
   /** PQ encode + ADC search: learned codebooks have no SQL form — codes,
     * reconstruction error and ADC recall are witness-tested in DataOpsSpec;
     * timing tracked per round. */
@@ -874,5 +888,5 @@ object DataOpsQueries {
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench, bpeBench, pqBench)
+    semanticBench, bpeBench, pqBench, qualityClf)
 }

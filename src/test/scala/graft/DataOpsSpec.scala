@@ -438,6 +438,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(loose(3L) == boiler)
   }
 
+  test("quality classifier: weak-label LR separates held-out docs") {
+    import spark.implicits._
+    // two vocabularies with 50% overlap — the "trusted slice vs crawl noise"
+    // distribution shift a fasttext corpus filter learns; deterministic docs
+    val shared = (0 until 20).map(i => s"common$i")
+    val posV = shared ++ (0 until 20).map(i => s"curated$i")
+    val negV = shared ++ (0 until 20).map(i => s"spammy$i")
+    def doc(id: Long, v: Seq[String]): (Long, String, Boolean) = {
+      val r = new scala.util.Random(id)
+      (id, Seq.fill(30)(v(r.nextInt(v.size))).mkString(" "), v eq posV)
+    }
+    val corpus = ((0L until 200L).map(doc(_, posV)) ++
+      (200L until 400L).map(doc(_, negV))).toDF("doc_id", "text", "is_pos")
+    val train = corpus.where(col("doc_id") % 5 =!= 0)
+    val heldOut = corpus.where(col("doc_id") % 5 === 0)
+    val scored = graft.ops.QualityClassifier.trainAndScore(
+      train, heldOut, col("is_pos"), featureBits = 15)
+    val joined = scored.join(heldOut.select("doc_id", "is_pos"), "doc_id")
+    val n = joined.count()
+    val correct = joined.where(col("predicted_quality") === col("is_pos")).count()
+    assert(n == 80, s"held-out slice: $n")
+    val acc = correct.toDouble / n
+    assert(acc >= 0.95, s"held-out accuracy $acc — classifier not learning")
+    val means = joined.groupBy("is_pos").agg(avg("p_quality").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false) + 0.5, s"separation too weak: $means")
+  }
+
   test("substring dedup: rolling windows match direct hashes; spans merge maximally") {
     import spark.implicits._
     // window hashes computed by the rolling recurrence == hashing each
