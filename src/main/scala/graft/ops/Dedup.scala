@@ -497,9 +497,14 @@ object Dedup {
     * [[graft.functions.RollingHashWindows]] codegen expression emits every
     * window hash in one O(chars) pass inside the scan, so a duplicated span
     * of any length >= w appears as a run of duplicated w-window hashes.
-    * Stages: (1) posexplode the hash array — the dominant cost, one row per
-    * codepoint, the same O(n) row volume a distributed suffix-array build
-    * shuffles, all narrow until (2) one hash-keyed aggregate keeps hashes
+    * Stages: (1) posexplode the hash array — one row per codepoint, the
+    * same O(n) row volume a distributed suffix-array build shuffles. This
+    * projection is DELIBERATELY computed twice (once feeding the dup-count
+    * aggregate, once as the join probe side): re-running a narrow
+    * scan+hash pass is cheaper at scale than the alternative — one
+    * repartition of full-width (id, pos, hash) rows to share the pass —
+    * whenever the dup side broadcasts (the common case), and no worse when
+    * it doesn't. All narrow until (2) one hash-keyed aggregate keeps hashes
     * seen >= minCount times (62-bit double hash: no birthday collisions at
     * corpus scale — a 31-bit hash would manufacture hundreds of false dup
     * spans per 10⁶ windows), (3) a semi-join marks duplicated positions

@@ -347,18 +347,33 @@ object TextAnalysis {
     * boolean per rule, and the conjunction `passes_gopher`, so pipelines
     * can either filter on the verdict or audit which rule fired. A pure
     * single-pass projection over the scan (array builtins only, no shuffle,
-    * no UDF) — runs at scan speed on any corpus size. */
+    * no UDF) — runs at scan speed on any corpus size.
+    *
+    * `langCol` selects the stopword list per row (any unknown language
+    * falls back to English) so a multilingual corpus isn't wholesale failed
+    * on rule_stopwords. NULL/absent text fails every rule (false, not NULL)
+    * — a NULL verdict would make the doc vanish from BOTH sides of a
+    * downstream filter; metrics stay NULL for auditing. */
   def gopherFilter(df: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                    minStopHits: Int = 2, minAlphaFrac: Double = 0.8,
                    maxSymbolRatio: Double = 0.1,
+                   langCol: Option[Column] = None,
                    textCol: String = "text"): DataFrame = {
     val ws = words(col(textCol))
+    val stopCount = langCol match {
+      case None => stopHits(ws, "en")
+      case Some(lc) =>
+        Stopwords.foldRight(stopHits(ws, "en")) { case ((lang, _), fallback) =>
+          when(lc === lang, stopHits(ws, lang)).otherwise(fallback)
+        }
+    }
+    def rule(c: Column): Column = coalesce(c, lit(false))
     df.withColumn("n_words", size(ws))
       .withColumn("mean_word_len",
         round(aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") /
           size(ws), 6))
-      .withColumn("n_stop_hits", stopHits(ws, "en"))
+      .withColumn("n_stop_hits", stopCount)
       .withColumn("alpha_frac",
         round(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
           size(ws), 6))
@@ -366,12 +381,12 @@ object TextAnalysis {
         round(size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
           .cast("double") / size(ws), 6))
       .withColumn("rule_word_count",
-        col("n_words").between(minWords, maxWords))
+        rule(col("n_words").between(minWords, maxWords)))
       .withColumn("rule_word_len",
-        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
-      .withColumn("rule_stopwords", col("n_stop_hits") >= minStopHits)
-      .withColumn("rule_alpha", col("alpha_frac") >= minAlphaFrac)
-      .withColumn("rule_symbols", col("symbol_ratio") <= maxSymbolRatio)
+        rule(col("mean_word_len").between(minMeanWordLen, maxMeanWordLen)))
+      .withColumn("rule_stopwords", rule(col("n_stop_hits") >= minStopHits))
+      .withColumn("rule_alpha", rule(col("alpha_frac") >= minAlphaFrac))
+      .withColumn("rule_symbols", rule(col("symbol_ratio") <= maxSymbolRatio))
       .withColumn("passes_gopher",
         col("rule_word_count") && col("rule_word_len") &&
           col("rule_stopwords") && col("rule_alpha") && col("rule_symbols"))
@@ -387,6 +402,11 @@ object TextAnalysis {
     * pre-split on '\n' through the same shape; the synthetic corpus is
     * single-line so the word-window segmentation is the meaningful unit.
     *
+    * Segment MATCHING is case-insensitive (lowercased key), but
+    * `text_deduped` is rebuilt from the ORIGINAL words — the only lossy
+    * rewrite is whitespace collapsing to single spaces, which the
+    * segmentation itself requires; casing and punctuation survive.
+    *
     * Scale shape: segmentation is a pure projection (sequence → transform →
     * slice inside the scan task — token arrays never shuffle). Then exactly
     * three key-hashed exchanges, each map-side combinable and skew-bounded:
@@ -399,20 +419,23 @@ object TextAnalysis {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     require(maxDf >= 2, "maxDf < 2 would drop every span")
+    // original-cased words for reassembly; the lowercased form is only the
+    // match key, so casing and punctuation survive the rewrite
+    val origWords = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
     val segs = df
-      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), origWords.as("__ws"))
       .where(concat_ws("", col("__ws")) =!= "")
       .withColumn("__starts",
         sequence(lit(0), size(col("__ws")) - 1, lit(spanTokens)))
       .select(col(idCol), posexplode(transform(col("__starts"),
         s => concat_ws(" ", slice(col("__ws"), s + 1, lit(spanTokens))))))
       .select(col(idCol), col("pos").cast("int").as("spos"),
-        col("col").as("segment"))
-    val boilerplate = segs.groupBy("segment")
+        col("col").as("segment"), lower(col("col")).as("__key"))
+    val boilerplate = segs.groupBy("__key")
       .agg(countDistinct(col(idCol)).as("seg_df"))
       .where(col("seg_df") >= maxDf)
-      .select("segment")
-    val rebuilt = segs.join(boilerplate, Seq("segment"), "left_anti")
+      .select("__key")
+    val rebuilt = segs.join(boilerplate, Seq("__key"), "left_anti")
       .groupBy(col(idCol))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("spos"), col("segment")))),

@@ -305,7 +305,10 @@ object DataOpsQueries {
        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
        |FROM c GROUP BY 1""".stripMargin)
 
-  /** Gopher rule gate: metrics + per-rule verdicts + the conjunction. */
+  /** Gopher rule gate: metrics + per-rule verdicts + the conjunction.
+    * Pinned to the English stopword list (not langCol): the synthetic
+    * corpus's text is the same vocabulary for every lang value, so per-row
+    * lists would only inject label noise the text cannot explain. */
   val gopher: OQ = {
     val stops = TextAnalysis.Stopwords.toMap.apply("en").map(w => s"'$w'")
       .mkString("[", ", ", "]")
@@ -375,14 +378,15 @@ object DataOpsQueries {
   val spanDedup: OQ = OQ.df("text_span_dedup",
     (s, _) => TextAnalysis.spanDedup(s.table("documents"), spanTokens = 5, maxDf = 2)
       .select("doc_id", "text_deduped", "n_spans_kept"),
-    s"""WITH ls0 AS (SELECT doc_id, string_split($NORM, ' ') AS ls FROM documents),
+    s"""WITH ls0 AS (SELECT doc_id,
+       |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ls FROM documents),
        |toks AS (SELECT doc_id, unnest(ls) AS w, generate_subscripts(ls, 1) - 1 AS pos
        |  FROM ls0 WHERE len(ls) > 0 AND ls <> ['']),
        |segs AS (SELECT doc_id, pos // 5 AS spos, string_agg(w, ' ' ORDER BY pos) AS segment
        |  FROM toks GROUP BY 1, 2),
-       |heavy AS (SELECT segment FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |heavy AS (SELECT lower(segment) AS k FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
        |kept AS (SELECT s.doc_id, s.spos, s.segment FROM segs s
-       |  LEFT JOIN heavy h USING (segment) WHERE h.segment IS NULL),
+       |  LEFT JOIN heavy h ON lower(s.segment) = h.k WHERE h.k IS NULL),
        |agg AS (SELECT doc_id, string_agg(segment, ' ' ORDER BY spos) AS text_deduped,
        |  count(*) AS n_spans_kept FROM kept GROUP BY 1)
        |SELECT d.doc_id, coalesce(a.text_deduped, '') AS text_deduped,

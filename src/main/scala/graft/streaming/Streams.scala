@@ -25,30 +25,33 @@ object Streams {
     * behind a symlink dir. `copies` > 1 links the file that many times —
     * an at-least-once source replaying every event, the input shape the
     * streaming dedup operator exists to clean up. */
+  /** Staged symlink dir for a single-file stream source (FileStreamSource
+    * wants a directory). Keyed on (resolved path, size, mtime, copies) — a
+    * string hashCode collision, or a re-generated file at the same path,
+    * must never silently feed a stale staging dir into the stream. */
+  private def stagedDir(path: String, copies: Int): String = {
+    val src = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(src)) path
+    else {
+      val real = src.toRealPath()
+      val sig = s"$real:${java.nio.file.Files.size(real)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(real).toMillis}:$copies"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val d = java.nio.file.Paths.get(s"/tmp/graft-stream-$key")
+      java.nio.file.Files.createDirectories(d)
+      (0 until copies).foreach { i =>
+        val link = d.resolve(s"c$i-${src.getFileName}")
+        if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+      }
+      d.toString
+    }
+  }
+
   def eventStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(path)
-    val dir =
-      if (java.nio.file.Files.isDirectory(src)) path
-      else {
-        // stage dir keyed on (resolved path, size, mtime, copies) — a string
-        // hashCode collision, or a re-generated file at the same path, must
-        // never silently feed a stale staging dir into the stream
-        val real = src.toRealPath()
-        val sig = s"$real:${java.nio.file.Files.size(real)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(real).toMillis}:$copies"
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val d = java.nio.file.Paths.get(s"/tmp/graft-stream-$key")
-        java.nio.file.Files.createDirectories(d)
-        (0 until copies).foreach { i =>
-          val link = d.resolve(s"c$i-${src.getFileName}")
-          if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
-        }
-        d.toString
-      }
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(schema).parquet(stagedDir(path, copies))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -56,25 +59,8 @@ object Streams {
     * training-data pipeline (crawl batches arriving as files). Same staged
     * symlink-dir mechanics as [[eventStream]]. */
   def docStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
-    val src = java.nio.file.Paths.get(path)
-    val dir =
-      if (java.nio.file.Files.isDirectory(src)) path
-      else {
-        val real = src.toRealPath()
-        val sig = s"$real:${java.nio.file.Files.size(real)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(real).toMillis}:$copies"
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val d = java.nio.file.Paths.get(s"/tmp/graft-stream-$key")
-        java.nio.file.Files.createDirectories(d)
-        (0 until copies).foreach { i =>
-          val link = d.resolve(s"c$i-${src.getFileName}")
-          if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
-        }
-        d.toString
-      }
     val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(schema).parquet(stagedDir(path, copies))
   }
 
   /** STREAMING INGESTION DEDUP against a static corpus: each micro-batch of
@@ -99,6 +85,7 @@ object Streams {
       .withColumn("content_hash", md5(norm))
       .join(fp, Seq("content_hash"), "left_anti")
       .dropDuplicates("content_hash")
+      .drop("content_hash") // working column — output keeps the input schema
   }
 
   /** Stateful streaming dedup (exactly-once consumption of an

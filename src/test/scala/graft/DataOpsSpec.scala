@@ -527,6 +527,21 @@ class DataOpsSpec extends AnyFunSuite {
     // pure projection: the gate must run at scan speed, no Exchange
     val plan = TextAnalysis.gopherFilter(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gopher filter should not shuffle:\n$plan")
+
+    // NULL text fails every rule outright (false, never NULL — a NULL
+    // verdict vanishes from both sides of a filter); metrics stay NULL
+    val withNull = Seq((7L, null: String)).toDF("doc_id", "text")
+    val nr = TextAnalysis.gopherFilter(withNull).collect().head
+    assert(!nr.getAs[Boolean]("passes_gopher") && !nr.getAs[Boolean]("rule_word_count"))
+    assert(nr.isNullAt(nr.fieldIndex("n_words")))
+
+    // per-row language column picks the matching stopword list
+    val de = Array.fill(20)("der hund und die katze sind nicht hier") mkString " "
+    val multi = Seq((8L, de, "de"), (9L, de, "en")).toDF("doc_id", "text", "lang")
+    val byLang = TextAnalysis.gopherFilter(multi, langCol = Some(col("lang")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_stop_hits")).toMap
+    assert(byLang(8L) > 0 && byLang(9L) == 0,
+      s"stopword list must follow the lang column: $byLang")
   }
 
   test("data ops tolerate empty inputs") {
