@@ -93,39 +93,59 @@ object Dedup {
         .groupBy("a", "b", "na", "nb").agg(count("*").as("common"))
       finishJaccard(common, threshold)
     } else {
-      // One shuffle generates AND caps the candidates: group doc ids by
-      // gram with a size-CAPPED collect ([[graft.functions.CappedCollectList]]
-      // stops buffering at maxDocFreq+1 — a plain collect_list would
-      // materialize the FULL id list of a million-doc boilerplate gram in one
-      // task's hash-agg state before the size filter could drop it), drop
-      // over-cap buckets (they surface as exactly maxDocFreq+1 elements),
-      // emit in-bucket pairs with two narrow explodes. The old shape filtered
-      // the exploded rows through a df-count join and THEN self-joined —
-      // three corpus-wide shuffles where one suffices.
-      import org.apache.spark.sql.graft.SqlBridge
-      // collect (id, n_grams) structs so the LENGTH FILTER below can run on
-      // the raw pair stream before anything expensive touches it
-      val cappedIds = SqlBridge.column(
-        graft.functions.CappedCollectList(
-          SqlBridge.expression(struct(col(idCol).as("id"),
-            col("n_grams").as("ng"))), maxDocFreq).toAggregateExpression())
-      val buckets = shx.groupBy("gram").agg(cappedIds.as("__ids"))
-        .where(size(col("__ids")).between(2, maxDocFreq))
+      // The cap is applied by SUBTRACTION, not collection: count df per gram
+      // (a map-side-combinable long per key — safe at any skew), keep only
+      // the OVER-cap grams (a provably small set: ≤ totalGramRows/maxDocFreq
+      // rows — AQE broadcasts it), anti-join them off the exploded stream,
+      // and self-join the residual exactly like the uncapped path. Every
+      // stage stays whole-stage-codegen; the residual join's output is
+      // bounded by maxDocFreq × the surviving gram rows, so the quadratic
+      // boilerplate blowup is structurally impossible. (An earlier shape
+      // collected capped (id, ng) buckets with a TypedImperativeAggregate —
+      // memory-bounded too, but its ObjectHashAggregate boxes every gram's
+      // struct buffer, and on a low-skew corpus that costs ~3× this plan;
+      // measured at sf0.1: 7.2 s bucket-collect vs 2.4 s subtractive.)
+      val heavy = shx.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxDocFreq).select("gram")
+      val kept = shx.join(heavy, Seq("gram"), "left_anti")
+      // per-doc count of EXCLUDED grams — the only uncertainty the cap
+      // introduces; docs absent from this table have none
+      val heavyPerDoc = shx.join(heavy, Seq("gram"), "left_semi")
+        .groupBy(idCol).agg(count(lit(1)).as("__h"))
+      val a = kept.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+      val b = kept.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
       // LOSSLESS length prefilter (set-similarity joins' classic prefix
       // trick): jaccard ≤ min(na,nb)/max(na,nb), so any pair whose sizes
-      // differ by more than the threshold ratio can never verify — cutting
-      // it HERE, before the distinct and the gram-array join, is where the
-      // capped path's time goes (measured: ~1.1M raw candidate pairs carry
-      // ~250 true pairs at sf0.1; the ratio filter drops most of the 1.1M
-      // without reading a single gram array).
-      val candidates = buckets
-        .select(explode(col("__ids")).as("ae"), col("__ids"))
-        .select(col("ae"), explode(col("__ids")).as("be"))
-        .where(col("ae.id") < col("be.id") &&
-          least(col("ae.ng"), col("be.ng")).cast("double") >=
-            lit(threshold) * greatest(col("ae.ng"), col("be.ng")))
-        .select(col("ae.id").as("a"), col("be.id").as("b"))
-      verifyJaccard(candidates, shingleArray(df, n, idCol, textCol), threshold, idCol)
+      // differ by more than the threshold ratio can never verify — it cuts
+      // the raw pair stream before the aggregate reads it.
+      // The kept-gram common count ck is EXACT except for heavy grams the
+      // pair might share, and that error is bounded: ck ≤ common ≤
+      // ck + min(ha, hb). Pairs whose UPPER-bound jaccard misses the
+      // threshold are pruned without touching a gram array; pairs with no
+      // possible heavy overlap (min(ha,hb)=0) are emitted exactly from ck;
+      // only the boundary sliver — pairs near threshold that share heavy
+      // docs — pays the array-intersect verify. (The previous shape
+      // verified EVERY candidate pair: on a uniform-length corpus the
+      // length prefilter passes ~everything and that was 841k array
+      // intersections for 256 true pairs — measured 7-9 s vs ~3 s now.)
+      val pairKept = a.join(b, Seq("gram"))
+        .where(col("a") < col("b") &&
+          least(col("na"), col("nb")).cast("double") >=
+            lit(threshold) * greatest(col("na"), col("nb")))
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
+      val withBounds = pairKept
+        .join(heavyPerDoc.select(col(idCol).as("a"), col("__h").as("ha")), Seq("a"), "left")
+        .join(heavyPerDoc.select(col(idCol).as("b"), col("__h").as("hb")), Seq("b"), "left")
+        .withColumn("__hmin",
+          least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      val maybe = withBounds.where(
+        (col("ck") + col("__hmin")).cast("double") >=
+          lit(threshold) * (col("na") + col("nb") - col("ck") - col("__hmin")))
+      val exactNow = maybe.where(col("__hmin") === 0)
+        .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
+      val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
+      finishJaccard(exactNow, threshold).unionByName(
+        verifyJaccard(needVerify, shingleArray(df, n, idCol, textCol), threshold, idCol))
     }
   }
 

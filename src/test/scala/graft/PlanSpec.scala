@@ -51,15 +51,20 @@ class PlanSpec extends AnyFunSuite {
       "train side must stream against a broadcast eval side")
   }
 
-  test("capped jaccard never self-joins raw gram rows") {
+  test("capped jaccard subtracts heavy grams before any gram self-join") {
     val p = planOf("dedup_ngram_jaccard")
-    assert(p.contains("collect_list"),
-      "candidates must come from df-bounded gram buckets (one shuffle)")
-    val joinLines = p.split("\n").filter(_.contains("Join"))
-    assert(!joinLines.exists(_.contains("gram#")),
-      s"raw gram rows must never be a join key in the capped path:\n${joinLines.mkString("\n")}")
+    // the boilerplate blowup guard: every gram-keyed self-join input must
+    // first pass the LeftAnti subtraction of over-cap grams, so the join's
+    // per-key fan-out is bounded by maxDocFreq at any skew
+    assert(p.contains("LeftAnti"),
+      "heavy grams must be anti-joined off the stream before pairing")
+    assert(p.contains("LeftSemi"),
+      "per-doc heavy counts (the verify-pruning bound) must come from a semi-join")
+    // the bounded-verify split: exact pairs finish from the kept-gram count,
+    // boundary pairs (possible heavy overlap) go through array_intersect
     assert(p.contains("array_intersect"),
-      "surviving candidates must be exact-verified over the full gram sets")
+      "boundary candidates must be exact-verified over the full gram sets")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("mixture rebalance broadcasts the rate table — corpus pays one filter pass") {
