@@ -203,26 +203,43 @@ object Dedup {
                      threshold: Double = 0.5, idCol: String = "doc_id",
                      textCol: String = "text", maxDocFreq: Int = 20): DataFrame = {
     require(maxDocFreq > 0, "jaccardAgainst needs a positive corpus df cap")
-    import org.apache.spark.sql.graft.SqlBridge
+    // same subtractive cap + bounded verify as [[jaccardPairs]], with the
+    // heavy set defined by CORPUS df: over-cap grams leave both streams,
+    // the batch-gram join against the residual corpus stream is bounded to
+    // maxDocFreq matches per gram row, and the kept common count resolves
+    // exactly except for the bounded heavy-overlap sliver
     val corpusSh = shingleArray(corpus, n, idCol, textCol)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
-    val cappedIds = SqlBridge.column(
-      graft.functions.CappedCollectList(
-        SqlBridge.expression(struct(col(idCol).as("id"),
-          col("n_grams").as("ng"))), maxDocFreq).toAggregateExpression())
-    val buckets = corpusSh.groupBy("gram").agg(cappedIds.as("__ids"))
-      .where(size(col("__ids")).between(1, maxDocFreq))
     val newSh = shingleArray(incoming, n, idCol, textCol)
       .select(col(idCol).as("a"), size(col("grams")).cast("long").as("na"),
         explode(col("grams")).as("gram"))
-    val candidates = newSh.join(buckets, Seq("gram"))
-      .select(col("a"), col("na"), explode(col("__ids")).as("be"))
-      .where(least(col("na"), col("be.ng")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("be.ng")))
-      .select(col("a"), col("be.id").as("b"))
-    verifyJaccard2(candidates, shingleArray(incoming, n, idCol, textCol),
-      shingleArray(corpus, n, idCol, textCol), threshold, idCol)
+    val heavy = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("gram")
+    val keptCorpus = corpusSh.join(heavy, Seq("gram"), "left_anti")
+      .select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    val corpusHeavy = corpusSh.join(heavy, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__h"))
+    val batchHeavy = newSh.join(heavy, Seq("gram"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("__h"))
+    val pairKept = newSh.join(keptCorpus, Seq("gram"))
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
+    val withBounds = pairKept
+      .join(batchHeavy, Seq("a"), "left")
+      .join(corpusHeavy.select(col(idCol).as("b"), col("__h").as("__hb")), Seq("b"), "left")
+      .withColumn("__hmin",
+        least(coalesce(col("__h"), lit(0L)), coalesce(col("__hb"), lit(0L))))
+    val maybe = withBounds.where(
+      (col("ck") + col("__hmin")).cast("double") >=
+        lit(threshold) * (col("na") + col("nb") - col("ck") - col("__hmin")))
+    val exactNow = maybe.where(col("__hmin") === 0)
+      .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
+    val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
+    finishJaccard(exactNow, threshold).unionByName(
+      verifyJaccard2(needVerify, shingleArray(incoming, n, idCol, textCol),
+        shingleArray(corpus, n, idCol, textCol), threshold, idCol))
   }
 
   /** (a, b, common, na, nb) → thresholded exact-Jaccard pairs. */
