@@ -378,6 +378,46 @@ object Similarity {
       .distinct() // a pair sharing several probe clusters is seen once per share
   }
 
+  /** CLUSTER ASSIGNMENT over the learned IVF quantizer: (id, cluster,
+    * centroid_cos). A narrow map over broadcast centroids — one corpus pass,
+    * no shuffle. The curation building block under [[semanticNearDup]],
+    * exposed for cluster statistics and balanced sampling. */
+  def clusterAssign(emb: DataFrame, nlist: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample))
+    vecs(emb, idCol, vecCol)
+      .map { case (id, v) =>
+        val cs = bc.value
+        val c = nearestCentroid(v, cs) // argmax dot == argmax cosine (|v| fixed)
+        (id, c, round6(dotP(v, cs(c)) / math.max(normP(v), 1e-12)))
+      }
+      .toDF(idCol, "cluster", "centroid_cos")
+  }
+
+  /** CLUSTER-BALANCED PROTOTYPE SELECTION (the SSL-prototypes / dataset-
+    * pruning shape): keep the `perCluster` most-central members of every
+    * quantizer cluster — balanced coverage of the embedding space instead
+    * of frequency-weighted sampling. One narrow assignment pass plus one
+    * cluster-partitioned top-N window (nlist partitions, each bounded by
+    * its member count; rank ties break on id for determinism). */
+  def clusterBalancedSample(emb: DataFrame, nlist: Int = 16, perCluster: Int = 100,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = clusterAssign(emb, nlist, idCol, vecCol, iterations, maxTrainSample)
+    assigned
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("centroid_cos").desc, col(idCol))))
+      .where(col("__rank") <= perCluster)
+      .select(col(idCol), col("cluster"), col("centroid_cos"),
+        col("__rank").cast("int").as("rank"))
+  }
+
   // ---- IVF ----------------------------------------------------------------
 
   /** Train IVF coarse centroids: Lloyd iterations over a BOUNDED sample

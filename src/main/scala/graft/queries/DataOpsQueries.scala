@@ -827,6 +827,13 @@ object DataOpsQueries {
         docs, col("passes_gopher"), featureBits = 12, maxIter = 5)
     })
 
+  /** Cluster-balanced prototype selection over the learned quantizer —
+    * no SQL form (learned centroids); quota/centrality witness-tested in
+    * DataOpsSpec, timing tracked per round. */
+  val clusterSample: OQ = OQ.rowsOnly("emb_cluster_sample",
+    (s, _) => graft.ops.Similarity.clusterBalancedSample(
+      s.table("embeddings"), nlist = 16, perCluster = 50))
+
   /** PQ encode + ADC search: learned codebooks have no SQL form — codes,
     * reconstruction error and ADC recall are witness-tested in DataOpsSpec;
     * timing tracked per round. */
@@ -892,5 +899,5 @@ object DataOpsQueries {
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench, bpeBench, pqBench, qualityClf)
+    semanticBench, bpeBench, pqBench, qualityClf, clusterSample)
 }

@@ -438,6 +438,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(loose(3L) == boiler)
   }
 
+  test("cluster-balanced sampling: per-cluster quota, most-central first") {
+    val sampled = graft.ops.Similarity.clusterBalancedSample(
+      emb, nlist = 8, perCluster = 10)
+    val byCluster = sampled.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCluster.values.forall(_ <= 10), s"quota violated: $byCluster")
+    assert(byCluster.size > 1, "expected multiple populated clusters")
+    // ranks are dense 1..n within each cluster and ordered by centrality
+    val rows = sampled.collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("rank"), r.getAs[Double]("centroid_cos")))
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length), s"ranks not dense in cluster $c")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"centrality not descending in cluster $c")
+    }
+    // every member of the corpus lands in exactly one cluster
+    val assigned = graft.ops.Similarity.clusterAssign(emb, nlist = 8)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("quality classifier: weak-label LR separates held-out docs") {
     import spark.implicits._
     // two vocabularies with 50% overlap — the "trusted slice vs crawl noise"
