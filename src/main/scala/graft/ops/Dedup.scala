@@ -581,6 +581,44 @@ object Dedup {
         (col("span_end") - col("span_start")).cast("long").as("span_chars"))
   }
 
+  /** SPAN REMOVAL — the surgery step completing [[substringDupSpans]]:
+    * cut every [span_start, span_end) codepoint interval out of the
+    * NORMALIZED text and stitch the remainder. One doc-keyed window pass
+    * over the span table (piece i spans [prev_end, start_i)), a join back
+    * to the corpus for the text and the tail piece, and an ordered
+    * reassembly — all bounded by per-doc span counts. Docs with no spans
+    * pass through unchanged; `n_removed_chars` records the cut volume.
+    * (Spans are produced maximal/disjoint by the island merge, which the
+    * stitching relies on.) */
+  def removeSpans(df: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+    val norm = TextAnalysis.normText(col(textCol))
+    val docs = df.select(col(idCol), norm.as("__t"))
+    // piece BEFORE each span: [prev span's end (or 0), this span's start)
+    val pieces = spans
+      .withColumn("__from", coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
+      .select(col(idCol), col("__from"), col("span_start"),
+        col("span_end"), col("span_id"))
+    val agg = pieces.join(docs, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("span_id"),
+            col("__t").substr((col("__from") + 1).cast("int"),
+              (col("span_start") - col("__from")).cast("int")).as("piece")))),
+          x => x.getField("piece"))).as("__head"),
+        max(col("span_end")).as("__last"),
+        sum(col("span_end") - col("span_start")).cast("long").as("n_removed_chars"))
+    docs.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__last").isNull, col("__t"))
+          .otherwise(concat(col("__head"),
+            col("__t").substr((col("__last") + 1).cast("int"), lit(Int.MaxValue))))
+          .as("clean_text"),
+        coalesce(col("n_removed_chars"), lit(0L)).as("n_removed_chars"))
+  }
+
   /** 60-bit SimHash over distinct words (weight 1): bit b of the signature is
     * 1 iff Σ_words (bit_b(hash(word)) ? +1 : -1) > 0.
     *

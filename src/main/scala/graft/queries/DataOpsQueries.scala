@@ -361,6 +361,40 @@ object DataOpsQueries {
        |  CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_chars
        |FROM isl GROUP BY doc_id, island""".stripMargin)
 
+  /** ExactSubstr END-TO-END: detect duplicate spans, then cut them out and
+    * stitch the remainder — the actionable form of dedup_substring_spans.
+    * The oracle recomputes spans (same CTE chain) and stitches with the
+    * same lag-window piece arithmetic over the normalized text. */
+  val substringRemoved: OQ = OQ.df("dedup_substring_removed",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.removeSpans(docs, Dedup.substringDupSpans(docs, 30, 2))
+    },
+    s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(t) - 28)) - 1 AS pos, t FROM n),
+       |hw AS (SELECT doc_id, pos, md5(substr(t, pos + 1, 30)) AS h FROM p),
+       |dup AS (SELECT h FROM hw GROUP BY 1 HAVING count(*) >= 2),
+       |mk AS (SELECT hw.doc_id, hw.pos FROM hw JOIN dup USING (h)),
+       |lg AS (SELECT doc_id, pos,
+       |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
+       |br AS (SELECT doc_id, pos,
+       |  CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END AS brk FROM lg),
+       |isl AS (SELECT doc_id, pos, sum(brk) OVER (
+       |  PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM br),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |pc AS (SELECT doc_id, s, e,
+       |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS f FROM sp),
+       |stitched AS (SELECT pc.doc_id,
+       |  string_agg(substr(n.t, CAST(f + 1 AS INT), CAST(s - f AS INT)), '' ORDER BY s) AS head,
+       |  max(e) AS last_e, CAST(sum(e - s) AS BIGINT) AS n_removed_chars
+       |  FROM pc JOIN n USING (doc_id) GROUP BY 1)
+       |SELECT n.doc_id,
+       |  CASE WHEN st.last_e IS NULL THEN n.t
+       |       ELSE st.head || substr(n.t, CAST(st.last_e + 1 AS INT)) END AS clean_text,
+       |  coalesce(st.n_removed_chars, 0) AS n_removed_chars
+       |FROM n LEFT JOIN stitched st USING (doc_id)""".stripMargin)
+
   /** Dataset-card stats per (lang, source) stratum in one aggregation. */
   val corpusStats: OQ = OQ.df("corpus_stats",
     (s, _) => TextAnalysis.corpusStats(s.table("documents")),
@@ -893,7 +927,7 @@ object DataOpsQueries {
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
-    simhash, dedupCluster, substringSpans,
+    simhash, dedupCluster, substringSpans, substringRemoved,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 

@@ -523,6 +523,18 @@ class DataOpsSpec extends AnyFunSuite {
     assert(s1 <= start1 && e1 >= start1 + planted.length)
     // tripling the count threshold clears a twice-occurring span
     assert(Dedup.substringDupSpans(fixture, 30, minCount = 3).count() == 0)
+
+    // removal surgery: spans cut out, remainder stitched, clean docs intact
+    val cleaned = Dedup.removeSpans(fixture, Dedup.substringDupSpans(fixture, 30, 2))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val norm1 = s"unique prefix one $planted unique suffix alpha"
+    val (c1, n1) = cleaned(1L)
+    assert(!c1.contains(planted.substring(5, 35)), "span content must be gone")
+    assert(c1.startsWith("unique pre") || c1.startsWith("unique"), s"head kept: $c1")
+    assert(norm1.length - c1.length == n1.toInt, "removed chars must account for the cut")
+    assert(cleaned(3L)._1 ==
+      "no duplicated content in this document at all beyond")   // untouched
+    assert(cleaned(3L)._2 == 0L)
   }
 
   test("gopher filter: each rule fires on its designed violation, no shuffle") {
