@@ -130,17 +130,20 @@ object Dedup {
       // intersections for 256 true pairs — measured 7-9 s vs ~3 s now.)
       val pairKept = a.join(b, Seq("gram"))
         .where(col("a") < col("b") &&
-          least(col("na"), col("nb")).cast("double") >=
-            lit(threshold) * greatest(col("na"), col("nb")))
+          least(col("na"), col("nb")).cast("double") /
+            greatest(col("na"), col("nb")) >= lit(threshold))
         .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
       val withBounds = pairKept
         .join(heavyPerDoc.select(col(idCol).as("a"), col("__h").as("ha")), Seq("a"), "left")
         .join(heavyPerDoc.select(col(idCol).as("b"), col("__h").as("hb")), Seq("b"), "left")
         .withColumn("__hmin",
           least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      // division form IDENTICAL to finishJaccard: a multiply-form bound
+      // (c >= t*(na+nb-c)) rounds differently and can drop exactly-at-
+      // threshold pairs the final division-form test would emit
       val maybe = withBounds.where(
-        (col("ck") + col("__hmin")).cast("double") >=
-          lit(threshold) * (col("na") + col("nb") - col("ck") - col("__hmin")))
+        (col("ck") + col("__hmin")).cast("double") /
+          (col("na") + col("nb") - col("ck") - col("__hmin")) >= lit(threshold))
       val exactNow = maybe.where(col("__hmin") === 0)
         .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
       val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
@@ -223,17 +226,18 @@ object Dedup {
     val batchHeavy = newSh.join(heavy, Seq("gram"), "left_semi")
       .groupBy("a").agg(count(lit(1)).as("__h"))
     val pairKept = newSh.join(keptCorpus, Seq("gram"))
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+      .where(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= lit(threshold))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
     val withBounds = pairKept
       .join(batchHeavy, Seq("a"), "left")
       .join(corpusHeavy.select(col(idCol).as("b"), col("__h").as("__hb")), Seq("b"), "left")
       .withColumn("__hmin",
         least(coalesce(col("__h"), lit(0L)), coalesce(col("__hb"), lit(0L))))
+    // division form identical to finishJaccard (see jaccardPairs)
     val maybe = withBounds.where(
-      (col("ck") + col("__hmin")).cast("double") >=
-        lit(threshold) * (col("na") + col("nb") - col("ck") - col("__hmin")))
+      (col("ck") + col("__hmin")).cast("double") /
+        (col("na") + col("nb") - col("ck") - col("__hmin")) >= lit(threshold))
     val exactNow = maybe.where(col("__hmin") === 0)
       .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
     val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
@@ -598,13 +602,14 @@ object Dedup {
     // piece BEFORE each span: [prev span's end (or 0), this span's start)
     val pieces = spans
       .withColumn("__from", coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
-      .select(col(idCol), col("__from"), col("span_start"),
-        col("span_end"), col("span_id"))
+      .select(col(idCol), col("__from"), col("span_start"), col("span_end"))
     val agg = pieces.join(docs, Seq(idCol))
       .groupBy(col(idCol))
       .agg(
+        // pieces reassemble in span_start order — the same ordering that
+        // defined __from, so no coupling to the producer's span_id scheme
         concat_ws("", transform(
-          array_sort(collect_list(struct(col("span_id"),
+          array_sort(collect_list(struct(col("span_start"),
             col("__t").substr((col("__from") + 1).cast("int"),
               (col("span_start") - col("__from")).cast("int")).as("piece")))),
           x => x.getField("piece"))).as("__head"),

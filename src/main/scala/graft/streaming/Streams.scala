@@ -19,12 +19,6 @@ import graft.model.Asset
   */
 object Streams {
 
-  /** File-backed event stream with an explicit schema (required by
-    * readStream). Stands in for a broker source in tests/local runs.
-    * FileStreamSource wants a directory, so a single parquet file is staged
-    * behind a symlink dir. `copies` > 1 links the file that many times —
-    * an at-least-once source replaying every event, the input shape the
-    * streaming dedup operator exists to clean up. */
   /** Staged symlink dir for a single-file stream source (FileStreamSource
     * wants a directory). Keyed on (resolved path, size, mtime, copies) — a
     * string hashCode collision, or a re-generated file at the same path,
@@ -48,6 +42,10 @@ object Streams {
     }
   }
 
+  /** File-backed event stream with an explicit schema (required by
+    * readStream). Stands in for a broker source in tests/local runs;
+    * `copies` > 1 replays every event — the at-least-once input shape the
+    * streaming dedup operator exists to clean up. */
   def eventStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"

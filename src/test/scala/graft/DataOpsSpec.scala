@@ -438,6 +438,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(loose(3L) == boiler)
   }
 
+  test("capped jaccard keeps exactly-at-threshold pairs (division-form bound)") {
+    import spark.implicits._
+    // shared 57-word block -> 55 shared grams; disjoint suffixes of 23/22
+    // words -> na=78, nb=77, so jaccard = 55/100 = 0.55 EXACTLY. A
+    // multiply-form prune (c >= t*(na+nb-c)) computes 0.55*100 =
+    // 55.000000000000007 and silently drops this pair; the division form
+    // (c/(na+nb-c) >= t) matches finishJaccard and keeps it.
+    val shared = (1 to 57).map(i => s"s$i").mkString(" ")
+    val ua = (1 to 23).map(i => s"a$i").mkString(" ")
+    val ub = (1 to 22).map(i => s"b$i").mkString(" ")
+    val fixture = Seq((1L, s"$shared $ua"), (2L, s"$shared $ub")).toDF("doc_id", "text")
+    Seq(0, 20).foreach { cap =>  // uncapped AND capped paths
+      val out = Dedup.jaccardPairs(fixture, n = 3, threshold = 0.55, maxDocFreq = cap)
+        .collect()
+      assert(out.length == 1, s"cap=$cap: boundary pair must survive")
+      assert(out.head.getDouble(2) == 0.55, s"cap=$cap: ${out.head}")
+    }
+  }
+
   test("cluster-balanced sampling: per-cluster quota, most-central first") {
     val sampled = graft.ops.Similarity.clusterBalancedSample(
       emb, nlist = 8, perCluster = 10)
