@@ -32,11 +32,42 @@ object FileEventSource extends StreamSource {
       copies = options.getOrElse("copies", "1").toInt)
 }
 
+/** The REAL kafka connector mapping: `kafka://host:port/topic` →
+  * `readStream.format("kafka")`. Compiles with zero kafka dependency (the
+  * data source resolves by NAME at runtime), so the library ships it
+  * everywhere; [[StreamSources]] activates it only when the
+  * spark-sql-kafka connector is actually on the classpath, keeping
+  * `forUri`'s "registered schemes" error honest in jarless deployments.
+  * Extra reader options pass through verbatim (`startingOffsets`,
+  * `kafka.*` security settings, …). */
+object KafkaEventSource extends StreamSource {
+  override val scheme = "kafka"
+  override def load(spark: SparkSession, uri: java.net.URI,
+                    options: Map[String, String]): DataFrame = {
+    val topic = Option(uri.getPath).map(_.stripPrefix("/")).getOrElse("")
+    require(topic.nonEmpty, s"kafka URI needs a topic path: $uri")
+    val port = if (uri.getPort > 0) uri.getPort else 9092
+    options.foldLeft(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", s"${uri.getHost}:$port")
+        .option("subscribe", topic)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+  }
+}
+
 /** Scheme → [[StreamSource]] registry with `<scheme>+cdc` URI parsing. */
 object StreamSources {
   private val registry =
     new scala.collection.concurrent.TrieMap[String, StreamSource]()
   register(FileEventSource)
+  if (kafkaConnectorPresent) register(KafkaEventSource)
+
+  /** True iff the spark-sql-kafka connector jar is on the classpath. */
+  def kafkaConnectorPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
 
   def register(src: StreamSource): Unit = registry.put(src.scheme, src)
 

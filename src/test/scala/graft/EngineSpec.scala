@@ -671,10 +671,20 @@ class EngineSpec extends AnyFunSuite {
     // the file stand-in is pre-registered and yields a streaming frame
     val f = graft.streaming.StreamSources.forUri(s"file://$sfDir/events.parquet")
     assert(f.source.load(spark, f.uri).isStreaming)
-    val err = intercept[IllegalArgumentException] {
-      graft.streaming.StreamSources.forUri("kafka://topic")
+    // kafka: the registration is real but classpath-gated — with the
+    // connector jar present the scheme resolves and builds a streaming
+    // frame (no broker contact until .start()); without it the registry
+    // stays honest and names what IS available
+    if (graft.streaming.StreamSources.kafkaConnectorPresent) {
+      val k = graft.streaming.StreamSources.forUri("kafka://localhost:9092/events")
+      assert(k.source eq graft.streaming.KafkaEventSource)
+      assert(k.source.load(spark, k.uri).isStreaming)
+    } else {
+      val err = intercept[IllegalArgumentException] {
+        graft.streaming.StreamSources.forUri("kafka://topic")
+      }
+      assert(err.getMessage.contains("registered:"))
     }
-    assert(err.getMessage.contains("registered:"))
   }
 
   test("userVisitsComplete returns empty on an empty source instead of crashing") {
