@@ -476,7 +476,55 @@ object EngineQueries {
   val streamCdcBucketed: OQ = cdcQuery("stream_cdc_apply_bucketed",
     "g_cdc_orders_bk", Map("cdc_writer" -> "bucketed"))
 
+  /** Debezium decode end-to-end: the SAME change scenario as
+    * stream_cdc_apply, but round-tripped through Debezium-envelope JSON —
+    * wrapped (`{"payload": …}`) for even keys, bare for odd, so both
+    * converter layouts decode — then LWW-folded. Same oracle: the decode
+    * must be information-lossless or the fold hash breaks. */
+  val streamCdcDebezium: OQ = OQ.df("stream_cdc_debezium",
+    (s, _) => {
+      import org.apache.spark.sql.{Column => SCol, DataFrame}
+      val base = s.table("orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def dec(c: SCol) = c.cast("decimal(18,4)")
+      val recCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      def envelope(rows: DataFrame, price: SCol, op: String, seq: Long): DataFrame = {
+        val withPrice = rows.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), price.cast("double").as("o_totalprice"))
+        val rec = struct(recCols.map(col): _*)
+        val nullRec = when(lit(false), rec) // typed NULL of the record struct
+        val payload = struct(
+          (if (op == "d") rec else nullRec).as("before"),
+          (if (op == "d") nullRec else rec).as("after"),
+          lit(op).as("op"), lit(1700000000000L).as("ts_ms"),
+          struct(lit(seq).as("lsn"), lit(1700000000000L).as("ts_ms")).as("source"))
+        withPrice.select(
+          when(pmod(col("o_orderkey"), lit(2)) === 0,
+            to_json(struct(payload.as("payload"))))
+            .otherwise(to_json(payload)).as("value"))
+      }
+      val feed = envelope(base, col("o_totalprice"), "r", 0L)
+        .unionByName(envelope(base.where(col("o_orderkey") % 7 === 0),
+          dec(col("o_totalprice")) + dec(lit(100)), "u", 2L))
+        .unionByName(envelope(base.where(col("o_orderkey") % 13 === 0),
+          col("o_totalprice"), "d", 3L))
+        .unionByName(envelope(base.where(col("o_orderkey") % 5 === 0),
+          dec(col("o_totalprice")) - dec(lit(50)), "u", 1L))
+      val changes = Streams.debeziumDecode(feed,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc, col("op").desc)
+      changes.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1 && col("op") =!= "d")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    // deletes carry the full before-image through the decode, so the fold
+    // sees real column values on 'd' rows; they are dropped either way
+    cdcOracleSql)
+
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamEnriched, streamCorpusDedup, streamCdc, streamCdcBucketed, streamVisits)
+    streamDedup, streamEnriched, streamCorpusDedup, streamCdc, streamCdcBucketed,
+    streamCdcDebezium, streamVisits)
 }

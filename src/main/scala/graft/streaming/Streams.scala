@@ -86,6 +86,40 @@ object Streams {
       .drop("content_hash") // working column — output keeps the input schema
   }
 
+  /** DEBEZIUM ENVELOPE DECODER — the bridge between a broker's raw value
+    * column and [[cdcApply]]: parse the Debezium JSON envelope and emit the
+    * flattened (record columns…, op, seq) change stream the CDC fold
+    * consumes. Accepts BOTH converter layouts — schema-wrapped
+    * (`{"payload": {...}}`) and bare — per row, by parsing against both
+    * shapes and coalescing. Op mapping: c/r → "r" (full-row upsert),
+    * u → "u", d → "d" with the BEFORE image as the record (Debezium's
+    * delete shape). seq prefers source.lsn, falling back to the envelope
+    * ts_ms — both monotone per key under Debezium's contract. A pure
+    * from_json projection: no state, no shuffle, runs at stream speed;
+    * undecodable rows (NULL / non-Debezium JSON) are dropped rather than
+    * poisoning the fold. */
+  def debeziumDecode(raw: DataFrame, recordDdl: String,
+                     valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.types.DataType
+    val rec = s"STRUCT<$recordDdl>"
+    val inner = s"before: $rec, after: $rec, op: STRING, ts_ms: BIGINT, " +
+      "source: STRUCT<lsn: BIGINT, ts_ms: BIGINT>"
+    val wrapped = DataType.fromDDL(s"STRUCT<payload: STRUCT<$inner>>")
+    val bare = DataType.fromDDL(s"STRUCT<$inner>")
+    val v = col(valueCol).cast("string")
+    raw
+      .withColumn("__env",
+        coalesce(from_json(v, wrapped).getField("payload"), from_json(v, bare)))
+      .where(col("__env").isNotNull && col("__env.op").isNotNull)
+      .withColumn("__rec",
+        when(col("__env.op") === "d", col("__env.before"))
+          .otherwise(col("__env.after")))
+      .withColumn("op",
+        when(col("__env.op").isin("c", "r"), lit("r")).otherwise(col("__env.op")))
+      .withColumn("seq", coalesce(col("__env.source.lsn"), col("__env.ts_ms")))
+      .select(col("__rec.*"), col("op"), col("seq"))
+  }
+
   /** Stateful streaming dedup (exactly-once consumption of an
     * at-least-once feed): watermark-bounded duplicate drop on the event id.
     * dropDuplicatesWithinWatermark keeps state only inside the watermark

@@ -687,6 +687,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("debezium decode: wrapped/bare envelopes, op mapping, junk dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      // schema-wrapped create -> op r, lsn seq
+      """{"payload": {"after": {"id": 1, "v": "a"}, "op": "c", "ts_ms": 5, "source": {"lsn": 10, "ts_ms": 5}}}""",
+      // bare delete -> before image, op d
+      """{"before": {"id": 2, "v": "b"}, "op": "d", "ts_ms": 6, "source": {"lsn": 11, "ts_ms": 6}}""",
+      // bare update without source block -> seq falls back to ts_ms
+      """{"after": {"id": 3, "v": "c"}, "op": "u", "ts_ms": 7}""",
+      "not json at all",
+      """{"some": "other json"}"""
+    ).toDF("value")
+    val out = Streams.debeziumDecode(rows, "id BIGINT, v STRING")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, "a", "r", 10L), (2L, "b", "d", 11L), (3L, "c", "u", 7L)),
+      s"decoded: ${out.mkString(", ")}")
+  }
+
   test("userVisitsComplete returns empty on an empty source instead of crashing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-events")
     spark.createDataFrame(Seq.empty[(Long, Long, Long, String, Double, String)])
