@@ -108,8 +108,12 @@ object Streams {
     val bare = DataType.fromDDL(s"STRUCT<$inner>")
     val v = col(valueCol).cast("string")
     raw
-      .withColumn("__env",
-        coalesce(from_json(v, wrapped).getField("payload"), from_json(v, bare)))
+      // cheap dispatch: only strings that can possibly be wrapped pay the
+      // wrapped parse (a record field literally named "payload" just falls
+      // through the coalesce to the bare parse — correct, merely slower)
+      .withColumn("__env", coalesce(
+        when(v.contains("\"payload\""), from_json(v, wrapped).getField("payload")),
+        from_json(v, bare)))
       .where(col("__env").isNotNull && col("__env.op").isNotNull)
       .withColumn("__rec",
         when(col("__env.op") === "d", col("__env.before"))
