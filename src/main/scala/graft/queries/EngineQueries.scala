@@ -375,6 +375,24 @@ object EngineQueries {
     * seq-1 changes must neither roll back the seq-2 updates nor resurrect
     * the seq-3 deletes. The oracle replays global last-writer-wins by
     * (seq, op) over the same derived feed in DuckDB. */
+  /** The canonical CDC change scenario — ONE definition consumed by both
+    * the parquet feed (cdcQuery) and the Debezium-JSON feed
+    * (streamCdcDebezium), so the two pipelines and the (separately
+    * dialected) cdcOracleSql cannot drift apart silently:
+    * snapshot r/seq0; +100 update on %7 (seq 2); delete on %13 (seq 3);
+    * LATE -50 update on %5 (seq 1). Each entry: (rows, price, op, seq). */
+  private def cdcScenario(base: org.apache.spark.sql.DataFrame)
+      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column, String, Long)] = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+    Seq(
+      (base, col("o_totalprice"), "r", 0L),
+      (base.where(col("o_orderkey") % 7 === 0),
+        dec(col("o_totalprice")) + dec(lit(100)), "u", 2L),
+      (base.where(col("o_orderkey") % 13 === 0), col("o_totalprice"), "d", 3L),
+      (base.where(col("o_orderkey") % 5 === 0),
+        dec(col("o_totalprice")) - dec(lit(50)), "u", 1L))
+  }
+
   private val cdcOracleSql =
     """WITH ch AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'r' AS op, 0 AS seq
@@ -405,20 +423,20 @@ object EngineQueries {
       val base = s.table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
-      def dec(c: SCol) = c.cast("decimal(18,4)")
-      def change(rows: DataFrame, price: SCol, op: String, seq: Long) =
-        rows.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          price.cast("double").as("o_totalprice"), lit(op).as("op"), lit(seq).as("seq"))
-      val snap = change(base, col("o_totalprice"), "r", 0L)
-      val upd2 = change(base.where(col("o_orderkey") % 7 === 0),
-        dec(col("o_totalprice")) + dec(lit(100)), "u", 2L)
-      val del3 = base.where(col("o_orderkey") % 13 === 0)
-        .select(col("o_orderkey"), lit(null).cast("bigint").as("o_custkey"),
-          lit(null).cast("string").as("o_orderstatus"),
-          lit(null).cast("double").as("o_totalprice"),
-          lit("d").as("op"), lit(3L).as("seq"))
-      val late1 = change(base.where(col("o_orderkey") % 5 === 0),
-        dec(col("o_totalprice")) - dec(lit(50)), "u", 1L)
+      def change(t: (DataFrame, SCol, String, Long)): DataFrame = t match {
+        // delete events carry NULL non-key fields (the parquet feed's
+        // tombstone shape); everything else the full priced row
+        case (rows, _, "d", seq) => rows
+          .select(col("o_orderkey"), lit(null).cast("bigint").as("o_custkey"),
+            lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit("d").as("op"), lit(seq).as("seq"))
+        case (rows, price, op, seq) => rows
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            price.cast("double").as("o_totalprice"),
+            lit(op).as("op"), lit(seq).as("seq"))
+      }
+      val Seq(snap, upd2, del3, late1) = cdcScenario(base).map(change)
 
       // three files, strictly increasing mtimes: FileStreamSource orders by
       // modification time, so AvailableNow + maxFilesPerTrigger=1 yields
@@ -487,9 +505,9 @@ object EngineQueries {
       val base = s.table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
-      def dec(c: SCol) = c.cast("decimal(18,4)")
       val recCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      def envelope(rows: DataFrame, price: SCol, op: String, seq: Long): DataFrame = {
+      def envelope(t: (DataFrame, SCol, String, Long)): DataFrame = {
+        val (rows, price, op, seq) = t
         val withPrice = rows.select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), price.cast("double").as("o_totalprice"))
         val rec = struct(recCols.map(col): _*)
@@ -504,13 +522,7 @@ object EngineQueries {
             to_json(struct(payload.as("payload"))))
             .otherwise(to_json(payload)).as("value"))
       }
-      val feed = envelope(base, col("o_totalprice"), "r", 0L)
-        .unionByName(envelope(base.where(col("o_orderkey") % 7 === 0),
-          dec(col("o_totalprice")) + dec(lit(100)), "u", 2L))
-        .unionByName(envelope(base.where(col("o_orderkey") % 13 === 0),
-          col("o_totalprice"), "d", 3L))
-        .unionByName(envelope(base.where(col("o_orderkey") % 5 === 0),
-          dec(col("o_totalprice")) - dec(lit(50)), "u", 1L))
+      val feed = cdcScenario(base).map(envelope).reduce(_ unionByName _)
       val changes = Streams.debeziumDecode(feed,
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
       import org.apache.spark.sql.expressions.Window

@@ -46,10 +46,16 @@ object KafkaEventSource extends StreamSource {
                     options: Map[String, String]): DataFrame = {
     val topic = Option(uri.getPath).map(_.stripPrefix("/")).getOrElse("")
     require(topic.nonEmpty, s"kafka URI needs a topic path: $uri")
-    val port = if (uri.getPort > 0) uri.getPort else 9092
+    // URI.getHost is null for RFC-invalid hostnames (docker underscores);
+    // fall back to the raw authority rather than building "null:9092"
+    val bootstrap = Option(uri.getHost) match {
+      case Some(h) => s"$h:${if (uri.getPort > 0) uri.getPort else 9092}"
+      case None => Option(uri.getAuthority).getOrElse(
+        throw new IllegalArgumentException(s"kafka URI needs a broker host: $uri"))
+    }
     options.foldLeft(
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", s"${uri.getHost}:$port")
+        .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)) { case (r, (k, v)) => r.option(k, v) }
       .load()
   }
@@ -62,12 +68,19 @@ object StreamSources {
   register(FileEventSource)
   if (kafkaConnectorPresent) register(KafkaEventSource)
 
-  /** True iff the spark-sql-kafka connector jar is on the classpath. */
+  /** True iff the spark-sql-kafka connector jar is on the classpath.
+    * initialize=false + LinkageError catch: a half-present connector
+    * (jar without its transitive deps) must report absent, not blow up
+    * this object's static init and take every scheme down with it. */
   def kafkaConnectorPresent: Boolean =
     try {
-      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider",
+        false, getClass.getClassLoader)
       true
-    } catch { case _: ClassNotFoundException => false }
+    } catch {
+      case _: ClassNotFoundException => false
+      case _: LinkageError => false
+    }
 
   def register(src: StreamSource): Unit = registry.put(src.scheme, src)
 
