@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 /** Relational constructs the reference generates or delegates (SURVEY §2.3).
   *
   * Bruin itself executes no joins/aggregates — it generates SQL (LEFT JOIN for
@@ -226,9 +228,39 @@ object Relational {
       |  l_pay.value AS value, m.p_event_id AS p_event_id, m.p_value AS p_value
       |FROM w WHERE tag = 1""".stripMargin)
 
+  /** Bucketized point-in-interval range join: 25 overlapping 3-day windows
+    * derived from nation keys, events counted per containing window. The
+    * Spark side is [[graft.ops.RangeJoin.pointInInterval]] (equi-join on a
+    * manufactured day bucket — never a nested-loop join); DuckDB's IEJoin
+    * handles the BETWEEN form natively. */
+  val rangeJoin: OQ = OQ.df("rel_range_join",
+    (s, _) => {
+      val windows = s.table("nation").select(
+        col("n_nationkey").cast("long").as("win_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(col("n_nationkey"))).as("win_start"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(col("n_nationkey") + 3)).as("win_end"))
+      graft.ops.RangeJoin.pointInInterval(
+        s.table("events").select("event_id", "ts", "value"), windows)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    },
+    """WITH w AS (SELECT CAST(n_nationkey AS BIGINT) AS win_id,
+      |  TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL 1 DAY AS win_start,
+      |  TIMESTAMP '2024-01-01 00:00:00' + (n_nationkey + 3) * INTERVAL 1 DAY AS win_end
+      |  FROM nation)
+      |SELECT win_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events JOIN w
+      |  ON CAST(events.ts AS TIMESTAMP) >= w.win_start
+      | AND CAST(events.ts AS TIMESTAMP) < w.win_end
+      |GROUP BY 1""".stripMargin)
+
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
     unionDistinct, rollup, cube, exceptIntersect, windowRange, percentiles,
-    pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin)
+    pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin, rangeJoin)
 }

@@ -438,6 +438,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(loose(3L) == boiler)
   }
 
+  test("range join: inclusive start, exclusive end, one match per pair") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-05 00:00:00")),  // exactly at a start -> included
+      (2L, ts("2024-01-08 00:00:00")),  // exactly at an end -> excluded
+      (3L, ts("2024-01-06 12:00:00")),  // inside a 3-day (multi-bucket) window
+      (4L, ts("2024-02-01 00:00:00"))   // outside everything
+    ).toDF("event_id", "ts")
+    val ivs = Seq(
+      (10L, ts("2024-01-05 00:00:00"), ts("2024-01-08 00:00:00")),
+      (11L, ts("2024-01-06 00:00:00"), ts("2024-01-07 00:00:00")),
+      (12L, ts("2024-01-09 00:00:00"), ts("2024-01-09 00:00:00"))  // empty
+    ).toDF("win_id", "win_start", "win_end")
+    val out = graft.ops.RangeJoin.pointInInterval(points, ivs)
+      .select("event_id", "win_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // point 3 sits in window 10 (3 buckets) AND window 11 — each pair once
+    assert(out.toSet == Set((1L, 10L), (3L, 10L), (3L, 11L)), s"got: ${out.mkString(",")}")
+    assert(out.length == 3, "no duplicate matches from multi-bucket expansion")
+  }
+
   test("capped jaccard keeps exactly-at-threshold pairs (division-form bound)") {
     import spark.implicits._
     // shared 57-word block -> 55 shared grams; disjoint suffixes of 23/22

@@ -95,6 +95,13 @@ class PlanSpec extends AnyFunSuite {
       s"windows and rollup must reuse one doc-keyed shuffle:\n$p")
   }
 
+  test("range join: equi-join on the manufactured bucket, never nested-loop") {
+    val p = planOf("rel_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan a nested-loop/cartesian:\n$p")
+    assert(p.contains("Join") || p.contains("join"), "expected a join in the plan")
+  }
+
   test("no cartesian products anywhere in the registry's relational plans") {
     // no exemptions: even simhash's deliberate words×bits crossJoin plans as
     // a BroadcastNestedLoopJoin over the 60-row literal side, never a
