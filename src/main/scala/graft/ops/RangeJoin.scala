@@ -46,4 +46,35 @@ object RangeJoin {
       .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__b")
   }
+
+  /** INTERVAL-OVERLAP JOIN: pairs of intervals with
+    * `lStart < rEnd && rStart < lEnd` (half-open overlap), same bucket
+    * trick — both sides explode to their covered buckets and equi-join.
+    * Two overlapping intervals share EVERY bucket in their intersection,
+    * so instead of a dedup pass each pair is emitted only from ONE
+    * canonical bucket: the later of the two start buckets, which both
+    * sides provably cover when they overlap. Expansion cost and skew obey
+    * the same `widthSeconds` knob as [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String = "l_start", lEnd: String = "l_end",
+                      rStart: String = "r_start", rEnd: String = "r_end",
+                      widthSeconds: Long = 86400L): DataFrame = {
+    require(widthSeconds > 0, "bucket width must be positive")
+    val wUs = widthSeconds * 1000000L
+    def startBucket(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / wUs).cast("long")
+    def covered(s: String, e: String) = explode(sequence(
+      startBucket(col(s)),
+      floor((unix_micros(col(e)) - 1) / wUs).cast("long")))
+    val l = left.where(col(lEnd) > col(lStart))
+      .withColumn("__sbl", startBucket(col(lStart)))
+      .withColumn("__b", covered(lStart, lEnd))
+    val r = right.where(col(rEnd) > col(rStart))
+      .withColumn("__sbr", startBucket(col(rStart)))
+      .withColumn("__b", covered(rStart, rEnd))
+    l.join(r, Seq("__b"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__b") === greatest(col("__sbl"), col("__sbr")))
+      .drop("__b", "__sbl", "__sbr")
+  }
 }

@@ -258,9 +258,38 @@ object Relational {
       | AND CAST(events.ts AS TIMESTAMP) < w.win_end
       |GROUP BY 1""".stripMargin)
 
+  /** Interval-overlap join between two window families (nation-derived
+    * 3-day windows vs region-derived 5-day windows) — the canonical-bucket
+    * emission means the oracle can be a plain inequality join. */
+  val intervalOverlap: OQ = OQ.df("rel_interval_overlap",
+    (s, _) => {
+      val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val l = s.table("nation").select(
+        col("n_nationkey").cast("long").as("l_id"),
+        (t0 + make_dt_interval(col("n_nationkey"))).as("l_start"),
+        (t0 + make_dt_interval(col("n_nationkey") + 3)).as("l_end"))
+      val r = s.table("region").select(
+        col("r_regionkey").cast("long").as("r_id"),
+        (t0 + make_dt_interval(col("r_regionkey") * 5)).as("r_start"),
+        (t0 + make_dt_interval(col("r_regionkey") * 5 + 5)).as("r_end"))
+      graft.ops.RangeJoin.intervalOverlap(l, r)
+        .select("l_id", "r_id")
+    },
+    """WITH l AS (SELECT CAST(n_nationkey AS BIGINT) AS l_id,
+      |  TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL 1 DAY AS l_start,
+      |  TIMESTAMP '2024-01-01 00:00:00' + (n_nationkey + 3) * INTERVAL 1 DAY AS l_end
+      |  FROM nation),
+      |r AS (SELECT CAST(r_regionkey AS BIGINT) AS r_id,
+      |  TIMESTAMP '2024-01-01 00:00:00' + r_regionkey * 5 * INTERVAL 1 DAY AS r_start,
+      |  TIMESTAMP '2024-01-01 00:00:00' + (r_regionkey * 5 + 5) * INTERVAL 1 DAY AS r_end
+      |  FROM region)
+      |SELECT l_id, r_id FROM l JOIN r
+      |  ON l.l_start < r.r_end AND r.r_start < l.l_end""".stripMargin)
+
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
     unionDistinct, rollup, cube, exceptIntersect, windowRange, percentiles,
-    pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin, rangeJoin)
+    pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin, rangeJoin,
+    intervalOverlap)
 }

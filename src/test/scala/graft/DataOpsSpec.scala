@@ -459,6 +459,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "no duplicate matches from multi-bucket expansion")
   }
 
+  test("interval overlap: half-open semantics, one emission per pair") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")), // 9-day window
+      (2L, ts("2024-01-10 00:00:00"), ts("2024-01-11 00:00:00"))  // adjacent to r=20
+    ).toDF("l_id", "l_start", "l_end")
+    val r = Seq(
+      (20L, ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00")), // 5-day overlap with l=1
+      (21L, ts("2024-01-09 12:00:00"), ts("2024-01-12 00:00:00")),
+      (22L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"))  // disjoint
+    ).toDF("r_id", "r_start", "r_end")
+    val out = graft.ops.RangeJoin.intervalOverlap(l, r)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // l1 overlaps r20 across 5 shared buckets -> must appear exactly once;
+    // l2 touches r20 only at the boundary instant -> NOT an overlap (half-open)
+    assert(out.toSet == Set((1L, 20L), (1L, 21L), (2L, 21L)), s"got ${out.mkString(",")}")
+    assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
+  }
+
   test("capped jaccard keeps exactly-at-threshold pairs (division-form bound)") {
     import spark.implicits._
     // shared 57-word block -> 55 shared grams; disjoint suffixes of 23/22
