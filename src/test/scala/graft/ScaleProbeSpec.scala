@@ -144,6 +144,16 @@ class ScaleProbeSpec extends AnyFunSuite {
         .select((col("event_id") + lit(k * 10000000L)).as("event_id"),
           col("user_id"), col("ts"), col("event_type"), col("value")))
       .reduce(_ unionByName _)
+    t("range join (~900k events vs 25 overlapping windows)",
+      "bucket equi-join, no nested-loop") {
+      val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val windows = spark.table("nation").select(
+        col("n_nationkey").cast("long").as("win_id"),
+        (t0 + make_dt_interval(col("n_nationkey"))).as("win_start"),
+        (t0 + make_dt_interval(col("n_nationkey") + 3)).as("win_end"))
+      graft.ops.RangeJoin.pointInInterval(
+        events10.select("event_id", "ts"), windows).count()
+    }
     t("as-of join (~900k events, clicks vs latest purchase)",
       "one shuffle + ordered sweep") {
       val clicks = events10.where(col("event_type") === "click")
