@@ -585,6 +585,49 @@ object Dedup {
         (col("span_end") - col("span_start")).cast("long").as("span_chars"))
   }
 
+  /** SPAN-LEVEL BENCHMARK DECONTAMINATION — the cross-corpus form of
+    * [[substringDupSpans]]: find every >= `windowChars` character span of a
+    * TRAINING document whose content also appears in the EVAL corpus, as
+    * merged [start, end) intervals ready for [[removeSpans]]. This is the
+    * span-precise complement to [[contamination]]'s per-doc gram counts:
+    * instead of flagging documents it localizes exactly WHAT leaked, so
+    * curation can cut the leaked span and keep the document.
+    *
+    * Same machinery as the self-dedup: O(chars) rolling window hashes on
+    * both sides, but duplicate marking is a semi-join of train positions
+    * against the DISTINCT eval window-hash set — the eval side is the
+    * small one (benchmarks are tiny next to a training corpus) and
+    * broadcasts. */
+  def contaminationSpans(train: DataFrame, eval: DataFrame, windowChars: Int = 30,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowChars > 0, "windowChars must be positive")
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(train.sparkSession,
+      "rolling_hash_windows",
+      exprs => graft.functions.RollingHashWindows(exprs(0), exprs(1)))
+    def windows(df: DataFrame) = df
+      .select(col(idCol), TextAnalysis.normText(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        posexplode(expr(s"rolling_hash_windows(__norm, $windowChars)")))
+      .select(col(idCol), col("pos"), col("col").as("__h"))
+    val evalHashes = windows(eval).select("__h").distinct()
+    val marked = windows(train).join(evalHashes, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") - col("__prev") > windowChars, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("span_start"), (max("pos") + windowChars).as("span_end"))
+      .select(col(idCol),
+        (col("__island") - 1).cast("int").as("span_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("span_chars"))
+  }
+
   /** SPAN REMOVAL — the surgery step completing [[substringDupSpans]]:
     * cut every [span_start, span_end) codepoint interval out of the
     * NORMALIZED text and stitch the remainder. One doc-keyed window pass

@@ -361,6 +361,34 @@ object DataOpsQueries {
        |  CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_chars
        |FROM isl GROUP BY doc_id, island""".stripMargin)
 
+  /** Span-level decontamination: training docs (md5 doc_id bucket >= 10)
+    * against the eval slice (bucket < 10) — merged leaked spans. */
+  val contaminationSpansQ: OQ = {
+    val bucket = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    OQ.df("dedup_contamination_spans",
+      (s, _) => {
+        val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+        val docs = s.table("documents")
+        Dedup.contaminationSpans(docs.where(b >= 10), docs.where(b < 10), 30)
+      },
+      s"""WITH n AS (SELECT doc_id, $NORM AS t, $bucket AS b FROM documents),
+         |p AS (SELECT doc_id, b, unnest(range(1, len(t) - 28)) - 1 AS pos, t FROM n),
+         |hw AS (SELECT doc_id, b, pos, md5(substr(t, pos + 1, 30)) AS h FROM p),
+         |ev AS (SELECT DISTINCT h FROM hw WHERE b < 10),
+         |mk AS (SELECT hw.doc_id, hw.pos FROM hw JOIN ev USING (h) WHERE hw.b >= 10),
+         |lg AS (SELECT doc_id, pos,
+         |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
+         |br AS (SELECT doc_id, pos,
+         |  CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END AS brk FROM lg),
+         |isl AS (SELECT doc_id, pos, sum(brk) OVER (
+         |  PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM br)
+         |SELECT doc_id, CAST(island - 1 AS INT) AS span_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 30 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_chars
+         |FROM isl GROUP BY doc_id, island""".stripMargin)
+  }
+
   /** ExactSubstr END-TO-END: detect duplicate spans, then cut them out and
     * stitch the remainder — the actionable form of dedup_substring_spans.
     * The oracle recomputes spans (same CTE chain) and stitches with the
@@ -927,7 +955,7 @@ object DataOpsQueries {
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
-    simhash, dedupCluster, substringSpans, substringRemoved,
+    simhash, dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 

@@ -597,6 +597,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(cleaned(3L)._2 == 0L)
   }
 
+  test("contamination spans localize leaked eval text inside train docs") {
+    import spark.implicits._
+    val leaked = "the exact benchmark question appears verbatim here"  // 50 chars
+    val train = Seq(
+      (1L, s"training prefix text $leaked training suffix text"),
+      (2L, "completely original training content with no leakage at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"eval harness wrapper $leaked wrapper end")).toDF("doc_id", "text")
+    val spans = graft.ops.Dedup.contaminationSpans(train, eval, windowChars = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(spans.map(_._1).toSet == Set(1L), s"only doc 1 leaks: ${spans.mkString(",")}")
+    val (_, s1, e1) = spans.head
+    val start = "training prefix text ".length
+    assert(s1 <= start && e1 >= start + leaked.length,
+      s"span [$s1,$e1) must cover the leaked sentence at [$start,${start + leaked.length})")
+    // cutting the span decontaminates: removeSpans output no longer contains it
+    val cleaned = graft.ops.Dedup.removeSpans(train,
+      graft.ops.Dedup.contaminationSpans(train, eval, 30))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!cleaned(1L).contains(leaked.substring(5, 40)))
+    assert(cleaned(2L) == "completely original training content with no leakage at all")
+  }
+
   test("gopher filter: each rule fires on its designed violation, no shuffle") {
     import spark.implicits._
     val good = Array.fill(20)("the cat and dog ran to the park today").mkString(" ")
