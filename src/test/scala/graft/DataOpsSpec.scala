@@ -479,6 +479,46 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
   }
 
+  test("range joins equal the brute-force cross join on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)  // fixed seed — deterministic case set
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randTs() = new java.sql.Timestamp(base + rnd.nextInt(40 * 86400) * 1000L)
+    val points = (1L to 300L).map(i => (i, randTs())).toDF("event_id", "ts")
+    def randIvs(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = randTs()
+      // mix sub-bucket, exact-bucket and many-bucket widths + empty ones
+      val len = rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => 3600L
+        case 2 => 86400L
+        case _ => (rnd.nextInt(7 * 86400) + 1).toLong
+      }
+      (idBase + i, s, new java.sql.Timestamp(s.getTime + len * 1000L))
+    }
+    val ivs = randIvs(40, 100L).toDF("win_id", "win_start", "win_end")
+
+    val got = graft.ops.RangeJoin.pointInInterval(points, ivs)
+      .select("event_id", "win_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = points.crossJoin(ivs)
+      .where(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .select("event_id", "win_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      s"point-in-interval diverges from brute force: got ${got.length}, want ${want.length}")
+
+    val l = randIvs(35, 200L).toDF("l_id", "l_start", "l_end")
+    val r = randIvs(35, 300L).toDF("r_id", "r_start", "r_end")
+    val got2 = graft.ops.RangeJoin.intervalOverlap(l, r)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want2 = l.crossJoin(r)
+      .where(col("l_start") < col("r_end") && col("r_start") < col("l_end") &&
+        col("l_end") > col("l_start") && col("r_end") > col("r_start"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got2.sorted.toSeq == want2.sorted.toSeq,
+      s"interval-overlap diverges from brute force: got ${got2.length}, want ${want2.length}")
+    assert(got2.length == got2.distinct.length, "no pair emitted twice")
+  }
+
   test("capped jaccard keeps exactly-at-threshold pairs (division-form bound)") {
     import spark.implicits._
     // shared 57-word block -> 55 shared grams; disjoint suffixes of 23/22
