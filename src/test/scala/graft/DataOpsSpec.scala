@@ -479,6 +479,64 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
   }
 
+  test("as-of join and span removal equal brute force on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // --- as-of: 200 left lookups x 150 right states over 10 keys ---
+    val left = (1L to 200L).map(i =>
+      (i, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong)).toDF("lid", "k", "lt")
+    val right = (1L to 150L).map(i =>
+      (i, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble())
+    ).toDF("rid", "k", "rt", "v")
+    val got = graft.ops.AsOf.asofJoin(left, right, Seq("k"), "lt", "rt",
+        payload = Seq("rid", "v"), tieCol = "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: per left row, the max-(rt, rid) right row with rt <= lt
+    val rightRows = right.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = left.collect().map { r =>
+      val (lid, k, lt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cand = rightRows.filter(x => x._2 == k && x._3 <= lt)
+      lid -> (if (cand.isEmpty) -1L else cand.maxBy(x => (x._3, x._1))._1)
+    }.toMap
+    assert(got == want, "as-of join diverges from brute force")
+
+    // --- span removal: random disjoint spans == manual string cutting ---
+    val docs = (1L to 50L).map { i =>
+      (i, Seq.fill(20 + rnd.nextInt(30))(('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val spans = docs.flatMap { case (id, t) =>
+      // up to 3 random disjoint [s, e) spans per doc, in order
+      var cur = 0
+      (0 until rnd.nextInt(4)).flatMap { j =>
+        if (cur >= t.length - 2) None
+        else {
+          val s = cur + rnd.nextInt(t.length - cur - 1)
+          val e = math.min(t.length, s + 1 + rnd.nextInt(6))
+          cur = e + 1
+          Some((id, j, s.toLong, e.toLong))
+        }
+      }
+    }
+    val cleanedDf = graft.ops.Dedup.removeSpans(
+      docs.toDF("doc_id", "text"),
+      spans.map { case (id, j, s, e) => (id, j, s, e, e - s) }
+        .toDF("doc_id", "span_id", "span_start", "span_end", "span_chars"))
+    val cleaned = cleanedDf.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, t) =>
+      val ss = spans.filter(_._1 == id).map(x => (x._3.toInt, x._4.toInt)).sortBy(_._1)
+      val expected = {
+        val sb = new StringBuilder; var at = 0
+        ss.foreach { case (s, e) => sb.append(t.substring(at, s)); at = e }
+        sb.append(t.substring(at)).toString
+      }
+      assert(cleaned(id)._1 == expected, s"doc $id: ${cleaned(id)._1} != $expected")
+      assert(cleaned(id)._2 == ss.map(x => x._2 - x._1).sum.toLong)
+    }
+  }
+
   test("range joins equal the brute-force cross join on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)  // fixed seed — deterministic case set
