@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Event-sequence analytics: ordered FUNNELS and COHORT RETENTION — the two
+  * canonical product-analytics operators over an event stream.
+  *
+  * Both are one-shuffle designs: funnel sorts each user's (already
+  * filtered) step events inside a single grouped pass — per-task memory is
+  * one user's step events, never the corpus — and retention is two hash
+  * aggregations on compact (user, week) keys. */
+object Funnel {
+
+  /** Ordered funnel: for each user reaching step 1, the FIRST time of each
+    * step where every step strictly follows the previous one.
+    * Output: (user, stage, t1_us … tN_us) — stage = furthest step reached,
+    * tK_us = epoch micros of step K (NULL beyond `stage`). Users who never
+    * reach step 1 are not funnel entrants and emit no row.
+    *
+    * One shuffle: events are filtered to the step types at the scan (the
+    * predicate pushes down), then each user's surviving events sort in one
+    * grouped pass — the classic funnel engine shape, linear per user. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val projected = events
+      .where(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)), col(typeCol))
+      .as[(Long, Long, String)]
+    val n = steps.size
+    val outSchema = StructType(
+      StructField("user_id", LongType, nullable = false) +:
+      StructField("stage", IntegerType, nullable = false) +:
+      (1 to n).map(i => StructField(s"t${i}_us", LongType, nullable = true)))
+    projected.groupByKey(_._1).mapGroups { (user, it) =>
+      // one user's step events: sort by (time, step) and walk the ladder
+      val evs = it.map { case (_, us, tpe) => (us, stepIdx(tpe)) }.toArray
+      java.util.Arrays.sort(evs, Ordering.by[(Long, Int), (Long, Int)](identity))
+      val times = new Array[java.lang.Long](n)
+      var stage = 0
+      var i = 0
+      while (i < evs.length && stage < n) {
+        val (us, s) = evs(i)
+        // the NEXT step fires only strictly after the previous step's time
+        if (s == stage && (stage == 0 || us > times(stage - 1))) {
+          times(stage) = us
+          stage += 1
+        }
+        i += 1
+      }
+      Row.fromSeq(user +: stage +: times.toSeq)
+    }(Encoders.row(outSchema))
+      .where(col("stage") >= 1)
+      .toDF()
+  }
+
+  /** Cohort retention: users cohorted by the WEEK of their first event
+    * (integer weeks since the unix epoch — portable arithmetic, no engine
+    * week-truncation differences), counted as retained in every later week
+    * they are active. Output: (cohort_week, week_offset, n_users). */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val week = (unix_micros(col(tsCol)) / lit(7L * 86400L * 1000000L))
+      .cast("long")
+    val active = events.select(col(userCol).as("__u"), week.as("__w")).distinct()
+    val cohort = active.groupBy("__u").agg(min("__w").as("__cw"))
+    active.join(cohort, Seq("__u"))
+      .groupBy(col("__cw").as("cohort_week"),
+        (col("__w") - col("__cw")).as("week_offset"))
+      .agg(countDistinct("__u").cast("long").as("n_users"))
+  }
+}

@@ -286,10 +286,41 @@ object Relational {
       |SELECT l_id, r_id FROM l JOIN r
       |  ON l.l_start < r.r_end AND r.r_start < l.l_end""".stripMargin)
 
+  /** Ordered 3-step funnel (view → click → purchase): first time of each
+    * step strictly after the previous. The oracle replays the ladder as
+    * sequential min-after CTEs — provably the same recurrence. */
+  val funnel: OQ = OQ.df("rel_funnel",
+    (s, _) => graft.ops.Funnel.funnel(s.table("events"),
+      Seq("view", "click", "purchase")),
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1)
+      |SELECT s1.user_id,
+      |  CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage,
+      |  s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin)
+
+  /** Weekly cohort retention (integer epoch-weeks — portable arithmetic). */
+  val retention: OQ = OQ.df("rel_retention",
+    (s, _) => graft.ops.Funnel.retention(s.table("events")),
+    """WITH a AS (SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // CAST(604800000000 AS BIGINT) AS BIGINT) AS w FROM events),
+      |c AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1)
+      |SELECT cw AS cohort_week, a.w - cw AS week_offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2""".stripMargin)
+
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
     unionDistinct, rollup, cube, exceptIntersect, windowRange, percentiles,
     pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin, rangeJoin,
-    intervalOverlap)
+    intervalOverlap, funnel, retention)
 }

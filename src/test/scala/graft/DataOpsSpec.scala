@@ -479,6 +479,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
   }
 
+  test("funnel: strict ordering, partial stages, non-entrants dropped") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, ts(1000), "view"), (1L, ts(2000), "click"), (1L, ts(3000), "purchase"),
+      // user 2: purchase BEFORE click -> stage 2 only
+      (2L, ts(1000), "view"), (2L, ts(1500), "purchase"), (2L, ts(2000), "click"),
+      // user 3: click at the SAME instant as view -> not strictly after
+      (3L, ts(1000), "view"), (3L, ts(1000), "click"),
+      // user 4: never views -> not a funnel entrant
+      (4L, ts(1000), "click"), (4L, ts(2000), "purchase"),
+      // user 5: second view earlier than first click; first view counts
+      (5L, ts(5000), "view"), (5L, ts(1000), "view"), (5L, ts(3000), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Funnel.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 2), s"got $out")
+    // user 5's click time follows the EARLIEST view
+    val u5 = graft.ops.Funnel.funnel(events, Seq("view", "click", "purchase"))
+      .where(col("user_id") === 5).collect().head
+    assert(u5.getLong(2) == 1000L * 1000 && u5.getLong(3) == 3000L * 1000)
+  }
+
   test("as-of join and span removal equal brute force on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
