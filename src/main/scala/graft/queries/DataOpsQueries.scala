@@ -423,6 +423,24 @@ object DataOpsQueries {
        |  coalesce(st.n_removed_chars, 0) AS n_removed_chars
        |FROM n LEFT JOIN stitched st USING (doc_id)""".stripMargin)
 
+  /** Robust MAD outlier gate over event values per type; the oracle applies
+    * the IDENTICAL rounded robust-z comparison so the boundary agrees. */
+  val outliersMad: OQ = OQ.df("check_outliers_mad",
+    (s, _) => graft.ops.Outliers.byMad(s.table("events"), "value",
+        Seq("event_type"), k = 3.5)
+      .where(col("is_outlier"))
+      .select(col("event_id"), col("event_type"), col("value"), col("robust_z")),
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY 1),
+      |wm AS (SELECT e.event_id, e.event_type, e.value, med.m FROM events e
+      |  JOIN med ON e.event_type = med.event_type),
+      |mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+      |  FROM wm GROUP BY 1)
+      |SELECT event_id, wm.event_type, value,
+      |  round(abs(value - m) / (1.4826 * d), 6) AS robust_z
+      |FROM wm JOIN mad ON wm.event_type = mad.event_type
+      |WHERE round(abs(value - m) / (1.4826 * d), 6) > 3.5""".stripMargin)
+
   /** Dataset-card stats per (lang, source) stratum in one aggregation. */
   val corpusStats: OQ = OQ.df("corpus_stats",
     (s, _) => TextAnalysis.corpusStats(s.table("documents")),
@@ -896,6 +914,13 @@ object DataOpsQueries {
     (s, _) => graft.ops.Similarity.clusterBalancedSample(
       s.table("embeddings"), nlist = 16, perCluster = 50))
 
+  /** Mergeable HLL distinct rollup — engines' sketch estimates differ, so
+    * no cross-engine oracle; accuracy and merge-consistency are
+    * witness-tested in DataOpsSpec, timing tracked per round. */
+  val sketchDistinct: OQ = OQ.rowsOnly("sketch_distinct_users",
+    (s, _) => graft.ops.Sketches.distinctRollup(s.table("events"),
+      "event_type", "user_id"))
+
   /** PQ encode + ADC search: learned codebooks have no SQL form — codes,
     * reconstruction error and ADC recall are witness-tested in DataOpsSpec;
     * timing tracked per round. */
@@ -956,10 +981,11 @@ object DataOpsQueries {
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
     simhash, dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
+    outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench, bpeBench, pqBench, qualityClf, clusterSample)
+    semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct)
 }

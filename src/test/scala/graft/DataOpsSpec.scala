@@ -479,6 +479,36 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
   }
 
+  test("MAD outliers: planted extremes flagged, inliers not, robust to the outlier itself") {
+    import spark.implicits._
+    val inliers = (1 to 99).map(i => (i.toLong, "g", 100.0 + (i % 11) - 5))
+    val planted = Seq((1000L, "g", 10000.0), (1001L, "g", -10000.0))
+    val other = (1 to 50).map(i => (2000L + i, "h", 7.0 + (i % 3)))
+    val out = graft.ops.Outliers.byMad(
+      (inliers ++ planted ++ other).toDF("id", "g", "v"), "v", Seq("g"))
+    val flagged = out.where(col("is_outlier")).select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1000L, 1001L), s"flagged: $flagged")
+    // the planted extremes must NOT drag the group median visibly
+    val med = out.where(col("g") === "g").select("group_median").head.getDouble(0)
+    assert(med >= 95 && med <= 105, s"median dragged to $med")
+  }
+
+  test("hll sketch rollup: accurate estimates, union consistent with direct") {
+    Tables.register(spark, sfDir)
+    val events = spark.table("events")
+    val out = graft.ops.Sketches.distinctRollup(events, "event_type", "user_id")
+      .collect().map(r => (if (r.isNullAt(0)) "__ALL__" else r.getString(0)) -> r.getLong(1)).toMap
+    val exactAll = events.select("user_id").distinct().count()
+    val estAll = out("__ALL__")
+    assert(math.abs(estAll - exactAll).toDouble / exactAll < 0.05,
+      s"merged estimate $estAll vs exact $exactAll")
+    val exactClick = events.where(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(math.abs(out("click") - exactClick).toDouble / exactClick < 0.05)
+    // the rollup can only see MORE distinct values than any single stratum
+    assert(out.filter(_._1 != "__ALL__").values.forall(_ <= estAll * 1.05))
+  }
+
   test("funnel: strict ordering, partial stages, non-entrants dropped") {
     import spark.implicits._
     def ts(ms: Long) = new java.sql.Timestamp(ms)
