@@ -30,12 +30,15 @@ object Funnel {
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val projected = events
-      .where(col(typeCol).isin(steps.map(lit): _*))
+      // NULL identity or NULL time cannot enter a funnel (and would crash
+      // the primitive-tuple encoder); the oracle filters identically
+      .where(col(typeCol).isin(steps.map(lit): _*) &&
+        col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).cast("long"), unix_micros(col(tsCol)), col(typeCol))
       .as[(Long, Long, String)]
     val n = steps.size
     val outSchema = StructType(
-      StructField("user_id", LongType, nullable = false) +:
+      StructField(userCol, LongType, nullable = false) +:
       StructField("stage", IntegerType, nullable = false) +:
       (1 to n).map(i => StructField(s"t${i}_us", LongType, nullable = true)))
     projected.groupByKey(_._1).mapGroups { (user, it) =>
@@ -73,6 +76,9 @@ object Funnel {
     active.join(cohort, Seq("__u"))
       .groupBy(col("__cw").as("cohort_week"),
         (col("__w") - col("__cw")).as("week_offset"))
-      .agg(countDistinct("__u").cast("long").as("n_users"))
+      // (user, week) pairs are already distinct and the week is fixed per
+      // group, so a plain count equals countDistinct without the extra
+      // distinct-aggregate expansion pass
+      .agg(count(lit(1)).cast("long").as("n_users"))
   }
 }

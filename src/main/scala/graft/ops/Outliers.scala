@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * plus one broadcast-size join of the per-group stats back onto the rows.
   * Flag rule: |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ
   * under normality, the standard robust z-score). Groups with MAD = 0
-  * flag every row off the median — degenerate constants are handled by
-  * the caller's k. */
+  * (>= half the group exactly at the median) have no usable scale: any
+  * deviation from the median is flagged and robust_z is NULL — a raw
+  * division would crash under Spark's default ANSI mode (and silently
+  * disable the gate with ANSI off). */
 object Outliers {
 
   def byMad(df: DataFrame, valueCol: String, groupCols: Seq[String],
@@ -27,9 +29,12 @@ object Outliers {
       .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
     withMed.join(mad, groupCols)
       .withColumn("robust_z",
-        round(abs(col(valueCol) - col("__med")) /
-          (lit(1.4826) * col("__mad")), 6))
-      .withColumn("is_outlier", col("robust_z") > k)
+        when(col("__mad") > 0,
+          round(abs(col(valueCol) - col("__med")) /
+            (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("is_outlier",
+        when(col("__mad") > 0, col("robust_z") > k)
+          .otherwise(col(valueCol) =!= col("__med")))
       .withColumn("group_median", round(col("__med"), 6))
       .withColumn("group_mad", round(col("__mad"), 6))
       .drop("__med", "__mad")

@@ -17,14 +17,16 @@ object Sketches {
     * the corpus. Output: (group, n_distinct_est, is_rollup). */
   def distinctRollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val perGroup = df.groupBy(col(groupCol))
-      .agg(expr(s"hll_sketch_agg($valueCol)").as("__sk"))
+      .agg(hll_sketch_agg(col(valueCol)).as("__sk"))
     val groups = perGroup.select(col(groupCol),
-      expr("hll_sketch_estimate(__sk)").cast("long").as("n_distinct_est"),
+      hll_sketch_estimate(col("__sk")).cast("long").as("n_distinct_est"),
       lit(false).as("is_rollup"))
+    // the rollup row keeps the group column's ORIGINAL type (int/date/... 
+    // group keys must not be silently re-typed to string by the union)
     val total = perGroup.agg(
-      expr("hll_sketch_estimate(hll_union_agg(__sk))").cast("long").as("n_distinct_est"))
-      .select(lit(null).cast("string").as(groupCol), col("n_distinct_est"),
-        lit(true).as("is_rollup"))
+      hll_sketch_estimate(hll_union_agg(col("__sk"))).cast("long").as("n_distinct_est"))
+      .select(lit(null).cast(df.schema(groupCol).dataType).as(groupCol),
+        col("n_distinct_est"), lit(true).as("is_rollup"))
     groups.unionByName(total)
   }
 }

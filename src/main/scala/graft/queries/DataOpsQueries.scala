@@ -437,9 +437,11 @@ object DataOpsQueries {
       |mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
       |  FROM wm GROUP BY 1)
       |SELECT event_id, wm.event_type, value,
-      |  round(abs(value - m) / (1.4826 * d), 6) AS robust_z
+      |  CASE WHEN d = 0 THEN NULL
+      |       ELSE round(abs(value - m) / (1.4826 * d), 6) END AS robust_z
       |FROM wm JOIN mad ON wm.event_type = mad.event_type
-      |WHERE round(abs(value - m) / (1.4826 * d), 6) > 3.5""".stripMargin)
+      |WHERE CASE WHEN d = 0 THEN value <> m
+      |           ELSE round(abs(value - m) / (1.4826 * d), 6) > 3.5 END""".stripMargin)
 
   /** Dataset-card stats per (lang, source) stratum in one aggregation. */
   val corpusStats: OQ = OQ.df("corpus_stats",

@@ -293,7 +293,8 @@ object Relational {
     (s, _) => graft.ops.Funnel.funnel(s.table("events"),
       Seq("view", "click", "purchase")),
     """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
-      |  WHERE event_type = 'view' GROUP BY 1),
+      |  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
       |  JOIN s1 ON e.user_id = s1.user_id
       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),

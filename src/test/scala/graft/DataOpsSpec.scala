@@ -491,6 +491,15 @@ class DataOpsSpec extends AnyFunSuite {
     // the planted extremes must NOT drag the group median visibly
     val med = out.where(col("g") === "g").select("group_median").head.getDouble(0)
     assert(med >= 95 && med <= 105, s"median dragged to $med")
+    // degenerate group (MAD = 0): no crash under ANSI mode, NULL robust_z,
+    // any off-median value flagged
+    val const = ((1 to 20).map(i => (i.toLong, "c", 5.0)) :+ ((99L, "c", 6.0)))
+      .toDF("id", "g", "v")
+    val dg = graft.ops.Outliers.byMad(const, "v", Seq("g")).collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Boolean]("is_outlier"),
+        r.isNullAt(r.fieldIndex("robust_z"))))).toMap
+    assert(dg(99L) == ((true, true)), s"off-median in MAD=0 group: ${dg(99L)}")
+    assert(dg(1L) == ((false, true)))
   }
 
   test("hll sketch rollup: accurate estimates, union consistent with direct") {
@@ -527,6 +536,17 @@ class DataOpsSpec extends AnyFunSuite {
     val out = graft.ops.Funnel.funnel(events, Seq("view", "click", "purchase"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 2), s"got $out")
+    // NULL identity/time rows are dropped, not a crash; custom id column
+    // names flow through to the output schema
+    val withNulls = events.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], ts(1000), "view"))
+        .toDF("user_id", "ts", "event_type"))
+    assert(graft.ops.Funnel.funnel(withNulls, Seq("view", "click", "purchase"))
+      .collect().length == 4)
+    assert(graft.ops.Funnel.funnel(
+      events.withColumnRenamed("user_id", "account_id"),
+      Seq("view", "click", "purchase"), userCol = "account_id")
+      .columns.head == "account_id")
     // user 5's click time follows the EARLIEST view
     val u5 = graft.ops.Funnel.funnel(events, Seq("view", "click", "purchase"))
       .where(col("user_id") === 5).collect().head
