@@ -154,6 +154,10 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.RangeJoin.pointInInterval(
         events10.select("event_id", "ts"), windows).count()
     }
+    t("funnel view->click->purchase (~900k events)",
+      "step-filtered scan + one grouped ladder pass") {
+      graft.ops.Funnel.funnel(events10, Seq("view", "click", "purchase")).count()
+    }
     t("as-of join (~900k events, clicks vs latest purchase)",
       "one shuffle + ordered sweep") {
       val clicks = events10.where(col("event_type") === "click")
