@@ -479,6 +479,39 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
   }
 
+  test("capped jaccard: equals uncapped with no heavy grams, exact-subset under skew") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val boiler = "common shared boilerplate phrase across many documents here now"
+    val bodies = (1 to 40).map { _ =>
+      Seq.fill(15 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = (1L to 80L).map { i =>
+      // docs 41-80 are near-clones of 1-40 (one word swapped) -> genuine
+      // high-jaccard pairs whose shared grams are LOW-df body grams
+      val body0 = bodies(((i - 1) % 40).toInt)
+      val body = if (i <= 40) body0
+        else body0.updated(rnd.nextInt(body0.size), "mutated")
+      // 1/3 of docs share the boilerplate prefix -> its grams exceed small caps
+      val t = body.mkString(" ")
+      (i, if (i % 3 == 0) s"$boiler $t" else t)
+    }.toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3, maxDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = pairs(0)
+    // cap far above any df: identical verified output
+    assert(pairs(10000) == uncapped, "high cap must reproduce the uncapped result")
+    // tight cap: every surviving pair carries its EXACT uncapped jaccard,
+    // and the only losses are pairs sharing no under-cap gram
+    val capped = pairs(4)
+    assert(capped.nonEmpty && capped.size <= uncapped.size)
+    capped.foreach { case (k, j) =>
+      assert(uncapped.contains(k) && uncapped(k) == j,
+        s"pair $k: capped jaccard $j != uncapped ${uncapped.get(k)}")
+    }
+  }
+
   test("MAD outliers: planted extremes flagged, inliers not, robust to the outlier itself") {
     import spark.implicits._
     val inliers = (1 to 99).map(i => (i.toLong, "g", 100.0 + (i % 11) - 5))
