@@ -83,6 +83,27 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** TEMPERATURE-SCALED MIXTURE (the XLM-R/mBERT exponential-smoothing
+    * recipe): target weights derived from the corpus itself,
+    * w_s ∝ (n_s/N)^alpha — alpha < 1 up-weights rare strata (languages,
+    * sources) relative to their natural frequency; alpha = 1 reproduces
+    * the corpus as-is. One count aggregate (≤ #strata scalars reach the
+    * driver), weights rounded to 6 decimals for engine-portable capacity
+    * arithmetic, then the same deterministic capacity-bound thinning as
+    * [[mixture]]. */
+  def temperatureMixture(df: DataFrame, strataCol: String, alpha: Double = 0.3,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    require(counts.nonEmpty, "temperature mixture needs a non-empty corpus")
+    val total = counts.map(_._2).sum.toDouble
+    val weights = counts.map { case (k, n) =>
+      k -> math.rint(math.pow(n / total, alpha) * 1e6) / 1e6
+    }.toMap
+    mixture(df, strataCol, weights, idCol)
+  }
+
   /** QUALITY-RANKED TOKEN-BUDGET SELECTION — "give me the best N tokens":
     * order the corpus by (score desc, id) and keep the greedy prefix whose
     * PRECEDING token total stays under `tokenBudget` — how a training run

@@ -522,6 +522,23 @@ object DataOpsQueries {
          |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)
   }
 
+  /** Temperature-scaled mixture at alpha=0.3: rare languages up-weighted
+    * relative to natural frequency, weights derived in-query. */
+  val sampleTemperature: OQ = OQ.df("sample_temperature_mixture",
+    (s, _) => graft.ops.Sampling.temperatureMixture(s.table("documents"),
+        "lang", alpha = 0.3)
+      .select("doc_id", "lang", "source"),
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n) AS t FROM c),
+       |cw AS (SELECT lang, n, round(pow(CAST(n AS DOUBLE) / t, 0.3), 6) AS w
+       |  FROM c CROSS JOIN tot),
+       |cap AS (SELECT min(CAST(n AS DOUBLE) / w) AS cap FROM cw WHERE w > 0),
+       |r AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE), w * cap / n), 6) AS rate
+       |  FROM cw CROSS JOIN cap WHERE w > 0)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
+       |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)
+
   /** Deterministic epoch shuffle + 8-way sharding: portable md5(seed:id)
     * order key, shard by its leading 32 bits, dense in-shard positions. */
   val sampleShards: OQ = OQ.df("sample_shards",
@@ -978,7 +995,7 @@ object DataOpsQueries {
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     rollingHash, unigramLm, bigramLm, spanDedup, gopher, corpusStats,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
-    sampleMixture, sampleShards, sampleBudget, sampleSplitGrouped,
+    sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,

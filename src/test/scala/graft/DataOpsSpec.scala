@@ -479,6 +479,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.length == 3, "canonical-bucket emission must not duplicate pairs")
   }
 
+  test("temperature mixture: alpha=1 is identity, low alpha up-weights rare strata") {
+    val total = docs.count()
+    assert(graft.ops.Sampling.temperatureMixture(docs, "lang", alpha = 1.0).count() == total,
+      "alpha=1 must reproduce the corpus (weights equal natural shares)")
+    val kept = graft.ops.Sampling.temperatureMixture(docs, "lang", alpha = 0.3)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nat = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = nat.map { case (l, n) => l -> kept.getOrElse(l, 0L).toDouble / n }
+    val rarest = nat.minBy(_._2)._1
+    val commonest = nat.maxBy(_._2)._1
+    assert(rates(rarest) > rates(commonest),
+      s"rare stratum must keep a higher fraction: $rates")
+    assert(rates(rarest) > 0.9, s"binding stratum keeps ~everything: $rates")
+  }
+
   test("capped jaccard: equals uncapped with no heavy grams, exact-subset under skew") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
