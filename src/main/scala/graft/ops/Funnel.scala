@@ -29,12 +29,14 @@ object Funnel {
     val spark = events.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
+    // NULL identity or NULL time cannot enter a funnel (and would crash
+    // the primitive-tuple encoder); guard the CAST results, not the raw
+    // columns — a non-numeric string id is NULL only after the cast
     val projected = events
-      // NULL identity or NULL time cannot enter a funnel (and would crash
-      // the primitive-tuple encoder); the oracle filters identically
-      .where(col(typeCol).isin(steps.map(lit): _*) &&
-        col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).cast("long"), unix_micros(col(tsCol)), col(typeCol))
+      .where(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol).cast("long").as("__u"),
+        unix_micros(col(tsCol)).as("__t"), col(typeCol))
+      .where(col("__u").isNotNull && col("__t").isNotNull)
       .as[(Long, Long, String)]
     val n = steps.size
     val outSchema = StructType(

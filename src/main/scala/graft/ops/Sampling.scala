@@ -94,14 +94,27 @@ object Sampling {
   def temperatureMixture(df: DataFrame, strataCol: String, alpha: Double = 0.3,
                          idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE count aggregate; rates are pure driver arithmetic from there.
+    // Weights stay UNROUNDED (rounding them skews the capacity and breaks
+    // the alpha=1 identity by one part in 10^6); only the final rate is
+    // rounded, and at alpha=1 rate = cap/N = 1 ± 1e-16, which 6-decimal
+    // rounding restores to exactly 1. NULL strata carry no weight and are
+    // excluded up front (a NULL key cannot equal anything downstream).
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(count(lit(1)).as("__n"))
       .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
     require(counts.nonEmpty, "temperature mixture needs a non-empty corpus")
     val total = counts.map(_._2).sum.toDouble
-    val weights = counts.map { case (k, n) =>
-      k -> math.rint(math.pow(n / total, alpha) * 1e6) / 1e6
-    }.toMap
-    mixture(df, strataCol, weights, idCol)
+    val w = counts.map { case (k, n) => k -> math.pow(n / total, alpha) }.toMap
+    val cap = counts.map { case (k, n) => n / w(k) }.min
+    val rates = counts.map { case (k, n) =>
+      (k, math.rint(math.min(1.0, w(k) * cap / n) * 1e6) / 1e6)
+    }.toSeq.toDF("__k", "__rate")
+    df.join(broadcast(rates), col(strataCol).cast("string") === col("__k"))
+      .where(hashFrac(col(idCol)) < col("__rate"))
+      .drop("__k", "__rate")
   }
 
   /** QUALITY-RANKED TOKEN-BUDGET SELECTION — "give me the best N tokens":

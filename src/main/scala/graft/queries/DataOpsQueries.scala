@@ -528,13 +528,14 @@ object DataOpsQueries {
     (s, _) => graft.ops.Sampling.temperatureMixture(s.table("documents"),
         "lang", alpha = 0.3)
       .select("doc_id", "lang", "source"),
-    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+       |  WHERE lang IS NOT NULL GROUP BY 1),
        |tot AS (SELECT sum(n) AS t FROM c),
-       |cw AS (SELECT lang, n, round(pow(CAST(n AS DOUBLE) / t, 0.3), 6) AS w
+       |cw AS (SELECT lang, n, pow(CAST(n AS DOUBLE) / t, 0.3) AS w
        |  FROM c CROSS JOIN tot),
-       |cap AS (SELECT min(CAST(n AS DOUBLE) / w) AS cap FROM cw WHERE w > 0),
+       |cap AS (SELECT min(CAST(n AS DOUBLE) / w) AS cap FROM cw),
        |r AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE), w * cap / n), 6) AS rate
-       |  FROM cw CROSS JOIN cap WHERE w > 0)
+       |  FROM cw CROSS JOIN cap)
        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
        |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
        |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)

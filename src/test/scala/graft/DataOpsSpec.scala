@@ -493,6 +493,12 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rates(rarest) > rates(commonest),
       s"rare stratum must keep a higher fraction: $rates")
     assert(rates(rarest) > 0.9, s"binding stratum keeps ~everything: $rates")
+    // identity must survive shares that are NOT 6-decimal representable
+    // (counts {1,2}: rounding the weights would yield rate 0.999999)
+    import spark.implicits._
+    val awkward = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("doc_id", "lang")
+    assert(graft.ops.Sampling.temperatureMixture(awkward, "lang", alpha = 1.0)
+      .count() == 3, "alpha=1 identity must be exact for any share structure")
   }
 
   test("capped jaccard: equals uncapped with no heavy grams, exact-subset under skew") {
