@@ -47,7 +47,13 @@ object AsOf {
     // string/UUID ids and silently break the greatest-tie-wins contract
     val tieType = right.select(col(tieCol)).schema.head.dataType
     val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
-    val r = right.select(keyCols :+
+    // a NULL-timestamped right row would sort FIRST under asc (Spark's
+    // NULLS FIRST default) and its payload would be swept into every left
+    // row with no real predecessor — an "infinitely early" phantom match.
+    // It carries no point-in-time meaning; exclude it. NULL-timestamped
+    // LEFT rows stay (left-outer contract): they sort first, see no
+    // preceding right row, and keep NULL payload columns.
+    val r = right.where(col(rightTime).isNotNull).select(keyCols :+
       col(rightTime).as("__t") :+ lit(rightTag).as("__tag") :+
       col(tieCol).as("__tie") :+
       struct(payload.map(col): _*).as("__r") :+

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * a flatMap of adjacent pairs + one sum aggregation, and an argmax that
   * moves exactly ONE row to the driver (ties broken lexicographically, so
   * training is deterministic on any cluster). Merge application is a
-  * narrow typed map; the growing lineage is truncated with a
-  * localCheckpoint every few rounds so round J's plan doesn't replay
-  * rounds 1..J-1. At 100 TB the corpus pass dominates (one shuffle on the
-  * word key) and the loop still runs over |distinct words|, not |tokens|.
+  * narrow typed map; the growing lineage is truncated with a checkpoint
+  * every few rounds so round J's plan doesn't replay rounds 1..J-1 —
+  * reliable (`spark.sparkContext.setCheckpointDir`) when a dir is
+  * configured, local otherwise. At 100 TB the corpus pass dominates (one
+  * shuffle on the word key) and the loop still runs over |distinct words|,
+  * not |tokens|.
   */
 object Bpe {
 
@@ -34,15 +36,31 @@ object Bpe {
                 checkpointEvery: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab: Dataset[(Seq[String], Long)] = df
+    // RELIABLE checkpoint when the session has a checkpoint dir (a 100 TB
+    // tokenizer train should survive executor loss — localCheckpoint blocks
+    // die with their executor and the whole train restarts from zero);
+    // localCheckpoint otherwise (single-JVM / test runs, no dir needed).
+    // Either way the SUPERSEDED checkpoint is released once the new one
+    // materializes — both are eager, so by the time ckpt() returns the new
+    // lineage no longer reads the old blocks, and holding them would
+    // accumulate one vocab copy per checkpointEvery rounds for the life of
+    // the session.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    var prev: Option[Dataset[(Seq[String], Long)]] = None
+    def ckpt(ds: Dataset[(Seq[String], Long)]): Dataset[(Seq[String], Long)] = {
+      val next = if (reliable) ds.checkpoint() else ds.localCheckpoint()
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      next
+    }
+    var vocab: Dataset[(Seq[String], Long)] = ckpt(df
       .select(explode(TextAnalysis.words(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, c) => ((w.map(_.toString) :+ EndOfWord): Seq[String], c) }
       // truncate lineage at the word-frequency table: without this, every
       // round before the first periodic checkpoint replays the corpus pass
-      .localCheckpoint()
+      .map { case (w, c) => ((w.map(_.toString) :+ EndOfWord): Seq[String], c) })
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     var round = 0
@@ -59,12 +77,14 @@ object Bpe {
         merges += ((l, r, f))
         vocab = vocab.map { case (syms, c) => (mergePair(syms, l, r), c) }
         round += 1
-        if (round % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        if (round % checkpointEvery == 0) vocab = ckpt(vocab)
       }
     }
-    merges.zipWithIndex.toSeq
+    val out = merges.zipWithIndex.toSeq
       .map { case ((l, r, f), i) => (i, l, r, l + r, f) }
       .toDF("rank", "left", "right", "merged", "freq")
+    prev.foreach(_.unpersist())
+    out
   }
 
   /** Tokenize with a learned merge list: split to chars + end marker, apply

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, NumericType, StringType, StructField, StructType}
 
 /** Event-sequence analytics: ordered FUNNELS and COHORT RETENTION — the two
   * canonical product-analytics operators over an event stream.
@@ -21,29 +21,50 @@ object Funnel {
     *
     * One shuffle: events are filtered to the step types at the scan (the
     * predicate pushes down), then each user's surviving events sort in one
-    * grouped pass — the classic funnel engine shape, linear per user. */
+    * grouped pass — the classic funnel engine shape, linear per user.
+    *
+    * Ids keep their FAMILY (the [[Dedup.clusters]] recipe): numeric ids
+    * run as longs, anything else — string/UUID-keyed event streams — as
+    * strings. Casting every id to long would silently NULL out non-numeric
+    * ids and yield an empty funnel with no diagnostic (and throw under
+    * ANSI mode); the output `userCol` is long or string accordingly. */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
              typeCol: String = "event_type"): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
-    val spark = events.sparkSession
-    import spark.implicits._
+    val numericIds = events.select(col(userCol)).schema.head.dataType
+      .isInstanceOf[NumericType]
+    if (numericIds)
+      runFunnel[Long](events, steps, userCol, tsCol, typeCol, LongType, "long")(
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+    else
+      runFunnel[String](events, steps, userCol, tsCol, typeCol, StringType, "string")(
+        Encoders.STRING,
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING))
+  }
+
+  /** One id family's project → group → ladder-walk pass. */
+  private def runFunnel[K](events: DataFrame, steps: Seq[String],
+                           userCol: String, tsCol: String, typeCol: String,
+                           idType: DataType, castType: String)(
+      implicit keyEnc: Encoder[K], rowEnc: Encoder[(K, Long, String)]): DataFrame = {
     val stepIdx = steps.zipWithIndex.toMap
     // NULL identity or NULL time cannot enter a funnel (and would crash
-    // the primitive-tuple encoder); guard the CAST results, not the raw
-    // columns — a non-numeric string id is NULL only after the cast
+    // the tuple encoder); the cast is a same-family no-op (long→long,
+    // string→string), so no id is nulled by it
     val projected = events
       .where(col(typeCol).isin(steps.map(lit): _*))
-      .select(col(userCol).cast("long").as("__u"),
+      .select(col(userCol).cast(castType).as("__u"),
         unix_micros(col(tsCol)).as("__t"), col(typeCol))
       .where(col("__u").isNotNull && col("__t").isNotNull)
-      .as[(Long, Long, String)]
+      .as[(K, Long, String)](rowEnc)
     val n = steps.size
     val outSchema = StructType(
-      StructField(userCol, LongType, nullable = false) +:
+      StructField(userCol, idType, nullable = false) +:
       StructField("stage", IntegerType, nullable = false) +:
       (1 to n).map(i => StructField(s"t${i}_us", LongType, nullable = true)))
-    projected.groupByKey(_._1).mapGroups { (user, it) =>
+    projected.groupByKey(_._1)(keyEnc).mapGroups { (user, it) =>
       // one user's step events: sort by (time, step) and walk the ladder
       val evs = it.map { case (_, us, tpe) => (us, stepIdx(tpe)) }.toArray
       java.util.Arrays.sort(evs, Ordering.by[(Long, Int), (Long, Int)](identity))
@@ -68,12 +89,19 @@ object Funnel {
   /** Cohort retention: users cohorted by the WEEK of their first event
     * (integer weeks since the unix epoch — portable arithmetic, no engine
     * week-truncation differences), counted as retained in every later week
-    * they are active. Output: (cohort_week, week_offset, n_users). */
+    * they are active. Output: (cohort_week, week_offset, n_users).
+    *
+    * The user key stays NATIVE (no cast), so string/UUID-keyed streams
+    * cohort correctly; NULL users and NULL times are excluded up front —
+    * an anonymous NULL key would otherwise collapse into one phantom
+    * "user" and distort every cohort it touches. */
   def retention(events: DataFrame, userCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
     val week = (unix_micros(col(tsCol)) / lit(7L * 86400L * 1000000L))
       .cast("long")
-    val active = events.select(col(userCol).as("__u"), week.as("__w")).distinct()
+    val active = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), week.as("__w")).distinct()
     val cohort = active.groupBy("__u").agg(min("__w").as("__cw"))
     active.join(cohort, Seq("__u"))
       .groupBy(col("__cw").as("cohort_week"),

@@ -22,12 +22,26 @@ object Outliers {
             k: Double = 3.5): DataFrame = {
     require(groupCols.nonEmpty, "grouped outlier detection needs group columns")
     val g = groupCols.map(col)
+    // NULL group keys are a real group (groupBy already treats them as
+    // one); the join back must be null-safe (<=>) or those rows would
+    // silently vanish from the output — neither flagged nor auditable.
+    // Stats keys are renamed so the null-safe condition is unambiguous.
+    val aliases = groupCols.map(c => s"__k_$c")
+    def statKeys(stats: DataFrame) = stats.select(
+      groupCols.zip(aliases).map { case (c, a) => col(c).as(a) } :+
+        stats.columns.filterNot(groupCols.contains).map(col).head: _*)
+    def joinStats(rows: DataFrame, stats: DataFrame) = {
+      val s = statKeys(stats)
+      val cond = groupCols.zip(aliases)
+        .map { case (c, a) => rows(c) <=> s(a) }.reduce(_ && _)
+      rows.join(s, cond).drop(aliases: _*)
+    }
     val med = df.groupBy(g: _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
-    val withMed = df.join(med, groupCols)
+    val withMed = joinStats(df, med)
     val mad = withMed.groupBy(g: _*)
       .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
-    withMed.join(mad, groupCols)
+    joinStats(withMed, mad)
       .withColumn("robust_z",
         when(col("__mad") > 0,
           round(abs(col(valueCol) - col("__med")) /

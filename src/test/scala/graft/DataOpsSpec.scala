@@ -555,6 +555,14 @@ class DataOpsSpec extends AnyFunSuite {
         r.isNullAt(r.fieldIndex("robust_z"))))).toMap
     assert(dg(99L) == ((true, true)), s"off-median in MAD=0 group: ${dg(99L)}")
     assert(dg(1L) == ((false, true)))
+    // NULL group key is a REAL group: rows survive the null-safe join back
+    // and the planted extreme is flagged within it (they used to vanish)
+    val withNullG = ((1 to 20).map(i => (i.toLong, null.asInstanceOf[String], 50.0 + (i % 5)))
+      :+ ((500L, null.asInstanceOf[String], 9999.0))).toDF("id", "g", "v")
+    val ng = graft.ops.Outliers.byMad(withNullG, "v", Seq("g"))
+    assert(ng.count() == 21, "NULL-group rows must not vanish from the output")
+    assert(ng.where(col("is_outlier")).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(500L))
   }
 
   test("hll sketch rollup: accurate estimates, union consistent with direct") {
@@ -606,6 +614,30 @@ class DataOpsSpec extends AnyFunSuite {
     val u5 = graft.ops.Funnel.funnel(events, Seq("view", "click", "purchase"))
       .where(col("user_id") === 5).collect().head
     assert(u5.getLong(2) == 1000L * 1000 && u5.getLong(3) == 3000L * 1000)
+  }
+
+  test("funnel/retention: string/UUID user ids keep their family, same ladders") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def uuid(i: Int) = f"00000000-0000-0000-0000-${i}%012d"
+    val events = Seq(
+      (uuid(1), ts(1000), "view"), (uuid(1), ts(2000), "click"), (uuid(1), ts(3000), "purchase"),
+      (uuid(2), ts(1000), "view"), (uuid(2), ts(1500), "purchase"), (uuid(2), ts(2000), "click"),
+      (uuid(4), ts(1000), "click"), (uuid(4), ts(2000), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Funnel.funnel(events, Seq("view", "click", "purchase"))
+    assert(out.schema.head.dataType == org.apache.spark.sql.types.StringType)
+    val got = out.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map(uuid(1) -> 3, uuid(2) -> 2), s"got $got")
+    // retention cohorts string users too (no cast anywhere); NULL ids excluded
+    val week0 = ts(1000)
+    val week1 = ts(1000 + 7L * 86400 * 1000)
+    val ret = graft.ops.Funnel.retention(Seq(
+        (uuid(1), week0), (uuid(1), week1), (uuid(2), week0),
+        (null.asInstanceOf[String], week0)
+      ).toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret.values.sum == 3 && ret.exists { case ((_, off), n) => off == 1 && n == 1 })
   }
 
   test("as-of join and span removal equal brute force on random inputs") {
@@ -664,6 +696,22 @@ class DataOpsSpec extends AnyFunSuite {
       assert(cleaned(id)._1 == expected, s"doc $id: ${cleaned(id)._1} != $expected")
       assert(cleaned(id)._2 == ss.map(x => x._2 - x._1).sum.toLong)
     }
+  }
+
+  test("as-of join: NULL timestamps are no 'infinitely early' phantom matches") {
+    import spark.implicits._
+    // right row 99 has a NULL time: it must match NOTHING (not even left
+    // rows with no real predecessor); left row 3 has a NULL time: it stays
+    // in the output (left-outer) with NULL payload
+    val left = Seq((1L, 1L, Some(100L)), (2L, 1L, Some(5L)), (3L, 1L, Option.empty[Long]))
+      .toDF("lid", "k", "lt")
+    val right = Seq((10L, 1L, Some(50L), 1.0), (99L, 1L, Option.empty[Long], 666.0))
+      .toDF("rid", "k", "rt", "v")
+    val got = graft.ops.AsOf.asofJoin(left, right, Seq("k"), "lt", "rt",
+        payload = Seq("rid", "v"), tieCol = "rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(1L -> 10L, 2L -> -1L, 3L -> -1L), s"got $got")
   }
 
   test("range joins equal the brute-force cross join on random inputs") {
@@ -1188,6 +1236,13 @@ class DataOpsSpec extends AnyFunSuite {
     val a = Bpe.bpeMerges(docs, numMerges = 6).collect().toSeq
     val b = Bpe.bpeMerges(docs, numMerges = 6).collect().toSeq
     assert(a == b && a.size == 6)
+    // RELIABLE checkpoint toggle: with a checkpoint dir configured the
+    // lineage truncation goes through fault-tolerant checkpoint files
+    // (survives executor loss on a real cluster) and learns the same merges
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-bpe-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val c = Bpe.bpeMerges(docs, numMerges = 6, checkpointEvery = 2).collect().toSeq
+    assert(c == a, "reliable-checkpoint train must learn identical merges")
   }
 
   test("token-budget selection keeps the quality-ranked greedy prefix") {
