@@ -106,71 +106,133 @@ object Pq {
       .toDF(idCol, "codes", "recon_err2")
   }
 
+  /** Query-to-centroid distance table: dt(sub)(c) = ||q_sub − centroid||²,
+    * clamped for ragged (shorter-than-trained) query vectors. */
+  private def distTable(qv: Array[Float], books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val dsub = books(0)(0).length
+    Array.tabulate(books.length) { sub =>
+      val from = math.min(sub * dsub, qv.length)
+      val sv = java.util.Arrays.copyOfRange(qv, from,
+        math.max(from, math.min((sub + 1) * dsub, qv.length)))
+      books(sub).map { cc =>
+        var d2 = 0.0
+        var i = 0
+        val n = math.min(sv.length, cc.length)
+        while (i < n) { val t = sv(i).toDouble - cc(i); d2 += t * t; i += 1 }
+        d2
+      }
+    }
+  }
+
+  /** Stream corpus codes against one query's distance table, keeping the
+    * (dist asc, id asc) top-k. One ordering instance per call — not inside
+    * the O(corpus) loop. */
+  private def adcTopK(qid: Long, dt: Array[Array[Double]], topK: Int,
+                      codes: Iterator[(Long, Array[Int])]): Iterator[(Long, Long, Double)] = {
+    val m = dt.length
+    val ord = Ordering.Tuple2(Ordering[Double], Ordering[Long])
+    val top = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    codes.foreach { case (bid, bcodes) =>
+      if (bid != qid) {
+        var dist = 0.0
+        var sub = 0
+        while (sub < m) { dist += dt(sub)(bcodes(sub)); sub += 1 }
+        if (top.size < topK) top.enqueue((dist, bid))
+        else if (ord.lt((dist, bid), top.head)) {
+          top.dequeue(); top.enqueue((dist, bid))
+        }
+      }
+    }
+    val ordered: Seq[(Double, Long)] = top.dequeueAll
+    ordered.reverseIterator.map { case (dist, bid) => (qid, bid, dist) }
+  }
+
   /** ADC (asymmetric distance computation) top-k: exact queries scored
     * against PQ-compressed corpus codes. Each task builds the m×k
     * query-to-centroid distance table once per query, then every corpus
     * vector costs m table lookups instead of d multiplications — the PQ
-    * search payoff. Corpus codes broadcast (they are m bytes/vector — the
-    * point of PQ); ranking is deterministic ((dist asc, id asc)). */
+    * search payoff. Ranking is deterministic ((dist asc, id asc)).
+    *
+    * Two physical layouts behind one result:
+    *  - code table ≤ `maxBroadcastCodes`: BROADCAST (codes are m ints/
+    *    vector — the point of PQ; 4M × 8 × 4B ≈ 128 MB of primitive
+    *    arrays). The probe collect is itself bounded by `limit(cap + 1)`,
+    *    so an over-cap corpus can no longer OOM the driver before the size
+    *    check fires.
+    *  - past the cap: BLOCKED GRID (the [[Similarity.cosineTopK]] layout)
+    *    — the code table shards by id, queries replicate per shard, each
+    *    cell keeps a per-shard (dist, id) top-k heap, and one per-query
+    *    window merges the ≤ k·S candidates to the global top-k. Identical
+    *    output (per-cell selection uses the same total order); a corpus
+    *    past the broadcast cliff DEGRADES to the shuffle plan instead of
+    *    throwing. */
   def pqTopK(emb: DataFrame, codebooks: Array[Array[Array[Float]]], topK: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             maxBroadcastCodes: Long = 4000000L): DataFrame = {
+             maxBroadcastCodes: Long = 4000000L,
+             shardCodes: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val m = codebooks.length
-    // BOUNDED driver traffic: codes are m ints/vector, and the cap keeps the
-    // broadcast build under control (4M × 8 × 4B ≈ 128 MB). Past the cap,
-    // shard the code table through the blocked grid (Similarity.cosineTopK's
-    // layout) instead of raising it.
-    // one encode job: collect, then enforce the cap on the collected length
-    // (a separate count() would run the whole distributed encode twice)
-    val codes = pqEncode(emb, codebooks, idCol, vecCol)
-      .select(col(idCol), col("codes"))
-      .as[(Long, Seq[Int])].collect()
-    require(codes.length <= maxBroadcastCodes,
-      s"pqTopK broadcasts the code table (${codes.length} rows > cap " +
-        s"$maxBroadcastCodes); shard the corpus (blocked grid) for larger indexes")
-    val bcCodes = spark.sparkContext.broadcast(codes)
-    val bcBooks = spark.sparkContext.broadcast(codebooks)
-    emb.select(col(idCol).cast("long"), col(vecCol))
+    require(topK > 0 && maxBroadcastCodes > 0 && shardCodes > 0)
+    val cap = math.min(maxBroadcastCodes, (Int.MaxValue - 8).toLong).toInt
+    val encoded = pqEncode(emb, codebooks, idCol, vecCol)
+      .select(col(idCol), col("codes").cast("array<int>"))
+      .as[(Long, Array[Int])]
+    // bounded probe: at most cap+1 PRIMITIVE-array rows reach the driver
+    val probe = encoded.limit(cap + 1).collect()
+    val queries = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) =>
-        val books = bcBooks.value
-        val dsub = books(0)(0).length
-        // distance table: dt(sub)(c) = ||q_sub - centroid||²
-        val dt = Array.tabulate(m) { sub =>
-          val from = math.min(sub * dsub, qv.length)
-          val sv = java.util.Arrays.copyOfRange(qv, from,
-            math.max(from, math.min((sub + 1) * dsub, qv.length)))
-          books(sub).map { cc =>
-            var d2 = 0.0
-            var i = 0
-            val n = math.min(sv.length, cc.length)
-            while (i < n) { val t = sv(i).toDouble - cc(i); d2 += t * t; i += 1 }
-            d2
-          }
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
+    if (probe.length <= cap) {
+      // broadcast path: per-query candidates are already the global top-k
+      // in (dist, id) order — rank inline, zero shuffles
+      val bcCodes = spark.sparkContext.broadcast(probe)
+      queries.flatMap { case (qid, qv) =>
+        adcTopK(qid, distTable(qv, bcBooks.value), topK, bcCodes.value.iterator)
+          .zipWithIndex.map { case ((a, b, d), i) => (a, b, d, i + 1) }
+      }.toDF("a", "b", "adc_dist2", "rank")
+    } else {
+        // blocked grid: shard s = id mod S meets query group g = id mod G
+        // in cell g·S + s — every (query, code) pair exactly once
+        // size shards from the INPUT row count (parquet metadata-fast),
+        // not encoded.count() — counting `encoded` would replay the whole
+        // distributed encode just to size the grid
+        val sShards = ((probe.length.toLong.max(emb.count()) + shardCodes - 1)
+          / shardCodes).toInt
+        val par = spark.sparkContext.defaultParallelism
+        val qGroups = math.max(1, math.ceil(2.0 * par / sShards).toInt)
+        val codeSide = encoded.flatMap { case (id, cs) =>
+          val s = math.floorMod(id, sShards.toLong).toInt
+          Iterator.range(0, qGroups).map(g => (g * sShards + s, 0, id, cs, null: Array[Float]))
         }
-        val all = bcCodes.value
-        // bounded selection: (dist asc, id asc); one ordering instance for
-        // the whole scan — not inside the O(corpus) loop
-        val ord = Ordering.Tuple2(Ordering[Double], Ordering[Long])
-        val top = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
-        all.foreach { case (bid, bcodes) =>
-          if (bid != qid) {
-            var dist = 0.0
-            var sub = 0
-            while (sub < m) { dist += dt(sub)(bcodes(sub)); sub += 1 }
-            if (top.size < topK) top.enqueue((dist, bid))
-            else if (ord.lt((dist, bid), top.head)) {
-              top.dequeue(); top.enqueue((dist, bid))
+        val querySide = queries.flatMap { case (id, v) =>
+          val g = math.floorMod(id, qGroups.toLong).toInt
+          Iterator.range(0, sShards).map(sh => (g * sShards + sh, 1, id, null: Array[Int], v))
+        }
+        val perShard = codeSide.union(querySide)
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("_2")) { (_, it) =>
+            // tag-sorted: the shard's code rows lead, query rows stream —
+            // per-task memory is one shard's codes, never the corpus
+            val buf = it.buffered
+            val shard = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
+            while (buf.hasNext && buf.head._2 == 0) {
+              val r = buf.next()
+              shard += ((r._3, r._4))
+            }
+            val arr = shard.toArray
+            buf.flatMap { r =>
+              adcTopK(r._3, distTable(r._5, bcBooks.value), topK, arr.iterator)
             }
           }
-        }
-        val ordered: Seq[(Double, Long)] = top.dequeueAll
-        ordered.reverse.iterator.zipWithIndex.map { case ((dist, bid), i) =>
-          (qid, bid, dist, i + 1)
-        }
+        import org.apache.spark.sql.expressions.Window
+        // merge the ≤ k·S per-shard candidates per query to the global
+        // top-k — identical to the single-scan ranking because per-cell
+        // selection used the same (dist asc, id asc) total order
+        perShard.toDF("a", "b", "adc_dist2")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("a").orderBy(col("adc_dist2").asc, col("b").asc)))
+          .where(col("rank") <= topK)
+          .select(col("a"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
       }
-      .toDF("a", "b", "adc_dist2", "rank")
   }
 }

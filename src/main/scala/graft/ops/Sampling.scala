@@ -122,15 +122,20 @@ object Sampling {
     * PRECEDING token total stays under `tokenBudget` — how a training run
     * fills a fixed token budget from a quality-scored corpus.
     *
-    * The global ordered cumsum is computed scale-safely (same recipe as
-    * sequence packing, keyed by score instead of id): rows bucket by a
-    * score RANGE (floor(score·B) — monotone in the sort key, so the
-    * (bucket desc, score desc, id) order IS the global order), each bucket
-    * computes a local prefix sum in one ordered window, and the ≤ B
-    * per-bucket totals prefix-sum on the driver and broadcast back. No
-    * single-partition global window, bounded driver traffic at any corpus
-    * size. Scores are expected in [0, 1] (clamped into the edge buckets
-    * otherwise). Adds `cum_tokens_before`. */
+    * The global ordered cumsum is computed scale-safely by RANGE
+    * partitioning on the full sort key (score desc nulls-last, id): the
+    * partitioner samples actual rows, so its boundaries are (score, id)
+    * PAIRS — a corpus whose scores concentrate on one value (a classifier
+    * that says ~0.9 for everything, coarse heuristic scores) still splits
+    * evenly by id, where any score-VALUE bucketing scheme collapses into
+    * one giant bucket and resurrects the single-partition global window
+    * this design exists to avoid. Each range partition computes a local
+    * prefix sum in one ordered window; the ≤ `buckets` per-partition
+    * totals prefix-sum on the driver and broadcast back. Partition ids are
+    * replay-stable within the operator: the range boundaries come from
+    * seed-deterministic sampling of the same input, and the explicit
+    * partition count is never AQE-coalesced. Bounded driver traffic at any
+    * corpus size; adds `cum_tokens_before`. */
   def selectByBudget(df: DataFrame, tokenBudget: Long,
                      scoreCol: String = "quality_score",
                      tokensCol: String = "n_words",
@@ -139,32 +144,29 @@ object Sampling {
     require(tokenBudget >= 0 && buckets > 0)
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    // NULL scores sort LAST globally (score desc nulls-last, matching a
-    // plain ORDER BY): they must land in the BOTTOM bucket — greatest/least
-    // SKIP nulls, so without the explicit branch a NULL floats to the top
-    // bucket and consumes budget ahead of the whole scored corpus
-    val b = when(col(scoreCol).isNull, lit(0))
-      .otherwise(greatest(lit(0), least(lit(buckets - 1),
-        floor(col(scoreCol) * buckets)))).cast("int")
-    val w = Window.partitionBy("__b")
-      .orderBy(col(scoreCol).desc, col(idCol))
+    // NULL scores sort LAST (plain ORDER BY ... DESC semantics on both
+    // engines), so they only consume budget after the whole scored corpus
+    val ord = Seq(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    val parted = df.repartitionByRange(buckets, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = df.withColumn("__b", b)
-      .withColumn("__local",
-        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
-    // bounded driver traffic: one total per score bucket, highest first
-    val totals = local.groupBy("__b")
+    val local = parted.withColumn("__local",
+      coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+    // bounded driver traffic: one total per range partition, in key order
+    // (partition 0 holds the top scores under the desc sort)
+    val totals = parted.groupBy("__pid")
       .agg(sum(col(tokensCol).cast("long")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var acc = 0L
-    val offsets = totals.keys.toSeq.sorted(Ordering[Int].reverse).map { k =>
+    val offsets = totals.keys.toSeq.sorted.map { k =>
       val o = (k, acc); acc += totals(k); o
     }
-    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__b", "__off"))
-    local.join(offDf, Seq("__b"))
+    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__pid", "__off"))
+    local.join(offDf, Seq("__pid"))
       .withColumn("cum_tokens_before", col("__local") + col("__off"))
       .where(col("cum_tokens_before") < tokenBudget)
-      .drop("__b", "__local", "__off")
+      .drop("__pid", "__local", "__off")
   }
 
   /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the training-export layout

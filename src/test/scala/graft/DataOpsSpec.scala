@@ -1275,6 +1275,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(viaBuckets == viaWindow)
   }
 
+  test("token-budget selection: concentrated scores cannot collapse the cumsum") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // EVERY doc shares one score — the case a score-VALUE bucketing scheme
+    // lands entirely in one bucket, turning the per-bucket window into the
+    // single-partition global window the design exists to avoid
+    val flat = (1L to 2000L).map(i => (i, 0.9, 10)).toDF("doc_id", "quality_score", "n_words")
+    val out = Sampling.selectByBudget(flat, tokenBudget = 5000, buckets = 16)
+      .select("doc_id", "cum_tokens_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // equal scores tie-break by id: docs 1..500 survive, cum = (id-1)*10
+    assert(out.keySet == (1L to 500L).toSet, s"kept ${out.size} docs")
+    assert((1L to 500L).forall(i => out(i) == (i - 1) * 10))
+    // the range partitioner must actually SPREAD the flat-score corpus: its
+    // boundaries are (score, id) pairs, so no partition holds ~everything
+    val sizes = flat
+      .repartitionByRange(16, col("quality_score").desc_nulls_last, col("doc_id").asc)
+      .groupBy(spark_partition_id().as("p")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length > 8, s"expected ~16 populated range partitions, got ${sizes.length}")
+    assert(sizes.max < 2000 / 4, s"one partition holds ${sizes.max} of 2000 rows")
+  }
+
   test("bigram LM matches a hand-computed toy corpus") {
     val toy = spark.createDataFrame(Seq(
       (1L, "a b"), (2L, "a c"), (3L, "x"))).toDF("doc_id", "text")
@@ -1328,6 +1351,21 @@ class DataOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val shortlistRecall = (exact intersect adc20).size.toDouble / exact.size
     assert(shortlistRecall >= 0.6, s"ADC shortlist recall too low: $shortlistRecall")
+  }
+
+  test("pqTopK past the broadcast cap: blocked grid identical to broadcast path") {
+    import graft.ops.Pq
+    val books = Pq.pqTrain(emb, m = 16, k = 16)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "adc_dist2", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val viaBroadcast = ranked(Pq.pqTopK(emb, books, topK = 5))
+    // cap far below the corpus size forces the sharded grid; several shards
+    // so the merge window genuinely combines per-shard heaps
+    val viaGrid = ranked(Pq.pqTopK(emb, books, topK = 5,
+      maxBroadcastCodes = 10L, shardCodes = 50))
+    assert(viaGrid == viaBroadcast,
+      s"grid diverges: ${viaGrid.toSet.diff(viaBroadcast.toSet).take(5)}")
   }
 
   test("unigram LM score matches a hand-computed toy corpus") {

@@ -79,8 +79,12 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("sample_token_budget")
     val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.nonEmpty, s"expected a window in the plan:\n$p")
-    assert(specs.forall(_.contains("__b")),
-      s"every window must partition by the score bucket, got: $specs")
+    assert(specs.forall(_.contains("__pid")),
+      s"every window must partition by the range-partition id, got: $specs")
+    // the partitioning must be RANGE on the sort key (splits concentrated
+    // scores by id), not a derived score-value bucket
+    assert(p.contains("rangepartitioning"),
+      s"expected a range repartition on the sort key:\n$p")
   }
 
   test("substring dedup: codegen window hashes, semi-join mark, one doc shuffle") {
