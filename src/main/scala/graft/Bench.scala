@@ -30,18 +30,29 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (k, _) => only(k) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }.toMap
+    // Interleave the N passes ACROSS the query list (pass 1 over every query,
+    // then pass 2, ...) rather than back-to-back per query: sustained host
+    // contention then inflates every query's pass-k time uniformly, which the
+    // per-run sidecar data makes self-evident — back-to-back min-of-N inside
+    // one noisy window hides it (the r6 contaminated driver run).
+    val names = selected.keys.toSeq.sorted
+    val perRun = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    for (_ <- 0 until runs; name <- names) {
+      val t0 = System.nanoTime()
+      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      perRun(name) += (System.nanoTime() - t0) / 1e9
+    }
+    val results = perRun.map { case (n, ts) => n -> ts.min }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every pass's time per query, not just the min — contamination shows up
+    // as spread in the artifact itself instead of requiring archaeology
+    val ts = perRun.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"times":$ts,"sf":"$sfDir"}"""
     // The driver captures only a tail of stdout, which truncates the
     // per-query map once it outgrows the window — persist the full map as a
     // sidecar so every registered query's timing survives for comparison.

@@ -715,4 +715,37 @@ object Dedup {
       }
     }(Encoders.row(outSchema)).toDF(idCol, "simhash")
   }
+
+  /** CROSS-STRATUM OVERLAP MATRIX — the dataset-card "how much does source
+    * A repeat source B" number and the contamination screen between
+    * training strata and a held-out stratum: for every pair of corpus
+    * strata, the exact Jaccard similarity of their distinct word-n-gram
+    * shingle sets. Shingling stays PER DOCUMENT (grams never span rows);
+    * the stratum key just rides along. Pairs with an EMPTY intersection are
+    * omitted (emitting them would need a stratum×stratum cartesian — the
+    * registry bans cartesians; absence ⇒ jaccard 0).
+    *
+    * Scale shape: one distinct-shuffle on (stratum, gram), one gram-keyed
+    * self-join whose per-key fan-out is bounded by the stratum count G (a
+    * boilerplate gram present everywhere contributes G² rows TOTAL, not
+    * d²), and a G²-row aggregate. No doc-pair blowup anywhere — this is
+    * the corpus-level cousin of [[jaccardPairs]] with the quadratic term
+    * capped by construction. */
+  def corpusOverlap(df: DataFrame, groupCol: String = "source", n: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    val sg = shingleArray(df, n, groupCol, textCol)
+      .select(col(groupCol), explode(col("grams")).as("gram"))
+      .distinct()
+    val sizes = sg.groupBy(groupCol).agg(count(lit(1)).cast("long").as("__n"))
+    val a = sg.select(col(groupCol).as("group_a"), col("gram"))
+    val b = sg.select(col(groupCol).as("group_b"), col("gram"))
+    val inter = a.join(b, Seq("gram")).where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b").agg(count(lit(1)).cast("long").as("n_common"))
+    inter
+      .join(sizes.select(col(groupCol).as("group_a"), col("__n").as("n_a")), Seq("group_a"))
+      .join(sizes.select(col(groupCol).as("group_b"), col("__n").as("n_b")), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
 }

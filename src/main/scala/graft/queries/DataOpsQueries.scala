@@ -475,6 +475,96 @@ object DataOpsQueries {
        |  CAST(coalesce(a.n_spans_kept, 0) AS BIGINT) AS n_spans_kept
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)
 
+  /** C4 document filter (Raffel et al. 2020 §2.2). The synthetic corpus has
+    * no line structure or punctuation, so both sides first apply the SAME
+    * deterministic rewrite — ' sort '/' merge ' become sentence-final
+    * line breaks, 'slow table' becomes 'lorem ipsum', 'vector' becomes '{'
+    * — then the filter rules run for real: terminal-punctuation line
+    * retention, min words per line, lorem-ipsum / brace / sentence-count
+    * document verdicts. */
+  val c4FilterQ: OQ = OQ.df("text_c4_filter",
+    (s, _) => TextAnalysis.c4Filter(
+      s.table("documents").withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "slow table", "lorem ipsum"), "vector", "{"), " (sort|merge) ", ".\n")),
+      minWordsPerLine = 3, minSentences = 3)
+      .select("doc_id", "text_filtered", "n_lines_kept", "n_lines_dropped",
+        "n_sentences", "rule_no_lorem", "rule_no_brace", "rule_sentences",
+        "passes_c4"),
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    'slow table', 'lorem ipsum', 'g'), 'vector', '{', 'g'),
+       |    ' (sort|merge) ', '.' || chr(10), 'g') AS tx FROM documents),
+       |lx AS (SELECT doc_id, tx,
+       |  list_filter(string_split(tx, chr(10)), l ->
+       |    regexp_matches(trim(regexp_replace(l, '\\s+', ' ', 'g')), '[.!?"]$$')
+       |    AND len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')), ' ')) >= 3
+       |    AND NOT contains(lower(trim(regexp_replace(l, '\\s+', ' ', 'g'))), 'javascript')) AS kept,
+       |  len(string_split(tx, chr(10))) AS n_lines FROM t),
+       |f AS (SELECT doc_id, tx,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS text_filtered,
+       |  len(kept) AS nk, n_lines - len(kept) AS nd FROM lx),
+       |g AS (SELECT doc_id, tx, text_filtered, nk, nd,
+       |  len(regexp_replace(text_filtered, '[^.!?]', '', 'g')) AS ns FROM f)
+       |SELECT doc_id, text_filtered,
+       |  CAST(nk AS BIGINT) AS n_lines_kept, CAST(nd AS BIGINT) AS n_lines_dropped,
+       |  CAST(ns AS BIGINT) AS n_sentences,
+       |  NOT contains(lower(tx), 'lorem ipsum') AS rule_no_lorem,
+       |  NOT contains(tx, '{') AS rule_no_brace,
+       |  ns >= 3 AS rule_sentences,
+       |  (NOT contains(lower(tx), 'lorem ipsum')) AND (NOT contains(tx, '{'))
+       |    AND ns >= 3 AS passes_c4
+       |FROM g""".stripMargin)
+
+  /** Line-level corpus dedup (CCNet / RefinedWeb). The synthetic corpus is
+    * single-line, so both sides induce line boundaries with the SAME
+    * deterministic rewrite first — every ' the '/' a ' becomes a newline —
+    * then drop lines whose corpus-wide document frequency reaches 3 and
+    * reassemble. Java regex and RE2 agree on this pattern (leftmost-first
+    * alternation, scan resumes after each replacement). */
+  val lineDedupQ: OQ = OQ.df("text_line_dedup",
+    (s, _) => TextAnalysis.lineDedup(
+      s.table("documents")
+        .withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n")),
+      minDf = 3),
+    s"""WITH lined AS (SELECT doc_id,
+       |  string_split(regexp_replace(text, ' (the|a) ', chr(10), 'g'), chr(10)) AS lines
+       |  FROM documents),
+       |ex AS (SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS i
+       |  FROM lined),
+       |heavy AS (SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+       |kept AS (SELECT e.doc_id, e.line, e.i FROM ex e
+       |  LEFT JOIN heavy h ON e.line = h.line WHERE h.line IS NULL),
+       |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_deduped,
+       |  count(*) AS n_lines_kept FROM kept GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.text_deduped, '') AS text_deduped,
+       |  CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       |  CAST(len(l.lines) - coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+       |FROM documents d JOIN lined l USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin)
+
+  /** Cross-stratum shingle-overlap matrix: exact Jaccard between the
+    * distinct 3-gram sets of each pair of sources. Zero-intersection pairs
+    * are absent by contract on both sides. */
+  val corpusOverlapQ: OQ = OQ.df("corpus_overlap",
+    (s, _) => Dedup.corpusOverlap(s.table("documents"), groupCol = "source", n = 3),
+    s"""WITH docs AS (SELECT doc_id, source, $NORM AS norm FROM documents),
+       |toks AS (SELECT doc_id, source, string_split(norm, ' ') AS w FROM docs),
+       |wrds AS (SELECT doc_id, source, unnest(w) AS word,
+       |  generate_subscripts(w, 1) AS pos FROM toks),
+       |grams3 AS (SELECT doc_id, source,
+       |  word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS gram
+       |  FROM wrds WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT source, gram FROM grams3
+       |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3),
+       |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2)
+       |SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+       |FROM inter JOIN sz sa ON group_a = sa.source
+       |JOIN sz sb ON group_b = sb.source""".stripMargin)
+
   // ---- sampling -----------------------------------------------------------
 
   /** Portable md5 bucket in both dialects. */
@@ -994,7 +1084,8 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash, unigramLm, bigramLm, spanDedup, gopher, corpusStats,
+    rollingHash, unigramLm, bigramLm, spanDedup, lineDedupQ, gopher, c4FilterQ,
+    corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     quantizeInt8, embNormalize, cosineExpr,

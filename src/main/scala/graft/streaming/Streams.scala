@@ -71,19 +71,36 @@ object Streams {
     * warehouse scale the fingerprint table is a bucketed table on the hash
     * and each batch's anti-join co-partitions against it (batches are small;
     * the big side never re-shuffles). Within-stream dedup state is one
-    * 16-byte hash per NOVEL document — for an unbounded feed swap
-    * dropDuplicates for dropDuplicatesWithinWatermark keyed on an arrival
-    * time to bound it. */
+    * 16-byte hash per NOVEL document — bounded automatically when the
+    * stream carries an event-time column: we watermark on it and use
+    * dropDuplicatesWithinWatermark, so state for hashes older than the
+    * horizon is reaped. A timestamp-less stream falls back to the unbounded
+    * dropDuplicates (correct, state grows with novel-doc cardinality). Pass
+    * `eventTimeCol` to pick the column explicitly; otherwise the first
+    * TimestampType column of a streaming input is used. */
   def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         eventTimeCol: Option[String] = None,
+                         watermark: String = "10 minutes"): DataFrame = {
     val norm = graft.ops.TextAnalysis.normText(col(textCol))
     val fp = corpus.select(md5(graft.ops.TextAnalysis.normText(col(textCol)))
       .as("content_hash")).distinct()
-    incoming
+    val novel = incoming
       .withColumn("content_hash", md5(norm))
       .join(fp, Seq("content_hash"), "left_anti")
-      .dropDuplicates("content_hash")
-      .drop("content_hash") // working column — output keeps the input schema
+    val et =
+      if (!incoming.isStreaming) None // batch replay: no state to bound
+      else eventTimeCol.orElse(
+        incoming.schema.fields
+          .find(_.dataType == org.apache.spark.sql.types.TimestampType)
+          .map(_.name))
+    val deduped = et match {
+      case Some(t) =>
+        novel.withWatermark(t, watermark)
+          .dropDuplicatesWithinWatermark("content_hash")
+      case None => novel.dropDuplicates("content_hash")
+    }
+    deduped.drop("content_hash") // working column — output keeps the input schema
   }
 
   /** DEBEZIUM ENVELOPE DECODER — the bridge between a broker's raw value
@@ -394,8 +411,8 @@ object Streams {
     * uncompacted overlay adds a union branch to every read. `maxOverlays`
     * bounds that at the same order as a transactional format's uncompacted
     * delta files. */
-  final class OverlayStateWriter(pks: Seq[String], buckets0: Option[Int] = scala.None,
-                                 maxOverlays: Int = 8) extends CdcStateWriter {
+  class OverlayStateWriter(pks: Seq[String], buckets0: Option[Int] = scala.None,
+                           maxOverlays: Int = 8) extends CdcStateWriter {
     require(pks.nonEmpty && buckets0.forall(_ > 0) && maxOverlays >= 1)
     private val RowsPerBucket = 262144L
 
@@ -453,13 +470,27 @@ object Streams {
         branches.mkString("\nUNION ALL\n")
     }
 
+    /** Crash-injection seam: invoked with every new table fully written but
+      * the view swap NOT yet taken — a test subclass that throws here
+      * simulates a process kill at the worst point in the protocol. The
+      * contract under that crash: readers keep the OLD state (the view is
+      * the only commit point), the written tables are unreferenced orphans,
+      * and a fresh writer resumes from the view text via [[deriveComp]]. */
+    protected def beforeCommit(): Unit = ()
+
     private def commit(wh: Warehouse, state: String, next: Comp,
                        dropAfter: Seq[String]): Unit = {
+      beforeCommit()
       wh.spark.sql(viewSql(state, next))                       // THE atomic point
       graft.materialize.SessionCatalogWarehouse.invalidateBacking(wh.spark, state)
       dropAfter.foreach(t =>
         try wh.spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(t)}")
-        catch { case _: Throwable => () })
+        catch { case e: Throwable =>
+          // safe to continue — an undropped table is an orphan the next
+          // compaction reaps — but a PERSISTENT drop-failure loop (perms,
+          // catalog outage) must be visible, not silent
+          System.err.println(s"[cdc-overlay] drop of superseded $t failed: $e")
+        })
       comp = Some(next)
     }
 

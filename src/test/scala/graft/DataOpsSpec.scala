@@ -1368,6 +1368,59 @@ class DataOpsSpec extends AnyFunSuite {
       s"grid diverges: ${viaGrid.toSet.diff(viaBroadcast.toSet).take(5)}")
   }
 
+  test("c4 filter: line retention and document verdicts rule by rule") {
+    val toy = spark.createDataFrame(Seq(
+      (1L, "This line is properly terminated.\nshort one.\nno terminal punct here\nEnable javascript to continue.\nAnother good full sentence!\nIs this a question?"),
+      (2L, "Contains lorem ipsum filler text.\nSecond good line here.\nThird good line stands.\nFourth line is also fine."),
+      (3L, "Some code snippet { int x = 0; }\nA normal sentence follows here.\nAnd another one right after.\nPlus one more for the count."),
+      (4L, "Only one good sentence here.\nrest has no punctuation at all")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(toy, minWordsPerLine = 3, minSentences = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: drops the 2-word line, the unterminated line, the javascript
+    // line; keeps 3 → passes everything
+    assert(out(0).getAs[String]("text_filtered") ==
+      "This line is properly terminated.\nAnother good full sentence!\nIs this a question?")
+    assert(out(0).getAs[Long]("n_lines_kept") == 3L &&
+      out(0).getAs[Long]("n_lines_dropped") == 3L)
+    assert(out(0).getAs[Boolean]("passes_c4"))
+    // doc 2: lines all fine, but lorem ipsum kills the document
+    assert(out(1).getAs[Long]("n_lines_kept") == 4L)
+    assert(!out(1).getAs[Boolean]("rule_no_lorem") && !out(1).getAs[Boolean]("passes_c4"))
+    // doc 3: curly brace kills it even though retained lines are fine
+    assert(!out(2).getAs[Boolean]("rule_no_brace") && !out(2).getAs[Boolean]("passes_c4"))
+    assert(out(2).getAs[Boolean]("rule_no_lorem"))
+    // doc 4: clean rules but only 1 retained sentence < 3
+    assert(out(3).getAs[Long]("n_sentences") == 1L)
+    assert(!out(3).getAs[Boolean]("rule_sentences") && !out(3).getAs[Boolean]("passes_c4"))
+  }
+
+  test("line dedup removes corpus-frequent lines, keeps order, audits empties") {
+    val toy = spark.createDataFrame(Seq(
+      (1L, "keep me one\nCOPYRIGHT FOOTER\nunique tail"),
+      (2L, "COPYRIGHT FOOTER\nsecond doc body"),
+      (3L, "third doc body\nCOPYRIGHT FOOTER"),
+      (4L, "COPYRIGHT FOOTER"),            // reduced to nothing — stays, empty
+      (5L, "untouched document"))).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(toy, minDf = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "keep me one\nunique tail", 2L, 1L)))
+    assert(out(1) == ((2L, "second doc body", 1L, 1L)))
+    assert(out(2) == ((3L, "third doc body", 1L, 1L)))
+    assert(out(3) == ((4L, "", 0L, 1L)), "fully-boilerplate doc must stay, empty")
+    assert(out(4) == ((5L, "untouched document", 1L, 0L)))
+
+    // petabyte knob: hashed 8-byte line keys reproduce the exact-string
+    // result here (collisions are the only divergence mode)
+    val lined = docs.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n"))
+    val exact = TextAnalysis.lineDedup(lined, minDf = 3)
+    val hashed = TextAnalysis.lineDedup(lined, minDf = 3, hashKeys = true)
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty,
+      "hashKeys path must reproduce exact-string line dedup")
+    assert(exact.agg(sum("n_lines_removed")).head().getLong(0) > 0,
+      "fixture should contain corpus-frequent lines")
+  }
+
   test("unigram LM score matches a hand-computed toy corpus") {
     val toy = spark.createDataFrame(Seq(
       (1L, "a a b"), (2L, "a c"))).toDF("doc_id", "text")

@@ -654,6 +654,114 @@ class EngineSpec extends AnyFunSuite {
     SessionCatalogWarehouse.dropAny(spark, "fold_state")
   }
 
+  test("corpus dedup auto-bounds its state when the stream carries event time") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+
+    // timestamped stream → the watermark + WithinWatermark shape kicks in
+    // automatically (first TimestampType column)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val incoming = ms.toDF().toDF("doc_id", "text", "arrived_at")
+    val fresh = Streams.dedupAgainstCorpus(incoming, corpus)
+    assert(fresh.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "a timestamped stream should get the watermark-bounded dedup shape")
+    val q = fresh.writeStream.format("memory").queryName("t_corpus_fresh")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (10L, "alpha doc", ts("2024-01-01 10:00:00")),   // known in corpus → drop
+        (11L, "gamma doc", ts("2024-01-01 10:00:00")),   // novel → keep
+        (12L, "Gamma   DOC", ts("2024-01-01 10:01:00"))) // dup within stream → drop
+      q.processAllAvailable()
+      ms.addData((13L, "delta doc", ts("2024-01-01 10:02:00"))) // novel → keep
+      q.processAllAvailable()
+      val kept = spark.table("t_corpus_fresh").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 13L), s"expected exactly the novel docs, got $kept")
+    } finally q.stop()
+
+    // timestamp-less stream → unbounded dropDuplicates, same results shape
+    // (the stream_corpus_dedup oracle exercises this end-to-end at sf)
+    val ms2 = MemoryStream[(Long, String)]
+    val plain = Streams.dedupAgainstCorpus(
+      ms2.toDF().toDF("doc_id", "text"), corpus)
+    assert(!plain.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    // batch replay input: never watermarked even with the column present
+    val batchIn = Seq((20L, "alpha doc", ts("2024-01-01 11:00:00")),
+      (21L, "epsilon doc", ts("2024-01-01 11:00:00")),
+      (22L, "epsilon  doc", ts("2024-01-01 11:01:00"))).toDF("doc_id", "text", "arrived_at")
+    val batchOut = Streams.dedupAgainstCorpus(batchIn, corpus)
+    assert(batchOut.select("doc_id").collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(21L, 22L)) && batchOut.count() == 1)
+  }
+
+  test("overlay writer: kill between table write and commit, fresh writer resumes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import scala.jdk.CollectionConverters._
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "kill_state")
+    val win = Window.partitionBy(col("id")).orderBy(col("seq").desc, col("op").desc)
+    def latestOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
+    def batch(rows: (Int, String, String, Long)*) =
+      latestOf(spark.createDataFrame(rows).toDF("id", "v", "op", "seq"))
+    def rows() = spark.table("kill_state").select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    def cdcTables() = spark.catalog.listTables().collectAsList().asScala
+      .map(_.name).filter(_.startsWith("kill_state__cdc")).toSet
+
+    // a writer whose next commit "crashes" the process: tables written,
+    // view swap never taken
+    final class CrashingWriter extends Streams.OverlayStateWriter(Seq("id"), Some(8)) {
+      var crashNext = false
+      override protected def beforeCommit(): Unit =
+        if (crashNext) { crashNext = false; throw new RuntimeException("kill -9") }
+    }
+
+    val w = new CrashingWriter
+    w.upsert(wh, "kill_state", batch((1, "one", "c", 1L), (2, "two", "c", 1L),
+      (3, "three", "c", 1L)), latestOf, Nil, Nil)
+    assert(rows() == Map(1 -> "one", 2 -> "two", 3 -> "three"))
+    val tablesBefore = cdcTables()
+
+    // CRASH mid-upsert: the overlay table for this batch is fully written
+    // when the kill lands, but the swap never happens
+    w.crashNext = true
+    intercept[RuntimeException] {
+      w.upsert(wh, "kill_state", batch((1, "uno", "u", 2L)), latestOf, Nil, Nil)
+    }
+    // old state visible throughout — the batch left NO trace in the view
+    assert(rows() == Map(1 -> "one", 2 -> "two", 3 -> "three"),
+      "crash before commit must leave readers on the old state")
+    val orphans = cdcTables() -- tablesBefore
+    assert(orphans.nonEmpty, "the torn write should have left an orphan table")
+    val vt = spark.sql("SHOW CREATE TABLE kill_state").head().getString(0)
+    orphans.foreach(o => assert(!vt.contains(o), s"orphan $o must be unreferenced"))
+
+    // RESTART: a FRESH writer (no in-memory composition) replays the batch
+    // — at-least-once delivery — and recovers via the view text
+    val w2 = new Streams.OverlayStateWriter(Seq("id"), Some(8))
+    w2.upsert(wh, "kill_state", batch((1, "uno", "u", 2L)), latestOf, Nil, Nil)
+    assert(rows() == Map(1 -> "uno", 2 -> "two", 3 -> "three"),
+      "replayed batch after restart must apply exactly once")
+    val st = spark.table("kill_state")
+    assert(st.count() == st.select("id").distinct().count(), "duplicate keys after recovery")
+
+    // next FULL compaction reaps the torn-write orphans
+    val wide = spark.createDataFrame(
+      (1 to 40).map(i => (i, s"w$i", "u", 9L))).toDF("id", "v", "op", "seq")
+    w2.upsert(wh, "kill_state", latestOf(wide), latestOf, Nil, Nil)
+    assert(rows() == (1 to 40).map(i => i -> s"w$i").toMap)
+    orphans.foreach(o => assert(!spark.catalog.tableExists(o),
+      s"compaction should reap torn-write orphan $o"))
+    assert(cdcTables().size == 1, s"exactly the live base should remain: ${cdcTables()}")
+    SessionCatalogWarehouse.dropAny(spark, "kill_state")
+  }
+
   test("stream sources resolve by scheme; +cdc URIs flag CDC semantics") {
     val mock = new graft.streaming.StreamSource {
       override val scheme = "mockbroker"
