@@ -340,6 +340,128 @@ object TextAnalysis {
         round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** The full Gopher REPETITION signal battery (Rae et al. 2021, Table A1
+    * — the repetition half of the quality gate; [[repetition]] keeps the
+    * lightweight top-bigram headline, this computes the whole set):
+    *
+    *  - `dup_line_frac` / `dup_line_char_frac`: a line occurrence is a
+    *    duplicate if an identical line occurred earlier in the SAME
+    *    document; fractions are over line count and line characters.
+    *    Paragraph variants are this operator with a paragraph delimiter.
+    *  - `top_{2,3,4}gram_char_frac`: characters covered by the most
+    *    frequent word n-gram (count × its word characters) over total word
+    *    characters. Ties break by larger char coverage, then lexicographic
+    *    gram — deterministic across engines.
+    *  - `dup_{5..10}gram_char_frac`: characters covered by the positional
+    *    UNION of all occurrences of n-grams appearing more than once
+    *    (overlaps counted once — the "take care not to double-count" rule).
+    *
+    * Character totals are word characters (whitespace excluded) of the
+    * normalized text, so the definition is exact and engine-portable.
+    * Documents with fewer than n words have frac 0 for that n. `passes_
+    * repetition` is the conjunction of Gopher's published thresholds
+    * (≤0.30 dup lines, ≤0.20 dup line chars, ≤0.20/0.18/0.16 top 2/3/4-
+    * grams, ≤0.15…0.10 dup 5..10-grams).
+    *
+    * Scale shape: every signal is PER-DOCUMENT — one typed JVM map over
+    * the scan, zero shuffles, embarrassingly parallel at any corpus size;
+    * per-row cost is O(words × 9) hashing. */
+  def gopherRepetition(df: DataFrame, delimiter: String = "\n",
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructType}
+    val projected = df.select(col(idCol), words(col(textCol)).as("__ws"),
+      split(col(textCol), java.util.regex.Pattern.quote(delimiter)).as("__lines"))
+    val sigNames = Seq("dup_line_frac", "dup_line_char_frac",
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    val outSchema = StructType(projected.schema.head +:
+      (sigNames.map(StructField(_, DoubleType, nullable = false)) :+
+        StructField("passes_repetition", BooleanType, nullable = false)))
+    val thresholds = Array(0.30, 0.20, 0.20, 0.18, 0.16, 0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    // HALF_UP like SQL round(), not rint's HALF_EVEN — oracle-portable
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    projected.map { row =>
+      val ws: Array[String] =
+        if (row.isNullAt(1)) Array.empty else row.getSeq[String](1).toArray
+      val lines: Array[String] =
+        if (row.isNullAt(2)) Array.empty else row.getSeq[String](2).toArray
+      // duplicate lines: occurrences after the first of an identical line
+      val seenLines = new java.util.HashMap[String, Integer]()
+      var dupLines = 0; var dupLineChars = 0L; var totalLineChars = 0L
+      lines.foreach { l =>
+        totalLineChars += l.length
+        if (seenLines.merge(l, 1, (a, b) => a + b) > 1) {
+          dupLines += 1; dupLineChars += l.length
+        }
+      }
+      val wordChars = new Array[Int](ws.length)
+      var totalChars = 0L
+      var i = 0
+      while (i < ws.length) { wordChars(i) = ws(i).length; totalChars += ws(i).length; i += 1 }
+      // prefix char sums for O(1) gram char width
+      val prefix = new Array[Long](ws.length + 1)
+      i = 0
+      while (i < ws.length) { prefix(i + 1) = prefix(i) + wordChars(i); i += 1 }
+      def gramChars(s: Int, n: Int): Long = prefix(s + n) - prefix(s)
+      def grams(n: Int): java.util.HashMap[String, java.util.ArrayList[Integer]] = {
+        val m = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+        val sb = new java.lang.StringBuilder
+        var s = 0
+        while (s + n <= ws.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(ws(s + j)); j += 1 }
+          m.computeIfAbsent(sb.toString, _ => new java.util.ArrayList[Integer]()).add(s)
+          s += 1
+        }
+        m
+      }
+      // top n-gram char coverage: count × gram chars, ties to larger
+      // coverage then smaller gram string
+      def topFrac(n: Int): Double = {
+        if (totalChars == 0 || ws.length < n) return 0.0
+        var bestCnt = 0; var bestChars = -1L; var bestGram = ""
+        grams(n).forEach { (g, starts) =>
+          val cnt = starts.size
+          val chars = gramChars(starts.get(0), n)
+          if (cnt > bestCnt || (cnt == bestCnt &&
+            (chars > bestChars || (chars == bestChars && g < bestGram)))) {
+            bestCnt = cnt; bestChars = chars; bestGram = g
+          }
+        }
+        r6(bestCnt * bestChars.toDouble / totalChars)
+      }
+      // duplicated n-gram positional coverage (union, no double count)
+      def dupFrac(n: Int): Double = {
+        if (totalChars == 0 || ws.length < n) return 0.0
+        val covered = new Array[Boolean](ws.length)
+        grams(n).forEach { (_, starts) =>
+          if (starts.size > 1) {
+            var k = 0
+            while (k < starts.size) {
+              var p = starts.get(k).intValue()
+              val end = p + n
+              while (p < end) { covered(p) = true; p += 1 }
+              k += 1
+            }
+          }
+        }
+        var chars = 0L
+        var p = 0
+        while (p < ws.length) { if (covered(p)) chars += wordChars(p); p += 1 }
+        r6(chars.toDouble / totalChars)
+      }
+      val sigs = Array(
+        if (lines.isEmpty) 0.0 else r6(dupLines.toDouble / lines.length),
+        if (totalLineChars == 0) 0.0 else r6(dupLineChars.toDouble / totalLineChars),
+        topFrac(2), topFrac(3), topFrac(4)) ++ (5 to 10).map(dupFrac)
+      val passes = sigs.zip(thresholds).forall { case (s, t) => s <= t }
+      Row.fromSeq(row.get(0) +: (sigs.toSeq :+ passes))
+    }(Encoders.row(outSchema))
+  }
+
   /** Gopher-style RULE-BASED QUALITY FILTER (Rae et al. 2021, §A1.1): the
     * classic pre-training document gate — word-count bounds, mean-word-length
     * bounds, minimum stopword evidence, minimum alphabetic-word fraction,

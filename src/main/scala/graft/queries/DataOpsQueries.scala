@@ -516,6 +516,81 @@ object DataOpsQueries {
        |    AND ns >= 3 AS passes_c4
        |FROM g""".stripMargin)
 
+  /** Full Gopher repetition battery (Rae et al. Table A1). Line structure
+    * induced with the standard rewrite; word signals run on the rewritten
+    * text's normalized words so both sides see the same token stream. The
+    * oracle unrolls one CTE block per n — top 2/3/4-gram coverage picks the
+    * (count desc, chars desc, gram asc) argmax, duplicated 5..10-gram
+    * coverage unions occurrence positions before counting characters. */
+  val gopherRepetitionQ: OQ = {
+    val topN = Seq(2, 3, 4)
+    val dupN = Seq(5, 6, 7, 8, 9, 10)
+    def gramCte(n: Int) =
+      s"""g$n AS (SELECT doc_id, unnest(generate_series(1, len(ws) - ${n - 1})) AS s, ws
+         |  FROM base),
+         |gg$n AS (SELECT doc_id, s,
+         |  array_to_string(list_slice(ws, s, s + ${n - 1}), ' ') AS gram FROM g$n)""".stripMargin
+    val topCtes = topN.map { n =>
+      s"""${gramCte(n)},
+         |tc$n AS (SELECT doc_id, gram, count(*) AS c,
+         |  min(len(replace(gram, ' ', ''))) AS gchars FROM gg$n GROUP BY 1, 2),
+         |t$n AS (SELECT doc_id, c, gchars FROM tc$n
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, gchars DESC, gram ASC) = 1)""".stripMargin
+    }
+    val dupCtes = dupN.map { n =>
+      s"""${gramCte(n)},
+         |dd$n AS (SELECT doc_id, gram FROM gg$n GROUP BY 1, 2 HAVING count(*) > 1),
+         |dc$n AS (SELECT DISTINCT gg$n.doc_id, unnest(generate_series(s, s + ${n - 1})) AS p
+         |  FROM gg$n JOIN dd$n ON gg$n.doc_id = dd$n.doc_id AND gg$n.gram = dd$n.gram),
+         |ds$n AS (SELECT w.doc_id, sum(len(w.word)) AS chars FROM wrds w
+         |  JOIN dc$n c ON w.doc_id = c.doc_id AND w.pos = c.p GROUP BY 1)""".stripMargin
+    }
+    def topSel(n: Int, thr: Double) = Seq(
+      s"""CASE WHEN tot.tc = 0 THEN 0.0 ELSE
+         |  coalesce(round(t$n.c * t$n.gchars / CAST(tot.tc AS DOUBLE), 6), 0.0)
+         |  END AS top_${n}gram_char_frac""".stripMargin,
+      s"top_${n}gram_char_frac <= $thr")
+    def dupSel(n: Int, thr: Double) = Seq(
+      s"""CASE WHEN tot.tc = 0 THEN 0.0 ELSE
+         |  coalesce(round(ds$n.chars / CAST(tot.tc AS DOUBLE), 6), 0.0)
+         |  END AS dup_${n}gram_char_frac""".stripMargin,
+      s"dup_${n}gram_char_frac <= $thr")
+    val sels = topN.zip(Seq(0.20, 0.18, 0.16)).map { case (n, t) => topSel(n, t) } ++
+      dupN.zip(Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)).map { case (n, t) => dupSel(n, t) }
+    val joins = topN.map(n => s"LEFT JOIN t$n ON base.doc_id = t$n.doc_id") ++
+      dupN.map(n => s"LEFT JOIN ds$n ON base.doc_id = ds$n.doc_id")
+    OQ.df("text_gopher_repetition",
+      (s, _) => TextAnalysis.gopherRepetition(
+        s.table("documents")
+          .withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n"))),
+      s"""WITH rw AS (SELECT doc_id,
+         |  regexp_replace(text, ' (the|a) ', chr(10), 'g') AS tx FROM documents),
+         |base AS (SELECT doc_id,
+         |  string_split(trim(regexp_replace(lower(tx), '\\s+', ' ', 'g')), ' ') AS ws,
+         |  string_split(tx, chr(10)) AS lines FROM rw),
+         |lx AS (SELECT doc_id, unnest(lines) AS l FROM base),
+         |lcnt AS (SELECT doc_id, l, count(*) AS c, len(l) AS lc FROM lx GROUP BY 1, 2),
+         |lsig AS (SELECT doc_id,
+         |  round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6) AS dup_line_frac,
+         |  CASE WHEN sum(c * lc) = 0 THEN 0.0 ELSE
+         |    round(CAST(sum((c - 1) * lc) AS DOUBLE) / sum(c * lc), 6) END
+         |    AS dup_line_char_frac
+         |  FROM lcnt GROUP BY 1),
+         |wrds AS (SELECT doc_id, unnest(ws) AS word,
+         |  generate_subscripts(ws, 1) AS pos FROM base),
+         |tot AS (SELECT doc_id, sum(len(word)) AS tc FROM wrds GROUP BY 1),
+         |${(topCtes ++ dupCtes).mkString(",\n")}
+         |SELECT base.doc_id, lsig.dup_line_frac, lsig.dup_line_char_frac,
+         |${sels.map(_.head).mkString(",\n")},
+         |(lsig.dup_line_frac <= 0.30 AND lsig.dup_line_char_frac <= 0.20 AND
+         | ${sels.map(_.last).mkString(" AND\n ")}) AS passes_repetition
+         |FROM base
+         |JOIN lsig ON base.doc_id = lsig.doc_id
+         |JOIN tot ON base.doc_id = tot.doc_id
+         |${joins.mkString("\n")}""".stripMargin)
+  }
+
   /** Line-level corpus dedup (CCNet / RefinedWeb). The synthetic corpus is
     * single-line, so both sides induce line boundaries with the SAME
     * deterministic rewrite first — every ' the '/' a ' becomes a newline —
@@ -1085,7 +1160,7 @@ object DataOpsQueries {
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     rollingHash, unigramLm, bigramLm, spanDedup, lineDedupQ, gopher, c4FilterQ,
-    corpusStats, corpusOverlapQ,
+    gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     quantizeInt8, embNormalize, cosineExpr,

@@ -1368,6 +1368,48 @@ class DataOpsSpec extends AnyFunSuite {
       s"grid diverges: ${viaGrid.toSet.diff(viaBroadcast.toSet).take(5)}")
   }
 
+  test("gopher repetition battery matches hand-computed signals") {
+    // doc 1: "x y x y x y z" — words chars: 1 each, total 7
+    //   top 2-gram: "x y" count 3, chars 2 → 6/7
+    //   dup 5-gram: "x y x y x" (s=0) and "y x y x y"?? occurrences:
+    //     5-grams: [x y x y x], [y x y x y], [x y x y z] — all distinct → 0
+    // doc 2: lines "A\nB\nA\nA" — dup lines: 2 of 4 (the 2nd and 3rd "A")
+    //   dup_line_frac = 0.5; chars: A=1 → dup chars 2 / total 4 = 0.5
+    val toy = spark.createDataFrame(Seq(
+      (1L, "x y x y x y z"),
+      (2L, "A\nB\nA\nA"),
+      (3L, "p q r s t p q r s t u v"))).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(toy).orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(math.abs(d1.getAs[Double]("top_2gram_char_frac") - 6.0 / 7) < 1e-6)
+    assert(d1.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    // "x y" appears 3×: dup 2-grams cover every position except... all
+    // 2-gram starts: xy yx xy yx xy yz; xy(3), yx(2) dup → positions 0..5
+    // covered, z at 6 not → but "y z" unique and "x y"/"y x" cover 0..5.
+    // covered chars 6/7 — not an output column for n=2 (only 5..10), so
+    // assert the n=3 dup instead: "x y x"(2), "y x y"(2) cover 0..5 → 6/7
+    assert(math.abs(d1.getAs[Double]("dup_5gram_char_frac") - 0.0) < 1e-9)
+    val d2 = out(1)
+    assert(math.abs(d2.getAs[Double]("dup_line_frac") - 0.5) < 1e-6)
+    assert(math.abs(d2.getAs[Double]("dup_line_char_frac") - 0.5) < 1e-6)
+    // doc 3: "p q r s t" ×2 (10 words of 1 char) + u v; total chars 12
+    //   5-gram "p q r s t" count 2 → covers positions 0..4 and 5..9 →
+    //   10 chars → dup_5gram = 10/12; 6..10-grams all unique → 0
+    val d3 = out(2)
+    assert(math.abs(d3.getAs[Double]("dup_5gram_char_frac") - 10.0 / 12) < 1e-6)
+    assert(d3.getAs[Double]("dup_6gram_char_frac") == 0.0)
+    assert(!d3.getAs[Boolean]("passes_repetition"), "10/12 > 0.15 threshold")
+    assert(!d1.getAs[Boolean]("passes_repetition"), "6/7 top-2gram > 0.20")
+    // empty + NULL text: all signals 0, passes (thresholds are ≤)
+    val empty = TextAnalysis.gopherRepetition(
+      spark.createDataFrame(Seq((9L, ""), (10L, null.asInstanceOf[String])))
+        .toDF("doc_id", "text")).collect()
+    empty.foreach { r =>
+      (1 to 11).foreach(i => assert(r.getDouble(i) == 0.0, s"col $i of $r"))
+      assert(r.getAs[Boolean]("passes_repetition"))
+    }
+  }
+
   test("c4 filter: line retention and document verdicts rule by rule") {
     val toy = spark.createDataFrame(Seq(
       (1L, "This line is properly terminated.\nshort one.\nno terminal punct here\nEnable javascript to continue.\nAnother good full sentence!\nIs this a question?"),

@@ -46,6 +46,24 @@ class PlanSpec extends AnyFunSuite {
       s"id-partitioning should serve the per-bigram and per-id aggregations:\n$p")
   }
 
+  test("c4 filter and gopher repetition run at scan speed — zero exchanges") {
+    // both are per-document projections; any Exchange would mean a refactor
+    // introduced a shuffle into what must stay an embarrassingly-parallel
+    // single pass over the scan
+    Seq("text_c4_filter", "text_gopher_repetition").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("line dedup anti-joins the heavy-line set, never the full corpus") {
+    val p = planOf("text_line_dedup")
+    assert(p.contains("LeftAnti"),
+      "corpus-frequent lines must be removed via anti-join against the heavy set")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must stay equi-join shaped:\n$p")
+  }
+
   test("contamination broadcasts the eval gram set") {
     assert(planOf("dedup_contamination").contains("BroadcastHashJoin"),
       "train side must stream against a broadcast eval side")
