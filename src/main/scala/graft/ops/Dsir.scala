@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): score
+  * every raw document by how much more likely its hashed n-gram features
+  * are under a TARGET corpus (the domain you want more of) than under the
+  * RAW corpus, then resample the highest importance-weight documents with
+  * Gumbel-perturbed top-k. The standard recipe for tilting a web-scale
+  * crawl toward a curated domain without training a classifier.
+  *
+  * Feature model (the paper's): unigrams + bigrams of the normalized
+  * words, hashed into `buckets` counts; each side's bucket distribution is
+  * Laplace-smoothed (p_b = (c_b + 1) / (N + B)); a document's log
+  * importance weight is the sum over its gram occurrences of
+  * ln p_target(bucket) − ln p_raw(bucket).
+  *
+  * Everything is engine-portable: the bucket hash is the md5-prefix trick
+  * ([[Sampling.hashBucket]]'s), and the Gumbel key derives from the md5
+  * fraction of the id, so the same document gets the same score, noise,
+  * and selection verdict on any engine, any cluster size, any day.
+  *
+  * Scale shape: two map-side-combinable B-row aggregations (one per
+  * distribution), a broadcast of the ≤ B-row log-ratio table back onto the
+  * gram stream, and ONE doc-keyed aggregation for the scores — no
+  * doc-pair work, no windows; selection is a distributed TakeOrdered.
+  * The corpus is touched by exactly two scan passes (count grams, score
+  * grams). */
+object Dsir {
+
+  private def hashB(c: Column, buckets: Int): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Unigram + bigram occurrences per document (NOT distinct — DSIR counts
+    * occurrences). Empty/NULL text contributes its single empty-string
+    * unigram, matching `string_split` semantics in the oracle dialect. */
+  private def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(concat(ws, bigrams)).as("gram"))
+  }
+
+  /** Smoothed per-bucket log-probabilities of one corpus: exactly `buckets`
+    * rows (zero-count buckets included — smoothing gives them mass). */
+  def bucketLogProbs(df: DataFrame, buckets: Int = 1024,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val counts = grams(df, idCol, textCol)
+      .select(hashB(col("gram"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n")) // single row, broadcast below
+    spark.range(buckets).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("n"), lit(0L)) + buckets)).as("logp"))
+  }
+
+  /** Per-document DSIR importance scores against a target corpus, plus the
+    * deterministic Gumbel key used for resampling. Output: (id,
+    * n_grams, log_importance, gumbel_key). */
+  def scores(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lam = bucketLogProbs(target, buckets, idCol, textCol)
+      .withColumnRenamed("logp", "lt")
+      .join(bucketLogProbs(raw, buckets, idCol, textCol), Seq("bucket"))
+      .select(col("bucket"), (col("lt") - col("logp")).as("lam"))
+    val perDoc = grams(raw, idCol, textCol)
+      .withColumn("bucket", hashB(col("gram"), buckets))
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum("lam").as("log_importance"))
+    // Gumbel(0,1) from the portable md5 fraction: u ∈ (0,1) strictly —
+    // +0.5e-6 keeps ln(ln) finite at frac = 0
+    val u = (Sampling.hashFrac(col(idCol)) * 1000000.0 + 0.5) / 1000000.0
+    perDoc.withColumn("gumbel_key",
+      col("log_importance") - log(-log(u)))
+  }
+
+  /** Gumbel top-k resample: the `k` documents with the largest perturbed
+    * importance keys — the paper's selection step. Ties (and the global
+    * ordering) are deterministic: (key desc, id asc) via a distributed
+    * TakeOrdered, never a single-partition sort. */
+  def select(raw: DataFrame, target: DataFrame, k: Int, buckets: Int = 1024,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scores(raw, target, buckets, idCol, textCol)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+}

@@ -216,6 +216,33 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
   }
 
+  /** CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020): per language, split
+    * documents into head / middle / tail thirds by language-model
+    * perplexity — the classic Common-Crawl curation shape ("train on head,
+    * inspect middle, drop tail"). Perplexity is [[unigramLogProb]]'s
+    * corpus-trained mean NLL (already rounded to 6 dp, so the ordering —
+    * (avg_nll asc, id asc) — is engine-portable); tertile assignment is an
+    * exact ntile(3) per language partition. Documents with no tokens carry
+    * no LM score and are dropped (CCNet drops empties too).
+    *
+    * Scale note: exact ntile sorts each language stratum. At petabyte
+    * scale swap the sort for two percentile_approx thresholds per language
+    * (one pass, no sort) — identical labels away from the boundary
+    * epsilon; the exact form here is the oracle-checked contract. */
+  def ccnetBuckets(df: DataFrame, langCol: String = "lang",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = unigramLogProb(df, idCol, textCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_nll").asc, col(idCol).asc)
+    df.select(col(idCol), col(langCol)).join(nll, Seq(idCol))
+      .withColumn("tertile", ntile(3).over(w).cast("int"))
+      .withColumn("ppl_bucket",
+        when(col("tertile") === 1, "head")
+          .when(col("tertile") === 2, "middle")
+          .otherwise("tail"))
+  }
+
   /** Bigram (conditional) LM quality score — one order up from
     * [[unigramLogProb]]: each document scores by the mean negative log of
     * P(wᵢ | wᵢ₋₁) = c(wᵢ₋₁ wᵢ) / c(wᵢ₋₁ ·), both counts trained on the

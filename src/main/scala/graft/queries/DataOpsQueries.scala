@@ -146,6 +146,31 @@ object DataOpsQueries {
        |  FROM tf JOIN cf USING (word) CROSS JOIN n GROUP BY 1)
        |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl FROM d""".stripMargin)
 
+  /** CCNet head/middle/tail perplexity tertiles per language, over the
+    * unigram-LM NLL (rounded to 6 dp on both sides so the ntile ordering
+    * is portable). */
+  val ccnetBucketsQ: OQ = OQ.df("text_ccnet_buckets",
+    (s, _) => TextAnalysis.ccnetBuckets(s.table("documents")),
+    s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(ws) AS word FROM dws),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |cf AS (SELECT word, count(*) AS cf FROM w2 GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM w2),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  round(-sum(tf * ln(CAST(cf AS DOUBLE) / n_total)) / CAST(sum(tf) AS DOUBLE), 6)
+       |    AS avg_nll
+       |  FROM tf JOIN cf USING (word) CROSS JOIN n GROUP BY 1),
+       |j AS (SELECT doc.doc_id, doc.lang, d.n_tokens, d.avg_nll,
+       |  round(exp(d.avg_nll), 4) AS ppl
+       |  FROM documents doc JOIN d ON doc.doc_id = d.doc_id),
+       |t AS (SELECT j.*, CAST(ntile(3) OVER (PARTITION BY lang
+       |  ORDER BY avg_nll ASC, doc_id ASC) AS INT) AS tertile FROM j)
+       |SELECT doc_id, lang, n_tokens, avg_nll, ppl, tertile,
+       |  CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket
+       |FROM t""".stripMargin)
+
   /** Bigram conditional-LM score: P(w|prev) trained on the corpus itself;
     * docs with <2 tokens produce no row (no bigrams to score). */
   val bigramLm: OQ = OQ.df("text_bigram_lm",
@@ -655,6 +680,42 @@ object DataOpsQueries {
        |WHERE $DUCK_BUCKET <
        |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 10 END""".stripMargin)
 
+  /** DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
+    * features, Laplace-smoothed bucket distributions, per-doc
+    * target-vs-raw log ratio sums, deterministic md5-derived Gumbel keys.
+    * Target = the 'en' stratum; raw = the whole corpus. The oracle replays
+    * the identical feature hash, smoothing, and noise. */
+  val dsirScoresQ: OQ = OQ.df("sample_dsir_scores",
+    (s, _) => graft.ops.Dsir.scores(
+      s.table("documents"),
+      s.table("documents").where(col("lang") === "en"),
+      buckets = 1024),
+    s"""WITH dws AS (SELECT doc_id, lang, string_split($NORM, ' ') AS ws FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(ws) AS gram FROM dws),
+       |bi AS (SELECT doc_id, lang,
+       |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS gram
+       |  FROM dws WHERE len(ws) >= 2),
+       |g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |gb AS (SELECT doc_id, lang,
+       |  CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 1024 AS bucket FROM g),
+       |rawc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
+       |rawn AS (SELECT sum(c) AS n FROM rawc),
+       |tgtc AS (SELECT bucket, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+       |tgtn AS (SELECT sum(c) AS n FROM tgtc),
+       |bk AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+       |lam AS (SELECT bk.bucket,
+       |  ln((coalesce(t.c, 0) + 1) / CAST(tn.n + 1024 AS DOUBLE)) -
+       |  ln((coalesce(r.c, 0) + 1) / CAST(rn.n + 1024 AS DOUBLE)) AS lam
+       |  FROM bk LEFT JOIN tgtc t ON bk.bucket = t.bucket
+       |  LEFT JOIN rawc r ON bk.bucket = r.bucket, tgtn tn, rawn rn),
+       |sc AS (SELECT gb.doc_id, count(*) AS n_grams, sum(l.lam) AS log_importance
+       |  FROM gb JOIN lam l ON gb.bucket = l.bucket GROUP BY 1)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_importance,
+       |  log_importance - ln(-ln(
+       |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % 1000000 + 0.5) / 1000000.0)) AS gumbel_key
+       |FROM sc""".stripMargin)
+
   /** Deterministic 80/10/10 split; oracle checks the per-(split, lang)
     * histogram — the contamination-sensitive invariant. */
   val sampleSplit: OQ = OQ.df("sample_split",
@@ -1159,10 +1220,11 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    rollingHash, unigramLm, bigramLm, spanDedup, lineDedupQ, gopher, c4FilterQ,
+    rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
+    dsirScoresQ,
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,

@@ -1368,6 +1368,29 @@ class DataOpsSpec extends AnyFunSuite {
       s"grid diverges: ${viaGrid.toSet.diff(viaBroadcast.toSet).take(5)}")
   }
 
+  test("dsir importance tilts toward the target stratum; gumbel top-k deterministic") {
+    val raw = docs
+    val target = docs.where(col("lang") === "en")
+    val sc = graft.ops.Dsir.scores(raw, target, buckets = 1024).cache()
+    val withLang = sc.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val means = withLang.groupBy(col("lang") === "en")
+      .agg(avg(col("log_importance") / col("n_grams")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en-target must tilt importance toward en docs: $means")
+    // selection: exactly k rows, and exactly the k largest perturbed keys
+    val k = 50
+    val sel = graft.ops.Dsir.select(raw, target, k).collect().map(_.getLong(0))
+    assert(sel.length == k && sel.distinct.length == k)
+    val expected = sc.orderBy(col("gumbel_key").desc, col("doc_id").asc)
+      .limit(k).collect().map(_.getLong(0))
+    assert(sel.sameElements(expected), "select must be the ordered head of scores")
+    // replay determinism: same inputs, same selection
+    val again = graft.ops.Dsir.select(raw, target, k).collect().map(_.getLong(0))
+    assert(sel.sameElements(again))
+    sc.unpersist()
+  }
+
   test("gopher repetition battery matches hand-computed signals") {
     // doc 1: "x y x y x y z" — words chars: 1 each, total 7
     //   top 2-gram: "x y" count 3, chars 2 → 6/7
