@@ -716,6 +716,42 @@ object Dedup {
     }(Encoders.row(outSchema)).toDF(idCol, "simhash")
   }
 
+  /** BLOOM-GUARDED corpus-membership dedup (the Dolma recipe): build a
+    * Bloom filter over the corpus's content fingerprints, broadcast it,
+    * and split incoming documents on a might-contain probe. Bloom
+    * NEGATIVES are definitely novel and skip the join entirely; POSITIVES
+    * are either dropped outright (`exact = false`, Dolma's mode — loses at
+    * most `fpp` of novel docs) or rescued through an exact anti-join
+    * against the fingerprint table (`exact = true` — identical output to
+    * the plain anti-join, but the join's probe side shrinks to the
+    * duplicate rate + fpp sliver of the incoming volume).
+    *
+    * Scale shape: the filter builds via a distributed treeAggregate (one
+    * corpus pass), costs ~1.2 GB per 10⁹ keys at 1% fpp on the driver and
+    * each executor — the standard budget Dolma runs at — and the incoming
+    * side is touched by one scan + one cheap probe per row. When incoming
+    * ≫ duplicates (the steady-state crawl shape) the expensive
+    * fingerprint join disappears for ~99% of rows. */
+  def bloomDedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+                              fpp: Double = 0.01, exact: Boolean = true,
+                              textCol: String = "text"): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val fp = md5(TextAnalysis.normText(col(textCol)))
+    val corpusFp = corpus.select(fp.as("__fp")).where(col("__fp").isNotNull)
+    val expected = math.max(corpusFp.count(), 1L)
+    val bloom = corpusFp.stat.bloomFilter("__fp", expected, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val withFp = incoming.withColumn("__fp", fp)
+    val novel = withFp.where(!might(col("__fp")))
+    val out =
+      if (!exact) novel
+      else novel.unionByName(
+        withFp.where(might(col("__fp")))
+          .join(corpusFp.distinct(), Seq("__fp"), "left_anti"))
+    out.drop("__fp")
+  }
+
   /** CROSS-STRATUM OVERLAP MATRIX — the dataset-card "how much does source
     * A repeat source B" number and the contamination screen between
     * training strata and a held-out stratum: for every pair of corpus

@@ -35,14 +35,20 @@ object Dsir {
 
   /** Unigram + bigram occurrences per document (NOT distinct — DSIR counts
     * occurrences). Empty/NULL text contributes its single empty-string
-    * unigram, matching `string_split` semantics in the oracle dialect. */
+    * unigram, matching `string_split` semantics in the oracle dialect.
+    * The word array is MATERIALIZED by its own projection before the
+    * bigram lambda touches it — element_at over the raw words() expression
+    * would re-inline the tokenizer per element (quadratic per document;
+    * the same trap [[Dedup.shingleArray]] documents). */
   private def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
+    val projected = df.select(col(idCol),
+      TextAnalysis.words(col(textCol)).as("__ws"))
+    val ws = col("__ws")
     val bigrams = when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
         i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(concat(ws, bigrams)).as("gram"))
+    projected.select(col(idCol), explode(concat(ws, bigrams)).as("gram"))
   }
 
   /** Smoothed per-bucket log-probabilities of one corpus: exactly `buckets`

@@ -1233,7 +1233,16 @@ object DataOpsQueries {
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize)
 
+  /** Bloom-guarded membership dedup: filter bits are not SQL-replayable,
+    * so no oracle — exact-mode equivalence to the plain anti-join and
+    * approx-mode loss bounds are witness-tested in DataOpsSpec. */
+  val bloomDedupBench: OQ = OQ.rowsOnly("dedup_bloom_guarded",
+    (s, _) => Dedup.bloomDedupAgainstCorpus(
+      s.table("documents"),
+      s.table("documents").where(col("doc_id") % 2 === 0), fpp = 0.01))
+
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct)
+    semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct,
+    bloomDedupBench)
 }

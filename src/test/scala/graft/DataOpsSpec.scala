@@ -1368,6 +1368,37 @@ class DataOpsSpec extends AnyFunSuite {
       s"grid diverges: ${viaGrid.toSet.diff(viaBroadcast.toSet).take(5)}")
   }
 
+  test("bloom-guarded corpus dedup: exact mode lossless, approx mode bounded loss") {
+    // corpus = half the docs; incoming = everything (so half are known)
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val incoming = docs
+    val plain = graft.streaming.Streams.dedupAgainstCorpus(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact mode must reproduce the plain anti-join exactly (bloom is just
+    // a join-avoidance guard; false positives are rescued by the anti-join)
+    val exactOut = graft.ops.Dedup.bloomDedupAgainstCorpus(incoming, corpus,
+        fpp = 0.05, exact = true)
+      .dropDuplicates("doc_id") // plain path also in-stream-dedups; ids unique here
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // plain dedupAgainstCorpus also drops in-stream content dups; align by
+    // comparing against the anti-join semantics on unique-content rows only
+    val antiOnly = incoming
+      .withColumn("__fp", md5(graft.ops.TextAnalysis.normText(col("text"))))
+      .join(corpus.select(md5(graft.ops.TextAnalysis.normText(col("text"))).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactOut == antiOnly, "exact bloom mode must equal the plain anti-join")
+    assert(exactOut.subsetOf(plain ++ antiOnly))
+    // approx mode: never emits a known doc (no false negatives in a bloom
+    // filter), and keeps at least (1 - 2·fpp) of the novel docs
+    val approx = graft.ops.Dedup.bloomDedupAgainstCorpus(incoming, corpus,
+        fpp = 0.01, exact = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(approx.subsetOf(antiOnly), "bloom has no false negatives")
+    assert(approx.size >= (antiOnly.size * 0.98).toInt,
+      s"approx mode lost too many novel docs: ${approx.size}/${antiOnly.size}")
+  }
+
   test("dsir importance tilts toward the target stratum; gumbel top-k deterministic") {
     val raw = docs
     val target = docs.where(col("lang") === "en")

@@ -112,6 +112,37 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.Dedup.substringDupSpans(docs).count()
     }
 
+    // ---- the r7 corpus operators on the same adversarial corpus: the
+    // boilerplate paragraph becomes corpus-frequent LINES under the induced
+    // segmentation — exactly the heavy-set case lineDedup's anti-join must
+    // bound — and the per-doc signal batteries must hold scan speed
+    t("line-level corpus dedup (induced lines, boilerplate-heavy)",
+      "line-df count + heavy-set anti-join + ordered reassembly") {
+      val lined = docs.withColumn("text",
+        regexp_replace(col("text"), " (the|a|of) ", "\n"))
+      graft.ops.TextAnalysis.lineDedup(lined, minDf = 30).count()
+    }
+    t("gopher repetition battery (11 signals)",
+      "zero-shuffle per-doc JVM pass, O(words x 9) hashing") {
+      graft.ops.TextAnalysis.gopherRepetition(
+        docs.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n"))).count()
+    }
+    t("c4 filter", "pure codegen projection at scan speed") {
+      graft.ops.TextAnalysis.c4Filter(
+        docs.withColumn("text", regexp_replace(col("text"), " (the|a) ", ".\n"))).count()
+    }
+    t("corpus overlap matrix (20 strata)",
+      "per-gram fan-out bounded by G^2, never doc-pairs") {
+      graft.ops.Dedup.corpusOverlap(
+        docs.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+        groupCol = "src").count()
+    }
+    t("dsir scores (target = 10% stratum, B=1024)",
+      "two B-row aggs + broadcast log-ratio join + one doc-keyed agg") {
+      graft.ops.Dsir.scores(docs,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)).count()
+    }
+
     // ---- semantic dedup at 100k vectors: 2000 planted near-dup cliques
     // (50 members each, 0.001-scale jitter); brute force is N(N−1)/2 ≈
     // 5.0e9 cosines — the clustered path does ~probes²/nlist of that, with
