@@ -131,39 +131,48 @@ object Sampling {
     * one giant bucket and resurrects the single-partition global window
     * this design exists to avoid. Each range partition computes a local
     * prefix sum in one ordered window; the ≤ `buckets` per-partition
-    * totals prefix-sum on the driver and broadcast back. Partition ids are
-    * replay-stable within the operator: the range boundaries come from
+    * totals prefix-sum inside the plan (a window over the tiny slice
+    * aggregate — partition 0 holds the top scores under the desc sort) and
+    * broadcast-join back: ZERO driver traffic, one action. Partition ids
+    * are replay-stable within the operator: the range boundaries come from
     * seed-deterministic sampling of the same input, and the explicit
-    * partition count is never AQE-coalesced. Bounded driver traffic at any
-    * corpus size; adds `cum_tokens_before`. */
+    * partition count is never AQE-coalesced. Adds `cum_tokens_before`.
+    *
+    * `cache = true` (default) persists the range-partitioned rows
+    * (memory-then-disk): Catalyst prunes the totals branch to narrower
+    * columns than the output branch, which defeats exchange reuse — so
+    * without the cache the input lineage (scan + range shuffle, plus
+    * whatever scored the corpus upstream) would run twice. Disable for a
+    * cheap-to-rescan raw input if local disk is tighter than a second
+    * scan. Caller may `spark.catalog.clearCache()` when done. */
   def selectByBudget(df: DataFrame, tokenBudget: Long,
                      scoreCol: String = "quality_score",
                      tokensCol: String = "n_words",
                      idCol: String = "doc_id",
-                     buckets: Int = 256): DataFrame = {
+                     buckets: Int = 256,
+                     cache: Boolean = true): DataFrame = {
     require(tokenBudget >= 0 && buckets > 0)
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     // NULL scores sort LAST (plain ORDER BY ... DESC semantics on both
     // engines), so they only consume budget after the whole scored corpus
     val ord = Seq(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    val parted = df.repartitionByRange(buckets, ord: _*)
+    val parted0 = df.repartitionByRange(buckets, ord: _*)
       .withColumn("__pid", spark_partition_id())
+    val parted =
+      if (cache) parted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else parted0
     val w = Window.partitionBy("__pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted.withColumn("__local",
       coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
-    // bounded driver traffic: one total per range partition, in key order
-    // (partition 0 holds the top scores under the desc sort)
-    val totals = parted.groupBy("__pid")
+    // one total per range partition; offsets = exclusive prefix sum in
+    // __pid order, computed in-plan over the ≤ `buckets`-row aggregate
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy("__pid")
       .agg(sum(col(tokensCol).cast("long")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
-    val offsets = totals.keys.toSeq.sorted.map { k =>
-      val o = (k, acc); acc += totals(k); o
-    }
-    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__pid", "__off"))
-    local.join(offDf, Seq("__pid"))
+      .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
+      .drop("__t")
+    local.join(broadcast(offs), Seq("__pid"))
       .withColumn("cum_tokens_before", col("__local") + col("__off"))
       .where(col("cum_tokens_before") < tokenBudget)
       .drop("__pid", "__local", "__off")

@@ -221,22 +221,85 @@ object TextAnalysis {
     * perplexity — the classic Common-Crawl curation shape ("train on head,
     * inspect middle, drop tail"). Perplexity is [[unigramLogProb]]'s
     * corpus-trained mean NLL (already rounded to 6 dp, so the ordering —
-    * (avg_nll asc, id asc) — is engine-portable); tertile assignment is an
-    * exact ntile(3) per language partition. Documents with no tokens carry
-    * no LM score and are dropped (CCNet drops empties too).
+    * (avg_nll asc, id asc) — is engine-portable). Documents with no tokens
+    * carry no LM score and are dropped (CCNet drops empties too).
     *
-    * Scale note: exact ntile sorts each language stratum. At petabyte
-    * scale swap the sort for two percentile_approx thresholds per language
-    * (one pass, no sort) — identical labels away from the boundary
-    * epsilon; the exact form here is the oracle-checked contract. */
+    * `exact = true` (default, the oracle-checked contract) assigns the
+    * tertile by an exact DISTRIBUTED rank, never a per-language global
+    * sort: rows RANGE-partition on the full (lang, avg_nll, id) sort key —
+    * boundaries are sampled (lang, score, id) triples, so a corpus that is
+    * 90% one language still splits that language across many partitions —
+    * each partition ranks its own (partition, lang) slice in one local
+    * window, and the ≤ `buckets`-per-language slice counts prefix-sum into
+    * global rank offsets on a tiny side table (computed with plan-internal
+    * windows over the slice aggregate and broadcast back — zero driver
+    * traffic). The global rank then maps to ntile(3)'s exact bucket
+    * arithmetically (first n%3 buckets take one extra row), bit-identical
+    * to the single-window form at any partition count.
+    *
+    * The partitioned slice is persisted (memory-then-disk) so the LM
+    * trains ONCE: Catalyst prunes the offset branch to narrower columns
+    * than the rank branch, which defeats exchange reuse — without the
+    * cache the whole unigram pipeline would run twice. The cache is one
+    * narrow row per DOCUMENT (not per token): ~50 B × #docs, spread across
+    * the cluster. Caller may `spark.catalog.clearCache()` when done.
+    *
+    * `exact = false` is the one-pass petabyte shape: two
+    * `percentile_approx` cutoffs per language (≤ 2 scalars per language,
+    * broadcast back), no shuffle of the corpus at all — labels identical
+    * to exact away from the boundary epsilon, bucket sizes approximate
+    * within the sketch accuracy. */
   def ccnetBuckets(df: DataFrame, langCol: String = "lang",
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   exact: Boolean = true, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(buckets > 0)
     val nll = unigramLogProb(df, idCol, textCol)
-    val w = Window.partitionBy(col(langCol))
-      .orderBy(col("avg_nll").asc, col(idCol).asc)
-    df.select(col(idCol), col(langCol)).join(nll, Seq(idCol))
-      .withColumn("tertile", ntile(3).over(w).cast("int"))
+    val scored = df.select(col(idCol), col(langCol)).join(nll, Seq(idCol))
+    val labeled =
+      if (!exact) {
+        val cuts = scored.groupBy(langCol).agg(
+          percentile_approx(col("avg_nll"), array(lit(1.0 / 3), lit(2.0 / 3)),
+            lit(10000)).as("__cuts"))
+        scored.join(broadcast(cuts), Seq(langCol))
+          .withColumn("tertile",
+            when(col("avg_nll") <= col("__cuts").getItem(0), 1)
+              .when(col("avg_nll") <= col("__cuts").getItem(1), 2)
+              .otherwise(3).cast("int"))
+          .drop("__cuts")
+      } else {
+        val ord = Seq(col(langCol).asc, col("avg_nll").asc, col(idCol).asc)
+        val parted = scored.repartitionByRange(buckets, ord: _*)
+          .withColumn("__pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wRank = Window.partitionBy(col("__pid"), col(langCol))
+          .orderBy(col("avg_nll").asc, col(idCol).asc)
+        val local = parted.withColumn("__rn", row_number().over(wRank).cast("long"))
+        // tiny side table: one row per (range partition, language) slice
+        val wOff = Window.partitionBy(col(langCol)).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = parted.groupBy(col("__pid"), col(langCol))
+          .agg(count(lit(1)).cast("long").as("__cnt"))
+          .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+          .withColumn("__nl", sum("__cnt").over(Window.partitionBy(col(langCol))))
+          .drop("__cnt")
+        // exact ntile(3) arithmetic on the global rank r of n rows:
+        // q = n/3, m = n%3; the first m buckets hold q+1 rows each
+        def fdiv(a: Column, b: Column): Column =
+          ((a - pmod(a, b)) / b).cast("long")
+        val r = col("__off") + col("__rn")
+        val n = col("__nl")
+        val q = fdiv(n, lit(3L))
+        val m = pmod(n, lit(3L))
+        val tertile = when(r <= (q + 1) * m, fdiv(r - 1, q + 1) + 1)
+          .otherwise(m + fdiv(r - 1 - (q + 1) * m, q) + 1)
+        local.join(broadcast(offs), Seq("__pid", langCol))
+          .withColumn("tertile", tertile.cast("int"))
+          .drop("__pid", "__rn", "__off", "__nl")
+      }
+    labeled
+      .select(col(idCol), col(langCol), col("n_tokens"), col("avg_nll"),
+        col("ppl"), col("tertile"))
       .withColumn("ppl_bucket",
         when(col("tertile") === 1, "head")
           .when(col("tertile") === 2, "middle")

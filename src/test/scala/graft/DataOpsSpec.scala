@@ -1298,6 +1298,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(sizes.max < 2000 / 4, s"one partition holds ${sizes.max} of 2000 rows")
   }
 
+  test("ccnet buckets: distributed exact rank == single-window ntile; approx never sorts") {
+    import org.apache.spark.sql.expressions.Window
+    // reference: the literal per-language ntile window (the plan shape the
+    // operator must NEVER produce, but whose answer is the exact contract)
+    val nll = TextAnalysis.unigramLogProb(docs)
+    val w = Window.partitionBy("lang").orderBy(col("avg_nll").asc, col("doc_id").asc)
+    val ref = docs.select(col("doc_id"), col("lang")).join(nll, Seq("doc_id"))
+      .withColumn("t", ntile(3).over(w))
+      .select("doc_id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // buckets=8 on sf0.001 forces range partitions that SPAN languages and
+    // SPLIT the dominant language across partitions — both offset regimes
+    val got = TextAnalysis.ccnetBuckets(docs, buckets = 8)
+      .select("doc_id", "tertile").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty && got == ref,
+      s"distributed rank must reproduce ntile exactly (${got.size} vs ${ref.size} rows)")
+    // approx path: one pass, no corpus shuffle, no window anywhere
+    val approx = TextAnalysis.ccnetBuckets(docs, exact = false)
+    val pa = approx.queryExecution.executedPlan.toString
+    assert(!pa.contains("windowspecdefinition"), s"approx path must not window:\n$pa")
+    assert(!pa.contains("rangepartitioning"), s"approx path must not range-shuffle:\n$pa")
+    // labels are a monotone cut of avg_nll within each language
+    val rows = approx.select("lang", "avg_nll", "tertile").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      for (b <- 1 to 2 if byBucket.contains(b) && byBucket.contains(b + 1))
+        assert(byBucket(b).max <= byBucket(b + 1).min,
+          s"$lang: bucket $b must not exceed bucket ${b + 1}")
+    }
+  }
+
   test("bigram LM matches a hand-computed toy corpus") {
     val toy = spark.createDataFrame(Seq(
       (1L, "a b"), (2L, "a c"), (3L, "x"))).toDF("doc_id", "text")

@@ -105,6 +105,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected a range repartition on the sort key:\n$p")
   }
 
+  test("ccnet buckets rank distributed — range partition, no ntile, LM cached once") {
+    val p = planOf("text_ccnet_buckets")
+    // the corpus must RANGE-partition on (lang, score, id) — a dominant
+    // language still splits across partitions — and rank locally; a plain
+    // per-language ntile window would sort the whole stratum in one task
+    assert(p.contains("rangepartitioning"),
+      s"expected a range repartition on the (lang, score, id) sort key:\n$p")
+    assert(!p.contains("ntile"), s"per-language ntile must not appear:\n$p")
+    assert("windowspecdefinition\\(__pid".r.findFirstIn(p).nonEmpty,
+      s"the corpus rank window must partition by the range-partition id:\n$p")
+    // the doc-keyed slice is cached: without it the unigram-LM lineage
+    // would compute twice (column pruning defeats exchange reuse)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the partitioned slice must be cached so the LM trains once:\n$p")
+  }
+
   test("substring dedup: codegen window hashes, semi-join mark, one doc shuffle") {
     val p = planOf("dedup_substring_spans")
     // the O(n) rolling-hash expression runs inside the scan's Generate —
