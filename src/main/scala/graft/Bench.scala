@@ -15,9 +15,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footers so the first timed query isn't charged
-    // for session bring-up
-    graft.core.Tables.register(spark, sfDir)
-    graft.core.Tables.all.foreach(t => spark.table(t).count())
+    // for session bring-up; per-table try — a broken table must not zero the
+    // whole bench (r8: the warm-up crash sat outside any try and voided the
+    // round before a single query ran)
+    try graft.core.Tables.register(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] register: $e") }
+    graft.core.Tables.all.foreach { t =>
+      try spark.table(t).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up $t: ${e.getMessage}") }
+    }
     // min over N runs: a single pass is at the mercy of whatever else the
     // box is doing (the r5 recorded bench was ~2.2× contaminated by machine
     // contention); the min of repeated runs is the standard low-noise

@@ -20,25 +20,64 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // idempotent + cheap: registering 10 parquet tables costs footer reads, so
-  // remember which (session, dir) pairs are already registered
-  private val registered = scala.collection.mutable.Set[(SparkSession, String)]()
+  // remember the dir each session's views currently point at. Keyed on the
+  // LAST dir (not a (session, dir) set): switching dirs re-registers, so the
+  // views always reflect the most recent request instead of silently serving
+  // a previously-registered dir.
+  private val registered = scala.collection.mutable.Map[SparkSession, String]()
 
-  /** Register every testdata table under `dir` as a temp view. Idempotent. */
+  /** Register every testdata table under `dir` as a temp view. Idempotent
+    * for repeated calls with the same dir; re-registers on a dir switch.
+    *
+    * Hardened per-table: one unreadable file must not poison queries that
+    * never touch it, so each view registers under its own try and failures
+    * are logged (queries that DO read the broken table fail at name
+    * resolution instead).
+    */
   def register(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!registered((spark, dir))) {
-      all.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
-      registered += ((spark, dir))
+    if (!registered.get(spark).contains(dir)) {
+      all.foreach { t =>
+        try load(spark, dir, t).createOrReplaceTempView(t)
+        catch { case e: Throwable =>
+          // drop any stale view from a previous dir — resolving to another
+          // dir's data would be silently wrong; absent is loudly wrong
+          spark.catalog.dropTempView(t)
+          System.err.println(s"[tables] failed to register '$t' from $dir: ${e.getMessage}")
+        }
+      }
+      registered(spark) = dir
+    }
+  }
+
+  /** Normalize an event-time column to session-zoned TimestampType,
+    * WHATEVER physical type the file carries. The engine never assumes a
+    * writer's physical choice (the reference delegates typing to the
+    * warehouse — pkg/query/extract.go:21-26); typing is sniffed per file:
+    *   - LongType        → int64 epoch-NANOS read via nanosAsLong; truncate
+    *                       to micros (the coercion DuckDB applies to
+    *                       TIMESTAMP_NS)
+    *   - TimestampType   → pass through
+    *   - anything else   → cast (covers TIMESTAMP_NTZ micros parquet,
+    *                       strings, dates)
+    */
+  def eventTimeNormalize(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case Some(TimestampType) => df
+      case Some(_) => df.withColumn(colName, col(colName).cast("timestamp"))
+      case None    => df
     }
   }
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
-    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    // reader rejects; read nanos as long and truncate to micros — the same
-    // ns→us truncation DuckDB applies when it coerces TIMESTAMP_NS.
     if (table == "events") {
+      // nanosAsLong lets a TIMESTAMP(NANOS) file load at all (Spark's reader
+      // rejects it otherwise); harmless for micros-typed files
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$table.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      eventTimeNormalize(spark.read.parquet(s"$dir/$table.parquet"))
     } else spark.read.parquet(s"$dir/$table.parquet")
   }
 }

@@ -734,13 +734,47 @@ object Dedup {
     * fingerprint join disappears for ~99% of rows. */
   def bloomDedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
                               fpp: Double = 0.01, exact: Boolean = true,
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text"): DataFrame =
+    bloomDedup(incoming, buildCorpusBloom(corpus, fpp, textCol), exact)
+
+  /** REUSABLE corpus-membership artifact: the Bloom filter over the
+    * corpus's distinct content fingerprints plus the exact fingerprint
+    * table for positive rescue. Build ONCE per corpus generation and apply
+    * to every incoming batch with [[bloomDedup]] — rebuilding per call
+    * (r7 verdict #4) charged every batch the full corpus scan AND filter
+    * construction; the steady-state crawl loop only pays it when the
+    * corpus itself changes. At warehouse scale, persist `fingerprints` (a
+    * bucketed table on `__fp`) alongside the serialized filter. */
+  final case class CorpusBloom(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      fingerprints: DataFrame, fpp: Double, textCol: String)
+
+  /** One distributed corpus pass: distinct content fingerprints feed both
+    * the Bloom filter (driver-merged treeAggregate inside
+    * `stat.bloomFilter`) and the rescue table. ~1.2 GB per 10⁹ keys at 1%
+    * fpp — the budget Dolma runs at. */
+  def buildCorpusBloom(corpus: DataFrame, fpp: Double = 0.01,
+                       textCol: String = "text"): CorpusBloom = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val fp = md5(TextAnalysis.normText(col(textCol)))
-    val corpusFp = corpus.select(fp.as("__fp")).where(col("__fp").isNotNull)
+    val corpusFp = corpus.select(fp.as("__fp"))
+      .where(col("__fp").isNotNull).distinct()
     val expected = math.max(corpusFp.count(), 1L)
     val bloom = corpusFp.stat.bloomFilter("__fp", expected, fpp)
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    CorpusBloom(bloom, corpusFp, fpp, textCol)
+  }
+
+  /** BLOOM-GUARDED membership dedup against a prebuilt [[CorpusBloom]]:
+    * Bloom NEGATIVES are definitely novel and skip the join entirely;
+    * POSITIVES are either dropped outright (`exact = false`, Dolma's mode
+    * — loses at most `fpp` of novel docs) or rescued through an exact
+    * anti-join against the fingerprint table (`exact = true` — identical
+    * output to the plain anti-join, but the join's probe side shrinks to
+    * the duplicate rate + fpp sliver of the incoming volume). */
+  def bloomDedup(incoming: DataFrame, artifact: CorpusBloom,
+                 exact: Boolean = true): DataFrame = {
+    val fp = md5(TextAnalysis.normText(col(artifact.textCol)))
+    val bc = incoming.sparkSession.sparkContext.broadcast(artifact.bloom)
     val might = udf((s: String) => s != null && bc.value.mightContainString(s))
     val withFp = incoming.withColumn("__fp", fp)
     val novel = withFp.where(!might(col("__fp")))
@@ -748,7 +782,7 @@ object Dedup {
       if (!exact) novel
       else novel.unionByName(
         withFp.where(might(col("__fp")))
-          .join(corpusFp.distinct(), Seq("__fp"), "left_anti"))
+          .join(artifact.fingerprints, Seq("__fp"), "left_anti"))
     out.drop("__fp")
   }
 
@@ -758,8 +792,11 @@ object Dedup {
     * strata, the exact Jaccard similarity of their distinct word-n-gram
     * shingle sets. Shingling stays PER DOCUMENT (grams never span rows);
     * the stratum key just rides along. Pairs with an EMPTY intersection are
-    * omitted (emitting them would need a stratum×stratum cartesian — the
-    * registry bans cartesians; absence ⇒ jaccard 0).
+    * omitted by default (absence ⇒ jaccard 0); `emitZeros = true` also
+    * emits disjoint pairs with jaccard 0 via a self-join of the G-row
+    * SIZES table — a deliberate tiny nested-loop join over group names
+    * only (G² rows for G strata), never over grams or documents, so it is
+    * kept out of the cartesian-free registry plans and behind a flag.
     *
     * Scale shape: one distinct-shuffle on (stratum, gram), one gram-keyed
     * self-join whose per-key fan-out is bounded by the stratum count G (a
@@ -768,15 +805,23 @@ object Dedup {
     * the corpus-level cousin of [[jaccardPairs]] with the quadratic term
     * capped by construction. */
   def corpusOverlap(df: DataFrame, groupCol: String = "source", n: Int = 3,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    emitZeros: Boolean = false): DataFrame = {
     val sg = shingleArray(df, n, groupCol, textCol)
       .select(col(groupCol), explode(col("grams")).as("gram"))
       .distinct()
     val sizes = sg.groupBy(groupCol).agg(count(lit(1)).cast("long").as("__n"))
     val a = sg.select(col(groupCol).as("group_a"), col("gram"))
     val b = sg.select(col(groupCol).as("group_b"), col("gram"))
-    val inter = a.join(b, Seq("gram")).where(col("group_a") < col("group_b"))
+    val inter0 = a.join(b, Seq("gram")).where(col("group_a") < col("group_b"))
       .groupBy("group_a", "group_b").agg(count(lit(1)).cast("long").as("n_common"))
+    val inter =
+      if (!emitZeros) inter0
+      else sizes.select(col(groupCol).as("group_a"))
+        .join(sizes.select(col(groupCol).as("group_b")),
+          col("group_a") < col("group_b"), "inner")
+        .join(inter0, Seq("group_a", "group_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
     inter
       .join(sizes.select(col(groupCol).as("group_a"), col("__n").as("n_a")), Seq("group_a"))
       .join(sizes.select(col(groupCol).as("group_b"), col("__n").as("n_b")), Seq("group_b"))

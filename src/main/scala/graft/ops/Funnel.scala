@@ -30,16 +30,19 @@ object Funnel {
     * ANSI mode); the output `userCol` is long or string accordingly. */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
-             typeCol: String = "event_type"): DataFrame = {
+             typeCol: String = "event_type",
+             strictOrder: Boolean = true): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     val numericIds = events.select(col(userCol)).schema.head.dataType
       .isInstanceOf[NumericType]
     if (numericIds)
-      runFunnel[Long](events, steps, userCol, tsCol, typeCol, LongType, "long")(
+      runFunnel[Long](events, steps, userCol, tsCol, typeCol, LongType, "long",
+        strictOrder)(
         Encoders.scalaLong,
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
     else
-      runFunnel[String](events, steps, userCol, tsCol, typeCol, StringType, "string")(
+      runFunnel[String](events, steps, userCol, tsCol, typeCol, StringType, "string",
+        strictOrder)(
         Encoders.STRING,
         Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING))
   }
@@ -47,7 +50,8 @@ object Funnel {
   /** One id family's project → group → ladder-walk pass. */
   private def runFunnel[K](events: DataFrame, steps: Seq[String],
                            userCol: String, tsCol: String, typeCol: String,
-                           idType: DataType, castType: String)(
+                           idType: DataType, castType: String,
+                           strictOrder: Boolean)(
       implicit keyEnc: Encoder[K], rowEnc: Encoder[(K, Long, String)]): DataFrame = {
     val stepIdx = steps.zipWithIndex.toMap
     // NULL identity or NULL time cannot enter a funnel (and would crash
@@ -73,8 +77,13 @@ object Funnel {
       var i = 0
       while (i < evs.length && stage < n) {
         val (us, s) = evs(i)
-        // the NEXT step fires only strictly after the previous step's time
-        if (s == stage && (stage == 0 || us > times(stage - 1))) {
+        // strictOrder: the NEXT step fires only strictly after the previous
+        // step's time. strictOrder=false admits SAME-timestamp progression
+        // — batched trackers often stamp a whole step burst with one clock
+        // value; the (time, step-index) sort already puts equal-time steps
+        // in ladder order, so `>=` walks them in a single pass
+        if (s == stage && (stage == 0 ||
+            (if (strictOrder) us > times(stage - 1) else us >= times(stage - 1)))) {
           times(stage) = us
           stage += 1
         }

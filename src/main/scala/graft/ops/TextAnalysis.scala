@@ -251,11 +251,29 @@ object TextAnalysis {
     * within the sketch accuracy. */
   def ccnetBuckets(df: DataFrame, langCol: String = "lang",
                    idCol: String = "doc_id", textCol: String = "text",
-                   exact: Boolean = true, buckets: Int = 64): DataFrame = {
+                   exact: Boolean = true, buckets: Int = 64): DataFrame =
+    ccnetBucketsImpl(df, langCol, idCol, textCol, exact, buckets)._1
+
+  /** [[ccnetBuckets]] with the persisted slice SCOPED to `use`: the handle
+    * unpersists when `use` returns, so repeated bucketing calls in a
+    * long-lived session don't accumulate cached partitions (r8 verdict
+    * nit #6). Run the terminal action inside `use`. */
+  def ccnetBucketsScoped[T](df: DataFrame, langCol: String = "lang",
+                            idCol: String = "doc_id", textCol: String = "text",
+                            exact: Boolean = true, buckets: Int = 64)(
+                            use: DataFrame => T): T = {
+    val (out, handle) = ccnetBucketsImpl(df, langCol, idCol, textCol, exact, buckets)
+    try use(out) finally handle.foreach(_.unpersist())
+  }
+
+  private def ccnetBucketsImpl(df: DataFrame, langCol: String, idCol: String,
+                               textCol: String, exact: Boolean,
+                               buckets: Int): (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     require(buckets > 0)
     val nll = unigramLogProb(df, idCol, textCol)
     val scored = df.select(col(idCol), col(langCol)).join(nll, Seq(idCol))
+    var handle: Option[DataFrame] = None
     val labeled =
       if (!exact) {
         val cuts = scored.groupBy(langCol).agg(
@@ -272,6 +290,7 @@ object TextAnalysis {
         val parted = scored.repartitionByRange(buckets, ord: _*)
           .withColumn("__pid", spark_partition_id())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        handle = Some(parted)
         val wRank = Window.partitionBy(col("__pid"), col(langCol))
           .orderBy(col("avg_nll").asc, col(idCol).asc)
         val local = parted.withColumn("__rn", row_number().over(wRank).cast("long"))
@@ -297,13 +316,14 @@ object TextAnalysis {
           .withColumn("tertile", tertile.cast("int"))
           .drop("__pid", "__rn", "__off", "__nl")
       }
-    labeled
+    val out = labeled
       .select(col(idCol), col(langCol), col("n_tokens"), col("avg_nll"),
         col("ppl"), col("tertile"))
       .withColumn("ppl_bucket",
         when(col("tertile") === 1, "head")
           .when(col("tertile") === 2, "middle")
           .otherwise("tail"))
+    (out, handle)
   }
 
   /** Bigram (conditional) LM quality score — one order up from

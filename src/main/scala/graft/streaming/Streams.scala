@@ -45,12 +45,19 @@ object Streams {
   /** File-backed event stream with an explicit schema (required by
     * readStream). Stands in for a broker source in tests/local runs;
     * `copies` > 1 replays every event — the at-least-once input shape the
-    * streaming dedup operator exists to clean up. */
+    * streaming dedup operator exists to clean up.
+    *
+    * The readStream schema is SNIFFED from the file's own footer (a cheap
+    * batch-read of metadata), never hard-coded: the r8 testdata switch from
+    * int64-nanos to timestamp-micros silently mis-read every event through
+    * the old literal `ts BIGINT` schema. [[graft.core.Tables.eventTimeNormalize]]
+    * then maps whatever `ts` type the footer declares onto TimestampType. */
   def eventStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
+    // lets a TIMESTAMP(NANOS) footer load at all; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(stagedDir(path, copies))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(path).schema
+    graft.core.Tables.eventTimeNormalize(
+      spark.readStream.schema(schema).parquet(stagedDir(path, copies)))
   }
 
   /** File-backed DOCUMENT stream — the continuous-ingestion shape of a
@@ -734,29 +741,38 @@ object Streams {
                          watermarkMinutes: Int = 10): Dataset[Visit] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxRow = spark.read.parquet(path).agg(max(col("ts"))).head()
+    // sentinel arithmetic happens in TIMESTAMP space, typed off the source
+    // schema via eventTimeNormalize — never getLong on a physical column
+    // whose writer-chosen type (int64-nanos vs timestamp-micros) we don't
+    // control (r8: the testdata switch made the old getLong CCE)
+    val maxRow = graft.core.Tables.eventTimeNormalize(spark.read.parquet(path))
+      .agg(max(col("ts"))).head()
     // empty source ⇒ no visits to flush (and no sentinel arithmetic on a
     // NULL max) — return an empty result instead of NPE-ing
     if (maxRow.isNullAt(0)) return spark.emptyDataset[Visit]
-    val maxNs = maxRow.getLong(0)
-    val sentinelNs = maxNs +
-      (gapMinutes + watermarkMinutes + 60).toLong * 60L * 1000000000L
+    val maxTs = maxRow.getTimestamp(0)
+    val sentinelTs = java.sql.Timestamp.from(maxTs.toInstant
+      .plusSeconds((gapMinutes + watermarkMinutes + 60).toLong * 60L))
     // content-keyed sentinel dir (same scheme as eventStream's stage dir):
     // repeated runs over the same input reuse one directory instead of
     // leaking a fresh temp dir per call
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$path:$sentinelNs".getBytes("UTF-8"))
+      .digest(s"$path:${sentinelTs.getTime}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = java.nio.file.Paths.get(s"/tmp/graft-visit-sentinel-$key")
     // _SUCCESS (not bare dir existence) gates the skip — a torn write must
     // not leave a silent no-sentinel dir behind; overwrite mode self-heals
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
       spark.createDataFrame(Seq(
-          (-1L, sentinelNs, -1L, "__sentinel", 0.0, "")))
+          (-1L, sentinelTs, -1L, "__sentinel", 0.0, "")))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    val feed = eventStream(spark, path)
-      .unionByName(eventStream(spark, dir.toString))
+    // both legs are normalized to TimestampType by eventStream; project to
+    // the sessionizer's columns so a source with extra/missing metadata
+    // columns still unions cleanly against the 6-column sentinel
+    val need = Seq("user_id", "ts", "value").map(col)
+    val feed = eventStream(spark, path).select(need: _*)
+      .unionByName(eventStream(spark, dir.toString).select(need: _*))
     userVisits(feed, gapMinutes, s"$watermarkMinutes minutes")
       .filter(_.user_id != -1L)
   }

@@ -1563,4 +1563,80 @@ class DataOpsSpec extends AnyFunSuite {
     val real = TextAnalysis.unigramLogProb(docs)
     assert(real.count() > 0 && real.where(col("avg_nll").isNull).count() == 0)
   }
+
+  test("corpus bloom artifact: one build serves many batches, identical to per-call builds") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch1 = docs.where(col("doc_id") % 4 === 1)
+    val batch2 = docs.where(col("doc_id") % 4 === 3)
+    val artifact = graft.ops.Dedup.buildCorpusBloom(corpus, fpp = 0.05)
+    for (batch <- Seq(batch1, batch2)) {
+      val reused = graft.ops.Dedup.bloomDedup(batch, artifact)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val perCall = graft.ops.Dedup.bloomDedupAgainstCorpus(batch, corpus, fpp = 0.05)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(reused == perCall, "reused artifact diverges from per-call build")
+    }
+    // the artifact really is corpus-membership: a doc IN the corpus dies
+    val known = graft.ops.Dedup.bloomDedup(corpus.limit(5), artifact)
+    assert(known.count() == 0, "known corpus docs must not survive")
+  }
+
+  test("funnel strictOrder=false admits same-timestamp step bursts in ladder order") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val events = Seq(
+      // user 3: view and click stamped with ONE clock value (batched tracker)
+      (3L, ts(1000), "view"), (3L, ts(1000), "click"),
+      // user 6: the whole ladder at one instant
+      (6L, ts(2000), "view"), (6L, ts(2000), "click"), (6L, ts(2000), "purchase"),
+      // user 1: normal strictly-ordered ladder — unaffected by the knob
+      (1L, ts(1000), "view"), (1L, ts(2000), "click"), (1L, ts(3000), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val strict = graft.ops.Funnel.funnel(events, steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(strict == Map(1L -> 3, 3L -> 1, 6L -> 1), s"strict: $strict")
+    val lax = graft.ops.Funnel.funnel(events, steps, strictOrder = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lax == Map(1L -> 3, 3L -> 2, 6L -> 3), s"lax: $lax")
+  }
+
+  test("corpusOverlap emitZeros surfaces disjoint pairs with jaccard 0") {
+    import spark.implicits._
+    val strata = Seq(
+      (1L, "common words here", "a"), (2L, "common words here too", "b"),
+      (3L, "utterly disjoint gibberish tokens", "c")
+    ).toDF("doc_id", "text", "source")
+    val dflt = graft.ops.Dedup.corpusOverlap(strata, n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!dflt.contains(("a", "c")) && !dflt.contains(("b", "c")),
+      "disjoint pairs must be absent by default")
+    val zeros = graft.ops.Dedup.corpusOverlap(strata, n = 2, emitZeros = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(zeros.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")), zeros.toString)
+    assert(zeros(("a", "c")) == (0L, 0.0) && zeros(("b", "c")) == (0L, 0.0))
+    assert(zeros(("a", "b"))._1 > 0, "overlapping pair keeps its real intersection")
+  }
+
+  test("scoped budget/bucket variants leave no cached partitions behind") {
+    import spark.implicits._
+    def cachedCount() = spark.sparkContext.getPersistentRDDs.size
+    val scored = (1L to 200L).map(i => (i, 200.0 - i, 10L))
+      .toDF("doc_id", "quality_score", "n_words")
+    val before = cachedCount()
+    val n = graft.ops.Sampling.selectByBudgetScoped(scored, tokenBudget = 500)(_.count())
+    assert(n == 50, s"budget selection wrong: $n")
+    assert(cachedCount() == before,
+      s"selectByBudgetScoped leaked a persist: $before -> ${cachedCount()}")
+    // a local (uncached) corpus: the shared `docs` fixture registers its own
+    // cache on first action, which would masquerade as a leak here
+    val corpus = (1L to 120L).map(i =>
+      (i, s"some words ${"common " * (i % 7).toInt} token$i text", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.ccnetBucketsScoped(corpus, buckets = 8)(_.count())
+    assert(rows > 0)
+    assert(cachedCount() == before,
+      s"ccnetBucketsScoped leaked a persist: $before -> ${cachedCount()}")
+  }
 }
