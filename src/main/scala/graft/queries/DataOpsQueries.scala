@@ -811,34 +811,143 @@ object DataOpsQueries {
        |  lang, count(*) AS n
        |FROM b GROUP BY 1, 2""".stripMargin)
 
-  /** Capstone: the curation pipeline end-to-end — exact-dedup to canonical
-    * docs, quality-filter, deterministic 80/10/10 split — reported as the
-    * per-(split, lang) corpus histogram. Composes [[Dedup.exact]],
-    * [[TextAnalysis.qualityScore]] and [[Sampling.split]] in one plan:
-    * dedup's keep-set joins back semi-style, everything else stays a
-    * scan-side projection, and the final rollup is one small groupBy. */
-  val curation: OQ = OQ.df("pipeline_data_curation",
-    (s, _) => {
-      val docs = s.table("documents")
-      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score"))
-      val curated = docs.join(keep, Seq("doc_id"))
-        .join(q, Seq("doc_id")).where(col("quality_score") >= 0.5)
-      graft.ops.Sampling.split(curated)
-        .groupBy("split", "lang")
-        .agg(count("*").cast("long").as("n_docs"),
-          sum("n_chars").cast("long").as("sum_chars"))
-    },
-    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
-       |q AS (SELECT doc_id, $DUCK_QUALITY AS quality_score FROM documents),
-       |f AS (SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-       |  JOIN keep USING (doc_id) JOIN q USING (doc_id)
-       |  WHERE q.quality_score >= 0.5)
-       |SELECT CASE WHEN $DUCK_BUCKET < 80 THEN 'train'
-       |            WHEN $DUCK_BUCKET < 90 THEN 'valid'
-       |            ELSE 'test' END AS split,
-       |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-       |FROM f GROUP BY 1, 2""".stripMargin)
+  /** Capstone: the curation pipeline end-to-end, the full modern recipe —
+    * Gopher rule gate → line-level dedup → fuzzy (df-capped 3-gram
+    * Jaccard) dedup → benchmark decontamination → language-mixture
+    * rebalance → deterministic 80/10/10 split — reported as the
+    * per-(split, lang) corpus histogram. Composes [[TextAnalysis
+    * .gopherFilter]], [[TextAnalysis.lineDedup]], [[Dedup.jaccardPairs]],
+    * [[Dedup.contamination]], [[Sampling.mixture]] and [[Sampling.split]]
+    * with the exact semantics each one's standalone key pins; the held-out
+    * eval slice (id-hash bucket < 10) is removed from the training corpus
+    * along with any train doc sharing a 5-gram with it. Every stage is a
+    * shuffle-bounded set operation (gate and split are scan-side, dedups
+    * are gram-keyed joins with df caps, mixture is a broadcast rate
+    * table), so the composition inherits each component's 100 TB shape. */
+  val curation: OQ = {
+    val stops = TextAnalysis.Stopwords.toMap.apply("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    val bucket = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    val duckW = "CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 " +
+      "WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END"
+    OQ.df("pipeline_data_curation",
+      (s, _) => {
+        val docs = s.table("documents")
+        // 1. GATE: Gopher rule conjunction on the raw text
+        val gateIds = TextAnalysis.gopherFilter(docs)
+          .where(col("passes_gopher")).select("doc_id")
+        val gated = docs.join(gateIds, Seq("doc_id"))
+        // 2. LINE DEDUP: induce line structure, drop corpus-heavy lines;
+        // docs with no surviving line fall out of the corpus
+        val lined = TextAnalysis.lineDedup(
+          gated.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n")),
+          minDf = 3)
+        // Stage boundaries CHECKPOINT (eager, executor-local): in the
+        // reference every pipeline stage is a materialized asset, and the
+        // dedup / contamination stages each fan the previous stage into
+        // several plan branches. A plain persist is not enough here — the
+        // composed logical tree grows so large that CATALYST RE-PLANNING
+        // (canonicalize + optimize per action) costs ~2 s per downstream
+        // action even on fully cached data (measured); truncating lineage
+        // at each stage makes every later stage plan against a leaf.
+        // 52 s → ~8 s at sf0.1, and the same move a 100 TB run makes by
+        // writing each stage to a table.
+        val cleaned = gated.drop("text").join(
+          lined.where(col("n_lines_kept") >= 1)
+            .select(col("doc_id"), col("text_deduped").as("text")), Seq("doc_id"))
+          .localCheckpoint()
+        // 3. FUZZY DEDUP on the cleaned text: any >= 0.5-Jaccard pair drops
+        // its higher id (df-capped candidate generation, exact re-verify)
+        val losers = Dedup.jaccardPairs(cleaned, n = 3, threshold = 0.5,
+            maxDocFreq = 20)
+          .select(col("b").as("doc_id")).distinct()
+        val fuzzy = cleaned.join(losers, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // 4. DECONTAMINATION: the eval slice (bucket < 10) leaves the
+        // training corpus, and so does any train doc sharing a 5-gram
+        val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+        val train = fuzzy.where(b >= 10)
+        val dirty = Dedup.contamination(train, fuzzy.where(b < 10), n = 5)
+          .select("doc_id")
+        val decon = train.join(dirty, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // 5. MIXTURE: rebalance surviving docs to the target lang weights
+        val mixed = graft.ops.Sampling.mixture(decon, "lang",
+          Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
+        // 6. SPLIT: deterministic 80/10/10, rolled up per (split, lang)
+        graft.ops.Sampling.split(mixed)
+          .groupBy("split", "lang")
+          .agg(count("*").cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+      },
+      s"""WITH gw AS (SELECT doc_id, text, string_split($NORM, ' ') AS ws FROM documents),
+         |gm AS (SELECT doc_id, len(ws) AS n_words,
+         |  round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / len(ws), 6) AS mwl,
+         |  len(list_filter(ws, x -> list_contains($stops, x))) AS nsh,
+         |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 6) AS af,
+         |  round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws), 6) AS sr
+         |  FROM gw),
+         |gate AS (SELECT doc_id FROM gm WHERE (n_words BETWEEN 50 AND 100000)
+         |  AND (mwl BETWEEN 3.0 AND 10.0) AND nsh >= 2 AND af >= 0.8 AND sr <= 0.1),
+         |lined AS (SELECT d.doc_id,
+         |  string_split(regexp_replace(d.text, ' (the|a) ', chr(10), 'g'), chr(10)) AS lines
+         |  FROM documents d JOIN gate USING (doc_id)),
+         |ex AS (SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS i FROM lined),
+         |heavy AS (SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         |keptl AS (SELECT e.doc_id, e.line, e.i FROM ex e
+         |  LEFT JOIN heavy h ON e.line = h.line WHERE h.line IS NULL),
+         |cln AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text FROM keptl GROUP BY 1),
+         |fdocs AS (SELECT doc_id, $NORM AS norm FROM cln),
+         |ftoks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM fdocs),
+         |fwrds AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM ftoks),
+         |fg3 AS (SELECT doc_id,
+         |  word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS gram
+         |  FROM fwrds WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |fsh AS (SELECT DISTINCT doc_id, gram FROM fg3
+         |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3),
+         |fcnt AS (SELECT doc_id, count(*) AS n_grams FROM fsh GROUP BY 1),
+         |fdf AS (SELECT gram, count(*) AS df FROM fsh GROUP BY 1),
+         |fcsh AS (SELECT fsh.doc_id, fsh.gram FROM fsh
+         |  JOIN fdf ON fsh.gram = fdf.gram AND fdf.df BETWEEN 2 AND 20),
+         |fcand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM fcsh a JOIN fcsh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |fpairs AS (SELECT c.a, c.b, count(*) AS common
+         |  FROM fcand c JOIN fsh sa ON sa.doc_id = c.a
+         |  JOIN fsh sb ON sb.doc_id = c.b AND sb.gram = sa.gram GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT fpairs.b AS doc_id FROM fpairs
+         |  JOIN fcnt ca ON fpairs.a = ca.doc_id
+         |  JOIN fcnt cb ON fpairs.b = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n_grams + cb.n_grams - common) >= 0.5),
+         |fuzzy AS (SELECT c.doc_id, c.text FROM cln c LEFT JOIN losers l USING (doc_id)
+         |  WHERE l.doc_id IS NULL),
+         |bkt AS (SELECT doc_id, text, $bucket AS b FROM fuzzy),
+         |dtoks AS (SELECT doc_id, b, string_split($NORM, ' ') AS w FROM bkt),
+         |dwrds AS (SELECT doc_id, b, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM dtoks),
+         |dg5 AS (SELECT doc_id, b,
+         |  word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win
+         |    || ' ' || lead(word,3) OVER win || ' ' || lead(word,4) OVER win AS gram
+         |  FROM dwrds WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |dsh AS (SELECT DISTINCT doc_id, b, gram FROM dg5
+         |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 5),
+         |ev AS (SELECT DISTINCT gram FROM dsh WHERE b < 10),
+         |dirty AS (SELECT DISTINCT t.doc_id FROM dsh t JOIN ev ON t.gram = ev.gram WHERE t.b >= 10),
+         |decon AS (SELECT k.doc_id FROM bkt k LEFT JOIN dirty x USING (doc_id)
+         |  WHERE k.b >= 10 AND x.doc_id IS NULL),
+         |dd AS (SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN decon USING (doc_id)),
+         |c AS (SELECT lang, count(*) AS n FROM dd GROUP BY 1),
+         |cw AS (SELECT lang, n, CAST($duckW AS DOUBLE) AS w FROM c),
+         |cap AS (SELECT min(CAST(n AS DOUBLE) / w) AS cap FROM cw WHERE w > 0),
+         |r AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE), w * cap / n), 6) AS rate
+         |  FROM cw CROSS JOIN cap WHERE w > 0),
+         |mixed AS (SELECT dd.doc_id, dd.lang, dd.n_chars FROM dd JOIN r USING (lang)
+         |  WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |    % 1000000 AS DOUBLE) / 1000000 < rate)
+         |SELECT CASE WHEN $bucket < 80 THEN 'train'
+         |            WHEN $bucket < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM mixed GROUP BY 1, 2""".stripMargin)
+  }
 
   // ---- quantization -------------------------------------------------------
 

@@ -73,6 +73,64 @@ object ProfileCapped {
       .select("a", "b").distinct()
     time("candidates (df-filter self-join)") { cand2.count() }
 
+    // r9: full capped path replicated with the shingle stream PERSISTED
+    // (one tokenize pass instead of one per branch)
+    {
+      val shp = shx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("persisted: materialize shingles") { shp.count() }
+      val heavy = shp.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > 20).select("gram")
+      val kp = shp.join(heavy, Seq("gram"), "left_anti")
+      val hpd = shp.join(heavy, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("__h"))
+      val a2 = kp.select(col("doc_id").as("a"), col("n_grams").as("na"), col("gram"))
+      val b2 = kp.select(col("doc_id").as("b"), col("n_grams").as("nb"), col("gram"))
+      val pairKept = a2.join(b2, Seq("gram"))
+        .where(col("a") < col("b") &&
+          least(col("na"), col("nb")).cast("double") /
+            greatest(col("na"), col("nb")) >= lit(0.5))
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
+      val wb = pairKept
+        .join(hpd.select(col("doc_id").as("a"), col("__h").as("ha")), Seq("a"), "left")
+        .join(hpd.select(col("doc_id").as("b"), col("__h").as("hb")), Seq("b"), "left")
+        .withColumn("__hmin",
+          least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      val maybe = wb.where(
+        (col("ck") + col("__hmin")).cast("double") /
+          (col("na") + col("nb") - col("ck") - col("__hmin")) >= lit(0.5))
+      time("persisted: capped pipeline to 'maybe'") { maybe.count() }
+      time("persisted: full again (warm cache)") { maybe.count() }
+      shp.unpersist()
+    }
+
+    // r9: same unpersisted pipeline but grams pre-hashed to 64-bit — the
+    // shuffle/join/agg keys shrink from ~25-byte strings to longs
+    {
+      val shh = shx.withColumn("gram", xxhash64(col("gram")))
+      val heavy = shh.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > 20).select("gram")
+      val kp = shh.join(heavy, Seq("gram"), "left_anti")
+      val hpd = shh.join(heavy, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("__h"))
+      val a2 = kp.select(col("doc_id").as("a"), col("n_grams").as("na"), col("gram"))
+      val b2 = kp.select(col("doc_id").as("b"), col("n_grams").as("nb"), col("gram"))
+      val pairKept = a2.join(b2, Seq("gram"))
+        .where(col("a") < col("b") &&
+          least(col("na"), col("nb")).cast("double") /
+            greatest(col("na"), col("nb")) >= lit(0.5))
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
+      val wb = pairKept
+        .join(hpd.select(col("doc_id").as("a"), col("__h").as("ha")), Seq("a"), "left")
+        .join(hpd.select(col("doc_id").as("b"), col("__h").as("hb")), Seq("b"), "left")
+        .withColumn("__hmin",
+          least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      val maybe = wb.where(
+        (col("ck") + col("__hmin")).cast("double") /
+          (col("na") + col("nb") - col("ck") - col("__hmin")) >= lit(0.5))
+      time("hashed-gram: capped to 'maybe' (cold)") { maybe.count() }
+      time("hashed-gram: again (warm)") { maybe.count() }
+    }
+
     spark.stop()
   }
 }
