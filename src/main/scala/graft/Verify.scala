@@ -23,13 +23,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query status envelope: a void or partial run must be
+    // machine-distinguishable from a clean one (an empty artifact reads as
+    // "zero failures" to round-diffing tools — r8 advice)
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          status(name) = "ok"
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          status(name) = s"err: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +54,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val nErr = status.valuesIterator.count(_ != "ok")
+    val statusJson = s"""{"status": ${q(if (nErr == 0) "ok" else "partial")}, """ +
+      s""""n_queries": ${status.size}, "n_err": $nErr, "queries": """ +
+      status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}") + "}"
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
     spark.stop()
   }
 }

@@ -531,8 +531,13 @@ object Dedup {
     * the per-doc count. */
   def contamination(train: DataFrame, eval: DataFrame, n: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // grams shrink to 64-bit keys before the shuffle (the [[jaccardPairs]]
+    // move): only COUNTS survive to the output, so the join key never needs
+    // the gram text — at 100 TB that's 8-byte vs ~40-byte 5-gram shuffles
     val trainSh = shingles(train, n, idCol, textCol)
-    val evalGrams = shingles(eval, n, idCol, textCol).select("gram").distinct()
+      .withColumn("gram", xxhash64(col("gram")))
+    val evalGrams = shingles(eval, n, idCol, textCol)
+      .withColumn("gram", xxhash64(col("gram"))).select("gram").distinct()
     trainSh.join(evalGrams, Seq("gram"))
       .groupBy(idCol)
       .agg(count("*").as("n_contaminated_grams"))
@@ -818,8 +823,11 @@ object Dedup {
   def corpusOverlap(df: DataFrame, groupCol: String = "source", n: Int = 3,
                     textCol: String = "text",
                     emitZeros: Boolean = false): DataFrame = {
+    // hashed gram keys ([[jaccardPairs]]): the output carries only sizes
+    // and intersection counts, so the distinct/join/agg chain keys on longs
     val sg = shingleArray(df, n, groupCol, textCol)
       .select(col(groupCol), explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
       .distinct()
     val sizes = sg.groupBy(groupCol).agg(count(lit(1)).cast("long").as("__n"))
     val a = sg.select(col(groupCol).as("group_a"), col("gram"))
