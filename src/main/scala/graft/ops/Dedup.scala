@@ -222,12 +222,16 @@ object Dedup {
     // the batch-gram join against the residual corpus stream is bounded to
     // maxDocFreq matches per gram row, and the kept common count resolves
     // exactly except for the bounded heavy-overlap sliver
+    // hashed 64-bit gram keys before any shuffle (see [[jaccardPairs]]);
+    // the threshold-boundary sliver re-verifies over full string arrays
     val corpusSh = shingleArray(corpus, n, idCol, textCol)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
     val newSh = shingleArray(incoming, n, idCol, textCol)
       .select(col(idCol).as("a"), size(col("grams")).cast("long").as("na"),
         explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
     val heavy = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("gram")
     val keptCorpus = corpusSh.join(heavy, Seq("gram"), "left_anti")
@@ -347,10 +351,13 @@ object Dedup {
     // band-bucket into a quadratic candidate clique
     val sig = minhashSignatures(shArr.where(size(col("grams")) > 0), numHashes, idCol)
 
-    // band buckets: (band_id, md5(joined sig slice))
+    // band buckets: (band_id, xxhash64 of the sig slice) — a LONG bucket
+    // key, not an md5 hex string: the bucket join/group shuffles 8 bytes
+    // per band instead of 32-char text, and a hash collision can only ADD
+    // candidate pairs, which the exact-Jaccard verify below removes
     val bandCols = (0 until bands).map { bd =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
-      struct(lit(bd).as("band"), md5(concat_ws("-", slice: _*)).as("bucket"))
+      struct(lit(bd).as("band"), xxhash64(slice: _*).as("bucket"))
     }
     val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
