@@ -64,7 +64,10 @@ object Streams {
     * training-data pipeline (crawl batches arriving as files). Same staged
     * symlink-dir mechanics as [[eventStream]]. */
   def docStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
-    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    // schema sniffed from the file footer, same as [[eventStream]] — a
+    // hard-coded schema silently mis-reads when the writer's physical
+    // types change (the r8 events failure class)
+    val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(stagedDir(path, copies))
   }
 
