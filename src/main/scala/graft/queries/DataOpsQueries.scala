@@ -839,9 +839,12 @@ object DataOpsQueries {
         val gated = docs.join(gateIds, Seq("doc_id"))
         // 2. LINE DEDUP: induce line structure, drop corpus-heavy lines;
         // docs with no surviving line fall out of the corpus
+        // hashKeys: the heavy-line df count and anti-join key on xxhash64
+        // of the line (the petabyte knob); the reassembled text — what the
+        // oracle compares through the later stages — is unchanged
         val lined = TextAnalysis.lineDedup(
           gated.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n")),
-          minDf = 3)
+          minDf = 3, hashKeys = true)
         // Stage boundaries CHECKPOINT (eager, executor-local): in the
         // reference every pipeline stage is a materialized asset, and the
         // dedup / contamination stages each fan the previous stage into
