@@ -83,6 +83,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("array_intersect"),
       "boundary candidates must be exact-verified over the full gram sets")
     assert(!p.contains("CartesianProduct"))
+    // grams must shrink to 64-bit keys BEFORE the shuffles — every gram
+    // exchange moves an 8-byte long, never the gram text (r9: 2× measured)
+    assert(p.contains("xxhash64"),
+      s"gram shuffle keys must be 64-bit hashes, not strings:\n${p.take(800)}")
   }
 
   test("mixture rebalance broadcasts the rate table — corpus pays one filter pass") {
