@@ -467,9 +467,12 @@ object EngineQueries {
         Files.createFile(feed.resolve("_STAGED"))
       }
 
+      // schema sniffed from the staged feed's own footer (the r8 failure
+      // class): the staged files inherit whatever physical types the
+      // orders table carries, so a literal schema would silently mis-read
+      // if the driver regenerates orders with different widths
       val stream = s.readStream
-        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
-          "o_totalprice DOUBLE, op STRING, seq BIGINT")
+        .schema(s.read.parquet(feed.toString).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed.toString)
       val wh = new SessionCatalogWarehouse(s)
