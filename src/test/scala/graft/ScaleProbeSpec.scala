@@ -143,6 +143,44 @@ class ScaleProbeSpec extends AnyFunSuite {
         docs.where(pmod(col("doc_id"), lit(10)) === 0)).count()
     }
 
+    // ---- the r9 six-stage curation capstone on the SAME adversarial
+    // corpus (lang/n_chars synthesized): the gate, the heavy-line anti-join,
+    // the df-capped fuzzy dedup, the gram-keyed decontamination, and the
+    // broadcast mixture/split must all stay bounded under the boilerplate
+    // skew — each stage checkpointed like a materialized asset
+    t("curation capstone (gate→line→fuzzy→decontam→mixture→split)",
+      "six stages, stage-boundary checkpoints, hashed 64-bit gram keys") {
+      val full = docs
+        .withColumn("lang", element_at(
+          array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh")),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val gateIds = graft.ops.TextAnalysis.gopherFilter(full)
+        .where(col("passes_gopher")).select("doc_id")
+      val gated = full.join(gateIds, Seq("doc_id"))
+      val lined = graft.ops.TextAnalysis.lineDedup(
+        gated.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n")),
+        minDf = 30, hashKeys = true)
+      val cleaned = gated.drop("text").join(
+        lined.where(col("n_lines_kept") >= 1)
+          .select(col("doc_id"), col("text_deduped").as("text")), Seq("doc_id"))
+        .localCheckpoint()
+      val losers = graft.ops.Dedup.jaccardPairs(cleaned, n = 3,
+          threshold = 0.5, maxDocFreq = 20)
+        .select(col("b").as("doc_id")).distinct()
+      val fuzzy = cleaned.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+      val train = fuzzy.where(b >= 10)
+      val dirty = graft.ops.Dedup.contamination(train, fuzzy.where(b < 10), n = 5)
+        .select("doc_id")
+      val decon = train.join(dirty, Seq("doc_id"), "left_anti").localCheckpoint()
+      val mixed = graft.ops.Sampling.mixture(decon, "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
+      val n = graft.ops.Sampling.split(mixed)
+        .groupBy("split", "lang").count().count()
+      println(s"  (split,lang) cells: $n"); n
+    }
+
     // ---- semantic dedup at 100k vectors: 2000 planted near-dup cliques
     // (50 members each, 0.001-scale jitter); brute force is N(N−1)/2 ≈
     // 5.0e9 cosines — the clustered path does ~probes²/nlist of that, with
