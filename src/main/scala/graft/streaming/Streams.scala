@@ -91,13 +91,27 @@ object Streams {
   def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
                          textCol: String = "text",
                          eventTimeCol: Option[String] = None,
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes",
+                         bloom: Option[graft.ops.Dedup.CorpusBloom] = None): DataFrame = {
     val norm = graft.ops.TextAnalysis.normText(col(textCol))
     val fp = corpus.select(md5(graft.ops.TextAnalysis.normText(col(textCol)))
       .as("content_hash")).distinct()
-    val novel = incoming
-      .withColumn("content_hash", md5(norm))
-      .join(fp, Seq("content_hash"), "left_anti")
+    val hashed = incoming.withColumn("content_hash", md5(norm))
+    // optional build-once Bloom guard (the streaming payoff of
+    // [[graft.ops.Dedup.buildCorpusBloom]]): the corpus anti-join re-plans
+    // EVERY micro-batch, so pre-screening each batch against a broadcast
+    // filter shrinks the join's probe side to the duplicate-rate + fpp
+    // sliver on every batch, for one up-front corpus pass. Exact output:
+    // bloom negatives are definitely novel; positives still anti-join.
+    val novel = bloom match {
+      case scala.None => hashed.join(fp, Seq("content_hash"), "left_anti")
+      case Some(art) =>
+        val bc = incoming.sparkSession.sparkContext.broadcast(art.bloom)
+        val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+        hashed.where(!might(col("content_hash")))
+          .unionByName(hashed.where(might(col("content_hash")))
+            .join(fp, Seq("content_hash"), "left_anti"))
+    }
     val et =
       if (!incoming.isStreaming) None // batch replay: no state to bound
       else eventTimeCol.orElse(

@@ -1581,6 +1581,18 @@ class DataOpsSpec extends AnyFunSuite {
     assert(known.count() == 0, "known corpus docs must not survive")
   }
 
+  test("streaming corpus dedup with a prebuilt bloom guard equals the plain anti-join") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val incoming = docs.where(col("doc_id") % 3 === 0)
+    val art = graft.ops.Dedup.buildCorpusBloom(corpus, fpp = 0.05)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = ids(graft.streaming.Streams.dedupAgainstCorpus(incoming, corpus))
+    val guarded = ids(graft.streaming.Streams.dedupAgainstCorpus(
+      incoming, corpus, bloom = Some(art)))
+    assert(guarded == plain, "bloom guard must not change the output")
+  }
+
   test("funnel strictOrder=false admits same-timestamp step bursts in ladder order") {
     import spark.implicits._
     def ts(ms: Long) = new java.sql.Timestamp(ms)
