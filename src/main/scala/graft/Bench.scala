@@ -18,11 +18,24 @@ object Bench {
     // for session bring-up; per-table try — a broken table must not zero the
     // whole bench (r8: the warm-up crash sat outside any try and voided the
     // round before a single query ran)
+    // structured failure capture (r8 advice): a failed round's artifact must
+    // name the phase (warmup vs query) and the first error line itself, not
+    // leave the root cause to stack-trace archaeology
+    def firstLine(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " +
+        String.valueOf(e.getMessage).takeWhile(_ != '\n')).take(300)
+    val warmupErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     try graft.core.Tables.register(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] register: $e") }
+    catch { case e: Throwable =>
+      warmupErrors("register") = firstLine(e)
+      System.err.println(s"[bench] register: $e")
+    }
     graft.core.Tables.all.foreach { t =>
       try spark.table(t).count()
-      catch { case e: Throwable => System.err.println(s"[bench] warm-up $t: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        warmupErrors(t) = firstLine(e)
+        System.err.println(s"[bench] warm-up $t: ${e.getMessage}")
+      }
     }
     // min over N runs: a single pass is at the mercy of whatever else the
     // box is doing (the r5 recorded bench was ~2.2× contaminated by machine
@@ -44,9 +57,14 @@ object Bench {
     val names = selected.keys.toSeq.sorted
     val perRun = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val queryErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 0 until runs; name <- names) {
       val t0 = System.nanoTime()
-      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { selected(name)(spark, sfDir).count() } catch { case e: Throwable =>
+        // a failed query's wall time is meaningless-fast — record the error
+        // so the artifact distinguishes "fast" from "crashed"
+        queryErrors.getOrElseUpdate(name, firstLine(e))
+      }
       perRun(name) += (System.nanoTime() - t0) / 1e9
     }
     val results = perRun.map { case (n, ts) => n -> ts.min }.toMap
@@ -58,7 +76,15 @@ object Bench {
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"times":$ts,"sf":"$sfDir"}"""
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def errObj(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""queries":$qs,"times":$ts,"warmup_errors":${errObj(warmupErrors)},""" +
+      s""""errors":${errObj(queryErrors)},"sf":"$sfDir"}"""
     // The driver captures only a tail of stdout, which truncates the
     // per-query map once it outgrows the window — persist the full map as a
     // sidecar so every registered query's timing survives for comparison.

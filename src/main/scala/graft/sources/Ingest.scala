@@ -103,16 +103,101 @@ object Ingest {
       d.withColumn(c.name, m)
     }
 
-  /** Full ingest: read → transform → strategy write via the Materializer. */
-  def run(wh: Warehouse, asset: Asset, baseDir: String = ".",
-          ctx: Materializer.Context = Materializer.Context()): Unit = {
-    val df = transform(read(wh.spark, asset, baseDir), asset)
-    val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
-    val effective = asset.copy(materialization = asset.materialization.copy(
-      typ = MaterializationType.Table,
-      strategy = Some(strategy),
-      incrementalKey = asset.parameters.get("incremental_key")
-        .orElse(asset.materialization.incrementalKey)))
-    Materializer.executeDf(wh, effective, df, ctx)
+  /** A broker-backed `source_uri`, when the asset is one (reference
+    * pkg/ingestr/operator.go:596-640 routes kafka/kinesis URIs to the
+    * streaming path). Routing rule, backward-compatible with the batch
+    * file reader:
+    *  - `jdbc:` and format-prefixed (`csv://…`) URIs are always batch;
+    *  - a `<scheme>+cdc://` URI always streams (CDC is stream-only);
+    *  - a plain `file://` URI stays batch unless `source_stream: true`
+    *    opts in (the file scheme doubles as the broker stand-in);
+    *  - any other registered stream scheme (`kafka://`, …) streams.
+    */
+  def brokerResolved(asset: Asset): Option[graft.streaming.StreamSources.Resolved] =
+    asset.parameters.get("source_uri")
+      .filterNot(_.startsWith("jdbc:"))
+      .flatMap(uri => uri.split("://", 2) match {
+        case Array(s, _) => Some((uri, s.toLowerCase))
+        case _           => scala.None
+      })
+      .flatMap { case (uri, scheme) =>
+        val cdc = scheme.endsWith("+cdc")
+        val base = scheme.stripSuffix("+cdc")
+        val streamRequested = cdc ||
+          asset.parameters.get("source_stream").exists(_.equalsIgnoreCase("true"))
+        if (Seeds.SupportedExtensions.contains(base)) scala.None
+        else if (base == "file" && !streamRequested) scala.None
+        else if (streamRequested || KnownBrokerSchemes.contains(base))
+          // streaming was asked for by name — a missing connector must
+          // surface the registry's "registered schemes" error, not fall
+          // into the batch file reader's "no filesystem for scheme kafka"
+          Some(graft.streaming.StreamSources.forUri(uri))
+        else
+          // unknown scheme: could be a registered custom broker (streams)
+          // or a remote filesystem like s3:// (batch passthrough)
+          scala.util.Try(graft.streaming.StreamSources.forUri(uri)).toOption
+      }
+
+  /** Schemes that are broker addresses by definition — even when the
+    * matching connector jar is absent (so the error names the gap). */
+  private val KnownBrokerSchemes = Set("kafka", "kinesis")
+
+  /** DDL for the broker value decoder: explicit `record_ddl` param, else
+    * derived from the asset's declared columns (the reference derives the
+    * record shape from `--columns name:type` the same way). */
+  private def recordDdlOf(asset: Asset): String =
+    asset.parameters.get("record_ddl").getOrElse {
+      val typed = asset.columns.filter(_.typ.nonEmpty)
+      require(typed.nonEmpty,
+        s"${asset.name}: broker ingest needs record_ddl or typed columns to decode values")
+      typed.map(c => s"${c.name} ${c.typ}").mkString(", ")
+    }
+
+  /** Streaming ingest: broker source → (envelope decode) → transform →
+    * CDC fold or per-micro-batch strategy write. Runs with
+    * Trigger.AvailableNow semantics — drain what the broker has, then
+    * return — which is exactly the reference's scheduled-ingestr contract
+    * (each `bruin run` copies the source's current state). */
+  def runStream(wh: Warehouse, asset: Asset,
+                resolved: graft.streaming.StreamSources.Resolved,
+                ctx: Materializer.Context = Materializer.Context()): Unit = {
+    import graft.streaming.Streams
+    val raw = resolved.source.load(wh.spark, resolved.uri,
+      Streams.sourceOptionsFor(asset.parameters))
+    // a kafka-shaped frame needs its value column decoded; an already-typed
+    // frame (the file stand-in, a pre-decoded custom source) passes through
+    val typed =
+      if (!Streams.isBrokerEnvelope(raw)) raw
+      else if (resolved.cdc) Streams.debeziumDecode(raw, recordDdlOf(asset))
+      else Streams.decodeJsonValue(raw, recordDdlOf(asset))
+    val df = transform(typed, asset)
+    if (resolved.cdc) {
+      Streams.cdcApply(wh, asset, df).awaitTermination()
+    } else {
+      val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
+      val effective = asset.copy(materialization = asset.materialization.copy(
+        typ = MaterializationType.Table,
+        strategy = Some(strategy),
+        incrementalKey = asset.parameters.get("incremental_key")
+          .orElse(asset.materialization.incrementalKey)))
+      Streams.streamingMerge(wh, effective, df).awaitTermination()
+    }
   }
+
+  /** Full ingest: read → transform → strategy write via the Materializer.
+    * Broker-backed sources route through the streaming path instead. */
+  def run(wh: Warehouse, asset: Asset, baseDir: String = ".",
+          ctx: Materializer.Context = Materializer.Context()): Unit =
+    brokerResolved(asset) match {
+      case Some(r) => runStream(wh, asset, r, ctx)
+      case scala.None =>
+        val df = transform(read(wh.spark, asset, baseDir), asset)
+        val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
+        val effective = asset.copy(materialization = asset.materialization.copy(
+          typ = MaterializationType.Table,
+          strategy = Some(strategy),
+          incrementalKey = asset.parameters.get("incremental_key")
+            .orElse(asset.materialization.incrementalKey)))
+        Materializer.executeDf(wh, effective, df, ctx)
+    }
 }

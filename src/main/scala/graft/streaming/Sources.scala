@@ -42,8 +42,12 @@ object FileEventSource extends StreamSource {
   * `kafka.*` security settings, …). */
 object KafkaEventSource extends StreamSource {
   override val scheme = "kafka"
-  override def load(spark: SparkSession, uri: java.net.URI,
-                    options: Map[String, String]): DataFrame = {
+
+  /** Pure `kafka://host:port/topic` → (bootstrap servers, topic) mapping —
+    * the connector-independent half of the kafka source, testable in
+    * jarless deployments (the jar-gated half is only the
+    * `format("kafka")` call below). */
+  def connection(uri: java.net.URI): (String, String) = {
     val topic = Option(uri.getPath).map(_.stripPrefix("/")).getOrElse("")
     require(topic.nonEmpty, s"kafka URI needs a topic path: $uri")
     // URI.getHost is null for RFC-invalid hostnames (docker underscores);
@@ -53,6 +57,12 @@ object KafkaEventSource extends StreamSource {
       case None => Option(uri.getAuthority).getOrElse(
         throw new IllegalArgumentException(s"kafka URI needs a broker host: $uri"))
     }
+    (bootstrap, topic)
+  }
+
+  override def load(spark: SparkSession, uri: java.net.URI,
+                    options: Map[String, String]): DataFrame = {
+    val (bootstrap, topic) = connection(uri)
     options.foldLeft(
       spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)

@@ -165,6 +165,37 @@ object Streams {
       .select(col("__rec.*"), col("op"), col("seq"))
   }
 
+  /** True iff `df` carries a broker record envelope — kafka's fixed output
+    * schema (binary key/value plus topic/partition/offset bookkeeping;
+    * kinesis is shape-compatible modulo naming) — rather than already-typed
+    * rows. Lets ingestion decode exactly when decoding is needed, so the
+    * same pipeline definition runs against a real broker and the file
+    * stand-in unchanged. */
+  def isBrokerEnvelope(df: DataFrame): Boolean =
+    Set("key", "value", "topic", "partition", "offset")
+      .subsetOf(df.schema.fieldNames.map(_.toLowerCase).toSet)
+
+  /** NON-CDC broker value decoder: parse each record's JSON `value` against
+    * `recordDdl` and emit the typed columns — the plain-append sibling of
+    * [[debeziumDecode]] (reference ingestr treats a non-CDC broker topic as
+    * a stream of plain records, pkg/ingestr/operator.go:596-640). A pure
+    * from_json projection (codegen, no shuffle, no state); rows whose value
+    * is NULL or unparseable are dropped rather than landing as all-NULL
+    * rows. */
+  def decodeJsonValue(raw: DataFrame, recordDdl: String,
+                      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val schema = DataType.fromDDL(s"STRUCT<$recordDdl>").asInstanceOf[StructType]
+    // PERMISSIVE from_json renders malformed input as an all-NULL struct,
+    // not a NULL struct — require at least one populated field to keep a row
+    val populated = schema.fieldNames
+      .map(f => col(s"__rec.$f").isNotNull).reduce(_ || _)
+    raw
+      .withColumn("__rec", from_json(col(valueCol).cast("string"), schema))
+      .where(col("__rec").isNotNull && populated)
+      .select(col("__rec.*"))
+  }
+
   /** Stateful streaming dedup (exactly-once consumption of an
     * at-least-once feed): watermark-bounded duplicate drop on the event id.
     * dropDuplicatesWithinWatermark keeps state only inside the watermark

@@ -795,6 +795,96 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("kafka connection mapping is pure and jar-independent") {
+    import graft.streaming.KafkaEventSource.connection
+    def uri(s: String) = java.net.URI.create(s)
+    assert(connection(uri("kafka://broker1:9093/clicks")) == ("broker1:9093", "clicks"))
+    // port defaults to 9092
+    assert(connection(uri("kafka://broker1/clicks")) == ("broker1:9092", "clicks"))
+    // RFC-invalid hostnames (docker underscores) fall back to the raw authority
+    assert(connection(uri("kafka://my_broker:9092/t")) == ("my_broker:9092", "t"))
+    // a missing topic is a loud error
+    intercept[IllegalArgumentException](connection(uri("kafka://h:9092")))
+    intercept[IllegalArgumentException](connection(uri("kafka://h:9092/")))
+  }
+
+  test("broker ingest: envelope decode, routing rules, end-to-end stream paths") {
+    import spark.implicits._
+    import graft.sources.Ingest
+    import graft.streaming.{StreamSource, StreamSources}
+
+    // kafka's fixed output shape, built by hand (what format("kafka") yields)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def env(values: Seq[String]) = values.zipWithIndex.map { case (v, i) =>
+      (s"k$i".getBytes("UTF-8"), v.getBytes("UTF-8"), "t", 0, i.toLong, ts, 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+    val plainEnv = env(Seq(
+      """{"id": 1, "v": "one"}""", """{"id": 2, "v": "two"}""", "not json"))
+    assert(Streams.isBrokerEnvelope(plainEnv))
+    assert(!Streams.isBrokerEnvelope(spark.range(3).toDF("id")))
+    val dec = Streams.decodeJsonValue(plainEnv, "id INT, v STRING")
+    assert(dec.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "one"), (2, "two"))) // malformed value dropped, not landed as NULLs
+
+    // routing: batch URIs stay batch, streams are explicit or broker-schemed
+    def asset0(params: (String, String)*) =
+      Asset(name = "x", parameters = params.toMap)
+    assert(Ingest.brokerResolved(asset0("source_uri" -> "jdbc:derby:memory:x")).isEmpty)
+    assert(Ingest.brokerResolved(asset0("source_uri" -> "csv://data/x.txt")).isEmpty)
+    assert(Ingest.brokerResolved(asset0("source_uri" -> "/plain/path.parquet")).isEmpty)
+    assert(Ingest.brokerResolved(asset0("source_uri" -> "s3://bucket/x.parquet")).isEmpty)
+    assert(Ingest.brokerResolved(asset0("source_uri" -> "file:///x.parquet")).isEmpty)
+    assert(Ingest.brokerResolved(asset0(
+      "source_uri" -> "file:///x.parquet", "source_stream" -> "true")).nonEmpty)
+    assert(Ingest.brokerResolved(asset0("source_uri" -> "file+cdc:///x.parquet"))
+      .exists(_.cdc))
+    if (!StreamSources.kafkaConnectorPresent) {
+      // jarless: a kafka URI must surface the registry's error, not fall
+      // through to the batch file reader's "no filesystem for scheme kafka"
+      val err = intercept[IllegalArgumentException](
+        Ingest.brokerResolved(asset0("source_uri" -> "kafka://h:9092/t")))
+      assert(err.getMessage.contains("registered:"))
+    }
+
+    // end-to-end over a registered mock broker serving the kafka shape —
+    // everything the kafka path runs except the jar-gated format() call
+    val stage = java.nio.file.Files.createTempDirectory("mockkafka").toString
+    plainEnv.write.mode("overwrite").parquet(s"$stage/plain")
+    val cdcValues = Seq(
+      """{"after": {"id": 1, "v": "a"}, "op": "c", "ts_ms": 1, "source": {"lsn": 10, "ts_ms": 1}}""",
+      """{"after": {"id": 2, "v": "b"}, "op": "c", "ts_ms": 2, "source": {"lsn": 11, "ts_ms": 2}}""",
+      """{"after": {"id": 1, "v": "a2"}, "op": "u", "ts_ms": 3, "source": {"lsn": 12, "ts_ms": 3}}""",
+      """{"before": {"id": 2, "v": "b"}, "op": "d", "ts_ms": 4, "source": {"lsn": 13, "ts_ms": 4}}""")
+    env(cdcValues).write.mode("overwrite").parquet(s"$stage/cdc")
+    val mock = new StreamSource {
+      override val scheme = "mockkafka"
+      override def load(s: org.apache.spark.sql.SparkSession, uri: java.net.URI,
+                        options: Map[String, String]) =
+        s.readStream.schema(plainEnv.schema).parquet(s"$stage${uri.getPath}")
+    }
+    StreamSources.register(mock)
+
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "broker_tgt")
+    Ingest.run(wh, Asset(name = "broker_tgt", assetType = AssetType.Ingest,
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")),
+      parameters = Map("source_uri" -> "mockkafka://broker/plain",
+        "incremental_strategy" -> "append")))
+    assert(spark.table("broker_tgt").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "one"), (2, "two")))
+
+    // `+cdc` routes the same envelope through debezium decode + the CDC fold
+    SessionCatalogWarehouse.dropAny(spark, "broker_cdc_tgt")
+    SessionCatalogWarehouse.dropAny(spark, "broker_cdc_tgt__cdc_state")
+    Ingest.run(wh, Asset(name = "broker_cdc_tgt", assetType = AssetType.Ingest,
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")),
+      parameters = Map("source_uri" -> "mockkafka+cdc://broker/cdc")))
+    // key 1 upserted to its latest image, key 2 deleted
+    assert(spark.table("broker_cdc_tgt").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a2")))
+  }
+
   test("debezium decode: wrapped/bare envelopes, op mapping, junk dropped") {
     import spark.implicits._
     val rows = Seq(

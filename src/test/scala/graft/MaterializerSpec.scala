@@ -375,7 +375,21 @@ class MaterializerSpec extends AnyFunSuite {
     // `graft clean` reaps the orphan, not the live generation (--grace 0:
     // the default 15-minute window exists to protect in-flight writes)
     assert(Main.run(Seq("clean", "--grace", "0"), Some(spark)) == 0)
-    assert(!spark.catalog.tableExists(s"$name${SessionCatalogWarehouse.GenSep}deadbeef"))
+    // observed flaky once under heavy host load (r9): on failure, dump the
+    // catalog state clean saw so the next occurrence self-explains
+    withClue {
+      import scala.jdk.CollectionConverters._
+      val gens = spark.catalog.listDatabases().collectAsList().asScala.flatMap(db =>
+        spark.catalog.listTables(db.name).collectAsList().asScala
+          .filter(_.name.contains(SessionCatalogWarehouse.GenSep))
+          .map(t => s"${db.name}.${t.name} (type=${t.tableType})"))
+      s"currentDatabase=${spark.catalog.currentDatabase} " +
+        s"nanoTime=${System.nanoTime()} " +
+        s"backing=${SessionCatalogWarehouse.backingTable(spark, name)} " +
+        s"generations=[${gens.mkString(", ")}] "
+    } {
+      assert(!spark.catalog.tableExists(s"$name${SessionCatalogWarehouse.GenSep}deadbeef"))
+    }
     assert(spark.table(name).count() == 5)
 
     // a replace swaps generations atomically and reaps the old one
