@@ -1279,6 +1279,23 @@ object DataOpsQueries {
     (s, _) => graft.ops.Sketches.distinctRollup(s.table("events"),
       "event_type", "user_id"))
 
+  /** Exact corpus heavy-hitter words at phi=0.002 via the two-phase
+    * Misra–Gries candidates → broadcast exact-verify plan; the oracle is
+    * the naive full GROUP BY + HAVING (identical output, very different
+    * shuffle volume at scale). */
+  val heavyHittersQ: OQ = OQ.df("sketch_heavy_hitters",
+    (s, _) => graft.ops.Sketches.heavyHitters(
+      s.table("documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .where(col("word") =!= ""),
+      itemCol = "word", phi = 0.002)
+      .selectExpr("item AS word", "CAST(n AS BIGINT) AS n"),
+    s"""WITH w AS (SELECT unnest(string_split($NORM, ' ')) AS word FROM documents),
+       |nz AS (SELECT word FROM w WHERE word <> ''),
+       |tot AS (SELECT count(*) AS n FROM nz)
+       |SELECT word, count(*) AS n FROM nz GROUP BY 1
+       |HAVING count(*) >= CAST(ceil(0.002 * (SELECT n FROM tot)) AS BIGINT)""".stripMargin)
+
   /** PQ encode + ADC search: learned codebooks have no SQL form — codes,
     * reconstruction error and ADC recall are witness-tested in DataOpsSpec;
     * timing tracked per round. */
@@ -1343,7 +1360,7 @@ object DataOpsQueries {
     simhash, dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
-    mmFeatures, mmFrames, mmResize)
+    mmFeatures, mmFrames, mmResize, heavyHittersQ)
 
   /** Bloom-guarded membership dedup: filter bits are not SQL-replayable,
     * so no oracle — exact-mode equivalence to the plain anti-join and

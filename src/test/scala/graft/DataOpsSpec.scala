@@ -1651,4 +1651,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(cachedCount() == before,
       s"ccnetBucketsScoped leaked a persist: $before -> ${cachedCount()}")
   }
+
+  test("heavy hitters: exact equality with naive counting on skewed data") {
+    import spark.implicits._
+    // Zipf-ish: item i appears ceil(3000/i) times, i = 1..300 — a long tail
+    // around sharp heads, spread over many partitions so the per-partition
+    // Misra–Gries summaries genuinely merge
+    val rows = (1 to 300).flatMap(i => Seq.fill(math.ceil(3000.0 / i).toInt)(s"item$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("item").repartition(16)
+    def naive(phi: Double): Set[(String, Long)] = {
+      val n = rows.size
+      val min = math.ceil(phi * n).toLong
+      df.groupBy("item").count().where($"count" >= min)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    for (phi <- Seq(0.05, 0.01, 0.002)) {
+      val got = graft.ops.Sketches.heavyHitters(df, "item", phi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == naive(phi), s"phi=$phi mismatch")
+      assert(got.nonEmpty, s"phi=$phi degenerate fixture")
+    }
+    // nulls are excluded from both the stream and the total
+    val withNulls = df.unionByName(Seq.fill(500)(
+      scala.Option.empty[String]).toDF("item"))
+    assert(graft.ops.Sketches.heavyHitters(withNulls, "item", 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == naive(0.05))
+    // empty input yields an empty result, not a crash
+    assert(graft.ops.Sketches.heavyHitters(
+      df.where($"item" === "nope"), "item", 0.1).count() == 0)
+  }
 }

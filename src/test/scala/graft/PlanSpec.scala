@@ -69,6 +69,17 @@ class PlanSpec extends AnyFunSuite {
       "train side must stream against a broadcast eval side")
   }
 
+  test("heavy hitters verify only broadcast candidates — no distinct-item shuffle") {
+    val p = planOf("sketch_heavy_hitters")
+    // the exact-count pass must semi-join the word stream against the
+    // BROADCAST Misra–Gries candidate set before aggregating; a plain
+    // groupBy over the raw stream would shuffle every distinct item
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"word stream must prefilter against broadcast candidates:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the candidate set must broadcast, never sort-merge:\n$p")
+  }
+
   test("capped jaccard subtracts heavy grams before any gram self-join") {
     val p = planOf("dedup_ngram_jaccard")
     // the boilerplate blowup guard: every gram-keyed self-join input must
