@@ -346,11 +346,13 @@ object Similarity {
   def semanticNearDup(emb: DataFrame, threshold: Double = 0.95, nlist: Int = 16,
                       probes: Int = 1,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+                      iterations: Int = 5, maxTrainSample: Int = 10000,
+                      prebuilt: Option[Array[Array[Float]]] = scala.None): DataFrame = {
     require(probes >= 1 && probes <= nlist, "probes must be in [1, nlist]")
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample)
+    val centroids = prebuilt.getOrElse(
+      ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample))
     val bc = spark.sparkContext.broadcast(centroids)
     // one shuffle: vectors to their probe clusters; each cluster scores its
     // pair space with the same primitive kernels (and the same rounded
@@ -384,11 +386,12 @@ object Similarity {
     * exposed for cluster statistics and balanced sampling. */
   def clusterAssign(emb: DataFrame, nlist: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+                    iterations: Int = 5, maxTrainSample: Int = 10000,
+                    prebuilt: Option[Array[Array[Float]]] = scala.None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample))
+    val bc = spark.sparkContext.broadcast(prebuilt.getOrElse(
+      ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample)))
     vecs(emb, idCol, vecCol)
       .map { case (id, v) =>
         val cs = bc.value
@@ -425,7 +428,15 @@ object Similarity {
     * standard IVF practice and keeps driver memory constant regardless of
     * corpus size; assignment and search stay fully distributed). Cosine
     * geometry: vectors are L2-normalized before clustering. Deterministic:
-    * sample = lowest ids, init = first distinct vectors. */
+    * sample = lowest ids, init = first distinct vectors.
+    *
+    * The returned array is the BUILD-ONCE index artifact (same pattern as
+    * [[graft.ops.Dedup.buildCorpusBloom]]): train the quantizer on the
+    * corpus once, then pass it as `prebuilt` to [[ivfTopK]] /
+    * [[clusterAssign]] / [[semanticNearDup]] for every later batch or
+    * query set — at scale, retraining per call costs a corpus sample +
+    * k-means each time and silently shifts cluster boundaries between
+    * calls; a pinned quantizer keeps assignments comparable across runs. */
   def ivfCentroids(emb: DataFrame, nlist: Int, idCol: String = "vec_id",
                    vecCol: String = "embedding", iterations: Int = 5,
                    maxTrainSample: Int = 10000): Array[Array[Float]] = {
@@ -485,10 +496,12 @@ object Similarity {
     * trade. Scale nlist ∝ √corpus to keep lists constant-sized. */
   def ivfTopK(emb: DataFrame, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              iterations: Int = 5, maxTrainSample: Int = 10000): DataFrame = {
+              iterations: Int = 5, maxTrainSample: Int = 10000,
+              prebuilt: Option[Array[Array[Float]]] = scala.None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample)
+    val centroids = prebuilt.getOrElse(
+      ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample))
     val bc = spark.sparkContext.broadcast(centroids)
     val base = vecs(emb, idCol, vecCol)
     // members: one list per vector

@@ -1652,6 +1652,27 @@ class DataOpsSpec extends AnyFunSuite {
       s"ccnetBucketsScoped leaked a persist: $before -> ${cachedCount()}")
   }
 
+  test("IVF quantizer is a build-once artifact: prebuilt centroids reproduce inline training") {
+    val centroids = Similarity.ivfCentroids(emb, nlist = 16)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // same corpus: passing the artifact equals training inline
+    assert(key(Similarity.ivfTopK(emb, 5, nlist = 16, nprobe = 4,
+        prebuilt = Some(centroids))) ==
+      key(Similarity.ivfTopK(emb, 5, nlist = 16, nprobe = 4)))
+    assert(key(Similarity.clusterAssign(emb, nlist = 16, prebuilt = Some(centroids))) ==
+      key(Similarity.clusterAssign(emb, nlist = 16)))
+    // a NEW batch assigns against the corpus-trained quantizer without
+    // retraining — the per-batch production path; boundaries stay pinned
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val viaArtifact = Similarity.clusterAssign(batch, nlist = 16,
+      prebuilt = Some(centroids))
+    val fromCorpus = Similarity.clusterAssign(emb, nlist = 16,
+      prebuilt = Some(centroids)).where(col("vec_id") % 7 === 0)
+    assert(key(viaArtifact) == key(fromCorpus),
+      "batch assignment must equal the corpus assignment restricted to the batch")
+  }
+
   test("heavy hitters: exact equality with naive counting on skewed data") {
     import spark.implicits._
     // Zipf-ish: item i appears ceil(3000/i) times, i = 1..300 — a long tail
