@@ -78,6 +78,27 @@ object Tables {
       // rejects it otherwise); harmless for micros-typed files
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       eventTimeNormalize(spark.read.parquet(s"$dir/$table.parquet"))
+    } else if (table == "embeddings") {
+      embeddingNormalize(spark.read.parquet(s"$dir/$table.parquet"))
     } else spark.read.parquet(s"$dir/$table.parquet")
+  }
+
+  /** Normalize an embedding column to array<float> WHATEVER element type
+    * the file carries (same contract as [[eventTimeNormalize]]: the engine
+    * sniffs physical types per file instead of assuming a writer's choice
+    * — r8's testdata regeneration turned that assumption into a
+    * board-wide crash for events). The vector kernels are float-typed
+    * (`Dataset[(Long, Array[Float])]`), so a list<double> or list<int>
+    * re-generation must down-cast at the scan, not ClassCastException in
+    * every ANN operator. */
+  def embeddingNormalize(df: DataFrame, colName: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) => df
+      case Some(ArrayType(_, _)) =>
+        df.withColumn(colName, col(colName).cast("array<float>"))
+      case _ => df
+    }
   }
 }

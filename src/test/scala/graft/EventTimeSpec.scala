@@ -96,6 +96,33 @@ class EventTimeSpec extends AnyFunSuite {
     assert(results.head == results(1), s"variants disagree: $results")
   }
 
+  test("embeddingNormalize maps double/int element parquet to the float kernels' type") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.6f, 0.8f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0))
+    val float = spark.createDataFrame(vecs).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.cosineTopK(graft.core.Tables.embeddingNormalize(df), k = 1)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = run(float)
+    assert(expect.nonEmpty)
+    // a regenerated file with list<double> elements (r8's failure mode for
+    // events, replayed on embeddings) must down-cast at the scan, not CCE
+    // inside every ANN kernel
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-double").toString
+    float.withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(dir)
+    val doubled = spark.read.parquet(dir)
+    assert(doubled.schema("embedding").dataType == ArrayType(DoubleType, true))
+    assert(graft.core.Tables.embeddingNormalize(doubled)
+      .schema("embedding").dataType == ArrayType(FloatType, true))
+    assert(run(doubled) == expect)
+    // already-float files pass through untouched (no redundant cast node)
+    assert(graft.core.Tables.embeddingNormalize(float) eq float)
+  }
+
   test("one unreadable table registers the rest instead of poisoning them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-badtbl")
     for (t <- graft.core.Tables.all if t != "events")
