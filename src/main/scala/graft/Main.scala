@@ -83,7 +83,7 @@ object Main {
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     val boolFlags = Set("--full-refresh", "--no-validation", "--continue",
       "--downstream", "--push-metadata", "--check", "--dry-run", "--in-place",
-      "--no-columns")
+      "--no-columns", "--stream")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -157,6 +157,26 @@ object Main {
       sensorMode = flags("sensor-mode").lastOption,
       environment = environment,
       pushMetadata = flags.contains("push-metadata"))
+    // --stream: run exactly ONE streaming asset in the foreground until
+    // interrupted (reference cmd/run.go:918-946). A stream never finishes,
+    // so flags that assume a finite multi-asset batch run are rejected.
+    if (flags.contains("stream")) {
+      for (bad <- Seq("downstream", "continue", "full-refresh", "sensor-mode",
+                      "push-metadata") if flags.contains(bad)) {
+        System.err.println(s"graft: --stream cannot be combined with --$bad")
+        return 2
+      }
+      val named = flags("select") ++ pos.drop(1)
+      if (named.size != 1) {
+        System.err.println("graft: --stream requires exactly one asset, " +
+          "e.g. graft run <dir> --stream --select my.stream_asset")
+        return 2
+      }
+      return try { runner.runStreamForeground(pipeline, named.head); 0 }
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"graft: ${e.getMessage}"); 2
+      }
+    }
     // --downstream: selected assets also pull their transitive downstream
     val terms = if (!flags.contains("downstream")) flags("select")
       else flags("select").map(t =>

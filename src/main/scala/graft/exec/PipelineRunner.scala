@@ -179,6 +179,28 @@ final class PipelineRunner(
   /** Resolve `source_connection` through the environment's connections into
     * the concrete source_uri + reader options (reference
     * ingestruri.ForConnection, pkg/ingestr/operator.go:213-220). */
+  /** `run --stream` (reference cmd/run.go:918-946): run exactly ONE
+    * broker/CDC streaming asset in the FOREGROUND. The asset's
+    * `flush_interval` becomes a continuous ProcessingTime trigger, so the
+    * call blocks until the streaming query is stopped or the process is
+    * interrupted (without `flush_interval` the source drains once and
+    * returns). Checks and metadata push are skipped — a stream never
+    * "succeeds", so they would run against a moving table. */
+  def runStreamForeground(pipeline: Pipeline, assetName: String): Unit = {
+    val asset = pipeline.asset(assetName).getOrElse(
+      throw new IllegalArgumentException(s"no such asset: $assetName"))
+    val rename = renameMap(pipeline)
+    val target = if (rename.isEmpty) asset else asset.copy(name = physical(asset.name))
+    val connected = resolveConnection(target)
+    val resolved = graft.sources.Ingest.brokerResolved(connected).getOrElse(
+      throw new IllegalArgumentException(
+        s"${asset.name} is not a streaming asset; --stream requires a " +
+          "broker/CDC source_uri (kafka://…, <scheme>+cdc://…, or " +
+          "source_stream: true on a file source)"))
+    graft.sources.Ingest.runStream(warehouse, connected, resolved,
+      matContext(asset), foreground = true)
+  }
+
   private def resolveConnection(asset: Asset): Asset =
     asset.parameters.get("source_connection") match {
       case scala.None => asset

@@ -154,13 +154,18 @@ object Ingest {
     }
 
   /** Streaming ingest: broker source → (envelope decode) → transform →
-    * CDC fold or per-micro-batch strategy write. Runs with
-    * Trigger.AvailableNow semantics — drain what the broker has, then
-    * return — which is exactly the reference's scheduled-ingestr contract
-    * (each `bruin run` copies the source's current state). */
+    * CDC fold or per-micro-batch strategy write. The default (no
+    * `foreground`) runs with Trigger.AvailableNow semantics — drain what
+    * the broker has, then return — which is exactly the reference's
+    * scheduled-ingestr contract (each `bruin run` copies the source's
+    * current state). `foreground = true` is the `run --stream` mode: the
+    * asset's `flush_interval` becomes a ProcessingTime trigger and the
+    * call blocks until the query is stopped or the process interrupted
+    * (reference cmd/run.go:918-946). */
   def runStream(wh: Warehouse, asset: Asset,
                 resolved: graft.streaming.StreamSources.Resolved,
-                ctx: Materializer.Context = Materializer.Context()): Unit = {
+                ctx: Materializer.Context = Materializer.Context(),
+                foreground: Boolean = false): Unit = {
     import graft.streaming.Streams
     val raw = resolved.source.load(wh.spark, resolved.uri,
       Streams.sourceOptionsFor(asset.parameters))
@@ -171,8 +176,11 @@ object Ingest {
       else if (resolved.cdc) Streams.debeziumDecode(raw, recordDdlOf(asset))
       else Streams.decodeJsonValue(raw, recordDdlOf(asset))
     val df = transform(typed, asset)
+    val trigger =
+      if (foreground) Streams.triggerFor(asset.parameters)
+      else org.apache.spark.sql.streaming.Trigger.AvailableNow()
     if (resolved.cdc) {
-      Streams.cdcApply(wh, asset, df).awaitTermination()
+      Streams.cdcApply(wh, asset, df, trigger = trigger).awaitTermination()
     } else {
       val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
       val effective = asset.copy(materialization = asset.materialization.copy(
@@ -180,7 +188,7 @@ object Ingest {
         strategy = Some(strategy),
         incrementalKey = asset.parameters.get("incremental_key")
           .orElse(asset.materialization.incrementalKey)))
-      Streams.streamingMerge(wh, effective, df).awaitTermination()
+      Streams.streamingMerge(wh, effective, df, trigger = trigger).awaitTermination()
     }
   }
 

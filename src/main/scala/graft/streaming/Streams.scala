@@ -281,15 +281,18 @@ object Streams {
 
   /** CDC-style streaming merge: each micro-batch upserts into the target via
     * the merge materializer (foreachBatch; reference auto-selects
-    * strategy=merge for CDC sources, ingestr/operator.go:229-324). */
-  def streamingMerge(wh: Warehouse, asset: Asset, events: DataFrame): StreamingQuery =
+    * strategy=merge for CDC sources, ingestr/operator.go:229-324). The
+    * default AvailableNow trigger drains-and-returns (the scheduled-run
+    * contract); pass ProcessingTime for a foreground `run --stream`. */
+  def streamingMerge(wh: Warehouse, asset: Asset, events: DataFrame,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // the batch lives in a cloned session — hand the DataFrame itself to
         // the materializer instead of going through a temp-view name
         Materializer.executeDf(wh, asset, batch)
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** How a CDC micro-batch's winning changes fold into the per-key state
@@ -649,7 +652,8 @@ object Streams {
     * (see [[CdcStateWriter]]). */
   def cdcApply(wh: Warehouse, asset: Asset, events: DataFrame,
                opCol: String = "op", seqCol: String = "seq",
-               writer: CdcStateWriter = AutoStateWriter): StreamingQuery = {
+               writer: CdcStateWriter = AutoStateWriter,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val pks = asset.primaryKeys
     require(pks.nonEmpty, s"${asset.name}: CDC apply needs primary_key columns")
     // default: the OVERLAY writer — incremental AND atomic (the property
@@ -714,7 +718,7 @@ object Streams {
         }
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 

@@ -207,4 +207,73 @@ class CliSpec extends AnyFunSuite {
     assert(text.contains("PARTITIONED BY (d)"))
     assert(Main.run(Seq("render-ddl", dir.toString, "nope"), Some(spark)) == 1)
   }
+
+  // ---- run --stream --------------------------------------------------------
+
+  test("run --stream validates usage and runs one broker asset in foreground") {
+    import spark.implicits._
+    // a kafka-shaped staged feed behind a registered mock broker scheme
+    val stage = tmpDir("graft-fg-feed")
+    val env = Seq("""{"id": 1, "v": "one"}""", """{"id": 2, "v": "two"}""")
+      .zipWithIndex.map { case (v, i) =>
+        (s"k$i".getBytes("UTF-8"), v.getBytes("UTF-8"), "t", 0, i.toLong,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0)
+      }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    env.write.mode("overwrite").parquet(stage.resolve("feed").toString)
+    graft.streaming.StreamSources.register(new graft.streaming.StreamSource {
+      override val scheme = "mockfg"
+      override def load(s: org.apache.spark.sql.SparkSession, uri: java.net.URI,
+                        options: Map[String, String]) =
+        s.readStream.schema(env.schema).parquet(s"$stage${uri.getPath}")
+    })
+
+    val dir = tmpDir("graft-fg-pipe")
+    val assets = dir.resolve("assets")
+    Files.createDirectories(assets)
+    Files.writeString(dir.resolve("pipeline.yml"), "name: streampipe\n")
+    Files.writeString(assets.resolve("feed.asset.yml"),
+      """name: fg_stream_tgt
+        |type: ingest
+        |parameters:
+        |  source_uri: mockfg://broker/feed
+        |  incremental_strategy: append
+        |  flush_interval: 1 second
+        |columns:
+        |  - name: id
+        |    type: INT
+        |  - name: v
+        |    type: STRING
+        |""".stripMargin)
+    Files.writeString(assets.resolve("batch.sql"),
+      "/* @bruin\nname: fg_batch\n@bruin */\nSELECT 1 AS one\n")
+
+    // usage errors, reference cmd/run.go:918-946: finite-batch flags and
+    // non-streaming or ambiguous selections are rejected up front
+    assert(Main.run(Seq("run", dir.toString, "--stream", "--downstream",
+      "--select", "fg_stream_tgt"), Some(spark)) == 2)
+    assert(Main.run(Seq("run", dir.toString, "--stream"), Some(spark)) == 2)
+    assert(Main.run(Seq("run", dir.toString, "--stream",
+      "--select", "fg_batch"), Some(spark)) == 2)
+
+    // foreground mode: flush_interval → ProcessingTime trigger, blocks until
+    // the query is stopped (a user's ctrl-C); assert rows landed, then stop
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "fg_stream_tgt")
+    val before = spark.streams.active.map(_.id).toSet
+    val rc = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val t = new Thread(() => rc.set(
+      Main.run(Seq("run", dir.toString, "--stream", "--select", "fg_stream_tgt"),
+        Some(spark))))
+    t.start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def landed(): Boolean =
+      try spark.table("fg_stream_tgt").count() == 2 catch { case _: Exception => false }
+    while (!landed() && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(landed(), "foreground stream never landed its rows")
+    assert(t.isAlive, "a continuous-trigger stream must not self-terminate")
+    spark.streams.active.filterNot(q => before(q.id)).foreach(_.stop())
+    t.join(30000)
+    assert(!t.isAlive && rc.get() == 0, s"foreground run should exit 0 after stop, got ${rc.get()}")
+    assert(spark.table("fg_stream_tgt").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "one"), (2, "two")))
+  }
 }
