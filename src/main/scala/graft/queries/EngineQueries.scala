@@ -343,6 +343,42 @@ object EngineQueries {
          |  CAST(sum(l) AS BIGINT) AS total_norm_chars FROM fresh""".stripMargin)
   }
 
+  /** The text battery runs UNCHANGED on a document stream: the Gopher rule
+    * gate is a pure projection (its zero-exchange property is PlanSpec-
+    * pinned on the batch side), so the same expressions gate each streaming
+    * micro-batch at scan speed — no state, no shuffle before the sink. The
+    * oracle replays identical gating over the batch table; parity proves
+    * stream and batch curation agree verdict-for-verdict. */
+  val streamQualityGate: OQ = {
+    val stops = graft.ops.TextAnalysis.Stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    OQ.df("stream_quality_gate",
+      (s, dir) => {
+        s.sql("DROP TABLE IF EXISTS g_stream_gate_sink")
+        val incoming = Streams.docStream(s, s"$dir/documents.parquet")
+        val gated = graft.ops.TextAnalysis.gopherFilter(incoming)
+          .select(col("doc_id"), col("lang"), col("passes_gopher"))
+        Streams.runAppendToTable(s, gated, "g_stream_gate_sink",
+          checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-gate-cp").toString))
+        s.table("g_stream_gate_sink")
+          .groupBy("lang", "passes_gopher")
+          .agg(count(lit(1)).cast("long").as("n"))
+      },
+      s"""WITH w AS (SELECT doc_id, lang, text, string_split($norm, ' ') AS ws FROM documents),
+         |m AS (SELECT doc_id, lang, len(ws) AS n_words,
+         |  round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / len(ws), 6) AS mwl,
+         |  len(list_filter(ws, x -> list_contains($stops, x))) AS nsh,
+         |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 6) AS af,
+         |  round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws), 6) AS sr
+         |  FROM w)
+         |SELECT lang,
+         |  ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         |    AND nsh >= 2 AND af >= 0.8 AND sr <= 0.1) AS passes_gopher,
+         |  count(*) AS n
+         |FROM m GROUP BY 1, 2""".stripMargin)
+  }
+
   /** Custom-state streaming sessionizer end-to-end, with the end-of-input
     * flush: EVERY event in the feed must land in exactly one emitted visit
     * (the oracle is total batch sessionization — same `>` gap rule as
@@ -540,6 +576,7 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
-    streamDedup, streamEnriched, streamCorpusDedup, streamCdc, streamCdcBucketed,
+    streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
+    streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }
