@@ -62,6 +62,7 @@ object Main {
         println(graft.model.JsonDump.pipeline(
           AssetParser.loadPipeline(pos.headOption.getOrElse(".")))); 0
       case Some("clean")        => cmdClean(spark, flags)
+      case Some("compact")      => cmdCompact(spark, flags, pos)
       case Some("init")         => graft.cli.ProjectCli.cmdInit(flags, pos)
       case Some("connections")  => graft.cli.ProjectCli.cmdConnections(flags, pos)
       case Some("import")       => graft.cli.ProjectCli.cmdImport(spark, flags, pos)
@@ -70,7 +71,7 @@ object Main {
       case _ =>
         System.err.println(
           "usage: graft run|render|render-ddl|lint|query|unit-test|lineage|data-diff|" +
-            "environments|format|docs|parse-pipeline|clean|init|connections|import|patch …")
+            "environments|format|docs|parse-pipeline|clean|compact|init|connections|import|patch …")
         2
     }
   }
@@ -451,6 +452,32 @@ object Main {
     }
     println(s"dropped $dropped abandoned staging/generation table(s)")
     0
+  }
+
+  // ---- compact ------------------------------------------------------------
+
+  /** `graft compact <table>... [--target-mb N]` — merge a table's small
+    * files into ~N-MiB files (default 128) through the atomic generation
+    * swap. The warehouse-maintenance sibling of `clean`: append/merge/
+    * streaming sinks accrete writer-sized slivers; this rewrites them
+    * reader-sized. */
+  private def cmdCompact(spark: SparkSession, flags: Map[String, Seq[String]],
+                         pos: Seq[String]): Int = {
+    if (pos.isEmpty) {
+      System.err.println("graft: compact requires at least one table name")
+      return 2
+    }
+    val targetBytes =
+      flags("target-mb").lastOption.map(_.toLong).getOrElse(128L) << 20
+    val wh = new graft.materialize.SessionCatalogWarehouse(spark)
+    var rc = 0
+    pos.foreach { t =>
+      try println(graft.materialize.Compactor.compact(wh, t, targetBytes).pretty)
+      catch { case e: Exception =>
+        System.err.println(s"graft: compact $t failed: ${e.getMessage}"); rc = 1
+      }
+    }
+    rc
   }
 
   // ---- environments -------------------------------------------------------

@@ -1,0 +1,75 @@
+package graft.materialize
+
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction — the warehouse-side maintenance the reference
+  * delegates to its backing engines but a Spark-native warehouse must own
+  * (the analogue of Delta's OPTIMIZE / Iceberg's rewrite_data_files).
+  *
+  * Every append-shaped strategy (append, merge batches, streaming
+  * foreachBatch sinks, CDC overlay folds) accretes files sized by the
+  * WRITER's parallelism, not by what readers want: a thousand micro-batches
+  * leave a thousand slivers, and at scale every scan then pays file-open +
+  * footer-read + scheduling per sliver. Compaction rewrites the table into
+  * ⌈bytes / target⌉ right-sized files.
+  *
+  * The rewrite rides the generation machinery: read through the view (the
+  * OLD generation), write the compacted copy as a NEW generation, one
+  * atomic view repoint — readers never see a partial rewrite, and a crash
+  * mid-compaction leaves the original serving (`graft clean` sweeps the
+  * torn copy). Partitioned tables repartition BY their partition columns so
+  * each partition directory's slivers merge without breaking the layout.
+  *
+  * File inventory is a driver-side listing (paths from the scan's own
+  * `inputFiles`, sizes from one FS status call per file) — the same
+  * metadata the catalog reads to plan any scan of the table, not a data
+  * pass.
+  */
+object Compactor {
+
+  final case class Stats(table: String, filesBefore: Int, bytesBefore: Long,
+                         filesAfter: Int, rewritten: Boolean) {
+    def pretty: String =
+      if (rewritten)
+        f"$table: $filesBefore files (${bytesBefore / 1048576.0}%.1f MiB) -> $filesAfter files"
+      else
+        s"$table: $filesBefore files already within target, not rewritten"
+  }
+
+  /** Rewrite `name` into ~⌈bytes/targetBytes⌉ files if it currently has
+    * more; no-op (and no write) when the table is already within target. */
+  def compact(wh: Warehouse, name: String,
+              targetBytes: Long = 128L << 20): Stats = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val spark = wh.spark
+    val target = SessionCatalogWarehouse.backingTable(spark, name).getOrElse(name)
+    val files = spark.table(target).inputFiles
+    val hconf = spark.sessionState.newHadoopConf()
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val wanted = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (files.length <= wanted)
+      return Stats(name, files.length, bytes, files.length, rewritten = false)
+    val parts = partitionColumnsOf(spark, target)
+    val df = spark.table(name) // through the view: reads the OLD generation
+    val compacted =
+      if (parts.isEmpty) df.repartition(wanted)
+      // partitioned: shuffle on the partition columns so each directory is
+      // written by few tasks — its slivers merge, the layout is unchanged
+      else df.repartition(wanted, parts.map(col): _*)
+    wh.createOrReplace(name, compacted, partitionBy = parts)
+    val after = SessionCatalogWarehouse.backingTable(spark, name).getOrElse(name)
+    Stats(name, files.length, bytes,
+      spark.table(after).inputFiles.length, rewritten = true)
+  }
+
+  private def partitionColumnsOf(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Seq[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      spark.catalog.listColumns(table).collectAsList().asScala.toSeq
+        .filter(_.isPartition).map(_.name)
+    } catch { case _: Throwable => Nil }
+}

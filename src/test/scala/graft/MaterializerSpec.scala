@@ -352,6 +352,51 @@ class MaterializerSpec extends AnyFunSuite {
     Materializer.execute(wh, asset, "SELECT explode(sequence(1, 1000)) AS n")
   }
 
+  test("compact merges small files atomically, keeps layout, no-ops when tight") {
+    import graft.materialize.Compactor
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val wh = new SessionCatalogWarehouse(spark)
+    // unpartitioned: 6 appends × 10 writer tasks = a sliver pile
+    wh.drop("compact_t")
+    wh.createOrReplace("compact_t", spark.range(0, 100).toDF("n").repartition(10))
+    (1 to 5).foreach(i =>
+      wh.append("compact_t", spark.range(i * 100L, i * 100L + 100).toDF("n").repartition(10)))
+    val before = spark.table("compact_t").inputFiles.length
+    assert(before >= 30, s"fixture should be fragmented, got $before files")
+    val stats = Compactor.compact(wh, "compact_t", targetBytes = 512L << 20)
+    assert(stats.rewritten && stats.filesBefore == before)
+    assert(stats.filesAfter <= 2, s"expected ~1 file, got ${stats.filesAfter}")
+    assert(spark.table("compact_t").count() == 600, "compaction must not lose rows")
+    // idempotent: already within target → no rewrite, no new generation
+    val gen = SessionCatalogWarehouse.backingTable(spark, "compact_t")
+    assert(!Compactor.compact(wh, "compact_t", targetBytes = 512L << 20).rewritten)
+    assert(SessionCatalogWarehouse.backingTable(spark, "compact_t") == gen)
+
+    // partitioned: slivers merge per directory, layout survives
+    wh.drop("compact_p")
+    import spark.implicits._
+    def batch(lo: Long) = spark.range(lo, lo + 100)
+      .select(col("id").as("n"), (col("id") % 2).cast("int").as("p"))
+    wh.createOrReplace("compact_p", batch(0).repartition(8), partitionBy = Seq("p"))
+    (1 to 4).foreach(i => wh.append("compact_p", batch(i * 100L).repartition(8)))
+    val pBefore = spark.table("compact_p").inputFiles.length
+    val pStats = Compactor.compact(wh, "compact_p", targetBytes = 512L << 20)
+    assert(pStats.rewritten && pStats.filesAfter < pBefore / 2)
+    val backing = SessionCatalogWarehouse.backingTable(spark, "compact_p").get
+    assert(spark.catalog.listColumns(backing).collectAsList().asScala
+      .exists(c => c.name == "p" && c.isPartition), "partition layout lost")
+    assert(spark.table("compact_p").count() == 500)
+
+    // CLI surface
+    assert(Main.run(Seq("compact", "compact_t", "compact_p", "--target-mb", "64"),
+      Some(spark)) == 0)
+    assert(Main.run(Seq("compact"), Some(spark)) == 2)
+    assert(Main.run(Seq("compact", "no_such_table_xyz"), Some(spark)) == 1)
+    SessionCatalogWarehouse.dropAny(spark, "compact_t")
+    SessionCatalogWarehouse.dropAny(spark, "compact_p")
+  }
+
   test("createOrReplace swap is atomic: no crash window without a readable table") {
     val wh = new SessionCatalogWarehouse(spark)
     val name = "swap_atomic_t"
