@@ -96,8 +96,29 @@ object Materializer {
     * `input` is by-name: the ddl strategy never evaluates its query. */
   def executeDf(wh: Warehouse, asset: Asset, input: => DataFrame, ctx: Context = Context()): Unit = {
     val name = asset.name
-    val mat = asset.materialization
-    lazy val df: DataFrame = input
+    // `cluster_strategy: zorder` upgrades cluster_by from a single-column
+    // in-partition sort to a Morton-curve layout over ALL the cluster
+    // columns (graft.ops.ZOrder) — tight parquet min/max stats on every
+    // dimension. The plain clusterBy sort is suppressed downstream: it
+    // would re-sort each partition by the first column and destroy the
+    // curve order.
+    // only for strategies that write the input's layout verbatim — merge/
+    // scd2/delete+insert rebuild and reshuffle, so a pre-layout would be
+    // paid and thrown away
+    val zorder = asset.parameters.get("cluster_strategy").contains("zorder") &&
+      asset.materialization.clusterBy.nonEmpty &&
+      asset.materialization.typ == MaterializationType.Table &&
+      Set[Strategy](Strategy.CreateReplace, Strategy.Append, Strategy.TruncateInsert)(
+        effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace))
+    val mat =
+      if (zorder) asset.materialization.copy(clusterBy = Nil)
+      else asset.materialization
+    lazy val df: DataFrame =
+      if (zorder) {
+        val files = asset.parameters.get("zorder_files").map(_.toInt).getOrElse(
+          wh.spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        graft.ops.ZOrder.cluster(input, asset.materialization.clusterBy, files)
+      } else input
 
     mat.typ match {
       case MaterializationType.None =>

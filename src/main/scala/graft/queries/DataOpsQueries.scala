@@ -1370,8 +1370,17 @@ object DataOpsQueries {
       s.table("documents"),
       s.table("documents").where(col("doc_id") % 2 === 0), fpp = 0.01))
 
+  /** Z-order layout pass over lineitem (per-dimension quantile buckets +
+    * Morton interleave + one range shuffle): layout/pruning effects are
+    * witness-tested in DataOpsSpec and MaterializerSpec (no SQL form for a
+    * row layout) — the bench key tracks the shuffle+sort cost. */
+  val zorderBench: OQ = OQ.rowsOnly("mat_zorder_cluster",
+    (s, _) => graft.ops.ZOrder.cluster(
+      s.table("lineitem").select("l_orderkey", "l_partkey", "l_extendedprice"),
+      Seq("l_orderkey", "l_partkey"), numFiles = 32))
+
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct,
-    bloomDedupBench)
+    bloomDedupBench, zorderBench)
 }

@@ -1673,6 +1673,45 @@ class DataOpsSpec extends AnyFunSuite {
       "batch assignment must equal the corpus assignment restricted to the batch")
   }
 
+  test("z-order layout prunes parquet row groups on every clustered dimension") {
+    import graft.ops.ZOrder
+    // deterministic 2-d scatter, dims INDEPENDENT (distinct hash salts —
+    // arithmetic mixes like id·p % m leave the dims correlated through id,
+    // which gifts the single-column layout accidental locality)
+    val data = spark.range(200000).select(
+      pmod(hash(col("id"), lit("x")), lit(1000)).as("x"),
+      pmod(hash(col("id"), lit("y")), lit(1000)).as("y"),
+      col("id").as("payload"))
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    ZOrder.cluster(data, Seq("x", "y"), numFiles = 64)
+      .write.mode("overwrite").parquet(s"$root/z")
+    // the single-column alternative: tight stats on x, none on y
+    data.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$root/linear")
+
+    def scannedRows(path: String, filter: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).where(filter)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val box = col("x").between(100, 120) && col("y").between(500, 520)
+    val yOnly = col("y").between(500, 520)
+    val total = 200000L
+
+    // same answers, different bytes touched
+    assert(spark.read.parquet(s"$root/z").where(box).count() ==
+      spark.read.parquet(s"$root/linear").where(box).count())
+    val zBox = scannedRows(s"$root/z", box)
+    assert(zBox < total * 3 / 10, s"z-order box scan read $zBox of $total")
+    // a y-only filter: the x-sorted layout has no y locality and reads
+    // ~everything; the z-curve keeps y locality too
+    val zY = scannedRows(s"$root/z", yOnly)
+    val linY = scannedRows(s"$root/linear", yOnly)
+    assert(linY > total * 8 / 10, s"x-linear layout should read ~all: $linY")
+    assert(zY < linY / 2, s"z-order should halve the y-scan at least: $zY vs $linY")
+  }
+
   test("heavy hitters: exact equality with naive counting on skewed data") {
     import spark.implicits._
     // Zipf-ish: item i appears ceil(3000/i) times, i = 1..300 — a long tail

@@ -352,6 +352,35 @@ class MaterializerSpec extends AnyFunSuite {
     Materializer.execute(wh, asset, "SELECT explode(sequence(1, 1000)) AS n")
   }
 
+  test("cluster_strategy zorder lays the table out for multi-column pruning") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val wh = new SessionCatalogWarehouse(spark)
+    val data = spark.range(100000).select(
+      pmod(hash(col("id"), lit("x")), lit(1000)).as("x"),
+      pmod(hash(col("id"), lit("y")), lit(1000)).as("y"))
+    def scanned(table: String): Long = {
+      val q = spark.table(table).where(col("y").between(500, 520))
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    def matAsset(name: String, params: Map[String, String]) = Asset(name = name,
+      materialization = Materialization(typ = MaterializationType.Table,
+        clusterBy = Seq("x", "y")),
+      parameters = params)
+    wh.drop("zorder_t"); wh.drop("plain_t")
+    Materializer.executeDf(wh, matAsset("zorder_t",
+      Map("cluster_strategy" -> "zorder", "zorder_files" -> "32")), data)
+    Materializer.executeDf(wh, matAsset("plain_t", Map.empty),
+      data.repartition(32))
+    assert(spark.table("zorder_t").count() == 100000)
+    val (z, p) = (scanned("zorder_t"), scanned("plain_t"))
+    assert(p > 80000, s"plain multi-column sort should read ~all on y: $p")
+    assert(z < p / 2, s"zorder should prune the y scan: $z vs $p")
+    SessionCatalogWarehouse.dropAny(spark, "zorder_t")
+    SessionCatalogWarehouse.dropAny(spark, "plain_t")
+  }
+
   test("compact merges small files atomically, keeps layout, no-ops when tight") {
     import graft.materialize.Compactor
     import scala.jdk.CollectionConverters._
