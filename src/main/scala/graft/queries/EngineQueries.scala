@@ -403,6 +403,35 @@ object EngineQueries {
       |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
       |FROM s GROUP BY user_id, sid""".stripMargin)
 
+  /** Streaming windowed heavy hitters end-to-end: the bounded-state
+    * Misra–Gries trend detector over weekly event windows. Item =
+    * floor(sqrt(user_id % 100)) — a SCALE-FREE skew (item j carries
+    * (2j+1)% of the stream at every SF), so a fixed phi stays
+    * non-degenerate as the data grows. In the oracle configuration
+    * (shards=1, k=20 ≥ 10 distinct items) the summary never decrements,
+    * so counts are exact and order-independent — the adversarial
+    * high-cardinality path (decrements, superset guarantee, count
+    * bounds) is witness-tested in EngineSpec. */
+  val streamHeavyHitters: OQ = OQ.df("stream_heavy_hitters",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_hh")
+      val item = floor(sqrt(col("user_id") % 100)).cast("long").cast("string")
+      val hits = Streams.streamingHeavyHittersComplete(
+        s, s"$dir/events.parquet", item, phi = 0.05)
+      Streams.runAppendToTable(s, hits.toDF(), "g_stream_hh",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-hh-cp").toString))
+      s.table("g_stream_hh").selectExpr(
+        "window_id", "item", "CAST(n_item AS BIGINT) AS n_item")
+    },
+    """WITH e AS (SELECT epoch_us(ts) // 604800000000 AS window_id,
+      |  CAST(CAST(floor(sqrt(user_id % 100)) AS BIGINT) AS VARCHAR) AS item
+      |  FROM events),
+      |t AS (SELECT window_id, count(*) AS n FROM e GROUP BY 1),
+      |c AS (SELECT window_id, item, count(*) AS n_item FROM e GROUP BY 1, 2)
+      |SELECT c.window_id, c.item, CAST(c.n_item AS BIGINT) AS n_item
+      |FROM c JOIN t USING (window_id)
+      |WHERE c.n_item >= CAST(ceil(0.05 * t.n) AS BIGINT)""".stripMargin)
+
   /** CDC apply end-to-end: a Debezium-shaped change feed derived from
     * `orders` — snapshot (`r`, seq 0); +100 price update (`u`, seq 2) on
     * keys %7; delete (`d`, seq 3) on keys %13; and a LATE -50 update (`u`,
@@ -577,6 +606,6 @@ object EngineQueries {
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.materialize.{Materializer, Warehouse}
@@ -827,6 +827,133 @@ object Streams {
       .unionByName(eventStream(spark, dir.toString).select(need: _*))
     userVisits(feed, gapMinutes, s"$watermarkMinutes minutes")
       .filter(_.user_id != -1L)
+  }
+
+  /** One (window, item) row emitted when its window closes: `n_item` is the
+    * Misra–Gries counter (an UNDERCOUNT by at most `max_item - n_item`),
+    * `max_item` the matching upper bound, `shard_n` the closed shard's
+    * stream size. When the group never decremented (distinct items ≤ k)
+    * the bounds coincide and counts are exact. */
+  final case class HeavyHit(window_id: Long, item: String, n_item: Long,
+                            max_item: Long, shard_n: Long)
+
+  /** STREAMING WINDOWED HEAVY HITTERS — trending items per event-time
+    * tumbling window with BOUNDED state, the streaming face of
+    * [[graft.ops.Sketches.heavyHitters]].
+    *
+    * Exact per-(window, item) streaming counts hold state ∝ distinct items
+    * per window — the thing that breaks on a high-cardinality stream. Here
+    * each (window, item-hash shard) group holds ONE Misra–Gries summary of
+    * k = ⌈1/phi⌉ counters in flatMapGroupsWithState: state is k counters
+    * per shard REGARDLESS of item cardinality, pruned by the event-time
+    * timeout when the watermark passes the window end. An item's
+    * occurrences all hash to one shard, and shard_n ≤ window_n, so every
+    * item with window frequency ≥ phi is retained by its shard's summary
+    * (pigeonhole over the ≤ shard_n/(k+1) decrements) — the emitted rows
+    * are a guaranteed SUPERSET of the true phi-heavy set, with per-item
+    * count bounds. With `shards = 1` and k ≥ distinct items the output is
+    * exact and order-independent (the oracle configuration); raise
+    * `shards` to spread state across the cluster.
+    *
+    * Windows are integer epoch buckets (`floor(us / windowUs)`) — portable
+    * to any engine, no timezone/origin ambiguity. */
+  def streamingHeavyHitters(events: DataFrame, itemCol: Column, phi: Double,
+                            windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                            shards: Int = 1,
+                            watermark: String = "10 minutes"): Dataset[HeavyHit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]: $phi")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = math.ceil(1.0 / phi).toInt
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    // NULL items are ignored INSIDE the state function, not filtered out
+    // here: a pre-stateful filter gets pushed below the EventTimeWatermark
+    // node by Catalyst, so a null-item sentinel row would never reach the
+    // event-time tracker and the clock that closes windows would stall
+    // (observed: the final window's timeout never fired)
+    val wm = events.withWatermark("ts", watermark)
+      .select(itemCol.cast("string").as("item"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+    wm.groupByKey { case (item, t) =>
+      (us(t) / windowUs,
+        if (item == null) -1
+        else math.floorMod(item.hashCode.toLong, shards.toLong).toInt)
+    }.flatMapGroupsWithState[(Map[String, Long], Long, Long), HeavyHit](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      case ((win, _), rows, state) =>
+        if (state.hasTimedOut) {
+          val (counters, dec, n) = state.get
+          state.remove()
+          val minCount = math.ceil(phi * n).toLong.max(1L)
+          // keep anything whose UPPER bound reaches the threshold — the
+          // superset guarantee; callers filter n_item for exact-precision
+          counters.iterator
+            .filter { case (_, c) => c + dec >= minCount }
+            .map { case (item, c) => HeavyHit(win, item, c, c + dec, n) }
+        } else {
+          val (counters0, dec0, n0) =
+            state.getOption.getOrElse((Map.empty[String, Long], 0L, 0L))
+          val m = scala.collection.mutable.HashMap[String, Long](counters0.toSeq: _*)
+          var dec = dec0
+          var n = n0
+          rows.foreach { case (item, _) =>
+            if (item != null) {
+              n += 1
+              m.get(item) match {
+                case Some(c) => m(item) = c + 1
+                case scala.None if m.size < k => m(item) = 1L
+                case scala.None =>
+                  dec += 1
+                  val dead = new scala.collection.mutable.ArrayBuffer[String]
+                  m.foreach { case (w, c) => if (c == 1L) dead += w else m(w) = c - 1 }
+                  dead.foreach(m.remove)
+              }
+            }
+          }
+          state.update((m.toMap, dec, n))
+          // close when the watermark passes the window end (never set a
+          // timeout at-or-before the current watermark — Spark rejects it)
+          state.setTimeoutTimestamp(
+            math.max((win + 1) * (windowUs / 1000), state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+    }
+  }
+
+  /** [[streamingHeavyHitters]] over a file-backed feed with the same
+    * END-OF-INPUT FLUSH as [[userVisitsComplete]]: a null-item sentinel
+    * row one window + watermark past max(ts) advances the clock so every
+    * real window times out and emits before the AvailableNow run drains. */
+  def streamingHeavyHittersComplete(spark: SparkSession, path: String,
+                                    itemCol: Column, phi: Double,
+                                    windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                                    shards: Int = 1,
+                                    watermarkMinutes: Int = 10): Dataset[HeavyHit] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxRow = graft.core.Tables.eventTimeNormalize(spark.read.parquet(path))
+      .agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) return spark.emptyDataset[HeavyHit]
+    val sentinelTs = java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
+      .plus(java.time.Duration.ofNanos(windowUs * 1000))
+      .plusSeconds((watermarkMinutes + 60).toLong * 60L))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hh:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = java.nio.file.Paths.get(s"/tmp/graft-hh-sentinel-$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      spark.createDataFrame(Seq((-1L, sentinelTs, -1L, "__sentinel", 0.0, "")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val feed = eventStream(spark, path)
+      .unionByName(eventStream(spark, dir.toString))
+    // the sentinel's item expression must be NULL so it advances the
+    // watermark without entering any group — mask it by event_type
+    val item = when(col("event_type") === "__sentinel", lit(null)).otherwise(itemCol)
+    streamingHeavyHitters(feed, item, phi, windowUs, shards,
+      s"$watermarkMinutes minutes")
   }
 
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */

@@ -795,6 +795,48 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters: superset guarantee and bounds under high cardinality") {
+    import spark.implicits._
+    // ~5000 distinct items, zipf-ish (item j appears ⌈600/(j+1)⌉ times);
+    // phi=0.01 → k=100 counters ≪ 5000 items, so Misra–Gries decrements
+    // genuinely happen — the path the exact-oracle configuration never hits
+    val rows = (0 until 5000).flatMap(j => Seq.fill(math.ceil(600.0 / (j + 1)).toInt)(j))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 06:00:00").getTime
+    val events = rows.zipWithIndex.map { case (item, i) =>
+      (i.toLong, new java.sql.Timestamp(base + (i % 80000) * 1000L),
+        item.toLong, "e", 0.0, "")
+    }.sortBy { case (id, _, it, _, _, _) => (it * 2654435761L + id) % 99991 } // adversarial but deterministic arrival
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-adv").toString
+    events.coalesce(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val phi = 0.01
+    val hits = Streams.streamingHeavyHittersComplete(spark,
+      s"$dir/events.parquet",
+      org.apache.spark.sql.functions.col("user_id").cast("string"), phi, shards = 4)
+    val q = hits.toDF().writeStream.format("memory").queryName("hh_adv")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("hh_adv").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+
+    val truth = rows.groupBy(identity).map { case (k, v) => k.toString -> v.size.toLong }
+    val n = rows.size.toLong
+    val trueHeavy = truth.filter { case (_, c) => c >= math.ceil(phi * n) }.keySet
+    assert(trueHeavy.nonEmpty && trueHeavy.size < 120, s"fixture: ${trueHeavy.size} heavy")
+    // SUPERSET guarantee: every true phi-heavy item must be emitted
+    val missed = trueHeavy -- emitted.keySet
+    assert(missed.isEmpty, s"missed true heavy items: $missed")
+    // and every emitted count pair brackets the true count
+    emitted.foreach { case (item, (lo, hi)) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(lo <= t && t <= hi, s"item $item: bounds [$lo,$hi] miss true $t")
+    }
+    // the bounded-state claim: nothing emitted can exceed k survivors/shard
+    assert(emitted.size <= 4 * (math.ceil(1 / phi).toInt + 1))
+  }
+
   test("kafka connection mapping is pure and jar-independent") {
     import graft.streaming.KafkaEventSource.connection
     def uri(s: String) = java.net.URI.create(s)

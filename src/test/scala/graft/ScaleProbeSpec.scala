@@ -143,6 +143,19 @@ class ScaleProbeSpec extends AnyFunSuite {
         docs.where(pmod(col("doc_id"), lit(10)) === 0)).count()
     }
 
+    // ---- heavy hitters over the sf1 word stream (~8M word instances):
+    // the Misra–Gries candidate pass bounds the exact-verify shuffle to
+    // candidate keys — the naive groupBy+HAVING would shuffle every
+    // distinct word
+    t("heavy hitters (phi=0.002, exploded sf1 words)",
+      "per-partition MG candidates + broadcast exact verify") {
+      val words = docs.select(
+        explode(graft.ops.TextAnalysis.words(col("text"))).as("word"))
+        .where(col("word") =!= "")
+      val n = graft.ops.Sketches.heavyHitters(words, "word", phi = 0.002).count()
+      println(s"  heavy words: $n"); n
+    }
+
     // ---- the r9 six-stage curation capstone on the SAME adversarial
     // corpus (lang/n_chars synthesized): the gate, the heavy-line anti-join,
     // the df-capped fuzzy dedup, the gram-keyed decontamination, and the
@@ -222,6 +235,12 @@ class ScaleProbeSpec extends AnyFunSuite {
         (t0 + make_dt_interval(col("n_nationkey") + 3)).as("win_end"))
       graft.ops.RangeJoin.pointInInterval(
         events10.select("event_id", "ts"), windows).count()
+    }
+    t("z-order layout (~900k events, 2 dims, 64 files)",
+      "one quantile pass + codegen bucket tree + one range shuffle") {
+      graft.ops.ZOrder.cluster(
+        events10.select(col("user_id"), col("value"), col("event_id")),
+        Seq("user_id", "value"), numFiles = 64).count()
     }
     t("funnel view->click->purchase (~900k events)",
       "step-filtered scan + one grouped ladder pass") {
