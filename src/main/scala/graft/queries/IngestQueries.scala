@@ -83,5 +83,38 @@ object IngestQueries {
       """WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o_orderdate <= TIMESTAMP '2000-12-31 23:59:59'""".stripMargin))
 
-  val all: Seq[OQ] = Seq(replace, merge, deleteInsert)
+  /** Broker-path ingest end-to-end through the registered stream source
+    * (the file stand-in; kafka runs the identical route modulo the
+    * jar-gated `format("kafka")` call): URI routing → streaming read →
+    * interval filter + masking on the stream → per-micro-batch strategy
+    * write. The oracle replays the same window/mask program batch-side —
+    * stream and batch ingestion must land identical rows. */
+  val brokerStream: OQ = OQ.df("ingest_broker_stream",
+    (s, dir) => {
+      val wh = new SessionCatalogWarehouse(s)
+      wh.drop("g_ing_broker")
+      Ingest.run(wh, Asset(name = "g_ing_broker", assetType = AssetType.Ingest,
+        columns = Seq(
+          Column("event_id", "BIGINT", primaryKey = true),
+          Column("user_id", "BIGINT"),
+          Column("event_type", "STRING"),
+          Column("value", "DOUBLE"),
+          Column("props", mask = "md5")),
+        parameters = Map(
+          "source_uri" -> s"file://$dir/events.parquet",
+          "source_stream" -> "true",
+          "incremental_strategy" -> "append",
+          "incremental_key" -> "ts",
+          "interval_start" -> "2024-01-05 00:00:00",
+          "interval_end" -> "2024-01-15 23:59:59")))
+      s.sql("""SELECT event_id, unix_micros(ts) AS ts_us, user_id,
+              |  event_type, value, props FROM g_ing_broker""".stripMargin)
+    },
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  md5(props) AS props
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-15 23:59:59'""".stripMargin)
+
+  val all: Seq[OQ] = Seq(replace, merge, deleteInsert, brokerStream)
 }
