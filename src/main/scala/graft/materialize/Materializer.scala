@@ -149,8 +149,31 @@ object Materializer {
           case Strategy.DataVaultLink      => datavaultHub(wh, asset, df, ctx) // same keyed-insert shape
           case Strategy.DataVaultSatellite => datavaultSatellite(wh, asset, df, ctx)
         }
+        analyzeIfRequested(wh, asset)
     }
   }
+
+  /** Post-write `ANALYZE TABLE` when the asset opts in (`analyze: true`,
+    * or `analyze: columns` which also collects per-column stats for the
+    * asset's declared columns). Row counts and column NDV/min/max are what
+    * the cost-based optimizer needs to pick broadcast sides and join
+    * orders for DOWNSTREAM assets reading this table — at warehouse scale
+    * a freshly-materialized fact with no stats is planned from file sizes
+    * alone. The view indirection is resolved first: ANALYZE targets the
+    * backing generation table, not the view. */
+  private def analyzeIfRequested(wh: Warehouse, asset: Asset): Unit =
+    asset.parameters.get("analyze").filter(v => v == "true" || v == "columns")
+      .foreach { mode =>
+        val target = SessionCatalogWarehouse
+          .backingTable(wh.spark, asset.name).getOrElse(asset.name)
+        val cols = asset.columns.map(_.name)
+          .filter(c => wh.spark.table(target).columns.contains(c))
+        val forCols =
+          if (mode == "columns" && cols.nonEmpty)
+            s" FOR COLUMNS ${cols.mkString(", ")}"
+          else ""
+        wh.spark.sql(s"ANALYZE TABLE $target COMPUTE STATISTICS$forCols")
+      }
 
   /** delete+insert: drop target rows whose incremental key appears in the new
     * batch, then insert the batch (reference duckdb/materialization.go:89-109).

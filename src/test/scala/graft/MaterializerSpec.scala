@@ -352,6 +352,27 @@ class MaterializerSpec extends AnyFunSuite {
     Materializer.execute(wh, asset, "SELECT explode(sequence(1, 1000)) AS n")
   }
 
+  test("analyze param collects table and column statistics after the write") {
+    val wh = new SessionCatalogWarehouse(spark)
+    wh.drop("stats_t")
+    Materializer.executeDf(wh, Asset(name = "stats_t",
+      materialization = Materialization(typ = MaterializationType.Table),
+      columns = Seq(Column("n", "BIGINT")),
+      parameters = Map("analyze" -> "columns")),
+      spark.range(1000).toDF("n"))
+    // stats land on the BACKING generation table (ANALYZE on a view fails)
+    val backing = SessionCatalogWarehouse.backingTable(spark, "stats_t").get
+    val desc = spark.sql(s"DESCRIBE EXTENDED $backing").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Statistics").exists(_.contains("1000 rows")),
+      s"row-count stat missing: ${desc.get("Statistics")}")
+    val colStats = spark.sql(s"DESCRIBE EXTENDED $backing n").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats.get("distinct_count").exists(v => v != null && v != "NULL"),
+      s"column NDV missing: $colStats")
+    SessionCatalogWarehouse.dropAny(spark, "stats_t")
+  }
+
   test("cluster_strategy zorder lays the table out for multi-column pruning") {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val wh = new SessionCatalogWarehouse(spark)
