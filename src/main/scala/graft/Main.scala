@@ -182,10 +182,18 @@ object Main {
     val terms = if (!flags.contains("downstream")) flags("select")
       else flags("select").map(t =>
         if (t.endsWith("+") || t.startsWith("tag:") || t.startsWith("@")) t else s"$t+")
+    // --only main|checks (repeatable, reference run.go:765): restrict the
+    // run to task types; excluded dependencies count as satisfied
+    val only = flags("only")
+    only.find(v => v != "main" && v != "checks").foreach { bad =>
+      System.err.println(s"graft: --only accepts main|checks, got '$bad'")
+      return 2
+    }
     val results = runner.run(pipeline,
       selectorTerms = terms,
       concurrency = flags("concurrency").lastOption.map(_.toInt).getOrElse(0),
-      continueRun = flags.contains("continue"))
+      continueRun = flags.contains("continue"),
+      only = only)
     val byStatus = results.values.groupBy(_.status).map { case (k, v) => k -> v.size }
     println(s"run finished: ${byStatus.map { case (k, v) => s"$v $k" }.mkString(", ")}")
     results.values.toSeq.sortBy(_.instance.id)

@@ -234,7 +234,8 @@ final class PipelineRunner(
     * skip instances that already succeeded last run). */
   def run(pipeline: Pipeline, selectorTerms: Seq[String] = Nil,
           concurrency: Int = 0,
-          continueRun: Boolean = false): Map[String, Scheduler.Result] = {
+          continueRun: Boolean = false,
+          only: Seq[String] = Nil): Map[String, Scheduler.Result] = {
     val selected =
       if (selectorTerms.isEmpty) scala.None
       else Some(Selector.select(pipeline, selectorTerms))
@@ -247,7 +248,8 @@ final class PipelineRunner(
         case (name, c) if c.concurrency > 0 => name -> c.concurrency
       },
       completed = completed,
-      onTimeout = i => spark.sparkContext.cancelJobGroup(i.id))
+      onTimeout = i => spark.sparkContext.cancelJobGroup(i.id),
+      only = only.toSet)
     RunState.save(baseDir, pipeline.name, results)
     results
   }

@@ -59,9 +59,22 @@ object Scheduler {
     * downstream walk (scheduler.go:595-623). */
   final case class SkipTask(reason: String) extends RuntimeException(reason)
 
-  /** Expand a pipeline (optionally filtered to `selected` asset names) into
-    * instances + dependency edges. */
-  def expand(pipeline: Pipeline, selected: Option[Set[String]] = None)
+  /** The `--only` task-type name of an instance (reference run.go:765,
+    * :961 — "main" / "checks"; metadata push is not an instance here, it
+    * runs inside the main task). */
+  def typeNameOf(i: Instance): String = i.typ match {
+    case Main => "main"
+    case _: ColumnCheckInstance | _: CustomCheckInstance => "checks"
+  }
+
+  /** Expand a pipeline (optionally filtered to `selected` asset names, and
+    * to `only` task types) into instances + dependency edges. A dependency
+    * on an instance excluded by `only` counts as satisfied: `--only checks`
+    * validates existing tables without re-materializing them, `--only main`
+    * materializes without gating on checks (the reference's --stream
+    * restriction, run.go:945). */
+  def expand(pipeline: Pipeline, selected: Option[Set[String]] = None,
+             only: Set[String] = Set.empty)
     : (Seq[Instance], Map[String, Set[String]]) = {
     val assets = pipeline.assets.filter(a => selected.forall(_.contains(a.name)))
     val byName = assets.map(a => a.name -> a).toMap
@@ -83,7 +96,12 @@ object Scheduler {
       case i => // checks depend on their asset's main
         deps(i.id) = Set(i.asset.name)
     }
-    (instances, deps.toMap)
+    if (only.isEmpty) (instances, deps.toMap)
+    else {
+      val kept = instances.filter(i => only(typeNameOf(i)))
+      val keptIds = kept.map(_.id).toSet
+      (kept, deps.toMap.collect { case (id, ds) if keptIds(id) => id -> (ds & keptIds) })
+    }
   }
 
   /** Run with `concurrency` workers. `exec` performs one instance; throwing
@@ -105,7 +123,9 @@ object Scheduler {
           completed: Set[String] = Set.empty,
           /** invoked when an attempt times out — gives the runner a chance to
             * cancel the instance's in-flight Spark jobs (job-group cancel). */
-          onTimeout: Instance => Unit = _ => ()): Map[String, Result] = {
+          onTimeout: Instance => Unit = _ => (),
+          /** task-type restriction (reference --only): empty = all. */
+          only: Set[String] = Set.empty): Map[String, Result] = {
     val semaphores = connectionLimits.collect {
       case (name, limit) if limit > 0 => name -> new java.util.concurrent.Semaphore(limit, true)
     }
@@ -141,7 +161,7 @@ object Scheduler {
         }
         err.foreach(throw _)
     }
-    val (instances, deps) = expand(pipeline, selected)
+    val (instances, deps) = expand(pipeline, selected, only)
     val byId = instances.map(i => i.id -> i).toMap
     val downstream = mutable.Map[String, Set[String]]().withDefaultValue(Set.empty)
     deps.foreach { case (id, ups) => ups.foreach(u => downstream(u) += id) }

@@ -47,6 +47,29 @@ class SchedulerSpec extends AnyFunSuite {
     assert(soft("b").status == Scheduler.Succeeded)
   }
 
+  test("--only restricts task types; excluded dependencies count satisfied") {
+    val p = Pipeline(name = "p", assets = Seq(
+      Asset(name = "a", columns = Seq(Column("x", "INT",
+        checks = Seq(ColumnCheck("failcheck"))))), // blocking by default
+      Asset(name = "b", upstreams = Seq(Upstream("a")))))
+    def exec(i: Scheduler.Instance): Unit =
+      if (i.id == "a:check:x:failcheck") throw new RuntimeException("boom")
+    // only=main: the failing check never runs, so b is NOT gated on it
+    val mains = Scheduler.run(p, exec, concurrency = 2, only = Set("main"))
+    assert(mains.keySet == Set("a", "b"), mains.keySet.toString)
+    assert(mains.values.forall(_.status == Scheduler.Succeeded))
+    // only=checks: mains are assumed current; the check runs (and fails)
+    // without re-materializing anything
+    val checks = Scheduler.run(p, exec, concurrency = 2, only = Set("checks"))
+    assert(checks.keySet == Set("a:check:x:failcheck"))
+    assert(checks("a:check:x:failcheck").status == Scheduler.Failed)
+    // CLI validation: unknown type is a usage error
+    assert(Main.run(Seq("run", pipelineDir, "--only", "nope"), Some(spark)) == 2)
+    // CLI happy path over the demo pipeline: checks-only run, all green
+    assert(Main.run(Seq("run", pipelineDir, "--only", "main"), Some(spark)) == 0)
+    assert(Main.run(Seq("run", pipelineDir, "--only", "checks"), Some(spark)) == 0)
+  }
+
   test("retries recover flaky instances") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val p = Pipeline(name = "p", assets = Seq(Asset(name = "flaky")))
