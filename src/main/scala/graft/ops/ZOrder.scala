@@ -70,12 +70,20 @@ object ZOrder {
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 6): DataFrame = {
     require(cols.nonEmpty, "zValue needs at least one column")
     require(cols.size * bits <= 62, s"${cols.size} dims × $bits bits overflow a long")
-    val numeric = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // DATE has no direct double cast (ANSI): route through epoch days; a
+    // TIMESTAMP's double cast is epoch seconds — both order-preserving,
+    // which is all quantile bucketing needs
+    import org.apache.spark.sql.types.DateType
+    def asDouble(c: String): Column = df.schema(c).dataType match {
+      case DateType => datediff(col(c), lit("1970-01-01")).cast("double")
+      case _        => col(c).cast("double")
+    }
+    val numeric = df.select(cols.map(c => asDouble(c).as(c)): _*)
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     // one pass; relative error 1/2^(bits+2) keeps neighbor buckets honest
     val bounds = numeric.stat.approxQuantile(cols.toArray, probs,
       1.0 / (1 << (bits + 2)))
-    val buckets = cols.zip(bounds).map { case (c, b) => bucketOf(col(c), b) }
+    val buckets = cols.zip(bounds).map { case (c, b) => bucketOf(asDouble(c), b) }
     df.withColumn("__z", interleave(buckets, bits))
   }
 

@@ -1710,6 +1710,13 @@ class DataOpsSpec extends AnyFunSuite {
     val linY = scannedRows(s"$root/linear", yOnly)
     assert(linY > total * 8 / 10, s"x-linear layout should read ~all: $linY")
     assert(zY < linY / 2, s"z-order should halve the y-scan at least: $zY vs $linY")
+
+    // DATE dimensions route through epoch days (ANSI forbids a direct
+    // date→double cast) — the z-value must still spread
+    val withDate = data.withColumn("d",
+      date_add(lit("2024-01-01").cast("date"), col("x")))
+    assert(ZOrder.zValue(withDate, Seq("d", "y"))
+      .select("__z").distinct().count() > 100)
   }
 
   test("heavy hitters: exact equality with naive counting on skewed data") {
