@@ -317,7 +317,16 @@ object Main {
     }
     flags("export").lastOption match {
       case Some(path) =>
-        limited.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        // format by extension (reference exports CSV only; .jsonl and
+        // .parquet are free on Spark and the formats a training pipeline
+        // actually consumes). coalesce(1): the export contract is ONE file
+        // a human/tool opens — not a scale path; use a sink asset for that.
+        val w = limited.coalesce(1).write.mode("overwrite")
+        path.toLowerCase match {
+          case p if p.endsWith(".jsonl") || p.endsWith(".json") => w.json(path)
+          case p if p.endsWith(".parquet") => w.parquet(path)
+          case _ => w.option("header", "true").csv(path)
+        }
         println(s"exported to $path")
       case scala.None => limited.show(flags("limit").lastOption.map(_.toInt).getOrElse(20), false)
     }
@@ -477,10 +486,13 @@ object Main {
     }
     val targetBytes =
       flags("target-mb").lastOption.map(_.toLong).getOrElse(128L) << 20
+    // --zorder c1,c2: re-layout along the Morton curve while compacting
+    val zorderBy = flags("zorder").lastOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val wh = new graft.materialize.SessionCatalogWarehouse(spark)
     var rc = 0
     pos.foreach { t =>
-      try println(graft.materialize.Compactor.compact(wh, t, targetBytes).pretty)
+      try println(graft.materialize.Compactor.compact(wh, t, targetBytes, zorderBy).pretty)
       catch { case e: Exception =>
         System.err.println(s"graft: compact $t failed: ${e.getMessage}"); rc = 1
       }

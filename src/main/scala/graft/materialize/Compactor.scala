@@ -37,9 +37,17 @@ object Compactor {
   }
 
   /** Rewrite `name` into ~⌈bytes/targetBytes⌉ files if it currently has
-    * more; no-op (and no write) when the table is already within target. */
+    * more; no-op (and no write) when the table is already within target.
+    *
+    * `zorderBy` turns the rewrite into Delta's OPTIMIZE-ZORDER workflow:
+    * the surviving files are laid out along the Morton curve over those
+    * columns ([[graft.ops.ZOrder]]), so the compaction pass that every
+    * append-heavy table needs anyway ALSO buys multi-column row-group
+    * pruning. A z-order request always rewrites (the point is the layout,
+    * not just the file count). */
   def compact(wh: Warehouse, name: String,
-              targetBytes: Long = 128L << 20): Stats = {
+              targetBytes: Long = 128L << 20,
+              zorderBy: Seq[String] = Nil): Stats = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val spark = wh.spark
     val target = SessionCatalogWarehouse.backingTable(spark, name).getOrElse(name)
@@ -50,12 +58,22 @@ object Compactor {
       p.getFileSystem(hconf).getFileStatus(p).getLen
     }.sum
     val wanted = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    if (files.length <= wanted)
+    if (zorderBy.isEmpty && files.length <= wanted)
       return Stats(name, files.length, bytes, files.length, rewritten = false)
     val parts = partitionColumnsOf(spark, target)
     val df = spark.table(name) // through the view: reads the OLD generation
     val compacted =
-      if (parts.isEmpty) df.repartition(wanted)
+      if (zorderBy.nonEmpty && parts.isEmpty)
+        graft.ops.ZOrder.cluster(df, zorderBy, wanted)
+      else if (zorderBy.nonEmpty)
+        // partitioned + z-order: cluster WITHIN each partition directory —
+        // range-sharding on the z-value across partition dirs would have
+        // every task write into every directory (tasks × dirs slivers)
+        graft.ops.ZOrder.zValue(df, zorderBy)
+          .repartition(wanted, parts.map(col): _*)
+          .sortWithinPartitions((parts :+ "__z").map(col): _*)
+          .drop("__z")
+      else if (parts.isEmpty) df.repartition(wanted)
       // partitioned: shuffle on the partition columns so each directory is
       // written by few tasks — its slivers merge, the layout is unchanged
       else df.repartition(wanted, parts.map(col): _*)

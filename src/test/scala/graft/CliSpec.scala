@@ -208,6 +208,22 @@ class CliSpec extends AnyFunSuite {
     assert(Main.run(Seq("render-ddl", dir.toString, "nope"), Some(spark)) == 1)
   }
 
+  test("query --export picks csv, jsonl, or parquet by extension") {
+    val dir = tmpDir("graft-export")
+    def export(name: String) = Main.run(Seq("query", "--q",
+      "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'",
+      "--export", dir.resolve(name).toString), Some(spark))
+    assert(export("out.csv") == 0)
+    assert(spark.read.option("header", "true")
+      .csv(dir.resolve("out.csv").toString).count() == 2)
+    assert(export("out.jsonl") == 0)
+    assert(spark.read.json(dir.resolve("out.jsonl").toString)
+      .select("a", "b").count() == 2)
+    assert(export("out.parquet") == 0)
+    assert(spark.read.parquet(dir.resolve("out.parquet").toString)
+      .orderBy("a").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
   // ---- run --stream --------------------------------------------------------
 
   test("run --stream validates usage and runs one broker asset in foreground") {

@@ -443,8 +443,32 @@ class MaterializerSpec extends AnyFunSuite {
       Some(spark)) == 0)
     assert(Main.run(Seq("compact"), Some(spark)) == 2)
     assert(Main.run(Seq("compact", "no_such_table_xyz"), Some(spark)) == 1)
+
+    // --zorder: the compaction rewrite doubles as an OPTIMIZE-ZORDER —
+    // after it, a filter on the SECOND clustered column prunes row groups
+    wh.drop("compact_z")
+    val scatter = spark.range(100000).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("id"),
+          org.apache.spark.sql.functions.lit("x")),
+        org.apache.spark.sql.functions.lit(1000)).as("x"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("id"),
+          org.apache.spark.sql.functions.lit("y")),
+        org.apache.spark.sql.functions.lit(1000)).as("y"))
+    wh.createOrReplace("compact_z", scatter.repartition(32))
+    val zStats = Compactor.compact(wh, "compact_z",
+      targetBytes = 16L << 10, zorderBy = Seq("x", "y"))
+    assert(zStats.rewritten && zStats.filesAfter > 10, zStats.pretty)
+    val q = spark.table("compact_z").where(col("y").between(500, 520))
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head
+      .metrics("numOutputRows").value
+    assert(scanned < 50000, s"z-order compaction should prune y scans: $scanned")
+    assert(spark.table("compact_z").count() == 100000)
     SessionCatalogWarehouse.dropAny(spark, "compact_t")
     SessionCatalogWarehouse.dropAny(spark, "compact_p")
+    SessionCatalogWarehouse.dropAny(spark, "compact_z")
   }
 
   test("createOrReplace swap is atomic: no crash window without a readable table") {
