@@ -74,7 +74,14 @@ object Dedup {
     * gram (ADVICE r2: the old form thresholded an underestimate). */
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxDocFreq: Int = 0): DataFrame = {
+                   maxDocFreq: Int = 0,
+                   /** materialize shared intermediates (the hashed gram
+                     * stream, the candidate pair set) with eager local
+                     * checkpoints instead of recomputing them per consumer
+                     * — measured ~1 s at sf0.1. `false` keeps the plan
+                     * fully lazy (plan-shape inspection, or callers that
+                     * pre-stage grams themselves). */
+                   materialize: Boolean = true): DataFrame = {
     // No cache (r3 cached the exploded rows and never unpersisted — a leak
     // in a long-lived session, and pointless at 100 TB where the shingled
     // corpus doesn't fit in storage memory anyway). Instead the per-doc gram
@@ -97,7 +104,9 @@ object Dedup {
         explode(col("grams")).as("gram"))
       .withColumn("gram", xxhash64(col("gram")))
     if (maxDocFreq <= 0) {
-      // uncapped: the self-join IS the exact common count — no re-verify pass
+      // uncapped: the self-join IS the exact common count — no re-verify
+      // pass (two scans of the cheap hashed stream beat an eager
+      // materialization barrier here — measured neutral-to-worse with one)
       val a = shx.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
       val b = shx.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
       val common = a.join(b, Seq("gram")).where(col("a") < col("b"))
@@ -116,12 +125,21 @@ object Dedup {
       // memory-bounded too, but its ObjectHashAggregate boxes every gram's
       // struct buffer, and on a low-skew corpus that costs ~3× this plan;
       // measured at sf0.1: 7.2 s bucket-collect vs 2.4 s subtractive.)
-      val heavy = shx.groupBy("gram").agg(count(lit(1)).as("__df"))
+      // materialize the hashed stream ONCE (eager executor-local
+      // checkpoint; (id, n_grams, gram) longs ≈ 24 B/row): the cap
+      // machinery otherwise re-runs the tokenize+shingle scan four times —
+      // for the df count, the anti-join, the per-doc heavy count, and the
+      // self-join — measured ~1 s of pure recompute at sf0.1. At corpus
+      // scale the same move is staging the gram table before the joins; a
+      // pipeline that wants to avoid the materialization can pre-shingle
+      // into a table and call the join stages itself.
+      val shxM = if (materialize) shx.localCheckpoint() else shx
+      val heavy = shxM.groupBy("gram").agg(count(lit(1)).as("__df"))
         .where(col("__df") > maxDocFreq).select("gram")
-      val kept = shx.join(heavy, Seq("gram"), "left_anti")
+      val kept = shxM.join(heavy, Seq("gram"), "left_anti")
       // per-doc count of EXCLUDED grams — the only uncertainty the cap
       // introduces; docs absent from this table have none
-      val heavyPerDoc = shx.join(heavy, Seq("gram"), "left_semi")
+      val heavyPerDoc = shxM.join(heavy, Seq("gram"), "left_semi")
         .groupBy(idCol).agg(count(lit(1)).as("__h"))
       val a = kept.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
       val b = kept.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
@@ -155,11 +173,24 @@ object Dedup {
       val maybe = withBounds.where(
         (col("ck") + col("__hmin")).cast("double") /
           (col("na") + col("nb") - col("ck") - col("__hmin")) >= lit(threshold))
-      val exactNow = maybe.where(col("__hmin") === 0)
+      val maybeM = if (materialize)
+        // small (bounded candidate pairs), but three consumers below — the
+        // exact branch, the verify branch, and the verify corpus restriction
+        // — would each re-run the pair self-join without this checkpoint
+        maybe.localCheckpoint()
+      else maybe
+      val exactNow = maybeM.where(col("__hmin") === 0)
         .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
-      val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
+      val needVerify = maybeM.where(col("__hmin") > 0).select("a", "b")
+      // only the boundary sliver re-verifies — shingle ONLY its docs, not
+      // the corpus (shingleArray is an opaque JVM map, so a downstream join
+      // cannot push the id filter below it)
+      val candIds = needVerify.select(col("a").as(idCol))
+        .unionByName(needVerify.select(col("b").as(idCol))).distinct()
       finishJaccard(exactNow, threshold).unionByName(
-        verifyJaccard(needVerify, shingleArray(df, n, idCol, textCol), threshold, idCol))
+        verifyJaccard(needVerify,
+          shingleArray(df.join(candIds, Seq(idCol), "left_semi"), n, idCol, textCol),
+          threshold, idCol))
     }
   }
 

@@ -81,7 +81,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("capped jaccard subtracts heavy grams before any gram self-join") {
-    val p = planOf("dedup_ngram_jaccard")
+    // inspect the LAZY form: the registered query's default materialization
+    // checkpoints the shared stages eagerly, which truncates exactly the
+    // lineage this pin needs to see (the executed work is identical)
+    graft.core.Tables.register(spark, sfDir)
+    val p = graft.ops.Dedup.jaccardPairs(spark.table("documents"),
+      n = 3, threshold = 0.5, maxDocFreq = 20, materialize = false)
+      .queryExecution.executedPlan.toString
     // the boilerplate blowup guard: every gram-keyed self-join input must
     // first pass the LeftAnti subtraction of over-cap grams, so the join's
     // per-key fan-out is bounded by maxDocFreq at any skew
