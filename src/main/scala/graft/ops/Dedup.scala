@@ -770,6 +770,55 @@ object Dedup {
     }(Encoders.row(outSchema)).toDF(idCol, "simhash")
   }
 
+  /** BANDED HAMMING NEAR-DUP JOIN over fixed-width bit signatures
+    * ([[simhash]], [[Multimodal.perceptualHash]]): every pair within
+    * `maxHamming` bit flips, WITHOUT the all-pairs comparison. Pigeonhole:
+    * d < bands flipped bits leave at least one of the `bands` disjoint
+    * bit-groups untouched, so every qualifying pair shares ≥1 exact band
+    * value — candidates come from one band-keyed equi-join (signatures
+    * exploded to `bands` rows, one shuffle on the 64-bit band key), then
+    * verify exactly with `bit_count(a ^ b) ≤ maxHamming`. Recall is 100%
+    * by construction; precision is exact (the verify is).
+    *
+    * Band width is sigBits/bands — the selectivity knob: more bands
+    * tolerate larger d but make each band value coarser (2^width buckets
+    * over n signatures), so keep width ≥ ~12 bits at corpus scale and cap
+    * pathological buckets with `maxBucket` (identical-signature cliques;
+    * over-cap buckets are dropped from CANDIDATE GENERATION, the
+    * [[minhashLsh]] trade — exact duplicates are [[exact]]'s job). */
+  def hammingPairs(sig: DataFrame, maxHamming: Int = 3, bands: Int = 0,
+                   sigBits: Int = 60, idCol: String = "doc_id",
+                   sigCol: String = "simhash", maxBucket: Int = 0): DataFrame = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(nb > maxHamming, s"bands ($nb) must exceed maxHamming ($maxHamming): pigeonhole")
+    require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
+    val bandBits = (sigBits + nb - 1) / nb
+    val bandCols = (0 until nb).map { i =>
+      val lo = i * bandBits
+      val width = math.min(bandBits, sigBits - lo)
+      struct(lit(i).as("bi"),
+        shiftrightunsigned(col(sigCol), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val exploded = sig.select(col(idCol), col(sigCol),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col(sigCol),
+        xxhash64(col("band.bi"), col("band.bv")).as("bk"))
+    val capped =
+      if (maxBucket <= 0) exploded
+      else {
+        val over = exploded.groupBy("bk").agg(count(lit(1)).as("__c"))
+          .where(col("__c") > maxBucket).select("bk")
+        exploded.join(over, Seq("bk"), "left_anti")
+      }
+    val a = capped.select(col(idCol).as("a"), col(sigCol).as("sa"), col("bk"))
+    val b = capped.select(col(idCol).as("b"), col(sigCol).as("sb"), col("bk"))
+    a.join(b, Seq("bk")).where(col("a") < col("b"))
+      .select("a", "b", "sa", "sb").distinct() // one row per pair, not per shared band
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** BLOOM-GUARDED corpus-membership dedup (the Dolma recipe): build a
     * Bloom filter over the corpus's content fingerprints, broadcast it,
     * and split incoming documents on a might-contain probe. Bloom

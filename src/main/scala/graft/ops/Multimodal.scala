@@ -63,6 +63,55 @@ object Multimodal {
       .toDF()
   }
 
+  /** 60-bit PERCEPTUAL-STYLE content signature over the binary payload —
+    * the media face of [[graft.ops.Dedup.hammingPairs]]: near-identical
+    * payloads (re-encodes, small edits) land within a few bit flips, so
+    * banded hamming join finds them without pairwise byte comparison (the
+    * image-dedup recipe of the large crawl-curation pipelines).
+    *
+    * Signature: the payload splits into `bits` equal byte regions; bit i
+    * is set iff region i's mean byte value exceeds the payload's overall
+    * mean — localized edits flip only their region's bits, and the
+    * mean-relative quantization is robust to global shifts (brightness /
+    * re-encoding analogues). Like [[StubCodec]] this is the deterministic
+    * stand-in for a real DCT pHash (the image libs this container lacks);
+    * the banding, join, and verify machinery is the real, tested part and
+    * is hash-function-agnostic. One zero-shuffle JVM pass, same batch shape
+    * as [[extractFeatures]]. Empty/NULL payloads emit no row. */
+  def perceptualHash(media: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1, 60]: $bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else {
+            var total = 0L
+            var i = 0
+            while (i < bytes.length) { total += (bytes(i) & 0xff); i += 1 }
+            val overall = total.toDouble / bytes.length
+            var sig = 0L
+            var b = 0
+            while (b < bits) {
+              val lo = (b.toLong * bytes.length / bits).toInt
+              val hi = ((b + 1).toLong * bytes.length / bits).toInt
+              if (hi > lo) {
+                var s = 0L
+                var j = lo
+                while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
+                if (s.toDouble / (hi - lo) > overall) sig |= (1L << b)
+              }
+              b += 1
+            }
+            Iterator((id, sig))
+          }
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
   /** Pure-SQL feature projection with the same stub arithmetic — used by the
     * DuckDB oracle path to pin the plumbing end-to-end. */
   def extractFeaturesSql(media: DataFrame): DataFrame =

@@ -1379,8 +1379,24 @@ object DataOpsQueries {
       s.table("lineitem").select("l_orderkey", "l_partkey", "l_extendedprice"),
       Seq("l_orderkey", "l_partkey"), numFiles = 32))
 
+  /** Banded hamming near-dup over text simhash signatures: JVM word
+    * hashing has no SQL replay, so exact equality with brute force is the
+    * DataOpsSpec witness; the bench key tracks the banded join's cost. */
+  val simhashHammingBench: OQ = OQ.rowsOnly("dedup_simhash_hamming",
+    (s, _) => Dedup.hammingPairs(Dedup.simhash(s.table("documents")),
+      maxHamming = 7, bands = 8, maxBucket = 200))
+
+  /** Perceptual-hash near-dup over media payloads (binary column →
+    * region-quantized signature → banded hamming join) — the image-dedup
+    * shape with the stub signature; witness-tested in DataOpsSpec. */
+  val phashBench: OQ = OQ.rowsOnly("mm_phash_neardup",
+    (s, _) => Dedup.hammingPairs(
+      Multimodal.perceptualHash(Multimodal.toMediaTable(s.table("documents"))),
+      maxHamming = 8, bands = 9, idCol = "media_id", sigCol = "phash",
+      maxBucket = 200))
+
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct,
-    bloomDedupBench, zorderBench)
+    bloomDedupBench, zorderBench, simhashHammingBench, phashBench)
 }

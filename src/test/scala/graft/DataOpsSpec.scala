@@ -1652,6 +1652,47 @@ class DataOpsSpec extends AnyFunSuite {
       s"ccnetBucketsScoped leaked a persist: $before -> ${cachedCount()}")
   }
 
+  test("banded hamming join equals brute force for text simhash and media phash") {
+    import spark.implicits._
+    // text signatures over the corpus: banded join vs all-pairs bit_count
+    val sig = Dedup.simhash(docs)
+    val got = Dedup.hammingPairs(sig, maxHamming = 7, bands = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = sig.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture should contain simhash-close pairs")
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+
+    // media signatures: region-local byte edits stay within a few flips,
+    // unrelated payloads do not — and the join is exact against brute force
+    val base = Array.tabulate(600)(i => ((i * 37) % 251).toByte)
+    def edited(region: Int): Array[Byte] = {
+      val c = base.clone()
+      (region * 10 until region * 10 + 10).foreach(j => c(j) = 0); c
+    }
+    val media = Seq(
+      (1L, base), (2L, edited(3)), (3L, edited(48)),
+      (4L, Array.tabulate(600)(i => ((i * 101 + 13) % 249).toByte)))
+      .toDF("media_id", "content")
+    val ph = Multimodal.perceptualHash(media)
+    val phashes = ph.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mGot = Dedup.hammingPairs(ph, maxHamming = 8, bands = 9,
+        idCol = "media_id", sigCol = "phash")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mBrute = (for {
+      (a, sa) <- phashes; (b, sb) <- phashes
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield (a, b)).toSet
+    assert(mGot == mBrute)
+    assert(mGot.contains((1L, 2L)) && mGot.contains((1L, 3L)),
+      s"region-edited variants must be phash-near: $mGot")
+    assert(!mGot.exists { case (x, y) => x == 4L || y == 4L },
+      "an unrelated payload must not pair")
+  }
+
   test("IVF quantizer is a build-once artifact: prebuilt centroids reproduce inline training") {
     val centroids = Similarity.ivfCentroids(emb, nlist = 16)
     def key(df: org.apache.spark.sql.DataFrame) =
