@@ -50,7 +50,15 @@ object Compactor {
               zorderBy: Seq[String] = Nil): Stats = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val spark = wh.spark
-    val target = SessionCatalogWarehouse.backingTable(spark, name).getOrElse(name)
+    val backing = SessionCatalogWarehouse.backingTable(spark, name)
+    // a VIEW with no generation backing is composed state (a CDC overlay
+    // view, a user view) — rewriting it into a generation snapshot would
+    // silently freeze it; compact the underlying state table instead
+    if (backing.isEmpty && SessionCatalogWarehouse.isView(spark, name))
+      throw new IllegalArgumentException(
+        s"$name is a composed view, not a warehouse table; compact its " +
+          "underlying state/base tables instead")
+    val target = backing.getOrElse(name)
     val files = spark.table(target).inputFiles
     val hconf = spark.sessionState.newHadoopConf()
     val bytes = files.map { f =>

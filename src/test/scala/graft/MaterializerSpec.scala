@@ -466,6 +466,14 @@ class MaterializerSpec extends AnyFunSuite {
       .metrics("numOutputRows").value
     assert(scanned < 50000, s"z-order compaction should prune y scans: $scanned")
     assert(spark.table("compact_z").count() == 100000)
+
+    // composed views (CDC overlays, user views) are refused, not silently
+    // frozen into a generation snapshot
+    spark.sql("CREATE OR REPLACE VIEW compact_v AS SELECT * FROM compact_z")
+    val err = intercept[IllegalArgumentException](
+      Compactor.compact(wh, "compact_v"))
+    assert(err.getMessage.contains("composed view"))
+    spark.sql("DROP VIEW compact_v")
     SessionCatalogWarehouse.dropAny(spark, "compact_t")
     SessionCatalogWarehouse.dropAny(spark, "compact_p")
     SessionCatalogWarehouse.dropAny(spark, "compact_z")

@@ -143,6 +143,16 @@ class ScaleProbeSpec extends AnyFunSuite {
         docs.where(pmod(col("doc_id"), lit(10)) === 0)).count()
     }
 
+    // ---- banded hamming near-dup at sf1: the boilerplate-prefixed docs
+    // form simhash-close cliques; the bucket cap keeps the band join's
+    // fan-out bounded under exactly that clique pressure
+    t("simhash + banded hamming join (d<=7, 8 bands, maxBucket=200)",
+      "zero-shuffle signatures + one band-keyed equi-join + bit_count verify") {
+      val n = graft.ops.Dedup.hammingPairs(graft.ops.Dedup.simhash(docs),
+        maxHamming = 7, bands = 8, maxBucket = 200).count()
+      println(s"  pairs: $n"); n
+    }
+
     // ---- heavy hitters over the sf1 word stream (~8M word instances):
     // the Misra–Gries candidate pass bounds the exact-verify shuffle to
     // candidate keys — the naive groupBy+HAVING would shuffle every
