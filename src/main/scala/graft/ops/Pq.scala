@@ -235,4 +235,82 @@ object Pq {
           .select(col("a"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
       }
   }
+
+  /** IVF-PQ approximate top-k — the composed billion-vector index shape
+    * (faiss `IVFnlist,PQm` / IVFADC): the coarse quantizer
+    * ([[Similarity.ivfCentroids]]) routes every vector to ONE inverted
+    * list; PQ encodes each vector's RESIDUAL (v − its cell centroid), so
+    * the codebooks spend their resolution on within-cell structure instead
+    * of re-describing cell position; a query probes its `nprobe` nearest
+    * lists and ADC-ranks only those lists' codes against a per-cell
+    * residual distance table. Distances ARE globally comparable across
+    * probed cells: ‖q − (centroid_c + recon)‖² = ‖q_res_c − recon‖².
+    *
+    * Per-query compute drops to ~(nprobe/nlist) of the corpus over m-BYTE
+    * codes — the multiplicative combination of IVF's pruning and PQ's
+    * compression. Shape: both quantizers train on bounded samples and
+    * broadcast; list build and search are one cogroup on the cell key
+    * (per-task memory = one inverted list of codes); one window merges the
+    * ≤ k·nprobe per-cell winners. `prebuiltCentroids`/`prebuiltBooks`
+    * accept the build-once artifacts for retrain-free per-batch search. */
+  def ivfPqTopK(emb: DataFrame, topK: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, k: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                iterations: Int = 5, maxTrainSample: Int = 10000,
+                prebuiltCentroids: Option[Array[Array[Float]]] = None,
+                prebuiltBooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, nlist]: $nprobe")
+    val centroids = prebuiltCentroids.getOrElse(
+      Similarity.ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample))
+    val bcC = spark.sparkContext.broadcast(centroids)
+    def residual(v: Array[Float], cell: Int): Array[Float] = {
+      val c = bcC.value(cell)
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) {
+        out(i) = v(i) - (if (i < c.length) c(i) else 0f); i += 1
+      }
+      out
+    }
+    val base = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val books = prebuiltBooks.getOrElse {
+      // PQ trains on RESIDUALS — a bounded deterministic sample of them,
+      // exactly pqTrain's contract, fed through a residualized frame
+      val resDF = base.map { case (id, v) =>
+        (id, residual(v, Similarity.nearestCentroid(v, bcC.value)))
+      }.toDF(idCol, vecCol)
+      pqTrain(resDF, m, k, idCol, vecCol, iterations, maxTrainSample)
+    }
+    val bcB = spark.sparkContext.broadcast(books)
+    def encode(res: Array[Float]): Array[Int] = {
+      val bks = bcB.value
+      val dsub = bks(0)(0).length
+      Array.tabulate(bks.length) { sub =>
+        val from = math.min(sub * dsub, res.length)
+        nearestL2(java.util.Arrays.copyOfRange(res, from,
+          math.max(from, math.min((sub + 1) * dsub, res.length))), bks(sub))
+      }
+    }
+    val members = base.map { case (id, v) =>
+      val cell = Similarity.nearestCentroid(v, bcC.value)
+      (cell, id, encode(residual(v, cell)))
+    }
+    val queries = base.flatMap { case (id, v) =>
+      Similarity.nearestCentroids(v, bcC.value, nprobe).iterator.map(c => (c, id, v))
+    }
+    members.groupByKey(_._1).cogroup(queries.groupByKey(_._1)) { (cell, mIt, qIt) =>
+      val list = mIt.map { case (_, id, codes) => (id, codes) }.toArray
+      qIt.flatMap { case (_, qid, qv) =>
+        adcTopK(qid, distTable(residual(qv, cell), bcB.value), topK, list.iterator)
+      }
+    }.toDF("a", "b", "adc_dist2")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy(col("adc_dist2").asc, col("b").asc)))
+      .where(col("rank") <= topK)
+      .select(col("a"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
+  }
 }

@@ -1395,8 +1395,16 @@ object DataOpsQueries {
       maxHamming = 8, bands = 9, idCol = "media_id", sigCol = "phash",
       maxBucket = 200))
 
+  /** IVF-PQ composed index (residual ADC over probed lists): learned
+    * quantizers have no SQL form — determinism, artifact reuse, and recall
+    * are witness-tested in DataOpsSpec; the bench key tracks the composed
+    * build+search cost. */
+  val ivfPqBench: OQ = OQ.rowsOnly("emb_ivfpq_topk",
+    (s, _) => graft.ops.Pq.ivfPqTopK(s.table("embeddings"),
+      topK = 5, nlist = 64, nprobe = 8, m = 16, k = 16))
+
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct,
-    bloomDedupBench, zorderBench, simhashHammingBench, phashBench)
+    bloomDedupBench, zorderBench, simhashHammingBench, phashBench, ivfPqBench)
 }

@@ -1384,6 +1384,36 @@ class DataOpsSpec extends AnyFunSuite {
     assert(shortlistRecall >= 0.6, s"ADC shortlist recall too low: $shortlistRecall")
   }
 
+  test("IVF-PQ: residual probe search is deterministic, artifact-reusable, and has useful recall") {
+    import graft.ops.{Pq, Similarity}
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(Pq.ivfPqTopK(emb, topK = 5, nlist = 16, nprobe = 8, m = 16, k = 16))
+    // deterministic end to end (both quantizers train deterministically)
+    assert(got == pairs(Pq.ivfPqTopK(emb, topK = 5, nlist = 16, nprobe = 8, m = 16, k = 16)))
+    // the build-once artifacts reproduce inline training
+    val cents = Similarity.ivfCentroids(emb, nlist = 16)
+    assert(got == pairs(Pq.ivfPqTopK(emb, topK = 5, nlist = 16, nprobe = 8,
+      m = 16, k = 16, prebuiltCentroids = Some(cents))))
+    // recall against the exact L2 neighborhood (ADC approximates L2)
+    val vecs = emb.selectExpr("CAST(vec_id AS BIGINT)", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => (p.toDouble - q) * (p.toDouble - q) }.sum
+    val exact = vecs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (bid, bv) => (qid, bid, l2(qv, bv)) }
+        .sortBy(t => (t._3, t._2)).take(5).map(t => (qid, t._2))
+    }.toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    val chance = 5.0 / (vecs.length - 1)
+    assert(recall >= 3 * chance, s"IVF-PQ recall $recall not above chance $chance")
+    // the deployment shape: shortlist@20 over half the lists recovers most
+    // of the true top-5
+    val short = pairs(Pq.ivfPqTopK(emb, topK = 20, nlist = 16, nprobe = 8, m = 16, k = 16))
+    val shortRecall = (exact intersect short).size.toDouble / exact.size
+    assert(shortRecall >= 0.5, s"IVF-PQ shortlist recall too low: $shortRecall")
+  }
+
   test("pqTopK past the broadcast cap: blocked grid identical to broadcast path") {
     import graft.ops.Pq
     val books = Pq.pqTrain(emb, m = 16, k = 16)
