@@ -85,11 +85,30 @@ object Compactor {
       // partitioned: shuffle on the partition columns so each directory is
       // written by few tasks — its slivers merge, the layout is unchanged
       else df.repartition(wanted, parts.map(col): _*)
-    wh.createOrReplace(name, compacted, partitionBy = parts)
+    // a bucketed table's layout is part of its contract (shuffle-free
+    // co-located joins) — the rewrite must carry it, not silently drop it
+    val (bucketCols, nBuckets) = bucketSpecOf(spark, target)
+    wh.createOrReplace(name, compacted, partitionBy = parts,
+      bucketBy = bucketCols, buckets = nBuckets)
     val after = SessionCatalogWarehouse.backingTable(spark, name).getOrElse(name)
     Stats(name, files.length, bytes,
       spark.table(after).inputFiles.length, rewritten = true)
   }
+
+  /** (bucket columns, bucket count) from DESCRIBE FORMATTED; (Nil, 0) for
+    * unbucketed tables. */
+  private def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
+                           table: String): (Seq[String], Int) =
+    try {
+      val rows = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .map(r => r.getString(0).trim -> Option(r.getString(1)).getOrElse("").trim)
+        .toMap
+      val n = rows.get("Num Buckets").flatMap(_.toIntOption).getOrElse(0)
+      val cols = rows.getOrElse("Bucket Columns", "")
+        .stripPrefix("[").stripSuffix("]")
+        .split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      if (n > 0 && cols.nonEmpty) (cols, n) else (Nil, 0)
+    } catch { case _: Exception => (Nil, 0) }
 
   private def partitionColumnsOf(spark: org.apache.spark.sql.SparkSession,
                                  table: String): Seq[String] =

@@ -467,6 +467,28 @@ class MaterializerSpec extends AnyFunSuite {
     assert(scanned < 50000, s"z-order compaction should prune y scans: $scanned")
     assert(spark.table("compact_z").count() == 100000)
 
+    // a bucketed table keeps its bucket layout through the rewrite — the
+    // layout is the shuffle-free-join contract, not an implementation detail
+    wh.drop("compact_b")
+    def bbatch(lo: Long) = spark.range(lo, lo + 500)
+      .select(col("id").as("n"), (col("id") % 16).as("k"))
+    wh.createOrReplace("compact_b", bbatch(0).repartition(4),
+      bucketBy = Seq("k"), buckets = 4)
+    (1 to 4).foreach(i => wh.append("compact_b", bbatch(i * 500L).repartition(4),
+      bucketBy = Seq("k"), buckets = 4))
+    val bBefore = spark.table("compact_b").inputFiles.length
+    val bStats = Compactor.compact(wh, "compact_b", targetBytes = 512L << 20)
+    assert(bStats.rewritten && bStats.filesAfter < bBefore, bStats.pretty)
+    val bBacking = SessionCatalogWarehouse.backingTable(spark, "compact_b").get
+    val bDesc = spark.sql(s"DESCRIBE FORMATTED $bBacking").collect()
+      .map(r => r.getString(0).trim -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(bDesc.get("Num Buckets").exists(_.trim == "4"),
+      s"bucket count lost: ${bDesc.get("Num Buckets")}")
+    assert(bDesc.get("Bucket Columns").exists(_.contains("k")),
+      s"bucket columns lost: ${bDesc.get("Bucket Columns")}")
+    assert(spark.table("compact_b").count() == 2500)
+    SessionCatalogWarehouse.dropAny(spark, "compact_b")
+
     // composed views (CDC overlays, user views) are refused, not silently
     // frozen into a generation snapshot
     spark.sql("CREATE OR REPLACE VIEW compact_v AS SELECT * FROM compact_z")
