@@ -60,14 +60,18 @@ object Bench {
     val queryErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 0 until runs; name <- names) {
       val t0 = System.nanoTime()
-      try { selected(name)(spark, sfDir).count() } catch { case e: Throwable =>
-        // a failed query's wall time is meaningless-fast — record the error
-        // so the artifact distinguishes "fast" from "crashed"
-        queryErrors.getOrElseUpdate(name, firstLine(e))
-      }
-      perRun(name) += (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { selected(name)(spark, sfDir).count(); true } catch { case e: Throwable =>
+          // a crashed pass's near-zero wall time must NOT enter the min-of-N
+          // (it would silently deflate the headline total while the errors
+          // map says the query failed) — record the error, skip the timing
+          queryErrors.getOrElseUpdate(name, firstLine(e))
+          false
+        }
+      if (ok) perRun(name) += (System.nanoTime() - t0) / 1e9
     }
-    val results = perRun.map { case (n, ts) => n -> ts.min }.toMap
+    // queries that never succeeded appear only in the errors map
+    val results = perRun.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // every pass's time per query, not just the min — contamination shows up

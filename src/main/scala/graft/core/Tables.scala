@@ -36,16 +36,22 @@ object Tables {
     */
   def register(spark: SparkSession, dir: String): Unit = synchronized {
     if (!registered.get(spark).contains(dir)) {
+      var allOk = true
       all.foreach { t =>
         try load(spark, dir, t).createOrReplaceTempView(t)
         catch { case e: Throwable =>
           // drop any stale view from a previous dir — resolving to another
           // dir's data would be silently wrong; absent is loudly wrong
           spark.catalog.dropTempView(t)
+          allOk = false
           System.err.println(s"[tables] failed to register '$t' from $dir: ${e.getMessage}")
         }
       }
-      registered(spark) = dir
+      // only a FULLY successful registration is cached: recording a partial
+      // one would make a transient per-table failure (file mid-restage)
+      // sticky for the whole session — later register calls would no-op
+      // while the view stays missing
+      if (allOk) registered(spark) = dir else registered.remove(spark)
     }
   }
 

@@ -124,6 +124,11 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
     // into a partitioned table silently forks its layout.
     val parts = if (partitionBy.nonEmpty) partitionBy else tablePartitionColumns(target)
     write(df, parts, clusterBy, bucketBy, buckets).mode(SaveMode.Append).saveAsTable(target)
+    // a cross-session writer (a foreachBatch micro-batch runs in a CLONED
+    // session) refreshes only ITS relation cache; this session's cached
+    // file listing would keep serving the pre-append snapshot — the same
+    // staleness overwritePartitions already guards against below
+    if (!(spark eq df.sparkSession)) spark.catalog.refreshTable(target)
   }
 
   override def overwrite(name: String, df: DataFrame, partitionBy: Seq[String],

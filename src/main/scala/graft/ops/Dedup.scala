@@ -792,12 +792,16 @@ object Dedup {
     val nb = if (bands > 0) bands else maxHamming + 1
     require(nb > maxHamming, s"bands ($nb) must exceed maxHamming ($maxHamming): pigeonhole")
     require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
-    val bandBits = (sigBits + nb - 1) / nb
+    // distribute bits EVENLY (first sigBits % nb bands get the extra bit):
+    // the ceil-width layout left trailing bands zero-width for legal
+    // (bands, sigBits) combos — a width-0 band is one global bucket, which
+    // silently regenerates the all-pairs join this function exists to avoid
+    val widths = Array.tabulate(nb)(i => sigBits / nb + (if (i < sigBits % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nb).map { i =>
-      val lo = i * bandBits
-      val width = math.min(bandBits, sigBits - lo)
       struct(lit(i).as("bi"),
-        shiftrightunsigned(col(sigCol), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+        shiftrightunsigned(col(sigCol), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
     }
     val exploded = sig.select(col(idCol), col(sigCol),
         explode(array(bandCols: _*)).as("band"))

@@ -162,6 +162,18 @@ object Ingest {
     * asset's `flush_interval` becomes a ProcessingTime trigger and the
     * call blocks until the query is stopped or the process interrupted
     * (reference cmd/run.go:918-946). */
+  /** The asset as the Materializer sees it: table-typed, with the ingestr
+    * strategy and incremental key resolved from parameters. Shared by the
+    * batch and streaming paths so strategy resolution cannot diverge. */
+  private def effectiveIngestAsset(asset: Asset): Asset = {
+    val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
+    asset.copy(materialization = asset.materialization.copy(
+      typ = MaterializationType.Table,
+      strategy = Some(strategy),
+      incrementalKey = asset.parameters.get("incremental_key")
+        .orElse(asset.materialization.incrementalKey)))
+  }
+
   def runStream(wh: Warehouse, asset: Asset,
                 resolved: graft.streaming.StreamSources.Resolved,
                 ctx: Materializer.Context = Materializer.Context(),
@@ -182,13 +194,27 @@ object Ingest {
     if (resolved.cdc) {
       Streams.cdcApply(wh, asset, df, trigger = trigger).awaitTermination()
     } else {
-      val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
-      val effective = asset.copy(materialization = asset.materialization.copy(
-        typ = MaterializationType.Table,
-        strategy = Some(strategy),
-        incrementalKey = asset.parameters.get("incremental_key")
-          .orElse(asset.materialization.incrementalKey)))
-      Streams.streamingMerge(wh, effective, df, trigger = trigger).awaitTermination()
+      val effective = effectiveIngestAsset(asset)
+      // a whole-table strategy (replace/truncate+insert) on a STREAM means
+      // "this run's result replaces the table", not "every micro-batch
+      // does": batch 0 replaces, later batches of the same run append —
+      // otherwise each trigger would silently delete everything the
+      // previous one landed
+      val perBatch: (Asset, Long) => Asset = effective.materialization.strategy match {
+        case Some(Strategy.CreateReplace) | Some(Strategy.TruncateInsert) =>
+          (a, batchId) =>
+            if (batchId == 0L) a
+            else a.copy(materialization = a.materialization.copy(
+              strategy = Some(Strategy.Append)))
+        case _ => (a, _) => a
+      }
+      val q = df.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Materializer.executeDf(wh, perBatch(effective, batchId), batch, ctx)
+        }
+        .trigger(trigger)
+        .start()
+      q.awaitTermination()
     }
   }
 
@@ -200,12 +226,6 @@ object Ingest {
       case Some(r) => runStream(wh, asset, r, ctx)
       case scala.None =>
         val df = transform(read(wh.spark, asset, baseDir), asset)
-        val strategy = strategyOf(asset.parameters.getOrElse("incremental_strategy", "replace"))
-        val effective = asset.copy(materialization = asset.materialization.copy(
-          typ = MaterializationType.Table,
-          strategy = Some(strategy),
-          incrementalKey = asset.parameters.get("incremental_key")
-            .orElse(asset.materialization.incrementalKey)))
-        Materializer.executeDf(wh, effective, df, ctx)
+        Materializer.executeDf(wh, effectiveIngestAsset(asset), df, ctx)
     }
 }

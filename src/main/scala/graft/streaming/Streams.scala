@@ -181,7 +181,11 @@ object Streams {
     * a stream of plain records, pkg/ingestr/operator.go:596-640). A pure
     * from_json projection (codegen, no shuffle, no state); rows whose value
     * is NULL or unparseable are dropped rather than landing as all-NULL
-    * rows. */
+    * rows. CONTRACT NOTE: a syntactically valid record whose declared
+    * fields are ALL null (or absent) is indistinguishable from malformed
+    * input after PERMISSIVE parsing and is dropped with it — a feed whose
+    * legitimate records can be all-null must carry at least one always-set
+    * field (an id, a timestamp) in `recordDdl`. */
   def decodeJsonValue(raw: DataFrame, recordDdl: String,
                       valueCol: String = "value"): DataFrame = {
     import org.apache.spark.sql.types.{DataType, StructType}
@@ -940,18 +944,22 @@ object Streams {
       .plus(java.time.Duration.ofNanos(windowUs * 1000))
       .plusSeconds((watermarkMinutes + 60).toLong * 60L))
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hh:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
+      .digest(s"hh2:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = java.nio.file.Paths.get(s"/tmp/graft-hh-sentinel-$key")
+    // the sentinel carries ONLY (ts, marker) and unions with
+    // allowMissingColumns — it must never assume the source's column set
+    // (the r8 schema-drift class: a feed with an extra or missing column
+    // would fail the union against a fixed-shape sentinel row)
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-      spark.createDataFrame(Seq((-1L, sentinelTs, -1L, "__sentinel", 0.0, "")))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      spark.createDataFrame(Seq(Tuple2(sentinelTs, true)))
+        .toDF("ts", "__sentinel")
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val feed = eventStream(spark, path)
-      .unionByName(eventStream(spark, dir.toString))
-    // the sentinel's item expression must be NULL so it advances the
-    // watermark without entering any group — mask it by event_type
-    val item = when(col("event_type") === "__sentinel", lit(null)).otherwise(itemCol)
+      .unionByName(eventStream(spark, dir.toString), allowMissingColumns = true)
+    // the sentinel's item must be NULL so it advances the watermark
+    // without entering any group
+    val item = when(col("__sentinel") === true, lit(null)).otherwise(itemCol)
     streamingHeavyHitters(feed, item, phi, windowUs, shards,
       s"$watermarkMinutes minutes")
   }

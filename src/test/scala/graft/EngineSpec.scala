@@ -903,7 +903,9 @@ class EngineSpec extends AnyFunSuite {
       override val scheme = "mockkafka"
       override def load(s: org.apache.spark.sql.SparkSession, uri: java.net.URI,
                         options: Map[String, String]) =
-        s.readStream.schema(plainEnv.schema).parquet(s"$stage${uri.getPath}")
+        options.foldLeft(s.readStream.schema(plainEnv.schema)) {
+          case (r, (k, v)) => r.option(k, v) // honor maxFilesPerTrigger etc.
+        }.parquet(s"$stage${uri.getPath}")
     }
     StreamSources.register(mock)
 
@@ -915,6 +917,21 @@ class EngineSpec extends AnyFunSuite {
         "incremental_strategy" -> "append")))
     assert(spark.table("broker_tgt").orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "one"), (2, "two")))
+
+    // a whole-table strategy on a MULTI-batch stream: batch 0 replaces,
+    // later batches append — each trigger must NOT wipe the previous one's
+    // rows (flush_records forces one file per micro-batch)
+    plainEnv.where(org.apache.spark.sql.functions.col("offset") === 0)
+      .write.parquet(s"$stage/multi")
+    env(Seq("""{"id": 9, "v": "nine"}""")).write.mode("append").parquet(s"$stage/multi")
+    SessionCatalogWarehouse.dropAny(spark, "broker_multi_tgt")
+    Ingest.run(wh, Asset(name = "broker_multi_tgt", assetType = AssetType.Ingest,
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")),
+      parameters = Map("source_uri" -> "mockkafka://broker/multi",
+        "incremental_strategy" -> "replace", "flush_records" -> "1")))
+    assert(spark.table("broker_multi_tgt").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "one"), (9, "nine")),
+      "a later micro-batch must append, not re-replace the table")
 
     // `+cdc` routes the same envelope through debezium decode + the CDC fold
     SessionCatalogWarehouse.dropAny(spark, "broker_cdc_tgt")
