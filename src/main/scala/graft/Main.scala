@@ -467,8 +467,33 @@ object Main {
           }
         }
     }
-    println(s"dropped $dropped abandoned staging/generation table(s)")
+    // streaming staging dirs (single-file symlink stages, end-of-input
+    // sentinel parquet) are content-keyed so re-runs reuse them, but a
+    // re-generated or deleted input strands its old dir forever; sweep
+    // those past the same grace window (age = dir mtime) as generations
+    val swept = sweepStreamStaging(graceNanos)
+    println(s"dropped $dropped abandoned staging/generation table(s), " +
+      s"swept $swept streaming staging dir(s)")
     0
+  }
+
+  /** Streaming staging prefixes under /tmp owned by [[graft.streaming.Streams]]. */
+  private[graft] val streamStagingPrefixes =
+    Seq("graft-stream-", "graft-visit-sentinel-", "graft-hh-sentinel-")
+
+  private[graft] def sweepStreamStaging(graceNanos: Long,
+                                        tmp: java.nio.file.Path =
+                                          java.nio.file.Paths.get("/tmp")): Int = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(tmp)) return 0
+    val stale = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        streamStagingPrefixes.exists(n.startsWith) &&
+          graft.core.Fs.ageNanos(p) > graceNanos
+      }.toSeq
+    stale.foreach(graft.core.Fs.deleteRecursively)
+    stale.size
   }
 
   // ---- compact ------------------------------------------------------------

@@ -1,0 +1,24 @@
+package graft.core
+
+/** Tiny local-filesystem helpers for the engine's own staging artifacts
+  * (checkpoints, symlink stages, sentinel dirs). These paths are always
+  * local — Spark-managed table data goes through the warehouse/Hadoop FS
+  * APIs, never through here. */
+object Fs {
+
+  /** Recursive delete; tolerates a vanishing tree (concurrent sweepers). */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  /** Age of a path in nanoseconds via its mtime (0 if it can't be read). */
+  def ageNanos(p: java.nio.file.Path): Long =
+    scala.util.Try(
+      (System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(p).toMillis) * 1000000L
+    ).getOrElse(0L)
+}

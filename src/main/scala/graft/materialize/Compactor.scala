@@ -61,30 +61,59 @@ object Compactor {
     val target = backing.getOrElse(name)
     val files = spark.table(target).inputFiles
     val hconf = spark.sessionState.newHadoopConf()
-    val bytes = files.map { f =>
+    // per-file sizes grouped by directory: the largest partition dir sets
+    // how many ways a single partition value must split to honor target
+    val dirSizes = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    }.sum
+      p.getParent.toString -> p.getFileSystem(hconf).getFileStatus(p).getLen
+    }
+    val bytes = dirSizes.map(_._2).sum
     val wanted = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    if (zorderBy.isEmpty && files.length <= wanted)
+    // rewrite when the table has too MANY files for its bytes, or any
+    // single file is well over target (reader parallelism suffers both
+    // ways: a thousand slivers or one monolith); 2× slack avoids churn
+    val maxFileBytes = dirSizes.iterator.map(_._2).maxOption.getOrElse(0L)
+    if (zorderBy.isEmpty && files.length <= wanted && maxFileBytes <= targetBytes * 2)
       return Stats(name, files.length, bytes, files.length, rewritten = false)
     val parts = partitionColumnsOf(spark, target)
+    val maxDirBytes = dirSizes.groupBy(_._1).valuesIterator
+      .map(_.map(_._2).sum).maxOption.getOrElse(0L)
+    // a big partition value must fan out over ~⌈dirBytes/target⌉ tasks —
+    // hashing on the partition columns alone funnels the whole directory
+    // to ONE task and one arbitrarily oversized file
+    val saltCard = math.max(1L, (maxDirBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.table(name) // through the view: reads the OLD generation
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    // every branch arranges its own layout, then marks the frame so the
+    // warehouse write path doesn't re-cluster (and undo) it
+    val mark = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn(SessionCatalogWarehouse.ArrangedMarker, lit(true))
     val compacted =
       if (zorderBy.nonEmpty && parts.isEmpty)
-        graft.ops.ZOrder.cluster(df, zorderBy, wanted)
+        mark(graft.ops.ZOrder.cluster(df, zorderBy, wanted))
       else if (zorderBy.nonEmpty)
-        // partitioned + z-order: cluster WITHIN each partition directory —
-        // range-sharding on the z-value across partition dirs would have
-        // every task write into every directory (tasks × dirs slivers)
-        graft.ops.ZOrder.zValue(df, zorderBy)
-          .repartition(wanted, parts.map(col): _*)
+        // partitioned + z-order: range-shard on (partition cols, z) — equal
+        // partition keys stay contiguous (each task writes into ~1 dir) and
+        // an oversized directory splits across tasks at z boundaries, so
+        // its files are both target-sized AND z-disjoint for pruning
+        mark(graft.ops.ZOrder.zValue(df, zorderBy)
+          .repartitionByRange(wanted, (parts :+ "__z").map(col): _*)
           .sortWithinPartitions((parts :+ "__z").map(col): _*)
-          .drop("__z")
-      else if (parts.isEmpty) df.repartition(wanted)
-      // partitioned: shuffle on the partition columns so each directory is
-      // written by few tasks — its slivers merge, the layout is unchanged
-      else df.repartition(wanted, parts.map(col): _*)
+          .drop("__z"))
+      else if (parts.isEmpty) mark(df.repartition(wanted))
+      else {
+        // partitioned: shuffle on the partition columns so each directory
+        // is written by few tasks, plus a deterministic row-hash salt so a
+        // directory bigger than targetBytes splits into ~saltCard files
+        // hash() rejects map-typed columns — salt on the hashable subset
+        val hashable = df.schema.fields
+          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(f => col(f.name)).toSeq
+        val salt =
+          if (saltCard <= 1 || hashable.isEmpty) Nil
+          else Seq(pmod(hash(hashable: _*), lit(saltCard)))
+        mark(df.repartition(wanted, parts.map(col) ++ salt: _*))
+      }
     // a bucketed table's layout is part of its contract (shuffle-free
     // co-located joins) — the rewrite must carry it, not silently drop it
     val (bucketCols, nBuckets) = bucketSpecOf(spark, target)
@@ -95,19 +124,18 @@ object Compactor {
       spark.table(after).inputFiles.length, rewritten = true)
   }
 
-  /** (bucket columns, bucket count) from DESCRIBE FORMATTED; (Nil, 0) for
-    * unbucketed tables. */
+  /** (bucket columns, bucket count) straight off the catalog's table
+    * metadata — a stable API, unlike parsing DESCRIBE FORMATTED's
+    * human-oriented output (r9 verdict #3); (Nil, 0) for unbucketed. */
   private def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
                            table: String): (Seq[String], Int) =
     try {
-      val rows = spark.sql(s"DESCRIBE FORMATTED $table").collect()
-        .map(r => r.getString(0).trim -> Option(r.getString(1)).getOrElse("").trim)
-        .toMap
-      val n = rows.get("Num Buckets").flatMap(_.toIntOption).getOrElse(0)
-      val cols = rows.getOrElse("Bucket Columns", "")
-        .stripPrefix("[").stripSuffix("]")
-        .split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
-      if (n > 0 && cols.nonEmpty) (cols, n) else (Nil, 0)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(ident).bucketSpec match {
+        case Some(bs) if bs.numBuckets > 0 && bs.bucketColumnNames.nonEmpty =>
+          (bs.bucketColumnNames, bs.numBuckets)
+        case _ => (Nil, 0)
+      }
     } catch { case _: Exception => (Nil, 0) }
 
   private def partitionColumnsOf(spark: org.apache.spark.sql.SparkSession,

@@ -168,11 +168,15 @@ object Materializer {
           .backingTable(wh.spark, asset.name).getOrElse(asset.name)
         val cols = asset.columns.map(_.name)
           .filter(c => wh.spark.table(target).columns.contains(c))
+        // backtick-quote identifiers: a column named `order` or `from`
+        // must not fail the post-write analyze (and thereby the run)
+        def q(id: String) = "`" + id.replace("`", "``") + "`"
         val forCols =
           if (mode == "columns" && cols.nonEmpty)
-            s" FOR COLUMNS ${cols.mkString(", ")}"
+            s" FOR COLUMNS ${cols.map(q).mkString(", ")}"
           else ""
-        wh.spark.sql(s"ANALYZE TABLE $target COMPUTE STATISTICS$forCols")
+        val qualified = target.split('.').map(q).mkString(".")
+        wh.spark.sql(s"ANALYZE TABLE $qualified COMPUTE STATISTICS$forCols")
       }
 
   /** delete+insert: drop target rows whose incremental key appears in the new

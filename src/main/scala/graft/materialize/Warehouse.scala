@@ -175,12 +175,22 @@ final class SessionCatalogWarehouse(val spark: SparkSession) extends Warehouse {
 
   private[materialize] def write(df: DataFrame, partitionBy: Seq[String], clusterBy: Seq[String] = Nil,
                     bucketBy: Seq[String] = Nil, buckets: Int = 0) = {
+    // A writer that already arranged its own layout (the Compactor's salted
+    // or z-ordered shuffles) marks the frame; re-clustering here would undo
+    // it. The marker is a dropped projection, so partitioning/order survive.
+    val preArranged = df.columns.contains(SessionCatalogWarehouse.ArrangedMarker)
+    val base = if (preArranged) df.drop(SessionCatalogWarehouse.ArrangedMarker) else df
     // Cluster writes by the partition columns so each output partition is
     // written by few tasks (avoids the small-files explosion at scale).
+    // REBALANCE (not repartition): AQE both merges sliver partition values
+    // into shared tasks AND splits a skewed value across several tasks at
+    // advisoryPartitionSizeInBytes — a plain hash repartition funnels each
+    // partition value to exactly ONE task, so a hot value (half the fact
+    // table in today's date) writes one giant file behind one straggler.
     val clustered =
-      if (partitionBy.nonEmpty)
-        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      else df
+      if (partitionBy.nonEmpty && !preArranged)
+        base.hint("rebalance", partitionBy: _*)
+      else base
     // cluster_by: co-locate rows within each file so min/max row-group stats
     // prune on those columns at read time (the parquet-table analogue of
     // Delta Z-ORDER; reference bigquery/materialization.go:518-548 CLUSTER BY)
@@ -202,6 +212,11 @@ object SessionCatalogWarehouse {
 
   /** Generation-table suffix separator: `orders__gen_1a2b3c`. */
   val GenSep = "__gen_"
+
+  /** Marker column a writer adds (value irrelevant) to tell [[write]] the
+    * frame's layout is already arranged — skip the rebalance-by-partition
+    * clustering and just drop the marker. */
+  val ArrangedMarker = "__graft_arranged"
 
   /** In-process view→generation resolution cache. Every materialization (and,
     * worse, every streaming micro-batch) otherwise pays a SHOW CREATE TABLE

@@ -54,4 +54,42 @@ object Sessions {
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
   }
+
+  /** Batch form of the streaming sessionizer's [[graft.streaming.Streams.Visit]]
+    * output, via the same two-window program as [[sessionize]]. This is the
+    * HOT-KEY-SAFE replay path: a sort-based window operator spills to disk,
+    * so a user owning half the input costs one external sort, not one
+    * executor's heap — whereas the stateful flatMapGroupsWithState fold
+    * buffers a user's entire per-batch history in memory when the whole
+    * replay arrives as one AvailableNow batch (r9 verdict #1).
+    *
+    * Semantics are pinned to the streaming operator: same strict `> gap`
+    * rule in micros, same integer-cents money, same (first_us, last_us)
+    * micros bounds — the two paths must be row-identical on any input. */
+  def visits(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[graft.streaming.Streams.Visit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    // ties in ts land in the same session under the `>` gap rule whatever
+    // their order, so ts alone is a sufficient (and deterministic) sort key
+    val w = Window.partitionBy("user_id").orderBy(col("__us"))
+    val prev = lag(col("__us"), 1).over(w)
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("__us"),
+        round(col("value").cast("double") * 100, 0).cast("long").as("__cents"))
+      .withColumn("__new",
+        when(prev.isNull || col("__us") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__cents")).as("total_cents"),
+        min(col("__us")).as("first_us"),
+        max(col("__us")).as("last_us"))
+      .select(col("user_id"), col("n_events"), col("total_cents"),
+        col("first_us"), col("last_us"))
+      .as[graft.streaming.Streams.Visit]
+  }
 }

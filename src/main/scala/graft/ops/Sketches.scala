@@ -75,12 +75,13 @@ object Sketches {
           case Some(c) => counters(x) = c + 1
           case scala.None if counters.size < k => counters(x) = 1L
           case scala.None =>
-            // decrement-all: amortized O(1) per input item overall
-            val dead = new scala.collection.mutable.ArrayBuffer[String]
-            counters.foreach { case (w, c) =>
-              if (c == 1L) dead += w else counters(w) = c - 1
+            // decrement-all: amortized O(1) per input item overall. Iterate
+            // a key snapshot — mutating a HashMap inside its own foreach is
+            // documented-undefined even when only values change
+            counters.keysIterator.toArray.foreach { w =>
+              val c = counters(w)
+              if (c == 1L) counters.remove(w) else counters(w) = c - 1
             }
-            dead.foreach(counters.remove)
         }
       }
       counters.keysIterator.map(w => (Option(w), 0L)) ++

@@ -72,11 +72,16 @@ object ZOrder {
     require(cols.size * bits <= 62, s"${cols.size} dims × $bits bits overflow a long")
     // DATE has no direct double cast (ANSI): route through epoch days; a
     // TIMESTAMP's double cast is epoch seconds — both order-preserving,
-    // which is all quantile bucketing needs
-    import org.apache.spark.sql.types.DateType
+    // which is all quantile bucketing needs. Anything else fails FAST: a
+    // string column would cast to all-NULLs, funnel every row to bucket 0,
+    // and silently contribute nothing to the curve (r9 advice)
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType, TimestampNTZType}
     def asDouble(c: String): Column = df.schema(c).dataType match {
       case DateType => datediff(col(c), lit("1970-01-01")).cast("double")
-      case _        => col(c).cast("double")
+      case dt if dt.isInstanceOf[NumericType] ||
+        dt == TimestampType || dt == TimestampNTZType => col(c).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"zValue column `$c` is $other; z-ordering needs a numeric, date, or timestamp domain")
     }
     val numeric = df.select(cols.map(c => asDouble(c).as(c)): _*)
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray

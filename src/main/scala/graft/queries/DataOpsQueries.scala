@@ -1170,16 +1170,55 @@ object DataOpsQueries {
        |  CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
        |FROM documents d LEFT JOIN m ON d.doc_id = m.x""".stripMargin)
 
-  val simhash: OQ = OQ.df("dedup_simhash",
-    (s, _) => Dedup.simhash(s.table("documents")),
-    s"""WITH docs AS (SELECT doc_id, $NORM AS norm FROM documents),
+  /** DuckDB replay of the 60-bit word-set simhash, ending at
+    * `sig` = (doc_id, simhash) — shared by the signature key and the
+    * banded hamming join's oracle. */
+  private val duckSimhashCtes =
+    s"""docs AS (SELECT doc_id, $NORM AS norm FROM documents),
        |w AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS word FROM docs),
        |h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv FROM w),
        |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bt GROUP BY 1, 2)
-       |SELECT doc_id,
+       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bt GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-       |FROM bits GROUP BY 1""".stripMargin)
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  val simhash: OQ = OQ.df("dedup_simhash",
+    (s, _) => Dedup.simhash(s.table("documents")),
+    s"""WITH $duckSimhashCtes
+       |SELECT doc_id, simhash FROM sig""".stripMargin)
+
+  /** Banded hamming near-dup join, ORACLE-KEYED (r9 verdict #2): with no
+    * bucket cap the pigeonhole construction is EXACT — every pair within
+    * maxHamming shares at least one of the 8 bands — so the oracle is the
+    * brute-force xor/bit_count pair join over the same replayed
+    * signatures. The capped production configuration (identical-signature
+    * cliques dropped from candidate generation) stays witness-tested in
+    * DataOpsSpec. */
+  val simhashHamming: OQ = OQ.df("dedup_simhash_hamming",
+    (s, _) => Dedup.hammingPairs(Dedup.simhash(s.table("documents")),
+      maxHamming = 7, bands = 8),
+    s"""WITH $duckSimhashCtes
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""".stripMargin)
+
+  /** Bloom-guarded membership dedup, ORACLE-KEYED in exact mode (r9
+    * verdict #2): Bloom negatives are definitely novel and positives are
+    * rescued through the fingerprint anti-join, so the output is
+    * definitionally the plain anti-join's — the filter only shrinks the
+    * join's probe side. The oracle replays that anti-join; fpp/loss
+    * bounds for the approximate mode stay witness-tested in DataOpsSpec. */
+  val bloomDedupExact: OQ = OQ.df("dedup_bloom_guarded",
+    (s, _) => Dedup.bloomDedupAgainstCorpus(
+      s.table("documents"),
+      s.table("documents").where(col("doc_id") % 2 === 0), fpp = 0.01)
+      .select(col("doc_id")),
+    s"""WITH nf AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+       |cf AS (SELECT DISTINCT fp FROM nf WHERE doc_id % 2 = 0 AND fp IS NOT NULL)
+       |SELECT n.doc_id FROM nf n LEFT JOIN cf c ON n.fp = c.fp
+       |WHERE c.fp IS NULL""".stripMargin)
 
   // ---- similarity search --------------------------------------------------
 
@@ -1357,18 +1396,11 @@ object DataOpsQueries {
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
-    simhash, dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
+    simhash, simhashHamming, bloomDedupExact,
+    dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize, heavyHittersQ)
-
-  /** Bloom-guarded membership dedup: filter bits are not SQL-replayable,
-    * so no oracle — exact-mode equivalence to the plain anti-join and
-    * approx-mode loss bounds are witness-tested in DataOpsSpec. */
-  val bloomDedupBench: OQ = OQ.rowsOnly("dedup_bloom_guarded",
-    (s, _) => Dedup.bloomDedupAgainstCorpus(
-      s.table("documents"),
-      s.table("documents").where(col("doc_id") % 2 === 0), fpp = 0.01))
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +
     * Morton interleave + one range shuffle): layout/pruning effects are
@@ -1378,13 +1410,6 @@ object DataOpsQueries {
     (s, _) => graft.ops.ZOrder.cluster(
       s.table("lineitem").select("l_orderkey", "l_partkey", "l_extendedprice"),
       Seq("l_orderkey", "l_partkey"), numFiles = 32))
-
-  /** Banded hamming near-dup over text simhash signatures: JVM word
-    * hashing has no SQL replay, so exact equality with brute force is the
-    * DataOpsSpec witness; the bench key tracks the banded join's cost. */
-  val simhashHammingBench: OQ = OQ.rowsOnly("dedup_simhash_hamming",
-    (s, _) => Dedup.hammingPairs(Dedup.simhash(s.table("documents")),
-      maxHamming = 7, bands = 8, maxBucket = 200))
 
   /** Perceptual-hash near-dup over media payloads (binary column →
     * region-quantized signature → banded hamming join) — the image-dedup
@@ -1406,5 +1431,5 @@ object DataOpsQueries {
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct,
-    bloomDedupBench, zorderBench, simhashHammingBench, phashBench, ivfPqBench)
+    zorderBench, phashBench, ivfPqBench)
 }

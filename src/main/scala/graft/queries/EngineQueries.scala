@@ -379,10 +379,14 @@ object EngineQueries {
          |FROM m GROUP BY 1, 2""".stripMargin)
   }
 
-  /** Custom-state streaming sessionizer end-to-end, with the end-of-input
-    * flush: EVERY event in the feed must land in exactly one emitted visit
-    * (the oracle is total batch sessionization — same `>` gap rule as
-    * rel_sessionize — so a single stranded open visit fails the hash). */
+  /** Complete sessionization of a file feed: EVERY event must land in
+    * exactly one emitted visit (the oracle is total batch sessionization —
+    * same `>` gap rule as rel_sessionize — so a stranded open visit fails
+    * the hash). The replay routes through the hot-key-safe sort-based path
+    * (one AvailableNow batch = the whole input, so the stateful fold would
+    * buffer a hot user's full history on one task); the custom-state
+    * streaming operator itself is parity-pinned against this exact result
+    * in EngineSpec ("incremental and batch sessionizers agree"). */
   val streamVisits: OQ = OQ.df("stream_user_visits",
     (s, dir) => {
       s.sql("DROP TABLE IF EXISTS g_stream_visits")
@@ -416,8 +420,10 @@ object EngineQueries {
     (s, dir) => {
       s.sql("DROP TABLE IF EXISTS g_stream_hh")
       val item = floor(sqrt(col("user_id") % 100)).cast("long").cast("string")
+      // shards = 1 pins the exact, order-independent configuration the
+      // hash-matched oracle needs (the production default is auto/per-core)
       val hits = Streams.streamingHeavyHittersComplete(
-        s, s"$dir/events.parquet", item, phi = 0.05)
+        s, s"$dir/events.parquet", item, phi = 0.05, shards = 1)
       Streams.runAppendToTable(s, hits.toDF(), "g_stream_hh",
         checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-hh-cp").toString))
       s.table("g_stream_hh").selectExpr(

@@ -200,20 +200,43 @@ object Ingest {
       // does": batch 0 replaces, later batches of the same run append —
       // otherwise each trigger would silently delete everything the
       // previous one landed
-      val perBatch: (Asset, Long) => Asset = effective.materialization.strategy match {
-        case Some(Strategy.CreateReplace) | Some(Strategy.TruncateInsert) =>
-          (a, batchId) =>
-            if (batchId == 0L) a
-            else a.copy(materialization = a.materialization.copy(
-              strategy = Some(Strategy.Append)))
-        case _ => (a, _) => a
+      val isFullCopy = effective.materialization.strategy match {
+        case Some(Strategy.CreateReplace) | Some(Strategy.TruncateInsert) => true
+        case _ => false
       }
-      val q = df.writeStream
+      val perBatch: (Asset, Long) => Asset =
+        if (!isFullCopy) (a, _) => a
+        else (a, batchId) =>
+          if (batchId == 0L) a
+          else a.copy(materialization = a.materialization.copy(
+            strategy = Some(Strategy.Append)))
+      // INCREMENTAL strategies (append/merge/delete+insert) track broker
+      // offsets in a persistent per-asset checkpoint: a scheduled re-run
+      // resumes from committed offsets instead of re-draining the topic
+      // and duplicating every previously landed row. Full-copy strategies
+      // (replace/truncate+insert) deliberately re-drain — "each run copies
+      // current state" — so they get no persistent checkpoint. An explicit
+      // `checkpoint_location` parameter overrides either default.
+      val cpOpt = asset.parameters.get("checkpoint_location").orElse {
+        if (isFullCopy) scala.None
+        else {
+          val cp = java.nio.file.Paths.get(
+            wh.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+            "_graft_checkpoints", s"ingest_${asset.name.replace('.', '_')}")
+          // committed offsets with the sink table GONE = a stale checkpoint
+          // (e.g. the table was dropped for a rebuild): wipe it so the
+          // rebuild re-drains from earliest instead of landing zero rows
+          if (!wh.exists(asset.name)) graft.core.Fs.deleteRecursively(cp)
+          Some(cp.toString)
+        }
+      }
+      val writer = df.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           Materializer.executeDf(wh, perBatch(effective, batchId), batch, ctx)
         }
         .trigger(trigger)
-        .start()
+      cpOpt.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
       q.awaitTermination()
     }
   }

@@ -810,10 +810,14 @@ class EngineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-hh-adv").toString
     events.coalesce(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // auto default resolves to per-core sharding, never the 1-task trap
+    assert(Streams.resolveShards(spark, 0) == spark.sparkContext.defaultParallelism)
+    assert(Streams.resolveShards(spark, 3) == 3)
+
     val phi = 0.01
     val hits = Streams.streamingHeavyHittersComplete(spark,
       s"$dir/events.parquet",
-      org.apache.spark.sql.functions.col("user_id").cast("string"), phi, shards = 4)
+      org.apache.spark.sql.functions.col("user_id").cast("string"), phi, shards = 8)
     val q = hits.toDF().writeStream.format("memory").queryName("hh_adv")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -834,7 +838,7 @@ class EngineSpec extends AnyFunSuite {
       assert(lo <= t && t <= hi, s"item $item: bounds [$lo,$hi] miss true $t")
     }
     // the bounded-state claim: nothing emitted can exceed k survivors/shard
-    assert(emitted.size <= 4 * (math.ceil(1 / phi).toInt + 1))
+    assert(emitted.size <= 8 * (math.ceil(1 / phi).toInt + 1))
   }
 
   test("kafka connection mapping is pure and jar-independent") {
@@ -918,6 +922,23 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.table("broker_tgt").orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "one"), (2, "two")))
 
+    // a RE-RUN with the sink intact resumes from the per-asset checkpoint's
+    // committed offsets: append must NOT re-drain the topic and duplicate
+    // every previously landed row (scheduled-run contract)
+    def brokerAsset = Asset(name = "broker_tgt", assetType = AssetType.Ingest,
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")),
+      parameters = Map("source_uri" -> "mockkafka://broker/plain",
+        "incremental_strategy" -> "append"))
+    Ingest.run(wh, brokerAsset)
+    assert(spark.table("broker_tgt").count() == 2,
+      "append re-run must resume offsets, not duplicate rows")
+    // dropping the sink invalidates the stale checkpoint: the rebuild
+    // re-drains from earliest instead of landing zero rows
+    SessionCatalogWarehouse.dropAny(spark, "broker_tgt")
+    Ingest.run(wh, brokerAsset)
+    assert(spark.table("broker_tgt").count() == 2,
+      "rebuild after drop must re-drain in full")
+
     // a whole-table strategy on a MULTI-batch stream: batch 0 replaces,
     // later batches append — each trigger must NOT wipe the previous one's
     // rows (flush_records forces one file per micro-batch)
@@ -968,6 +989,62 @@ class EngineSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(dir.toString)
     assert(Streams.userVisitsComplete(spark, dir.toString).isEmpty)
+    assert(Streams.userVisitsComplete(spark, dir.toString, incremental = true).isEmpty)
+  }
+
+  test("batch visit replay is sort-based and survives a hot key owning half the input") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotkey-events")
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // user 1 = 5000 events 1s apart (one giant visit, ~50% of the feed);
+    // 50 cold users × 100 events each, every event its own visit (2h apart)
+    val hot = (0 until 5000).map(i =>
+      (i.toLong, new Timestamp(base + i * 1000L), 1L, "e", 0.25, ""))
+    val cold = (0 until 50).flatMap(u => (0 until 100).map(i =>
+      (100000L + u * 100 + i, new Timestamp(base + i * 7200000L), 2L + u, "e", 1.0, "")))
+    spark.createDataFrame(hot ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir.toString)
+    val visits = Streams.userVisitsComplete(spark, dir.toString)
+    // the replay must be the spill-capable window plan, not the stateful
+    // fold that buffers a key's whole history on one task
+    assert(!visits.isStreaming, "replay must be a batch plan")
+    val plan = visits.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a sort-based Window plan:\n$plan")
+    assert(!plan.contains("FlatMapGroupsWithState"), "stateful fold in a batch replay")
+    val byUser = visits.collect().groupBy(_.user_id)
+    val hotVisits = byUser(1L)
+    assert(hotVisits.length == 1 && hotVisits.head.n_events == 5000L &&
+      hotVisits.head.total_cents == 5000L * 25, hotVisits.toSeq.toString)
+    assert(byUser(2L).length == 100, s"cold user visits: ${byUser(2L).length}")
+  }
+
+  test("incremental and batch sessionizers agree on the same feed") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-visits-parity")
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      // irregular gaps straddling the 30-min boundary in both directions
+      val step = if (rnd.nextBoolean()) rnd.nextInt(1700) else 1900 + rnd.nextInt(4000)
+      (i.toLong, new Timestamp(base + i.toLong * step * 1000L),
+        (i % 7).toLong, "e", rnd.nextInt(500) / 100.0, "")
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir.toString)
+    val batch = Streams.userVisitsComplete(spark, dir.toString).collect().toSet
+    val inc = Streams.userVisitsComplete(spark, dir.toString, incremental = true)
+    assert(inc.isStreaming, "incremental path must be the stateful streaming operator")
+    val q = inc.writeStream.format("memory").queryName("t_visits_parity")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t_visits_parity")
+      .as[graft.streaming.Streams.Visit].collect().toSet
+    assert(streamed == batch,
+      s"paths disagree: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
   }
 
   test("streaming merge upserts each micro-batch") {

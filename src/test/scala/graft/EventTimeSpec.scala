@@ -78,16 +78,12 @@ class EventTimeSpec extends AnyFunSuite {
   }
 
   test("userVisitsComplete emits identical visits from nanos-long and ntz-micros sources") {
-    import spark.implicits._
     val results = Seq("nanos_long", "ntz_micros").map { shape =>
       val visits = graft.streaming.Streams.userVisitsComplete(
         spark, fixture(shape), gapMinutes = 30)
-      val name = s"t_etime_visits_$shape"
-      val q = visits.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name).as[graft.streaming.Streams.Visit].collect().toSet
+      // batch replays take the sort-based path — no streaming query to run
+      assert(!visits.isStreaming, s"$shape: replay should be batch")
+      visits.collect().toSet
     }
     assert(results.head.nonEmpty, "no visits emitted")
     // user 7: 10:00-10:10 visit (2 events), 13:00 visit; user 8: one visit

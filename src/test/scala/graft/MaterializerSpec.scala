@@ -438,6 +438,29 @@ class MaterializerSpec extends AnyFunSuite {
       .exists(c => c.name == "p" && c.isPartition), "partition layout lost")
     assert(spark.table("compact_p").count() == 500)
 
+    // SKEWED partitioned: one partition value owns ~all the bytes — the
+    // rewrite must salt it across several target-sized files, not funnel
+    // the whole directory to one task and one oversized file
+    wh.drop("compact_skew")
+    def skewBatch(lo: Long) = spark.range(lo, lo + 20000)
+      .select(col("id").as("n"),
+        org.apache.spark.sql.functions.concat_ws("-",
+          col("id"), col("id") * 7, col("id") * 13).as("pad"),
+        org.apache.spark.sql.functions.when(col("id") % 100 === 0, 1)
+          .otherwise(0).cast("int").as("p"))
+    wh.createOrReplace("compact_skew", skewBatch(0).repartition(16),
+      partitionBy = Seq("p"))
+    (1 to 3).foreach(i =>
+      wh.append("compact_skew", skewBatch(i * 20000L).repartition(16)))
+    val sStats = Compactor.compact(wh, "compact_skew", targetBytes = 32L << 10)
+    assert(sStats.rewritten, sStats.pretty)
+    val sBacking = SessionCatalogWarehouse.backingTable(spark, "compact_skew").get
+    val hotFiles = spark.table(sBacking).inputFiles.count(_.contains("p=0"))
+    assert(hotFiles >= 3,
+      s"hot partition should split into ~targetBytes files, got $hotFiles")
+    assert(spark.table("compact_skew").count() == 80000)
+    SessionCatalogWarehouse.dropAny(spark, "compact_skew")
+
     // CLI surface
     assert(Main.run(Seq("compact", "compact_t", "compact_p", "--target-mb", "64"),
       Some(spark)) == 0)
@@ -499,6 +522,30 @@ class MaterializerSpec extends AnyFunSuite {
     SessionCatalogWarehouse.dropAny(spark, "compact_t")
     SessionCatalogWarehouse.dropAny(spark, "compact_p")
     SessionCatalogWarehouse.dropAny(spark, "compact_z")
+  }
+
+  test("clean sweeps stale streaming staging dirs, spares fresh and foreign ones") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-clean-sweep")
+    // one stale dir per owned prefix (mtime pushed past any grace), one
+    // fresh dir, one foreign dir that must never be touched
+    val stale = Main.streamStagingPrefixes.map { pre =>
+      val d = Files.createDirectory(tmp.resolve(pre + "stale01"))
+      Files.write(d.resolve("part-0000.parquet"), Array[Byte](1, 2, 3))
+      Files.setLastModifiedTime(d, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+      d
+    }
+    val fresh = Files.createDirectory(tmp.resolve("graft-stream-fresh01"))
+    val foreign = Files.createDirectory(tmp.resolve("someone-elses-dir"))
+    val swept = Main.sweepStreamStaging(graceNanos = 900L * 1000000000L, tmp = tmp)
+    assert(swept == stale.size, s"expected ${stale.size} sweeps, got $swept")
+    stale.foreach(d => assert(!Files.exists(d), s"stale $d must be swept"))
+    assert(Files.exists(fresh), "in-grace dir must survive")
+    assert(Files.exists(foreign), "foreign dir must never be touched")
+    // the CLI surface drives the same sweep against the real /tmp
+    assert(Main.run(Seq("clean"), Some(spark)) == 0)
+    graft.core.Fs.deleteRecursively(tmp)
   }
 
   test("createOrReplace swap is atomic: no crash window without a readable table") {

@@ -314,12 +314,20 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(ovRows == nKeys, s"overlay state must stay one row per key: $ovRows")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_ov__cdc_state")
 
+    // ---- sf3 trend rows (GRAFT_SCALE_PROBE=3): the fold and capstone
+    // paths again at 3× the sf1 probe, staged so a future regression shows
+    // up as a per-stage trend (r9 verdict #7), not a single opaque number
+    if (sys.env.get("GRAFT_SCALE_PROBE").contains("3"))
+      runSf3(spark, wh, results)
+
     // ---- record the table
     val md = new StringBuilder
     md ++= "# Scale probe — sf1 (10× bench SF), boilerplate-skewed corpus\n\n"
     md ++= s"Generated by `GRAFT_SCALE_PROBE=1 sbt \"testOnly graft.ScaleProbeSpec\"` " +
       s"at local[32]; $nDocs documents, 30% sharing a boilerplate paragraph " +
-      "(the adversarial input for candidate generation).\n\n"
+      "(the adversarial input for candidate generation). " +
+      "`GRAFT_SCALE_PROBE=3` appends the sf3 trend rows (150k docs, " +
+      "4.5M CDC keys; capstone staged per-checkpoint).\n\n"
     md ++= "| step | seconds | note |\n|---|---|---|\n"
     results.foreach { case (l, s, n) =>
       md ++= (if (s < 0) s"| $l | — | $n |\n" else f"| $l | $s%.2f | $n |\n")
@@ -331,5 +339,108 @@ class ScaleProbeSpec extends AnyFunSuite {
       "total state size.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.md"), md.toString)
     println("[scale-probe] wrote SCALE_PROBE.md")
+  }
+
+  /** sf3 section: the curation capstone per-stage and the CDC folds at 3×
+    * the sf1 probe volumes (150k docs, 4.5M state keys). Each capstone
+    * stage ends at its localCheckpoint so the row prices exactly that
+    * stage's shuffles — the trend rows that catch a fold/capstone
+    * regression before it reaches a real cluster. */
+  private def runSf3(spark: SparkSession, wh: graft.materialize.Warehouse,
+      results: scala.collection.mutable.ArrayBuffer[(String, Double, String)]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def t[A](label: String, note: String = "")(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      results += ((label, sec, note))
+      println(f"[scale-probe] $label: $sec%.2f s  $note"); r
+    }
+    val boiler = "this document is provided under the standard terms of " +
+      "service all content herein is offered without warranty of any kind " +
+      "either expressed or implied including fitness for purpose "
+    val corpusDir = "/tmp/graft-scale-sf3-documents"
+    val base = spark.table("documents").select("doc_id", "text")
+    (0 until 30).map(k => base.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) < 3, concat(lit(boiler), col("text")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val nDocs = docs.count()
+    println(s"[scale-probe] sf3 corpus: $nDocs docs")
+
+    // capstone, one row per stage (same program as the sf1 composite row)
+    val full = docs
+      .withColumn("lang", element_at(
+        array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val gated = t("sf3 capstone stage 1/6: gopher gate",
+      "pure-projection rule battery + id semi-join") {
+      val gateIds = graft.ops.TextAnalysis.gopherFilter(full)
+        .where(col("passes_gopher")).select("doc_id")
+      full.join(gateIds, Seq("doc_id")).localCheckpoint()
+    }
+    val cleaned = t("sf3 capstone stage 2/6: line dedup",
+      "line-df count + heavy-set anti-join + reassembly") {
+      val lined = graft.ops.TextAnalysis.lineDedup(
+        gated.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n")),
+        minDf = 90, hashKeys = true)
+      gated.drop("text").join(
+        lined.where(col("n_lines_kept") >= 1)
+          .select(col("doc_id"), col("text_deduped").as("text")), Seq("doc_id"))
+        .localCheckpoint()
+    }
+    val fuzzy = t("sf3 capstone stage 3/6: fuzzy jaccard dedup",
+      "df-capped gram join, hashed 64-bit keys") {
+      val losers = graft.ops.Dedup.jaccardPairs(cleaned, n = 3,
+          threshold = 0.5, maxDocFreq = 60)
+        .select(col("b").as("doc_id")).distinct()
+      cleaned.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    val decon = t("sf3 capstone stage 4/6: decontamination",
+      "gram-keyed contamination screen vs 10% holdout") {
+      val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+      val train = fuzzy.where(b >= 10)
+      val dirty = graft.ops.Dedup.contamination(train, fuzzy.where(b < 10), n = 5)
+        .select("doc_id")
+      train.join(dirty, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    t("sf3 capstone stages 5-6/6: mixture + split",
+      "broadcast rate table + in-plan hash split") {
+      val mixed = graft.ops.Sampling.mixture(decon, "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
+      val n = graft.ops.Sampling.split(mixed)
+        .groupBy("split", "lang").count().count()
+      println(s"  (split,lang) cells: $n"); n
+    }
+
+    // CDC folds at 4.5M keys
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe3_cdc__cdc_state")
+    val orders30 = (0 until 30).map(k => spark.table("orders")
+        .select((col("o_orderkey") + lit(k * 100000000L)).as("k"),
+          col("o_totalprice").as("v")))
+      .reduce(_ unionByName _)
+    val win = Window.partitionBy(col("k")).orderBy(col("seq").desc, col("op").desc)
+    def latestOf(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
+    val writer = new graft.streaming.Streams.BucketedStateWriter(Seq("k"), Some(64))
+    val snap = orders30.withColumn("op", lit("r")).withColumn("seq", lit(0L))
+    val nKeys = snap.count()
+    t(s"sf3 cdc snapshot fold ($nKeys keys, 64 buckets)", "wide batch → rebuild") {
+      writer.upsert(wh, "probe3_cdc__cdc_state", latestOf(snap), latestOf, Nil, Nil)
+    }
+    val localized = snap.where(pmod(hash(col("k")), lit(64)).isin(0, 1))
+      .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+    val nLoc = localized.count()
+    t(s"sf3 cdc localized fold ($nLoc keys, 2/64 buckets)",
+      "incremental partition overwrite") {
+      writer.upsert(wh, "probe3_cdc__cdc_state", latestOf(localized), latestOf, Nil, Nil)
+    }
+    val stateRows = spark.table("probe3_cdc__cdc_state").count()
+    assert(stateRows == nKeys, s"sf3 state must stay one row per key: $stateRows")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe3_cdc__cdc_state")
   }
 }
