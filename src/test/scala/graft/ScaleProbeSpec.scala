@@ -282,18 +282,23 @@ class ScaleProbeSpec extends AnyFunSuite {
     def latestOf(df: DataFrame) = df
       .withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
     val writer = new graft.streaming.Streams.BucketedStateWriter(Seq("k"), Some(64))
-    val snap = orders10.withColumn("op", lit("r")).withColumn("seq", lit(0L))
+    // materialize each batch OUTSIDE the timer, like foreachBatch hands the
+    // writer a computed micro-batch — otherwise the writer's touched-bucket
+    // probe + merge re-run the 10-way union scan 2-3× and the "localized"
+    // row prices the probe's input construction, not the fold
+    val snap = latestOf(orders10.withColumn("op", lit("r"))
+      .withColumn("seq", lit(0L))).localCheckpoint()
     val nKeys = snap.count()
     t(s"cdc snapshot fold ($nKeys keys, 64 buckets)", "wide batch → rebuild") {
-      writer.upsert(wh, "probe_cdc__cdc_state", latestOf(snap), latestOf, Nil, Nil)
+      writer.upsert(wh, "probe_cdc__cdc_state", snap, latestOf, Nil, Nil)
     }
     // localized: only keys hashing into 2 of 64 buckets
     val localized = snap.where(pmod(hash(col("k")), lit(64)).isin(0, 1))
-      .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      .withColumn("op", lit("u")).withColumn("seq", lit(1L)).localCheckpoint()
     val nLoc = localized.count()
     t(s"cdc localized fold ($nLoc keys, 2/64 buckets)",
       "incremental partition overwrite") {
-      writer.upsert(wh, "probe_cdc__cdc_state", latestOf(localized), latestOf, Nil, Nil)
+      writer.upsert(wh, "probe_cdc__cdc_state", localized, latestOf, Nil, Nil)
     }
     val stateRows = spark.table("probe_cdc__cdc_state").count()
     assert(stateRows == nKeys, s"state must stay one row per key: $stateRows")
@@ -304,11 +309,11 @@ class ScaleProbeSpec extends AnyFunSuite {
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_ov__cdc_state")
     val ovWriter = new graft.streaming.Streams.OverlayStateWriter(Seq("k"), Some(64))
     t(s"cdc overlay snapshot fold ($nKeys keys, 64 buckets)", "base table write") {
-      ovWriter.upsert(wh, "probe_ov__cdc_state", latestOf(snap), latestOf, Nil, Nil)
+      ovWriter.upsert(wh, "probe_ov__cdc_state", snap, latestOf, Nil, Nil)
     }
     t(s"cdc overlay localized fold ($nLoc keys, 2/64 buckets)",
       "overlay table + atomic view swap") {
-      ovWriter.upsert(wh, "probe_ov__cdc_state", latestOf(localized), latestOf, Nil, Nil)
+      ovWriter.upsert(wh, "probe_ov__cdc_state", localized, latestOf, Nil, Nil)
     }
     val ovRows = spark.table("probe_ov__cdc_state").count()
     assert(ovRows == nKeys, s"overlay state must stay one row per key: $ovRows")
@@ -394,7 +399,8 @@ class ScaleProbeSpec extends AnyFunSuite {
         .localCheckpoint()
     }
     val fuzzy = t("sf3 capstone stage 3/6: fuzzy jaccard dedup",
-      "df-capped gram join, hashed 64-bit keys") {
+      "df-capped gram join; cap 60 = 2x the 30 structural copies, " +
+        "candidate volume ~ cap^2 per gram") {
       val losers = graft.ops.Dedup.jaccardPairs(cleaned, n = 3,
           threshold = 0.5, maxDocFreq = 60)
         .select(col("b").as("doc_id")).distinct()
@@ -427,17 +433,19 @@ class ScaleProbeSpec extends AnyFunSuite {
     def latestOf(df: DataFrame) = df
       .withColumn("__rn", row_number().over(win)).where(col("__rn") === 1).drop("__rn")
     val writer = new graft.streaming.Streams.BucketedStateWriter(Seq("k"), Some(64))
-    val snap = orders30.withColumn("op", lit("r")).withColumn("seq", lit(0L))
+    // materialized like a real foreachBatch micro-batch (see sf1 note)
+    val snap = latestOf(orders30.withColumn("op", lit("r"))
+      .withColumn("seq", lit(0L))).localCheckpoint()
     val nKeys = snap.count()
     t(s"sf3 cdc snapshot fold ($nKeys keys, 64 buckets)", "wide batch → rebuild") {
-      writer.upsert(wh, "probe3_cdc__cdc_state", latestOf(snap), latestOf, Nil, Nil)
+      writer.upsert(wh, "probe3_cdc__cdc_state", snap, latestOf, Nil, Nil)
     }
     val localized = snap.where(pmod(hash(col("k")), lit(64)).isin(0, 1))
-      .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      .withColumn("op", lit("u")).withColumn("seq", lit(1L)).localCheckpoint()
     val nLoc = localized.count()
     t(s"sf3 cdc localized fold ($nLoc keys, 2/64 buckets)",
       "incremental partition overwrite") {
-      writer.upsert(wh, "probe3_cdc__cdc_state", latestOf(localized), latestOf, Nil, Nil)
+      writer.upsert(wh, "probe3_cdc__cdc_state", localized, latestOf, Nil, Nil)
     }
     val stateRows = spark.table("probe3_cdc__cdc_state").count()
     assert(stateRows == nKeys, s"sf3 state must stay one row per key: $stateRows")
