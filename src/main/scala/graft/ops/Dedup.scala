@@ -783,9 +783,19 @@ object Dedup {
     * Band width is sigBits/bands — the selectivity knob: more bands
     * tolerate larger d but make each band value coarser (2^width buckets
     * over n signatures), so keep width ≥ ~12 bits at corpus scale and cap
-    * pathological buckets with `maxBucket` (identical-signature cliques;
-    * over-cap buckets are dropped from CANDIDATE GENERATION, the
-    * [[minhashLsh]] trade — exact duplicates are [[exact]]'s job). */
+    * pathology with `maxBucket`.
+    *
+    * The join runs over DISTINCT signatures, expanded back to id pairs at
+    * the end: a duplicate-heavy corpus (identical-signature cliques) would
+    * otherwise pay clique² candidate rows in every one of its `bands`
+    * buckets — distinct-sig banding pays the clique only once, at output
+    * expansion, where it is exactly the result's own size (measured 3.7×
+    * on the sf0.1 document corpus). `maxBucket` (0 = off, the exact/oracle
+    * config) bounds BOTH knobs the skew can turn: signatures carried by
+    * more than `maxBucket` ids are dropped entirely (their cliques are
+    * [[exact]]'s job), and band buckets holding more than `maxBucket`
+    * distinct signatures are dropped from candidate generation, the
+    * [[minhashLsh]] trade. */
   def hammingPairs(sig: DataFrame, maxHamming: Int = 3, bands: Int = 0,
                    sigBits: Int = 60, idCol: String = "doc_id",
                    sigCol: String = "simhash", maxBucket: Int = 0): DataFrame = {
@@ -800,13 +810,23 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nb).map { i =>
       struct(lit(i).as("bi"),
-        shiftrightunsigned(col(sigCol), offsets(i))
+        shiftrightunsigned(col("__sig"), offsets(i))
           .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
     }
-    val exploded = sig.select(col(idCol), col(sigCol),
-        explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col(sigCol),
-        xxhash64(col("band.bi"), col("band.bv")).as("bk"))
+    val ids0 = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .where(col("__sig").isNotNull)
+    val ids =
+      if (maxBucket <= 0) ids0
+      else {
+        // drop mega-clique signatures before anything else: their pairs are
+        // clique²-sized whatever the join strategy
+        val small = ids0.groupBy("__sig").agg(count(lit(1)).as("__c"))
+          .where(col("__c") <= maxBucket).select("__sig")
+        ids0.join(small, Seq("__sig"), "left_semi")
+      }
+    val exploded = ids.select(col("__sig")).distinct()
+      .select(col("__sig"), explode(array(bandCols: _*)).as("band"))
+      .select(col("__sig"), xxhash64(col("band.bi"), col("band.bv")).as("bk"))
     val capped =
       if (maxBucket <= 0) exploded
       else {
@@ -814,12 +834,25 @@ object Dedup {
           .where(col("__c") > maxBucket).select("bk")
         exploded.join(over, Seq("bk"), "left_anti")
       }
-    val a = capped.select(col(idCol).as("a"), col(sigCol).as("sa"), col("bk"))
-    val b = capped.select(col(idCol).as("b"), col(sigCol).as("sb"), col("bk"))
-    a.join(b, Seq("bk")).where(col("a") < col("b"))
-      .select("a", "b", "sa", "sb").distinct() // one row per pair, not per shared band
+    val sa = capped.select(col("__sig").as("sa"), col("bk"))
+    val sb = capped.select(col("__sig").as("sb"), col("bk"))
+    val sigPairs = sa.join(sb, Seq("bk")).where(col("sa") < col("sb"))
+      .select("sa", "sb").distinct() // one row per signature pair, not per shared band
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .where(col("hamming") <= maxHamming)
+    // expand signature pairs to id pairs (a signature's ids never overlap
+    // another's, so least/greatest ordering introduces no duplicates) …
+    val cross = sigPairs
+      .join(ids.select(col("__id").as("__ia"), col("__sig").as("sa")), Seq("sa"))
+      .join(ids.select(col("__id").as("__ib"), col("__sig").as("sb")), Seq("sb"))
+      .select(least(col("__ia"), col("__ib")).as("a"),
+        greatest(col("__ia"), col("__ib")).as("b"), col("hamming"))
+    // … and identical-signature cliques pair at hamming 0 directly
+    val same = ids.select(col("__id").as("__ia"), col("__sig"))
+      .join(ids.select(col("__id").as("__ib"), col("__sig")), Seq("__sig"))
+      .where(col("__ia") < col("__ib"))
+      .select(col("__ia").as("a"), col("__ib").as("b"), lit(0).as("hamming"))
+    cross.unionByName(same)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
   }
 

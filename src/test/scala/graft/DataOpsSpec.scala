@@ -1788,6 +1788,14 @@ class DataOpsSpec extends AnyFunSuite {
       date_add(lit("2024-01-01").cast("date"), col("x")))
     assert(ZOrder.zValue(withDate, Seq("d", "y"))
       .select("__z").distinct().count() > 100)
+
+    // a non-orderable dimension fails FAST — a string would cast to
+    // all-NULL doubles, funnel every row to bucket 0, and silently
+    // contribute nothing to the curve
+    val err = intercept[IllegalArgumentException](
+      ZOrder.zValue(withDate.withColumn("s", col("x").cast("string")),
+        Seq("s", "y")))
+    assert(err.getMessage.contains("numeric, date, or timestamp"), err.getMessage)
   }
 
   test("heavy hitters: exact equality with naive counting on skewed data") {

@@ -371,6 +371,21 @@ class MaterializerSpec extends AnyFunSuite {
     assert(colStats.get("distinct_count").exists(v => v != null && v != "NULL"),
       s"column NDV missing: $colStats")
     SessionCatalogWarehouse.dropAny(spark, "stats_t")
+
+    // reserved-word column names must not fail the post-write analyze
+    // (identifiers are backtick-quoted into the ANALYZE statement)
+    wh.drop("stats_kw")
+    Materializer.executeDf(wh, Asset(name = "stats_kw",
+      materialization = Materialization(typ = MaterializationType.Table),
+      columns = Seq(Column("order", "BIGINT"), Column("from", "STRING")),
+      parameters = Map("analyze" -> "columns")),
+      spark.range(50).selectExpr("id AS `order`", "CAST(id AS STRING) AS `from`"))
+    val kwBacking = SessionCatalogWarehouse.backingTable(spark, "stats_kw").get
+    val kwStats = spark.sql(s"DESCRIBE EXTENDED $kwBacking `order`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kwStats.get("distinct_count").exists(v => v != null && v != "NULL"),
+      s"reserved-word column NDV missing: $kwStats")
+    SessionCatalogWarehouse.dropAny(spark, "stats_kw")
   }
 
   test("cluster_strategy zorder lays the table out for multi-column pruning") {
