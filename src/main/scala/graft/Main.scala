@@ -445,8 +445,10 @@ object Main {
   private def cmdClean(spark: SparkSession, flags: Map[String, Seq[String]]): Int = {
     import scala.jdk.CollectionConverters._
     import graft.materialize.SessionCatalogWarehouse.{GenSep, backingTable}
+    // flags are keyed WITHOUT the leading dashes (parser strips them); the
+    // old "--grace" lookup always missed and silently ran at the default
     val graceNanos =
-      flags("--grace").headOption.map(_.toLong).getOrElse(900L) * 1000000000L
+      flags("grace").headOption.map(_.toLong).getOrElse(900L) * 1000000000L
     val now = System.nanoTime()
     var dropped = 0
     spark.catalog.listDatabases().collectAsList().asScala.foreach { db =>
@@ -469,9 +471,15 @@ object Main {
     }
     // streaming staging dirs (single-file symlink stages, end-of-input
     // sentinel parquet) are content-keyed so re-runs reuse them, but a
-    // re-generated or deleted input strands its old dir forever; sweep
-    // those past the same grace window (age = dir mtime) as generations
-    val swept = sweepStreamStaging(graceNanos)
+    // re-generated or deleted input strands its old dir forever. They are
+    // LIVE FileStreamSource inputs while a stream runs, and their mtime is
+    // touched on every reuse — so the sweep uses its own, much longer
+    // window (`--stream-grace <seconds>`, default 24 h) rather than the
+    // minutes-scale generation grace: a dir untouched for a day belongs to
+    // an input that was re-generated or deleted.
+    val streamGraceNanos = flags("stream-grace").headOption.map(_.toLong)
+      .getOrElse(86400L) * 1000000000L
+    val swept = sweepStreamStaging(streamGraceNanos)
     println(s"dropped $dropped abandoned staging/generation table(s), " +
       s"swept $swept streaming staging dir(s)")
     0
@@ -486,12 +494,14 @@ object Main {
                                           java.nio.file.Paths.get("/tmp")): Int = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.isDirectory(tmp)) return 0
-    val stale = java.nio.file.Files.list(tmp).iterator().asScala
-      .filter { p =>
+    val listing = java.nio.file.Files.list(tmp)
+    val stale =
+      try listing.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         streamStagingPrefixes.exists(n.startsWith) &&
           graft.core.Fs.ageNanos(p) > graceNanos
       }.toSeq
+      finally listing.close()
     stale.foreach(graft.core.Fs.deleteRecursively)
     stale.size
   }

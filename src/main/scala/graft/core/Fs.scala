@@ -6,14 +6,23 @@ package graft.core
   * APIs, never through here. */
 object Fs {
 
-  /** Recursive delete; tolerates a vanishing tree (concurrent sweepers). */
+  /** Recursive delete; tolerates a vanishing tree (concurrent sweepers):
+    * Files.walk itself throws UncheckedIOException when entries disappear
+    * mid-iteration, so the whole pass — not just each deleteIfExists — is
+    * fenced, and the walk stream is closed either way. */
   def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    if (java.nio.file.Files.exists(p))
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } finally walk.close()
+      } catch {
+        case _: java.io.UncheckedIOException | _: java.nio.file.NoSuchFileException => ()
+      }
 
   /** Age of a path in nanoseconds via its mtime (0 if it can't be read). */
   def ageNanos(p: java.nio.file.Path): Long =

@@ -117,7 +117,22 @@ object Materializer {
       if (zorder) {
         val files = asset.parameters.get("zorder_files").map(_.toInt).getOrElse(
           wh.spark.conf.get("spark.sql.shuffle.partitions").toInt)
-        graft.ops.ZOrder.cluster(input, asset.materialization.clusterBy, files)
+        val parts = asset.materialization.partitionBy
+        val arranged =
+          if (parts.isEmpty)
+            graft.ops.ZOrder.cluster(input, asset.materialization.clusterBy, files)
+          else
+            // partitioned: range-shard on (partition cols, z) so equal
+            // partition keys stay contiguous AND each directory's files
+            // come out z-disjoint (same layout the Compactor's
+            // --zorder path writes)
+            graft.ops.ZOrder.zValue(input, asset.materialization.clusterBy)
+              .repartitionByRange(files, (parts :+ "__z").map(col): _*)
+              .sortWithinPartitions((parts :+ "__z").map(col): _*)
+              .drop("__z")
+        // the marker tells Warehouse.write the layout is deliberate — its
+        // rebalance-by-partition clustering would scatter the curve order
+        arranged.withColumn(SessionCatalogWarehouse.ArrangedMarker, lit(true))
       } else input
 
     mat.typ match {

@@ -813,8 +813,11 @@ object Dedup {
         shiftrightunsigned(col("__sig"), offsets(i))
           .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
     }
+    // distinct() restores the old exploded-join's tolerance of duplicate
+    // (id, sig) input rows (e.g. an accidental union of signature batches)
+    // — without it the expansion joins would multiply the duplicates
     val ids0 = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-      .where(col("__sig").isNotNull)
+      .where(col("__sig").isNotNull).distinct()
     val ids =
       if (maxBucket <= 0) ids0
       else {

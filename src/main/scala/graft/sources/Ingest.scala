@@ -220,14 +220,20 @@ object Ingest {
       val cpOpt = asset.parameters.get("checkpoint_location").orElse {
         if (isFullCopy) scala.None
         else {
-          val cp = java.nio.file.Paths.get(
-            wh.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-            "_graft_checkpoints", s"ingest_${asset.name.replace('.', '_')}")
+          // keep the warehouse dir's URI intact (hdfs://, s3a://, file:) —
+          // same scheme-preserving concat as runAppendToTable; the wipe
+          // below goes through the Hadoop FS so any scheme works
+          val cp = wh.spark.conf.get("spark.sql.warehouse.dir") +
+            s"/_graft_checkpoints/ingest_${asset.name.replace('.', '_')}"
           // committed offsets with the sink table GONE = a stale checkpoint
           // (e.g. the table was dropped for a rebuild): wipe it so the
           // rebuild re-drains from earliest instead of landing zero rows
-          if (!wh.exists(asset.name)) graft.core.Fs.deleteRecursively(cp)
-          Some(cp.toString)
+          if (!wh.exists(asset.name)) {
+            val p = new org.apache.hadoop.fs.Path(cp)
+            val fs = p.getFileSystem(wh.spark.sessionState.newHadoopConf())
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          Some(cp)
         }
       }
       val writer = df.writeStream

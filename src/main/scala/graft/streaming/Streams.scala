@@ -19,6 +19,14 @@ import graft.model.Asset
   */
 object Streams {
 
+  /** Refresh a staging dir's mtime so `graft clean`'s age-based sweep sees
+    * actively reused dirs as young; best-effort (a read-only /tmp entry
+    * must not fail the stream that reuses it). */
+  private def touch(d: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setLastModifiedTime(d,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
   /** Staged symlink dir for a single-file stream source (FileStreamSource
     * wants a directory). Keyed on (resolved path, size, mtime, copies) — a
     * string hashCode collision, or a re-generated file at the same path,
@@ -38,6 +46,7 @@ object Streams {
         val link = d.resolve(s"c$i-${src.getFileName}")
         if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
       }
+      touch(d) // keep the dir young: `graft clean` sweeps by mtime
       d.toString
     }
   }
@@ -845,6 +854,7 @@ object Streams {
           (-1L, sentinelTs, -1L, "__sentinel", 0.0, "")))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    else touch(dir) // reused: stay young for the mtime-based clean sweep
     // both legs are normalized to TimestampType by eventStream; project to
     // the sessionizer's columns so a source with extra/missing metadata
     // columns still unions cleanly against the 6-column sentinel
@@ -855,11 +865,18 @@ object Streams {
       .filter(_.user_id != -1L)
   }
 
-  /** 0 ↦ the session's default parallelism (one state shard per core —
-    * the production default; shards=1 is an OPT-IN exactness pin, not a
-    * trap where one task owns every window's stream). */
+  /** 0 ↦ 64 stable shards — enough to spread a window's state across any
+    * realistic executor count, and (unlike a parallelism-derived value)
+    * IDENTICAL when a checkpointed stream resumes on a differently-sized
+    * cluster: the shard index is part of the state key, so re-deriving it
+    * from cluster size would split an open window's per-item counts across
+    * two shards on resume, duplicating output rows and voiding the
+    * per-shard retention guarantee. shards=1 stays the opt-in exactness
+    * pin (the oracle configuration), not a default trap where one task
+    * owns every window's stream. */
+  private[graft] val AutoShards = 64
   private[graft] def resolveShards(spark: SparkSession, shards: Int): Int =
-    if (shards > 0) shards else math.max(1, spark.sparkContext.defaultParallelism)
+    if (shards > 0) shards else AutoShards
 
   /** One (window, item) row emitted when its window closes: `n_item` is the
     * Misra–Gries counter (an UNDERCOUNT by at most `max_item - n_item`),
@@ -884,10 +901,12 @@ object Streams {
     * (pigeonhole over the ≤ shard_n/(k+1) decrements) — the emitted rows
     * are a guaranteed SUPERSET of the true phi-heavy set, with per-item
     * count bounds. `shards = 0` (the default) spreads a window's state
-    * over defaultParallelism groups — the production shape, one task per
-    * shard instead of one task owning the whole window. With `shards = 1`
-    * and k ≥ distinct items the output is exact and order-independent
-    * (the oracle configuration pins this explicitly).
+    * over [[AutoShards]] stable groups — the production shape, many tasks
+    * per window instead of one task owning it, and restart-safe because
+    * the resolved count never depends on cluster size (see
+    * [[resolveShards]]). With `shards = 1` and k ≥ distinct items the
+    * output is exact and order-independent (the oracle configuration pins
+    * this explicitly).
     *
     * Windows are integer epoch buckets (`floor(us / windowUs)`) — portable
     * to any engine, no timezone/origin ambiguity. */
@@ -962,8 +981,8 @@ object Streams {
   /** [[streamingHeavyHitters]] over a file-backed feed with the same
     * END-OF-INPUT FLUSH as [[userVisitsComplete]]: a null-item sentinel
     * row one window + watermark past max(ts) advances the clock so every
-    * real window times out and emits before the AvailableNow run drains. */
-  /** `shards = 0` (default) = auto, see [[streamingHeavyHitters]]. */
+    * real window times out and emits before the AvailableNow run drains.
+    * `shards = 0` (default) = auto, see [[streamingHeavyHitters]]. */
   def streamingHeavyHittersComplete(spark: SparkSession, path: String,
                                     itemCol: Column, phi: Double,
                                     windowUs: Long = 7L * 24 * 3600 * 1000000L,
@@ -989,6 +1008,7 @@ object Streams {
       spark.createDataFrame(Seq(Tuple2(sentinelTs, true)))
         .toDF("ts", "__sentinel")
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    else touch(dir) // reused: stay young for the mtime-based clean sweep
     val feed = eventStream(spark, path)
       .unionByName(eventStream(spark, dir.toString), allowMissingColumns = true)
     // the sentinel's item must be NULL so it advances the watermark

@@ -810,8 +810,10 @@ class EngineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-hh-adv").toString
     events.coalesce(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
 
-    // auto default resolves to per-core sharding, never the 1-task trap
-    assert(Streams.resolveShards(spark, 0) == spark.sparkContext.defaultParallelism)
+    // auto default resolves to the stable multi-shard constant (restart-
+    // safe: the shard index is part of the state key), never the 1-task trap
+    assert(Streams.resolveShards(spark, 0) == Streams.AutoShards &&
+      Streams.AutoShards > 1)
     assert(Streams.resolveShards(spark, 3) == 3)
 
     val phi = 0.01

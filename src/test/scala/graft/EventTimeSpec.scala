@@ -78,12 +78,30 @@ class EventTimeSpec extends AnyFunSuite {
   }
 
   test("userVisitsComplete emits identical visits from nanos-long and ntz-micros sources") {
+    import spark.implicits._
     val results = Seq("nanos_long", "ntz_micros").map { shape =>
       val visits = graft.streaming.Streams.userVisitsComplete(
         spark, fixture(shape), gapMinutes = 30)
       // batch replays take the sort-based path — no streaming query to run
       assert(!visits.isStreaming, s"$shape: replay should be batch")
-      visits.collect().toSet
+      // the STATEFUL path must read the same physical shape identically —
+      // this is the r8 writer-type regression class, and the sentinel-union
+      // leg only exists on the incremental path
+      val inc = graft.streaming.Streams.userVisitsComplete(
+        spark, fixture(shape), gapMinutes = 30, incremental = true)
+      assert(inc.isStreaming, s"$shape: incremental path should stream")
+      val name = s"t_etime_visits_inc_$shape"
+      val q = inc.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table(name)
+        .as[graft.streaming.Streams.Visit].collect().toSet
+      val batch = visits.collect().toSet
+      assert(streamed == batch,
+        s"$shape: stateful and batch paths disagree: " +
+          s"only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+      batch
     }
     assert(results.head.nonEmpty, "no visits emitted")
     // user 7: 10:00-10:10 visit (2 events), 13:00 visit; user 8: one visit

@@ -558,8 +558,10 @@ class MaterializerSpec extends AnyFunSuite {
     stale.foreach(d => assert(!Files.exists(d), s"stale $d must be swept"))
     assert(Files.exists(fresh), "in-grace dir must survive")
     assert(Files.exists(foreign), "foreign dir must never be touched")
-    // the CLI surface drives the same sweep against the real /tmp
-    assert(Main.run(Seq("clean"), Some(spark)) == 0)
+    // the CLI surface drives the same sweep against the real /tmp — with a
+    // huge stream-grace so a unit test never reaps another process's
+    // (legitimately old but live) staging dirs on a shared machine
+    assert(Main.run(Seq("clean", "--stream-grace", "999999999"), Some(spark)) == 0)
     graft.core.Fs.deleteRecursively(tmp)
   }
 
