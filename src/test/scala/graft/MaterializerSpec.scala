@@ -415,6 +415,55 @@ class MaterializerSpec extends AnyFunSuite {
     assert(z < p / 2, s"zorder should prune the y scan: $z vs $p")
     SessionCatalogWarehouse.dropAny(spark, "zorder_t")
     SessionCatalogWarehouse.dropAny(spark, "plain_t")
+
+    // PARTITIONED asset + zorder: the curve order must survive the write
+    // path's rebalance (the arranged-layout marker) — a y filter prunes
+    // row groups INSIDE each partition directory
+    wh.drop("zorder_p"); wh.drop("plain_p")
+    val pdata = data.withColumn("p", pmod(col("x"), lit(2)).cast("int"))
+    def pAsset(name: String, params: Map[String, String]) = Asset(name = name,
+      materialization = Materialization(typ = MaterializationType.Table,
+        partitionBy = Seq("p"), clusterBy = Seq("x", "y")),
+      parameters = params)
+    Materializer.executeDf(wh, pAsset("zorder_p",
+      Map("cluster_strategy" -> "zorder", "zorder_files" -> "32")), pdata)
+    Materializer.executeDf(wh, pAsset("plain_p", Map.empty), pdata.repartition(32))
+    assert(spark.table("zorder_p").count() == 100000)
+    assert(!spark.table("zorder_p").columns.contains(
+      SessionCatalogWarehouse.ArrangedMarker), "marker column must not land")
+    val (zp, pp) = (scanned("zorder_p"), scanned("plain_p"))
+    assert(zp < pp / 2, s"partitioned zorder should prune the y scan: $zp vs $pp")
+    SessionCatalogWarehouse.dropAny(spark, "zorder_p")
+    SessionCatalogWarehouse.dropAny(spark, "plain_p")
+  }
+
+  test("partitioned write rebalances: a hot partition value splits across files") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
+    val wh = new SessionCatalogWarehouse(spark)
+    wh.drop("rebal_t")
+    // one partition value owns ~99% of the bytes; with the advisory size
+    // lowered, AQE's rebalance must split it across several write tasks
+    // instead of funneling the whole directory through one task/file
+    val prev = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    try {
+      val skewed = spark.range(60000).select(
+        col("id").as("n"),
+        concat_ws("-", col("id"), col("id") * 7, col("id") * 13).as("pad"),
+        when(col("id") % 100 === 0, 1).otherwise(0).cast("int").as("p"))
+      wh.createOrReplace("rebal_t", skewed, partitionBy = Seq("p"))
+      val backing = SessionCatalogWarehouse.backingTable(spark, "rebal_t").get
+      val hotFiles = spark.table(backing).inputFiles.count(_.contains("p=0"))
+      assert(hotFiles >= 2,
+        s"hot partition should split across write tasks, got $hotFiles file(s)")
+      assert(spark.table("rebal_t").count() == 60000)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None => spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+      SessionCatalogWarehouse.dropAny(spark, "rebal_t")
+    }
   }
 
   test("compact merges small files atomically, keeps layout, no-ops when tight") {
