@@ -85,6 +85,131 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard pairs (uncapped and capped) match set arithmetic on random corpora") {
+    import spark.implicits._
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    def grams(s: String, n: Int): Set[String] = {
+      val w = norm(s).split(' ').filter(_.nonEmpty)
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(2, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(60)(i => s"w$i")
+      def doc(): String =
+        Seq.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val originals = Seq.fill(60)(doc())
+      // mutations: drop/replace a few words — the near-dup regime around
+      // the threshold; plus verbatim duplicates and sub-n-word docs
+      val mutated = originals.take(25).map { d =>
+        val w = d.split(' ').toBuffer
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          val i = rnd.nextInt(w.length)
+          if (rnd.nextBoolean() && w.length > 3) w.remove(i)
+          else w(i) = vocab(rnd.nextInt(vocab.length))
+        }
+        w.mkString(" ")
+      }
+      val texts = originals ++ mutated ++ originals.take(5) ++ Seq("one two", "")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+
+      val gsets = docs.map { case (id, t) => id -> grams(t, 3) }.toMap
+      def jac(a: Set[String], b: Set[String]): Double =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      def refPairs(eligible: String => Boolean): Map[(Long, Long), Double] =
+        (for {
+          (a, ga) <- gsets.toSeq; (b, gb) <- gsets.toSeq
+          if a < b && ga.intersect(gb).exists(eligible) && jac(ga, gb) >= 0.5
+        } yield (a, b) -> jac(ga, gb)).toMap
+
+      def check(got: Array[org.apache.spark.sql.Row],
+                expect: Map[(Long, Long), Double], label: String): Unit = {
+        val g = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(g.keySet == expect.keySet, s"seed $seed $label: " +
+          s"missing=${expect.keySet -- g.keySet} extra=${g.keySet -- expect.keySet}")
+        g.foreach { case (k, v) =>
+          assert(math.abs(v - expect(k)) < 1e-6, s"seed $seed $label $k: $v vs ${expect(k)}")
+        }
+      }
+      check(graft.ops.Dedup.jaccardPairs(df, n = 3, threshold = 0.5).collect(),
+        refPairs(_ => true), "uncapped")
+      // capped: candidates must share an ELIGIBLE (df <= cap) gram; the
+      // verbatim-duplicate clique makes several grams sit exactly at the cap
+      val cap = 5
+      val dfCount = gsets.values.toSeq.flatMap(_.toSeq)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      check(graft.ops.Dedup.jaccardPairs(df, n = 3, threshold = 0.5,
+          maxDocFreq = cap).collect(),
+        refPairs(g => dfCount(g) <= cap), "capped")
+    }
+  }
+
+  test("as-of join matches per-row lookup on random tie-heavy feeds") {
+    import java.sql.Timestamp
+    for (seed <- Seq(4, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+      // lattice times force exact left==right and right==right ties
+      def ts(): Timestamp = new Timestamp(base + rnd.nextInt(50) * 60000L)
+      val left = (0 until 400).map(i =>
+        (i.toLong, rnd.nextInt(12).toLong, ts()))
+      val right = (0 until 300).map(i =>
+        (1000L + i, rnd.nextInt(12).toLong, ts(), rnd.nextInt(500) / 100.0))
+      val ldf = spark.createDataFrame(left).toDF("event_id", "user_id", "ts")
+      val rdf = spark.createDataFrame(right)
+        .toDF("p_event_id", "user_id", "p_ts", "p_value")
+      val got = graft.ops.AsOf.asofJoin(ldf, rdf, Seq("user_id"), "ts", "p_ts",
+          payload = Seq("p_event_id", "p_value"), tieCol = "p_event_id")
+        .collect().map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(r.fieldIndex("p_event_id"))) None
+            else Some((r.getLong(r.fieldIndex("p_event_id")),
+              r.getDouble(r.fieldIndex("p_value")))))
+        }.toSet
+      // reference: latest right at or before the left time, ties broken by
+      // the greatest tie column; None when no predecessor exists
+      val expect = left.map { case (eid, u, t) =>
+        val cand = right.filter(r => r._2 == u && !r._3.after(t))
+        (eid,
+          if (cand.isEmpty) None
+          else { val w = cand.maxBy(r => (r._3.getTime, r._1)); Some((w._1, w._4)) })
+      }.toSet
+      assert(got == expect, s"seed $seed: only-got=${got -- expect} " +
+        s"only-expect=${expect -- got}")
+    }
+  }
+
+  test("point-in-interval range join matches the nested-loop on random windows") {
+    import java.sql.Timestamp
+    for (seed <- Seq(6, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-07-01 00:00:00").getTime
+      val points = (0 until 500).map(i =>
+        (i.toLong, new Timestamp(base + rnd.nextInt(200) * 1800000L)))
+      // windows from minutes to days, including empty and inverted ones;
+      // half-open [start, end) boundaries land exactly on point times
+      val windows = (0 until 40).map { i =>
+        val s = base + rnd.nextInt(200) * 1800000L
+        val len = (rnd.nextInt(5000) - 200) * 60000L
+        (i.toLong, new Timestamp(s), new Timestamp(s + len))
+      }
+      val pdf = spark.createDataFrame(points).toDF("event_id", "ts")
+      val wdf = spark.createDataFrame(windows).toDF("win_id", "win_start", "win_end")
+      val got = graft.ops.RangeJoin.pointInInterval(pdf, wdf,
+          widthSeconds = 3600L)
+        .select("event_id", "win_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (pid, pt) <- points; (wid, s, e) <- windows
+        if !pt.before(s) && pt.before(e)
+      } yield (pid, wid)).toSet
+      assert(got == expect, s"seed $seed: missing=${expect -- got} " +
+        s"extra=${got -- expect}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
