@@ -210,6 +210,125 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clustering matches union-find on random graphs, both paths") {
+    import spark.implicits._
+    for (seed <- Seq(8, 27)) {
+      val rnd = new scala.util.Random(seed)
+      val nDocs = 300
+      // random edges + one explicit 50-node path: multi-hop label
+      // propagation has to converge over the long diameter, not just
+      // star-shaped clusters
+      val path = (200 until 249).map(i => (i.toLong, i + 1L))
+      val randEdges = Seq.fill(120)((rnd.nextInt(nDocs).toLong, rnd.nextInt(nDocs).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val edges = (path ++ randEdges).distinct
+      val docs = (0 until nDocs).map(_.toLong).toDF("doc_id")
+      val pairs = edges.toDF("a", "b").withColumn("jaccard", lit(1.0))
+
+      // reference union-find, component label = min member id
+      val parent = Array.tabulate(nDocs)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until nDocs).map(i => (i.toLong, find(i).toLong)).toSet
+
+      // driver fast path (edges under the cap) and the distributed
+      // pointer-jumping loop (cap forced to 0) must agree with it exactly
+      for (cap <- Seq(1000000L, 0L)) {
+        val got = graft.ops.Dedup.clusters(docs, pairs, driverEdgeCap = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect, s"seed $seed cap=$cap: " +
+          s"wrong=${(got -- expect).take(10)}")
+      }
+    }
+  }
+
+  test("line dedup matches per-line df arithmetic on random multi-line docs") {
+    import spark.implicits._
+    for (seed <- Seq(9, 35)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = Array.tabulate(30)(i => s"line content $i")
+      // docs of 0-10 lines drawn from a small pool (guaranteed heavy
+      // lines), some with the same line REPEATED inside one doc — df
+      // counts distinct docs, removal drops every occurrence
+      val docs = (0 until 80).map { i =>
+        val k = rnd.nextInt(11)
+        val ls = Seq.fill(k)(pool(rnd.nextInt(pool.length)))
+        val withRepeat = if (k > 0 && rnd.nextBoolean()) ls ++ ls.take(1) else ls
+        (i.toLong, withRepeat.mkString("\n"))
+      }
+      val minDf = 10
+      val lineDf = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).distinct.size }
+      val expect = docs.map { case (id, t) =>
+        val all = t.split("\n", -1)
+        val kept = all.filter(l => lineDf.getOrElse(l, 0) < minDf)
+        (id, kept.mkString("\n"), kept.length.toLong, (all.length - kept.length).toLong)
+      }.toSet
+      for (hashKeys <- Seq(false, true)) {
+        val got = graft.ops.TextAnalysis.lineDedup(
+            docs.toDF("doc_id", "text"), minDf = minDf, hashKeys = hashKeys)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got == expect, s"seed $seed hashKeys=$hashKeys: " +
+          s"only-got=${(got -- expect).take(3)} only-expect=${(expect -- got).take(3)}")
+      }
+    }
+  }
+
+  test("funnel ladder matches first-step-after-previous lookup on random streams") {
+    import java.sql.Timestamp
+    val steps = Seq("view", "click", "purchase")
+    for (seed <- Seq(14, 58)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-08-01 00:00:00").getTime
+      // lattice times so same-timestamp step bursts occur (the
+      // strictOrder=false regime) plus out-of-order arrivals and noise types
+      val types = steps ++ Seq("scroll", "hover")
+      val events = (0 until 2000).map { i =>
+        (i.toLong, new Timestamp(base + rnd.nextInt(60) * 60000L),
+          rnd.nextInt(60).toLong, types(rnd.nextInt(types.length)), 0.0, "")
+      }
+      val df = spark.createDataFrame(events)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+      def ref(strict: Boolean): Set[(Long, Int, Seq[Option[Long]])] =
+        events.filter(e => steps.contains(e._4)).groupBy(_._3).flatMap {
+          case (user, evs) =>
+            val byStep = steps.map(s =>
+              evs.filter(_._4 == s).map(_._2.getTime * 1000L).sorted)
+            val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var k = 0
+            var continue = true
+            while (continue && k < steps.size) {
+              val cands =
+                if (k == 0) byStep(0)
+                else byStep(k).filter(t =>
+                  if (strict) t > times(k - 1) else t >= times(k - 1))
+              if (cands.isEmpty) continue = false
+              else { times += cands.min; k += 1 }
+            }
+            if (times.isEmpty) None
+            else Some((user, times.size,
+              (0 until steps.size).map(i => times.lift(i)).toSeq))
+        }.toSet[(Long, Int, Seq[Option[Long]])]
+
+      for (strict <- Seq(true, false)) {
+        val got = graft.ops.Funnel.funnel(df, steps, strictOrder = strict)
+          .collect().map { r =>
+            (r.getLong(0), r.getInt(1), (0 until steps.size).map(i =>
+              if (r.isNullAt(2 + i)) None else Some(r.getLong(2 + i))).toSeq)
+          }.toSet[(Long, Int, Seq[Option[Long]])]
+        assert(got == ref(strict), s"seed $seed strict=$strict: " +
+          s"only-got=${(got -- ref(strict)).take(3)} " +
+          s"only-expect=${(ref(strict) -- got).take(3)}")
+      }
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
