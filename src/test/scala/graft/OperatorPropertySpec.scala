@@ -160,24 +160,112 @@ class OperatorPropertySpec extends AnyFunSuite {
       val ldf = spark.createDataFrame(left).toDF("event_id", "user_id", "ts")
       val rdf = spark.createDataFrame(right)
         .toDF("p_event_id", "user_id", "p_ts", "p_value")
-      val got = graft.ops.AsOf.asofJoin(ldf, rdf, Seq("user_id"), "ts", "p_ts",
-          payload = Seq("p_event_id", "p_value"), tieCol = "p_event_id")
-        .collect().map { r =>
-          (r.getLong(0),
-            if (r.isNullAt(r.fieldIndex("p_event_id"))) None
-            else Some((r.getLong(r.fieldIndex("p_event_id")),
-              r.getDouble(r.fieldIndex("p_value")))))
+      for (strict <- Seq(false, true)) {
+        val got = graft.ops.AsOf.asofJoin(ldf, rdf, Seq("user_id"), "ts", "p_ts",
+            payload = Seq("p_event_id", "p_value"), tieCol = "p_event_id",
+            strict = strict)
+          .collect().map { r =>
+            (r.getLong(0),
+              if (r.isNullAt(r.fieldIndex("p_event_id"))) None
+              else Some((r.getLong(r.fieldIndex("p_event_id")),
+                r.getDouble(r.fieldIndex("p_value")))))
+          }.toSet
+        // reference: latest right at-or-before (strictly before under
+        // strict) the left time, ties broken by the greatest tie column;
+        // None when no predecessor exists
+        val expect = left.map { case (eid, u, t) =>
+          val cand = right.filter(r => r._2 == u &&
+            (if (strict) r._3.before(t) else !r._3.after(t)))
+          (eid,
+            if (cand.isEmpty) None
+            else { val w = cand.maxBy(r => (r._3.getTime, r._1)); Some((w._1, w._4)) })
         }.toSet
-      // reference: latest right at or before the left time, ties broken by
-      // the greatest tie column; None when no predecessor exists
-      val expect = left.map { case (eid, u, t) =>
-        val cand = right.filter(r => r._2 == u && !r._3.after(t))
-        (eid,
-          if (cand.isEmpty) None
-          else { val w = cand.maxBy(r => (r._3.getTime, r._1)); Some((w._1, w._4)) })
+        assert(got == expect, s"seed $seed strict=$strict: " +
+          s"only-got=${(got -- expect).take(4)} only-expect=${(expect -- got).take(4)}")
+      }
+    }
+  }
+
+  test("contamination gram counts match set intersection on random corpora") {
+    import spark.implicits._
+    def grams(s: String, n: Int): Set[String] = {
+      val w = s.toLowerCase.trim.replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty)
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(12, 44)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(40)(i => s"w$i")
+      def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val eval = (0 until 10).map(i => (i.toLong, doc(8 + rnd.nextInt(10))))
+      // half the train docs embed a random eval fragment (the leak), the
+      // rest are independent; some are shorter than n words
+      val train = (0 until 60).map { i =>
+        val t =
+          if (i % 2 == 0) doc(3 + rnd.nextInt(25))
+          else {
+            val frag = eval(rnd.nextInt(eval.size))._2.split(' ')
+              .slice(0, 5 + rnd.nextInt(6)).mkString(" ")
+            doc(rnd.nextInt(10)) + " " + frag + " " + doc(rnd.nextInt(10))
+          }
+        (100L + i, t.trim)
+      }
+      val evalSet = eval.flatMap(e => grams(e._2, 5)).toSet
+      val expect = train.map { case (id, t) => id -> grams(t, 5).count(evalSet) }
+        .filter(_._2 > 0).toMap
+      val got = graft.ops.Dedup.contamination(
+          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"), n = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == expect, s"seed $seed: only-got=${got.toSet -- expect.toSet} " +
+        s"only-expect=${expect.toSet -- got.toSet}")
+    }
+  }
+
+  test("MAD outliers match interpolated-percentile arithmetic on random groups") {
+    for (seed <- Seq(19, 73)) {
+      val rnd = new scala.util.Random(seed)
+      // three regimes: normal-ish groups, a constant group (MAD = 0, the
+      // no-usable-scale branch), and a group where >= half the values sit
+      // exactly at the median
+      val rows = (0 until 400).map { i =>
+        val grp = rnd.nextInt(6)
+        val v = grp match {
+          case 5 => 7.0
+          case 4 => if (rnd.nextBoolean()) 10.0 else rnd.nextInt(100).toDouble
+          case _ => math.floor(rnd.nextGaussian() * 50 + grp * 10) / 4.0
+        }
+        (i.toLong, s"g$grp", v)
+      }
+      val df = spark.createDataFrame(rows).toDF("id", "grp", "v")
+      val k = 2.5
+      val got = graft.ops.Outliers.byMad(df, "v", Seq("grp"), k)
+        .collect().map { r =>
+          (r.getLong(r.fieldIndex("id")),
+            if (r.isNullAt(r.fieldIndex("robust_z"))) None
+            else Some(r.getDouble(r.fieldIndex("robust_z"))),
+            r.getBoolean(r.fieldIndex("is_outlier")))
+        }.toSet
+
+      def p50(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        val pos = 0.5 * (s.length - 1)
+        val lo = s(pos.toInt)
+        val hi = s(math.ceil(pos).toInt)
+        lo + (hi - lo) * (pos - pos.toInt)
+      }
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val med = p50(grp.map(_._3))
+        val mad = p50(grp.map(r => math.abs(r._3 - med)))
+        grp.map { case (id, _, v) =>
+          if (mad > 0) {
+            val z = r6(math.abs(v - med) / (1.4826 * mad))
+            (id, Some(z), z > k)
+          } else (id, None, v != med)
+        }
       }.toSet
-      assert(got == expect, s"seed $seed: only-got=${got -- expect} " +
-        s"only-expect=${expect -- got}")
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(4)} " +
+        s"only-expect=${(expect -- got).take(4)}")
     }
   }
 
