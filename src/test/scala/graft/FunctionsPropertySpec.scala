@@ -40,6 +40,28 @@ class FunctionsPropertySpec extends AnyFunSuite {
       1 -> Gen.oneOf("é", "中", new String(Character.toChars(0x1F600)))))
   } yield cs.mkString
 
+  test("cosine kernel equals direct double arithmetic, length-mismatch and zero cases") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen: Gen[Array[Float]] = for {
+      n <- Gen.choose(0, 48)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+    } yield xs.toArray
+    def ad(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+    check(forAll(vecGen, vecGen) { (a: Array[Float], b: Array[Float]) =>
+      // reference: dot over the common prefix, norms over the FULL arrays
+      // (the kernel's documented length-mismatch contract), 0 on zero norms
+      val n = math.min(a.length, b.length)
+      val dot = (0 until n).map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      val expect = if (na * nb == 0 || (na * nb).isNaN) 0.0 else dot / (na * nb)
+      val got = graft.functions.CosineSim.cosine(ad(a), ad(b))
+      math.abs(got - expect) < 1e-9 &&
+        (a.isEmpty || !a.exists(_ != 0f) ||
+          math.abs(graft.functions.CosineSim.cosine(ad(a), ad(a)) - 1.0) < 1e-9)
+    })
+  }
+
   test("rolling window hashes equal from-scratch hashes on arbitrary unicode") {
     check(forAll(textGen, Gen.choose(1, 40)) { (s: String, w: Int) =>
       val n = s.codePointCount(0, s.length)

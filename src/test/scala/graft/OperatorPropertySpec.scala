@@ -417,6 +417,44 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: code range, endpoint codes, reconstruction error bound") {
+    import spark.implicits._
+    for (seed <- Seq(21, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until 120).map { i =>
+        val dim = 4 + rnd.nextInt(28)
+        val v =
+          if (i % 10 == 0) Array.fill(dim)(rnd.nextFloat() * 10 - 5) // varied
+          else if (i % 10 == 1) Array.fill(dim)(3.25f)               // constant
+          else Array.fill(dim)((rnd.nextGaussian() * 2).toFloat)
+        (i.toLong, v.toSeq)
+      }
+      val got = graft.ops.Quantize.int8(vecs.toDF("vec_id", "embedding"))
+        .collect().map { r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getSeq[Int](4))
+        }
+      val byId = vecs.toMap
+      got.foreach { case (id, qmin, qmax, scale, codes) =>
+        val v = byId(id).map(_.toDouble)
+        assert(qmin == v.min && qmax == v.max, s"vec $id header")
+        assert(codes.length == v.length, s"vec $id dims")
+        if (scale == 0.0) assert(codes.forall(_ == 0), s"constant vec $id codes")
+        else {
+          assert(codes.forall(c => c >= 0 && c <= 255), s"vec $id code range")
+          // the min and max elements must hit the endpoint codes exactly
+          assert(codes(v.indexOf(v.min)) == 0 && codes(v.indexOf(v.max)) == 255,
+            s"vec $id endpoints")
+          // affine reconstruction within half a step of every element
+          v.zip(codes).foreach { case (x, c) =>
+            assert(math.abs(x - (qmin + c * scale)) <= scale / 2 + 1e-9,
+              s"vec $id: $x vs ${qmin + c * scale} (scale $scale)")
+          }
+        }
+      }
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
