@@ -455,6 +455,90 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("merge strategy matches a keyed fold over random batch sequences") {
+    import graft.materialize.{Materializer, SessionCatalogWarehouse}
+    import graft.model._
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "prop_merge_t",
+      columns = Seq(
+        Column("k", "INT", primaryKey = true),
+        Column("v", "STRING", updateOnMerge = true),
+        Column("w", "INT", updateOnMerge = false)),
+      materialization = Materialization(
+        typ = MaterializationType.Table, strategy = Some(Strategy.Merge)))
+    for (seed <- Seq(16, 52)) {
+      val rnd = new scala.util.Random(seed)
+      wh.drop("prop_merge_t")
+      // reference state: pk (None = NULL key, matched null-safely) ->
+      // (v updates on match, w never does after insert)
+      val state = scala.collection.mutable.LinkedHashMap.empty[Option[Int], (String, Int)]
+      (0 until 4).foreach { batch =>
+        // unique keys per batch (the materializer dedupes source on pk with
+        // an arbitrary winner — ambiguity would test nondeterminism, not
+        // semantics); one NULL key appears across batches to pin <=>
+        val keys = rnd.shuffle((0 until 30).map(Option(_)) :+ Option.empty[Int])
+          .take(8 + rnd.nextInt(8))
+        val rows = keys.map(k => (k, s"v$batch-${rnd.nextInt(100)}", rnd.nextInt(1000)))
+        import spark.implicits._
+        val df = rows.toDF("k", "v", "w")
+        Materializer.executeDf(wh, asset, df)
+        rows.foreach { case (k, v, w) =>
+          state.get(k) match {
+            case Some((_, w0)) => state(k) = (v, w0) // v merges, w keeps
+            case None => state(k) = (v, w)           // insert
+          }
+        }
+        val got = spark.table("prop_merge_t").collect()
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+            r.getString(1), r.getInt(2))).toSet
+        val expect = state.map { case (k, (v, w)) => (k, v, w) }.toSet
+        assert(got == expect, s"seed $seed batch $batch: " +
+          s"only-got=${got -- expect} only-expect=${expect -- got}")
+      }
+    }
+    SessionCatalogWarehouse.dropAny(spark, "prop_merge_t")
+  }
+
+  test("delete+insert matches keyed replacement over random batch sequences") {
+    import graft.materialize.{Materializer, SessionCatalogWarehouse}
+    import graft.model._
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "prop_di_t",
+      columns = Seq(Column("k", "INT"), Column("v", "STRING")),
+      materialization = Materialization(
+        typ = MaterializationType.Table, strategy = Some(Strategy.DeleteInsert),
+        incrementalKey = Some("k")))
+    for (seed <- Seq(29, 71)) {
+      val rnd = new scala.util.Random(seed)
+      wh.drop("prop_di_t")
+      // multiset state: duplicate keys and NULL keys are both legal here —
+      // the delete clears a key's rows wholesale, NULL-keyed rows survive
+      // every delete (IN-list semantics)
+      var state = Vector.empty[(Option[Int], String)]
+      (0 until 4).foreach { batch =>
+        val rows = (0 until 6 + rnd.nextInt(10)).map { _ =>
+          val k = if (rnd.nextInt(10) == 0) Option.empty[Int] else Some(rnd.nextInt(12))
+          (k, s"b$batch-${rnd.nextInt(1000)}")
+        }
+        import spark.implicits._
+        val df = rows.toDF("k", "v")
+        Materializer.executeDf(wh, asset, df)
+        if (batch == 0) state = rows.toVector
+        else {
+          val deleted = rows.flatMap(_._1).toSet
+          state = state.filter(r => r._1.forall(!deleted.contains(_))) ++ rows
+        }
+        val got = spark.table("prop_di_t").collect()
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1)))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+        val expect = state.groupBy(identity).map { case (k, v) => k -> v.size }
+        assert(got == expect, s"seed $seed batch $batch: " +
+          s"only-got=${got.toSet -- expect.toSet} only-expect=${expect.toSet -- got.toSet}")
+      }
+    }
+    SessionCatalogWarehouse.dropAny(spark, "prop_di_t")
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
