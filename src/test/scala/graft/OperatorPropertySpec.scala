@@ -539,6 +539,79 @@ class OperatorPropertySpec extends AnyFunSuite {
     SessionCatalogWarehouse.dropAny(spark, "prop_di_t")
   }
 
+  test("scd2_by_column matches a versioned-dimension fold over random batches") {
+    import graft.materialize.{Materializer, SessionCatalogWarehouse}
+    import graft.model._
+    val wh = new SessionCatalogWarehouse(spark)
+    val asset = Asset(name = "prop_scd2_t",
+      columns = Seq(
+        Column("k", "INT", primaryKey = true),
+        Column("attr", "STRING"),
+        Column("amt", "INT")),
+      materialization = Materialization(
+        typ = MaterializationType.Table, strategy = Some(Strategy.SCD2ByColumn)))
+    val MaxTs = "9999-12-31 00:00:00"
+    for (seed <- Seq(26, 88)) {
+      val rnd = new scala.util.Random(seed)
+      wh.drop("prop_scd2_t")
+      // reference: full version history per key —
+      // (k, attr, amt, valid_from, valid_until, is_current)
+      final case class Ver(attr: String, amt: Int, from: String,
+                           until: String, current: Boolean)
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Option[Int], Ver)]
+      (0 until 4).foreach { batch =>
+        val now = s"2024-02-0${batch + 1} 00:00:00"
+        // small attr space forces all regimes: unchanged rows (no new
+        // version), changed rows (expire + insert), vanished keys
+        // (expire only), re-appearing keys, plus one NULL key
+        val keys = rnd.shuffle((0 until 10).map(Option(_)) :+ Option.empty[Int])
+          .take(5 + rnd.nextInt(5))
+        val rows = keys.map(k => (k, s"a${rnd.nextInt(3)}", rnd.nextInt(3)))
+        import spark.implicits._
+        Materializer.executeDf(wh, asset, rows.toDF("k", "attr", "amt"),
+          Materializer.Context(now = now))
+
+        if (batch == 0)
+          rows.foreach { case (k, a, m) =>
+            history += ((k, Ver(a, m, now, MaxTs, current = true))) }
+        else {
+          val srcByK = rows.map(r => r._1 -> (r._2, r._3)).toMap
+          val currIdx = history.zipWithIndex.filter(_._1._2.current)
+          currIdx.foreach { case ((k, v), i) =>
+            srcByK.get(k) match {
+              case Some((a, m)) if a == v.attr && m == v.amt => () // unchanged
+              case Some(_) | None => // changed or vanished: expire
+                history(i) = (k, v.copy(until = now, current = false))
+            }
+          }
+          val currKeys = currIdx.map(_._1._1).toSet
+          rows.foreach { case (k, a, m) =>
+            val wasCurrent = currIdx.find(_._1._1 == k).map(_._1._2)
+            val unchanged = wasCurrent.exists(v => v.attr == a && v.amt == m)
+            if (!unchanged)
+              history += ((k, Ver(a, m, now, MaxTs, current = true)))
+            val _ = currKeys
+          }
+        }
+        val got = spark.table("prop_scd2_t")
+          .selectExpr("k", "attr", "amt",
+            "CAST(_valid_from AS STRING)", "CAST(_valid_until AS STRING)",
+            "_is_current")
+          .collect().map { r =>
+            (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1),
+              r.getInt(2), r.getString(3), r.getString(4), r.getBoolean(5))
+          }.groupBy(identity).map { case (k, v) => k -> v.size }
+        val expect = history.map { case (k, v) =>
+          (k, v.attr, v.amt, v.from, v.until, v.current)
+        }.groupBy(identity).map { case (k, v) => k -> v.size }
+        assert(got == expect, s"seed $seed batch $batch ($now): " +
+          s"only-got=${(got.toSet -- expect.toSet).take(4)} " +
+          s"only-expect=${(expect.toSet -- got.toSet).take(4)}")
+      }
+    }
+    SessionCatalogWarehouse.dropAny(spark, "prop_scd2_t")
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
