@@ -612,6 +612,62 @@ class OperatorPropertySpec extends AnyFunSuite {
     SessionCatalogWarehouse.dropAny(spark, "prop_scd2_t")
   }
 
+  test("CDC apply matches last-writer-wins folding on shuffled change streams") {
+    import graft.materialize.SessionCatalogWarehouse
+    import graft.model._
+    import graft.streaming.Streams
+    val wh = new SessionCatalogWarehouse(spark)
+    // all three state writers must converge to the same LWW image from the
+    // same shuffled multi-micro-batch feed
+    for ((writerName, seed) <- Seq(("overlay", 38), ("bucketed", 61), ("rebuild", 94))) {
+      val rnd = new scala.util.Random(seed)
+      val name = s"prop_cdc_$writerName"
+      spark.sql(s"DROP VIEW IF EXISTS $name")
+      SessionCatalogWarehouse.dropAny(spark, s"${name}__cdc_state")
+      // random change history: per key, a create then random updates and
+      // possibly a delete, with globally unique seq; arrival order SHUFFLED
+      // so later-seq changes routinely land in earlier micro-batches
+      var seq = 0L
+      val changes = (0 until 25).flatMap { k =>
+        val n = 1 + rnd.nextInt(5)
+        (0 until n).map { i =>
+          seq += 1
+          val op = if (i == 0) "c"
+            else if (i == n - 1 && rnd.nextInt(4) == 0) "d" else "u"
+          (k, s"val-$k-$seq", op, seq)
+        }
+      }
+      val shuffled = rnd.shuffle(changes)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prop-cdc-$writerName")
+      // three part files in one dir => with maxFilesPerTrigger=1, three
+      // micro-batches in whatever order the source lists them
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { g =>
+        spark.createDataFrame(g).toDF("id", "v", "op", "seq")
+          .coalesce(1).write.mode("append").parquet(s"$dir/events")
+      }
+      val events = spark.readStream
+        .schema("id INT, v STRING, op STRING, seq BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/events")
+      val asset = Asset(name = name,
+        columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")),
+        parameters = Map("cdc_writer" -> writerName))
+      Streams.cdcApply(wh, asset, events).awaitTermination()
+
+      val got = spark.table(name).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      // reference: per key the max-seq change wins; deletes tombstone
+      val expect = changes.groupBy(_._1).flatMap { case (k, ch) =>
+        val w = ch.maxBy(_._4)
+        if (w._3 == "d") None else Some((k, w._2))
+      }.toSet
+      assert(got == expect, s"$writerName seed $seed: " +
+        s"only-got=${got -- expect} only-expect=${expect -- got}")
+      SessionCatalogWarehouse.dropAny(spark, s"${name}__cdc_state")
+      spark.sql(s"DROP VIEW IF EXISTS $name")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
