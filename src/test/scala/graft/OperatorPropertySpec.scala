@@ -668,6 +668,126 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merges match the classic single-machine induction on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(33, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // small alphabet + repeated morphemes so merges chain into multi-char
+      // symbols and ties genuinely occur (the lexicographic tie-break path)
+      val morphemes = Array("ab", "abc", "bca", "cab", "aa", "b")
+      val docs = (0 until 50).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(8))(
+          morphemes(rnd.nextInt(morphemes.length)) * (1 + rnd.nextInt(2)))
+          .mkString(" "))
+      }
+      val numMerges = 10
+      val got = graft.ops.Bpe.bpeMerges(docs.toDF("doc_id", "text"), numMerges)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+
+      // reference: weighted word-frequency vocab, overlapping adjacent pair
+      // counts, argmax by (freq desc, l asc, r asc), greedy left-to-right
+      // non-overlapping merge application
+      val EOW = graft.ops.Bpe.EndOfWord
+      var vocab: Map[List[String], Long] = docs
+        .flatMap(_._2.toLowerCase.trim.replaceAll("\\s+", " ").split(' '))
+        .filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, v) =>
+          (w.map(_.toString).toList :+ EOW) -> v.size.toLong }
+      def mergeApply(syms: List[String], l: String, r: String): List[String] = {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+      val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var rank = 0
+      var stop = false
+      while (rank < numMerges && !stop) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+          if (f < 2) stop = true
+          else {
+            expect += ((rank, l, r, l + r, f))
+            vocab = vocab.map { case (syms, c) => mergeApply(syms, l, r) -> c }
+              .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+            rank += 1
+          }
+        }
+      }
+      assert(got.toSeq.sortBy(_._1) == expect.toSeq,
+        s"seed $seed:\n got=${got.toSeq.sortBy(_._1)}\n exp=${expect.toSeq}")
+    }
+  }
+
+  test("hash-based sampling matches direct md5 arithmetic and is partition-invariant") {
+    import spark.implicits._
+    def md5bucket(id: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def md5frac(id: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
+    }
+    for (seed <- Seq(41, 67)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 800).map { i =>
+        (i.toLong, Seq("en", "de", "fr")(rnd.nextInt(3)))
+      }
+      val df = docs.toDF("doc_id", "lang")
+
+      // split: same row, same split, forever — and equal to the md5 rule
+      val got = graft.ops.Sampling.split(df, trainPct = 70, validPct = 20)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val expect = docs.map { case (id, _) =>
+        val b = md5bucket(id.toString)
+        id -> (if (b < 70) "train" else if (b < 90) "valid" else "test")
+      }.toMap
+      assert(got == expect, s"seed $seed split: ${(got.toSet -- expect.toSet).take(5)}")
+      // partition-invariance: layout must never change an assignment
+      val rep = graft.ops.Sampling.split(df.repartition(7), trainPct = 70, validPct = 20)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rep == got, "split changed under repartition")
+
+      // stratified: per-stratum keep-rate over the same bucket
+      val rates = Map("en" -> 30, "de" -> 100)
+      val sGot = graft.ops.Sampling.stratified(df, "lang", rates)
+        .collect().map(_.getLong(0)).toSet
+      val sExpect = docs.filter { case (id, l) =>
+        md5bucket(id.toString) < rates.getOrElse(l, 0) }.map(_._1).toSet
+      assert(sGot == sExpect, s"seed $seed stratified")
+
+      // mixture: capacity-bound thinning with the 6-decimal rate rule
+      val weights = Map("en" -> 0.5, "de" -> 0.5)
+      // the broadcast rate join puts the stratum column first: (lang, doc_id)
+      val mGot = graft.ops.Sampling.mixture(df, "lang", weights)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val byLang = docs.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+      val cap = weights.collect { case (l, w) if w > 0 => byLang(l) / w }.min
+      val mExpect = docs.filter { case (id, l) =>
+        weights.get(l).filter(_ > 0).exists { w =>
+          val rate = BigDecimal(math.min(1.0, w * cap / byLang(l)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          md5frac(id.toString) < rate
+        }
+      }.map(_._1).toSet
+      assert(mGot == mExpect, s"seed $seed mixture: " +
+        s"only-got=${(mGot -- mExpect).take(5)} only-expect=${(mExpect -- mGot).take(5)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
