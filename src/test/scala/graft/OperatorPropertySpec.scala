@@ -788,6 +788,80 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("substring dup spans match naive window counting + interval merge") {
+    import spark.implicits._
+    val w = 12
+    for (seed <- Seq(48, 85)) {
+      val rnd = new scala.util.Random(seed)
+      // small alphabet => natural accidental repeats on top of the planted
+      // ones; texts are pre-normalized so positions map 1:1
+      def randText(n: Int): String =
+        (0 until n).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      val base = (0 until 25).map(i => (i.toLong, randText(rnd.nextInt(120))))
+      // plant cross-doc and in-doc duplicated fragments longer than w
+      val docs = base.map { case (id, t) =>
+        if (id % 3 == 1 && t.length > w) {
+          val donor = base((id.toInt + 5) % base.size)._2
+          val frag = if (donor.length >= w + 8) donor.substring(0, w + 8) else donor
+          (id, t.substring(0, t.length / 2) + frag + t.substring(t.length / 2))
+        } else if (id % 3 == 2 && t.length > w + 4) {
+          val frag = t.substring(0, w + 4)
+          (id, t + frag) // in-doc repeat
+        } else (id, t)
+      }
+      val got = graft.ops.Dedup.substringDupSpans(
+          docs.toDF("doc_id", "text"), windowChars = w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      // reference: corpus-wide window multiset, mark positions whose
+      // w-substring occurs >= 2, merge touching-or-overlapping [i, i+w)
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      docs.foreach { case (_, t) =>
+        (0 to t.length - w).foreach { i =>
+          val s = t.substring(i, i + w)
+          counts(s) = counts.getOrElse(s, 0) + 1
+        }
+      }
+      val expect = docs.flatMap { case (id, t) =>
+        val marked = (0 to t.length - w).filter(i => counts(t.substring(i, i + w)) >= 2)
+        val islands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        marked.foreach { i =>
+          if (islands.nonEmpty && i - islands.last._2 <= w)
+            islands(islands.size - 1) = (islands.last._1, i)
+          else islands += ((i, i))
+        }
+        islands.zipWithIndex.map { case ((s, e), idx) =>
+          (id, idx, s.toLong, (e + w).toLong) }
+      }.toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(5)} " +
+        s"only-expect=${(expect -- got).take(5)}")
+
+      // surgery: cutting the spans back out must equal direct substring
+      // removal, and docs with no spans pass through untouched
+      val spansBySorted = expect.groupBy(_._1)
+        .view.mapValues(_.toSeq.sortBy(_._3)).toMap
+      val cutExpect = docs.map { case (id, t) =>
+        val spans = spansBySorted.getOrElse(id, Nil)
+        val sb = new StringBuilder
+        var from = 0
+        spans.foreach { case (_, _, s, e) =>
+          sb.append(t.substring(from, s.toInt)); from = e.toInt
+        }
+        sb.append(t.substring(from))
+        (id, sb.toString, spans.map(s => s._4 - s._3).sum)
+      }.toSet
+      val cutGot = graft.ops.Dedup.removeSpans(
+          docs.toDF("doc_id", "text"),
+          graft.ops.Dedup.substringDupSpans(docs.toDF("doc_id", "text"), windowChars = w))
+        .select("doc_id", "clean_text", "n_removed_chars")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(cutGot == cutExpect, s"seed $seed surgery: " +
+        s"only-got=${(cutGot -- cutExpect).take(3)} " +
+        s"only-expect=${(cutExpect -- cutGot).take(3)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
