@@ -143,6 +143,20 @@ class OperatorPropertySpec extends AnyFunSuite {
       check(graft.ops.Dedup.jaccardPairs(df, n = 3, threshold = 0.5,
           maxDocFreq = cap).collect(),
         refPairs(g => dfCount(g) <= cap), "capped")
+
+      // batch-vs-corpus: docs split 30/70, eligibility = CORPUS-side df
+      val (batchDocs, corpusDocs) = docs.partition(_._1 % 10 < 3)
+      val corpusDf = corpusDocs.flatMap(d => gsets(d._1).toSeq)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val againstExpect = (for {
+        (a, _) <- batchDocs; (b, _) <- corpusDocs
+        shared = gsets(a).intersect(gsets(b))
+        if shared.exists(g => corpusDf(g) <= cap) && jac(gsets(a), gsets(b)) >= 0.5
+      } yield (a, b) -> jac(gsets(a), gsets(b))).toMap
+      check(graft.ops.Dedup.jaccardAgainst(
+          batchDocs.toDF("doc_id", "text"), corpusDocs.toDF("doc_id", "text"),
+          n = 3, threshold = 0.5, maxDocFreq = cap).collect(),
+        againstExpect, "against")
     }
   }
 
