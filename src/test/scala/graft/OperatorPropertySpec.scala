@@ -74,8 +74,13 @@ class OperatorPropertySpec extends AnyFunSuite {
       (0 until 150).foreach { _ => sigs += ((id, randSig())); id += 1 }
       val df = sigs.toSeq.toDF("doc_id", "simhash")
       val maxH = 1 + rnd.nextInt(7)
-      val got = graft.ops.Dedup.hammingPairs(df, maxHamming = maxH, bands = 8)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val gotRows = graft.ops.Dedup.hammingPairs(df, maxHamming = maxH, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val got = gotRows.toSet
+      // each-pair-exactly-once is part of the contract — a set compare
+      // would hide duplicate emission
+      assert(gotRows.size == got.size,
+        s"seed $seed maxH=$maxH: duplicated pairs emitted")
       val brute = (for {
         (a, sa) <- sigs; (b, sb) <- sigs
         if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxH
@@ -127,6 +132,8 @@ class OperatorPropertySpec extends AnyFunSuite {
       def check(got: Array[org.apache.spark.sql.Row],
                 expect: Map[(Long, Long), Double], label: String): Unit = {
         val g = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        // one row per pair — a toMap compare alone would mask duplicates
+        assert(got.length == g.size, s"seed $seed $label: duplicated pairs emitted")
         assert(g.keySet == expect.keySet, s"seed $seed $label: " +
           s"missing=${expect.keySet -- g.keySet} extra=${g.keySet -- expect.keySet}")
         g.foreach { case (k, v) =>
@@ -299,10 +306,14 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
       val pdf = spark.createDataFrame(points).toDF("event_id", "ts")
       val wdf = spark.createDataFrame(windows).toDF("win_id", "win_start", "win_end")
-      val got = graft.ops.RangeJoin.pointInInterval(pdf, wdf,
+      val gotRows = graft.ops.RangeJoin.pointInInterval(pdf, wdf,
           widthSeconds = 3600L)
         .select("event_id", "win_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = gotRows.toSet
+      // the bucket scheme's no-dedup-needed claim: each (point, interval)
+      // pair must meet exactly once
+      assert(gotRows.size == got.size, s"seed $seed: duplicated pairs emitted")
       val expect = (for {
         (pid, pt) <- points; (wid, s, e) <- windows
         if !pt.before(s) && pt.before(e)
@@ -598,13 +609,11 @@ class OperatorPropertySpec extends AnyFunSuite {
                 history(i) = (k, v.copy(until = now, current = false))
             }
           }
-          val currKeys = currIdx.map(_._1._1).toSet
           rows.foreach { case (k, a, m) =>
             val wasCurrent = currIdx.find(_._1._1 == k).map(_._1._2)
             val unchanged = wasCurrent.exists(v => v.attr == a && v.amt == m)
             if (!unchanged)
               history += ((k, Ver(a, m, now, MaxTs, current = true)))
-            val _ = currKeys
           }
         }
         val got = spark.table("prop_scd2_t")
