@@ -322,6 +322,71 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** 64-bit md5-derived gram hash (first 8 digest bytes) — the OPH
+    * routing+value hash; 64 bits so bin minima don't collide. */
+  private def shingleHash64Jvm(gram: String): Long = {
+    val d = md5Local.get().digest(gram.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** ONE-PERMUTATION minhash signatures (Li, Owen, Zhang 2012) with
+    * rotation densification (Shrivastava & Li 2014): instead of k
+    * independent universal-hash transforms PER GRAM (k·|grams| multiplies
+    * — the dominant cost of classic minhash at tokenizer scale), each gram
+    * is hashed ONCE and routed to bin `hash mod k`; the bin keeps the
+    * minimum. Empty bins (short docs) borrow the nearest non-empty bin to
+    * the right (cyclic), offset by hops·C so borrowed values stay distinct
+    * across bins — the densified signature keeps the collision property
+    * E[sig_a(i) = sig_b(i)] ≈ J(a, b) that banding needs. Same output
+    * shape as [[minhashSignatures]] (h0..h{k-1}), so the LSH banding and
+    * exact-verify stages are shared; candidate recall is equivalent in
+    * expectation and the verify stage makes the OUTPUT exact either way.
+    * O(|grams| + k) per doc vs O(|grams|·k) — the 100 TB signature path. */
+  def minhashSignaturesOph(shArr: DataFrame, numHashes: Int,
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val projected = shArr.select(col(idCol), col("grams"))
+    val outSchema = StructType(Seq(
+      projected.schema.head, StructField("__sig", ArrayType(LongType), nullable = false)))
+    val RotC = 0x9e3779b97f4a7c15L // golden-ratio odd constant per hop
+    val sigs = projected.map { row =>
+      val grams: Seq[String] = if (row.isNullAt(1)) Nil else row.getSeq[String](1)
+      val k = numHashes
+      val mins = Array.fill(k)(Long.MaxValue)
+      grams.foreach { g =>
+        val x = shingleHash64Jvm(g)
+        val bin = java.lang.Math.floorMod(x, k.toLong).toInt
+        if (x < mins(bin)) mins(bin) = x
+      }
+      // rotation densification: empty bin i takes the next non-empty bin's
+      // value (cyclic, rightward) plus hops·C; an all-empty signature
+      // (gramless doc) stays all-MaxValue — callers filter those like the
+      // classic path does
+      // borrow ORIGINAL minima only — a snapshot of pre-densification
+      // emptiness, so a filled bin is never itself borrowed from
+      val empty = mins.map(_ == Long.MaxValue)
+      if (empty.exists(!_)) {
+        var i = 0
+        while (i < k) {
+          if (empty(i)) {
+            var hops = 1
+            var j = (i + 1) % k
+            while (empty(j)) { j = (j + 1) % k; hops += 1 }
+            mins(i) = mins(j) + hops.toLong * RotC
+          }
+          i += 1
+        }
+      }
+      Row(row.get(0), mins.toSeq)
+    }(Encoders.row(outSchema))
+    sigs.select(col(idCol) +:
+      (0 until numHashes).map(j => col("__sig")(j).as(s"h$j")): _*)
+  }
+
   /** Signatures straight from the per-doc gram ARRAY (see [[shingleArray]]):
     * all of a document's grams live in one row, so the minima compute in a
     * single map with primitive arrays — ZERO shuffles (the previous
@@ -371,7 +436,12 @@ object Dedup {
   def minhashLsh(df: DataFrame, n: Int = 3, numHashes: Int = 128,
                  rowsPerBand: Int = 2, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text",
-                 maxBucket: Int = 0): DataFrame = {
+                 maxBucket: Int = 0,
+                 /** one-permutation signatures ([[minhashSignaturesOph]]):
+                   * O(grams + k) per doc instead of O(grams·k) — the
+                   * tokenizer-scale path; candidate recall equivalent in
+                   * expectation, output exact either way (the verify). */
+                 oph: Boolean = false): DataFrame = {
     val bands = numHashes / rowsPerBand
     // Uncached on purpose: shArr is consumed twice (signatures, verify) but
     // is pure scan+tokenize — at 100 TB recomputing from the scan beats
@@ -380,7 +450,10 @@ object Dedup {
     // gramless docs (shorter than n words / NULL text) get NO signature —
     // otherwise every one of them shares the all-MaxValue signature and they
     // band-bucket into a quadratic candidate clique
-    val sig = minhashSignatures(shArr.where(size(col("grams")) > 0), numHashes, idCol)
+    val nonEmpty = shArr.where(size(col("grams")) > 0)
+    val sig =
+      if (oph) minhashSignaturesOph(nonEmpty, numHashes, idCol)
+      else minhashSignatures(nonEmpty, numHashes, idCol)
 
     // band buckets: (band_id, xxhash64 of the sig slice) — a LONG bucket
     // key, not an md5 hex string: the bucket join/group shuffles 8 bytes

@@ -1276,6 +1276,14 @@ object DataOpsQueries {
   val minhashCappedBench: OQ = OQ.rowsOnly("dedup_minhash_lsh_capped",
     (s, _) => Dedup.minhashLsh(s.table("documents"),
       n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5, maxBucket = 20))
+  /** One-permutation signatures (Li et al. 2012 + rotation densification):
+    * one hash per gram instead of 128 — the tokenizer-scale signature
+    * path. Candidate recall is probabilistic (no SQL oracle); the
+    * recall-vs-exact witness lives in DataOpsSpec; timing tracked. */
+  val minhashOphBench: OQ = OQ.rowsOnly("dedup_minhash_oph",
+    (s, _) => Dedup.minhashLsh(s.table("documents"),
+      n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 20, oph = true))
   /** BPE vocabulary induction: iterative argmax training has no
     * single-statement SQL form (aggregates inside recursion), so no SQL
     * oracle — the classic-merges witness + determinism live in DataOpsSpec;
@@ -1430,6 +1438,6 @@ object DataOpsQueries {
 
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
-    semanticBench, bpeBench, pqBench, qualityClf, clusterSample, sketchDistinct,
-    zorderBench, phashBench, ivfPqBench)
+    minhashOphBench, semanticBench, bpeBench, pqBench, qualityClf, clusterSample,
+    sketchDistinct, zorderBench, phashBench, ivfPqBench)
 }

@@ -18,6 +18,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("one-permutation minhash: precision is exact, recall near-complete, short docs densify") {
+    import spark.implicits._
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oph = Dedup.minhashLsh(docs, 3, 128, 2, 0.5, oph = true)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-verify makes precision exact (OPH only shapes CANDIDATES)…
+    assert((oph -- exact).isEmpty, s"OPH emitted non-pairs: ${oph -- exact}")
+    // …and the near-exhaustive 64×2 banding keeps recall essentially
+    // complete on the planted near-dups (probabilistic, hence >=, not ==)
+    assert(exact.nonEmpty)
+    val recall = (oph intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"OPH recall too low: $recall (missed ${exact -- oph})")
+
+    // densification: a doc with fewer grams than bins still gets a full
+    // signature and still pairs with its near-duplicate
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val tinyPairs = Dedup.minhashLsh(tiny, n = 3, numHashes = 128,
+        rowsPerBand = 2, threshold = 0.4, oph = true)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyPairs == Set((1L, 2L)), s"densified short-doc pairing: $tinyPairs")
+  }
+
   test("simhash of planted near-dup pairs is close in hamming distance") {
     val sig = Dedup.simhash(docs)
     val pairs = Dedup.jaccardPairs(docs, 3, 0.8).select("a", "b")

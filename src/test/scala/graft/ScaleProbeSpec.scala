@@ -99,6 +99,11 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.Dedup.minhashLsh(docs, n = 3, numHashes = 128,
         rowsPerBand = 2, threshold = 0.5, maxBucket = 20).count()
     }
+    t("minhashLsh OPH signatures, same banding + cap (one hash per gram)",
+      "O(grams+k) one-permutation signatures vs O(grams*128) classic") {
+      graft.ops.Dedup.minhashLsh(docs, n = 3, numHashes = 128,
+        rowsPerBand = 2, threshold = 0.5, maxBucket = 20, oph = true).count()
+    }
     pairs.unpersist()
     // 10 shifted corpus copies mean every span has df >= 10, so maxDf=20
     // separates structural duplication (10 copies, kept) from the planted
