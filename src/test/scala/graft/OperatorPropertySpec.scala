@@ -885,6 +885,57 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf and unigram LM match direct arithmetic on random corpora") {
+    import spark.implicits._
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.trim.replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- Seq(55, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(25)(i => s"t$i")
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+
+      // tf-idf: exact (tf, df, score) per emitted term, deterministic rank
+      val topK = 3
+      val tGot = graft.ops.TextAnalysis.tfIdf(df, topK).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getInt(5))).toSet
+      val nDocs = docs.size
+      val wdf = docs.flatMap(d => toks(d._2).distinct).groupBy(identity)
+        .map { case (w, v) => w -> v.size }
+      val tExpect = docs.flatMap { case (id, t) =>
+        val tf = toks(t).groupBy(identity).map { case (w, v) => w -> v.size }
+        tf.toSeq.map { case (w, c) =>
+          (w, c, r6(c * math.log((nDocs + 1).toDouble / (wdf(w) + 1)))) }
+          .sortBy { case (w, _, s) => (-s, w) }
+          .take(topK).zipWithIndex
+          .map { case ((w, c, s), i) =>
+            (id, w, c.toLong, wdf(w).toLong, s, i + 1) }
+      }.toSet
+      assert(tGot == tExpect, s"seed $seed tfidf: " +
+        s"only-got=${(tGot -- tExpect).take(4)} only-expect=${(tExpect -- tGot).take(4)}")
+
+      // unigram LM: mean corpus NLL per doc
+      val lGot = graft.ops.TextAnalysis.unigramLogProb(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cf = docs.flatMap(d => toks(d._2)).groupBy(identity)
+        .map { case (w, v) => w -> v.size }
+      val nTotal = cf.values.sum
+      val lExpect = docs.flatMap { case (id, t) =>
+        val ts = toks(t)
+        if (ts.isEmpty) None
+        else Some((id, ts.size.toLong,
+          r6(-ts.map(w => math.log(cf(w).toDouble / nTotal)).sum / ts.size)))
+      }.toSet
+      assert(lGot == lExpect, s"seed $seed lm: " +
+        s"only-got=${(lGot -- lExpect).take(4)} only-expect=${(lExpect -- lGot).take(4)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
