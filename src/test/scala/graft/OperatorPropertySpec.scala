@@ -936,6 +936,51 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet exact tertiles match ntile arithmetic over the rounded-NLL order") {
+    import spark.implicits._
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.trim.replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- Seq(46, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(20)(i => s"t$i")
+      // uneven language sizes (incl. n % 3 != 0 and an n < 3 language) so
+      // the ntile boundary arithmetic is exercised, not just even thirds
+      val langs = Seq.fill(37)("en") ++ Seq.fill(14)("de") ++ Seq.fill(2)("fr")
+      val docs = rnd.shuffle(langs).zipWithIndex.map { case (l, i) =>
+        (i.toLong, l, Seq.fill(1 + rnd.nextInt(15))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = graft.ops.TextAnalysis.ccnetBucketsScoped(df, buckets = 5)(
+        _.select("doc_id", "tertile", "ppl_bucket").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet)
+
+      // reference: per-language (rounded avg_nll asc, id asc) rank → ntile(3)
+      val cf = docs.flatMap(d => toks(d._3)).groupBy(identity)
+        .map { case (w, v) => w -> v.size }
+      val nTotal = cf.values.sum
+      val nll = docs.map { case (id, l, t) =>
+        val ts = toks(t)
+        (id, l, r6(-ts.map(w => math.log(cf(w).toDouble / nTotal)).sum / ts.size))
+      }
+      def ntile3(r: Int, n: Int): Int = {
+        val q = n / 3; val m = n % 3
+        if (r <= (q + 1) * m) (r - 1) / (q + 1) + 1
+        else m + (r - 1 - (q + 1) * m) / q + 1
+      }
+      val expect = nll.groupBy(_._2).flatMap { case (_, group) =>
+        val sorted = group.sortBy { case (id, _, s) => (s, id) }
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          val t = ntile3(i + 1, sorted.size)
+          (id, t, Seq("head", "middle", "tail")(t - 1))
+        }
+      }.toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(5)} " +
+        s"only-expect=${(expect -- got).take(5)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
