@@ -981,6 +981,68 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cohort retention matches week arithmetic on random activity") {
+    import java.sql.Timestamp
+    for (seed <- Seq(18, 64)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-01-03 12:00:00").getTime
+      val events = (0 until 1200).map { i =>
+        (i.toLong, new Timestamp(base + rnd.nextInt(90).toLong * 86400000L),
+          rnd.nextInt(40).toLong, "e", 0.0, "")
+      }
+      val df = spark.createDataFrame(events)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.ops.Funnel.retention(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val weekly = events.map(e =>
+        (e._3, e._2.getTime * 1000L / (7L * 86400L * 1000000L))).distinct
+      val cohort = weekly.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+      val expect = weekly.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+        .groupBy(t => (t._1, t._2)).map { case ((cw, off), v) =>
+          (cw, off, v.map(_._3).distinct.size.toLong) }.toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(5)} " +
+        s"only-expect=${(expect -- got).take(5)}")
+    }
+  }
+
+  test("manual and native sessionization agree on random event sets") {
+    import java.sql.Timestamp
+    for (seed <- Seq(24, 70)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-04-01 00:00:00").getTime
+      // 7-minute lattice: never lands exactly on the 30-minute gap, where
+      // the two formulations legitimately differ (manual keeps diff == gap
+      // in-session, session_window's exclusive end starts a new one)
+      val events = (0 until 900).map { i =>
+        (i.toLong, new Timestamp(base + rnd.nextInt(300).toLong * 420000L),
+          rnd.nextInt(25).toLong, "e", rnd.nextInt(500) / 100.0, "")
+      }
+      val df = spark.createDataFrame(events)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // two independent formulations of the same sessions — the two-window
+      // program and Spark's native session_window — must agree on
+      // (user, first-event, n_events, sum)
+      val manual = graft.ops.Sessions.sessionize(df, gapMinutes = 30).collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(4),
+          BigDecimal(r.getDouble(5)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val native = graft.ops.Sessions.sessionizeNative(df, gapMinutes = 30)
+        .selectExpr("user_id", "CAST(timestamp_micros(start_us) AS STRING)",
+          "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      // compare on (user, session start, n_events, sum): the manual rollup
+      // keys sessions by start, the native one by window start — equal
+      // sessions have equal first events
+      def massage(m: Map[(Long, String, Long, BigDecimal), Int]) =
+        m.map { case ((u, s, n, v), c) => ((u, s.take(19), n, v), c) }
+      assert(massage(native) == massage(manual),
+        s"seed $seed: native=${(massage(native).toSet -- massage(manual).toSet).take(4)} " +
+          s"manual=${(massage(manual).toSet -- massage(native).toSet).take(4)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
