@@ -16,8 +16,11 @@ object Sessions {
   /** Same sessions via Spark's NATIVE session_window aggregation (one
     * SessionWindow operator instead of two windows + regroup; also the
     * streaming-capable form). Window end is last-event + gap by Spark's
-    * definition. Cross-validates [[sessionize]]: both must agree on the
-    * session boundaries. */
+    * definition. Cross-validates [[sessionize]] (property-tested on random
+    * event sets) with ONE boundary caveat: an event exactly `gap` after
+    * its predecessor stays in-session under [[sessionize]]'s strict
+    * `> gap` split but starts a new session here (session_window's end is
+    * exclusive) — identical everywhere else. */
   def sessionizeNative(events: DataFrame, gapMinutes: Int = 30,
                        userCol: String = "user_id", tsCol: String = "ts",
                        valueCol: String = "value"): DataFrame =
