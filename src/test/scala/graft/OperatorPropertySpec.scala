@@ -1043,6 +1043,56 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR importance scores match direct log-ratio arithmetic") {
+    import spark.implicits._
+    def md5mod(s: String, m: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    def gramsOf(t: String): Seq[String] = {
+      val w = t.toLowerCase.trim.replaceAll("\\s+", " ").split(' ').toSeq
+      val bi = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      w ++ bi
+    }
+    for (seed <- Seq(28, 76)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(30)(i => s"w$i")
+      def doc(skew: Int) = Seq.fill(1 + rnd.nextInt(15))(
+        vocab(rnd.nextInt(skew))).mkString(" ")
+      // target uses a narrower slice of the vocabulary, so the log-ratio
+      // genuinely separates; one empty raw doc pins the [""]-unigram rule
+      val raw = (0 until 50).map(i => (i.toLong, doc(30))) :+ (50L, "")
+      val target = (100 until 120).map(i => (i.toLong, doc(8)))
+      val B = 64
+      val got = graft.ops.Dsir.scores(
+          raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"), buckets = B)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+
+      def bucketCounts(docs: Seq[(Long, String)]): (Map[Long, Long], Long) = {
+        val c = docs.flatMap(d => gramsOf(d._2)).map(g => md5mod(g, B))
+          .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+        (c, c.values.sum)
+      }
+      val (rc, rn) = bucketCounts(raw)
+      val (tc, tn) = bucketCounts(target)
+      def lam(b: Long): Double =
+        math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tn + B)) -
+          math.log((rc.getOrElse(b, 0L) + 1).toDouble / (rn + B))
+      raw.foreach { case (id, t) =>
+        val gs = gramsOf(t)
+        val (n, li, gk) = got(id)
+        assert(n == gs.size, s"seed $seed doc $id n_grams: $n vs ${gs.size}")
+        val liRef = gs.map(g => lam(md5mod(g, B))).sum
+        assert(math.abs(li - liRef) < 1e-8, s"seed $seed doc $id: $li vs $liRef")
+        val u = (md5mod(id.toString, 1000000L).toDouble + 0.5) / 1000000.0
+        val gkRef = liRef - math.log(-math.log(u))
+        assert(math.abs(gk - gkRef) < 1e-8, s"seed $seed doc $id gumbel: $gk vs $gkRef")
+      }
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
