@@ -1093,6 +1093,30 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing matches a sequential prefix sum on random token counts") {
+    import spark.implicits._
+    for (seed <- Seq(37, 82)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse, shuffled, GAPPY ids (the bucket-by-id-range distribution
+      // must not assume density) with token counts straddling seqTokens
+      val rows = rnd.shuffle((0 until 500).map(_ * (1 + rnd.nextInt(7))).distinct
+        .map(id => (id.toLong, (rnd.nextInt(900) + 1).toLong)))
+      val seqTokens = 512
+      val got = graft.ops.TextAnalysis.packSequences(
+          rows.toDF("doc_id", "n_tokens"), seqTokens)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      var cum = 0L
+      val expect = rows.sortBy(_._1).map { case (id, n) =>
+        val out = (id, (cum / seqTokens).toInt, cum % seqTokens, n)
+        cum += n
+        out
+      }.toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(5)} " +
+        s"only-expect=${(expect -- got).take(5)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
