@@ -1117,6 +1117,87 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap join matches the nested loop, each pair exactly once") {
+    import java.sql.Timestamp
+    for (seed <- Seq(43, 87)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-09-01 00:00:00").getTime
+      def iv(n: Int, tag: String) = (0 until n).map { i =>
+        val s = base + rnd.nextInt(400) * 900000L
+        // lengths from sub-bucket to many-bucket, plus empty/inverted
+        val len = (rnd.nextInt(6000) - 300) * 60000L
+        (s"$tag$i", new Timestamp(s), new Timestamp(s + len))
+      }
+      val ls = iv(35, "L")
+      val rs = iv(35, "R")
+      import spark.implicits._
+      val gotRows = graft.ops.RangeJoin.intervalOverlap(
+          ls.toDF("l_id", "l_start", "l_end"), rs.toDF("r_id", "r_start", "r_end"),
+          widthSeconds = 3600L)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val got = gotRows.toSet
+      assert(gotRows.size == got.size,
+        s"seed $seed: duplicated pairs (canonical-bucket emission broken)")
+      val expect = (for {
+        (li, lsT, leT) <- ls; (ri, rsT, reT) <- rs
+        if leT.after(lsT) && reT.after(rsT) && lsT.before(reT) && rsT.before(leT)
+      } yield (li, ri)).toSet
+      assert(got == expect, s"seed $seed: missing=${(expect -- got).take(5)} " +
+        s"extra=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("corpus overlap matrix matches pairwise gram-set arithmetic") {
+    import spark.implicits._
+    def grams3(s: String): Set[String] = {
+      val w = s.toLowerCase.trim.replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(53, 96)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(25)(i => s"w$i")
+      def doc() = Seq.fill(2 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      // strata share a planted paragraph pairwise; one stratum is all
+      // short docs (empty gram set) to pin the emitZeros contract
+      val shared = doc() + " " + doc()
+      val docs = (0 until 60).map { i =>
+        val src = s"s${i % 5}"
+        val t = if (src == "s4") "too short" // < 3 words after norm
+          else if (i % 7 == 0) doc() + " " + shared
+          else doc()
+        (i.toLong, src, t)
+      }
+      // a stratum whose every doc is sub-n-gram contributes no gram rows,
+      // so it is absent from the sizes table and emits no pairs at all —
+      // even under emitZeros (there is no size to report for it)
+      val bySrc = docs.groupBy(_._2).map { case (s, v) =>
+        s -> v.flatMap(d => grams3(d._3)).toSet }
+        .filter(_._2.nonEmpty)
+      def refRows(emitZeros: Boolean) = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        inter = bySrc(a).intersect(bySrc(b)).size
+        if emitZeros || inter > 0
+      } yield {
+        val (na, nb) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+        val j = BigDecimal(inter.toDouble / (na + nb - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, na, nb, inter.toLong, j)
+      }).toSet
+      for (emitZeros <- Seq(false, true)) {
+        val got = graft.ops.Dedup.corpusOverlap(
+            docs.toDF("doc_id", "source", "text"), groupCol = "source",
+            emitZeros = emitZeros)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+        val expect = refRows(emitZeros)
+        assert(got == expect, s"seed $seed emitZeros=$emitZeros: " +
+          s"only-got=${(got -- expect).take(4)} only-expect=${(expect -- got).take(4)}")
+      }
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
