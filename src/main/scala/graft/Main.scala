@@ -486,12 +486,21 @@ object Main {
   }
 
   /** Streaming staging prefixes under /tmp owned by [[graft.streaming.Streams]]. */
-  private[graft] val streamStagingPrefixes =
-    Seq("graft-stream-", "graft-visit-sentinel-", "graft-hh-sentinel-")
+  private[graft] val streamStagingPrefixes = graft.streaming.Streams.StagingPrefixes
 
+  /** Age-based staging sweep with a LIVENESS override: a dir whose
+    * heartbeat file (touched per micro-batch by the streaming listener,
+    * see [[graft.streaming.Streams.HeartbeatFile]]) is younger than
+    * `heartbeatGraceNanos` is a LIVE stream's input and is spared no
+    * matter how old the dir itself is — mtime alone would reap a
+    * foreground stream that simply ran longer than `--stream-grace`.
+    * 30 min of heartbeat grace covers any sane trigger interval while
+    * still letting a crashed stream's dir age out within the hour. */
   private[graft] def sweepStreamStaging(graceNanos: Long,
                                         tmp: java.nio.file.Path =
-                                          java.nio.file.Paths.get("/tmp")): Int = {
+                                          java.nio.file.Paths.get("/tmp"),
+                                        heartbeatGraceNanos: Long =
+                                          1800L * 1000000000L): Int = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.isDirectory(tmp)) return 0
     val listing = java.nio.file.Files.list(tmp)
@@ -499,7 +508,11 @@ object Main {
       try listing.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         streamStagingPrefixes.exists(n.startsWith) &&
-          graft.core.Fs.ageNanos(p) > graceNanos
+          graft.core.Fs.ageNanos(p) > graceNanos && {
+            val hb = p.resolve(graft.streaming.Streams.HeartbeatFile)
+            !java.nio.file.Files.exists(hb) ||
+              graft.core.Fs.ageNanos(hb) > heartbeatGraceNanos
+          }
       }.toSeq
       finally listing.close()
     stale.foreach(graft.core.Fs.deleteRecursively)

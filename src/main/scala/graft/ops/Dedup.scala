@@ -917,10 +917,16 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .where(col("hamming") <= maxHamming)
     // expand signature pairs to id pairs (a signature's ids never overlap
-    // another's, so least/greatest ordering introduces no duplicates) …
+    // another's, so least/greatest ordering introduces no duplicates) —
+    // EXCEPT when one id carries two distinct signatures (the unioned
+    // signature batches the `distinct()` above tolerates): if both sigs
+    // fall within maxHamming the two expansion joins meet on that id and
+    // least/greatest would collapse it to a degenerate a == b row, which
+    // the old id-ordered join excluded
     val cross = sigPairs
       .join(ids.select(col("__id").as("__ia"), col("__sig").as("sa")), Seq("sa"))
       .join(ids.select(col("__id").as("__ib"), col("__sig").as("sb")), Seq("sb"))
+      .where(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("a"),
         greatest(col("__ia"), col("__ib")).as("b"), col("hamming"))
     // … and identical-signature cliques pair at hamming 0 directly

@@ -215,11 +215,25 @@ object Ingest {
       // resumes from committed offsets instead of re-draining the topic
       // and duplicating every previously landed row. Full-copy strategies
       // (replace/truncate+insert) deliberately re-drain — "each run copies
-      // current state" — so they get no persistent checkpoint. An explicit
-      // `checkpoint_location` parameter overrides either default.
-      val cpOpt = asset.parameters.get("checkpoint_location").orElse {
-        if (isFullCopy) scala.None
-        else {
+      // current state" — so they get no checkpoint AT ALL, not even an
+      // explicit `checkpoint_location`: a persisted offset log makes a
+      // re-run resume with batchId > 0, every batch maps to Append, and
+      // the promised replace silently never happens (worse, the "copy"
+      // would then hold only the delta since the last run). The two
+      // contracts are mutually exclusive, so the parameter is ignored
+      // with a warning rather than honored into corruption.
+      val cpOpt =
+        if (isFullCopy) {
+          asset.parameters.get("checkpoint_location").foreach { loc =>
+            System.err.println(s"graft: ${asset.name}: ignoring " +
+              s"checkpoint_location=$loc — a full-copy strategy " +
+              "(replace/truncate+insert) re-drains the source every run; " +
+              "a persistent checkpoint would turn the replace into an " +
+              "append of the delta. Use an incremental strategy to resume " +
+              "from offsets.")
+          }
+          scala.None
+        } else asset.parameters.get("checkpoint_location").orElse {
           // keep the warehouse dir's URI intact (hdfs://, s3a://, file:) —
           // same scheme-preserving concat as runAppendToTable; the wipe
           // below goes through the Hadoop FS so any scheme works
@@ -235,7 +249,6 @@ object Ingest {
           }
           Some(cp)
         }
-      }
       val writer = df.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           Materializer.executeDf(wh, perBatch(effective, batchId), batch, ctx)

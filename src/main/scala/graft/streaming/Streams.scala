@@ -27,6 +27,64 @@ object Streams {
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     catch { case _: java.io.IOException => () }
 
+  /** Staging-dir name prefixes under /tmp owned by this object. `graft
+    * clean --stream-grace` sweeps them by age; the heartbeat listener
+    * below guards the live ones. */
+  private[graft] val StagingPrefixes =
+    Seq("graft-stream-", "graft-visit-sentinel-", "graft-hh-sentinel-")
+
+  /** Hidden per-dir liveness marker. mtime alone cannot protect a LIVE
+    * stream: [[touch]] fires only on dir (re)creation/lookup, so a
+    * foreground stream running continuously past `--stream-grace` (24 h
+    * default) would have its FileStreamSource input reaped out from
+    * under it mid-run. A session-level listener touches this file inside
+    * every owned staging dir named by a progressing query's sources —
+    * one heartbeat per micro-batch — and the sweep spares any dir whose
+    * heartbeat is fresh, regardless of the dir's own age. The dot-name
+    * keeps it out of the stream itself (Spark's file listing ignores
+    * `.`/`_` entries). */
+  private[graft] val HeartbeatFile = ".graft-heartbeat"
+
+  private[graft] def touchHeartbeat(dir: java.nio.file.Path): Unit =
+    try {
+      val f = dir.resolve(HeartbeatFile)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      else java.nio.file.Files.createFile(f)
+    } catch { case _: java.io.IOException => () }
+
+  /** Matches owned staging paths inside a source description, e.g.
+    * `FileStreamSource[file:/tmp/graft-stream-ab12…]`. */
+  private val stagingPathRe = java.util.regex.Pattern.compile(
+    "/tmp/(?:" + StagingPrefixes.map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")[0-9a-fA-F]+")
+
+  /** Sessions that already carry the heartbeat listener (weak keys: a
+    * retired session must not be pinned by this registry). */
+  private val heartbeatSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Register the staging-dir heartbeat listener once per session; every
+    * stream built on an owned /tmp staging dir keeps its dir alive for
+    * as long as micro-batches progress. */
+  private[graft] def ensureHeartbeatListener(spark: SparkSession): Unit =
+    if (heartbeatSessions.add(spark))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            e.progress.sources.foreach { s =>
+              val m = stagingPathRe.matcher(s.description)
+              while (m.find())
+                touchHeartbeat(java.nio.file.Paths.get(m.group()))
+            }
+        })
+
   /** Staged symlink dir for a single-file stream source (FileStreamSource
     * wants a directory). Keyed on (resolved path, size, mtime, copies) — a
     * string hashCode collision, or a re-generated file at the same path,
@@ -64,6 +122,7 @@ object Streams {
   def eventStream(spark: SparkSession, path: String, copies: Int = 1): DataFrame = {
     // lets a TIMESTAMP(NANOS) footer load at all; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureHeartbeatListener(spark)
     val schema = spark.read.parquet(path).schema
     graft.core.Tables.eventTimeNormalize(
       spark.readStream.schema(schema).parquet(stagedDir(path, copies)))
@@ -76,6 +135,7 @@ object Streams {
     // schema sniffed from the file footer, same as [[eventStream]] — a
     // hard-coded schema silently mis-reads when the writer's physical
     // types change (the r8 events failure class)
+    ensureHeartbeatListener(spark)
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(stagedDir(path, copies))
   }
@@ -280,10 +340,13 @@ object Streams {
     // re-runs resume from committed offsets instead of replaying the whole
     // source and appending duplicates. Pass an explicit fresh checkpoint to
     // deliberately replay (as the oracle harness does after dropping the sink).
-    // a batch result (e.g. the sort-based visits replay path) honors the
-    // same sink contract with a plain append — no checkpoint to manage
+    // a batch result (e.g. the sort-based visits replay path) is by
+    // construction the COMPLETE result of its computation, so the write
+    // that honors the same "re-runs converge, never duplicate" contract is
+    // a REPLACE — a plain append has no offset log to make it idempotent,
+    // and a scheduled re-run would duplicate every row in the sink
     if (!agg.isStreaming) {
-      agg.write.mode("append").saveAsTable(table)
+      agg.write.mode("overwrite").saveAsTable(table)
       return spark.table(table)
     }
     val cp = checkpoint.getOrElse(

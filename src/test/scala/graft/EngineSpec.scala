@@ -344,6 +344,59 @@ class EngineSpec extends AnyFunSuite {
     assert(Streams.sourceOptionsFor(Map.empty).isEmpty)
   }
 
+  test("streaming listener heartbeats the staged dir while micro-batches progress") {
+    import java.nio.file.{Files, Paths}
+    // a SINGLE-FILE source goes through the /tmp symlink staging dir —
+    // the thing `graft clean --stream-grace` sweeps and the per-batch
+    // heartbeat must protect while a query is live
+    val src = Files.createTempDirectory("graft-hb-events")
+    spark.range(0, 50).selectExpr("id AS event_id",
+      "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts",
+      "id % 5 AS user_id", "'e' AS event_type", "1.0 AS value", "'' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    import scala.jdk.CollectionConverters._
+    val oneFile = Files.list(src).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Streams.runToCompletion(spark,
+      Streams.windowedCounts(Streams.eventStream(spark, oneFile.toString)), "t_hb_counts")
+    // the staged dir holds a symlink c0-<filename> back to our source file
+    def stagedFor(f: java.nio.file.Path): Option[java.nio.file.Path] = {
+      val l = Files.list(Paths.get("/tmp"))
+      try l.iterator().asScala.find { d =>
+        d.getFileName.toString.startsWith("graft-stream-") &&
+          Files.exists(d.resolve(s"c0-${f.getFileName}")) &&
+          scala.util.Try(Files.readSymbolicLink(d.resolve(s"c0-${f.getFileName}")))
+            .toOption.contains(f)
+      }.map(identity)
+      finally l.close()
+    }
+    val staged = stagedFor(oneFile)
+    assert(staged.nonEmpty, "single-file stream must stage a symlink dir")
+    // listener events are delivered async after awaitTermination returns
+    val hb = staged.get.resolve(graft.streaming.Streams.HeartbeatFile)
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (!Files.exists(hb) && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(Files.exists(hb),
+      s"heartbeat file missing in ${staged.get} after a progressing query")
+  }
+
+  test("runAppendToTable's batch branch is idempotent: a re-run never duplicates the sink") {
+    // the batch leg (the sort-based visits replay path) carries the
+    // COMPLETE result of its computation — unlike the streaming leg it
+    // has no offset log, so the only write honoring the "re-runs
+    // converge, never duplicate" sink contract is a replace. Two runs
+    // into one sink must land exactly one copy of every visit.
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "t_batch_visits")
+    val visits1 = Streams.userVisitsComplete(spark, s"$sfDir/events.parquet")
+    val expected = visits1.count()
+    assert(expected > 0)
+    Streams.runAppendToTable(spark, visits1.toDF(), "t_batch_visits")
+    val visits2 = Streams.userVisitsComplete(spark, s"$sfDir/events.parquet")
+    val out = Streams.runAppendToTable(spark, visits2.toDF(), "t_batch_visits")
+    assert(out.count() == expected,
+      s"re-run duplicated the sink: ${out.count()} rows vs $expected visits")
+  }
+
   test("custom-state sessionizer closes visits on event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -955,6 +1008,23 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.table("broker_multi_tgt").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "one"), (9, "nine")),
       "a later micro-batch must append, not re-replace the table")
+
+    // an EXPLICIT checkpoint_location on a full-copy strategy must be
+    // IGNORED: a persisted offset log would make a scheduled re-run
+    // resume with batchId > 0, map every batch to Append, and the
+    // promised "each run copies current state" replace would silently
+    // never happen (worse: the sink would hold only the delta)
+    val fullCopyCp = java.nio.file.Files.createTempDirectory("graft-fullcopy-cp").toString
+    def replaceWithCp = Asset(name = "broker_multi_tgt", assetType = AssetType.Ingest,
+      columns = Seq(Column("id", "INT", primaryKey = true), Column("v", "STRING")),
+      parameters = Map("source_uri" -> "mockkafka://broker/multi",
+        "incremental_strategy" -> "replace", "flush_records" -> "1",
+        "checkpoint_location" -> fullCopyCp))
+    Ingest.run(wh, replaceWithCp)
+    Ingest.run(wh, replaceWithCp)
+    assert(spark.table("broker_multi_tgt").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "one"), (9, "nine")),
+      "a full-copy re-run with an explicit checkpoint must still replace, not append the delta")
 
     // `+cdc` routes the same envelope through debezium decode + the CDC fold
     SessionCatalogWarehouse.dropAny(spark, "broker_cdc_tgt")

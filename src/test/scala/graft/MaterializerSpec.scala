@@ -602,11 +602,29 @@ class MaterializerSpec extends AnyFunSuite {
     }
     val fresh = Files.createDirectory(tmp.resolve("graft-stream-fresh01"))
     val foreign = Files.createDirectory(tmp.resolve("someone-elses-dir"))
+    // a LIVE stream's dir: old by mtime (past any grace) but carrying a
+    // fresh heartbeat — the per-micro-batch listener touch must override
+    // the age check, or a stream running longer than --stream-grace
+    // loses its input mid-run
+    val live = Files.createDirectory(tmp.resolve("graft-stream-live0001"))
+    graft.streaming.Streams.touchHeartbeat(live)
+    Files.setLastModifiedTime(live, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
     val swept = Main.sweepStreamStaging(graceNanos = 900L * 1000000000L, tmp = tmp)
     assert(swept == stale.size, s"expected ${stale.size} sweeps, got $swept")
     stale.foreach(d => assert(!Files.exists(d), s"stale $d must be swept"))
     assert(Files.exists(fresh), "in-grace dir must survive")
     assert(Files.exists(foreign), "foreign dir must never be touched")
+    assert(Files.exists(live), "fresh-heartbeat dir must survive any grace")
+    // even a zero grace spares it — liveness, not age, is the signal
+    Main.sweepStreamStaging(graceNanos = 0L, tmp = tmp)
+    assert(Files.exists(live), "fresh-heartbeat dir must survive grace 0")
+    // …but a STALE heartbeat stops protecting: the stream is gone
+    val hb = live.resolve(graft.streaming.Streams.HeartbeatFile)
+    Files.setLastModifiedTime(hb, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    Main.sweepStreamStaging(graceNanos = 0L, tmp = tmp)
+    assert(!Files.exists(live), "stale-heartbeat dir must be swept once past grace")
     // the CLI surface drives the same sweep against the real /tmp — with a
     // huge stream-grace so a unit test never reaps another process's
     // (legitimately old but live) staging dirs on a shared machine

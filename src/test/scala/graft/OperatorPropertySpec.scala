@@ -90,6 +90,104 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hamming join: an id carrying two within-distance signatures emits no self-pair") {
+    import spark.implicits._
+    // the distinct() in hammingPairs tolerates one id appearing with TWO
+    // distinct signatures (an accidental union of signature batches); when
+    // both sigs fall within maxHamming of each other the two expansion
+    // joins meet on the same id — the degenerate a == b row must be
+    // filtered, and genuine cross-id pairs must survive untouched
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      def randSig(): Long = rnd.nextLong() & ((1L << 60) - 1)
+      val maxH = 2 + rnd.nextInt(4)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      (0 until 10).foreach { i =>
+        val s = randSig()
+        // id 100+i carries s AND a 1-bit flip of s: within maxHamming
+        rows += ((100L + i, s))
+        rows += ((100L + i, s ^ (1L << rnd.nextInt(60))))
+        // a neighbor id near the same signature — the pair that must stay
+        rows += ((200L + i, s ^ (1L << rnd.nextInt(60))))
+      }
+      (0 until 50).foreach(j => rows += ((j.toLong, randSig())))
+      val got = graft.ops.Dedup.hammingPairs(
+        rows.toSeq.toDF("doc_id", "simhash"), maxHamming = maxH, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(!got.exists(p => p._1 == p._2),
+        s"seed $seed: self-pairs emitted: ${got.filter(p => p._1 == p._2).toSeq}")
+      // cross-id coverage: every (a, b) with some sig-pair within maxH is
+      // present (hamming values may differ per sig-pair, so compare id sets)
+      val expectIds = (for {
+        (a, sa) <- rows; (b, sb) <- rows
+        if a != b && java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } yield (math.min(a, b), math.max(a, b))).toSet
+      val gotIds = got.map(p => (p._1, p._2)).toSet
+      assert(gotIds == expectIds, s"seed $seed maxH=$maxH: " +
+        s"missing=${expectIds -- gotIds} extra=${gotIds -- expectIds}")
+    }
+  }
+
+  test("OPH signatures match a straight-line one-permutation + densification fold") {
+    import spark.implicits._
+    // pins the densification ARITHMETIC, not just recall: every bin's
+    // routed minimum, the cyclic rightward borrow, the hops·C offset, and
+    // the all-empty (gramless) signature are checked value-for-value
+    // against an independent in-test implementation of Li/Owen/Zhang OPH
+    // with Shrivastava-Li rotation
+    val RotC = 0x9e3779b97f4a7c15L
+    def hash64(gram: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xffL))
+    }
+    def refSig(grams: Set[String], k: Int): Seq[Long] = {
+      val mins = Array.fill(k)(Long.MaxValue)
+      grams.foreach { g =>
+        val x = hash64(g)
+        val bin = java.lang.Math.floorMod(x, k.toLong).toInt
+        if (x < mins(bin)) mins(bin) = x
+      }
+      val empty = mins.map(_ == Long.MaxValue)
+      if (empty.exists(!_)) {
+        (0 until k).foreach { i =>
+          if (empty(i)) {
+            var hops = 1
+            var j = (i + 1) % k
+            while (empty(j)) { j = (j + 1) % k; hops += 1 }
+            mins(i) = mins(j) + hops.toLong * RotC
+          }
+        }
+      }
+      mins.toSeq
+    }
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    def grams3(s: String): Set[String] = {
+      val w = norm(s).split(' ').filter(_.nonEmpty)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(4, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(40)(i => s"w$i")
+      // lengths skewed SHORT on purpose: docs with fewer grams than bins
+      // are the densification regime (consecutive empty bins, wraparound);
+      // plus gramless docs (< 3 words) for the all-MaxValue signature
+      val docs = (0 until 80).map { i =>
+        val len = rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val k = Seq(8, 16, 32)(rnd.nextInt(3))
+      val got = graft.ops.Dedup.minhashSignaturesOph(
+        graft.ops.Dedup.shingleArray(docs.toDF("doc_id", "text")), k)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val expect = refSig(grams3(text), k)
+        assert(got(id) == expect,
+          s"seed $seed k=$k doc $id: got ${got(id)} expect $expect (text '$text')")
+      }
+    }
+  }
+
   test("jaccard pairs (uncapped and capped) match set arithmetic on random corpora") {
     import spark.implicits._
     def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")

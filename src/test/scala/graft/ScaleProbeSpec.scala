@@ -327,8 +327,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     // ---- sf3 trend rows (GRAFT_SCALE_PROBE=3): the fold and capstone
     // paths again at 3× the sf1 probe, staged so a future regression shows
     // up as a per-stage trend (r9 verdict #7), not a single opaque number
-    if (sys.env.get("GRAFT_SCALE_PROBE").contains("3"))
+    val probeLevel = sys.env.get("GRAFT_SCALE_PROBE")
+    if (probeLevel.exists(v => v == "3" || v == "10"))
       runSf3(spark, wh, results)
+    // ---- sf10 trend rows (GRAFT_SCALE_PROBE=10): ONLY the two
+    // scale-dominant stages (fuzzy jaccard, minhash banding) at one more
+    // decade — 500k docs — with the SHUFFLE ROW count recorded alongside
+    // seconds, so the cap²-not-corpus² claim is witnessed in the metric
+    // it is actually about
+    if (probeLevel.contains("10"))
+      runSf10(spark, results)
 
     // ---- record the table
     val md = new StringBuilder
@@ -337,7 +345,9 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"at local[32]; $nDocs documents, 30% sharing a boilerplate paragraph " +
       "(the adversarial input for candidate generation). " +
       "`GRAFT_SCALE_PROBE=3` appends the sf3 trend rows (150k docs, " +
-      "4.5M CDC keys; capstone staged per-checkpoint).\n\n"
+      "4.5M CDC keys; capstone staged per-checkpoint); `=10` additionally " +
+      "appends the sf10 rows (500k docs) for the two scale-dominant " +
+      "stages, with shuffle-write record counts.\n\n"
     md ++= "| step | seconds | note |\n|---|---|---|\n"
     results.foreach { case (l, s, n) =>
       md ++= (if (s < 0) s"| $l | — | $n |\n" else f"| $l | $s%.2f | $n |\n")
@@ -455,5 +465,68 @@ class ScaleProbeSpec extends AnyFunSuite {
     val stateRows = spark.table("probe3_cdc__cdc_state").count()
     assert(stateRows == nKeys, s"sf3 state must stay one row per key: $stateRows")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe3_cdc__cdc_state")
+  }
+
+  /** sf10 section: the two SCALE-DOMINANT stages — the df-capped fuzzy
+    * jaccard join and the banded minhash candidate stage — at 500k docs
+    * (100 structural copies), one decade past the sf1 probe. The rows
+    * record total SHUFFLE-WRITE RECORDS next to seconds: the cap²
+    * scaling law lives in the candidate/pair shuffle volume (copies² ×
+    * originals when the cap tracks 2× the copy count), so the shuffle
+    * counter — not wall-clock, which folds in constant scan costs — is
+    * the number a regression would bend. */
+  private def runSf10(spark: SparkSession,
+      results: scala.collection.mutable.ArrayBuffer[(String, Double, String)]): Unit = {
+    // seconds + shuffle records for one block; listener events are posted
+    // async, so drain with a short bounded wait after the job completes
+    def tShuffle[A](label: String, note: String)(f: => A): A = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val r =
+        try f
+        finally {
+          Thread.sleep(2000) // bounded drain of the async listener bus
+          spark.sparkContext.removeSparkListener(listener)
+        }
+      val sec = (System.nanoTime() - t0) / 1e9 - 2.0
+      val rows = acc.get()
+      results += ((label, sec, f"$note; shuffle rows $rows%,d"))
+      println(f"[scale-probe] $label: $sec%.2f s, shuffle rows $rows%,d"); r
+    }
+    val boiler = "this document is provided under the standard terms of " +
+      "service all content herein is offered without warranty of any kind " +
+      "either expressed or implied including fitness for purpose "
+    val corpusDir = "/tmp/graft-scale-sf10-documents"
+    val base = spark.table("documents").select("doc_id", "text")
+    (0 until 100).map(k => base.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) < 3, concat(lit(boiler), col("text")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val nDocs = docs.count()
+    println(s"[scale-probe] sf10 corpus: $nDocs docs")
+    // cap tracks 2× the structural copy count (same rule as sf1/sf3), so
+    // per-gram candidate volume is C(copies, 2) — the cap² term
+    tShuffle(s"sf10 fuzzy jaccard dedup ($nDocs docs, cap 200)",
+      "df-capped gram join; per-gram candidates ~ copies^2") {
+      val n = graft.ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
+    tShuffle(s"sf10 minhash OPH banding + cap ($nDocs docs, 64x2, maxBucket=200)",
+      "one-permutation signatures + capped bucket pair stage") {
+      graft.ops.Dedup.minhashLsh(docs, n = 3, numHashes = 128,
+        rowsPerBand = 2, threshold = 0.5, maxBucket = 200, oph = true).count()
+    }
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(corpusDir))
   }
 }
