@@ -96,9 +96,9 @@ object Dedup {
     // it's the difference between shuffling gram text and shuffling 8-byte
     // keys. Collision risk is the same class as the 62-bit rolling hash
     // [[contaminationSpans]] already accepts: P ≈ d²/2⁶⁴ per corpus —
-    // vanishing below any realistic gram cardinality — and the
-    // threshold-boundary pairs that need exactness re-verify over the full
-    // STRING gram arrays in [[verifyJaccard]] regardless.
+    // vanishing below any realistic gram cardinality — and every
+    // downstream count (ck, the boundary re-verify) consistently uses the
+    // same 64-bit gram identity, so the collision class is paid once.
     val shx = shingleArray(df, n, idCol, textCol)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
@@ -182,15 +182,21 @@ object Dedup {
       val exactNow = maybeM.where(col("__hmin") === 0)
         .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
       val needVerify = maybeM.where(col("__hmin") > 0).select("a", "b")
-      // only the boundary sliver re-verifies — shingle ONLY its docs, not
-      // the corpus (shingleArray is an opaque JVM map, so a downstream join
-      // cannot push the id filter below it)
+      // only the boundary sliver re-verifies, and it does so over FULL
+      // hashed gram sets REBUILT FROM THE STAGED STREAM (shxM carries
+      // every gram, heavy included) — not by re-scanning and
+      // re-tokenizing the corpus text (r12: the second text pass was
+      // ~0.4 s of pure fixed overhead at bench SF, and at warehouse
+      // scale a whole second scan of the text column). Hashed-gram
+      // identity is the SAME exactness class as `ck` itself — the
+      // candidate count already equates grams by their 64-bit key, and
+      // the accepted collision probability (~d²/2⁶⁴) is unchanged.
       val candIds = needVerify.select(col("a").as(idCol))
         .unionByName(needVerify.select(col("b").as(idCol))).distinct()
+      val sliverArr = shxM.join(candIds, Seq(idCol), "left_semi")
+        .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
       finishJaccard(exactNow, threshold).unionByName(
-        verifyJaccard(needVerify,
-          shingleArray(df.join(candIds, Seq(idCol), "left_semi"), n, idCol, textCol),
-          threshold, idCol))
+        verifyJaccard(needVerify, sliverArr, threshold, idCol))
     }
   }
 
@@ -203,7 +209,7 @@ object Dedup {
     * entirely: the only shuffled payload is one gram array per candidate
     * doc, and the intersection is a linear in-task pass. Shared by
     * [[jaccardPairs]] (capped) and [[minhashLsh]]. */
-  private def verifyJaccard(candidates: DataFrame, shArr: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, shArr: DataFrame,
                             threshold: Double, idCol: String): DataFrame =
     verifyJaccard2(candidates, shArr, shArr, threshold, idCol)
 
@@ -293,7 +299,7 @@ object Dedup {
   }
 
   /** (a, b, common, na, nb) → thresholded exact-Jaccard pairs. */
-  private def finishJaccard(common: DataFrame, threshold: Double): DataFrame =
+  private[graft] def finishJaccard(common: DataFrame, threshold: Double): DataFrame =
     common
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")))
