@@ -260,7 +260,8 @@ object Dedup {
     // maxDocFreq matches per gram row, and the kept common count resolves
     // exactly except for the bounded heavy-overlap sliver
     // hashed 64-bit gram keys before any shuffle (see [[jaccardPairs]]);
-    // the threshold-boundary sliver re-verifies over full string arrays
+    // the threshold-boundary sliver re-verifies over full hashed gram
+    // sets rebuilt from these same streams, restricted to sliver docs
     val corpusSh = shingleArray(corpus, n, idCol, textCol)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
@@ -293,9 +294,20 @@ object Dedup {
     val exactNow = maybe.where(col("__hmin") === 0)
       .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
     val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
+    // boundary sliver re-verify over FULL hashed gram sets restricted to
+    // the sliver's docs (r12, same move as [[jaccardPairs]]): the old
+    // form re-shingled the ENTIRE corpus and batch and shuffled every
+    // doc's string gram array into the verify joins — a second full text
+    // pass whose shuffle payload dwarfed the handful of pairs it decided.
+    // Hashed identity is the exactness class `ck` already uses.
+    val arrA = newSh.join(needVerify.select("a").distinct(), Seq("a"), "left_semi")
+      .groupBy("a").agg(collect_list(col("gram")).as("grams"))
+      .select(col("a").as(idCol), col("grams"))
+    val arrB = corpusSh.join(needVerify.select(col("b").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
     finishJaccard(exactNow, threshold).unionByName(
-      verifyJaccard2(needVerify, shingleArray(incoming, n, idCol, textCol),
-        shingleArray(corpus, n, idCol, textCol), threshold, idCol))
+      verifyJaccard2(needVerify, arrA, arrB, threshold, idCol))
   }
 
   /** (a, b, common, na, nb) → thresholded exact-Jaccard pairs. */
