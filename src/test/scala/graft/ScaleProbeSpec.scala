@@ -522,10 +522,17 @@ class ScaleProbeSpec extends AnyFunSuite {
         maxDocFreq = 200).count()
       println(s"  pairs: $n"); n
     }
-    tShuffle(s"sf10 minhash OPH banding + cap ($nDocs docs, 64x2, maxBucket=200)",
+    // maxBucket stays at the sf1/sf3 value 20, NOT 2× the copy count: at
+    // 100 structural copies every identical-signature clique fills its
+    // band buckets past any cap proportional to the copies, and letting
+    // cliques through (maxBucket=200 was tried) sends ~25M clique pairs
+    // into the string-array verify — ~60 GB of shuffle that filled the
+    // probe host's disk. Exact-dup cliques are [[Dedup.exact]]'s job; the
+    // banding row measures the signature + capped candidate stages.
+    tShuffle(s"sf10 minhash OPH banding + cap ($nDocs docs, 64x2, maxBucket=20)",
       "one-permutation signatures + capped bucket pair stage") {
       graft.ops.Dedup.minhashLsh(docs, n = 3, numHashes = 128,
-        rowsPerBand = 2, threshold = 0.5, maxBucket = 200, oph = true).count()
+        rowsPerBand = 2, threshold = 0.5, maxBucket = 20, oph = true).count()
     }
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(corpusDir))
   }
