@@ -200,6 +200,92 @@ object Dedup {
     }
   }
 
+  /** PREFIX-FILTERED capped Jaccard pairs — IDENTICAL OUTPUT to the
+    * df-capped [[jaccardPairs]] (same oracle), with candidate generation
+    * cut by the prefix-filtering principle of set-similarity joins
+    * (Chaudhuri/Ganti/Kaushik SSJoin 2006; Xiao et al. PPJoin 2011),
+    * extended with a HEAVY-GRAM correction so the df cap's semantics are
+    * preserved exactly.
+    *
+    * Principle: under any global total order on grams, two sets sharing
+    * ≥ c elements must share one inside each set's first |set| − c + 1
+    * elements (else all c common grams fit in a suffix of size c − 1).
+    * For full-Jaccard ≥ t, each side of a passing pair satisfies
+    * common ≥ ⌈t·n⌉ (since common ≤ n of the partner), and the kept-gram
+    * share of that common is ≥ ⌈t·n⌉ − h where h is the doc's own heavy
+    * count — so the per-doc kept prefix of length k − max(1, ⌈t·n⌉ − h) + 1
+    * is a LOSSLESS candidate filter for every pair the capped contract
+    * can emit (pairs sharing zero kept grams are outside the contract by
+    * definition). Docs where ⌈t·n⌉ − h exceeds the kept count can be in
+    * no passing pair at all and generate nothing.
+    *
+    * Grams order by (global df ascending, hash) — rarest first — so
+    * prefixes land on the lowest-df grams and the candidate join's
+    * Σ df² collapses: the 500k-doc sf10 probe measures 25.6 s vs the
+    * subtractive-cap join's 100.6 s (3.9×) and 86.7M vs 156.8M total
+    * shuffle-write rows (`SCALE_PROBE.md`) — and the shared gram-explode
+    * stages dominate what remains, so the candidate stage itself shrinks
+    * by far more than the totals' ratio suggests. Every
+    * candidate then verifies over its FULL hashed gram sets (one array
+    * intersect per pair), so thresholding is exact over the candidate
+    * set — no partial-count or bound arithmetic survives to the output.
+    *
+    * Cost shape vs [[jaccardPairs]]: one extra gram-keyed join (df onto
+    * the kept stream — the price of the global order) and one per-doc
+    * sort, in exchange for a multiplicatively smaller candidate join.
+    * The subtractive-cap form stays the default at bench SF where fixed
+    * stage overheads dominate; this is the candidate-volume-bound form
+    * for clique- and boilerplate-heavy corpora at scale. */
+  def jaccardPairsPrefix(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxDocFreq: Int = 20,
+                         materialize: Boolean = true): DataFrame = {
+    require(maxDocFreq > 0, "jaccardPairsPrefix needs a positive df cap")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val shx = shingleArray(df, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val shxM = if (materialize) shx.localCheckpoint() else shx
+    val dfCounts = shxM.groupBy("gram").agg(count(lit(1)).as("__df"))
+    // kept rows with the global df attached: the join keys on the gram —
+    // co-partitioned with the aggregation that produced dfCounts
+    val kept = shxM.join(dfCounts.where(col("__df") <= maxDocFreq), Seq("gram"))
+    // per-doc prefix: kept grams sorted (df asc, gram asc) — a globally
+    // consistent total order — sliced to k − cmin + 1 where
+    // cmin = max(1, ⌈t·n⌉ − heavy). sort_array on (df, gram) structs
+    // orders lexicographically, exactly the order the theorem needs.
+    val perDoc = kept.groupBy(col(idCol), col("n_grams")).agg(
+        sort_array(collect_list(struct(col("__df"), col("gram")))).as("__sorted"))
+      .withColumn("__ka", size(col("__sorted")).cast("long"))
+      // the 1e-9 nudge keeps a floating-point upward error at an exact
+      // t·n boundary from OVER-estimating cmin (a too-large cmin means a
+      // too-short prefix = silent recall loss; a one-smaller cmin only
+      // lengthens the prefix, which is always safe)
+      .withColumn("__cmin", greatest(lit(1L),
+        ceil(lit(threshold) * col("n_grams") - lit(1e-9)).cast("long")
+          - (col("n_grams") - col("__ka"))))
+      .where(col("__cmin") <= col("__ka"))
+      .withColumn("__plen", (col("__ka") - col("__cmin") + 1L).cast("int"))
+      .select(col(idCol), col("n_grams"),
+        expr("transform(slice(__sorted, 1, __plen), x -> x.gram)").as("__prefix"))
+    val pr = perDoc.select(col(idCol), col("n_grams"),
+      explode(col("__prefix")).as("gram"))
+    val a = pr.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+    val b = pr.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    // lossless size-ratio prune (common ≥ t·max(na, nb) ∧ common ≤ min)
+    val cand = a.join(b, Seq("gram"))
+      .where(col("a") < col("b") &&
+        least(col("na"), col("nb")).cast("double") /
+          greatest(col("na"), col("nb")) >= lit(threshold))
+      .select("a", "b")
+    val candIds = cand.select(col("a").as(idCol))
+      .unionByName(cand.select(col("b").as(idCol))).distinct()
+    val arr = shxM.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    verifyJaccard(cand, arr, threshold, idCol)
+  }
+
   /** Exact-Jaccard verification of a candidate pair set over the FULL
     * (uncapped) gram sets. Joins each pair to its two gram ARRAYS and
     * intersects in place — the grams are distinct by construction, so

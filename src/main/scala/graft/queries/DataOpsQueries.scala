@@ -1064,6 +1064,20 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
 
+  /** PREFIX-FILTERED capped Jaccard — same semantics (and therefore the
+    * SAME oracle) as `dedup_ngram_jaccard`: the heavy-corrected prefix
+    * filter is a lossless candidate prune, and every candidate verifies
+    * over its full gram sets. The variant that bounds candidate-stage
+    * shuffle volume on clique-heavy corpora (sf10 probe: 25.6 s vs
+    * 100.6 s, 86.7M vs 156.8M shuffle rows); kept as a separate key so
+    * the oracle pins the equivalence every round. */
+  val ngramJaccardPrefix: OQ = OQ.df("dedup_ngram_jaccard_prefix",
+    (s, _) => Dedup.jaccardPairsPrefix(s.table("documents"), n = 3,
+      threshold = 0.5, maxDocFreq = 20),
+    s"""WITH $duckCappedJaccardCtes
+       |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+       |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
+
   /** Training-window chunking oracle: 64-token windows advancing by 48
     * (16-token overlap), short tail kept, empty texts dropped — DuckDB
     * replays via generate_series + list_slice. */
@@ -1403,7 +1417,8 @@ object DataOpsQueries {
     dsirScoresQ,
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
-    dedupExact, ngramJaccard, ngramJaccardUncapped, dedupIncremental, minhashLsh,
+    dedupExact, ngramJaccard, ngramJaccardPrefix, ngramJaccardUncapped,
+    dedupIncremental, minhashLsh,
     simhash, simhashHamming, bloomDedupExact,
     dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
     outliersMad,

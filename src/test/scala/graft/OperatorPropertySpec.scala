@@ -248,6 +248,13 @@ class OperatorPropertySpec extends AnyFunSuite {
       check(graft.ops.Dedup.jaccardPairs(df, n = 3, threshold = 0.5,
           maxDocFreq = cap).collect(),
         refPairs(g => dfCount(g) <= cap), "capped")
+      // prefix-filtered form: IDENTICAL contract to capped — the
+      // heavy-corrected prefix must lose no pair, including those whose
+      // kept overlap is minimal but heavy overlap carries them over the
+      // threshold (the regime the cmin correction exists for)
+      check(graft.ops.Dedup.jaccardPairsPrefix(df, n = 3, threshold = 0.5,
+          maxDocFreq = cap).collect(),
+        refPairs(g => dfCount(g) <= cap), "prefix")
 
       // batch-vs-corpus: docs split 30/70, eligibility = CORPUS-side df
       val (batchDocs, corpusDocs) = docs.partition(_._1 % 10 < 3)

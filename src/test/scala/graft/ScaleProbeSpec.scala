@@ -522,6 +522,12 @@ class ScaleProbeSpec extends AnyFunSuite {
         maxDocFreq = 200).count()
       println(s"  pairs: $n"); n
     }
+    tShuffle(s"sf10 prefix-filtered jaccard ($nDocs docs, cap 200)",
+      "heavy-corrected prefix filter + full-set verify") {
+      val n = graft.ops.Dedup.jaccardPairsPrefix(docs, n = 3, threshold = 0.5,
+        maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
     // maxBucket stays at the sf1/sf3 value 20, NOT 2× the copy count: at
     // 100 structural copies every identical-signature clique fills its
     // band buckets past any cap proportional to the copies, and letting
