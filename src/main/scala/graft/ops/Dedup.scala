@@ -255,22 +255,7 @@ object Dedup {
     // consistent total order — sliced to k − cmin + 1 where
     // cmin = max(1, ⌈t·n⌉ − heavy). sort_array on (df, gram) structs
     // orders lexicographically, exactly the order the theorem needs.
-    val perDoc = kept.groupBy(col(idCol), col("n_grams")).agg(
-        sort_array(collect_list(struct(col("__df"), col("gram")))).as("__sorted"))
-      .withColumn("__ka", size(col("__sorted")).cast("long"))
-      // the 1e-9 nudge keeps a floating-point upward error at an exact
-      // t·n boundary from OVER-estimating cmin (a too-large cmin means a
-      // too-short prefix = silent recall loss; a one-smaller cmin only
-      // lengthens the prefix, which is always safe)
-      .withColumn("__cmin", greatest(lit(1L),
-        ceil(lit(threshold) * col("n_grams") - lit(1e-9)).cast("long")
-          - (col("n_grams") - col("__ka"))))
-      .where(col("__cmin") <= col("__ka"))
-      .withColumn("__plen", (col("__ka") - col("__cmin") + 1L).cast("int"))
-      .select(col(idCol), col("n_grams"),
-        expr("transform(slice(__sorted, 1, __plen), x -> x.gram)").as("__prefix"))
-    val pr = perDoc.select(col(idCol), col("n_grams"),
-      explode(col("__prefix")).as("gram"))
+    val pr = prefixStream(kept, idCol, threshold)
     val a = pr.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
     val b = pr.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
     // lossless size-ratio prune (common ≥ t·max(na, nb) ∧ common ≤ min)
@@ -284,6 +269,43 @@ object Dedup {
     val arr = shxM.join(candIds, Seq(idCol), "left_semi")
       .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
     verifyJaccard(cand, arr, threshold, idCol)
+  }
+
+  /** Per-doc heavy-corrected prefix stream shared by [[jaccardPairsPrefix]]
+    * and [[jaccardAgainstPrefix]]. Input: kept (sub-cap) gram rows
+    * `(idCol, n_grams, gram, __df)` where `n_grams` counts the doc's FULL
+    * gram set and `__df` is the gram's global document frequency under the
+    * join's shared order (any consistent total order works — the filter's
+    * losslessness is pure counting; ordering by df ascending is what makes
+    * it SELECTIVE). Output: one row per prefix gram,
+    * `(idCol, n_grams, gram)`; docs whose kept count cannot reach cmin
+    * emit nothing (they can be in no passing pair). `dropDf` removes
+    * sentinel-df grams from the exploded stream AFTER slicing — used by
+    * the incremental form for batch grams with no corpus partner (they
+    * sort last, so they never displace a matchable gram from the prefix,
+    * and emitting them would only produce dead join rows). */
+  private def prefixStream(kept: DataFrame, idCol: String, threshold: Double,
+                           dropDf: Option[Long] = None): DataFrame = {
+    val perDoc = kept.groupBy(col(idCol), col("n_grams")).agg(
+        sort_array(collect_list(struct(col("__df"), col("gram")))).as("__sorted"))
+      .withColumn("__ka", size(col("__sorted")).cast("long"))
+      // the 1e-9 nudge keeps a floating-point upward error at an exact
+      // t·n boundary from OVER-estimating cmin (a too-large cmin means a
+      // too-short prefix = silent recall loss; a one-smaller cmin only
+      // lengthens the prefix, which is always safe)
+      .withColumn("__cmin", greatest(lit(1L),
+        ceil(lit(threshold) * col("n_grams") - lit(1e-9)).cast("long")
+          - (col("n_grams") - col("__ka"))))
+      .where(col("__cmin") <= col("__ka"))
+      .withColumn("__plen", (col("__ka") - col("__cmin") + 1L).cast("int"))
+      .select(col(idCol), col("n_grams"),
+        expr("slice(__sorted, 1, __plen)").as("__prefix"))
+    val exploded = perDoc
+      .select(col(idCol), col("n_grams"), explode(col("__prefix")).as("__p"))
+      .select(col(idCol), col("n_grams"),
+        col("__p.__df").as("__df"), col("__p.gram").as("gram"))
+    dropDf.fold(exploded)(s => exploded.where(col("__df") =!= s))
+      .drop("__df")
   }
 
   /** Exact-Jaccard verification of a candidate pair set over the FULL
@@ -394,6 +416,72 @@ object Dedup {
       .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
     finishJaccard(exactNow, threshold).unionByName(
       verifyJaccard2(needVerify, arrA, arrB, threshold, idCol))
+  }
+
+  /** PREFIX-FILTERED incremental dedup — IDENTICAL OUTPUT to
+    * [[jaccardAgainst]] (same oracle): batch-vs-corpus near-duplicate pairs
+    * with candidate generation cut by the same heavy-corrected prefix bound
+    * as [[jaccardPairsPrefix]], applied two-sided. Each side's kept grams
+    * (corpus df ≤ cap) sort by (corpus df asc, gram) — one consistent
+    * global order — and slice to `k − max(1, ⌈t·n⌉ − heavy) + 1`. The
+    * bound holds per side (kept-common ≥ ⌈t·na⌉ − ha AND ≥ ⌈t·nb⌉ − hb,
+    * and the prefix lemma needs only the max of the two), so every pair
+    * the capped contract can emit — full Jaccard ≥ t with at least one
+    * shared sub-cap gram — survives to the exact full-set verify.
+    *
+    * Batch grams the corpus has never seen get a sentinel df that sorts
+    * LAST: they cannot displace a matchable gram from the prefix, and the
+    * exploded stream drops them (no corpus partner exists, so a join row
+    * would be dead weight). Both moves are lossless.
+    *
+    * Cost shape: the candidate join degrades from |batch prefix rows| ×
+    * df to Σ over prefix grams of (batch prefix rows × corpus prefix
+    * rows) — on boilerplate-heavy batches the prefix keeps only each
+    * doc's rarest grams, so the recurring nightly-crawl join stops paying
+    * for the grams every near-duplicate shares. */
+  def jaccardAgainstPrefix(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
+                           threshold: Double = 0.5, idCol: String = "doc_id",
+                           textCol: String = "text", maxDocFreq: Int = 20,
+                           materialize: Boolean = true): DataFrame = {
+    require(maxDocFreq > 0, "jaccardAgainstPrefix needs a positive corpus df cap")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val corpusSh0 = shingleArray(corpus, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val newSh0 = shingleArray(incoming, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val corpusSh = if (materialize) corpusSh0.localCheckpoint() else corpusSh0
+    val newSh = if (materialize) newSh0.localCheckpoint() else newSh0
+    val dfCounts = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val keptCorpus = corpusSh
+      .join(dfCounts.where(col("__df") <= maxDocFreq), Seq("gram"))
+    val prefB = prefixStream(keptCorpus, idCol, threshold)
+      .select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    // sentinel in the DF SLOT only (never compared against a gram hash);
+    // a real corpus df is a row count and cannot reach Long.MaxValue
+    val unseen = Long.MaxValue
+    val keptBatch = newSh
+      .join(dfCounts.where(col("__df") > maxDocFreq).select("gram"),
+        Seq("gram"), "left_anti")
+      .join(dfCounts, Seq("gram"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(unseen)))
+    val prefA = prefixStream(keptBatch, idCol, threshold, dropDf = Some(unseen))
+      .select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+    // lossless size-ratio prune, identical to [[jaccardAgainst]]
+    val cand = prefA.join(prefB, Seq("gram"))
+      .where(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= lit(threshold))
+      .select("a", "b")
+    val arrA = newSh.join(cand.select(col("a").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    val arrB = corpusSh.join(cand.select(col("b").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    verifyJaccard2(cand, arrA, arrB, threshold, idCol)
   }
 
   /** (a, b, common, na, nb) → thresholded exact-Jaccard pairs. */

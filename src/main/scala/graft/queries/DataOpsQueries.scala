@@ -860,7 +860,10 @@ object DataOpsQueries {
             .select(col("doc_id"), col("text_deduped").as("text")), Seq("doc_id"))
           .localCheckpoint()
         // 3. FUZZY DEDUP on the cleaned text: any >= 0.5-Jaccard pair drops
-        // its higher id (df-capped candidate generation, exact re-verify)
+        // its higher id (df-capped candidate generation, exact re-verify).
+        // [[Dedup.jaccardPairsPrefix]] is an output-identical drop-in when
+        // the corpus is clique-heavy enough that candidate volume, not
+        // fixed stage overhead, dominates (sf10: 25.6 s vs 100.6 s).
         val losers = Dedup.jaccardPairs(cleaned, n = 3, threshold = 0.5,
             maxDocFreq = 20)
           .select(col("b").as("doc_id")).distinct()
@@ -1140,6 +1143,22 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
 
+  /** PREFIX-FILTERED incremental dedup — same semantics (and the SAME
+    * oracle) as `dedup_incremental`: the two-sided heavy-corrected prefix
+    * filter prunes the batch×corpus candidate join losslessly, every
+    * candidate verifies over full gram sets. The scale form for the
+    * recurring nightly-crawl shape; a separate key so the oracle pins the
+    * equivalence every round. */
+  val dedupIncrementalPrefix: OQ = OQ.df("dedup_incremental_prefix",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.jaccardAgainstPrefix(
+        docs.where(col("doc_id") % 10 === 3),
+        docs.where(col("doc_id") % 10 =!= 3),
+        n = 3, threshold = 0.5, maxDocFreq = 20)
+    },
+    dedupIncremental.oracle.get)
+
   /** Explicit opt-in to the UNCAPPED exact self-join (full recall including
     * pairs whose only shared grams are ubiquitous) — quadratic in per-gram
     * document frequency, so NOT the form to run on a boilerplate-heavy
@@ -1418,7 +1437,7 @@ object DataOpsQueries {
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardPrefix, ngramJaccardUncapped,
-    dedupIncremental, minhashLsh,
+    dedupIncremental, dedupIncrementalPrefix, minhashLsh,
     simhash, simhashHamming, bloomDedupExact,
     dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
     outliersMad,

@@ -269,6 +269,14 @@ class OperatorPropertySpec extends AnyFunSuite {
           batchDocs.toDF("doc_id", "text"), corpusDocs.toDF("doc_id", "text"),
           n = 3, threshold = 0.5, maxDocFreq = cap).collect(),
         againstExpect, "against")
+      // two-sided prefix form: IDENTICAL contract to `against` — including
+      // batch docs whose texts carry grams the corpus never saw (sentinel
+      // df: sorts last, dropped after slicing) and pairs whose corpus-side
+      // heavy overlap carries them over the threshold
+      check(graft.ops.Dedup.jaccardAgainstPrefix(
+          batchDocs.toDF("doc_id", "text"), corpusDocs.toDF("doc_id", "text"),
+          n = 3, threshold = 0.5, maxDocFreq = cap).collect(),
+        againstExpect, "against-prefix")
     }
   }
 

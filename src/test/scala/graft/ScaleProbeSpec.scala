@@ -528,6 +528,25 @@ class ScaleProbeSpec extends AnyFunSuite {
         maxDocFreq = 200).count()
       println(s"  pairs: $n"); n
     }
+    // the nightly-crawl shape at the same decade: a 10% batch deduped
+    // against the other 90% as the reference corpus. The batch slice is
+    // the non-boilerplate residue class, so the heavy-gram machinery is
+    // exercised purely from the corpus side — the production shape
+    // (yesterday's corpus defines what is ubiquitous, not the new crawl).
+    val batch10 = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+    val corpus90 = docs.where(pmod(col("doc_id"), lit(10)) =!= 3)
+    tShuffle(s"sf10 incremental dedup, 10% batch vs 90% corpus (cap 200)",
+      "corpus-df-capped batch-gram join") {
+      val n = graft.ops.Dedup.jaccardAgainst(batch10, corpus90, n = 3,
+        threshold = 0.5, maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
+    tShuffle(s"sf10 prefix-filtered incremental dedup (cap 200)",
+      "two-sided heavy-corrected prefix + full-set verify") {
+      val n = graft.ops.Dedup.jaccardAgainstPrefix(batch10, corpus90, n = 3,
+        threshold = 0.5, maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
     // maxBucket stays at the sf1/sf3 value 20, NOT 2× the copy count: at
     // 100 structural copies every identical-signature clique fills its
     // band buckets past any cap proportional to the copies, and letting
