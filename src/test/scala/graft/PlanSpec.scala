@@ -106,6 +106,53 @@ class PlanSpec extends AnyFunSuite {
       s"gram shuffle keys must be 64-bit hashes, not strings:\n${p.take(800)}")
   }
 
+  test("prefix jaccard pairs candidates from sliced prefix streams only") {
+    graft.core.Tables.register(spark, sfDir)
+    val selfQe = graft.ops.Dedup.jaccardPairsPrefix(spark.table("documents"),
+      n = 3, threshold = 0.5, maxDocFreq = 20, materialize = false)
+      .queryExecution
+    // expression-level asserts read the OPTIMIZED LOGICAL plan: physical
+    // ObjectHashAggregate.toString lists only its agg functions, so
+    // result-projection expressions (sort_array here) are invisible in the
+    // executed plan's text even though they execute
+    val self = selfQe.optimizedPlan.toString
+    val selfPhys = selfQe.executedPlan.toString
+    // the candidate join must consume per-doc SLICES of the df-sorted kept
+    // grams — pairing the full kept streams would re-create exactly the
+    // volume the operator exists to avoid (sf10: 157M → 87M shuffle rows)
+    assert(self.contains("slice("),
+      s"candidates must come from prefix slices:\n${self.take(800)}")
+    assert(self.contains("sort_array"),
+      "prefixes must come from the (df asc, gram) global order")
+    assert(self.contains("array_intersect"),
+      "every candidate must exact-verify over the full gram sets")
+    assert(self.contains("xxhash64"),
+      "gram shuffle keys must be 64-bit hashes, not strings")
+    // df-1 grams must not reach the candidate join: nothing shares them,
+    // and on natural text they are most of the exploded stream
+    assert(self.contains(".__df >= 2"),
+      s"the df>=2 emission filter is missing:\n${self.take(800)}")
+    assert(!selfPhys.contains("CartesianProduct"))
+    val docs = spark.table("documents")
+    import org.apache.spark.sql.functions.col
+    val incQe = graft.ops.Dedup.jaccardAgainstPrefix(
+      docs.where(col("doc_id") % 10 === 3), docs.where(col("doc_id") % 10 =!= 3),
+      n = 3, threshold = 0.5, maxDocFreq = 20, materialize = false)
+      .queryExecution
+    val inc = incQe.optimizedPlan.toString
+    assert(inc.contains("slice(") && inc.contains("sort_array") &&
+      inc.contains("array_intersect"),
+      s"incremental prefix form lost a structural guard:\n${inc.take(800)}")
+    assert(!incQe.executedPlan.toString.contains("CartesianProduct"))
+    assert(inc.contains("LeftAnti"),
+      "corpus-heavy grams must anti-join off the batch stream")
+    // batch grams the corpus never saw (sentinel df = Long.MaxValue) must
+    // filter out of the exploded prefix — they have no join partner, and
+    // emitting them would pay dead shuffle rows per unseen gram
+    assert(inc.contains(Long.MaxValue.toString),
+      s"unseen-gram sentinel drop missing from the plan:\n${inc.take(800)}")
+  }
+
   test("banded hamming join bands DISTINCT signatures, not exploded ids") {
     graft.core.Tables.register(spark, sfDir)
     val df = graft.ops.Dedup.hammingPairs(
