@@ -221,11 +221,13 @@ object Dedup {
     *
     * Grams order by (global df ascending, hash) — rarest first — so
     * prefixes land on the lowest-df grams and the candidate join's
-    * Σ df² collapses: the 500k-doc sf10 probe measures 25.6 s vs the
-    * subtractive-cap join's 100.6 s (3.9×) and 86.7M vs 156.8M total
-    * shuffle-write rows (`SCALE_PROBE.md`) — and the shared gram-explode
-    * stages dominate what remains, so the candidate stage itself shrinks
-    * by far more than the totals' ratio suggests. Every
+    * Σ df² collapses: the 500k-doc sf10 probe measures 86.7M total
+    * shuffle-write rows vs the subtractive-cap join's 156.8M (1.8×, and
+    * 21.8 s vs 34.9 s same-run wall-clock; see `SCALE_PROBE.md` — shuffle
+    * rows are the run-stable metric, wall-clock varies up to 3× between
+    * probe runs of identical code). The shared gram-explode stages
+    * dominate what remains, so the candidate stage itself shrinks by far
+    * more than the totals' ratio suggests. Every
     * candidate then verifies over its FULL hashed gram sets (one array
     * intersect per pair), so thresholding is exact over the candidate
     * set — no partial-count or bound arithmetic survives to the output.
@@ -440,11 +442,13 @@ object Dedup {
     * exploded stream drops them (no corpus partner exists, so a join row
     * would be dead weight). Both moves are lossless.
     *
-    * Cost shape: the candidate join degrades from |batch prefix rows| ×
+    * Cost shape: the candidate join degrades from |batch gram rows| ×
     * df to Σ over prefix grams of (batch prefix rows × corpus prefix
     * rows) — on boilerplate-heavy batches the prefix keeps only each
     * doc's rarest grams, so the recurring nightly-crawl join stops paying
-    * for the grams every near-duplicate shares. */
+    * for the grams every near-duplicate shares. The 500k-doc sf10 probe
+    * (10% batch vs 90% corpus): 103.1M total shuffle-write rows vs the
+    * capped form's 183.6M, 15.9 s vs 23.1 s same-run (`SCALE_PROBE.md`). */
   def jaccardAgainstPrefix(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
                            threshold: Double = 0.5, idCol: String = "doc_id",
                            textCol: String = "text", maxDocFreq: Int = 20,

@@ -863,7 +863,8 @@ object DataOpsQueries {
         // its higher id (df-capped candidate generation, exact re-verify).
         // [[Dedup.jaccardPairsPrefix]] is an output-identical drop-in when
         // the corpus is clique-heavy enough that candidate volume, not
-        // fixed stage overhead, dominates (sf10: 25.6 s vs 100.6 s).
+        // fixed stage overhead, dominates (sf10: 86.7M vs 156.8M shuffle
+        // rows).
         val losers = Dedup.jaccardPairs(cleaned, n = 3, threshold = 0.5,
             maxDocFreq = 20)
           .select(col("b").as("doc_id")).distinct()
@@ -1071,8 +1072,8 @@ object DataOpsQueries {
     * SAME oracle) as `dedup_ngram_jaccard`: the heavy-corrected prefix
     * filter is a lossless candidate prune, and every candidate verifies
     * over its full gram sets. The variant that bounds candidate-stage
-    * shuffle volume on clique-heavy corpora (sf10 probe: 25.6 s vs
-    * 100.6 s, 86.7M vs 156.8M shuffle rows); kept as a separate key so
+    * shuffle volume on clique-heavy corpora (sf10 probe: 86.7M vs 156.8M
+    * shuffle rows, 21.8 s vs 34.9 s same-run); kept as a separate key so
     * the oracle pins the equivalence every round. */
   val ngramJaccardPrefix: OQ = OQ.df("dedup_ngram_jaccard_prefix",
     (s, _) => Dedup.jaccardPairsPrefix(s.table("documents"), n = 3,
