@@ -23,6 +23,24 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as("keep_id"), count("*").as("n_docs"))
 
+  /** Exact dedup, keep-BEST copy: cluster on md5(normalized text) but keep
+    * the duplicate maximizing `qualityCol` (ties: smallest id) — the
+    * RefinedWeb-style canonical selection when copies of the same content
+    * differ upstream (longer capture, cleaner decode, newer snapshot).
+    * min(struct(-quality, id)) is an associative argmax, so this stays the
+    * same ONE map-side-combinable groupBy as [[exact]] — full rows never
+    * shuffle, only (hash, best-so-far, count) partials do; a window
+    * row_number over the hash would shuffle every row instead. */
+  def exactKeepBest(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    qualityCol: String = "n_chars"): DataFrame =
+    df.select(md5(TextAnalysis.normText(col(textCol))).as("content_hash"),
+        struct((-col(qualityCol)).as("nq"), col(idCol).as("id")).as("__best"))
+      .groupBy("content_hash")
+      .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
+      .select(col("content_hash"), col("best.id").as("keep_id"),
+        (-col("best.nq")).as("keep_quality"), col("n_docs"))
+
   /** Distinct word n-gram shingles per doc as ONE array column — a pure
     * scan-side map, no window/explode/distinct shuffle. At 100 TB this is
     * the difference between zero shuffles and two full-corpus shuffles
@@ -502,6 +520,86 @@ object Dedup {
         (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** ASYMMETRIC containment near-dup pairs: containment(a, b) =
+    * |grams(a) ∩ grams(b)| / min(|grams(a)|, |grams(b)|) — the fraction of
+    * the SMALLER document's shingles shared with the other. Symmetric
+    * Jaccard structurally misses subset duplicates at disparate sizes
+    * (a 100-gram doc fully quoted inside a 10,000-gram page scores
+    * J ≈ 0.01 but containment = 1.0); this is the standard second dedup
+    * axis for quote extraction, boilerplate-wrapper collapse, and
+    * "article + comments" near-copies.
+    *
+    * Same capped contract and plan shape as [[jaccardPairs]]: grams hash
+    * to 64-bit keys before any shuffle, over-cap grams (df > `maxDocFreq`)
+    * are SUBTRACTED before the candidate self-join (so candidate volume is
+    * bounded by maxDocFreq × surviving gram rows — never corpus²), and the
+    * score is exact over the FULL gram sets. The one structural difference:
+    * NO length-ratio prefilter — containment is precisely the regime where
+    * |a| and |b| diverge, so the Jaccard path's lossless size prune would
+    * be lossy here. The heavy-overlap bound still splits candidates into
+    * an exact-now set (no shared-heavy uncertainty: common = ck) and a
+    * boundary sliver verified by one array intersect per pair over gram
+    * arrays rebuilt from the staged hashed stream. */
+  def containmentPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxDocFreq: Int = 20,
+                       materialize: Boolean = true): DataFrame = {
+    require(maxDocFreq > 0, "containmentPairs needs a positive df cap")
+    val shx = shingleArray(df, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val shxM = if (materialize) shx.localCheckpoint() else shx
+    val heavy = shxM.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("gram")
+    val kept = shxM.join(heavy, Seq("gram"), "left_anti")
+    val heavyPerDoc = shxM.join(heavy, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__h"))
+    val a = kept.select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+    val b = kept.select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    val pairKept = a.join(b, Seq("gram")).where(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
+    val withBounds = pairKept
+      .join(heavyPerDoc.select(col(idCol).as("a"), col("__h").as("ha")), Seq("a"), "left")
+      .join(heavyPerDoc.select(col(idCol).as("b"), col("__h").as("hb")), Seq("b"), "left")
+      .withColumn("__hmin",
+        least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+    // common ≤ ck + min(ha, hb), so (ck + hmin)/min(na, nb) is a lossless
+    // upper bound on containment — prune below-threshold pairs before any
+    // array work, emit hmin = 0 pairs exactly from ck
+    val maybe = withBounds.where(
+      (col("ck") + col("__hmin")).cast("double") /
+        least(col("na"), col("nb")) >= lit(threshold))
+    val maybeM = if (materialize) maybe.localCheckpoint() else maybe
+    val exactNow = maybeM.where(col("__hmin") === 0)
+      .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
+    val needVerify = maybeM.where(col("__hmin") > 0).select("a", "b")
+    val candIds = needVerify.select(col("a").as(idCol))
+      .unionByName(needVerify.select(col("b").as(idCol))).distinct()
+    val sliverArr = shxM.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    val ga = sliverArr.select(col(idCol).as("a"), col("grams").as("__ga"))
+    val gb = sliverArr.select(col(idCol).as("b"), col("grams").as("__gb"))
+    val verified = needVerify
+      .repartition(needVerify.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .dropDuplicates("a", "b")
+      .join(ga, Seq("a")).join(gb, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
+        size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))
+    finishContainment(exactNow, threshold)
+      .unionByName(finishContainment(verified, threshold))
+  }
+
+  /** (a, b, common, na, nb) → thresholded exact-containment pairs. */
+  private def finishContainment(common: DataFrame, threshold: Double): DataFrame =
+    common
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
 
   /** Portable 32-bit shingle hash: first 8 hex chars of md5 (same value
     * derivable in any engine — keeps LSH reproducible cluster-to-cluster). */

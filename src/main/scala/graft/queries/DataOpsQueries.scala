@@ -108,6 +108,21 @@ object DataOpsQueries {
        |  CAST('0x' || substr(md5($NORM), 1, 15) AS BIGINT) AS fp60
        |FROM documents""".stripMargin)
 
+  /** Unicode canonicalization (strip \p{Cf}; \p{Cc}/\p{Zs} → space; collapse,
+    * trim, lower) — the property classes mean the same thing in Java regex
+    * and RE2, so both engines compute the identical string. */
+  val normalize: OQ = OQ.df("text_normalize",
+    (s, _) => TextAnalysis.canonicalize(s.table("documents"))
+      .select(col("doc_id"), col("norm_text"), col("norm_chars")),
+    """SELECT doc_id,
+      |  lower(trim(regexp_replace(
+      |    regexp_replace(regexp_replace(text, '\p{Cf}', '', 'g'),
+      |      '[\p{Cc}\p{Zs}]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_text,
+      |  CAST(len(lower(trim(regexp_replace(
+      |    regexp_replace(regexp_replace(text, '\p{Cf}', '', 'g'),
+      |      '[\p{Cc}\p{Zs}]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_chars
+      |FROM documents""".stripMargin)
+
   /** Top-3 TF-IDF terms per document (rank by rounded score desc, word). */
   val tfIdf: OQ = OQ.df("text_tfidf",
     (s, _) => TextAnalysis.tfIdf(s.table("documents"), topK = 3)
@@ -1009,6 +1024,22 @@ object DataOpsQueries {
     s"""SELECT md5($NORM) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1""".stripMargin)
 
+  /** Keep-best canonical selection: same clusters as dedup_exact, but the
+    * kept copy maximizes n_chars (tie: smallest id). Oracle uses the window
+    * form; the Spark side is the aggregate argmax — equal output proves the
+    * associative argmax ≡ the rank-1 row. */
+  val dedupKeepBest: OQ = OQ.df("dedup_exact_keep_best",
+    (s, _) => Dedup.exactKeepBest(s.table("documents"))
+      .selectExpr("content_hash", "keep_id",
+        "CAST(keep_quality AS BIGINT) AS keep_quality", "n_docs"),
+    s"""WITH h AS (SELECT doc_id, n_chars, md5($NORM) AS content_hash FROM documents),
+       |r AS (SELECT content_hash, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY content_hash ORDER BY n_chars DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY content_hash) AS n_docs
+       |  FROM h)
+       |SELECT content_hash, doc_id AS keep_id, n_chars AS keep_quality, n_docs
+       |FROM r WHERE rn = 1""".stripMargin)
+
   /** DuckDB 3-gram shingle CTEs ending at `sh` = (doc_id, gram) distinct and
     * `counts` = (doc_id, n_grams). */
   private val duckShCtes =
@@ -1081,6 +1112,19 @@ object DataOpsQueries {
     s"""WITH $duckCappedJaccardCtes
        |SELECT a, b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""".stripMargin)
+
+  /** Asymmetric CONTAINMENT pairs — common / min(na, nb), the second dedup
+    * axis that catches subset duplicates (small doc quoted inside a large
+    * page) symmetric Jaccard structurally misses at disparate sizes. Same
+    * capped candidate contract as `dedup_ngram_jaccard` (≥1 shared
+    * under-cap gram), score exact over the FULL gram sets — the oracle
+    * reuses the capped CTE prologue with the containment scoring. */
+  val containmentPairsQ: OQ = OQ.df("dedup_containment_pairs",
+    (s, _) => Dedup.containmentPairs(s.table("documents"), n = 3,
+      threshold = 0.8, maxDocFreq = 20),
+    s"""WITH $duckCappedJaccardCtes
+       |SELECT a, b, round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
+       |FROM j WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8""".stripMargin)
 
   /** Training-window chunking oracle: 64-token windows advancing by 48
     * (16-token overlap), short tail kept, empty texts dropped — DuckDB
@@ -1430,6 +1474,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
+    normalize, dedupKeepBest,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
@@ -1437,7 +1482,8 @@ object DataOpsQueries {
     dsirScoresQ,
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
-    dedupExact, ngramJaccard, ngramJaccardPrefix, ngramJaccardUncapped,
+    dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
+    ngramJaccardUncapped,
     dedupIncremental, dedupIncrementalPrefix, minhashLsh,
     simhash, simhashHamming, bloomDedupExact,
     dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,

@@ -132,6 +132,39 @@ class DataOpsSpec extends AnyFunSuite {
     assert(capped.get((1L, 2L)).contains(1.0))
   }
 
+  test("containment pairs catch subset duplicates symmetric jaccard misses") {
+    import spark.implicits._
+    val small = "one two three four five six"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val boiler = "subscribe to our newsletter today"
+    val docsDf = (Seq(
+      (1L, small),                 // 4 distinct 3-grams
+      (2L, s"$small $filler"),     // contains ALL of doc 1's grams + 42 more
+      (3L, s"alpha beta gamma $boiler"),
+      (4L, s"alpha beta gamma $boiler")) ++
+      (5 to 12).map(i => (i.toLong, s"unique$i second$i third$i fourth$i $boiler"))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docsDf, 3, 0.8, maxDocFreq = 50).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc 1 ⊂ doc 2: containment exactly 1.0 while jaccard ≈ 4/46 — the
+    // pair symmetric dedup structurally cannot emit at any useful threshold
+    assert(cont.get((1L, 2L)).contains(1.0))
+    assert(Dedup.jaccardPairs(docsDf, 3, 0.8, maxDocFreq = 50)
+      .where("a = 1 and b = 2").count() == 0)
+    // heavy-gram boundary: with the boilerplate over-cap, pair (3,4) only
+    // reaches 1.0 if the verify counts heavy grams — a kept-gram-only score
+    // would report a lossy lower bound
+    val capped = Dedup.containmentPairs(docsDf, 3, 0.8, maxDocFreq = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.get((3L, 4L)).contains(1.0))
+    // pairs sharing ONLY over-cap grams are outside the capped contract
+    assert(!capped.contains((5L, 6L)))
+    // lazy form: no cartesian product anywhere in the plan
+    val plan = Dedup.containmentPairs(docs, 3, 0.8, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"containment must not go quadratic:\n$plan")
+  }
+
   test("capped collect freezes over-cap buckets at cap+1 across many partitions") {
     import spark.implicits._
     import org.apache.spark.sql.graft.SqlBridge
@@ -919,6 +952,42 @@ class DataOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(!cleaned(1L).contains(leaked.substring(5, 40)))
     assert(cleaned(2L) == "completely original training content with no leakage at all")
+  }
+
+  test("canonicalize strips format chars, maps unicode spaces, collapses runs — no shuffle") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "Zero\u200bWidth\u200cJoin\ufeffBom"),      // Cf chars vanish entirely
+      (2L, "NBSP\u00a0and\u3000ideographic\u2003spaces"), // Zs → plain space
+      (3L, "tabs\tand\r\nnewlines\u0007ctl"),          // Cc → plain space
+      (4L, "  UPPER   case   runs  "),                     // collapse + trim + lower
+      (5L, null.asInstanceOf[String]))
+    val out = TextAnalysis.canonicalize(crafted.toDF("doc_id", "text"))
+      .select("doc_id", "norm_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "zerowidthjoinbom")
+    assert(out(2L) == "nbsp and ideographic spaces")
+    assert(out(3L) == "tabs and newlines ctl")
+    assert(out(4L) == "upper case runs")
+    assert(out(5L) == null)
+    val plan = TextAnalysis.canonicalize(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"canonicalize should not shuffle:\n$plan")
+  }
+
+  test("exact keep-best picks the max-quality copy, tie-broken by smallest id") {
+    import spark.implicits._
+    val copies = Seq(
+      (10L, "same content", 40L),   // longer capture of the same content wins
+      (11L, "same  CONTENT ", 12L), // normalizes to the same hash, shorter
+      (12L, "same content", 40L),   // tie on quality → smaller id (10) wins
+      (20L, "unique", 6L))
+    val out = Dedup.exactKeepBest(copies.toDF("doc_id", "text", "n_chars"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(10L -> ((40L, 3L)), 20L -> ((6L, 1L))))
+    // one aggregate, zero windows: the argmax must stay map-side combinable
+    val plan = Dedup.exactKeepBest(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keep-best must not rank via a window:\n$plan")
+    assert(plan.contains("partial"), s"keep-best aggregate should have a partial phase:\n$plan")
   }
 
   test("gopher filter: each rule fires on its designed violation, no shuffle") {

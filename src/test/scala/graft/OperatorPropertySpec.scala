@@ -280,6 +280,67 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs match set arithmetic on subset-heavy corpora") {
+    import spark.implicits._
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    def grams(s: String): Set[String] = {
+      val w = norm(s).split(' ').filter(_.nonEmpty)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(60)(i => s"w$i")
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val originals = Seq.fill(40)(doc(10 + rnd.nextInt(30)))
+      // the containment regime: contiguous slices (containment exactly 1.0
+      // at any size disparity) and lightly mutated slices (near-threshold)
+      val slices = originals.take(20).map { d =>
+        val w = d.split(' ')
+        val len = 4 + rnd.nextInt(w.length - 4)
+        val start = rnd.nextInt(w.length - len + 1)
+        w.slice(start, start + len).mkString(" ")
+      }
+      val mutatedSlices = slices.take(10).map { s =>
+        val w = s.split(' ').toBuffer
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.length))
+        w.mkString(" ")
+      }
+      val texts = originals ++ slices ++ mutatedSlices ++
+        originals.take(3) ++ Seq("one two", "")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val gsets = docs.map { case (id, t) => id -> grams(t) }.toMap
+      def cont(a: Set[String], b: Set[String]): Double =
+        a.intersect(b).size.toDouble / math.min(a.size, b.size)
+      def refPairs(eligible: String => Boolean): Map[(Long, Long), Double] =
+        (for {
+          (a, ga) <- gsets.toSeq; (b, gb) <- gsets.toSeq
+          if a < b && ga.intersect(gb).exists(eligible) && cont(ga, gb) >= 0.8
+        } yield (a, b) -> cont(ga, gb)).toMap
+      def check(got: Array[org.apache.spark.sql.Row],
+                expect: Map[(Long, Long), Double], label: String): Unit = {
+        val g = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(got.length == g.size, s"seed $seed $label: duplicated pairs emitted")
+        assert(g.keySet == expect.keySet, s"seed $seed $label: " +
+          s"missing=${expect.keySet -- g.keySet} extra=${g.keySet -- expect.keySet}")
+        g.foreach { case (k, v) =>
+          assert(math.abs(v - expect(k)) < 1e-6, s"seed $seed $label $k: $v vs ${expect(k)}")
+        }
+      }
+      val cap = 5
+      val dfCount = gsets.values.toSeq.flatMap(_.toSeq)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      check(graft.ops.Dedup.containmentPairs(df, n = 3, threshold = 0.8,
+          maxDocFreq = cap).collect(),
+        refPairs(g => dfCount(g) <= cap), "capped")
+      // a loose cap admits every gram — the pure uncapped contract
+      check(graft.ops.Dedup.containmentPairs(df, n = 3, threshold = 0.8,
+          maxDocFreq = 10000).collect(),
+        refPairs(_ => true), "loose-cap")
+    }
+  }
+
   test("as-of join matches per-row lookup on random tie-heavy feeds") {
     import java.sql.Timestamp
     for (seed <- Seq(4, 31)) {
