@@ -106,6 +106,25 @@ class PlanSpec extends AnyFunSuite {
       s"gram shuffle keys must be 64-bit hashes, not strings:\n${p.take(800)}")
   }
 
+  test("containment pairs share the capped jaccard plan discipline") {
+    graft.core.Tables.register(spark, sfDir)
+    val p = graft.ops.Dedup.containmentPairs(spark.table("documents"),
+      n = 3, threshold = 0.8, maxDocFreq = 20, materialize = false)
+      .queryExecution.executedPlan.toString
+    // same scale guards as the capped jaccard pin: over-cap grams
+    // subtracted before the self-join, per-doc heavy counts via semi-join,
+    // boundary sliver exact-verified over full gram sets, 64-bit gram keys
+    assert(p.contains("LeftAnti"),
+      "heavy grams must be anti-joined off the stream before pairing")
+    assert(p.contains("LeftSemi"),
+      "per-doc heavy counts (the verify-pruning bound) must come from a semi-join")
+    assert(p.contains("array_intersect"),
+      "boundary candidates must be exact-verified over the full gram sets")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("xxhash64"),
+      s"gram shuffle keys must be 64-bit hashes, not strings:\n${p.take(800)}")
+  }
+
   test("prefix jaccard pairs candidates from sliced prefix streams only") {
     graft.core.Tables.register(spark, sfDir)
     val selfQe = graft.ops.Dedup.jaccardPairsPrefix(spark.table("documents"),

@@ -105,6 +105,11 @@ class ScaleProbeSpec extends AnyFunSuite {
         rowsPerBand = 2, threshold = 0.5, maxBucket = 20, oph = true).count()
     }
     pairs.unpersist()
+    t("containmentPairs capped (threshold=0.8, maxDocFreq=20)",
+      "subset-dup axis: same subtractive cap, no size-ratio prune") {
+      graft.ops.Dedup.containmentPairs(docs, n = 3, threshold = 0.8,
+        maxDocFreq = 20).count()
+    }
     // 10 shifted corpus copies mean every span has df >= 10, so maxDf=20
     // separates structural duplication (10 copies, kept) from the planted
     // boilerplate (15k docs, dropped) — the C4 removal target
