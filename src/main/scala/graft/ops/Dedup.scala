@@ -831,6 +831,28 @@ object Dedup {
         implicitly, implicitly)
   }
 
+  /** Canonical selection per near-dup CLUSTER: [[clusters]]' connected
+    * components, each reduced to the single document maximizing
+    * `qualityCol` (ties: smallest id) — the step a curation pipeline runs
+    * after fuzzy dedup, where "keep the longest/cleanest copy" replaces
+    * [[clusters]]' keep-smallest-id convention. Same associative
+    * min(struct) argmax as [[exactKeepBest]]: one map-side-combinable
+    * aggregate over the labeled corpus, no window, so full rows never
+    * shuffle — only (cluster, best-so-far, count) partials do. */
+  def clustersKeepBest(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id",
+                       qualityCol: String = "n_chars",
+                       maxIterations: Int = 25,
+                       driverEdgeCap: Long = 1000000L): DataFrame =
+    clusters(docs, pairs, idCol, maxIterations, driverEdgeCap)
+      .join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .select(col("cluster_id"),
+        struct((-col(qualityCol)).as("nq"), col(idCol).as("id")).as("__best"))
+      .groupBy("cluster_id")
+      .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("best.id").as("keep_id"),
+        (-col("best.nq")).as("keep_quality"), col("n_docs"))
+
   /** Shared cast → label loop → join-back glue for one id family. */
   private def runClusters[K](docs: DataFrame, pairs: DataFrame, idCol: String,
                              castType: String, maxIterations: Int, driverEdgeCap: Long)(

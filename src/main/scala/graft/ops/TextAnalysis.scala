@@ -803,6 +803,29 @@ object TextAnalysis {
     * Java regex and RE2, so the definition is engine-portable (oracle
     * `text_normalize`). Pure codegen projection — no shuffle, no UDF; runs
     * at scan speed over a 100 TB corpus. */
+  /** Corpus NOVELTY score: the fraction of a document's distinct word
+    * n-grams appearing in NO other document (corpus df = 1) — the standard
+    * diversity signal for curation mixes (near-zero = boilerplate or a
+    * near-copy of something else in the corpus; high = unique content).
+    * One gram-df aggregate + one join back to the exploded stream + one
+    * per-doc aggregate — the same bounded shuffle class as every gram
+    * operator here; grams shrink to 64-bit hashes before any exchange.
+    * Documents with no full n-gram (fewer than n words) are absent from
+    * the output, mirroring their absence from the gram stream. */
+  def novelty(df: DataFrame, n: Int = 3, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingleArray(df, n, idCol, textCol)
+      .select(col(idCol), explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val gdf = sh.groupBy("gram").agg(count(lit(1)).as("__df"))
+    sh.join(gdf, Seq("gram"))
+      .groupBy(idCol)
+      .agg(sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel_grams"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 6))
+  }
+
   def canonicalize(df: DataFrame, textCol: String = "text"): DataFrame = {
     val noFormat = regexp_replace(col(textCol), "\\p{Cf}", "")
     val spaced = regexp_replace(noFormat, "[\\p{Cc}\\p{Zs}]", " ")

@@ -1126,6 +1126,22 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
        |FROM j WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8""".stripMargin)
 
+  /** Corpus novelty: fraction of each doc's distinct 3-grams with corpus
+    * df = 1. Docs with no full 3-gram are absent on both sides (inner-join
+    * semantics mirror the empty gram stream). */
+  val noveltyQ: OQ = OQ.df("text_novelty",
+    (s, _) => TextAnalysis.novelty(s.table("documents"))
+      .select(col("doc_id"), col("novel_grams"), col("n_grams"), col("novelty")),
+    s"""WITH $duckShCtes,
+       |gdf AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1),
+       |nov AS (SELECT sh.doc_id,
+       |    count(*) FILTER (WHERE gdf.df = 1) AS novel, count(*) AS n
+       |  FROM sh JOIN gdf ON sh.gram = gdf.gram GROUP BY 1)
+       |SELECT doc_id, CAST(novel AS BIGINT) AS novel_grams,
+       |  CAST(n AS BIGINT) AS n_grams,
+       |  round(CAST(novel AS DOUBLE) / n, 6) AS novelty
+       |FROM nov""".stripMargin)
+
   /** Training-window chunking oracle: 64-token windows advancing by 48
     * (16-token overlap), short tail kept, empty texts dropped — DuckDB
     * replays via generate_series + list_slice. */
@@ -1247,6 +1263,36 @@ object DataOpsQueries {
        |SELECT d.doc_id,
        |  CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
        |FROM documents d LEFT JOIN m ON d.doc_id = m.x""".stripMargin)
+
+  /** Canonical selection per near-dup cluster: dedup_cluster's components,
+    * each keeping the max-n_chars doc (tie: smallest id). Spark = the
+    * associative min(struct) argmax over the labeled corpus (no window);
+    * oracle = the recursive-CTE closure + rank-1 window row — equal output
+    * proves both the component labels and the argmax. */
+  val dedupClusterKeepBest: OQ = OQ.df("dedup_cluster_keep_best",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.clustersKeepBest(docs, Dedup.minhashLsh(docs,
+          n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5))
+        .selectExpr("cluster_id", "keep_id",
+          "CAST(keep_quality AS BIGINT) AS keep_quality", "n_docs")
+    },
+    s"""WITH RECURSIVE $duckJaccardCtes,
+       |edges AS (SELECT a, b FROM j
+       |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+       |und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
+       |reach(x, y) AS (SELECT x, y FROM und
+       |  UNION SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+       |m AS (SELECT x, min(y) AS mn FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, d.n_chars,
+       |    CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
+       |  FROM documents d LEFT JOIN m ON d.doc_id = m.x),
+       |r AS (SELECT cluster_id, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM lab)
+       |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_quality, n_docs
+       |FROM r WHERE rn = 1""".stripMargin)
 
   /** DuckDB replay of the 60-bit word-set simhash, ending at
     * `sig` = (doc_id, simhash) — shared by the signature key and the
@@ -1474,7 +1520,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    normalize, dedupKeepBest,
+    normalize, dedupKeepBest, noveltyQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
@@ -1486,7 +1532,8 @@ object DataOpsQueries {
     ngramJaccardUncapped,
     dedupIncremental, dedupIncrementalPrefix, minhashLsh,
     simhash, simhashHamming, bloomDedupExact,
-    dedupCluster, substringSpans, substringRemoved, contaminationSpansQ,
+    dedupCluster, dedupClusterKeepBest, substringSpans, substringRemoved,
+    contaminationSpansQ,
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     mmFeatures, mmFrames, mmResize, heavyHittersQ)

@@ -990,6 +990,42 @@ class DataOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial"), s"keep-best aggregate should have a partial phase:\n$plan")
   }
 
+  test("cluster keep-best selects the max-quality doc per component") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a", 10L), (2L, "b", 50L), (3L, "c", 20L), // one component via 1-2, 2-3
+      (4L, "d", 7L), (5L, "e", 7L),                   // quality tie → smaller id
+      (6L, "f", 3L)                                    // singleton keeps itself
+    ).toDF("doc_id", "text", "n_chars")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.clustersKeepBest(docsDf, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 50L, 3L)),  // doc 2's quality 50 beats the canonical id 1
+      4L -> ((4L, 7L, 2L)),   // tie on quality: smallest id wins
+      6L -> ((6L, 3L, 1L))))
+    // the argmax must stay an aggregate — a window would shuffle full rows
+    val plan = Dedup.clustersKeepBest(docsDf, edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keep-best must not rank via a window:\n$plan")
+  }
+
+  test("novelty scores the unique-gram fraction; sub-n docs are absent") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d}; "a b c" shared with doc 2
+      (2L, "a b c x"),   // grams {a b c, b c x}
+      (3L, "p q r s t"), // all grams unique
+      (4L, "one two"))   // no full 3-gram → absent
+    .toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 2L, 0.5)),
+      2L -> ((1L, 2L, 0.5)),
+      3L -> ((3L, 3L, 1.0))))
+  }
+
   test("gopher filter: each rule fires on its designed violation, no shuffle") {
     import spark.implicits._
     val good = Array.fill(20)("the cat and dog ran to the park today").mkString(" ")
