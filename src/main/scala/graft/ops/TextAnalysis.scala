@@ -807,23 +807,35 @@ object TextAnalysis {
     * n-grams appearing in NO other document (corpus df = 1) — the standard
     * diversity signal for curation mixes (near-zero = boilerplate or a
     * near-copy of something else in the corpus; high = unique content).
-    * One gram-df aggregate + one join back to the exploded stream + one
-    * per-doc aggregate — the same bounded shuffle class as every gram
-    * operator here; grams shrink to 64-bit hashes before any exchange.
-    * Documents with no full n-gram (fewer than n words) are absent from
-    * the output, mirroring their absence from the gram stream. */
+    *
+    * Shuffle shape: a df-1 gram's single sighting IS its owner, so ONE
+    * gram aggregate carries (count, min(id)) and the full gram stream is
+    * exchanged exactly once; everything after operates on the df = 1
+    * subset and doc-count-sized frames. (The naive join-back of a gram-df
+    * table onto the exploded stream exchanges the full stream twice — at
+    * corpus scale that second full-stream shuffle is the whole cost.)
+    * Per-doc totals come from size(grams) before any explode — a pure
+    * scan-side projection. Grams shrink to 64-bit hashes before the
+    * exchange. Documents with no full n-gram (fewer than n words) are
+    * absent from the output, mirroring their absence from the gram
+    * stream. */
   def novelty(df: DataFrame, n: Int = 3, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val sh = Dedup.shingleArray(df, n, idCol, textCol)
+    val shA = Dedup.shingleArray(df, n, idCol, textCol)
+    val perDoc = shA
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val novel = shA
       .select(col(idCol), explode(col("grams")).as("gram"))
       .withColumn("gram", xxhash64(col("gram")))
-    val gdf = sh.groupBy("gram").agg(count(lit(1)).as("__df"))
-    sh.join(gdf, Seq("gram"))
-      .groupBy(idCol)
-      .agg(sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel_grams"),
-        count(lit(1)).as("n_grams"))
-      .withColumn("novelty",
-        round(col("novel_grams").cast("double") / col("n_grams"), 6))
+      .groupBy("gram").agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .where(col("__df") === 1)
+      .groupBy(col("__owner").as(idCol)).agg(count(lit(1)).as("novel_grams"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"), col("n_grams"),
+        round(coalesce(col("novel_grams"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("novelty"))
   }
 
   def canonicalize(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1016,14 +1016,24 @@ class DataOpsSpec extends AnyFunSuite {
       (1L, "a b c d"),   // grams {a b c, b c d}; "a b c" shared with doc 2
       (2L, "a b c x"),   // grams {a b c, b c x}
       (3L, "p q r s t"), // all grams unique
-      (4L, "one two"))   // no full 3-gram → absent
+      (4L, "one two"),   // no full 3-gram → absent
+      (5L, "m n o p"),   // verbatim duplicate pair: zero novel grams...
+      (6L, "m n o p"))   // ...on BOTH docs (the coalesce-to-0 path)
     .toDF("doc_id", "text")
     val out = TextAnalysis.novelty(docsDf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out == Map(
       1L -> ((1L, 2L, 0.5)),
       2L -> ((1L, 2L, 0.5)),
-      3L -> ((3L, 3L, 1.0))))
+      3L -> ((3L, 3L, 1.0)),
+      5L -> ((0L, 2L, 0.0)),
+      6L -> ((0L, 2L, 0.0))))
+    // the full gram stream must exchange exactly ONCE (the gram aggregate);
+    // a join-back of the df table onto the exploded stream would shuffle it twice
+    val plan = TextAnalysis.novelty(docsDf).queryExecution.executedPlan.toString
+    val gramExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(plan).length
+    assert(gramExchanges == 1,
+      s"expected exactly one gram-keyed exchange, got $gramExchanges:\n$plan")
   }
 
   test("gopher filter: each rule fires on its designed violation, no shuffle") {
