@@ -593,6 +593,67 @@ object Dedup {
       .unionByName(finishContainment(verified, threshold))
   }
 
+  /** INCREMENTAL containment: asymmetric near-dup pairs between an incoming
+    * batch and an existing corpus — "is tonight's crawl already subsumed?"
+    * Same bounded structure as [[jaccardAgainst]] (corpus-df cap, candidate
+    * volume ≤ |batch gram rows| × `maxDocFreq`, exact score over full gram
+    * sets) with [[containmentPairs]]' scoring: common / min(na, nb), and no
+    * size-ratio prefilter — a short batch doc fully quoted inside a long
+    * corpus page is precisely the target. Output: (a = incoming id,
+    * b = corpus id, containment). */
+  def containmentAgainst(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
+                         threshold: Double = 0.8, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         maxDocFreq: Int = 20): DataFrame = {
+    require(maxDocFreq > 0, "containmentAgainst needs a positive corpus df cap")
+    val corpusSh = shingleArray(corpus, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val newSh = shingleArray(incoming, n, idCol, textCol)
+      .select(col(idCol).as("a"), size(col("grams")).cast("long").as("na"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val heavy = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("gram")
+    val keptCorpus = corpusSh.join(heavy, Seq("gram"), "left_anti")
+      .select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    val corpusHeavy = corpusSh.join(heavy, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__h"))
+    val batchHeavy = newSh.join(heavy, Seq("gram"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("__h"))
+    val pairKept = newSh.join(keptCorpus, Seq("gram"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("ck"))
+    val withBounds = pairKept
+      .join(batchHeavy, Seq("a"), "left")
+      .join(corpusHeavy.select(col(idCol).as("b"), col("__h").as("__hb")), Seq("b"), "left")
+      .withColumn("__hmin",
+        least(coalesce(col("__h"), lit(0L)), coalesce(col("__hb"), lit(0L))))
+    val maybe = withBounds.where(
+      (col("ck") + col("__hmin")).cast("double") /
+        least(col("na"), col("nb")) >= lit(threshold))
+    val exactNow = maybe.where(col("__hmin") === 0)
+      .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
+    val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
+    val arrA = newSh.join(needVerify.select("a").distinct(), Seq("a"), "left_semi")
+      .groupBy("a").agg(collect_list(col("gram")).as("grams"))
+    val arrB = corpusSh.join(needVerify.select(col("b").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+      .select(col(idCol).as("b"), col("grams"))
+    val verified = needVerify
+      .repartition(needVerify.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .dropDuplicates("a", "b")
+      .join(arrA.select(col("a"), col("grams").as("__ga")), Seq("a"))
+      .join(arrB.select(col("b"), col("grams").as("__gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
+        size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))
+    finishContainment(exactNow, threshold)
+      .unionByName(finishContainment(verified, threshold))
+  }
+
   /** (a, b, common, na, nb) → thresholded exact-containment pairs. */
   private def finishContainment(common: DataFrame, threshold: Double): DataFrame =
     common

@@ -1264,6 +1264,34 @@ object DataOpsQueries {
        |  CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
        |FROM documents d LEFT JOIN m ON d.doc_id = m.x""".stripMargin)
 
+  /** Incremental containment: the 10%-batch docs scored for subsumption
+    * against the 90% corpus — common / min(na, nb) ≥ 0.8 with at least one
+    * shared under-cap corpus gram; exact over full gram sets. */
+  val dedupContainmentIncr: OQ = OQ.df("dedup_containment_incremental",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.containmentAgainst(
+        docs.where(col("doc_id") % 10 === 3),
+        docs.where(col("doc_id") % 10 =!= 3),
+        n = 3, threshold = 0.8, maxDocFreq = 20)
+    },
+    s"""WITH $duckShCtes,
+       |newsh AS (SELECT * FROM sh WHERE doc_id % 10 = 3),
+       |corsh AS (SELECT * FROM sh WHERE doc_id % 10 <> 3),
+       |gdf AS (SELECT gram, count(*) AS df FROM corsh GROUP BY 1),
+       |elig AS (SELECT gram FROM gdf WHERE df BETWEEN 1 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM newsh a JOIN corsh b ON a.gram = b.gram
+       |  JOIN elig g ON g.gram = a.gram),
+       |pairs AS (SELECT c.a, c.b, count(*) AS common FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.gram = sa.gram GROUP BY 1, 2),
+       |j AS (SELECT pairs.a, pairs.b, common, ca.n_grams AS na, cb.n_grams AS nb
+       |  FROM pairs JOIN counts ca ON pairs.a = ca.doc_id
+       |  JOIN counts cb ON pairs.b = cb.doc_id)
+       |SELECT a, b, round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
+       |FROM j WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8""".stripMargin)
+
   /** Canonical selection per near-dup cluster: dedup_cluster's components,
     * each keeping the max-n_chars doc (tie: smallest id). Spark = the
     * associative min(struct) argmax over the labeled corpus (no window);
@@ -1530,7 +1558,7 @@ object DataOpsQueries {
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
     ngramJaccardUncapped,
-    dedupIncremental, dedupIncrementalPrefix, minhashLsh,
+    dedupIncremental, dedupIncrementalPrefix, dedupContainmentIncr, minhashLsh,
     simhash, simhashHamming, bloomDedupExact,
     dedupCluster, dedupClusterKeepBest, substringSpans, substringRemoved,
     contaminationSpansQ,

@@ -338,6 +338,22 @@ class OperatorPropertySpec extends AnyFunSuite {
       check(graft.ops.Dedup.containmentPairs(df, n = 3, threshold = 0.8,
           maxDocFreq = 10000).collect(),
         refPairs(_ => true), "loose-cap")
+      // batch-vs-corpus: eligibility = CORPUS-side df; a batch doc's grams
+      // unseen by the corpus generate no candidates, heavy corpus overlap
+      // must still count toward the exact score
+      val (batchDocs, corpusDocs) = docs.partition(_._1 % 10 < 3)
+      val corpusDf = corpusDocs.flatMap(d => gsets(d._1).toSeq)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val againstExpect = (for {
+        (a, _) <- batchDocs; (b, _) <- corpusDocs
+        shared = gsets(a).intersect(gsets(b))
+        if shared.exists(g => corpusDf.getOrElse(g, 0) > 0 && corpusDf(g) <= cap) &&
+          cont(gsets(a), gsets(b)) >= 0.8
+      } yield (a, b) -> cont(gsets(a), gsets(b))).toMap
+      check(graft.ops.Dedup.containmentAgainst(
+          batchDocs.toDF("doc_id", "text"), corpusDocs.toDF("doc_id", "text"),
+          n = 3, threshold = 0.8, maxDocFreq = cap).collect(),
+        againstExpect, "against")
     }
   }
 
