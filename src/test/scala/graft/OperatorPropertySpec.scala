@@ -357,6 +357,39 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("novelty matches per-doc set arithmetic on random corpora") {
+    import spark.implicits._
+    def grams(s: String): Set[String] = {
+      val w = s.toLowerCase.trim.replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(40)(i => s"w$i")
+      def doc(): String =
+        Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      // originals + verbatim dups (all-shared grams) + short/empty docs
+      val texts = Seq.fill(80)(doc()) ++ Seq.fill(10)(doc()).flatMap(t => Seq(t, t)) ++
+        Seq("a b", "")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val gsets = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val df1 = gsets.values.toSeq.flatMap(_.toSeq)
+        .groupBy(identity).collect { case (g, v) if v.size == 1 => g }.toSet
+      val expect = gsets.collect { case (id, gs) if gs.nonEmpty =>
+        id -> ((gs.count(df1).toLong, gs.size.toLong))
+      }
+      val got = graft.ops.TextAnalysis.novelty(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == expect.keySet,
+        s"seed $seed: missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+      expect.foreach { case (id, (novel, n)) =>
+        val (gn, gt, gf) = got(id)
+        assert(gn == novel && gt == n, s"seed $seed doc $id: ($gn,$gt) vs ($novel,$n)")
+        assert(math.abs(gf - novel.toDouble / n) < 1e-5, s"seed $seed doc $id frac")
+      }
+    }
+  }
+
   test("as-of join matches per-row lookup on random tie-heavy feeds") {
     import java.sql.Timestamp
     for (seed <- Seq(4, 31)) {

@@ -110,6 +110,10 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.Dedup.containmentPairs(docs, n = 3, threshold = 0.8,
         maxDocFreq = 20).count()
     }
+    t("novelty score (df=1 gram fraction per doc)",
+      "one full-gram-stream exchange; df=1 subset + doc-sized frames after") {
+      graft.ops.TextAnalysis.novelty(docs).count()
+    }
     // 10 shifted corpus copies mean every span has df >= 10, so maxDf=20
     // separates structural duplication (10 copies, kept) from the planted
     // boilerplate (15k docs, dropped) — the C4 removal target
