@@ -199,6 +199,47 @@ object Sampling {
     (out, if (cache) Some(parted) else None)
   }
 
+  /** Exact k smallest rows per group under the lexicographic order of
+    * `sortExprs` (ascending; negate a numeric expression for descending) —
+    * per-group top-k WITHOUT the window-rank shape. `row_number() OVER
+    * (PARTITION BY g ORDER BY ...)` lands each group on one task and sorts
+    * it there; with few huge groups (languages, sources, strata) that is a
+    * full per-group single-task sort. Here a bounded-heap aggregate
+    * ([[graft.functions.BoundedTopK]]) keeps ≤ k elements in every map-side
+    * partial, so the shuffle carries at most k rows per group per map task
+    * and no task ever holds more than k elements per group.
+    *
+    * Callers should make `sortExprs` a TOTAL order (append a unique id):
+    * ties beyond the given keys would otherwise break on the remaining
+    * payload columns — deterministic, but rarely what the caller meant.
+    * Output columns = input columns, k rows per group, ordered within each
+    * group by the sort key. */
+  def groupTopK(df: DataFrame, groupCols: Seq[String],
+                sortExprs: Seq[Column], k: Int): DataFrame = {
+    require(groupCols.nonEmpty && sortExprs.nonEmpty && k >= 1,
+      "groupTopK needs group columns, sort expressions, and k >= 1")
+    import org.apache.spark.sql.graft.SqlBridge
+    val keyed = struct(
+      sortExprs.zipWithIndex.map { case (c, i) => c.as(s"__s$i") } :+
+        struct(df.columns.map(col): _*).as("__p"): _*)
+    val topK = SqlBridge.column(graft.functions.BoundedTopK(
+      SqlBridge.expression(keyed), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topK.as("__top"))
+      .select(explode(col("__top")).as("__row"))
+      .select(col("__row.__p.*"))
+  }
+
+  /** Exact-k-per-group RESERVOIR sample, deterministic: the k docs with the
+    * smallest md5(seed:id) per group — the "give me exactly 100 docs per
+    * source, same 100 every run and every engine" ask that fraction-based
+    * [[stratified]] can't express. Same bounded-heap shape as [[groupTopK]]. */
+  def reservoirByGroup(df: DataFrame, groupCol: String, k: Int,
+                       seed: String = "graft",
+                       idCol: String = "doc_id"): DataFrame =
+    groupTopK(df, Seq(groupCol),
+      Seq(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), col(idCol)), k)
+
   /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the training-export layout
     * step: give every row a portable pseudo-random order key
     * (md5(seed:id)), assign it to one of `nShards` output shards, and

@@ -695,6 +695,32 @@ object DataOpsQueries {
        |WHERE $DUCK_BUCKET <
        |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 10 END""".stripMargin)
 
+  /** Per-group top-k via the bounded-heap aggregate (top-3 orders per
+    * customer by price desc, key asc) — oracle is the window-rank form, so
+    * equal output proves the heap plan ≡ row_number() <= k exactly. */
+  val groupTopKQ: OQ = OQ.df("rel_group_topk",
+    (s, _) => graft.ops.Sampling.groupTopK(
+      s.table("orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq((-col("o_totalprice")).as("np"), col("o_orderkey").as("ok")), k = 3),
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin)
+
+  /** Exact-k-per-group deterministic reservoir: the 10 docs per source with
+    * the smallest md5('graft:' || id) — same rows every run, every engine. */
+  val groupReservoirQ: OQ = OQ.df("sample_group_reservoir",
+    (s, _) => graft.ops.Sampling.reservoirByGroup(
+      s.table("documents").select("source", "doc_id", "lang"),
+      "source", k = 10),
+    """SELECT source, doc_id, lang FROM (
+      |  SELECT source, doc_id, lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 10""".stripMargin)
+
   /** DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
     * features, Laplace-smoothed bucket distributions, per-doc
     * target-vs-raw log ratio sums, deterministic md5-derived Gumbel keys.
@@ -1553,6 +1579,7 @@ object DataOpsQueries {
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
+    groupTopKQ, groupReservoirQ,
     dsirScoresQ,
     quantizeInt8, embNormalize, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,

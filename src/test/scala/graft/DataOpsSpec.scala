@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class DataOpsSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -1034,6 +1034,36 @@ class DataOpsSpec extends AnyFunSuite {
     val gramExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(plan).length
     assert(gramExchanges == 1,
       s"expected exactly one gram-keyed exchange, got $gramExchanges:\n$plan")
+  }
+
+  test("group top-k returns exact ranked rows per group without a window") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 10.0), ("a", 4L, 20.0),
+      ("b", 5L, 5.0),
+      ("c", 6L, 1.0), ("c", 7L, 2.0), ("c", 8L, 3.0), ("c", 9L, 4.0))
+      .toDF("grp", "id", "score").repartition(13) // force partial-heap merges
+    // top-2 by score DESC, tie id ASC; k > |group b| returns the whole group
+    val got = Sampling.groupTopK(rows, Seq("grp"),
+        Seq((-col("score")).as("ns"), col("id").as("i")), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byGrp = got.groupBy(_._1)
+    assert(byGrp("a").toSeq == Seq(("a", 1L, 30.0), ("a", 2L, 30.0)))
+    assert(byGrp("b").toSeq == Seq(("b", 5L, 5.0)))
+    assert(byGrp("c").toSeq == Seq(("c", 9L, 4.0), ("c", 8L, 3.0)))
+    // the scale contract: a bounded-heap AGGREGATE, never a per-group
+    // window sort (one huge group = one task's full sort)
+    val plan = Sampling.groupTopK(rows, Seq("grp"),
+        Seq(col("score").as("s")), 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"groupTopK must not plan a window:\n$plan")
+    assert(plan.contains("bounded_top_k") && plan.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap aggregate:\n$plan")
+    // reservoir: exactly min(k, |group|) rows per group, deterministic
+    val res1 = Sampling.reservoirByGroup(docs.withColumn("source", lit("s")),
+      "source", 7).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val res2 = Sampling.reservoirByGroup(docs.withColumn("source", lit("s")),
+      "source", 7).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(res1.length == 7 && res1 == res2)
   }
 
   test("gopher filter: each rule fires on its designed violation, no shuffle") {

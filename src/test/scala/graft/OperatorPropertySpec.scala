@@ -357,6 +357,32 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("group top-k matches per-group sort-and-take on random skewed data") {
+    import spark.implicits._
+    for (seed <- Seq(5, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // skewed group sizes (one giant group — the window-shape pathology),
+      // heavy score ties to exercise the total-order tiebreak
+      val rows = (0 until 3000).map { i =>
+        val grp = if (rnd.nextInt(10) < 6) "giant" else s"g${rnd.nextInt(20)}"
+        (grp, i.toLong, rnd.nextInt(12).toDouble)
+      }
+      for (k <- Seq(1, 4, 17)) {
+        val got = graft.ops.Sampling.groupTopK(
+            rows.toDF("grp", "id", "score").repartition(23),
+            Seq("grp"), Seq((-col("score")).as("ns"), col("id").as("i")), k)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).view.mapValues(_.toSeq).toMap
+        val expect = rows.groupBy(_._1).view.mapValues(
+          _.sortBy { case (_, id, sc) => (-sc, id) }.take(k)).toMap
+        assert(got.keySet == expect.keySet, s"seed $seed k $k: group sets differ")
+        expect.foreach { case (g, ex) =>
+          assert(got(g) == ex, s"seed $seed k $k group $g: ${got(g)} vs $ex")
+        }
+      }
+    }
+  }
+
   test("novelty matches per-doc set arithmetic on random corpora") {
     import spark.implicits._
     def grams(s: String): Set[String] = {
