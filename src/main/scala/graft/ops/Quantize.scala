@@ -61,6 +61,32 @@ object Quantize {
     * deterministic left-fold, so the numbers are bit-comparable across
     * engines; zero vectors keep checksum 0 (norm 0 guard). The normalize
     * itself is the serving-side prep every cosine index assumes. */
+  /** MATRYOSHKA truncation (Kusupati et al., MRL 2022): keep the first
+    * `dims` components and L2-renormalize to unit length — MRL-trained
+    * embeddings nest coarse representations in prefixes, so this is the
+    * standard storage/compute downshift (768 → 64 bytes per vector) before
+    * ANN indexing; the truncated unit vectors feed the same cosine/IVF/PQ
+    * stack unchanged. Pure array-HOF projection (slice + deterministic
+    * left-folds), scan speed, no shuffle. Components re-cast to float
+    * AFTER the double-precision divide so the stored vector is what a
+    * float index would hold. Zero-norm prefixes pass through unscaled. */
+  def matryoshka(emb: DataFrame, dims: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, "matryoshka needs dims >= 1")
+    val pre = slice(col(vecCol), 1, dims)
+    val norm = sqrt(aggregate(
+      transform(pre, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    emb.select(col(idCol), pre.as("__p"), norm.as("__n"))
+      .select(col(idCol),
+        when(col("__n") === 0.0, col("__p"))
+          .otherwise(transform(col("__p"),
+            x => (x.cast("double") / col("__n")).cast("float")))
+          .as(vecCol),
+        col("__n").as("prefix_norm"),
+        size(col("__p")).cast("long").as("dims"))
+  }
+
   def l2NormalizeSummary(emb: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)

@@ -1043,6 +1043,29 @@ object DataOpsQueries {
       |  CAST(len(embedding) AS BIGINT) AS dims
       |FROM n""".stripMargin)
 
+  /** Matryoshka 16-dim truncation summary: prefix norm + the unit vector's
+    * element checksum, both sides summing FLOAT-rounded components in a
+    * double left-fold so the numbers are bit-comparable (the float re-cast
+    * is part of the operator's contract — it is what the index stores). */
+  val matryoshkaQ: OQ = OQ.df("emb_matryoshka",
+    (s, _) => graft.ops.Quantize.matryoshka(s.table("embeddings"), dims = 16)
+      .select(col("vec_id"), round(col("prefix_norm"), 6).as("prefix_norm"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("unit_sum"),
+        col("dims")),
+    """WITH p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pre FROM embeddings),
+      |n AS (SELECT vec_id, pre,
+      |  sqrt(list_sum(list_transform(pre,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM p)
+      |SELECT vec_id, round(nrm, 6) AS prefix_norm,
+      |  CASE WHEN nrm = 0 THEN round(list_sum(list_transform(pre,
+      |      x -> CAST(x AS DOUBLE))), 6)
+      |    ELSE round(list_sum(list_transform(pre,
+      |      x -> CAST(CAST(CAST(x AS DOUBLE) / nrm AS REAL) AS DOUBLE))), 6)
+      |  END AS unit_sum,
+      |  CAST(len(pre) AS BIGINT) AS dims
+      |FROM n""".stripMargin)
+
   // ---- dedup family -------------------------------------------------------
 
   val dedupExact: OQ = OQ.df("dedup_exact",
@@ -1581,7 +1604,7 @@ object DataOpsQueries {
     sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
-    quantizeInt8, embNormalize, cosineExpr,
+    quantizeInt8, embNormalize, matryoshkaQ, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
     ngramJaccardUncapped,

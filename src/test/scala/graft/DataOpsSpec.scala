@@ -1036,6 +1036,28 @@ class DataOpsSpec extends AnyFunSuite {
       s"expected exactly one gram-keyed exchange, got $gramExchanges:\n$plan")
   }
 
+  test("matryoshka truncation renormalizes prefixes at scan speed") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f, 100.0f)),          // prefix (3,4): norm 5
+      (2L, Array(0.0f, 0.0f, 9.0f)),            // zero prefix: passthrough
+      (3L, Array(1.0f))                          // shorter than dims: kept as-is
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Quantize.matryoshka(vecs, dims = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == Seq(0.6f, 0.8f) && math.abs(out(1L)._2 - 5.0) < 1e-9)
+    assert(out(2L)._1 == Seq(0.0f, 0.0f) && out(2L)._2 == 0.0)
+    assert(out(3L)._1 == Seq(1.0f) && out(3L)._3 == 1L)
+    // unit norm on real embeddings, and a pure projection (no shuffle)
+    val m = graft.ops.Quantize.matryoshka(emb, dims = 16)
+    val norms = m.select(sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => n == 0.0 || math.abs(n - 1.0) < 1e-5))
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"matryoshka must not shuffle:\n$plan")
+  }
+
   test("group top-k returns exact ranked rows per group without a window") {
     import spark.implicits._
     val rows = Seq(
