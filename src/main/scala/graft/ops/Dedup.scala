@@ -30,7 +30,10 @@ object Dedup {
     * min(struct(-quality, id)) is an associative argmax, so this stays the
     * same ONE map-side-combinable groupBy as [[exact]] — full rows never
     * shuffle, only (hash, best-so-far, count) partials do; a window
-    * row_number over the hash would shuffle every row instead. */
+    * row_number over the hash would shuffle every row instead.
+    * `qualityCol` must be non-null: a null sorts FIRST through the negated
+    * struct ordering and would win every cluster it touches (SQL's
+    * `ORDER BY q DESC` puts nulls last — coalesce a default first). */
   def exactKeepBest(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text",
                     qualityCol: String = "n_chars"): DataFrame =
@@ -241,7 +244,7 @@ object Dedup {
     * prefixes land on the lowest-df grams and the candidate join's
     * Σ df² collapses: the 500k-doc sf10 probe measures 86.7M total
     * shuffle-write rows vs the subtractive-cap join's 156.8M (1.8×, and
-    * 21.8 s vs 34.9 s same-run wall-clock; see `SCALE_PROBE.md` — shuffle
+    * 21.3 s vs 34.3 s same-run wall-clock; see `SCALE_PROBE.md` — shuffle
     * rows are the run-stable metric, wall-clock varies up to 3× between
     * probe runs of identical code). The shared gram-explode stages
     * dominate what remains, so the candidate stage itself shrinks by far
@@ -466,7 +469,7 @@ object Dedup {
     * doc's rarest grams, so the recurring nightly-crawl join stops paying
     * for the grams every near-duplicate shares. The 500k-doc sf10 probe
     * (10% batch vs 90% corpus): 103.1M total shuffle-write rows vs the
-    * capped form's 183.6M, 15.9 s vs 23.1 s same-run (`SCALE_PROBE.md`). */
+    * capped form's 183.6M, 14.7 s vs 23.5 s same-run (`SCALE_PROBE.md`). */
   def jaccardAgainstPrefix(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
                            threshold: Double = 0.5, idCol: String = "doc_id",
                            textCol: String = "text", maxDocFreq: Int = 20,
@@ -899,7 +902,8 @@ object Dedup {
     * [[clusters]]' keep-smallest-id convention. Same associative
     * min(struct) argmax as [[exactKeepBest]]: one map-side-combinable
     * aggregate over the labeled corpus, no window, so full rows never
-    * shuffle — only (cluster, best-so-far, count) partials do. */
+    * shuffle — only (cluster, best-so-far, count) partials do. Same
+    * non-null `qualityCol` contract as [[exactKeepBest]]. */
   def clustersKeepBest(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id",
                        qualityCol: String = "n_chars",

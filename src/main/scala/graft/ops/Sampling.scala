@@ -212,6 +212,9 @@ object Sampling {
     * Callers should make `sortExprs` a TOTAL order (append a unique id):
     * ties beyond the given keys would otherwise break on the remaining
     * payload columns — deterministic, but rarely what the caller meant.
+    * Null sort values sort FIRST (struct field ordering) — the opposite of
+    * SQL's `ORDER BY ... DESC NULLS LAST`; coalesce them away if that
+    * matters.
     * Output columns = input columns, k rows per group, ordered within each
     * group by the sort key. */
   def groupTopK(df: DataFrame, groupCols: Seq[String],
