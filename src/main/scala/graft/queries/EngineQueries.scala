@@ -438,6 +438,31 @@ object EngineQueries {
       |FROM c JOIN t USING (window_id)
       |WHERE c.n_item >= CAST(ceil(0.05 * t.n) AS BIGINT)""".stripMargin)
 
+  /** Streaming windowed top-k: the 5 highest-value events per weekly
+    * window, computed with bounded per-(window, shard) state (k entries
+    * per shard) and finished exact by the bounded-heap groupTopK over the
+    * per-shard candidates. Multi-shard ON: the oracle pins that the
+    * shard-union superset + final reduction equals the plain window rank. */
+  val streamTopK: OQ = OQ.df("stream_window_topk",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_topk")
+      val hits = Streams.streamingTopKComplete(
+        s, s"$dir/events.parquet", col("event_id"), col("value"), k = 5)
+      Streams.runAppendToTable(s, hits.toDF(), "g_stream_topk",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-tk-cp").toString))
+      // tie-break on the STRING id — the same total order the shard heaps
+      // used, so the shard-union superset provably contains these rows
+      graft.ops.Sampling.groupTopK(s.table("g_stream_topk"),
+          Seq("window_id"), Seq((-col("score")).as("ns"), col("id").as("i")), 5)
+        .selectExpr("window_id", "CAST(id AS BIGINT) AS event_id", "score")
+    },
+    """WITH e AS (SELECT epoch_us(ts) // 604800000000 AS window_id,
+      |  event_id, value FROM events),
+      |r AS (SELECT window_id, event_id, value,
+      |  row_number() OVER (PARTITION BY window_id
+      |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rn FROM e)
+      |SELECT window_id, event_id, value AS score FROM r WHERE rn <= 5""".stripMargin)
+
   /** CDC apply end-to-end: a Debezium-shaped change feed derived from
     * `orders` — snapshot (`r`, seq 0); +100 price update (`u`, seq 2) on
     * keys %7; delete (`d`, seq 3) on keys %13; and a LATE -50 update (`u`,
@@ -612,6 +637,6 @@ object EngineQueries {
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

@@ -1081,6 +1081,110 @@ object Streams {
       s"$watermarkMinutes minutes")
   }
 
+  /** One candidate row from a closed (window, shard) group: the shard's k
+    * best (score desc, id asc). The union over shards is a guaranteed
+    * SUPERSET of the window's true top-k (every global-top-k row is in its
+    * own shard's local top-k), so one k-bounded reduction per window —
+    * [[graft.ops.Sampling.groupTopK]] on (-score, id) — finishes exact. */
+  final case class TopHit(window_id: Long, id: String, score: Double)
+
+  /** STREAMING WINDOWED TOP-K — the k highest-scoring events per
+    * event-time tumbling window with BOUNDED state: each (window, id-hash
+    * shard) group keeps at most k (score, id) entries regardless of stream
+    * volume, pruned by the event-time timeout when the watermark passes
+    * the window end — the streaming face of
+    * [[graft.ops.Sampling.groupTopK]], same state discipline as
+    * [[streamingHeavyHitters]] (shards spread a hot window across tasks;
+    * the resolved count never depends on cluster size, so restarts are
+    * safe). Ties break on the smaller id — a total order, so the result
+    * is run-independent. NULL ids/scores are ignored inside the state
+    * function (not pre-filtered — see the watermark-stall note in
+    * [[streamingHeavyHitters]]). */
+  def streamingTopK(events: DataFrame, idCol: Column, scoreCol: Column,
+                    k: Int,
+                    windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                    shards: Int = 0,
+                    watermark: String = "10 minutes"): Dataset[TopHit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1: $k")
+    require(shards >= 0, s"shards must be >= 0 (0 = auto): $shards")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nShards = resolveShards(spark, shards)
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    // worst-first ordering: head of the sorted buffer = eviction candidate
+    val worstFirst: Ordering[(Double, String)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse)
+    val wm = events.withWatermark("ts", watermark)
+      .select(idCol.cast("string").as("id"),
+        scoreCol.cast("double").as("score"), col("ts"))
+      .as[(String, Option[Double], java.sql.Timestamp)]
+    wm.groupByKey { case (id, _, t) =>
+      (us(t) / windowUs,
+        if (id == null) -1
+        else math.floorMod(id.hashCode.toLong, nShards.toLong).toInt)
+    }.flatMapGroupsWithState[Vector[(Double, String)], TopHit](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      case ((win, _), rows, state) =>
+        if (state.hasTimedOut) {
+          val kept = state.get
+          state.remove()
+          kept.sorted(worstFirst.reverse).iterator
+            .map { case (s, id) => TopHit(win, id, s) }
+        } else {
+          // buffer sorted worst-first; inserts beyond k evict the head —
+          // at most k entries per (window, shard) at any moment
+          var buf = state.getOption.getOrElse(Vector.empty[(Double, String)])
+          rows.foreach { case (id, score, _) =>
+            if (id != null && score.isDefined) {
+              val e = (score.get, id)
+              if (buf.length < k) buf = (buf :+ e).sorted(worstFirst)
+              else if (worstFirst.gt(e, buf.head))
+                buf = (buf.tail :+ e).sorted(worstFirst)
+            }
+          }
+          state.update(buf)
+          state.setTimeoutTimestamp(
+            math.max((win + 1) * (windowUs / 1000), state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+    }
+  }
+
+  /** [[streamingTopK]] over a file-backed feed with the same END-OF-INPUT
+    * FLUSH as [[streamingHeavyHittersComplete]]: a null-id sentinel one
+    * window + watermark past max(ts) closes every real window before the
+    * AvailableNow run drains. Emits the per-shard CANDIDATES — finish with
+    * [[graft.ops.Sampling.groupTopK]] per window for the exact top-k. */
+  def streamingTopKComplete(spark: SparkSession, path: String,
+                            idCol: Column, scoreCol: Column, k: Int,
+                            windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                            shards: Int = 0,
+                            watermarkMinutes: Int = 10): Dataset[TopHit] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxRow = graft.core.Tables.eventTimeNormalize(spark.read.parquet(path))
+      .agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) return spark.emptyDataset[TopHit]
+    val sentinelTs = java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
+      .plus(java.time.Duration.ofNanos(windowUs * 1000))
+      .plusSeconds((watermarkMinutes + 60).toLong * 60L))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"tk1:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = java.nio.file.Paths.get(s"/tmp/graft-tk-sentinel-$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      spark.createDataFrame(Seq(Tuple2(sentinelTs, true)))
+        .toDF("ts", "__sentinel")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    else touch(dir)
+    val feed = eventStream(spark, path)
+      .unionByName(eventStream(spark, dir.toString), allowMissingColumns = true)
+    val id = when(col("__sentinel") === true, lit(null)).otherwise(idCol)
+    streamingTopK(feed, id, scoreCol, k, windowUs, shards,
+      s"$watermarkMinutes minutes")
+  }
+
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */
   def triggerFor(params: Map[String, String]): Trigger =
     params.get("flush_interval") match {

@@ -848,6 +848,57 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming top-k: shard-union superset, exact after reduction, tie-safe") {
+    import spark.implicits._
+    // two weekly windows; scores with DELIBERATE ties at the k boundary
+    // (score = id % 7 → many equal scores), ids whose STRING and NUMERIC
+    // orders disagree ("10" < "9") — the regime where a mixed tie-break
+    // between the shard heaps and the final reduction would drop rows
+    val base = java.sql.Timestamp.valueOf("2024-01-01 06:00:00").getTime
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val events = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + (i % 2) * (weekUs / 1000) + i * 1000L),
+        0L, "e", (i % 7).toDouble, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tk-adv").toString
+    events.coalesce(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val k = 6
+    val hits = Streams.streamingTopKComplete(spark, s"$dir/events.parquet",
+      org.apache.spark.sql.functions.col("event_id"),
+      org.apache.spark.sql.functions.col("value"), k, shards = 8)
+    val q = hits.toDF().writeStream.format("memory").queryName("tk_adv")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cand = spark.table("tk_adv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    // per-(window, shard) emission is bounded by k
+    assert(cand.length <= 2 * 8 * k, s"state bound violated: ${cand.length} rows")
+    // straight-line truth: top-k per window by (score desc, STRING id asc)
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000
+    val truth = (0 until 400).map { i =>
+      (us(new java.sql.Timestamp(base + (i % 2) * (weekUs / 1000) + i * 1000L)) / weekUs,
+        i.toString, (i % 7).toDouble)
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, id, s) => (-s, id) }.take(k)).toMap
+    // superset: every true top-k row is among its window's candidates
+    val candSet = cand.map(c => (c._1, c._2)).toSet
+    truth.foreach { case (w, rows) =>
+      val missed = rows.map(r => (w, r._2)).filterNot(candSet)
+      assert(missed.isEmpty, s"window $w lost true top-k rows: $missed")
+    }
+    // the bounded-heap reduction over candidates is EXACTLY the truth
+    import org.apache.spark.sql.functions.{col => c}
+    val fin = graft.ops.Sampling.groupTopK(spark.table("tk_adv"),
+        Seq("window_id"), Seq((-c("score")).as("ns"), c("id").as("i")), k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    truth.foreach { case (w, rows) => assert(fin(w) == rows.map(r => (w, r._2, r._3)),
+      s"window $w: ${fin(w)} vs $rows") }
+  }
+
   test("streaming heavy hitters: superset guarantee and bounds under high cardinality") {
     import spark.implicits._
     // ~5000 distinct items, zipf-ish (item j appears ⌈600/(j+1)⌉ times);
