@@ -103,6 +103,39 @@ object DataDiff {
     missing ++ added ++ changed
   }
 
+  /** DISTRIBUTION DRIFT between two corpus snapshots: per-bucket population
+    * shares of a numeric metric plus the bucket's PSI contribution
+    * (population stability index, the standard drift monitor:
+    * Σ (p_a − p_b) · ln(p_a / p_b); ≥ 0.2 total = actionable shift).
+    * Fixed-width buckets (`floor(metric / width)`, clamped to `nBuckets`)
+    * so both engines bucket identically — no quantile estimation, which
+    * would make the boundaries engine-dependent. Laplace smoothing (+1 per
+    * bucket) keeps empty buckets finite. Two B-row aggregates + one
+    * broadcast-sized join: each snapshot pays one scan regardless of size,
+    * and the emitted frame is `nBuckets` rows — per-bucket rows rather
+    * than one pre-summed scalar, so the caller (and the oracle compare)
+    * never depends on float summation order. */
+  def distributionDrift(a: DataFrame, b: DataFrame, metricCol: String,
+                        bucketWidth: Double, nBuckets: Int = 20): DataFrame = {
+    require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, nBuckets >= 2")
+    def shares(df: DataFrame, tag: String) = {
+      val bucket = least(floor(col(metricCol).cast("double") / bucketWidth),
+        lit(nBuckets - 1)).cast("long").as("bucket")
+      df.where(col(metricCol).isNotNull).select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as(s"__c$tag"))
+    }
+    val ca = shares(a, "a")
+    val cb = shares(b, "b")
+    val na = a.where(col(metricCol).isNotNull).count().toDouble
+    val nb = b.where(col(metricCol).isNotNull).count().toDouble
+    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (na + nBuckets)
+    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (nb + nBuckets)
+    ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+  }
+
   /** Full table diff: schema diffs + per-column stat deltas. */
   def diffTables(spark: SparkSession, left: String, right: String): DataFrame = {
     import spark.implicits._

@@ -169,6 +169,33 @@ object EngineQueries {
         .mkString("\nUNION ALL\n"))
   }
 
+  /** Distribution drift (PSI) between two corpus snapshots — even/odd
+    * doc_id halves over n_chars, fixed 200-char buckets. Per-bucket rows,
+    * so no float-summation-order dependence; Laplace-smoothed shares. */
+  val diffDrift: OQ = OQ.df("diff_distribution_psi",
+    (s, _) => {
+      val docs = s.table("documents")
+      DataDiff.distributionDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "n_chars", bucketWidth = 200.0, nBuckets = 20)
+    },
+    """WITH a AS (SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
+      |    count(*) AS ca FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+      |  GROUP BY 1),
+      |b AS (SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
+      |    count(*) AS cb FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+      |  GROUP BY 1),
+      |na AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+      |j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+      |    (coalesce(ca, 0) + 1) / CAST(na.n + 20 AS DOUBLE) AS pa,
+      |    (coalesce(cb, 0) + 1) / CAST(nb.n + 20 AS DOUBLE) AS pb
+      |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket, na, nb)
+      |SELECT bucket, round(pa, 6) AS share_a, round(pb, 6) AS share_b,
+      |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+      |FROM j""".stripMargin)
+
   // ---- seeds ---------------------------------------------------------------
 
   private val seedCsvPath = "/tmp/graft_seed_demo.csv"
@@ -635,7 +662,7 @@ object EngineQueries {
     cdcOracleSql)
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
-    lineageColumns, lineageUsedTables, diffProfile, seedCsv, pipelineE2e, streamWindow,
+    lineageColumns, lineageUsedTables, diffProfile, diffDrift, seedCsv, pipelineE2e, streamWindow,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)

@@ -289,6 +289,27 @@ class EngineSpec extends AnyFunSuite {
     assert(Semantic.qualify("x * 1.5e+10", "base") == "base.x * 1.5e+10")
   }
 
+  test("distribution drift: zero PSI on identical snapshots, signal on a shift") {
+    import spark.implicits._
+    import graft.diff.DataDiff
+    val a = (1 to 1000).map(i => (i.toLong, (i % 50) * 10.0)).toDF("id", "m")
+    // identical distributions → every bucket's contribution is exactly 0
+    val same = DataDiff.distributionDrift(a, a, "m", bucketWidth = 100.0,
+      nBuckets = 6).collect()
+    assert(same.nonEmpty && same.forall(_.getDouble(3) == 0.0))
+    // shifted snapshot → a clearly positive total PSI
+    val b = (1 to 1000).map(i => (i.toLong, (i % 50) * 10.0 + 200.0)).toDF("id", "m")
+    val drift = DataDiff.distributionDrift(a, b, "m", bucketWidth = 100.0,
+      nBuckets = 6).collect()
+    assert(drift.map(_.getDouble(3)).sum > 0.2, "shift must register as PSI >= 0.2")
+    // clamp: values past nBuckets*width land in the last bucket
+    val clamped = DataDiff.distributionDrift(
+      Seq((1L, 10000.0)).toDF("id", "m"),
+      Seq((2L, 50.0)).toDF("id", "m"), "m", bucketWidth = 100.0, nBuckets = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(clamped == Set(0L, 5L), s"expected clamped buckets {0, 5}: $clamped")
+  }
+
   test("data-diff: schema compare and table diff") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
