@@ -136,6 +136,32 @@ object DataDiff {
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
   }
 
+  /** Categorical twin of [[distributionDrift]]: composition shift of a
+    * discrete column (language, source, license) between two snapshots —
+    * per-VALUE shares and PSI contributions over the union of observed
+    * values. The smoothing denominator counts the union's cardinality, so
+    * a value present in only one snapshot gets a finite, strongly positive
+    * contribution (the "new source appeared" signal). Same cost shape:
+    * one count aggregate per snapshot + a values-sized join. Cardinality
+    * is the caller's contract (monitor columns, not free text). */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.where(col(catCol).isNotNull).groupBy(col(catCol).as("value"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.where(col(catCol).isNotNull).groupBy(col(catCol).as("value"))
+      .agg(count(lit(1)).as("__cb"))
+    val na = a.where(col(catCol).isNotNull).count().toDouble
+    val nb = b.where(col(catCol).isNotNull).count().toDouble
+    val joined = ca.join(cb, Seq("value"), "full_outer")
+    // the union cardinality is only known after the join — count it once
+    // (values-sized, not corpus-sized) and fold it into the smoothing
+    val card = joined.count().toDouble
+    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (na + card)
+    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (nb + card)
+    joined.select(col("value"),
+      round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+      round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+  }
+
   /** Full table diff: schema diffs + per-column stat deltas. */
   def diffTables(spark: SparkSession, left: String, right: String): DataFrame = {
     import spark.implicits._

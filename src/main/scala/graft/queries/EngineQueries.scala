@@ -196,6 +196,32 @@ object EngineQueries {
       |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
       |FROM j""".stripMargin)
 
+  /** Categorical composition drift — lang shares between the even/odd
+    * halves; union-cardinality smoothing. */
+  val diffDriftCat: OQ = OQ.df("diff_categorical_psi",
+    (s, _) => {
+      val docs = s.table("documents")
+      DataDiff.categoricalDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "lang")
+    },
+    """WITH a AS (SELECT lang AS value, count(*) AS ca FROM documents
+      |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+      |b AS (SELECT lang AS value, count(*) AS cb FROM documents
+      |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+      |na AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+      |u AS (SELECT coalesce(a.value, b.value) AS value, ca, cb
+      |  FROM a FULL OUTER JOIN b ON a.value = b.value),
+      |card AS (SELECT count(*) AS c FROM u),
+      |j AS (SELECT value,
+      |    (coalesce(ca, 0) + 1) / CAST(na.n + card.c AS DOUBLE) AS pa,
+      |    (coalesce(cb, 0) + 1) / CAST(nb.n + card.c AS DOUBLE) AS pb
+      |  FROM u, na, nb, card)
+      |SELECT value, round(pa, 6) AS share_a, round(pb, 6) AS share_b,
+      |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+      |FROM j""".stripMargin)
+
   // ---- seeds ---------------------------------------------------------------
 
   private val seedCsvPath = "/tmp/graft_seed_demo.csv"
@@ -662,7 +688,7 @@ object EngineQueries {
     cdcOracleSql)
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
-    lineageColumns, lineageUsedTables, diffProfile, diffDrift, seedCsv, pipelineE2e, streamWindow,
+    lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat, seedCsv, pipelineE2e, streamWindow,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)

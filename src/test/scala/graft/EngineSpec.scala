@@ -310,6 +310,21 @@ class EngineSpec extends AnyFunSuite {
     assert(clamped == Set(0L, 5L), s"expected clamped buckets {0, 5}: $clamped")
   }
 
+  test("categorical drift: new values register strongly, identical mixes are flat") {
+    import spark.implicits._
+    import graft.diff.DataDiff
+    val a = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+    val flat = DataDiff.categoricalDrift(a, a, "lang").collect()
+    assert(flat.length == 2 && flat.forall(_.getDouble(3) == 0.0))
+    // a value present ONLY in snapshot b (the "new source appeared" signal)
+    val b = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "en" else "fr")).toDF("id", "lang")
+    val drift = DataDiff.categoricalDrift(a, b, "lang").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(drift.keySet == Set("en", "de", "fr"))
+    assert(drift("en") == 0.0 && drift("de") > 0.5 && drift("fr") > 0.5,
+      s"one-sided values must register strongly: $drift")
+  }
+
   test("data-diff: schema compare and table diff") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
