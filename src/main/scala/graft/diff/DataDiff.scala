@@ -107,30 +107,37 @@ object DataDiff {
     * shares of a numeric metric plus the bucket's PSI contribution
     * (population stability index, the standard drift monitor:
     * Σ (p_a − p_b) · ln(p_a / p_b); ≥ 0.2 total = actionable shift).
-    * Fixed-width buckets (`floor(metric / width)`, clamped to `nBuckets`)
-    * so both engines bucket identically — no quantile estimation, which
-    * would make the boundaries engine-dependent. Laplace smoothing (+1 per
-    * bucket) keeps empty buckets finite. Two B-row aggregates + one
+    * Fixed-width buckets (`floor(metric / width)`, clamped into
+    * `[0, nBuckets)` on both ends — signed metrics stay in range) so both
+    * engines bucket identically — no quantile estimation, which would make
+    * the boundaries engine-dependent. Laplace smoothing (+1 per bucket)
+    * keeps empty buckets finite. Two B-row aggregates + one
     * broadcast-sized join: each snapshot pays one scan regardless of size,
-    * and the emitted frame is `nBuckets` rows — per-bucket rows rather
-    * than one pre-summed scalar, so the caller (and the oracle compare)
-    * never depends on float summation order. */
+    * and the emitted frame is at most `nBuckets` rows — per-bucket rows
+    * rather than one pre-summed scalar, so the caller (and the oracle
+    * compare) never depends on float summation order. */
   def distributionDrift(a: DataFrame, b: DataFrame, metricCol: String,
                         bucketWidth: Double, nBuckets: Int = 20): DataFrame = {
     require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, nBuckets >= 2")
     def shares(df: DataFrame, tag: String) = {
-      val bucket = least(floor(col(metricCol).cast("double") / bucketWidth),
-        lit(nBuckets - 1)).cast("long").as("bucket")
+      // clamped BOTH ways: values past nBuckets·width land in the last
+      // bucket, negatives in the first — signed metrics stay inside the
+      // declared bucket range (and the smoothing denominator stays honest)
+      val bucket = greatest(least(floor(col(metricCol).cast("double") / bucketWidth),
+        lit(nBuckets - 1)), lit(0)).cast("long").as("bucket")
       df.where(col(metricCol).isNotNull).select(bucket)
         .groupBy("bucket").agg(count(lit(1)).as(s"__c$tag"))
     }
-    val ca = shares(a, "a")
-    val cb = shares(b, "b")
-    val na = a.where(col(metricCol).isNotNull).count().toDouble
-    val nb = b.where(col(metricCol).isNotNull).count().toDouble
-    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (na + nBuckets)
-    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (nb + nBuckets)
-    ca.join(cb, Seq("bucket"), "full_outer")
+    // totals derive from the bucket counts (every non-null row lands in a
+    // bucket), so the whole frame stays LAZY and each snapshot pays its one
+    // aggregation scan — no eager driver-side count() actions
+    val joined = shares(a, "a").join(shares(b, "b"), Seq("bucket"), "full_outer")
+    val totals = joined.agg(
+      sum(coalesce(col("__ca"), lit(0L))).cast("double").as("__na"),
+      sum(coalesce(col("__cb"), lit(0L))).cast("double").as("__nb"))
+    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (col("__na") + nBuckets)
+    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (col("__nb") + nBuckets)
+    joined.crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
@@ -149,17 +156,20 @@ object DataDiff {
       .agg(count(lit(1)).as("__ca"))
     val cb = b.where(col(catCol).isNotNull).groupBy(col(catCol).as("value"))
       .agg(count(lit(1)).as("__cb"))
-    val na = a.where(col(catCol).isNotNull).count().toDouble
-    val nb = b.where(col(catCol).isNotNull).count().toDouble
     val joined = ca.join(cb, Seq("value"), "full_outer")
-    // the union cardinality is only known after the join — count it once
-    // (values-sized, not corpus-sized) and fold it into the smoothing
-    val card = joined.count().toDouble
-    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (na + card)
-    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (nb + card)
-    joined.select(col("value"),
-      round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
-      round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+    // totals AND the union cardinality come from one values-sized aggregate
+    // over the joined counts, broadcast back in — the whole frame stays
+    // LAZY and each snapshot pays its one aggregation scan
+    val totals = joined.agg(
+      sum(coalesce(col("__ca"), lit(0L))).cast("double").as("__na"),
+      sum(coalesce(col("__cb"), lit(0L))).cast("double").as("__nb"),
+      count(lit(1)).cast("double").as("__card"))
+    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (col("__na") + col("__card"))
+    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (col("__nb") + col("__card"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("value"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
   }
 
   /** Full table diff: schema diffs + per-column stat deltas. */

@@ -584,10 +584,13 @@ object Dedup {
       .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
     val ga = sliverArr.select(col(idCol).as("a"), col("grams").as("__ga"))
     val gb = sliverArr.select(col(idCol).as("b"), col("grams").as("__gb"))
+    // needVerify is already one row per (a, b) (it comes from the pair
+    // groupBy) — unlike verifyJaccard's multi-sighted inputs, no dedup is
+    // needed; the explicit repartition only SPREADS the compute-bound
+    // array-intersect stage (AQE would coalesce the tiny rows onto one task)
     val verified = needVerify
       .repartition(needVerify.sparkSession.sparkContext.defaultParallelism,
         col("a"), col("b"))
-      .dropDuplicates("a", "b")
       .join(ga, Seq("a")).join(gb, Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
@@ -644,10 +647,11 @@ object Dedup {
         Seq(idCol), "left_semi")
       .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
       .select(col(idCol).as("b"), col("grams"))
+    // one row per (a, b) by construction — spread only, no dedup (see
+    // [[containmentPairs]])
     val verified = needVerify
       .repartition(needVerify.sparkSession.sparkContext.defaultParallelism,
         col("a"), col("b"))
-      .dropDuplicates("a", "b")
       .join(arrA.select(col("a"), col("grams").as("__ga")), Seq("a"))
       .join(arrB.select(col("b"), col("grams").as("__gb")), Seq("b"))
       .select(col("a"), col("b"),

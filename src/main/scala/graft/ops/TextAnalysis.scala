@@ -793,16 +793,6 @@ object TextAnalysis {
       .withColumn("fp60", conv(substring(md5(norm), 1, 15), 16, 10).cast("long"))
   }
 
-  /** Unicode canonicalization — the pre-shingle normalize step every web
-    * curation recipe runs before hashing/dedup, as a user-facing operator:
-    * (1) strip format characters (`\p{Cf}`: zero-width space/joiners, BOM,
-    * soft hyphen — invisible bytes that break exact-hash dedup), (2) map
-    * control characters and Unicode space separators (`\p{Cc}`, `\p{Zs}`:
-    * tabs, newlines, NBSP, ideographic space) to plain spaces, (3) collapse
-    * space runs, trim, lowercase. The property classes are identical in
-    * Java regex and RE2, so the definition is engine-portable (oracle
-    * `text_normalize`). Pure codegen projection — no shuffle, no UDF; runs
-    * at scan speed over a 100 TB corpus. */
   /** Corpus NOVELTY score: the fraction of a document's distinct word
     * n-grams appearing in NO other document (corpus df = 1) — the standard
     * diversity signal for curation mixes (near-zero = boilerplate or a
@@ -838,6 +828,16 @@ object TextAnalysis {
           col("n_grams"), 6).as("novelty"))
   }
 
+  /** Unicode canonicalization — the pre-shingle normalize step every web
+    * curation recipe runs before hashing/dedup, as a user-facing operator:
+    * (1) strip format characters (`\p{Cf}`: zero-width space/joiners, BOM,
+    * soft hyphen — invisible bytes that break exact-hash dedup), (2) map
+    * control characters and Unicode space separators (`\p{Cc}`, `\p{Zs}`:
+    * tabs, newlines, NBSP, ideographic space) to plain spaces, (3) collapse
+    * space runs, trim, lowercase. The property classes are identical in
+    * Java regex and RE2, so the definition is engine-portable (oracle
+    * `text_normalize`). Pure codegen projection — no shuffle, no UDF; runs
+    * at scan speed over a 100 TB corpus. */
   def canonicalize(df: DataFrame, textCol: String = "text"): DataFrame = {
     val noFormat = regexp_replace(col(textCol), "\\p{Cf}", "")
     val spaced = regexp_replace(noFormat, "[\\p{Cc}\\p{Zs}]", " ")

@@ -1055,11 +1055,11 @@ object DataOpsQueries {
         col("dims")),
     """WITH p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pre FROM embeddings),
       |n AS (SELECT vec_id, pre,
-      |  sqrt(list_sum(list_transform(pre,
-      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM p)
+      |  sqrt(coalesce(list_sum(list_transform(pre,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) AS nrm FROM p)
       |SELECT vec_id, round(nrm, 6) AS prefix_norm,
-      |  CASE WHEN nrm = 0 THEN round(list_sum(list_transform(pre,
-      |      x -> CAST(x AS DOUBLE))), 6)
+      |  CASE WHEN nrm = 0 THEN round(coalesce(list_sum(list_transform(pre,
+      |      x -> CAST(x AS DOUBLE))), 0.0), 6)
       |    ELSE round(list_sum(list_transform(pre,
       |      x -> CAST(CAST(CAST(x AS DOUBLE) / nrm AS REAL) AS DOUBLE))), 6)
       |  END AS unit_sum,

@@ -180,10 +180,10 @@ object EngineQueries {
         docs.where(col("doc_id") % 2 === 1),
         "n_chars", bucketWidth = 200.0, nBuckets = 20)
     },
-    """WITH a AS (SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
+    """WITH a AS (SELECT greatest(least(CAST(floor(n_chars / 200.0) AS BIGINT), 19), 0) AS bucket,
       |    count(*) AS ca FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
       |  GROUP BY 1),
-      |b AS (SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
+      |b AS (SELECT greatest(least(CAST(floor(n_chars / 200.0) AS BIGINT), 19), 0) AS bucket,
       |    count(*) AS cb FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
       |  GROUP BY 1),
       |na AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),

@@ -31,7 +31,8 @@ object Streams {
     * clean --stream-grace` sweeps them by age; the heartbeat listener
     * below guards the live ones. */
   private[graft] val StagingPrefixes =
-    Seq("graft-stream-", "graft-visit-sentinel-", "graft-hh-sentinel-")
+    Seq("graft-stream-", "graft-visit-sentinel-", "graft-hh-sentinel-",
+      "graft-tk-sentinel-")
 
   /** Hidden per-dir liveness marker. mtime alone cannot protect a LIVE
     * stream: [[touch]] fires only on dir (re)creation/lookup, so a
@@ -1041,6 +1042,41 @@ object Streams {
     }
   }
 
+  /** Shared END-OF-INPUT FLUSH plumbing for AvailableNow replays of the
+    * stateful window operators ([[streamingHeavyHittersComplete]],
+    * [[streamingTopKComplete]]): stage a one-row sentinel one window +
+    * watermark + slack past max(ts) so the event-time clock closes every
+    * real window before the run drains, and union it into the file feed.
+    * The sentinel carries ONLY (ts, `__sentinel`) and unions with
+    * allowMissingColumns — it must never assume the source's column set
+    * (the r8 schema-drift class: a feed with an extra or missing column
+    * would fail the union against a fixed-shape sentinel row). Callers
+    * must null out their key column where `__sentinel` is true so the row
+    * advances the watermark without entering any group. Returns None when
+    * the source is empty — nothing to flush. */
+  private def sentinelFeed(spark: SparkSession, path: String, windowUs: Long,
+                           watermarkMinutes: Int, keyPrefix: String,
+                           dirPrefix: String): Option[DataFrame] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxRow = graft.core.Tables.eventTimeNormalize(spark.read.parquet(path))
+      .agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) return scala.None
+    val sentinelTs = java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
+      .plus(java.time.Duration.ofNanos(windowUs * 1000))
+      .plusSeconds((watermarkMinutes + 60).toLong * 60L))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$keyPrefix:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = java.nio.file.Paths.get(s"/tmp/$dirPrefix-$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      spark.createDataFrame(Seq(Tuple2(sentinelTs, true)))
+        .toDF("ts", "__sentinel")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    else touch(dir) // reused: stay young for the mtime-based clean sweep
+    Some(eventStream(spark, path)
+      .unionByName(eventStream(spark, dir.toString), allowMissingColumns = true))
+  }
+
   /** [[streamingHeavyHitters]] over a file-backed feed with the same
     * END-OF-INPUT FLUSH as [[userVisitsComplete]]: a null-item sentinel
     * row one window + watermark past max(ts) advances the clock so every
@@ -1052,33 +1088,16 @@ object Streams {
                                     shards: Int = 0,
                                     watermarkMinutes: Int = 10): Dataset[HeavyHit] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxRow = graft.core.Tables.eventTimeNormalize(spark.read.parquet(path))
-      .agg(max(col("ts"))).head()
-    if (maxRow.isNullAt(0)) return spark.emptyDataset[HeavyHit]
-    val sentinelTs = java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
-      .plus(java.time.Duration.ofNanos(windowUs * 1000))
-      .plusSeconds((watermarkMinutes + 60).toLong * 60L))
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hh2:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val dir = java.nio.file.Paths.get(s"/tmp/graft-hh-sentinel-$key")
-    // the sentinel carries ONLY (ts, marker) and unions with
-    // allowMissingColumns — it must never assume the source's column set
-    // (the r8 schema-drift class: a feed with an extra or missing column
-    // would fail the union against a fixed-shape sentinel row)
-    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-      spark.createDataFrame(Seq(Tuple2(sentinelTs, true)))
-        .toDF("ts", "__sentinel")
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    else touch(dir) // reused: stay young for the mtime-based clean sweep
-    val feed = eventStream(spark, path)
-      .unionByName(eventStream(spark, dir.toString), allowMissingColumns = true)
-    // the sentinel's item must be NULL so it advances the watermark
-    // without entering any group
-    val item = when(col("__sentinel") === true, lit(null)).otherwise(itemCol)
-    streamingHeavyHitters(feed, item, phi, windowUs, shards,
-      s"$watermarkMinutes minutes")
+    sentinelFeed(spark, path, windowUs, watermarkMinutes,
+        "hh2", "graft-hh-sentinel") match {
+      case scala.None => spark.emptyDataset[HeavyHit]
+      case Some(feed) =>
+        // the sentinel's item must be NULL so it advances the watermark
+        // without entering any group
+        val item = when(col("__sentinel") === true, lit(null)).otherwise(itemCol)
+        streamingHeavyHitters(feed, item, phi, windowUs, shards,
+          s"$watermarkMinutes minutes")
+    }
   }
 
   /** One candidate row from a closed (window, shard) group: the shard's k
@@ -1162,27 +1181,14 @@ object Streams {
                             shards: Int = 0,
                             watermarkMinutes: Int = 10): Dataset[TopHit] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxRow = graft.core.Tables.eventTimeNormalize(spark.read.parquet(path))
-      .agg(max(col("ts"))).head()
-    if (maxRow.isNullAt(0)) return spark.emptyDataset[TopHit]
-    val sentinelTs = java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
-      .plus(java.time.Duration.ofNanos(windowUs * 1000))
-      .plusSeconds((watermarkMinutes + 60).toLong * 60L))
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"tk1:$path:${sentinelTs.getTime}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val dir = java.nio.file.Paths.get(s"/tmp/graft-tk-sentinel-$key")
-    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-      spark.createDataFrame(Seq(Tuple2(sentinelTs, true)))
-        .toDF("ts", "__sentinel")
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    else touch(dir)
-    val feed = eventStream(spark, path)
-      .unionByName(eventStream(spark, dir.toString), allowMissingColumns = true)
-    val id = when(col("__sentinel") === true, lit(null)).otherwise(idCol)
-    streamingTopK(feed, id, scoreCol, k, windowUs, shards,
-      s"$watermarkMinutes minutes")
+    sentinelFeed(spark, path, windowUs, watermarkMinutes,
+        "tk1", "graft-tk-sentinel") match {
+      case scala.None => spark.emptyDataset[TopHit]
+      case Some(feed) =>
+        val id = when(col("__sentinel") === true, lit(null)).otherwise(idCol)
+        streamingTopK(feed, id, scoreCol, k, windowUs, shards,
+          s"$watermarkMinutes minutes")
+    }
   }
 
   /** flush_interval/flush_records → trigger mapping (helper for asset params). */

@@ -302,10 +302,12 @@ class EngineSpec extends AnyFunSuite {
     val drift = DataDiff.distributionDrift(a, b, "m", bucketWidth = 100.0,
       nBuckets = 6).collect()
     assert(drift.map(_.getDouble(3)).sum > 0.2, "shift must register as PSI >= 0.2")
-    // clamp: values past nBuckets*width land in the last bucket
+    // clamp BOTH ends: values past nBuckets*width land in the last bucket,
+    // negatives (signed metrics) in the first — never a bucket id outside
+    // [0, nBuckets)
     val clamped = DataDiff.distributionDrift(
-      Seq((1L, 10000.0)).toDF("id", "m"),
-      Seq((2L, 50.0)).toDF("id", "m"), "m", bucketWidth = 100.0, nBuckets = 6)
+      Seq((1L, 10000.0), (2L, -50.0)).toDF("id", "m"),
+      Seq((3L, 50.0)).toDF("id", "m"), "m", bucketWidth = 100.0, nBuckets = 6)
       .collect().map(_.getLong(0)).toSet
     assert(clamped == Set(0L, 5L), s"expected clamped buckets {0, 5}: $clamped")
   }
