@@ -383,6 +383,87 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("drift monitors match direct share arithmetic on random snapshots") {
+    import spark.implicits._
+    for (seed <- Seq(13, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val nBuckets = 8; val width = 10.0
+      // signed metrics + nulls: the clamp and the null filter are part of
+      // the contract
+      def snap(n: Int): Seq[(Long, Option[Double])] =
+        (0 until n).map(i => (i.toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextGaussian() * 30)))
+      val a = snap(400); val b = snap(300)
+      def bucketOf(m: Double) = math.max(math.min(
+        math.floor(m / width).toLong, (nBuckets - 1).toLong), 0L)
+      def counts(s: Seq[(Long, Option[Double])]) =
+        s.flatMap(_._2).groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+
+      val caM = counts(a); val cbM = counts(b)
+      val na = a.count(_._2.isDefined).toDouble
+      val nb = b.count(_._2.isDefined).toDouble
+      val expect = (caM.keySet ++ cbM.keySet).map { bk =>
+        val pa = (caM.getOrElse(bk, 0L) + 1).toDouble / (na + nBuckets)
+        val pb = (cbM.getOrElse(bk, 0L) + 1).toDouble / (nb + nBuckets)
+        bk -> ((pa, pb, (pa - pb) * math.log(pa / pb)))
+      }.toMap
+      val got = graft.diff.DataDiff.distributionDrift(
+          a.toDF("id", "m"), b.toDF("id", "m"), "m", width, nBuckets)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.keySet == expect.keySet, s"seed $seed: bucket sets differ")
+      expect.foreach { case (bk, (pa, pb, psi)) =>
+        val (ga, gb, gp) = got(bk)
+        assert(math.abs(ga - pa) < 1e-6 && math.abs(gb - pb) < 1e-6 &&
+          math.abs(gp - psi) < 1e-6, s"seed $seed bucket $bk")
+      }
+      // categorical twin: random value mixes with one-sided values
+      val va = (0 until 300).map(i => (i.toLong, s"v${rnd.nextInt(6)}"))
+      val vb = (0 until 300).map(i => (i.toLong, s"v${2 + rnd.nextInt(6)}"))
+      val cA = va.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cB = vb.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val card = (cA.keySet ++ cB.keySet).size.toDouble
+      val expectCat = (cA.keySet ++ cB.keySet).map { v =>
+        val pa = (cA.getOrElse(v, 0L) + 1).toDouble / (va.size + card)
+        val pb = (cB.getOrElse(v, 0L) + 1).toDouble / (vb.size + card)
+        v -> (pa - pb) * math.log(pa / pb)
+      }.toMap
+      val gotCat = graft.diff.DataDiff.categoricalDrift(
+          va.toDF("id", "v"), vb.toDF("id", "v"), "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(gotCat.keySet == expectCat.keySet, s"seed $seed: value sets differ")
+      expectCat.foreach { case (v, psi) =>
+        assert(math.abs(gotCat(v) - psi) < 1e-6, s"seed $seed value $v") }
+    }
+  }
+
+  test("matryoshka truncation matches straight-line slice-and-normalize") {
+    import spark.implicits._
+    for (seed <- Seq(19, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val dims = 6
+      val vecs = (0 until 200).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        // plant zero prefixes occasionally (passthrough path)
+        val v = Array.fill(len)(
+          if (rnd.nextInt(8) == 0) 0.0f else (rnd.nextGaussian() * 2).toFloat)
+        (i.toLong, v)
+      }
+      val got = graft.ops.Quantize.matryoshka(vecs.toDF("vec_id", "embedding"), dims)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Float](1), r.getDouble(2), r.getLong(3)))).toMap
+      vecs.foreach { case (id, v) =>
+        val pre = v.take(dims)
+        val nrm = math.sqrt(pre.map(x => x.toDouble * x.toDouble).sum)
+        val expect = if (nrm == 0.0) pre.toSeq
+          else pre.map(x => (x.toDouble / nrm).toFloat).toSeq
+        val (gv, gn, gd) = got(id)
+        assert(gd == pre.length && math.abs(gn - nrm) < 1e-9 && gv == expect,
+          s"seed $seed vec $id: ($gv, $gn, $gd) vs ($expect, $nrm)")
+      }
+    }
+  }
+
   test("novelty matches per-doc set arithmetic on random corpora") {
     import spark.implicits._
     def grams(s: String): Set[String] = {
