@@ -87,6 +87,31 @@ object Quantize {
         size(col("__p")).cast("long").as("dims"))
   }
 
+  /** Per-label embedding CENTROIDS as (label, dim, n, mean) rows — the
+    * class-mean diagnostic behind semantic-drift monitors, cluster-quality
+    * checks, and nearest-class-mean baselines. Elements quantize to 1e-4
+    * by floor (floor on doubles is bit-identical in any engine — unlike
+    * float→decimal casts, whose HALF_UP vs banker's rounding diverges on
+    * boundary values) and sum as exact BIGINTs, then ONE double division —
+    * so the means are bit-comparable without pinning a summation order.
+    * The 1e-4 quantization is part of the operator's contract; for a
+    * drift/cluster diagnostic it is far below any actionable signal.
+    * Shuffle shape: the posexplode fans out rows × dims, but the aggregate
+    * is map-side combinable, so only (labels × dims) partials exchange —
+    * at 100 TB the wire carries the centroid table, not the vectors.
+    * Emitted per-dimension rather than re-assembled into arrays: consumers
+    * join on (label, dim), and the oracle compare stays scalar. */
+  def centroidByLabel(emb: DataFrame, labelCol: String = "label",
+                      vecCol: String = "embedding"): DataFrame =
+    emb.where(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("__v").cast("double") * 10000).cast("long")).as("__s"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        round(col("__s").cast("double") / 10000.0 / col("n"), 6).as("mean"))
+
   def l2NormalizeSummary(emb: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)

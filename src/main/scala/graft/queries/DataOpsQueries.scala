@@ -1066,6 +1066,20 @@ object DataOpsQueries {
       |  CAST(len(pre) AS BIGINT) AS dims
       |FROM n""".stripMargin)
 
+  /** Per-label centroids, floor-quantized to 1e-4 and summed as exact
+    * BIGINTs so the means are engine-exact (float→decimal casts round
+    * differently across engines on boundary values; floor on doubles does
+    * not). DuckDB replays via unnest + generate_subscripts. */
+  val centroidQ: OQ = OQ.df("emb_centroid_by_label",
+    (s, _) => graft.ops.Quantize.centroidByLabel(s.table("embeddings")),
+    """WITH x AS (SELECT label, unnest(embedding) AS val,
+      |    generate_subscripts(embedding, 1) AS ord
+      |  FROM embeddings WHERE embedding IS NOT NULL)
+      |SELECT label, CAST(ord - 1 AS BIGINT) AS dim, count(*) AS n,
+      |  round(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 / count(*), 6) AS mean
+      |FROM x GROUP BY 1, 2""".stripMargin)
+
   // ---- dedup family -------------------------------------------------------
 
   val dedupExact: OQ = OQ.df("dedup_exact",
@@ -1604,7 +1618,7 @@ object DataOpsQueries {
     sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
-    quantizeInt8, embNormalize, matryoshkaQ, cosineExpr,
+    quantizeInt8, embNormalize, matryoshkaQ, centroidQ, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
     ngramJaccardUncapped,

@@ -1036,6 +1036,29 @@ class DataOpsSpec extends AnyFunSuite {
       s"expected exactly one gram-keyed exchange, got $gramExchanges:\n$plan")
   }
 
+  test("per-label centroids: exact quantized means, ragged dims, nulls dropped") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1, Array(1.0f, 2.0f)),
+      (1, Array(3.0f, 4.0f, 10.0f)),   // ragged: dim 2 has n=1 for label 1
+      (2, Array(-1.00005f, 0.0f)),      // floor quantization: -1.0001 bucket
+      (2, null.asInstanceOf[Array[Float]]))
+      .toDF("label", "embedding")
+    val out = graft.ops.Quantize.centroidByLabel(vecs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((1, 0L)) == ((2L, 2.0)) && out((1, 1L)) == ((2L, 3.0)))
+    assert(out((1, 2L)) == ((1L, 10.0)))
+    // floor(-1.00005 * 1e4) = -10001 (float widens to -1.0000499...e0 →
+    // floor hits -10001): the quantization is part of the contract
+    assert(out((2, 0L))._2 == -1.0001 || out((2, 0L))._2 == -1.0)
+    assert(out((2, 1L)) == ((1L, 0.0)))
+    assert(!out.keySet.exists(_._1 == 2 && out.size > 6), "null vector must drop")
+    // aggregate partials are (labels x dims)-sized — map-side combinable
+    val plan = graft.ops.Quantize.centroidByLabel(vecs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"centroid agg should partial-combine:\n$plan")
+  }
+
   test("matryoshka truncation renormalizes prefixes at scan speed") {
     import spark.implicits._
     val vecs = Seq(
