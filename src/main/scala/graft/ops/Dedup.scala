@@ -244,7 +244,7 @@ object Dedup {
     * prefixes land on the lowest-df grams and the candidate join's
     * Σ df² collapses: the 500k-doc sf10 probe measures 86.7M total
     * shuffle-write rows vs the subtractive-cap join's 156.8M (1.8×, and
-    * 21.3 s vs 34.3 s same-run wall-clock; see `SCALE_PROBE.md` — shuffle
+    * 31.7 s vs 49.6 s same-run wall-clock; see `SCALE_PROBE.md` — shuffle
     * rows are the run-stable metric, wall-clock varies up to 3× between
     * probe runs of identical code). The shared gram-explode stages
     * dominate what remains, so the candidate stage itself shrinks by far
@@ -469,7 +469,7 @@ object Dedup {
     * doc's rarest grams, so the recurring nightly-crawl join stops paying
     * for the grams every near-duplicate shares. The 500k-doc sf10 probe
     * (10% batch vs 90% corpus): 103.1M total shuffle-write rows vs the
-    * capped form's 183.6M, 14.7 s vs 23.5 s same-run (`SCALE_PROBE.md`). */
+    * capped form's 183.6M, 14.8 s vs 32.1 s same-run (`SCALE_PROBE.md`). */
   def jaccardAgainstPrefix(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
                            threshold: Double = 0.5, idCol: String = "doc_id",
                            textCol: String = "text", maxDocFreq: Int = 20,

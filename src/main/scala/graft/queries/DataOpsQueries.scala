@@ -1167,7 +1167,7 @@ object DataOpsQueries {
     * filter is a lossless candidate prune, and every candidate verifies
     * over its full gram sets. The variant that bounds candidate-stage
     * shuffle volume on clique-heavy corpora (sf10 probe: 86.7M vs 156.8M
-    * shuffle rows, 21.3 s vs 34.3 s same-run); kept as a separate key so
+    * shuffle rows, 31.7 s vs 49.6 s same-run); kept as a separate key so
     * the oracle pins the equivalence every round. */
   val ngramJaccardPrefix: OQ = OQ.df("dedup_ngram_jaccard_prefix",
     (s, _) => Dedup.jaccardPairsPrefix(s.table("documents"), n = 3,

@@ -114,6 +114,13 @@ class ScaleProbeSpec extends AnyFunSuite {
       "one full-gram-stream exchange; df=1 subset + doc-sized frames after") {
       graft.ops.TextAnalysis.novelty(docs).count()
     }
+    t("group top-k (5 per source-prefix over the sf1 corpus)",
+      "bounded-heap aggregate: <= k rows per group per map task, no window") {
+      graft.ops.Sampling.groupTopK(
+        docs.withColumn("grp", pmod(col("doc_id"), lit(64))),
+        Seq("grp"), Seq((-length(col("text"))).as("nl"), col("doc_id").as("i")),
+        k = 5).count()
+    }
     // 10 shifted corpus copies mean every span has df >= 10, so maxDf=20
     // separates structural duplication (10 copies, kept) from the planted
     // boilerplate (15k docs, dropped) — the C4 removal target
