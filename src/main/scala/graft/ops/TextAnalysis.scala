@@ -793,6 +793,28 @@ object TextAnalysis {
       .withColumn("fp60", conv(substring(md5(norm), 1, 15), 16, 10).cast("long"))
   }
 
+  /** Lexical diversity battery: per-doc word-distribution Shannon entropy
+    * (nats — low entropy = the repetitive/template regime the Gopher
+    * repetition rules catch structurally, caught here information-
+    * theoretically), plus type/token counts and the type-token ratio.
+    * Entropy computes as ln(n) − Σ c·ln(c) / n over the per-word counts —
+    * one (doc, word) aggregate (map-side combinable) then one doc-sized
+    * aggregate; both engines share the normalization and the formula, so
+    * the oracle pins it to 6dp. Docs with no words are absent, mirroring
+    * the empty word stream. */
+  def lexicalDiversity(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(split(normText(col(textCol)), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(idCol, "word").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum("__c").as("n_words"), count(lit(1)).as("n_types"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__s"))
+      .select(col(idCol), col("n_words"), col("n_types"),
+        round(log(col("n_words").cast("double")) - col("__s") / col("n_words"), 6)
+          .as("entropy"),
+        round(col("n_types").cast("double") / col("n_words"), 6).as("ttr"))
+
   /** Corpus NOVELTY score: the fraction of a document's distinct word
     * n-grams appearing in NO other document (corpus df = 1) — the standard
     * diversity signal for curation mixes (near-zero = boilerplate or a

@@ -1189,6 +1189,23 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
        |FROM j WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8""".stripMargin)
 
+  /** Lexical diversity: per-doc word entropy + type-token ratio; both
+    * engines share the normalization, the word filter, and the
+    * ln(n) − Σ c·ln(c)/n form. */
+  val lexDiversityQ: OQ = OQ.df("text_lexical_diversity",
+    (s, _) => TextAnalysis.lexicalDiversity(s.table("documents")),
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS word
+       |  FROM documents),
+       |c AS (SELECT doc_id, word, count(*) AS c FROM w WHERE word <> ''
+       |  GROUP BY 1, 2),
+       |a AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_types,
+       |    sum(c * ln(c)) AS s FROM c GROUP BY 1)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_types AS BIGINT) AS n_types,
+       |  round(ln(CAST(n_words AS DOUBLE)) - s / n_words, 6) AS entropy,
+       |  round(CAST(n_types AS DOUBLE) / n_words, 6) AS ttr
+       |FROM a""".stripMargin)
+
   /** Corpus novelty: fraction of each doc's distinct 3-grams with corpus
     * df = 1. Docs with no full 3-gram are absent on both sides (inner-join
     * semantics mirror the empty gram stream). */
@@ -1611,7 +1628,7 @@ object DataOpsQueries {
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
   val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    normalize, dedupKeepBest, noveltyQ,
+    normalize, dedupKeepBest, noveltyQ, lexDiversityQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,

@@ -1010,6 +1010,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"keep-best must not rank via a window:\n$plan")
   }
 
+  test("lexical diversity: hand-computed entropy, degenerate and uniform docs") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a a b b"),    // uniform over 2 types: entropy = ln 2
+      (2L, "x x x x"),    // degenerate: entropy 0, ttr 0.25
+      (3L, "p q r"),      // all distinct: entropy = ln 3, ttr 1.0
+      (4L, "  "))          // no words → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, 2L, BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+    assert(out(2L) == ((4L, 1L, 0.0, 0.25)))
+    assert(out(3L)._3 == BigDecimal(math.log(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble && out(3L)._4 == 1.0)
+  }
+
   test("novelty scores the unique-gram fraction; sub-n docs are absent") {
     import spark.implicits._
     val docsDf = Seq(
