@@ -3,10 +3,11 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** The k SMALLEST child values per group (child's natural ordering;
   * structs compare field-by-field), as an ascending array — a bounded-heap
@@ -33,6 +34,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 case class BoundedTopK(
     child: Expression,
     k: Int,
+    sortFields: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[Any]] {
@@ -44,10 +46,26 @@ case class BoundedTopK(
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def prettyName: String = "bounded_top_k"
 
-  // max-heap over the child's interpreted ordering: head = current worst of
-  // the kept k, the eviction candidate
+  // the compared type: with sortFields > 0 on a struct child, only the
+  // first sortFields fields are sort keys — the rest is opaque payload
+  // (carried, serialized, returned, but never compared, so a map-typed or
+  // otherwise non-orderable payload column is fine)
+  private def orderedType: DataType = child.dataType match {
+    case st: StructType if sortFields > 0 => StructType(st.fields.take(sortFields))
+    case dt => dt
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (RowOrdering.isOrderable(orderedType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_top_k sort key type ${orderedType.simpleString} is not orderable")
+
+  // max-heap over the sort-key interpreted ordering: head = current worst
+  // of the kept k, the eviction candidate. InterpretedOrdering walks the
+  // schema it was built from by ordinal, so the prefix ordering applied to
+  // the full struct row compares exactly the first sortFields fields.
   @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+    TypeUtils.getInterpretedOrdering(orderedType)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[Any] =
     mutable.PriorityQueue.empty[Any](ord)

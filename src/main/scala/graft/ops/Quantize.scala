@@ -73,11 +73,14 @@ object Quantize {
   def matryoshka(emb: DataFrame, dims: Int, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1, "matryoshka needs dims >= 1")
+    // NULL vectors carry no prefix to truncate — drop them (as centroidByLabel
+    // does) rather than emit a null-vector row the oracle would coalesce to 0
     val pre = slice(col(vecCol), 1, dims)
     val norm = sqrt(aggregate(
       transform(pre, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
-    emb.select(col(idCol), pre.as("__p"), norm.as("__n"))
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), pre.as("__p"), norm.as("__n"))
       .select(col(idCol),
         when(col("__n") === 0.0, col("__p"))
           .otherwise(transform(col("__p"),

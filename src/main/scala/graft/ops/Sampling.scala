@@ -209,9 +209,10 @@ object Sampling {
     * partial, so the shuffle carries at most k rows per group per map task
     * and no task ever holds more than k elements per group.
     *
+    * Only `sortExprs` are compared — the payload row rides along opaquely
+    * (so map-typed or otherwise non-orderable payload columns are fine).
     * Callers should make `sortExprs` a TOTAL order (append a unique id):
-    * ties beyond the given keys would otherwise break on the remaining
-    * payload columns — deterministic, but rarely what the caller meant.
+    * rows tied on every sort key keep an arbitrary (heap) relative order.
     * Null sort values sort FIRST (struct field ordering) — the opposite of
     * SQL's `ORDER BY ... DESC NULLS LAST`; coalesce them away if that
     * matters.
@@ -226,7 +227,8 @@ object Sampling {
       sortExprs.zipWithIndex.map { case (c, i) => c.as(s"__s$i") } :+
         struct(df.columns.map(col): _*).as("__p"): _*)
     val topK = SqlBridge.column(graft.functions.BoundedTopK(
-      SqlBridge.expression(keyed), k).toAggregateExpression())
+      SqlBridge.expression(keyed), k,
+      sortFields = sortExprs.length).toAggregateExpression())
     df.groupBy(groupCols.map(col): _*)
       .agg(topK.as("__top"))
       .select(explode(col("__top")).as("__row"))

@@ -1053,7 +1053,8 @@ object DataOpsQueries {
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 6).as("unit_sum"),
         col("dims")),
-    """WITH p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pre FROM embeddings),
+    """WITH p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pre
+      |  FROM embeddings WHERE embedding IS NOT NULL),
       |n AS (SELECT vec_id, pre,
       |  sqrt(coalesce(list_sum(list_transform(pre,
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) AS nrm FROM p)

@@ -1033,10 +1033,12 @@ object Streams {
             }
           }
           state.update((m.toMap, dec, n))
-          // close when the watermark passes the window end (never set a
-          // timeout at-or-before the current watermark — Spark rejects it)
+          // close when the watermark passes the window end — CEILING ms
+          // division, so a window ending mid-millisecond never times out
+          // before its true end (never at-or-before the current watermark
+          // either — Spark rejects that)
           state.setTimeoutTimestamp(
-            math.max((win + 1) * (windowUs / 1000), state.getCurrentWatermarkMs() + 1))
+            math.max(((win + 1) * windowUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
           Iterator.empty
         }
     }
@@ -1164,7 +1166,7 @@ object Streams {
           }
           state.update(buf)
           state.setTimeoutTimestamp(
-            math.max((win + 1) * (windowUs / 1000), state.getCurrentWatermarkMs() + 1))
+            math.max(((win + 1) * windowUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
           Iterator.empty
         }
     }

@@ -1126,6 +1126,13 @@ class DataOpsSpec extends AnyFunSuite {
     val res2 = Sampling.reservoirByGroup(docs.withColumn("source", lit("s")),
       "source", 7).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(res1.length == 7 && res1 == res2)
+    // payload rides opaquely: a MAP column (non-orderable) in the payload
+    // must not break the sort-key-only ordering
+    val mapped = rows.withColumn("attrs", map(lit("k"), col("id")))
+    val gotMap = Sampling.groupTopK(mapped, Seq("grp"),
+        Seq((-col("score")).as("ns"), col("id").as("i")), 2)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(gotMap.toSet == Set(("a", 1L), ("a", 2L), ("b", 5L), ("c", 9L), ("c", 8L)))
   }
 
   test("gopher filter: each rule fires on its designed violation, no shuffle") {

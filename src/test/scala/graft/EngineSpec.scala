@@ -937,6 +937,56 @@ class EngineSpec extends AnyFunSuite {
       s"window $w: ${fin(w)} vs $rows") }
   }
 
+  test("streaming top-k: sub-millisecond window ends never close a group early") {
+    // windowUs = 1,000,500 μs — window 20's true end is 21,010.5 ms. A
+    // timeout computed with TRUNCATING ms division lands at 21,000 ms, so a
+    // watermark of 21,005 ms (from an in-window event) would close the
+    // group early; a later in-window, pre-window-end event then re-creates
+    // it and the same (window, shard) emits TWICE. The ceiling-division
+    // timeout (≥ true end) must keep the group open across all three
+    // batches and emit exactly once per shard.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val winUs = 1000500L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = MemoryStream[(String, Double, java.sql.Timestamp)]
+    // shard = floorMod(id.hashCode, 2): "a"/"c"/"e" → 1, "b"/"d" → 0
+    val hits = Streams.streamingTopK(ms.toDF().toDF("id", "score", "ts"),
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("score"),
+      k = 2, windowUs = winUs, shards = 2,
+      watermark = "0 seconds")
+    val q = hits.toDF().writeStream.format("memory").queryName("tk_submilli")
+      .outputMode("append").start()
+    try {
+      // batch 1: shard-1 rows mid-window + a shard-0 clock row at 21.005 s
+      // (still window 20; true end 21.0105 s) → watermark 21,005 ms
+      ms.addData(("a", 5.0, ts(20500)), ("c", 3.0, ts(20600)), ("d", 1.0, ts(21005)))
+      q.processAllAvailable()
+      // batch 2: only shard-0 data — shard 1's timeout is evaluated against
+      // the 21,005 ms watermark; a truncated timeout (21,000 ms) fires here
+      ms.addData(("b", 7.0, ts(21006)))
+      q.processAllAvailable()
+      assert(spark.table("tk_submilli").count() == 0,
+        "no window may close before its true event-time end")
+      // batch 3: a late-but-in-window shard-1 row joins the SAME open group
+      ms.addData(("e", 9.0, ts(21008)))
+      q.processAllAvailable()
+      // batch 4: far-future row pushes the watermark past the true end
+      ms.addData(("z", 0.0, ts(100000)))
+      q.processAllAvailable()
+      val cand = spark.table("tk_submilli").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val w20 = cand.filter(_._1 == 20L)
+      // one emission per shard, k-bounded: shard 1 kept {e:9, a:5} (c
+      // evicted), shard 0 kept {b:7, d:1} — an early close would have
+      // emitted {a, c} AND later {e}: 5 rows with c present
+      assert(w20.map(_._2).toSet == Set("e", "a", "b", "d"),
+        s"expected one k-bounded emission per shard, got $w20")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: superset guarantee and bounds under high cardinality") {
     import spark.implicits._
     // ~5000 distinct items, zipf-ish (item j appears ⌈600/(j+1)⌉ times);
