@@ -661,6 +661,154 @@ object Dedup {
       .unionByName(finishContainment(verified, threshold))
   }
 
+  /** PREFIX-FILTERED containment pairs — IDENTICAL OUTPUT to
+    * [[containmentPairs]] (same oracle): the candidate self-join is cut by
+    * an ASYMMETRIC variant of the SSJoin/PPJoin prefix bound. Containment
+    * ≥ t means common ≥ ⌈t·min(na, nb)⌉ — a bound only the SMALLER doc of
+    * a pair can assert from its own size (the larger doc knows nothing:
+    * its partner may be arbitrarily small, so its own lower bound
+    * degenerates to common ≥ 1). Hence the join is one-sided: each doc's
+    * heavy-corrected kept prefix (length k − max(1, ⌈t·n⌉ − heavy) + 1,
+    * the same cmin arithmetic as [[jaccardPairsPrefix]] — when the doc is
+    * the pair's smaller side, kept-common ≥ ⌈t·n⌉ − h) joins the FULL kept
+    * stream restricted to the strictly-larger partner (ties take both
+    * docs as "smaller", resolved to one direction by id). Candidate
+    * volume drops from Σ df² to Σ (prefix-df × df) per gram — the prefix
+    * keeps only each doc's rarest grams, which is where subset duplicates
+    * are cheapest to witness. Every candidate verifies over its FULL
+    * hashed gram sets, so no bound arithmetic reaches the output; the
+    * heavy-overlap exact-now split is unnecessary (and absent) here.
+    *
+    * Losslessness under the capped contract (pair shares ≥ 1 sub-cap gram
+    * AND full containment ≥ t): with na ≤ nb, kept-common ≥ ⌈t·na⌉ −
+    * min(ha, hb) ≥ ⌈t·na⌉ − ha and kept-common ≥ 1, so by the prefix
+    * lemma a shared kept gram sits inside a's kept prefix of length
+    * ka − max(1, ⌈t·na⌉ − ha) + 1 — and that gram is somewhere in b's
+    * kept set, which the large stream carries whole. Docs whose kept
+    * count cannot reach cmin emit no prefix (they can be no pair's
+    * smaller side) but still ride the large stream. df-1 grams are
+    * filtered from BOTH streams post-slice: a gram one doc holds cannot
+    * witness a pair. */
+  def containmentPairsPrefix(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             maxDocFreq: Int = 20,
+                             materialize: Boolean = true): DataFrame = {
+    require(maxDocFreq > 0, "containmentPairsPrefix needs a positive df cap")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val shx = shingleArray(df, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val shxM = if (materialize) shx.localCheckpoint() else shx
+    val dfCounts = shxM.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val kept = shxM.join(dfCounts.where(col("__df") <= maxDocFreq), Seq("gram"))
+    val small = prefixStream(kept, idCol, threshold,
+        emitWhen = Some(col("__df") >= 2L))
+      .select(col(idCol).as("s"), col("n_grams").as("ns"), col("gram"))
+    val large = kept.where(col("__df") >= 2L)
+      .select(col(idCol).as("l"), col("n_grams").as("nl"), col("gram"))
+    // strict-size or id-tiebreak orientation: each unordered pair is
+    // generated from exactly one smaller-side direction (both docs of a
+    // tied-size pair carry a valid prefix, so either direction suffices)
+    val cand = small.join(large, Seq("gram"))
+      .where(col("ns") < col("nl") ||
+        (col("ns") === col("nl") && col("s") < col("l")))
+      .select(least(col("s"), col("l")).as("a"),
+        greatest(col("s"), col("l")).as("b"))
+    val candIds = cand.select(col("a").as(idCol))
+      .unionByName(cand.select(col("b").as(idCol))).distinct()
+    val arr = shxM.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    verifyContainment2(cand, arr, arr, threshold, idCol)
+  }
+
+  /** PREFIX-FILTERED incremental containment — IDENTICAL OUTPUT to
+    * [[containmentAgainst]] (same oracle): batch-vs-corpus subsumption with
+    * the asymmetric prefix bound of [[containmentPairsPrefix]] applied in
+    * BOTH directions, since either side of a (batch, corpus) pair may be
+    * the smaller. Two one-sided joins partition the pair space by size:
+    * batch prefixes (corpus-df order, sentinel for corpus-unseen grams —
+    * they hold prefix slots but never emit, the [[jaccardAgainstPrefix]]
+    * move) join all kept corpus grams where na ≤ nb, and corpus prefixes
+    * join all corpus-seen kept batch grams where nb < na. Union, then one
+    * exact full-set verify per distinct candidate. The corpus-df cap and
+    * candidate contract (≥ 1 shared sub-cap corpus gram) are exactly
+    * [[containmentAgainst]]'s; the recurring nightly-crawl shape stops
+    * paying Σ (batch-df × corpus-df) on the grams every subset duplicate
+    * shares. */
+  def containmentAgainstPrefix(incoming: DataFrame, corpus: DataFrame,
+                               n: Int = 3, threshold: Double = 0.8,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               maxDocFreq: Int = 20,
+                               materialize: Boolean = true): DataFrame = {
+    require(maxDocFreq > 0, "containmentAgainstPrefix needs a positive corpus df cap")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val corpusSh0 = shingleArray(corpus, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val newSh0 = shingleArray(incoming, n, idCol, textCol)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gram", xxhash64(col("gram")))
+    val corpusSh = if (materialize) corpusSh0.localCheckpoint() else corpusSh0
+    val newSh = if (materialize) newSh0.localCheckpoint() else newSh0
+    val dfCounts = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val keptCorpus = corpusSh
+      .join(dfCounts.where(col("__df") <= maxDocFreq), Seq("gram"))
+    // sentinel in the DF SLOT only (see [[jaccardAgainstPrefix]])
+    val unseen = Long.MaxValue
+    val keptBatch = newSh
+      .join(dfCounts.where(col("__df") > maxDocFreq).select("gram"),
+        Seq("gram"), "left_anti")
+      .join(dfCounts, Seq("gram"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(unseen)))
+    // direction 1: batch doc is the pair's smaller side (ties included)
+    val prefA = prefixStream(keptBatch, idCol, threshold,
+        emitWhen = Some(col("__df") =!= unseen))
+      .select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+    val largeB = keptCorpus
+      .select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    val cand1 = prefA.join(largeB, Seq("gram"))
+      .where(col("na") <= col("nb")).select("a", "b")
+    // direction 2: corpus doc is strictly smaller; corpus-unseen batch
+    // grams leave the large stream (no corpus partner can match them)
+    val prefB = prefixStream(keptCorpus, idCol, threshold)
+      .select(col(idCol).as("b"), col("n_grams").as("nb"), col("gram"))
+    val largeA = keptBatch.where(col("__df") =!= unseen)
+      .select(col(idCol).as("a"), col("n_grams").as("na"), col("gram"))
+    val cand2 = largeA.join(prefB, Seq("gram"))
+      .where(col("nb") < col("na")).select("a", "b")
+    val cand = cand1.unionByName(cand2)
+    val arrA = newSh.join(cand.select(col("a").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    val arrB = corpusSh.join(cand.select(col("b").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("gram")).as("grams"))
+    verifyContainment2(cand, arrA, arrB, threshold, idCol)
+  }
+
+  /** Exact-containment verification over FULL gram sets — the containment
+    * twin of [[verifyJaccard2]]: one spread-and-dedup exchange over the
+    * multi-sighted candidate stream, then a linear in-task array intersect
+    * per pair. */
+  private def verifyContainment2(candidates: DataFrame, shArrA: DataFrame,
+                                 shArrB: DataFrame, threshold: Double,
+                                 idCol: String): DataFrame = {
+    val spread = candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    val ga = shArrA.select(col(idCol).as("a"), col("grams").as("__ga"))
+    val gb = shArrB.select(col(idCol).as("b"), col("grams").as("__gb"))
+    val common = spread.join(ga, Seq("a")).join(gb, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("common"),
+        size(col("__ga")).cast("long").as("na"), size(col("__gb")).cast("long").as("nb"))
+    finishContainment(common, threshold)
+  }
+
   /** (a, b, common, na, nb) → thresholded exact-containment pairs. */
   private def finishContainment(common: DataFrame, threshold: Double): DataFrame =
     common

@@ -1190,6 +1190,17 @@ object DataOpsQueries {
        |SELECT a, b, round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
        |FROM j WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8""".stripMargin)
 
+  /** PREFIX-FILTERED containment — same semantics (and the SAME oracle) as
+    * `dedup_containment_pairs`: the asymmetric smaller-side prefix is a
+    * lossless candidate prune under the capped contract, and every
+    * candidate verifies over its full gram sets. The scale form for
+    * subset-dup sweeps on clique-heavy corpora; a separate key so the
+    * oracle pins the equivalence every round. */
+  val containmentPairsPrefixQ: OQ = OQ.df("dedup_containment_pairs_prefix",
+    (s, _) => Dedup.containmentPairsPrefix(s.table("documents"), n = 3,
+      threshold = 0.8, maxDocFreq = 20),
+    containmentPairsQ.oracle.get)
+
   /** Lexical diversity: per-doc word entropy + type-token ratio; both
     * engines share the normalization, the word filter, and the
     * ln(n) − Σ c·ln(c)/n form. */
@@ -1372,6 +1383,20 @@ object DataOpsQueries {
        |  JOIN counts cb ON pairs.b = cb.doc_id)
        |SELECT a, b, round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
        |FROM j WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8""".stripMargin)
+
+  /** PREFIX-FILTERED incremental containment — same semantics (and the SAME
+    * oracle) as `dedup_containment_incremental`: the two-sided asymmetric
+    * prefix prunes the batch×corpus candidate join losslessly; exact
+    * full-set verify per candidate. */
+  val dedupContainmentIncrPrefix: OQ = OQ.df("dedup_containment_incremental_prefix",
+    (s, _) => {
+      val docs = s.table("documents")
+      Dedup.containmentAgainstPrefix(
+        docs.where(col("doc_id") % 10 === 3),
+        docs.where(col("doc_id") % 10 =!= 3),
+        n = 3, threshold = 0.8, maxDocFreq = 20)
+    },
+    dedupContainmentIncr.oracle.get)
 
   /** Canonical selection per near-dup cluster: dedup_cluster's components,
     * each keeping the max-n_chars doc (tie: smallest id). Spark = the
@@ -1639,8 +1664,9 @@ object DataOpsQueries {
     quantizeInt8, embNormalize, matryoshkaQ, centroidQ, cosineExpr,
     sessionize, sessionWindow, contaminated, curation,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
-    ngramJaccardUncapped,
-    dedupIncremental, dedupIncrementalPrefix, dedupContainmentIncr, minhashLsh,
+    containmentPairsPrefixQ, ngramJaccardUncapped,
+    dedupIncremental, dedupIncrementalPrefix, dedupContainmentIncr,
+    dedupContainmentIncrPrefix, minhashLsh,
     simhash, simhashHamming, bloomDedupExact,
     dedupCluster, dedupClusterKeepBest, substringSpans, substringRemoved,
     contaminationSpansQ,

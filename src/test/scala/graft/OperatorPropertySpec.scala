@@ -334,6 +334,13 @@ class OperatorPropertySpec extends AnyFunSuite {
       check(graft.ops.Dedup.containmentPairs(df, n = 3, threshold = 0.8,
           maxDocFreq = cap).collect(),
         refPairs(g => dfCount(g) <= cap), "capped")
+      // asymmetric-prefix form: IDENTICAL contract to capped — the
+      // smaller-side prefix must lose no pair, including the extreme size
+      // disparities (a 4-gram slice inside a 30-gram original) where the
+      // smaller doc's cmin bound is doing all the pruning
+      check(graft.ops.Dedup.containmentPairsPrefix(df, n = 3, threshold = 0.8,
+          maxDocFreq = cap).collect(),
+        refPairs(g => dfCount(g) <= cap), "prefix")
       // a loose cap admits every gram — the pure uncapped contract
       check(graft.ops.Dedup.containmentPairs(df, n = 3, threshold = 0.8,
           maxDocFreq = 10000).collect(),
@@ -354,6 +361,15 @@ class OperatorPropertySpec extends AnyFunSuite {
           batchDocs.toDF("doc_id", "text"), corpusDocs.toDF("doc_id", "text"),
           n = 3, threshold = 0.8, maxDocFreq = cap).collect(),
         againstExpect, "against")
+      // two-sided prefix form: IDENTICAL contract to `against` — either
+      // side of a pair may be the smaller (a short batch doc subsumed by a
+      // long corpus page AND a short corpus doc quoted inside a long batch
+      // doc), and corpus-unseen batch grams hold prefix slots without
+      // emitting
+      check(graft.ops.Dedup.containmentAgainstPrefix(
+          batchDocs.toDF("doc_id", "text"), corpusDocs.toDF("doc_id", "text"),
+          n = 3, threshold = 0.8, maxDocFreq = cap).collect(),
+        againstExpect, "against-prefix")
     }
   }
 

@@ -563,6 +563,34 @@ class ScaleProbeSpec extends AnyFunSuite {
         threshold = 0.5, maxDocFreq = 200).count()
       println(s"  pairs: $n"); n
     }
+    // the subset-dup axis at the same decade: capped vs asymmetric-prefix
+    // containment over the identical corpus — the r12 verdict's named
+    // next-step (the containment family was the one dedup family joining
+    // ALL kept grams)
+    tShuffle(s"sf10 containment pairs ($nDocs docs, cap 200)",
+      "subtractive df-cap, all kept grams join") {
+      val n = graft.ops.Dedup.containmentPairs(docs, n = 3, threshold = 0.8,
+        maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
+    tShuffle(s"sf10 prefix-filtered containment ($nDocs docs, cap 200)",
+      "smaller-side prefix x full kept stream + full-set verify") {
+      val n = graft.ops.Dedup.containmentPairsPrefix(docs, n = 3,
+        threshold = 0.8, maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
+    tShuffle(s"sf10 incremental containment, 10% batch vs 90% corpus (cap 200)",
+      "corpus-df-capped batch-gram join, containment scoring") {
+      val n = graft.ops.Dedup.containmentAgainst(batch10, corpus90, n = 3,
+        threshold = 0.8, maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
+    tShuffle(s"sf10 prefix-filtered incremental containment (cap 200)",
+      "two-sided asymmetric prefix + full-set verify") {
+      val n = graft.ops.Dedup.containmentAgainstPrefix(batch10, corpus90,
+        n = 3, threshold = 0.8, maxDocFreq = 200).count()
+      println(s"  pairs: $n"); n
+    }
     // maxBucket stays at the sf1/sf3 value 20, NOT 2× the copy count: at
     // 100 structural copies every identical-signature clique fills its
     // band buckets past any cap proportional to the copies, and letting
