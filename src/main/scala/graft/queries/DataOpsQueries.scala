@@ -1520,6 +1520,55 @@ object DataOpsQueries {
     (s, _) => Similarity.ivfTopK(s.table("embeddings"), k = 5, nlist = 16, nprobe = 16),
     duckTopK(5))
 
+  /** Capped-bucket LSH losslessness witness: a bucket cap far above any
+    * real bucket size routes through the SAME capped plan as the skew-safe
+    * production config (`dedup_minhash_lsh_capped`: one capped aggregation
+    * per bucket + two narrow explodes, never a raw-row bucket self-join)
+    * while provably dropping nothing — so the uncapped exact-Jaccard
+    * oracle pins the capped machinery itself (CappedCollectList, the
+    * size(2..cap) window, the in-bucket pairing) every round. */
+  val minhashCappedLossless: OQ = OQ.df("dedup_minhash_lsh_capped_lossless",
+    (s, _) => Dedup.minhashLsh(s.table("documents"),
+      n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 1 << 20),
+    duckJaccard(0.5))
+
+  /** SemDeDup exactness witness: nlist = 1 routes every vector into the
+    * single cluster, so the clustered scorer (train → probe-route →
+    * per-cluster pair scan) must reproduce the exact blocked operator —
+    * the DataOpsSpec pin promoted to an oracle key, re-proven against
+    * DuckDB each round under `dedup_embedding_cosine`'s SQL. */
+  val semanticExact: OQ = OQ.df("dedup_semantic_exact",
+    (s, _) => Similarity.semanticNearDup(s.table("embeddings"),
+      threshold = 0.45, nlist = 1),
+    embeddingNearDup.oracle.get)
+
+  /** ADC exactness witness: m = 1 with an identity codebook — zero Lloyd
+    * iterations over a sample covering every vector, so the codebook IS
+    * the distinct vector set and reconstruction is exact — makes ADC
+    * distances exact squared-L2 and the top-k equal to brute force. The
+    * degenerate config that oracle-pins the whole encode → distance-table
+    * → bounded-heap machinery behind `emb_pq_adc_topk`. */
+  val pqExact: OQ = OQ.df("emb_pq_adc_exact",
+    (s, _) => {
+      val emb = s.table("embeddings").where(col("embedding").isNotNull)
+      val books = graft.ops.Pq.pqTrain(emb, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.pqTopK(emb, books, topK = 5)
+        .select(col("a"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      |    sum((a.e - b.e) * (a.e - b.e)) AS d2
+      |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+      |r AS (SELECT a, b, d2,
+      |    row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rank FROM d)
+      |SELECT a, b, round(d2, 6) AS dist2, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin)
+
   /** Bench-only approximate ANN configs — the r3 registry entries, kept
     * under their original bench names so round-over-round timings stay
     * comparable. NOT in the oracle registry: approximate top-k has no SQL
@@ -1672,6 +1721,7 @@ object DataOpsQueries {
     contaminationSpansQ,
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
+    minhashCappedLossless, semanticExact, pqExact,
     mmFeatures, mmFrames, mmResize, heavyHittersQ)
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +
