@@ -26,6 +26,12 @@ trait MediaCodec extends Serializable {
 
   /** Re-encode `bytes` scaled to `w`×`h`, or None when not decodable. */
   def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
+
+  /** `size`×`size` row-major grayscale (luma) grid in [0, 255] — the DCT
+    * pHash input plane — or None when the payload isn't decodable by this
+    * codec. Empty/NULL payloads are None for every codec (no pixels ⇒ no
+    * signature row). */
+  def lumaGrid(bytes: Array[Byte], size: Int): Option[Array[Double]]
 }
 
 object MediaCodec {
@@ -60,6 +66,31 @@ object StubCodec extends MediaCodec {
     while (i < outLen) { out(i) = b((i * stride).toInt); i += 1 }
     Some(out)
   }
+
+  /** Deterministic grid from raw bytes: cell k = mean byte value of the
+    * k-th of size² equal payload regions (the 2-D generalization of the
+    * region signature) — locality-preserving, so localized payload edits
+    * perturb only nearby cells and the DCT pHash stays meaningful on
+    * non-image blobs. */
+  override def lumaGrid(bytes: Array[Byte], size: Int): Option[Array[Double]] = {
+    if (bytes == null || bytes.isEmpty) scala.None
+    else {
+      val cells = size * size
+      val out = new Array[Double](cells)
+      var k = 0
+      while (k < cells) {
+        val lo = (k.toLong * bytes.length / cells).toInt
+        val hi = math.max(lo + 1, ((k + 1).toLong * bytes.length / cells).toInt)
+          .min(bytes.length)
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
+        out(k) = if (hi > lo) s.toDouble / (hi - lo) else 0.0
+        k += 1
+      }
+      Some(out)
+    }
+  }
 }
 
 /** Real image decode via the JDK's ImageIO — JPEG/PNG/GIF/BMP with zero
@@ -84,6 +115,31 @@ object ImageIOCodec extends MediaCodec {
       val out = new ByteArrayOutputStream()
       javax.imageio.ImageIO.write(scaled, "png", out)
       out.toByteArray
+    }
+
+  /** Real decode → bilinear scale to `size`×`size` → BT.601 luma. */
+  override def lumaGrid(bytes: Array[Byte], size: Int): Option[Array[Double]] =
+    read(bytes).map { img =>
+      val scaled = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, size, size, null)
+      } finally g.dispose()
+      val out = new Array[Double](size * size)
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) {
+          val rgb = scaled.getRGB(x, y)
+          out(y * size + x) = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
   private def read(bytes: Array[Byte]): Option[BufferedImage] =

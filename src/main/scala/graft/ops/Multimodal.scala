@@ -112,6 +112,98 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  /** 63-bit DCT PERCEPTUAL HASH (the classic pHash recipe): decode to a
+    * `grid`×`grid` luma plane through the injectable codec, 2-D DCT-II
+    * (separable, precomputed cosine tables — one O(grid³) pass per image),
+    * keep the top-left 8×8 low-frequency block minus the DC term, and set
+    * bit i iff coefficient i exceeds the block's median. Low-frequency
+    * structure survives re-encode/resize/brightness shifts, so true
+    * near-duplicate IMAGES land within a few bit flips even when their
+    * byte streams share nothing — the regime the byte-region signature
+    * ([[perceptualHash]]) structurally misses (any re-encode scrambles
+    * bytes). Pair generation is the same banded hamming join
+    * ([[graft.ops.Dedup.hammingPairs]], `sigBits = 63`).
+    *
+    * Codec contract: `codec.lumaGrid` first, [[StubCodec]]'s deterministic
+    * byte-region grid as the per-row fallback — an undecodable or mixed
+    * corpus degrades per-row, never per-stage, and the DCT math is real
+    * either way. Empty/NULL payloads emit no row. One zero-shuffle JVM
+    * pass, same batch shape as [[extractFeatures]]. */
+  def perceptualHashDct(media: DataFrame, codec: MediaCodec = ImageIOCodec,
+                        grid: Int = 32): DataFrame = {
+    require(grid >= 8, s"grid must be >= 8 (the 8x8 DCT block): $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // cos table shared across the partition: ct(u)(x) = cos((2x+1)uπ/2N)
+        val ct = Array.tabulate(grid, grid)((u, x) =>
+          math.cos((2 * x + 1) * u * math.Pi / (2.0 * grid)))
+        it.flatMap { case (id, bytes) =>
+          codec.lumaGrid(bytes, grid).orElse(StubCodec.lumaGrid(bytes, grid)) match {
+            case Some(pix) => Iterator((id, dctSignature(pix, grid, ct)))
+            case scala.None => Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Separable 2-D DCT-II of the luma plane, thresholded to the 63-bit
+    * signature: rows first (only the 8 output columns any kept coefficient
+    * needs), then columns — O(grid²·8 + grid·8·8) multiplies instead of
+    * the naive grid⁴. */
+  private def dctSignature(pix: Array[Double], grid: Int,
+                           ct: Array[Array[Double]]): Long = {
+    // rows: r(y)(v) = Σ_x pix(y, x) · cos-term, for v < 8
+    val rows = Array.ofDim[Double](grid, 8)
+    var y = 0
+    while (y < grid) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < grid) { s += pix(y * grid + x) * ct(v)(x); x += 1 }
+        rows(y)(v) = s
+        v += 1
+      }
+      y += 1
+    }
+    // columns: c(u)(v) = Σ_y rows(y)(v) · cos-term, for u < 8. The DCT
+    // normalization constants (α(u)·α(v), fixed positive per coefficient)
+    // are dropped: every image is scaled identically, so near-identical
+    // planes still yield near-identical coefficient vectors and the hash
+    // stays self-consistent — nothing ever reconstructs pixels from it
+    val coef = new Array[Double](63)
+    var k = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0.0
+          var yy = 0
+          while (yy < grid) { s += rows(yy)(v) * ct(u)(yy); yy += 1 }
+          coef(k) = s
+          k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31) // lower median of 63
+    var sig = 0L
+    var i = 0
+    while (i < 63) {
+      if (coef(i) > median) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   /** Pure-SQL feature projection with the same stub arithmetic — used by the
     * DuckDB oracle path to pin the plumbing end-to-end. */
   def extractFeaturesSql(media: DataFrame): DataFrame =

@@ -1733,14 +1733,18 @@ object DataOpsQueries {
       s.table("lineitem").select("l_orderkey", "l_partkey", "l_extendedprice"),
       Seq("l_orderkey", "l_partkey"), numFiles = 32))
 
-  /** Perceptual-hash near-dup over media payloads (binary column →
-    * region-quantized signature → banded hamming join) — the image-dedup
-    * shape with the stub signature; witness-tested in DataOpsSpec. */
+  /** Perceptual-hash near-dup over media payloads (binary column → 8×8-DCT
+    * pHash over the injectable codec's luma grid → banded hamming join) —
+    * the image-dedup shape. On this synthetic corpus the payloads aren't
+    * imagery, so the luma plane comes from the stub's byte-region fallback,
+    * but the DCT, thresholding, and join are the production path; real
+    * decode robustness (re-encode, resize, pixel edits) is witness-tested
+    * in DataOpsSpec on crafted PNGs. */
   val phashBench: OQ = OQ.rowsOnly("mm_phash_neardup",
     (s, _) => Dedup.hammingPairs(
-      Multimodal.perceptualHash(Multimodal.toMediaTable(s.table("documents"))),
-      maxHamming = 8, bands = 9, idCol = "media_id", sigCol = "phash",
-      maxBucket = 200))
+      Multimodal.perceptualHashDct(Multimodal.toMediaTable(s.table("documents"))),
+      maxHamming = 8, bands = 9, sigBits = 63, idCol = "media_id",
+      sigCol = "phash", maxBucket = 200))
 
   /** IVF-PQ composed index (residual ADC over probed lists): learned
     * quantizers have no SQL form — determinism, artifact reuse, and recall

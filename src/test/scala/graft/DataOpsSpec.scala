@@ -1963,6 +1963,71 @@ class DataOpsSpec extends AnyFunSuite {
       "an unrelated payload must not pair")
   }
 
+  test("DCT pHash: re-encoded and pixel-edited images stay near; the region hash misses them") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    // a structured scene (gradient + rectangle): well-separated low-freq
+    // coefficients, so near-dup perturbations flip few median-split bits
+    def scene(): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (x * 3 + y * 2) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val g = img.createGraphics()
+      try { g.setColor(java.awt.Color.WHITE); g.fillRect(8, 8, 24, 16) }
+      finally g.dispose()
+      img
+    }
+    val base = scene()
+    val edited = scene()
+    locally {
+      val g = edited.createGraphics()
+      try { g.setColor(java.awt.Color.BLACK); g.fillRect(52, 52, 6, 6) }
+      finally g.dispose()
+    }
+    val unrelated = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if (((x / 4) + (y / 4)) % 2 == 0) 255 else 0
+      unrelated.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val media = Seq(
+      (1L, enc(base, "png")), (2L, enc(base, "jpg")), (3L, enc(edited, "png")),
+      (4L, enc(unrelated, "png"))).toDF("media_id", "content")
+    val dct = Multimodal.perceptualHashDct(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(m: Map[Long, Long], a: Long, b: Long) =
+      java.lang.Long.bitCount(m(a) ^ m(b))
+    // true near-duplicates: a JPEG re-encode (identical pixels, alien byte
+    // stream) and a small pixel edit
+    assert(ham(dct, 1, 2) <= 10, s"jpeg re-encode drifted: ${ham(dct, 1, 2)} bits")
+    assert(ham(dct, 1, 3) <= 10, s"pixel edit drifted: ${ham(dct, 1, 3)} bits")
+    assert(ham(dct, 1, 4) > 16, s"unrelated image too close: ${ham(dct, 1, 4)} bits")
+    // the byte-region signature structurally misses the re-encode pair at
+    // the production threshold — the gap the DCT hash exists to close
+    val reg = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(reg, 1, 2) > 8,
+      s"byte-region hash unexpectedly survived the re-encode: ${ham(reg, 1, 2)}")
+    // the banded join over DCT signatures is exact against brute force and
+    // surfaces both true pairs
+    val got = Dedup.hammingPairs(Multimodal.perceptualHashDct(media),
+        maxHamming = 10, bands = 11, sigBits = 63,
+        idCol = "media_id", sigCol = "phash")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, sa) <- dct.toSeq; (b, sb) <- dct.toSeq
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (a, b)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)), s"pairs: $got")
+  }
+
   test("IVF quantizer is a build-once artifact: prebuilt centroids reproduce inline training") {
     val centroids = Similarity.ivfCentroids(emb, nlist = 16)
     def key(df: org.apache.spark.sql.DataFrame) =
