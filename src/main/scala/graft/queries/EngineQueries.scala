@@ -677,10 +677,14 @@ object EngineQueries {
       val feed = cdcScenario(base).map(envelope).reduce(_ unionByName _)
       val changes = Streams.debeziumDecode(feed,
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc, col("op").desc)
-      changes.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1 && col("op") =!= "d")
+      // same associative LWW argmax as cdcApply's per-batch fold (map-side
+      // partial agg, no sort) — the decode and the fold fuse into ONE
+      // aggregation pass over the envelope stream
+      val payload = struct(changes.columns.map(col): _*)
+      changes.groupBy("o_orderkey")
+        .agg(max_by(payload, struct(col("seq"), col("op"))).as("__w"))
+        .select(col("__w.*"))
+        .where(col("op") =!= "d")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     },
     // deletes carry the full before-image through the decode, so the fold

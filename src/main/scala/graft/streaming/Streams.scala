@@ -779,25 +779,37 @@ object Streams {
     var viewReady = false
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        // op is the deterministic tie-breaker when two changes share a seq
-        // (an exact replay resolves to the identical row either way)
-        val w = Window.partitionBy(pks.map(col): _*)
-          .orderBy(col(seqCol).desc, col(opCol).desc)
-        def latestOf(df: DataFrame) = df
-          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-          .drop("__rn")
-        effectiveWriter.upsert(wh, state, latestOf(batch), latestOf,
-          asset.materialization.partitionBy, asset.materialization.clusterBy)
-        if (!viewReady) {
-          val spark = batch.sparkSession
-          val dataCols = batch.columns.filterNot(c => c == opCol || c == seqCol)
-            .map(c => s"`$c`").mkString(", ")
-          spark.sql(s"CREATE OR REPLACE VIEW ${quoteIdent(asset.name)} AS " +
-            s"SELECT $dataCols FROM ${quoteIdent(state)} WHERE `$opCol` <> 'd'")
-          // this raw repoint bypasses the warehouse — keep its cache honest
-          graft.materialize.SessionCatalogWarehouse.invalidateBacking(spark, asset.name)
-          viewReady = true
+        // LWW fold as an ASSOCIATIVE argmax — max_by over the (seq, op)
+        // order — instead of a window row_number: partial aggregation
+        // combines map-side, so the shuffle carries at most one candidate
+        // row per (key, map task) and nothing sorts, where the window form
+        // shuffled and SORTED every change row of the batch (and of the
+        // unioned state inside writer rebuilds). op stays the deterministic
+        // tie-breaker when two changes share a seq (an exact replay
+        // resolves to the identical row either way).
+        def latestOf(df: DataFrame) = {
+          val payload = struct(df.columns.map(col): _*)
+          df.groupBy(pks.map(col): _*)
+            .agg(max_by(payload, struct(col(seqCol), col(opCol))).as("__w"))
+            .select(col("__w.*"))
+        }
+        // an idle trigger's empty micro-batch must pay neither a fold nor
+        // a state commit (each commit is a table write + generation swap);
+        // the asset view also waits for the first real batch — it reads
+        // the state table, which exists only after the first upsert
+        if (!batch.isEmpty) {
+          effectiveWriter.upsert(wh, state, latestOf(batch), latestOf,
+            asset.materialization.partitionBy, asset.materialization.clusterBy)
+          if (!viewReady) {
+            val spark = batch.sparkSession
+            val dataCols = batch.columns.filterNot(c => c == opCol || c == seqCol)
+              .map(c => s"`$c`").mkString(", ")
+            spark.sql(s"CREATE OR REPLACE VIEW ${quoteIdent(asset.name)} AS " +
+              s"SELECT $dataCols FROM ${quoteIdent(state)} WHERE `$opCol` <> 'd'")
+            // this raw repoint bypasses the warehouse — keep its cache honest
+            graft.materialize.SessionCatalogWarehouse.invalidateBacking(spark, asset.name)
+            viewReady = true
+          }
         }
         ()
       }
