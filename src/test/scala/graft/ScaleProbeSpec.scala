@@ -481,6 +481,45 @@ class ScaleProbeSpec extends AnyFunSuite {
     val stateRows = spark.table("probe3_cdc__cdc_state").count()
     assert(stateRows == nKeys, s"sf3 state must stay one row per key: $stateRows")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe3_cdc__cdc_state")
+
+    // OVERLAY restart at probe scale (r12 brief #4): the restart net runs
+    // at fixture scale; these rows re-run its core — a FRESH writer
+    // recovering the composition from the view text alone, mid-chain — at
+    // the same 4.5M keys, timing the first post-restart localized fold.
+    // The timing claim under test: recovery + fold cost tracks the BATCH'S
+    // bucket footprint (2/64 buckets ≈ 140k keys), never total state size.
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe3_cdcov__cdc_state")
+    val ovWriter = new graft.streaming.Streams.OverlayStateWriter(Seq("k"), Some(64))
+    t(s"sf3 overlay snapshot fold ($nKeys keys, 64 buckets)",
+      "wide batch → atomic base build") {
+      ovWriter.upsert(wh, "probe3_cdcov__cdc_state", snap, latestOf, Nil, Nil)
+    }
+    val loc2 = snap.where(pmod(hash(col("k")), lit(64)).isin(2, 3))
+      .withColumn("op", lit("u")).withColumn("seq", lit(2L)).localCheckpoint()
+    val nLoc2 = loc2.count()
+    t(s"sf3 overlay localized fold ($nLoc2 keys, 2/64 buckets)",
+      "overlay append + view swap, same writer") {
+      ovWriter.upsert(wh, "probe3_cdcov__cdc_state", loc2, latestOf, Nil, Nil)
+    }
+    val restarted = new graft.streaming.Streams.OverlayStateWriter(Seq("k"), Some(64))
+    val loc3 = snap.where(pmod(hash(col("k")), lit(64)).isin(4, 5))
+      .withColumn("op", lit("u")).withColumn("seq", lit(3L)).localCheckpoint()
+    val nLoc3 = loc3.count()
+    t(s"sf3 overlay POST-RESTART localized fold ($nLoc3 keys, 2/64 buckets)",
+      "fresh writer: composition recovered from the view text, then overlay append") {
+      restarted.upsert(wh, "probe3_cdcov__cdc_state", loc3, latestOf, Nil, Nil)
+    }
+    // the restart property itself, green at probe scale: one row per key,
+    // each key carrying exactly the seq its bucket's last batch wrote
+    val st = spark.table("probe3_cdcov__cdc_state")
+      .withColumn("b", pmod(hash(col("k")), lit(64)))
+      .withColumn("want", when(col("b").isin(2, 3), 2L)
+        .when(col("b").isin(4, 5), 3L).otherwise(0L))
+    val nState = st.count()
+    val bad = st.where(col("seq") =!= col("want")).count()
+    assert(nState == nKeys && bad == 0,
+      s"sf3 overlay restart diverged: rows=$nState (want $nKeys), badSeq=$bad")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe3_cdcov__cdc_state")
   }
 
   /** sf10 section: the two SCALE-DOMINANT stages — the df-capped fuzzy
