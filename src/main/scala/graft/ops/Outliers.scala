@@ -53,4 +53,42 @@ object Outliers {
       .withColumn("group_mad", round(col("__mad"), 6))
       .drop("__med", "__mad")
   }
+
+  /** Per-group WINSORIZATION — clamp a numeric column to its group's
+    * [lo, hi] interpolated quantiles (the robust pre-normalization step for
+    * reward/quality signals: tame the tails without dropping rows). One
+    * grouped percentile aggregation (exact interpolation — the same
+    * primitive [[byMad]] cross-checks against DuckDB's quantile_cont every
+    * round) + one broadcast join of the group-cardinality bounds frame back
+    * onto the rows: the data side is a single scan, never re-sorted.
+    * NULL values stay NULL (and are never counted as clipped); NULL group
+    * keys are a real group via the null-safe join. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "grouped winsorization needs group columns")
+    require(0.0 <= lo && lo <= hi && hi <= 1.0,
+      s"quantile bounds must satisfy 0 <= lo <= hi <= 1: ($lo, $hi)")
+    val g = groupCols.map(col)
+    val aliases = groupCols.map(c => s"__k_$c")
+    val stats = df.groupBy(g: _*).agg(
+      percentile(col(valueCol), lit(lo)).as("__qlo"),
+      percentile(col(valueCol), lit(hi)).as("__qhi"))
+    val s = stats.select(
+      groupCols.zip(aliases).map { case (c, a) => col(c).as(a) } ++
+        Seq(col("__qlo"), col("__qhi")): _*)
+    val cond = groupCols.zip(aliases)
+      .map { case (c, a) => df(c) <=> s(a) }.reduce(_ && _)
+    df.join(broadcast(s), cond).drop(aliases: _*)
+      .withColumn("winsorized",
+        // greatest/least SKIP nulls (they don't propagate), so guard
+        // explicitly: a NULL value must stay NULL, not clamp to q_lo
+        when(col(valueCol).isNotNull,
+          round(least(greatest(col(valueCol), col("__qlo")), col("__qhi")), 6)))
+      .withColumn("is_clipped",
+        col(valueCol).isNotNull &&
+          (col(valueCol) < col("__qlo") || col(valueCol) > col("__qhi")))
+      .withColumn("q_lo", round(col("__qlo"), 6))
+      .withColumn("q_hi", round(col("__qhi"), 6))
+      .drop("__qlo", "__qhi")
+  }
 }

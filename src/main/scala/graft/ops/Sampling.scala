@@ -245,6 +245,34 @@ object Sampling {
     groupTopK(df, Seq(groupCol),
       Seq(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), col(idCol)), k)
 
+  /** DETERMINISTIC WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis &
+    * Spirakis 2006, A-ES): each row gets the key ln(u) / w with u a strict
+    * (0,1) uniform and w its positive weight; the k LARGEST keys are a
+    * weighted sample without replacement (ln(u)/w ⇔ u^(1/w) — the paper's
+    * key — under the monotone ln). The canonical "sample 1M docs
+    * proportional to quality score" selection step.
+    *
+    * u derives from the portable md5 fraction of the row id (the
+    * [[hashFrac]] family), so the SAME rows are drawn on any engine or
+    * cluster size — the oracle recomputes the keys in SQL and must pick the
+    * identical sample. Keys are rounded to the same 6 decimals on both
+    * sides and ties break by id, so the selected SET matches exactly.
+    *
+    * Scale: one projection + a distributed TakeOrdered (per-partition
+    * top-k heaps, k rows per task to the driver merge) — never a global
+    * sort. Zero-or-negative weights are excluded (they have probability 0
+    * in the A-ES scheme). */
+  def weightedTopK(df: DataFrame, k: Int, weightCol: String,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // (m + 0.5) / 1e6 keeps u strictly inside (0,1) so ln(u) is finite
+    val u = (hashFrac(col(idCol)) * 1000000.0 + 0.5) / 1000000.0
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the training-export layout
     * step: give every row a portable pseudo-random order key
     * (md5(seed:id)), assign it to one of `nShards` output shards, and

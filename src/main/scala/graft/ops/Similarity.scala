@@ -175,6 +175,59 @@ object Similarity {
                     shardBytes: Long = DefaultShardBytes): DataFrame =
     pairsAbove(emb, threshold, idCol, vecCol, shardBytes)
 
+  /** Embedding-space benchmark decontamination: flag every corpus vector
+    * whose cosine similarity to ANY eval/benchmark vector reaches
+    * `threshold` (the threshold applies to the rounded similarity, matching
+    * the SQL oracle). One row per contaminated corpus vector, carrying its
+    * best-matching eval vector — the (cos desc, eval id asc) argmax, so
+    * ties are deterministic.
+    *
+    * The text-space analogue is [[graft.ops.Dedup.contamination]]; this is
+    * the semantic screen that catches paraphrased leakage a shingle overlap
+    * misses.
+    *
+    * Scale: an eval/benchmark suite is small by construction (10³–10⁵
+    * rows), so it broadcasts once and the corpus side STREAMS — a single
+    * projection-only map over the corpus scan with a primitive-array inner
+    * loop. No shuffle, no self-join, no state: 100 TB of corpus passes
+    * through map tasks at scan speed. The eval collect is bounded by
+    * `limit(maxEvalVectors + 1)` and fails fast past the cap (an over-cap
+    * "eval set" is a sign the caller wants a corpus×corpus join — that is
+    * [[cosineNearDup]]'s blocked grid, not this broadcast). */
+  def contaminationAgainst(corpus: DataFrame, eval: DataFrame,
+                           threshold: Double = 0.8,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           maxEvalVectors: Int = 1 << 17): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val evalRows = vecs(eval.where(col(vecCol).isNotNull), idCol, vecCol)
+      .limit(maxEvalVectors + 1).collect()
+    require(evalRows.length <= maxEvalVectors,
+      s"eval set exceeds maxEvalVectors=$maxEvalVectors vectors — an eval " +
+        "side this large is a corpus join, use cosineNearDup's blocked grid")
+    // sorted by id so the strict `>` argmax keeps the SMALLEST eval id on
+    // cosine ties — the oracle's (cos DESC, b ASC) rank-1 row
+    val evArr = evalRows.map { case (id, v) => (id, v, normP(v)) }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(evArr)
+    vecs(corpus.where(col(vecCol).isNotNull), idCol, vecCol)
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.flatMap { case (a, va) =>
+          val na = normP(va)
+          var bestId = -1L
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < ev.length) {
+            val c = cosineOf(va, ev(i)._2, na, ev(i)._3)
+            if (c > bestCos) { bestCos = c; bestId = ev(i)._1 }
+            i += 1
+          }
+          if (ev.nonEmpty && bestCos >= threshold) Iterator.single((a, bestId, bestCos))
+          else Iterator.empty
+        }
+      }.toDF("vec_id", "eval_id", "cos")
+  }
+
   private def pairsAbove(emb: DataFrame, threshold: Double,
                          idCol: String, vecCol: String,
                          shardBytes: Long = DefaultShardBytes): DataFrame = {

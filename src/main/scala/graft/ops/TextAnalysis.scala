@@ -160,6 +160,29 @@ object TextAnalysis {
           least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2, 6))
   }
 
+  /** Per-language z-score normalization of the composite quality score —
+    * the step that makes ONE global quality threshold meaningful across
+    * languages (raw scores skew with stopword lists and morphology; a 0.4
+    * in German is not a 0.4 in English). Two aggregations over
+    * language-cardinality frames + one broadcast join back: the document
+    * side is a single scan. Languages with no spread (single doc, or all
+    * scores identical — sample stddev NULL or 0) get a NULL z-score rather
+    * than a division blow-up. */
+  def qualityZScore(df: DataFrame, langCol: String = "lang",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val q = qualityScore(df, textCol)
+      .select(col(idCol), col(langCol), col("quality_score"))
+    val stats = q.groupBy(langCol).agg(
+      avg("quality_score").as("__mu"),
+      stddev_samp("quality_score").as("__sigma"))
+    q.join(broadcast(stats), Seq(langCol))
+      .select(col(idCol), col(langCol), col("quality_score"),
+        round(col("__mu"), 6).as("lang_mean"),
+        when(col("__sigma") > 0,
+          round((col("quality_score") - col("__mu")) / col("__sigma"), 6))
+          .as("quality_z"))
+  }
+
   /** Top-k TF-IDF terms per document: tf = term count in doc, idf =
     * ln((N+1)/(df+1)) with df = docs containing the term. Two hash
     * aggregations on compact (id, word) keys plus one broadcast of the

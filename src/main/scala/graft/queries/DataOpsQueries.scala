@@ -726,6 +726,37 @@ object DataOpsQueries {
     * target-vs-raw log ratio sums, deterministic md5-derived Gumbel keys.
     * Target = the 'en' stratum; raw = the whole corpus. The oracle replays
     * the identical feature hash, smoothing, and noise. */
+  /** Efraimidis–Spirakis weighted sampling ([[Sampling.weightedTopK]]):
+    * 100 docs drawn without replacement proportional to n_chars. The
+    * oracle recomputes the md5-derived keys and must draw the identical
+    * set (rounded keys, id tie-break). */
+  val weightedTopKQ: OQ = OQ.df("sample_weighted_topk",
+    (s, _) => graft.ops.Sampling.weightedTopK(s.table("documents")
+      .select("doc_id", "n_chars"), k = 100, weightCol = "n_chars"),
+    """WITH w AS (SELECT doc_id, n_chars,
+      |    round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |        % 1000000 + 0.5) / 1000000.0)
+      |      / CAST(n_chars AS DOUBLE), 6) AS es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |SELECT doc_id, n_chars, es_key FROM w
+      |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin)
+
+  /** Per-language z-score quality normalization
+    * ([[TextAnalysis.qualityZScore]]): same composite score as
+    * `text_quality_score`, centered and scaled per language so one global
+    * threshold compares across languages. */
+  val qualityZScoreQ: OQ = OQ.df("text_quality_zscore",
+    (s, _) => TextAnalysis.qualityZScore(s.table("documents")),
+    s"""WITH q AS (SELECT doc_id, lang, $DUCK_QUALITY AS quality_score
+       |  FROM documents),
+       |st AS (SELECT lang, avg(quality_score) AS mu,
+       |    stddev_samp(quality_score) AS sigma FROM q GROUP BY 1)
+       |SELECT doc_id, q.lang, quality_score,
+       |  round(mu, 6) AS lang_mean,
+       |  CASE WHEN sigma > 0
+       |    THEN round((quality_score - mu) / sigma, 6) END AS quality_z
+       |FROM q JOIN st ON q.lang = st.lang""".stripMargin)
+
   val dsirScoresQ: OQ = OQ.df("sample_dsir_scores",
     (s, _) => graft.ops.Dsir.scores(
       s.table("documents"),
@@ -1485,6 +1516,33 @@ object DataOpsQueries {
     s"""$duckSims
        |SELECT a, b, cos FROM sims WHERE a < b AND cos >= 0.45""".stripMargin)
 
+  /** Embedding-space decontamination ([[Similarity.contaminationAgainst]]):
+    * the label-0 vectors stand in for a benchmark suite, everything else is
+    * the training corpus; every corpus vector within cosine 0.4 of ANY eval
+    * vector is flagged with its best match. Broadcast eval + one streaming
+    * corpus scan — the oracle recomputes the full cross bipartite argmax. */
+  val contaminationEmb: OQ = OQ.df("dedup_contamination_embedding",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      Similarity.contaminationAgainst(
+        emb.where(col("label") =!= 0), emb.where(col("label") === 0),
+        threshold = 0.4)
+    },
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.e * b.e) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label <> 0 AND b.label = 0 GROUP BY 1, 2),
+      |sims AS (SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      |  FROM dots JOIN norms na ON dots.a = na.vec_id
+      |            JOIN norms nb ON dots.b = nb.vec_id),
+      |best AS (SELECT a, b, cos,
+      |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn FROM sims)
+      |SELECT a AS vec_id, b AS eval_id, cos FROM best
+      |WHERE rn = 1 AND cos >= 0.4""".stripMargin)
+
   val annTopK: OQ = OQ.df("ann_cosine_topk",
     (s, _) => Similarity.cosineTopK(s.table("embeddings"), k = 10)
       .selectExpr("a", "b", "cos", "CAST(rank AS INT) AS rank"),
@@ -1549,15 +1607,10 @@ object DataOpsQueries {
     * distances exact squared-L2 and the top-k equal to brute force. The
     * degenerate config that oracle-pins the whole encode → distance-table
     * → bounded-heap machinery behind `emb_pq_adc_topk`. */
-  val pqExact: OQ = OQ.df("emb_pq_adc_exact",
-    (s, _) => {
-      val emb = s.table("embeddings").where(col("embedding").isNotNull)
-      val books = graft.ops.Pq.pqTrain(emb, m = 1, k = 1 << 17,
-        iterations = 0, maxTrainSample = 1 << 17)
-      graft.ops.Pq.pqTopK(emb, books, topK = 5)
-        .select(col("a"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
-          col("rank").cast("int").as("rank"))
-    },
+  /** Brute-force squared-L2 top-5 — the shared oracle for every exact PQ
+    * reduction (plain ADC and the composed IVF-PQ route degenerate to the
+    * SAME answer, so they share the SAME SQL). */
+  private val duckL2Top5 =
     """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -1567,7 +1620,39 @@ object DataOpsQueries {
       |r AS (SELECT a, b, d2,
       |    row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rank FROM d)
       |SELECT a, b, round(d2, 6) AS dist2, CAST(rank AS INT) AS rank
-      |FROM r WHERE rank <= 5""".stripMargin)
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  val pqExact: OQ = OQ.df("emb_pq_adc_exact",
+    (s, _) => {
+      val emb = s.table("embeddings").where(col("embedding").isNotNull)
+      val books = graft.ops.Pq.pqTrain(emb, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.pqTopK(emb, books, topK = 5)
+        .select(col("a"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    duckL2Top5)
+
+  /** Composed IVF-PQ exactness reduction: a prebuilt ZERO coarse centroid
+    * (nlist = 1) makes every residual the vector itself bit-for-bit (no
+    * float subtraction noise), and the m=1 identity codebook (zero Lloyd
+    * iterations over a full-coverage sample — [[pqExact]]'s trick) makes
+    * ADC distances exact squared-L2. The whole composed route — cell
+    * assignment, residualization, per-list ADC, rank — must therefore
+    * reproduce brute force, pinned against the SAME oracle as the plain
+    * ADC reduction. The production config (nlist=16, nprobe=4, m=8) is the
+    * same code path, recall-gated in DataOpsSpec and benched as
+    * `emb_ivfpq_topk`. */
+  val ivfPqExact: OQ = OQ.df("emb_ivfpq_exact",
+    (s, _) => {
+      val emb = s.table("embeddings").where(col("embedding").isNotNull)
+      graft.ops.Pq.ivfPqTopK(emb, topK = 5, nlist = 1, nprobe = 1,
+        m = 1, k = 1 << 17, iterations = 0, maxTrainSample = 1 << 17,
+        prebuiltCentroids = Some(Array(Array.emptyFloatArray)))
+        .select(col("a"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    duckL2Top5)
 
   /** Bench-only approximate ANN configs — the r3 registry entries, kept
     * under their original bench names so round-over-round timings stay
@@ -1721,7 +1806,8 @@ object DataOpsQueries {
     contaminationSpansQ,
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
-    minhashCappedLossless, semanticExact, pqExact,
+    minhashCappedLossless, semanticExact, pqExact, ivfPqExact,
+    contaminationEmb, weightedTopKQ, qualityZScoreQ,
     mmFeatures, mmFrames, mmResize, heavyHittersQ)
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +

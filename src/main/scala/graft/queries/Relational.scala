@@ -318,10 +318,50 @@ object Relational {
       |  count(DISTINCT a.user_id) AS n_users
       |FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2""".stripMargin)
 
+  /** Salted skew join: the [[graft.ops.SkewJoin.saltedJoin]] rewrite (fact
+    * salts 8 ways, dim explodes 8 ways) aggregated to revenue by brand. The
+    * oracle is the PLAIN join — re-proving every round that salting changes
+    * the layout, never the answer. DECIMAL(18,4) products make the sum
+    * order-independent across engines. */
+  val skewSaltedJoin: OQ = OQ.df("rel_skew_salted_join",
+    (s, _) => graft.ops.SkewJoin.saltedJoin(
+      s.table("lineitem"),
+      s.table("part").withColumnRenamed("p_partkey", "l_partkey"),
+      keys = Seq("l_partkey"), salt = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue")),
+    """SELECT p_brand,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin)
+
+  /** Per-group winsorization of event values ([[graft.ops.Outliers
+    * .winsorize]]): interpolated p05/p95 clamp — the oracle recomputes the
+    * bounds with quantile_cont and must clip the same rows. */
+  val winsorize: OQ = OQ.df("rel_winsorize",
+    (s, _) => graft.ops.Outliers.winsorize(
+      s.table("events").where(col("value").isNotNull),
+      valueCol = "value", groupCols = Seq("event_type"))
+      .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"),
+        col("winsorized"), col("is_clipped"), col("q_lo"), col("q_hi")),
+    """WITH b AS (SELECT event_type,
+      |    quantile_cont(value, 0.05) AS qlo, quantile_cont(value, 0.95) AS qhi
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT event_id, e.event_type, round(value, 6) AS value,
+      |  round(least(greatest(value, qlo), qhi), 6) AS winsorized,
+      |  (value < qlo OR value > qhi) AS is_clipped,
+      |  round(qlo, 6) AS q_lo, round(qhi, 6) AS q_hi
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |WHERE value IS NOT NULL""".stripMargin)
+
   val all: Seq[OQ] = Seq(
     aggPricingSummary, joinRevenueByNation, leftAntiCustomersWithoutOrders,
     semiJoin, leftJoin, windowLag, windowDedup, windowRunningTotal,
     unionDistinct, rollup, cube, exceptIntersect, windowRange, percentiles,
     pivot, topK, groupByOrdinal, dateSpine, eventDaily, asofJoin, rangeJoin,
-    intervalOverlap, funnel, retention)
+    intervalOverlap, funnel, retention, skewSaltedJoin, winsorize)
 }

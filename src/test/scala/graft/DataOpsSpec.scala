@@ -2131,4 +2131,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.ops.Sketches.heavyHitters(
       df.where($"item" === "nope"), "item", 0.1).count() == 0)
   }
+
+  test("quality z-score: zero-mean per language, NULL for spread-free languages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then the dog came in", "en"),
+      (2L, "completely different words appear here without repeats", "en"),
+      (3L, "a a a a a a a a a a a a", "en"),
+      (4L, "lone document in its own language bucket", "xx"),
+      (5L, "same text twice", "yy"),
+      (6L, "same text twice", "yy") // sigma = 0: z must be NULL, not a blow-up
+    ).toDF("doc_id", "text", "lang")
+    val z = graft.ops.TextAnalysis.qualityZScore(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toList
+    val byId = z.map(r => r._1 -> r._3).toMap
+    assert(byId(4L) == null, "single-doc language has no sample stddev")
+    assert(byId(5L) == null && byId(6L) == null, "zero-spread language has no scale")
+    val en = z.filter(_._2 == "en").map(_._3.asInstanceOf[Double])
+    assert(en.size == 3 && math.abs(en.sum) < 1e-4, s"en z-scores sum to ~0: $en")
+    // standardized: sample stddev of the z's is 1
+    val mu = en.sum / en.size
+    val sd = math.sqrt(en.map(x => (x - mu) * (x - mu)).sum / (en.size - 1))
+    assert(math.abs(sd - 1.0) < 1e-4, s"en z stddev ~1: $sd")
+  }
 }

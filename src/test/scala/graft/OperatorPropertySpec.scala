@@ -1544,6 +1544,158 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("salted skew join is row-for-row the plain join, hot key and left rows included") {
+    import spark.implicits._
+    for (seed <- Seq(2, 17); salt <- Seq(1, 3, 8);
+         joinType <- Seq("inner", "left")) {
+      val rnd = new scala.util.Random(seed)
+      // one hot key owns ~half the fact rows — the layout salting targets
+      val fact = (0 until 4000).map { i =>
+        val k = if (rnd.nextBoolean()) 7L else rnd.nextInt(50).toLong
+        (i.toLong, k, rnd.nextInt(1000))
+      }.toDF("fid", "fk", "amt").repartition(8)
+      // dim has gaps (unmatched fact keys) and keys fact never hits
+      val dim = (0 until 50 by 2).map(k => (k.toLong, s"d$k")).toDF("fk", "name")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("fid", "fk", "amt", "name")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            if (r.isNullAt(3)) "" else r.getString(3))).toSeq.sorted
+      val got = rows(graft.ops.SkewJoin.saltedJoin(fact, dim, Seq("fk"),
+        salt = salt, joinType = joinType))
+      val expect = rows(fact.join(dim, Seq("fk"), joinType))
+      assert(got == expect, s"seed $seed salt $salt $joinType: " +
+        s"sizes ${got.size}/${expect.size}")
+    }
+  }
+
+  test("weighted sampling without replacement matches the local A-ES draw") {
+    import spark.implicits._
+    def md5Frac(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
+    }
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    for (seed <- Seq(4, 29)) {
+      val rnd = new scala.util.Random(seed)
+      // zero and negative weights must be excluded, not sampled
+      val rows = (0 until 3000).map { i =>
+        (i.toLong, if (rnd.nextInt(10) == 0) -rnd.nextInt(3).toDouble
+        else rnd.nextInt(500).toDouble + 1.0)
+      }
+      val k = 150
+      val got = graft.ops.Sampling.weightedTopK(
+        rows.toDF("doc_id", "w").repartition(8), k, "w")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      val expect = rows.filter(_._2 > 0).map { case (id, w) =>
+        val u = (md5Frac(id) * 1000000.0 + 0.5) / 1000000.0
+        (id, round6(math.log(u) / w))
+      }.sortBy { case (id, key) => (-key, id) }.take(k).toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(4)} " +
+        s"only-expect=${(expect -- got).take(4)}")
+    }
+  }
+
+  test("embedding decontamination matches the brute-force bipartite argmax") {
+    import spark.implicits._
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0 || denom.isNaN) 0.0 else round6(dot / denom)
+    }
+    for (seed <- Seq(6, 31)) {
+      val rnd = new scala.util.Random(seed)
+      def vec(): Array[Float] = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+      val evalVecs = (0L until 40L).map(i => (i, vec()))
+      // duplicate eval vectors force cosine TIES — the smaller eval id must win
+      val evalAll = evalVecs ++ Seq((100L, evalVecs(3)._2), (101L, evalVecs(3)._2))
+      // corpus: some rows are near-copies of eval rows (contaminated)
+      val corpus = (1000L until 1400L).map { i =>
+        val v = if (rnd.nextInt(4) == 0) evalVecs(rnd.nextInt(40))._2.clone() else vec()
+        (i, v)
+      }
+      val t = 0.7
+      val got = graft.ops.Similarity.contaminationAgainst(
+        corpus.toDF("vec_id", "embedding").repartition(6),
+        evalAll.toDF("vec_id", "embedding"), threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expect = corpus.flatMap { case (a, va) =>
+        val scored = evalAll.map { case (b, vb) => (b, cos(va, vb)) }
+        val best = scored.minBy { case (b, c) => (-c, b) }
+        if (best._2 >= t) Some((a, best._1, best._2)) else None
+      }.toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(4)} " +
+        s"only-expect=${(expect -- got).take(4)}")
+      // ties resolved to the smallest eval id, never 100/101's duplicates
+      assert(!got.exists(r => r._2 == 100L || r._2 == 101L))
+    }
+    // over-cap eval fails fast instead of collecting unbounded
+    val big = (0L until 50L).map(i => (i, Array.fill(4)(1f)))
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.contaminationAgainst(
+        big.toDF("vec_id", "embedding"), big.toDF("vec_id", "embedding"),
+        maxEvalVectors = 10)
+    }
+    assert(err.getMessage.contains("maxEvalVectors"))
+  }
+
+  test("winsorize clamps to the exact interpolated group quantiles") {
+    import spark.implicits._
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+    }
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    for (seed <- Seq(8, 37)) {
+      val rnd = new scala.util.Random(seed)
+      // a NULL group key is a real group; null values stay null, never clipped
+      val rows = (0 until 2000).map { i =>
+        val g: java.lang.Long = if (rnd.nextInt(20) == 0) null
+        else rnd.nextInt(4).toLong.asInstanceOf[java.lang.Long]
+        val v: java.lang.Double = if (rnd.nextInt(50) == 0) null
+        else rnd.nextGaussian() * 100.0
+        (i.toLong, g, v)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), 6),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))))
+      val got = graft.ops.Outliers.winsorize(df, "v", Seq("g"))
+        .select("id", "winsorized", "is_clipped")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1), r.getBoolean(2))).toSet
+      val bounds = rows.filter(_._3 != null).groupBy(_._2).map { case (g, rs) =>
+        val sorted = rs.map(_._3.doubleValue()).toArray.sorted
+        g -> (pct(sorted, 0.05), pct(sorted, 0.95))
+      }
+      val expect = rows.map { case (id, g, v) =>
+        val (lo, hi) = bounds(g)
+        if (v == null) (id, null, false)
+        else (id, round6(math.min(math.max(v.doubleValue(), lo), hi)).asInstanceOf[Any],
+          v.doubleValue() < lo || v.doubleValue() > hi)
+      }.toSet
+      assert(got == expect, s"seed $seed: only-got=${(got -- expect).take(4)} " +
+        s"only-expect=${(expect -- got).take(4)}")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
