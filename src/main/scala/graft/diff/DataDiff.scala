@@ -1,6 +1,6 @@
 package graft.diff
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -170,6 +170,60 @@ object DataDiff {
       .select(col("value"),
         round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+  }
+
+  /** Vocabulary drift: [[categoricalDrift]] over the word stream of two
+    * corpus snapshots — per-word shares and PSI contributions over the
+    * union vocabulary. The "did the token distribution move" monitor for
+    * recurring corpus refreshes; a newly dominant or vanished word carries
+    * a strong signed contribution. Each snapshot pays one explode + one
+    * word-cardinality aggregate; the emitted frame is vocab-sized (per-word
+    * rows, never a pre-summed scalar — same float-order-free convention as
+    * the PSI monitors). */
+  def vocabularyDrift(a: DataFrame, b: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    def ws(df: DataFrame) = df
+      .select(explode(graft.ops.TextAnalysis.words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    categoricalDrift(ws(a), ws(b), "word")
+  }
+
+  /** KEYED ROW DIFF between two snapshots of the same table: one full-outer
+    * join on the primary key, one aggregation pass — added / removed /
+    * changed / unchanged row counts plus a per-compared-column changed
+    * count, all in a single emitted row. This is the row-level companion to
+    * the profile diff: "how many rows moved, and in which columns" instead
+    * of "did the aggregate stats move".
+    *
+    * Scale: the join shuffles both sides by key once (sort-merge at scale,
+    * AQE free to broadcast a small side); the aggregate is a map-side
+    * combinable global sum — nothing collects, no window, no second pass.
+    * Comparisons are null-safe (`<=>`): a NULL↔value flip counts as a
+    * change, NULL↔NULL does not. Presence markers (not key nullability)
+    * decide added/removed, so NULL key components behave like values. */
+  def keyedDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keyedDiff needs key columns")
+    require(compareCols.nonEmpty, "keyedDiff needs columns to compare")
+    val la = a.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__lp", lit(true)).alias("l")
+    val rb = b.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__rp", lit(true)).alias("r")
+    val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joined = la.join(rb, cond, "full_outer")
+    val both = col("__lp").isNotNull && col("__rp").isNotNull
+    val colChanged = compareCols.map(c => !(col(s"l.$c") <=> col(s"r.$c")))
+    val anyChanged = colChanged.reduce(_ || _)
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val aggs = Seq(
+      cnt(col("__lp").isNull).as("n_added"),
+      cnt(col("__rp").isNull).as("n_removed"),
+      cnt(both && anyChanged).as("n_changed"),
+      cnt(both && !anyChanged).as("n_unchanged")) ++
+      compareCols.zip(colChanged).map { case (c, ch) =>
+        cnt(both && ch).as(s"changed_$c")
+      }
+    joined.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Full table diff: schema diffs + per-column stat deltas. */

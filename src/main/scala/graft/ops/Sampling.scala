@@ -83,6 +83,35 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** EPOCH MIXTURE — the UPSAMPLING counterpart of [[mixture]]: each
+    * stratum is repeated `epochs_s` times per training pass (the Llama-
+    * style data recipe: wikipedia 3×, books 1×, web 0.5×). Integer part =
+    * whole copies of every row; fractional part = one extra copy for the
+    * deterministic md5-fraction share of rows — so expected volume is
+    * exactly epochs_s · n_s and the SAME rows replicate on any engine or
+    * cluster. Each output row carries its `copy` index (distinct rows for
+    * downstream shuffling/sharding).
+    *
+    * Scale: a pure projection + explode — NO shuffle, no aggregation; the
+    * fan-out is bounded by max(epochs). Strata without a declared weight
+    * drop (epochs 0), matching [[mixture]]'s contract. */
+  def epochMixture(df: DataFrame, strataCol: String,
+                   epochs: Map[String, Double],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(epochs.values.forall(_ >= 0), "epoch counts must be >= 0")
+    val e = epochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__e", e)
+      .withColumn("__copies",
+        (floor(col("__e")) +
+          when(hashFrac(col(idCol)) < col("__e") - floor(col("__e")), 1)
+            .otherwise(0)).cast("int"))
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__e", "__copies")
+  }
+
   /** TEMPERATURE-SCALED MIXTURE (the XLM-R/mBERT exponential-smoothing
     * recipe): target weights derived from the corpus itself,
     * w_s ∝ (n_s/N)^alpha — alpha < 1 up-weights rare strata (languages,

@@ -820,6 +820,28 @@ object DataOpsQueries {
          |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)
   }
 
+  /** Epoch mixture ([[graft.ops.Sampling.epochMixture]]): upsampling by
+    * per-language epoch counts — en repeats 2.5× (every row twice, half
+    * the rows a third time), de 1×, fr 0.25×, everything else drops. The
+    * oracle regenerates the copies with range()/unnest and must produce
+    * the identical (doc, copy) multiset. */
+  val sampleEpochs: OQ = OQ.df("sample_mixture_epochs",
+    (s, _) => graft.ops.Sampling.epochMixture(s.table("documents")
+      .select("doc_id", "lang"), "lang",
+      Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25))
+      .select("doc_id", "lang", "copy"),
+    """WITH r AS (SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+      |      WHEN 'fr' THEN 0.25 ELSE 0.0 END AS e,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 1000000 AS DOUBLE) / 1000000 AS u
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang,
+      |    CAST(floor(e) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS INT) AS n
+      |  FROM r WHERE e > 0)
+      |SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS copy
+      |FROM c WHERE n > 0""".stripMargin)
+
   /** Temperature-scaled mixture at alpha=0.3: rare languages up-weighted
     * relative to natural frequency, weights derived in-query. */
   val sampleTemperature: OQ = OQ.df("sample_temperature_mixture",
@@ -1792,7 +1814,7 @@ object DataOpsQueries {
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
-    sampleMixture, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
+    sampleMixture, sampleEpochs, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
     quantizeInt8, embNormalize, matryoshkaQ, centroidQ, cosineExpr,

@@ -222,6 +222,79 @@ object EngineQueries {
       |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
       |FROM j""".stripMargin)
 
+  /** Vocabulary drift — the categorical PSI monitor over the word stream
+    * of the even/odd corpus halves (per-word shares + contributions over
+    * the union vocabulary). */
+  val diffVocab: OQ = OQ.df("diff_vocab_psi",
+    (s, _) => {
+      val docs = s.table("documents")
+      DataDiff.vocabularyDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    },
+    """WITH norm AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM documents),
+      |wa AS (SELECT unnest(string_split(nt, ' ')) AS value FROM norm WHERE doc_id % 2 = 0),
+      |wb AS (SELECT unnest(string_split(nt, ' ')) AS value FROM norm WHERE doc_id % 2 = 1),
+      |a AS (SELECT value, count(*) AS ca FROM wa WHERE value <> '' GROUP BY 1),
+      |b AS (SELECT value, count(*) AS cb FROM wb WHERE value <> '' GROUP BY 1),
+      |u AS (SELECT coalesce(a.value, b.value) AS value, ca, cb
+      |  FROM a FULL OUTER JOIN b ON a.value = b.value),
+      |t AS (SELECT CAST(sum(coalesce(ca, 0)) AS BIGINT) AS na,
+      |    CAST(sum(coalesce(cb, 0)) AS BIGINT) AS nb,
+      |    count(*) AS card FROM u),
+      |j AS (SELECT value,
+      |    (coalesce(ca, 0) + 1) / CAST(t.na + t.card AS DOUBLE) AS pa,
+      |    (coalesce(cb, 0) + 1) / CAST(t.nb + t.card AS DOUBLE) AS pb
+      |  FROM u, t)
+      |SELECT value, round(pa, 6) AS share_a, round(pb, 6) AS share_b,
+      |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+      |FROM j""".stripMargin)
+
+  /** Keyed row diff — added/removed/changed/unchanged counts plus
+    * per-column changed counts between two deterministic mutations of
+    * orders (one full-outer join + one aggregation pass). */
+  val diffKeyed: OQ = OQ.df("diff_keyed_rows",
+    (s, _) => {
+      val o = s.table("orders")
+      val a = o.where(col("o_orderkey") % 19 =!= 0)
+      val b = o.where(col("o_orderkey") % 23 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 3, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 5, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      DataDiff.keyedDiff(a, b, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    },
+    """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 19 <> 0),
+      |b AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1.0
+      |      ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 13 = 5 THEN 'X'
+      |      ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 23 <> 0),
+      |j AS (SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+      |    a.o_totalprice AS ap, b.o_totalprice AS bp,
+      |    a.o_orderstatus AS ast, b.o_orderstatus AS bst
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT
+      |  CAST(sum(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |    AND (ap IS DISTINCT FROM bp OR ast IS DISTINCT FROM bst)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |    AND ap IS NOT DISTINCT FROM bp AND ast IS NOT DISTINCT FROM bst
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |    AND ap IS DISTINCT FROM bp THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_totalprice,
+      |  CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |    AND ast IS DISTINCT FROM bst THEN 1 ELSE 0 END) AS BIGINT) AS changed_o_orderstatus
+      |FROM j""".stripMargin)
+
   // ---- seeds ---------------------------------------------------------------
 
   private val seedCsvPath = "/tmp/graft_seed_demo.csv"
@@ -692,7 +765,8 @@ object EngineQueries {
     cdcOracleSql)
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
-    lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat, seedCsv, pipelineE2e, streamWindow,
+    lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
+    diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)

@@ -1166,14 +1166,25 @@ object Streams {
             .map { case (s, id) => TopHit(win, id, s) }
         } else {
           // buffer sorted worst-first; inserts beyond k evict the head —
-          // at most k entries per (window, shard) at any moment
+          // at most k entries per (window, shard) at any moment. Binary
+          // insertion: O(log k) comparisons + one patch per event instead
+          // of a full O(k log k) re-sort per insert.
+          def insertSorted(v: Vector[(Double, String)],
+                           e: (Double, String)): Vector[(Double, String)] = {
+            import scala.collection.Searching.{Found, InsertionPoint}
+            val idx = v.search(e)(worstFirst) match {
+              case Found(i) => i
+              case InsertionPoint(i) => i
+            }
+            v.patch(idx, Seq(e), 0)
+          }
           var buf = state.getOption.getOrElse(Vector.empty[(Double, String)])
           rows.foreach { case (id, score, _) =>
             if (id != null && score.isDefined) {
               val e = (score.get, id)
-              if (buf.length < k) buf = (buf :+ e).sorted(worstFirst)
+              if (buf.length < k) buf = insertSorted(buf, e)
               else if (worstFirst.gt(e, buf.head))
-                buf = (buf.tail :+ e).sorted(worstFirst)
+                buf = insertSorted(buf.tail, e)
             }
           }
           state.update(buf)

@@ -1696,6 +1696,76 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("epoch mixture replicates the exact multiset the md5 fraction dictates") {
+    import spark.implicits._
+    def md5Frac(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
+    }
+    val epochs = Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.25)
+    for (seed <- Seq(9, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val strata = Array("a", "b", "c", "d") // d is undeclared: must drop
+      val rows = (0 until 2000).map(i => (i.toLong, strata(rnd.nextInt(4))))
+      val got = graft.ops.Sampling.epochMixture(
+        rows.toDF("doc_id", "s").repartition(7), "s", epochs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSeq.sorted
+      val expect = rows.flatMap { case (id, s) =>
+        val e = epochs.getOrElse(s, 0.0)
+        val n = math.floor(e).toInt + (if (md5Frac(id) < e - math.floor(e)) 1 else 0)
+        (0 until n).map(c => (id, s, c))
+      }.sorted
+      assert(got == expect, s"seed $seed: sizes ${got.size}/${expect.size}")
+      // whole-epoch floor: every declared-stratum row appears >= floor(e) times
+      val byId = got.groupBy(_._1).view.mapValues(_.size).toMap
+      rows.filter(r => epochs.getOrElse(r._2, 0.0) >= 1.0).foreach { case (id, s) =>
+        assert(byId.getOrElse(id, 0) >= math.floor(epochs(s)).toInt)
+      }
+    }
+  }
+
+  test("keyed row diff counts added/removed/changed exactly, nulls included") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", StringType),
+      StructField("v1", DoubleType), StructField("v2", StringType)))
+    for (seed <- Seq(13, 47)) {
+      val rnd = new scala.util.Random(seed)
+      def mkRow(i: Long): Row = Row(
+        i,
+        if (i % 17 == 0) null else s"g${i % 5}", // NULL key component
+        if (rnd.nextInt(20) == 0) null else rnd.nextInt(100).toDouble,
+        if (rnd.nextInt(20) == 0) null else s"s${rnd.nextInt(6)}")
+      val aRows = (0L until 800L).filter(_ % 19 != 0).map(mkRow)
+      val bRows = (0L until 900L).filter(_ % 23 != 0).map { i =>
+        val r = mkRow(i) // independent rnd draws: values differ freely
+        Row(r.get(0), r.get(1), r.get(2), r.get(3))
+      }
+      val a = spark.createDataFrame(
+        spark.sparkContext.parallelize(aRows, 5), schema)
+      val b = spark.createDataFrame(
+        spark.sparkContext.parallelize(bRows, 5), schema)
+      val got = graft.diff.DataDiff.keyedDiff(a, b, Seq("k1", "k2"),
+        Seq("v1", "v2")).head()
+      val am = aRows.map(r => (r.get(0), r.get(1)) -> (r.get(2), r.get(3))).toMap
+      val bm = bRows.map(r => (r.get(0), r.get(1)) -> (r.get(2), r.get(3))).toMap
+      val added = bm.keySet -- am.keySet
+      val removed = am.keySet -- bm.keySet
+      val matched = am.keySet & bm.keySet
+      val changed = matched.filter(k => am(k) != bm(k))
+      assert(got.getLong(0) == added.size, "n_added")
+      assert(got.getLong(1) == removed.size, "n_removed")
+      assert(got.getLong(2) == changed.size, "n_changed")
+      assert(got.getLong(3) == (matched.size - changed.size), "n_unchanged")
+      assert(got.getLong(4) == matched.count(k => am(k)._1 != bm(k)._1), "changed_v1")
+      assert(got.getLong(5) == matched.count(k => am(k)._2 != bm(k)._2), "changed_v2")
+    }
+  }
+
   test("exact heavy hitters match naive counting on random zipf-ish streams") {
     import spark.implicits._
     for (seed <- Seq(5, 23)) {
