@@ -1809,7 +1809,9 @@ object DataOpsQueries {
       |  CAST(frame_no * 64 AS BIGINT) AS byte_offset
       |FROM (SELECT media_id, unnest(generate_series(0, n_chunks - 1, 2)) AS frame_no FROM m) t""".stripMargin)
 
-  val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
+  // lazy: zorderBench (promoted into the oracle registry) is declared after
+  // this list in source order — a strict val would capture it as null
+  lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
@@ -1830,16 +1832,22 @@ object DataOpsQueries {
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     minhashCappedLossless, semanticExact, pqExact, ivfPqExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
-    mmFeatures, mmFrames, mmResize, heavyHittersQ)
+    mmFeatures, mmFrames, mmResize, heavyHittersQ, zorderBench)
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +
     * Morton interleave + one range shuffle): layout/pruning effects are
-    * witness-tested in DataOpsSpec and MaterializerSpec (no SQL form for a
-    * row layout) — the bench key tracks the shuffle+sort cost. */
-  val zorderBench: OQ = OQ.rowsOnly("mat_zorder_cluster",
+    * witness-tested in DataOpsSpec and MaterializerSpec. The layout itself
+    * has no SQL form, but its LOSSLESSNESS does: the driver compare sorts
+    * rows before hashing, so pinning the clustered output against a plain
+    * projection proves the quantile-rank + Morton + range-shuffle pass
+    * never drops, duplicates, or mutates a row — the property a relayout
+    * pass must keep at any scale. Pruning effects stay witness-tested; the
+    * bench key keeps tracking the shuffle+sort cost under the same name. */
+  val zorderBench: OQ = OQ.df("mat_zorder_cluster",
     (s, _) => graft.ops.ZOrder.cluster(
       s.table("lineitem").select("l_orderkey", "l_partkey", "l_extendedprice"),
-      Seq("l_orderkey", "l_partkey"), numFiles = 32))
+      Seq("l_orderkey", "l_partkey"), numFiles = 32),
+    "SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem")
 
   /** Perceptual-hash near-dup over media payloads (binary column → 8×8-DCT
     * pHash over the injectable codec's luma grid → banded hamming join) —
@@ -1865,5 +1873,5 @@ object DataOpsQueries {
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     minhashOphBench, semanticBench, bpeBench, pqBench, qualityClf, clusterSample,
-    sketchDistinct, zorderBench, phashBench, ivfPqBench)
+    sketchDistinct, phashBench, ivfPqBench)
 }

@@ -255,6 +255,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch mixture is a pure projection + explode — no shuffle") {
+    val p = planOf("sample_mixture_epochs")
+    assert(!p.contains("Exchange"), s"epoch mixture must not shuffle:\n$p")
+    assert(p.contains("Generate"), "expected the explode's Generate node")
+  }
+
+  test("embedding decontamination streams the corpus — no join, no exchange") {
+    val p = planOf("dedup_contamination_embedding")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the broadcast-probe corpus scan must stay a map:\n$p")
+  }
+
+  test("weighted sampling plans a distributed TakeOrdered, never a global sort") {
+    val p = planOf("sample_weighted_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES selection must not single-partition the corpus:\n$p")
+  }
+
+  test("keyed row diff aggregates map-side over the single key join — no window") {
+    val p = planOf("diff_keyed_rows")
+    assert(!p.contains("Window"), s"keyed diff must not plan a window:\n$p")
+    assert(p.contains("partial"), s"aggregate must map-side combine:\n$p")
+  }
+
+  test("winsorize broadcasts the group-bounds frame back onto the rows") {
+    val p = planOf("rel_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds join must broadcast, never shuffle the data side:\n$p")
+    assert(!p.contains("Window"), "winsorize must not plan a window")
+  }
+
   test("overlay CDC state reads prune base partitions through the composed view") {
     // the localized-fold cost claim rests on a bucket filter over the
     // composed (union + NOT IN exclusions) view reaching the base scan as a
