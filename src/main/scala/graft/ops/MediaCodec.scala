@@ -142,8 +142,28 @@ object ImageIOCodec extends MediaCodec {
       out
     }
 
+  // in-memory sources only — the default disk-backed stream cache writes a
+  // temp FILE per read, a per-row cost that dwarfs the decode on small blobs
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic-number gate for the formats the JDK can actually decode
+    * (JPEG/PNG/GIF/BMP/TIFF/WBMP). Anything else returns None WITHOUT
+    * touching ImageIO: reader scanning + stream setup per row is the
+    * dominant cost on a mixed or non-image corpus, and a blob that fails
+    * the sniff could never decode anyway. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && {
+      val (a0, a1, a2, a3) = (b(0) & 0xff, b(1) & 0xff, b(2) & 0xff, b(3) & 0xff)
+      (a0 == 0xff && a1 == 0xd8 && a2 == 0xff) || // JPEG
+        (a0 == 0x89 && a1 == 0x50 && a2 == 0x4e && a3 == 0x47) || // PNG
+        (a0 == 0x47 && a1 == 0x49 && a2 == 0x46 && a3 == 0x38) || // GIF
+        (a0 == 0x42 && a1 == 0x4d) || // BMP
+        (a0 == 0x49 && a1 == 0x49 && a2 == 0x2a && a3 == 0x00) || // TIFF LE
+        (a0 == 0x4d && a1 == 0x4d && a2 == 0x00 && a3 == 0x2a) // TIFF BE
+    }
+
   private def read(bytes: Array[Byte]): Option[BufferedImage] =
-    if (bytes == null || bytes.isEmpty) scala.None
+    if (bytes == null || bytes.isEmpty || !looksLikeImage(bytes)) scala.None
     else
       try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => scala.None }

@@ -390,6 +390,41 @@ object EngineQueries {
       |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Streaming drift monitor: per-window event-type composition vs a
+    * DECLARED reference mix, finished as PSI contributions over the
+    * finalized window sink. Undeclared values hit the epsilon floor and
+    * register strongly. Same append-mode watermark cutoff as
+    * stream_window_counts; the oracle replays the windows in SQL. */
+  val streamDrift: OQ = OQ.df("stream_drift_psi",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_drift_sink")
+      val comp = Streams.windowedComposition(
+        Streams.eventStream(s, s"$dir/events.parquet"))
+      val sink = Streams.runAppendToTable(s, comp, "g_stream_drift_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-drift-cp").toString))
+      Streams.driftPsiFinish(sink,
+        Map("view" -> 0.6, "click" -> 0.25, "purchase" -> 0.1))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("value"), col("n"), col("share"), col("psi_contrib"))
+    },
+    """WITH w AS (
+      |  SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS wstart,
+      |    event_type, CAST(ts AS TIMESTAMP) AS tss
+      |  FROM events),
+      |f AS (SELECT wstart, event_type AS value, count(*) AS n FROM w
+      |  WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
+      |  GROUP BY 1, 2),
+      |t AS (SELECT wstart, CAST(sum(n) AS BIGINT) AS nn, count(*) AS card
+      |  FROM f GROUP BY 1),
+      |j AS (SELECT f.wstart, value, CAST(n AS BIGINT) AS n,
+      |    (n + 1) / CAST(nn + card AS DOUBLE) AS p,
+      |    CASE value WHEN 'view' THEN 0.6 WHEN 'click' THEN 0.25
+      |      WHEN 'purchase' THEN 0.1 ELSE 0.000001 END AS r
+      |  FROM f JOIN t ON f.wstart = t.wstart)
+      |SELECT CAST(wstart AS STRING) AS window_start, value, n,
+      |  round(p, 6) AS share, round((p - r) * ln(p / r), 6) AS psi_contrib
+      |FROM j""".stripMargin)
+
   /** Stream–static enrichment: the event stream broadcast-joined to the
     * customer dimension per micro-batch, windowed revenue per market
     * segment; events without a dimension row keep a NULL segment (left
@@ -766,7 +801,7 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
-    diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow,
+    diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)

@@ -292,6 +292,46 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-window categorical composition of a stream — the state side of the
+    * STREAMING DRIFT MONITOR ([[driftPsiFinish]]): one watermarked tumbling-
+    * window count per (window, value). State is bounded by windows-in-flight
+    * × category cardinality (monitor columns, not free text — the same
+    * contract as [[graft.diff.DataDiff.categoricalDrift]]); append mode
+    * emits each (window, value) row exactly once, when final. */
+  def windowedComposition(events: DataFrame, catCol: String = "event_type",
+                          window: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(catCol))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("window_start"),
+        col(catCol).as("value"), col("n"))
+
+  /** Batch finisher of the streaming drift monitor: per-window Laplace-
+    * smoothed observed shares vs a DECLARED reference mix, emitted as
+    * per-(window, value) PSI contributions (the [[graft.diff.DataDiff]]
+    * convention — per-row contributions, never a pre-summed scalar, so no
+    * float-order dependence). Values outside the declared mix meet the
+    * `epsilon` floor and register strongly — the "an undeclared category
+    * appeared in production" alarm. One aggregation over the finalized
+    * window sink + one broadcast join of the window-cardinality totals. */
+  def driftPsiFinish(composition: DataFrame, refShares: Map[String, Double],
+                     epsilon: Double = 1e-6): DataFrame = {
+    require(refShares.nonEmpty && refShares.values.forall(_ > 0),
+      "reference shares must be non-empty and positive")
+    val ref = refShares.foldLeft(lit(epsilon)) { case (acc, (k, v)) =>
+      when(col("value") === k, lit(v)).otherwise(acc)
+    }
+    val totals = composition.groupBy("window_start")
+      .agg(sum("n").as("__N"), count(lit(1)).as("__card"))
+    val p = (col("n") + 1).cast("double") / (col("__N") + col("__card"))
+    composition.join(broadcast(totals), Seq("window_start"))
+      .select(col("window_start"), col("value"), col("n"),
+        round(p, 6).as("share"),
+        round((p - ref) * log(p / ref), 6).as("psi_contrib"))
+  }
+
   /** STREAM–STATIC ENRICHMENT + windowed rollup: join the event stream to a
     * batch dimension (the lookup-table shape every streaming pipeline has),
     * then the same watermark + tumbling-window aggregation as

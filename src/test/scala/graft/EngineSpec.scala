@@ -1276,4 +1276,26 @@ class EngineSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(spark.table("t_stream_merge").count() > 0)
   }
+
+  test("drift PSI finisher: undeclared categories alarm above declared drift") {
+    import spark.implicits._
+    // window 1 matches the declared mix; window 2 is mostly an UNDECLARED
+    // value — its epsilon-floored contribution must dominate everything
+    val comp = Seq(
+      ("w1", "view", 60L), ("w1", "click", 25L), ("w1", "purchase", 15L),
+      ("w2", "view", 20L), ("w2", "bot_spam", 75L), ("w2", "click", 5L)
+    ).toDF("window_start", "value", "n")
+    val out = Streams.driftPsiFinish(comp,
+      Map("view" -> 0.6, "click" -> 0.25, "purchase" -> 0.1))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(4))).toSeq
+    val byKey = out.map(r => (r._1, r._2) -> r._3).toMap
+    val spam = byKey(("w2", "bot_spam"))
+    assert(out.forall { case (w, v, psi) => (w, v) == ("w2", "bot_spam") || psi < spam },
+      s"undeclared category must carry the largest contribution: $out")
+    // a window matching its declared mix stays near zero
+    assert(out.filter(_._1 == "w1").map(_._3).forall(math.abs(_) < 0.05),
+      s"in-mix window must be quiet: ${out.filter(_._1 == "w1")}")
+    // (p - r) and ln(p / r) always share a sign, so every term is >= 0
+    assert(out.forall(_._3 >= 0.0), "PSI terms are non-negative by construction")
+  }
 }
