@@ -172,6 +172,42 @@ object DataDiff {
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
   }
 
+  /** JENSEN–SHANNON drift between two snapshots of a categorical column —
+    * the bounded companion to [[categoricalDrift]]'s PSI: per-value shares
+    * plus the value's JSD contribution
+    * `½·p·ln(p/m) + ½·q·ln(q/m)` with `m = (p+q)/2`. Total JSD lives in
+    * `[0, ln 2]`, so one alert threshold works for every column regardless
+    * of cardinality — where PSI is unbounded and its smoothing constant
+    * leaks into the score. Raw (unsmoothed) shares: a zero share is exact —
+    * `0·ln(0/m) = 0` on the vanished side while the surviving side still
+    * contributes `½·p·ln 2` — so no smoothing denominator is needed and
+    * one-sided values register with the maximal per-value signal.
+    *
+    * Same cost shape as the PSI monitors: one count aggregate per snapshot,
+    * a values-sized full-outer join, totals broadcast back in — fully lazy,
+    * each snapshot pays exactly one aggregation scan, the emitted frame is
+    * per-value rows (never a pre-summed scalar, so the compare is free of
+    * float summation order). */
+  def jsDivergence(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.where(col(catCol).isNotNull).groupBy(col(catCol).as("value"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.where(col(catCol).isNotNull).groupBy(col(catCol).as("value"))
+      .agg(count(lit(1)).as("__cb"))
+    val joined = ca.join(cb, Seq("value"), "full_outer")
+    val totals = joined.agg(
+      sum(coalesce(col("__ca"), lit(0L))).cast("double").as("__na"),
+      sum(coalesce(col("__cb"), lit(0L))).cast("double").as("__nb"))
+    val pa = coalesce(col("__ca"), lit(0L)).cast("double") / col("__na")
+    val pb = coalesce(col("__cb"), lit(0L)).cast("double") / col("__nb")
+    val m = (pa + pb) / 2
+    // x·ln(x/m) with the x=0 limit made explicit (ln would yield -Inf·0=NaN)
+    def kl(x: Column) = when(x > 0, x * log(x / m)).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .select(col("value"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round((kl(pa) + kl(pb)) / 2, 6).as("jsd_contrib"))
+  }
+
   /** Vocabulary drift: [[categoricalDrift]] over the word stream of two
     * corpus snapshots — per-word shares and PSI contributions over the
     * union vocabulary. The "did the token distribution move" monitor for

@@ -162,6 +162,85 @@ object Similarity {
     }
   }
 
+  /** [[blocked]] with a Long payload carried per vector (a class label,
+    * a source id) — same one-pass replication, same tag-sorted cogroup,
+    * same bounded per-task memory; the payload rides the wire so the score
+    * callback can filter or annotate without a post-hoc join. */
+  private def blockedLabeled[T: org.apache.spark.sql.Encoder](
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      shardBytes: Long)(
+      score: (Iterator[(Long, Array[Float], Double, Long)],
+              Array[(Long, Array[Float], Double, Long)]) => Iterator[T])
+    : Dataset[T] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (qGroups, sShards) = grid(emb, vecCol, shardBytes)
+    val base = emb.where(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .map { case (id, v, l) => (id, v, normP(v), l) }
+    val tagged = base.flatMap { case (id, v, n, l) =>
+      val s = (math.floorMod(id, sShards.toLong)).toInt
+      val q = (math.floorMod(id, qGroups.toLong)).toInt
+      Iterator.range(0, qGroups).map(g => (g * sShards + s, 0, id, v, n, l)) ++
+        Iterator.range(0, sShards).map(sh => (q * sShards + sh, 1, id, v, n, l))
+    }
+    tagged.groupByKey(_._1).flatMapSortedGroups(col("_2")) { (_, it) =>
+      val buf = it.buffered
+      val shard = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double, Long)]
+      while (buf.hasNext && buf.head._2 == 0) {
+        val r = buf.next()
+        shard += ((r._3, r._4, r._5, r._6))
+      }
+      score(buf.map(r => (r._3, r._4, r._5, r._6)), shard.toArray)
+    }
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training: for every anchor
+    * vector, the k most-similar vectors carrying a DIFFERENT label — the
+    * near-misses that make the best negatives (Xiong et al. 2021 ANCE-style
+    * selection, here the exact form). Same blocked grid as [[cosineTopK]]
+    * (bounded per-task memory, no driver index) with the label filter
+    * applied INSIDE the per-shard scoring loop — before any top-k
+    * selection, so a shard full of same-label neighbors can't crowd out
+    * true negatives. Deterministic rank: (rounded cos desc, id asc);
+    * per-shard k-heaps merge to the global exact top-k through one bounded
+    * (≤ k·S rows per anchor) window. NULL labels are excluded on both
+    * sides (no label — neither anchor nor negative). */
+  def hardNegatives(emb: DataFrame, k: Int = 5, labelCol: String = "label",
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    shardBytes: Long = DefaultShardBytes): DataFrame = {
+    import emb.sparkSession.implicits._
+    val perShard = blockedLabeled[(Long, Long, Long, Long, Double)](
+      emb, idCol, vecCol, labelCol, shardBytes) { (queries, shard) =>
+      queries.flatMap { case (a, va, na, la) =>
+        val top = new TopK(k)
+        var i = 0
+        while (i < shard.length) {
+          val (b, vb, nb, lb) = shard(i)
+          if (b != a && lb != la) top.offer(b, cosineOf(va, vb, na, nb))
+          i += 1
+        }
+        // shard-local id → label probe for the ≤ k survivors (k ≪ the
+        // d-length dot products already paid; a per-cell hash map would
+        // cost more than it saves at realistic k)
+        top.iterator.map { case (b, c) =>
+          var j = 0; var lb = 0L
+          while (j < shard.length) {
+            if (shard(j)._1 == b) { lb = shard(j)._4; j = shard.length } else j += 1
+          }
+          (a, la, b, lb, c)
+        }
+      }
+    }.toDF("a", "a_label", "b", "b_label", "cos")
+    perShard
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= k)
+      .select(col("a"), col("a_label"), col("b"), col("b_label"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** All-pairs cosine similarity (a < b), rounded for cross-engine stability. */
   def cosinePairs(emb: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "embedding",

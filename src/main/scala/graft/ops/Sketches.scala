@@ -30,6 +30,56 @@ object Sketches {
     groups.unionByName(total)
   }
 
+  /** KMV (k-minimum-values) DISTINCT SKETCH — the mergeable distinct
+    * counter whose output is ENGINE-PORTABLE, unlike HLL: the sketch is
+    * just the k smallest 60-bit md5 fingerprints of the value set, so any
+    * engine that can compute md5 reproduces the exact same retained set and
+    * the exact same estimate. That turns the usual "sketch estimates can't
+    * be oracle-checked" into a full cross-engine correctness pin — the
+    * DuckDB oracle replays the estimator itself (Bar-Yossef et al. 2002:
+    * `DV ≈ (k−1)/θ` with `θ = h_(k)/2^60`), not a degenerate config.
+    *
+    * Per group: distinct (group, fingerprint) — one map-side-combinable
+    * shuffle whose volume is the distinct set, then the k smallest survive
+    * via the bounded-heap aggregate ([[graft.functions.BoundedTopK]]:
+    * ≤ k values per group per map task, never a per-group sort). Groups
+    * with fewer than k distinct values keep their whole fingerprint set —
+    * the estimate is EXACT and flagged so. The rollup row (group NULL)
+    * demonstrates mergeability: the union of per-group retained sets
+    * provably contains the k global minima (each global minimum is some
+    * group's local minimum), so the rollup re-selects k smallest from the
+    * ≤ k·G retained fingerprints — never re-reading the data. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
+    // 60-bit md5 prefix — the portable fingerprint family (same form as
+    // text_fingerprint's fp60); uniform enough for the KMV estimator and
+    // replayable in any engine with md5 + hex casts
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), h.as("__h")).distinct()
+    val kept = graft.ops.Sampling.groupTopK(hashes, Seq("grp"),
+      Seq(col("__h")), k)
+    def finish(retained: DataFrame, rollup: Boolean) = {
+      val est = lit((k - 1).toDouble) / (col("__hk").cast("double") / lit(twoPow60))
+      retained.groupBy("grp")
+        .agg(count(lit(1)).as("__c"), max(col("__h")).as("__hk"))
+        .select(col("grp"),
+          when(col("__c") < k, col("__c"))
+            .otherwise(round(est).cast("long")).as("n_distinct_est"),
+          (col("__c") < k).as("is_exact"), lit(rollup).as("is_rollup"))
+    }
+    // rollup: dedupe the retained fingerprints ACROSS groups (the same
+    // value in two groups carries the same fingerprint), k smallest again
+    val merged = graft.ops.Sampling.groupTopK(
+      kept.select(lit(null).cast(df.schema(groupCol).dataType).as("grp"), col("__h"))
+        .distinct(),
+      Seq("grp"), Seq(col("__h")), k)
+    finish(kept, rollup = false).unionByName(finish(merged, rollup = true))
+  }
+
   /** EXACT heavy hitters over a high-cardinality item stream: every item
     * whose frequency is ≥ `phi` of the non-null stream, with its exact
     * count — without ever shuffling the full distinct-item set.

@@ -183,6 +183,40 @@ object TextAnalysis {
           .as("quality_z"))
   }
 
+  /** Per-language empirical CDF of the composite quality score —
+    * `cume_dist()` semantics (share of the language's docs with score ≤
+    * this doc's score), the rank-normalization that turns "keep the best
+    * 30% of each language" into one portable threshold where the z-score
+    * assumes a shape and percentile estimation is engine-dependent.
+    *
+    * NEVER a window over document rows: scores are rounded to 6 decimals,
+    * so the distinct (lang, score) frame is STRUCTURALLY bounded at 10^6+1
+    * rows per language no matter the corpus size. The plan aggregates doc
+    * rows down to that frame (map-side combinable), runs the cumulative
+    * window over the bounded frame only, and joins the per-(lang, score)
+    * cdf back onto the single document scan — at 100 TB the window input
+    * is still ≤ a-million-row frames, and the docs join on (lang, score)
+    * broadcasts. */
+  def qualityCdf(df: DataFrame, langCol: String = "lang",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NULL scores (empty/NULL text) have no rank — excluded, not sorted-first
+    val q = qualityScore(df, textCol)
+      .select(col(idCol), col(langCol), col("quality_score"))
+      .where(col("quality_score").isNotNull)
+    val counts = q.groupBy(col(langCol), col("quality_score"))
+      .agg(count(lit(1)).as("__c"))
+    val cume = counts.withColumn("__cum",
+      sum("__c").over(Window.partitionBy(langCol).orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = counts.groupBy(langCol).agg(sum("__c").as("__n"))
+    val cdf = cume.join(broadcast(totals), Seq(langCol))
+      .select(col(langCol), col("quality_score"),
+        round(col("__cum").cast("double") / col("__n"), 6).as("quality_cdf"))
+    q.join(broadcast(cdf), Seq(langCol, "quality_score"))
+      .select(col(idCol), col(langCol), col("quality_score"), col("quality_cdf"))
+  }
+
   /** Top-k TF-IDF terms per document: tf = term count in doc, idf =
     * ln((N+1)/(df+1)) with df = docs containing the term. Two hash
     * aggregations on compact (id, word) keys plus one broadcast of the

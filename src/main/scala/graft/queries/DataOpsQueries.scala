@@ -87,6 +87,18 @@ object DataOpsQueries {
        |  $DUCK_QUALITY AS quality_score
        |FROM base""".stripMargin)
 
+  /** Per-language empirical CDF of the quality score (cume_dist
+    * semantics) — computed over the bounded distinct-(lang, score) frame,
+    * never a window over document rows; the oracle IS the document-row
+    * window, so equality proves the aggregated form exact. */
+  val qualityCdfQ: OQ = OQ.df("text_quality_cdf",
+    (s, _) => TextAnalysis.qualityCdf(s.table("documents")),
+    s"""WITH base AS (SELECT doc_id, lang, $DUCK_QUALITY AS quality_score
+       |  FROM documents)
+       |SELECT doc_id, lang, quality_score,
+       |  round(cume_dist() OVER (PARTITION BY lang ORDER BY quality_score), 6) AS quality_cdf
+       |FROM base WHERE quality_score IS NOT NULL""".stripMargin)
+
   /** Native codegen rolling-hash Expression ([[graft.functions.RollingHash]])
     * against its DuckDB list_reduce twin. */
   val rollingHash: OQ = OQ.df("text_rolling_hash",
@@ -1574,6 +1586,34 @@ object DataOpsQueries {
        |  FROM sims WHERE a <> b) r
        |WHERE rank <= 10""".stripMargin)
 
+  /** Hard-negative mining — per anchor, the 5 most-similar vectors with a
+    * DIFFERENT label (the contrastive-training negative selection). The
+    * label filter runs inside the per-shard scoring loop, before any top-k;
+    * the oracle replays the full labeled bipartite rank. */
+  val hardNegativesQ: OQ = OQ.df("emb_hard_negatives",
+    (s, _) => Similarity.hardNegatives(s.table("embeddings"), k = 5),
+    s"""$duckSims,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |  WHERE label IS NOT NULL),
+       |r AS (SELECT s.a, la.label AS a_label, s.b, lb.label AS b_label, s.cos,
+       |    row_number() OVER (PARTITION BY s.a ORDER BY s.cos DESC, s.b) AS rank
+       |  FROM sims s JOIN lab la ON s.a = la.vec_id JOIN lab lb ON s.b = lb.vec_id
+       |  WHERE s.a <> s.b AND la.label <> lb.label)
+       |SELECT a, a_label, b, b_label, cos, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin)
+
+  /** Cluster-balanced-sample LOSSLESSNESS pin: a per-cluster quota above
+    * any cluster's size keeps every vector, so the full train → assign →
+    * rank → filter pipeline must emit each id exactly once — the learned
+    * clusters have no SQL form, but the pipeline's no-drop/no-dup property
+    * does. The production quota stays witness-tested + benched
+    * (`emb_cluster_sample`). */
+  val clusterSampleFull: OQ = OQ.df("emb_cluster_sample_full",
+    (s, _) => graft.ops.Similarity.clusterBalancedSample(
+      s.table("embeddings"), nlist = 16, perCluster = 1 << 20)
+      .select(col("vec_id")),
+    "SELECT vec_id FROM embeddings")
+
   private def duckTopK(k: Int) =
     s"""$duckSims
        |SELECT a, b, cos, CAST(rank AS INT) AS rank FROM (
@@ -1740,6 +1780,38 @@ object DataOpsQueries {
     (s, _) => graft.ops.Sketches.distinctRollup(s.table("events"),
       "event_type", "user_id"))
 
+  /** KMV distinct sketch — unlike HLL, the sketch (k smallest portable
+    * md5 fingerprints) and therefore the ESTIMATE are engine-reproducible,
+    * so the oracle replays the real approximate estimator in SQL: at
+    * sf0.01 every event_type holds ~150 distinct users > k=64, so the
+    * checked values ARE estimates, not an exact-degenerate pin. The rollup
+    * row re-selects k minima from the union of per-group sketches —
+    * mergeability checked cross-engine too. */
+  val sketchKmv: OQ = {
+    val k = 64
+    val p60 = "1152921504606846976.0" // 2^60
+    def est(c: String, hk: String) =
+      s"""CASE WHEN $c < $k THEN $c
+         |    ELSE CAST(round(${k - 1}.0 / (CAST($hk AS DOUBLE) / $p60)) AS BIGINT) END""".stripMargin
+    OQ.df("sketch_distinct_kmv",
+      (s, _) => graft.ops.Sketches.kmvDistinct(s.table("events"),
+        "event_type", "user_id", k = k)
+        .selectExpr("grp", "n_distinct_est", "is_exact", "is_rollup"),
+      s"""WITH h AS (SELECT DISTINCT event_type AS grp,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+         |kk AS (SELECT grp, count(*) AS c, max(h) AS hk FROM r WHERE rn <= $k GROUP BY 1),
+         |per AS (SELECT grp, ${est("c", "hk")} AS n_distinct_est,
+         |    c < $k AS is_exact, false AS is_rollup FROM kk),
+         |gh AS (SELECT DISTINCT h FROM r WHERE rn <= $k),
+         |gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+         |gk AS (SELECT count(*) AS c, max(h) AS hk FROM gr WHERE rn <= $k),
+         |roll AS (SELECT CAST(NULL AS VARCHAR) AS grp, ${est("c", "hk")} AS n_distinct_est,
+         |    c < $k AS is_exact, true AS is_rollup FROM gk)
+         |SELECT * FROM per UNION ALL SELECT * FROM roll""".stripMargin)
+  }
+
   /** Exact corpus heavy-hitter words at phi=0.002 via the two-phase
     * Misra–Gries candidates → broadcast exact-verify plan; the oracle is
     * the naive full GROUP BY + HAVING (identical output, very different
@@ -1812,7 +1884,8 @@ object DataOpsQueries {
   // lazy: zorderBench (promoted into the oracle registry) is declared after
   // this list in source order — a strict val would capture it as null
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    normalize, dedupKeepBest, noveltyQ, lexDiversityQ,
+    normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ,
+    sketchKmv, hardNegativesQ, clusterSampleFull,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,

@@ -222,6 +222,35 @@ object EngineQueries {
       |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
       |FROM j""".stripMargin)
 
+  /** Jensen–Shannon drift — the bounded companion to the PSI monitors
+    * (total ∈ [0, ln 2], no smoothing constant leaking into the score):
+    * lang composition between the even/odd halves, raw shares, the
+    * vanished-side term exactly zero. */
+  val diffJs: OQ = OQ.df("diff_js_divergence",
+    (s, _) => {
+      val docs = s.table("documents")
+      DataDiff.jsDivergence(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "lang")
+    },
+    """WITH a AS (SELECT lang AS value, count(*) AS ca FROM documents
+      |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+      |b AS (SELECT lang AS value, count(*) AS cb FROM documents
+      |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+      |na AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+      |u AS (SELECT coalesce(a.value, b.value) AS value, ca, cb
+      |  FROM a FULL OUTER JOIN b ON a.value = b.value),
+      |j AS (SELECT value,
+      |    coalesce(ca, 0) / CAST(na.n AS DOUBLE) AS pa,
+      |    coalesce(cb, 0) / CAST(nb.n AS DOUBLE) AS pb
+      |  FROM u, na, nb)
+      |SELECT value, round(pa, 6) AS share_a, round(pb, 6) AS share_b,
+      |  round((CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+      |       + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END) / 2,
+      |    6) AS jsd_contrib
+      |FROM j""".stripMargin)
+
   /** Vocabulary drift — the categorical PSI monitor over the word stream
     * of the even/odd corpus halves (per-word shares + contributions over
     * the union vocabulary). */
@@ -801,7 +830,7 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
-    diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow, streamDrift,
+    diffJs, diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)

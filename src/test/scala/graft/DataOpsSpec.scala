@@ -2155,4 +2155,86 @@ class DataOpsSpec extends AnyFunSuite {
     val sd = math.sqrt(en.map(x => (x - mu) * (x - mu)).sum / (en.size - 1))
     assert(math.abs(sd - 1.0) < 1e-4, s"en z stddev ~1: $sd")
   }
+
+  test("KMV sketch: exact below k, bounded error above, merge = direct union sketch") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => ("big", s"u$i")) ++
+      (1 to 7).map(i => ("small", s"v$i")) ++
+      (1 to 5).map(i => ("small", s"v$i")) // duplicates must not inflate
+    val df = rows.toDF("grp", "v")
+    val sk = graft.ops.Sketches.kmvDistinct(df, "grp", "v", k = 64).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("__total"), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3))).toList
+    val byGrp = sk.map(r => (r._1, r._4) -> r).toMap
+    // exact branch: 7 < k distinct values, flagged exact
+    assert(byGrp(("small", false)) == ("small", 7L, true, false))
+    // estimator branch: 2000 distinct, k=64 → estimate within 25% rel. error
+    val (_, est, exact, _) = byGrp(("big", false))
+    assert(!exact && math.abs(est - 2000.0) / 2000.0 < 0.25, s"KMV est: $est")
+    // merge: the rollup row equals sketching the ungrouped value set directly
+    val direct = graft.ops.Sketches.kmvDistinct(
+      df.withColumn("grp", lit("all")), "grp", "v", k = 64)
+      .where(!col("is_rollup")).collect().head.getLong(1)
+    assert(byGrp(("__total", true))._2 == direct,
+      s"rollup ${byGrp(("__total", true))._2} != direct sketch $direct")
+  }
+
+  test("JS divergence: zero on identical, ln 2 on disjoint, bounded, zero-safe") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("x", "x", "y").toDF("c")
+    val same = graft.diff.DataDiff.jsDivergence(a, b, "c")
+      .agg(sum("jsd_contrib")).head.getDouble(0)
+    assert(math.abs(same) < 1e-9, s"identical snapshots drift: $same")
+    val disj = graft.diff.DataDiff.jsDivergence(
+      Seq("p", "q").toDF("c"), Seq("r", "s").toDF("c"), "c")
+      .agg(sum("jsd_contrib")).head.getDouble(0)
+    assert(math.abs(disj - math.log(2)) < 1e-5, s"disjoint != ln 2: $disj")
+    // one-sided value: finite contribution, no NaN from 0·ln(0)
+    val one = graft.diff.DataDiff.jsDivergence(
+      Seq("x", "y").toDF("c"), Seq("x").toDF("c"), "c").collect()
+    assert(one.forall(r => !r.getDouble(3).isNaN))
+    val total = one.map(_.getDouble(3)).sum
+    assert(total > 0 && total <= math.log(2) + 1e-9, s"JSD out of range: $total")
+  }
+
+  test("quality CDF: aggregated form equals the per-row window; max 1 per language") {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = graft.ops.TextAnalysis.qualityCdf(docs)
+    // reference: cume_dist over raw doc rows (the form we refuse to run at
+    // scale) must agree exactly with the bounded-frame computation
+    val ref = graft.ops.TextAnalysis.qualityScore(docs)
+      .where(col("quality_score").isNotNull)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        round(cume_dist().over(
+          Window.partitionBy("lang").orderBy("quality_score")), 6)
+          .as("quality_cdf"))
+    assert(cdf.exceptAll(ref).isEmpty && ref.exceptAll(cdf).isEmpty,
+      "bounded-frame CDF != row-window cume_dist")
+    val maxes = cdf.groupBy("lang").agg(max("quality_cdf").as("m")).collect()
+    assert(maxes.nonEmpty && maxes.forall(_.getDouble(1) == 1.0))
+  }
+
+  test("hard negatives: never same-label, equals label-filtered brute force") {
+    val hn = Similarity.hardNegatives(emb, k = 3).collect()
+    assert(hn.nonEmpty && hn.forall(r => r.getLong(1) != r.getLong(3)),
+      "a hard negative must carry a different label")
+    // brute force: full labeled rank from the all-pairs operator
+    import org.apache.spark.sql.expressions.Window
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("l"))
+    val pairs = Similarity.cosinePairs(emb)
+    val directed = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("cos")))
+    val brute = directed
+      .join(lab.withColumnRenamed("vec_id", "a").withColumnRenamed("l", "la"), Seq("a"))
+      .join(lab.withColumnRenamed("vec_id", "b").withColumnRenamed("l", "lb"), Seq("b"))
+      .where(col("la") =!= col("lb"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= 3)
+      .select("a", "b", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = hn.map(r => (r.getLong(0), r.getLong(2), r.getInt(5))).toSet
+    assert(got == brute, s"hard negatives diverge from brute force: ${got.diff(brute).take(3)} / ${brute.diff(got).take(3)}")
+  }
 }
