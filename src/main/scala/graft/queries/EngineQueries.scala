@@ -653,6 +653,48 @@ object EngineQueries {
       |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rn FROM e)
       |SELECT window_id, event_id, value AS score FROM r WHERE rn <= 5""".stripMargin)
 
+  /** Streaming windowed KMV distinct — unique users per weekly window
+    * with bounded per-(window, fingerprint-shard) state (≤ k sorted
+    * 60-bit md5 fingerprints each). Multi-shard ON: sharding is BY the
+    * fingerprint, so the shard-union is duplicate-free and contains the
+    * window's k minima; the bounded-heap groupTopK + (k−1)/θ finish is
+    * replayed by the oracle in SQL — at sf0.01 each window holds more
+    * distinct users than k, so the checked values are REAL estimates
+    * (the portable-sketch property, same as `sketch_distinct_kmv`). */
+  val streamKmv: OQ = {
+    val k = 64
+    OQ.df("stream_distinct_kmv",
+      (s, dir) => {
+        s.sql("DROP TABLE IF EXISTS g_stream_kmv")
+        val cands = Streams.streamingDistinctKmvComplete(
+          s, s"$dir/events.parquet", col("user_id"), k = k)
+        Streams.runAppendToTable(s, cands.toDF(), "g_stream_kmv",
+          checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-kmv-cp").toString))
+        val kept = graft.ops.Sampling.groupTopK(s.table("g_stream_kmv"),
+          Seq("window_id"), Seq(col("h")), k)
+        val est = lit((k - 1).toDouble) /
+          (col("__hk").cast("double") / lit(1152921504606846976.0))
+        kept.groupBy("window_id")
+          .agg(count(lit(1)).as("__c"), max(col("h")).as("__hk"))
+          .select(col("window_id"),
+            when(col("__c") < k, col("__c"))
+              .otherwise(round(est).cast("long")).as("n_distinct_est"),
+            (col("__c") < k).as("is_exact"))
+      },
+      s"""WITH h AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS window_id,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT window_id, h,
+         |    row_number() OVER (PARTITION BY window_id ORDER BY h) AS rn FROM h),
+         |kk AS (SELECT window_id, count(*) AS c, max(h) AS hk
+         |  FROM r WHERE rn <= $k GROUP BY 1)
+         |SELECT window_id,
+         |  CASE WHEN c < $k THEN c
+         |    ELSE CAST(round(${k - 1}.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)) AS BIGINT) END AS n_distinct_est,
+         |  c < $k AS is_exact
+         |FROM kk""".stripMargin)
+  }
+
   /** CDC apply end-to-end: a Debezium-shaped change feed derived from
     * `orders` — snapshot (`r`, seq 0); +100 price update (`u`, seq 2) on
     * keys %7; delete (`d`, seq 3) on keys %13; and a LATE -50 update (`u`,
@@ -832,6 +874,6 @@ object EngineQueries {
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamTopK, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamKmv, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

@@ -529,7 +529,12 @@ object Streams {
       } else {
         val n = effective.getOrElse(bucketCountOf(wh, state))
         effective = Some(n)
+        // materialize the batch fold ONCE (eager, batch-sized — the winners
+        // of this micro-batch, never state-sized): both the touched-bucket
+        // probe below and the merge read it, where the lazy form re-ran the
+        // whole batch aggregation for each
         val withBucket = incoming.withColumn("__bucket", bucketCol(n))
+          .localCheckpoint()
         // bounded driver traffic: at most `n` scalar partition values
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getString(0)).toSeq
@@ -688,7 +693,11 @@ object Streams {
         commit(wh, state, Comp(n, base, Nil), Nil)
       } else {
         val c = comp.getOrElse(deriveComp(wh, state))
+        // materialized once (eager, batch-sized): the touched probe and the
+        // branch taken below both consume it — lazily each would re-run the
+        // batch's fold aggregation from the source
         val withBucket = incoming.withColumn("__bucket", bucketCol(c.n))
+          .localCheckpoint()
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getString(0)).toSet
         val coveredAfter = c.overlays.flatMap(_._2).toSet ++ touched
@@ -1252,6 +1261,103 @@ object Streams {
       case Some(feed) =>
         val id = when(col("__sentinel") === true, lit(null)).otherwise(idCol)
         streamingTopK(feed, id, scoreCol, k, windowUs, shards,
+          s"$watermarkMinutes minutes")
+    }
+  }
+
+  /** One retained fingerprint from a closed (window, shard) group — the
+    * shard's ≤ k smallest distinct 60-bit md5 fingerprints. A fingerprint
+    * lives in exactly ONE shard (sharding is BY the fingerprint), so the
+    * union over shards is duplicate-free and provably contains the
+    * window's k global minima — one k-bounded reduction per window
+    * finishes the sketch. */
+  final case class KmvCandidate(window_id: Long, h: Long)
+
+  /** STREAMING WINDOWED KMV DISTINCT — the distinct-cardinality monitor
+    * ("unique users per window") with BOUNDED state: each (window,
+    * fingerprint-shard) group keeps at most k sorted distinct 60-bit md5
+    * fingerprints regardless of stream volume or item cardinality, pruned
+    * by the event-time timeout — the streaming face of
+    * [[graft.ops.Sketches.kmvDistinct]], same state discipline as
+    * [[streamingTopK]]. Because the fingerprints are PORTABLE md5 (not
+    * JVM-hash), the finished estimate is engine-reproducible: the batch
+    * oracle replays the exact (k−1)/θ estimator. Sharding is BY the
+    * fingerprint value, so in-shard dedup is global dedup and the shard
+    * count never changes the result (restart-safe under a different
+    * cluster size). NULL values are ignored inside the state function
+    * (not pre-filtered — the watermark-stall note on
+    * [[streamingHeavyHitters]] applies). */
+  def streamingDistinctKmv(events: DataFrame, valueCol: Column, k: Int,
+                           windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                           shards: Int = 0,
+                           watermark: String = "10 minutes"): Dataset[KmvCandidate] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    require(shards >= 0, s"shards must be >= 0 (0 = auto): $shards")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nShards = resolveShards(spark, shards)
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    // the portable 60-bit fingerprint computes in codegen BEFORE the
+    // stateful operator — the state function only ever sees longs
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val wm = events.withWatermark("ts", watermark)
+      .select(h.as("h"), col("ts"))
+      .as[(Option[Long], java.sql.Timestamp)]
+    wm.groupByKey { case (ho, t) =>
+      (us(t) / windowUs,
+        ho.map(x => math.floorMod(x, nShards.toLong).toInt).getOrElse(-1))
+    }.flatMapGroupsWithState[Vector[Long], KmvCandidate](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      case ((win, _), rows, state) =>
+        if (state.hasTimedOut) {
+          val kept = state.get
+          state.remove()
+          kept.iterator.map(KmvCandidate(win, _))
+        } else {
+          import scala.collection.Searching.{Found, InsertionPoint}
+          // sorted ascending; binary-search dedup + insert; beyond k the
+          // largest retained fingerprint falls off — ≤ k longs per
+          // (window, shard) at any moment
+          var buf = state.getOption.getOrElse(Vector.empty[Long])
+          rows.foreach { case (ho, _) =>
+            ho.foreach { x =>
+              buf.search(x) match {
+                case Found(_) => () // already retained — a duplicate value
+                case InsertionPoint(i) =>
+                  if (buf.length < k) buf = buf.patch(i, Seq(x), 0)
+                  else if (i < k) buf = buf.patch(i, Seq(x), 0).init
+              }
+            }
+          }
+          state.update(buf)
+          state.setTimeoutTimestamp(
+            math.max(((win + 1) * windowUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+    }
+  }
+
+  /** [[streamingDistinctKmv]] over a file-backed feed with the same
+    * END-OF-INPUT FLUSH as [[streamingTopKComplete]]: a null-value
+    * sentinel one window + watermark past max(ts) closes every real
+    * window. Emits the per-shard retained fingerprints — finish per
+    * window with [[graft.ops.Sampling.groupTopK]] on the fingerprint
+    * plus the (k−1)/θ estimator (see the `stream_distinct_kmv` query for
+    * the canonical finish). */
+  def streamingDistinctKmvComplete(spark: SparkSession, path: String,
+                                   valueCol: Column, k: Int,
+                                   windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                                   shards: Int = 0,
+                                   watermarkMinutes: Int = 10): Dataset[KmvCandidate] = {
+    import spark.implicits._
+    sentinelFeed(spark, path, windowUs, watermarkMinutes,
+        "kmv1", "graft-kmv-sentinel") match {
+      case scala.None => spark.emptyDataset[KmvCandidate]
+      case Some(feed) =>
+        val v = when(col("__sentinel") === true, lit(null)).otherwise(valueCol)
+        streamingDistinctKmv(feed, v, k, windowUs, shards,
           s"$watermarkMinutes minutes")
     }
   }

@@ -1035,6 +1035,59 @@ class EngineSpec extends AnyFunSuite {
     assert(emitted.size <= 8 * (math.ceil(1 / phi).toInt + 1))
   }
 
+  test("streaming KMV distinct: shard-independent, duplicate-proof, exact below k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two weekly windows; window 0 holds 30 distinct users (< k — must come
+    // out EXACT despite heavy duplication: each user appears 20×), window 1
+    // holds 500 distinct (> k — the estimator path)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 06:00:00").getTime
+    val weekMs = 7L * 24 * 3600 * 1000L
+    val w0 = (0 until 600).map(i => (i.toLong, 0L, (i % 30).toLong))
+    val w1 = (0 until 500).map(i => (1000L + i, 1L, 10000L + i))
+    val events = (w0 ++ w1).map { case (id, w, u) =>
+      (id, new java.sql.Timestamp(base + w * weekMs + (id % 97) * 1000L),
+        u, "e", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-adv").toString
+    events.coalesce(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val k = 64
+    def finished(shards: Int, name: String): Map[Long, (Long, Boolean)] = {
+      val cands = Streams.streamingDistinctKmvComplete(spark,
+        s"$dir/events.parquet", col("user_id"), k, shards = shards)
+      val q = cands.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // candidates are duplicate-free across shards (sharded BY fingerprint)
+      val raw = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(raw.length == raw.distinct.length, "duplicate fingerprints across shards")
+      val kept = graft.ops.Sampling.groupTopK(spark.table(name),
+        Seq("window_id"), Seq(col("h")), k)
+      kept.groupBy("window_id")
+        .agg(count(lit(1)).as("c"), max(col("h")).as("hk"))
+        .select(col("window_id"),
+          when(col("c") < k, col("c")).otherwise(
+            round(lit((k - 1).toDouble) /
+              (col("hk").cast("double") / lit(1152921504606846976.0))).cast("long")),
+          col("c") < k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    }
+    val one = finished(1, "kmv_s1")
+    val five = finished(5, "kmv_s5")
+    // shard count must never change the finished sketch
+    assert(one == five, s"shard-dependent result: $one vs $five")
+    // windows are epoch-aligned: both test windows share the in-window
+    // offset (base + exactly one week), so their ids are consecutive
+    val w0id = base * 1000L / (7L * 24 * 3600 * 1000000L)
+    // window 0: 30 distinct < k → exact despite 20× duplication
+    assert(one(w0id) == ((30L, true)), s"window 0: ${one(w0id)}")
+    // window 1: 500 distinct > k → a real estimate, within 25%
+    val (est, exact) = one(w0id + 1)
+    assert(!exact && math.abs(est - 500.0) / 500.0 < 0.25, s"window 1 est: $est")
+  }
+
   test("kafka connection mapping is pure and jar-independent") {
     import graft.streaming.KafkaEventSource.connection
     def uri(s: String) = java.net.URI.create(s)
