@@ -222,6 +222,35 @@ object EngineQueries {
       |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
       |FROM j""".stripMargin)
 
+  /** Schema-drift monitor promoted to the oracle tier: two deterministic
+    * projections of `orders` with one dropped column, one added, and one
+    * numeric→string retype — the diff must report exactly those three,
+    * sorted classification first (reference data-diff's schema gate,
+    * pkg/diff/diff.go). */
+  val diffSchema: OQ = OQ.df("diff_schema",
+    (s, _) => {
+      import s.implicits._
+      // explicit casts pin the declared types: the diff must not silently
+      // track whatever physical widths the driver regenerates the parquet
+      // with (the r8 events-ts class)
+      val a = s.table("orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val b = s.table("orders")
+        .select(col("o_orderkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_totalprice").cast("string").as("o_totalprice"))
+      DataDiff.compareSchemas(a.schema, b.schema)
+        .map(d => (d.column, d.kind, d.detail))
+        .toDF("column_name", "kind", "detail")
+    },
+    """SELECT * FROM (VALUES
+      |  ('o_custkey', 'only_in_left', 'bigint'),
+      |  ('o_orderstatus', 'only_in_right', 'string'),
+      |  ('o_totalprice', 'type_class_changed', 'numeric -> string')
+      |) t(column_name, kind, detail)""".stripMargin)
+
   /** Jensen–Shannon drift — the bounded companion to the PSI monitors
     * (total ∈ [0, ln 2], no smoothing constant leaking into the score):
     * lang composition between the even/odd halves, raw shares, the
@@ -872,7 +901,7 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
-    diffJs, diffVocab, diffKeyed, seedCsv, pipelineE2e, streamWindow, streamDrift,
+    diffJs, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
