@@ -317,7 +317,40 @@ object Materializations {
          |FROM fin""".stripMargin)
   }
 
+  /** BUCKETED co-located join: both sides materialize `bucketBy` the join
+    * key (8 buckets, sorted within buckets), then join on it — at scale
+    * the recurring-join layout move: the shuffle is paid ONCE at write
+    * time, and every later join/aggregate on the key reads the bucket
+    * files as pre-hashed partitions with NO exchange (PlanSpec pins the
+    * shuffle-free plan; this key pins the result is still exactly the
+    * plain join's). DECIMAL-routed sum for cross-engine float parity. */
+  val bucketedJoin: OQ = OQ.df("mat_bucketed_join",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      val wh = new SessionCatalogWarehouse(s)
+      wh.createOrReplace("g_bk_orders",
+        s.table("orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        partitionBy = Nil, clusterBy = Nil,
+        bucketBy = Seq("o_custkey"), buckets = 8)
+      wh.createOrReplace("g_bk_customer",
+        s.table("customer").select(col("c_custkey"), col("c_mktsegment")),
+        partitionBy = Nil, clusterBy = Nil,
+        bucketBy = Seq("c_custkey"), buckets = 8)
+      s.table("g_bk_orders")
+        .join(s.table("g_bk_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("sum_price"))
+    },
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin)
+
   val all: Seq[OQ] = Seq(view, createReplace, append, truncateInsert,
     deleteInsert, merge, timeInterval, ddl, scd2ByColumn, scd2ByTime,
-    datavaultHub, datavaultLink, datavaultSatellite)
+    datavaultHub, datavaultLink, datavaultSatellite, bucketedJoin)
 }

@@ -335,4 +335,38 @@ class PlanSpec extends AnyFunSuite {
       s"bucket filter must reach the base scan as a partition filter, got: $pf")
     SessionCatalogWarehouse.dropAny(spark, "plan_ov_state")
   }
+
+  test("bucketed tables join with ZERO exchanges — the write-once shuffle layout") {
+    import org.apache.spark.sql.functions._
+    // same layout move as mat_bucketed_join: both sides bucketBy the join
+    // key at write time; every later key-join must read the bucket files as
+    // pre-hashed partitions — broadcast disabled so a silent bucketing
+    // regression can't hide behind a BroadcastHashJoin
+    graft.core.Tables.register(spark, sfDir)
+    val wh = new graft.materialize.SessionCatalogWarehouse(spark)
+    wh.createOrReplace("plan_bk_orders",
+      spark.table("orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("o_custkey"), buckets = 8)
+    wh.createOrReplace("plan_bk_customer",
+      spark.table("customer").select(col("c_custkey"), col("c_mktsegment")),
+      partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("c_custkey"), buckets = 8)
+    val sess = org.apache.spark.sql.graft.SqlBridge.sessionWithConf(
+      spark, "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val joined = sess.table("plan_bk_orders")
+      .join(sess.table("plan_bk_customer"),
+        col("o_custkey") === col("c_custkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    // and the rows are the plain join's
+    val plain = sess.table("orders")
+      .join(sess.table("customer"), col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(joined.count() == plain)
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "plan_bk_orders")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "plan_bk_customer")
+  }
 }
