@@ -208,6 +208,19 @@ object DataDiff {
         round((kl(pa) + kl(pb)) / 2, 6).as("jsd_contrib"))
   }
 
+  /** Numeric twin of [[jsDivergence]]: the same fixed-width clamped
+    * bucketing as [[distributionDrift]] (engine-identical boundaries, no
+    * quantile estimation) feeding the bounded JSD — per-bucket shares and
+    * contributions, total ∈ [0, ln 2] whatever the bucket count. */
+  def jsDivergenceNumeric(a: DataFrame, b: DataFrame, metricCol: String,
+                          bucketWidth: Double, nBuckets: Int = 20): DataFrame = {
+    require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, nBuckets >= 2")
+    def buckets(df: DataFrame) = df.where(col(metricCol).isNotNull)
+      .select(greatest(least(floor(col(metricCol).cast("double") / bucketWidth),
+        lit(nBuckets - 1)), lit(0)).cast("long").as("bucket"))
+    jsDivergence(buckets(a), buckets(b), "bucket")
+  }
+
   /** Vocabulary drift: [[categoricalDrift]] over the word stream of two
     * corpus snapshots — per-word shares and PSI contributions over the
     * union vocabulary. The "did the token distribution move" monitor for

@@ -196,6 +196,73 @@ object Similarity {
     }
   }
 
+  /** BIPARTITE KNN JOIN — for every query vector, the k nearest corpus
+    * vectors by cosine: the embedding retrieval join (RAG context
+    * selection, cross-corpus linking, train/eval neighbor audits) when
+    * BOTH sides are large. [[contaminationAgainst]] broadcasts a small
+    * eval side; this is the scale path — the corpus hash-shards into
+    * memory-bounded index cells and the query set hash-groups across
+    * them, exactly the [[cosineTopK]] grid with the two roles taken by
+    * DIFFERENT tables (each side replicated only across the other's
+    * dimension, one pass each). Deterministic rank: (rounded cos desc,
+    * corpus id asc); per-shard k-heaps merge through one bounded
+    * (≤ k·S rows per query) window. NULL vectors are excluded on both
+    * sides. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              shardBytes: Long = DefaultShardBytes): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    val (_, sShards) = grid(corpus, vecCol, shardBytes)
+    val (qGroups0, _) = grid(queries, vecCol, shardBytes)
+    val qGroups = qGroups0
+    def side(df: DataFrame, tag: Int) = {
+      val base = df.where(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, v, normP(v)) }
+      if (tag == 0)
+        // corpus: each vector lives in ONE shard, replicated to every
+        // query group's copy of that shard
+        base.flatMap { case (id, v, n) =>
+          val s = math.floorMod(id, sShards.toLong).toInt
+          Iterator.range(0, qGroups).map(g => (g * sShards + s, 0, id, v, n))
+        }
+      else
+        // queries: each vector lives in ONE group, replicated across that
+        // group's S shard cells
+        base.flatMap { case (id, v, n) =>
+          val g = math.floorMod(id, qGroups.toLong).toInt
+          Iterator.range(0, sShards).map(sh => (g * sShards + sh, 1, id, v, n))
+        }
+    }
+    val perShard = side(corpus, 0).union(side(queries, 1))
+      .groupByKey(_._1).flatMapSortedGroups(col("_2")) { (_, it) =>
+        val buf = it.buffered
+        val shard = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        while (buf.hasNext && buf.head._2 == 0) {
+          val r = buf.next()
+          shard += ((r._3, r._4, r._5))
+        }
+        buf.map(r => (r._3, r._4, r._5)).flatMap { case (q, vq, nq) =>
+          val top = new TopK(k)
+          var i = 0
+          while (i < shard.length) {
+            val (b, vb, nb) = shard(i)
+            top.offer(b, cosineOf(vq, vb, nq, nb))
+            i += 1
+          }
+          top.iterator.map { case (b, c) => (q, b, c) }
+        }
+      }.toDF("q", "b", "cos")
+    perShard
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= k)
+      .select(col("q"), col("b"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: for every anchor
     * vector, the k most-similar vectors carrying a DIFFERENT label — the
     * near-misses that make the best negatives (Xiong et al. 2021 ANCE-style

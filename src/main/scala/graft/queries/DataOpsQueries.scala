@@ -1602,6 +1602,32 @@ object DataOpsQueries {
        |SELECT a, a_label, b, b_label, cos, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 5""".stripMargin)
 
+  /** Bipartite KNN join — the label-0 vectors (standing in for a query/
+    * retrieval set) each fetch their 5 nearest label≠0 corpus vectors
+    * through the blocked two-table grid; the oracle replays the full
+    * bipartite rank. The scale path contaminationAgainst's broadcast form
+    * can't take when BOTH sides are large. */
+  val knnJoinQ: OQ = OQ.df("ann_knn_join",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      Similarity.knnJoin(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), k = 5)
+    },
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS q, b.vec_id AS b, sum(a.e * b.e) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label = 0 AND b.label <> 0 GROUP BY 1, 2),
+      |sims AS (SELECT q, b, round(dot / (nq.nrm * nb.nrm), 6) AS cos
+      |  FROM dots JOIN norms nq ON dots.q = nq.vec_id
+      |            JOIN norms nb ON dots.b = nb.vec_id),
+      |r AS (SELECT q, b, cos,
+      |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank
+      |  FROM sims)
+      |SELECT q, b, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin)
+
   /** Cluster-balanced-sample LOSSLESSNESS pin: a per-cluster quota above
     * any cluster's size keeps every vector, so the full train → assign →
     * rank → filter pipeline must emit each id exactly once — the learned
@@ -1885,7 +1911,7 @@ object DataOpsQueries {
   // this list in source order — a strict val would capture it as null
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ,
-    sketchKmv, hardNegativesQ, clusterSampleFull,
+    sketchKmv, hardNegativesQ, clusterSampleFull, knnJoinQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,

@@ -280,6 +280,36 @@ object EngineQueries {
       |    6) AS jsd_contrib
       |FROM j""".stripMargin)
 
+  /** Numeric JSD drift — the distributionDrift bucketing (fixed 200-char
+    * clamped buckets over n_chars) feeding the bounded JSD. */
+  val diffJsNum: OQ = OQ.df("diff_js_numeric",
+    (s, _) => {
+      val docs = s.table("documents")
+      DataDiff.jsDivergenceNumeric(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "n_chars", bucketWidth = 200.0, nBuckets = 20)
+    },
+    """WITH a AS (SELECT greatest(least(CAST(floor(n_chars / 200.0) AS BIGINT), 19), 0) AS value,
+      |    count(*) AS ca FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+      |  GROUP BY 1),
+      |b AS (SELECT greatest(least(CAST(floor(n_chars / 200.0) AS BIGINT), 19), 0) AS value,
+      |    count(*) AS cb FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+      |  GROUP BY 1),
+      |na AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+      |u AS (SELECT coalesce(a.value, b.value) AS value, ca, cb
+      |  FROM a FULL OUTER JOIN b ON a.value = b.value),
+      |j AS (SELECT value,
+      |    coalesce(ca, 0) / CAST(na.n AS DOUBLE) AS pa,
+      |    coalesce(cb, 0) / CAST(nb.n AS DOUBLE) AS pb
+      |  FROM u, na, nb)
+      |SELECT value, round(pa, 6) AS share_a, round(pb, 6) AS share_b,
+      |  round((CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+      |       + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END) / 2,
+      |    6) AS jsd_contrib
+      |FROM j""".stripMargin)
+
   /** Vocabulary drift — the categorical PSI monitor over the word stream
     * of the even/odd corpus halves (per-word shares + contributions over
     * the union vocabulary). */
@@ -901,7 +931,7 @@ object EngineQueries {
 
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
-    diffJs, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
+    diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)

@@ -2215,6 +2215,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(maxes.nonEmpty && maxes.forall(_.getDouble(1) == 1.0))
   }
 
+  test("knn join: bipartite exact, queries never retrieved, grid equals broadcast truth") {
+    val q = emb.where(col("label") === 0)
+    val c = emb.where(col("label") =!= 0)
+    val got = Similarity.knnJoin(q, c, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.nonEmpty)
+    // no query id may appear as a retrieved corpus id (disjoint sides here)
+    val qIds = q.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (_, b, _) => !qIds.contains(b) })
+    // brute-force truth via the broadcast bipartite argmax generalized in
+    // SQL-on-Spark: rank all cross pairs
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Similarity.cosinePairs(emb)
+    val directed = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("cos")))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val truth = directed
+      .join(lab.withColumnRenamed("vec_id", "a").withColumnRenamed("label", "la"), Seq("a"))
+      .join(lab.withColumnRenamed("vec_id", "b").withColumnRenamed("label", "lb"), Seq("b"))
+      .where(col("la") === 0 && col("lb") =!= 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= 3)
+      .select("a", "b", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth, s"knn join diverges: ${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+  }
+
   test("hard negatives: never same-label, equals label-filtered brute force") {
     val hn = Similarity.hardNegatives(emb, k = 3).collect()
     assert(hn.nonEmpty && hn.forall(r => r.getLong(1) != r.getLong(3)),
