@@ -80,6 +80,62 @@ object Sketches {
     finish(kept, rollup = false).unionByName(finish(merged, rollup = true))
   }
 
+  /** FIXED-GRID HISTOGRAM QUANTILES — mergeable approximate per-group
+    * quantiles with NO sort anywhere: one map-side-combinable count
+    * aggregate over (group, fixed-width bucket), a cumulative window over
+    * the BOUNDED per-group bucket frame (≤ nBuckets rows per group at any
+    * data size), and linear interpolation inside the rank's bucket. The
+    * histogram is the mergeable artifact (bucket counts are additive
+    * across partitions/days, same as the KMV/HLL sketches); the grid is
+    * DECLARED (width × nBuckets, clamped both ends), so estimates are
+    * engine-identical and the DuckDB oracle replays the whole estimator —
+    * where sort-based quantiles are exact-but-unmergeable and t-digest
+    * style sketches are engine-specific.
+    *
+    * Estimate for q: the first bucket whose running count reaches
+    * `q · n`, then `lo + width · (q·n − cum_before) / bucket_count`.
+    * Error is bounded by one bucket width. Output: one row per
+    * (group, q) — (grp, q, n, quantile_est). */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         bucketWidth: Double, nBuckets: Int = 256,
+                         qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, nBuckets >= 2")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = greatest(least(floor(col(valueCol).cast("double") / bucketWidth),
+      lit(nBuckets - 1)), lit(0)).cast("long").as("bucket")
+    val counts = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), bucket)
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("__c"))
+    // both windows run over the bounded per-group bucket frame
+    val w = Window.partitionBy("grp").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("grp")))
+    val spark = df.sparkSession
+    val qDf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val target = col("q") * col("__n").cast("double")
+    // argmin bucket with cum >= target, carried with its interpolation
+    // inputs through an associative min(struct) — no second window. The
+    // argmin bucket is the FIRST reaching the target, so its predecessor's
+    // cum (= cum − c) is strictly below it and the interpolation fraction
+    // lands in (0, 1] by construction (0 exactly for q = 0).
+    val hit = cum.crossJoin(broadcast(qDf))
+      .where(col("__cum").cast("double") >= target)
+      .groupBy("grp", "q")
+      .agg(min(struct(col("bucket"), col("__cum"), col("__c"), col("__n"))).as("__w"))
+      .select(col("grp"), col("q"),
+        col("__w.__n").as("n"),
+        col("__w.bucket").as("__b"), col("__w.__cum").as("__cum"),
+        col("__w.__c").as("__c"))
+    val est = col("__b").cast("double") * bucketWidth + lit(bucketWidth) *
+      ((col("q") * col("n").cast("double") -
+        (col("__cum") - col("__c")).cast("double")) / col("__c").cast("double"))
+    hit.select(col("grp"), col("q"), col("n"), round(est, 6).as("quantile_est"))
+  }
+
   /** EXACT heavy hitters over a high-cardinality item stream: every item
     * whose frequency is ≥ `phi` of the non-null stream, with its exact
     * count — without ever shuffling the full distinct-item set.

@@ -1838,6 +1838,36 @@ object DataOpsQueries {
          |SELECT * FROM per UNION ALL SELECT * FROM roll""".stripMargin)
   }
 
+  /** Fixed-grid histogram quantiles — mergeable approximate p50/p95/p99
+    * of event value per event_type, no sort anywhere; the DECLARED grid
+    * (width 2.0 × 256 clamped buckets) makes the whole estimator
+    * engine-identical, so the oracle replays it — like the KMV sketch,
+    * the checked values are the real approximations. */
+  val quantileHistQ: OQ = {
+    val qsSql = "[CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE)]"
+    OQ.df("sketch_quantile_histogram",
+      (s, _) => graft.ops.Sketches.histogramQuantiles(s.table("events"),
+        "event_type", "value", bucketWidth = 2.0, nBuckets = 256)
+        .selectExpr("grp", "q", "CAST(n AS BIGINT) AS n", "quantile_est"),
+      s"""WITH c AS (SELECT event_type AS grp,
+         |    greatest(least(CAST(floor(value / 2.0) AS BIGINT), 255), 0) AS bucket,
+         |    count(*) AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT grp, bucket, cnt,
+         |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY grp) AS n
+         |  FROM c),
+         |qq AS (SELECT unnest($qsSql) AS q),
+         |hit AS (SELECT grp, q, n, bucket, cum, cnt,
+         |    row_number() OVER (PARTITION BY grp, q ORDER BY bucket) AS rn
+         |  FROM w, qq WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+         |SELECT grp, q, CAST(n AS BIGINT) AS n,
+         |  round(CAST(bucket AS DOUBLE) * 2.0 + 2.0 *
+         |    ((q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+         |    6) AS quantile_est
+         |FROM hit WHERE rn = 1""".stripMargin)
+  }
+
   /** Exact corpus heavy-hitter words at phi=0.002 via the two-phase
     * Misra–Gries candidates → broadcast exact-verify plan; the oracle is
     * the naive full GROUP BY + HAVING (identical output, very different
@@ -1911,7 +1941,7 @@ object DataOpsQueries {
   // this list in source order — a strict val would capture it as null
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ,
-    sketchKmv, hardNegativesQ, clusterSampleFull, knnJoinQ,
+    sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,

@@ -2179,6 +2179,31 @@ class DataOpsSpec extends AnyFunSuite {
       s"rollup ${byGrp(("__total", true))._2} != direct sketch $direct")
   }
 
+  test("histogram quantiles: within one bucket of exact, q edges, clamped tails") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i * 100.0)) // values past the grid clamp
+    val df = rows.toDF("grp", "v")
+    val width = 5.0
+    val got = graft.ops.Sketches.histogramQuantiles(df, "grp", "v",
+        bucketWidth = width, nBuckets = 100, qs = Seq(0.0, 0.5, 0.95, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    // group a: uniform 1..400, entirely inside the grid — every estimate
+    // within one bucket width of the exact rank value
+    def exact(q: Double) = math.max(1.0, math.ceil(q * 400))
+    Seq(0.5, 0.95).foreach { q =>
+      val e = got(("a", q))
+      assert(math.abs(e - exact(q)) <= width, s"q=$q: $e vs ${exact(q)}")
+    }
+    // q = 0 → the first occupied bucket's lower edge; q = 1 inside the grid
+    assert(got(("a", 0.0)) == 0.0)
+    assert(math.abs(got(("a", 1.0)) - 400.0) <= width)
+    // group b: values up to 5000 clamp into the last bucket (495..500) —
+    // tail quantiles saturate at the grid edge instead of escaping it
+    assert(got(("b", 1.0)) <= 100 * width)
+    assert(got(("b", 0.95)) <= 100 * width)
+  }
+
   test("JS divergence: zero on identical, ln 2 on disjoint, bounded, zero-safe") {
     import spark.implicits._
     val a = Seq("x", "x", "y").toDF("c")

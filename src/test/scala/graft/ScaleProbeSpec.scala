@@ -244,6 +244,30 @@ class ScaleProbeSpec extends AnyFunSuite {
       println(s"  pairs: $n"); n
     }
 
+    // ---- bipartite KNN join on the same 100k vectors: 20k queries fetch
+    // top-5 of an 80k corpus through the blocked grid — brute force is
+    // 1.6e9 pair cosines run as Q×S memory-bounded cells, never a
+    // broadcast of either side
+    t("knn join (20k queries x 80k corpus, k=5, blocked grid)",
+      "per-cell primitive-loop scoring; <= k*S candidate rows per query") {
+      val n = graft.ops.Similarity.knnJoin(
+        emb.where(col("vec_id") % 5 === 0), emb.where(col("vec_id") % 5 =!= 0),
+        k = 5).count()
+      println(s"  rows: $n"); n
+    }
+
+    // ---- KMV distinct over ~900k event rows: the distinct-set shuffle is
+    // the only data-sized stage; the sketch itself is <= k longs per group
+    t("kmv distinct (900k rows, 64 groups, k=256)",
+      "distinct shuffle + bounded-heap k-minima per group, no window") {
+      val ev = (0 until 9).map(k => spark.table("events")
+          .select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+            col("user_id")))
+        .reduce(_ unionByName _)
+        .withColumn("grp", pmod(col("event_id"), lit(64)))
+      graft.ops.Sketches.kmvDistinct(ev, "grp", "user_id", k = 256).count()
+    }
+
     // ---- BPE induction on the skewed corpus: the loop runs over the
     // word-frequency table, so corpus size only prices the first pass
     t("bpe merges (16 rounds, skewed sf1 corpus)",
