@@ -100,21 +100,36 @@ object Sketches {
                          bucketWidth: Double, nBuckets: Int = 256,
                          qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
     require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, nBuckets >= 2")
+    val counts = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        bucketOf(col(valueCol), bucketWidth, nBuckets).as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("__c"))
+    quantilesFromCounts(counts, bucketWidth, qs)
+  }
+
+  /** The declared fixed grid: `floor(v / width)` clamped into
+    * `[0, nBuckets)` on both ends — identical in any engine. */
+  def bucketOf(v: org.apache.spark.sql.Column, bucketWidth: Double,
+               nBuckets: Int): org.apache.spark.sql.Column =
+    greatest(least(floor(v.cast("double") / bucketWidth),
+      lit(nBuckets - 1)), lit(0)).cast("long")
+
+  /** The histogram-quantile FINISH over already-aggregated bucket counts
+    * (`grp`, `bucket`, `__c`) — shared by [[histogramQuantiles]] and the
+    * streaming form (where the per-(window, bucket) counts come out of a
+    * watermarked windowed aggregation). Both windows run over the bounded
+    * per-group bucket frame. */
+  def quantilesFromCounts(counts: DataFrame, bucketWidth: Double,
+                          qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1]: $qs")
-    import org.apache.spark.sql.expressions.Window
-    val bucket = greatest(least(floor(col(valueCol).cast("double") / bucketWidth),
-      lit(nBuckets - 1)), lit(0)).cast("long").as("bucket")
-    val counts = df.where(col(valueCol).isNotNull)
-      .select(col(groupCol).as("grp"), bucket)
-      .groupBy("grp", "bucket").agg(count(lit(1)).as("__c"))
-    // both windows run over the bounded per-group bucket frame
     val w = Window.partitionBy("grp").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts
       .withColumn("__cum", sum("__c").over(w))
       .withColumn("__n", sum("__c").over(Window.partitionBy("grp")))
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     val qDf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
     val target = col("q") * col("__n").cast("double")
     // argmin bucket with cum >= target, carried with its interpolation

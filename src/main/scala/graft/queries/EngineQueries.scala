@@ -712,6 +712,53 @@ object EngineQueries {
       |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rn FROM e)
       |SELECT window_id, event_id, value AS score FROM r WHERE rn <= 5""".stripMargin)
 
+  /** Streaming histogram quantiles — per finalized 5-minute window, the
+    * fixed-grid p50/p95 of event value: the watermarked windowed
+    * aggregation keeps only (window × occupied-bucket) counts as state
+    * (bounded by the DECLARED grid, not the stream), and the batch finish
+    * is the same engine-identical estimator as `sketch_quantile_histogram`
+    * — so the oracle replays the whole streaming approximation in SQL. */
+  val streamQuantile: OQ = {
+    val qsSql = "[CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]"
+    OQ.df("stream_quantile_histogram",
+      (s, dir) => {
+        s.sql("DROP TABLE IF EXISTS g_stream_qh_sink")
+        val ev = Streams.eventStream(s, s"$dir/events.parquet")
+          .where(col("value").isNotNull)
+          .select(col("ts"),
+            graft.ops.Sketches.bucketOf(col("value"), 2.0, 256).as("bucket"))
+        val comp = Streams.windowedComposition(ev, catCol = "bucket")
+        Streams.runAppendToTable(s, comp, "g_stream_qh_sink",
+          checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-qh-cp").toString))
+        val counts = s.table("g_stream_qh_sink")
+          .select(col("window_start").as("grp"),
+            col("value").cast("long").as("bucket"), col("n").as("__c"))
+        graft.ops.Sketches.quantilesFromCounts(counts, 2.0, Seq(0.5, 0.95))
+          .select(col("grp").cast("string").as("window_start"), col("q"),
+            col("n").cast("long").as("n"), col("quantile_est"))
+      },
+      s"""WITH w AS (
+         |  SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS wstart,
+         |    greatest(least(CAST(floor(value / 2.0) AS BIGINT), 255), 0) AS bucket,
+         |    CAST(ts AS TIMESTAMP) AS tss
+         |  FROM events WHERE value IS NOT NULL),
+         |f AS (SELECT wstart, bucket, count(*) AS cnt FROM w
+         |  WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM w) - INTERVAL 10 MINUTE
+         |  GROUP BY 1, 2),
+         |ww AS (SELECT wstart, bucket, cnt,
+         |    sum(cnt) OVER (PARTITION BY wstart ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY wstart) AS n FROM f),
+         |qq AS (SELECT unnest($qsSql) AS q),
+         |hit AS (SELECT wstart, q, n, bucket, cum, cnt,
+         |    row_number() OVER (PARTITION BY wstart, q ORDER BY bucket) AS rn
+         |  FROM ww, qq WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+         |SELECT CAST(wstart AS STRING) AS window_start, q, CAST(n AS BIGINT) AS n,
+         |  round(CAST(bucket AS DOUBLE) * 2.0 + 2.0 *
+         |    ((q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+         |    6) AS quantile_est
+         |FROM hit WHERE rn = 1""".stripMargin)
+  }
+
   /** Streaming windowed KMV distinct — unique users per weekly window
     * with bounded per-(window, fingerprint-shard) state (≤ k sorted
     * 60-bit md5 fingerprints each). Multi-shard ON: sharding is BY the
@@ -933,6 +980,6 @@ object EngineQueries {
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamTopK, streamKmv, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }
