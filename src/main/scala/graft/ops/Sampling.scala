@@ -83,6 +83,37 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** TOKEN-MASS MIXTURE — [[mixture]] with weights over a MASS column
+    * (token counts, bytes) instead of document counts: real training
+    * mixtures are specified in token share ("60% web tokens"), and under
+    * per-source length skew the two differ badly. Capacity = min over
+    * weighted strata of mass_s / w_s, rate_s = w_s · capacity / mass_s;
+    * the keep decision stays the per-ROW portable md5 fraction, so the
+    * expected kept mass per stratum is exactly w_s · capacity while the
+    * same rows survive on any engine (exact token quotas are
+    * [[selectByBudget]]'s cumsum job, not a sampling rate's).
+    *
+    * Same plan shape: one map-side-combinable mass aggregate (≤ #strata
+    * rows), one scalar min, one broadcast rate join onto the single scan. */
+  def mixtureByMass(df: DataFrame, strataCol: String, weights: Map[String, Double],
+                    massCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(weights.values.forall(_ >= 0), "mixture weights must be >= 0")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val masses = df.groupBy(strataCol)
+      .agg(sum(col(massCol).cast("long")).as("__m"))
+      .withColumn("__w", w).where(col("__w") > 0 && col("__m") > 0)
+    val capacity = masses.agg(min(col("__m").cast("double") / col("__w")).as("__cap"))
+    val rates = masses.crossJoin(broadcast(capacity))
+      .withColumn("__rate",
+        round(least(lit(1.0), col("__w") * col("__cap") / col("__m")), 6))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(hashFrac(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** EPOCH MIXTURE — the UPSAMPLING counterpart of [[mixture]]: each
     * stratum is repeated `epochs_s` times per training pass (the Llama-
     * style data recipe: wikipedia 3×, books 1×, web 0.5×). Integer part =

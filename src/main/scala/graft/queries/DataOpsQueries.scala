@@ -832,6 +832,27 @@ object DataOpsQueries {
          |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)
   }
 
+  /** Token-mass mixture: the same derived-rate rebalance with weights
+    * over the n_chars MASS instead of document counts — what "60% web
+    * TOKENS" actually asks for under per-source length skew. */
+  val sampleMixtureTokens: OQ = {
+    val duckW = "CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 " +
+      "WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END"
+    OQ.df("sample_mixture_tokens",
+      (s, _) => graft.ops.Sampling.mixtureByMass(s.table("documents"), "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1),
+        massCol = "n_chars")
+        .select("doc_id", "lang", "source"),
+      s"""WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS m FROM documents GROUP BY 1),
+         |cw AS (SELECT lang, m, CAST($duckW AS DOUBLE) AS w FROM c),
+         |cap AS (SELECT min(CAST(m AS DOUBLE) / w) AS cap FROM cw WHERE w > 0 AND m > 0),
+         |r AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE), w * cap / m), 6) AS rate
+         |  FROM cw CROSS JOIN cap WHERE w > 0 AND m > 0)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
+         |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |  % 1000000 AS DOUBLE) / 1000000 < rate""".stripMargin)
+  }
+
   /** Epoch mixture ([[graft.ops.Sampling.epochMixture]]): upsampling by
     * per-language epoch counts — en repeats 2.5× (every row twice, half
     * the rows a third time), de 1×, fr 0.25×, everything else drops. The
@@ -1945,7 +1966,7 @@ object DataOpsQueries {
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
-    sampleMixture, sampleEpochs, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
+    sampleMixture, sampleMixtureTokens, sampleEpochs, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
     quantizeInt8, embNormalize, matryoshkaQ, centroidQ, cosineExpr,

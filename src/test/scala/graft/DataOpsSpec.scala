@@ -1424,6 +1424,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == expected, "engine keep-set must match the local replay")
   }
 
+  test("token-mass mixture: rates derive from mass, binding stratum whole, skew matters") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // two strata, SAME doc counts but 10x length skew: a doc-count mixture
+    // would keep equal rows for a 50/50 weight; the mass mixture must not
+    val rows = (1 to 400).map(i => (i.toLong, "web", 1000L)) ++
+      (401 to 800).map(i => (i.toLong, "code", 100L))
+    val df = rows.toDF("doc_id", "src", "n_tok")
+    val weights = Map("web" -> 0.5, "code" -> 0.5)
+    val kept = Sampling.mixtureByMass(df, "src", weights, massCol = "n_tok")
+      .groupBy("src").agg(count(lit(1)).as("n"), sum("n_tok").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // binding stratum by MASS is code (40k/0.5 < 400k/0.5): kept whole
+    assert(kept("code") == ((400L, 40000L)), s"binding: ${kept("code")}")
+    // web downsamples to ~the same token mass as code, NOT the same rows
+    val (nWeb, mWeb) = kept("web")
+    assert(nWeb < 100, s"web rows must fall to ~rate 0.1: $nWeb")
+    assert(math.abs(mWeb - 40000L) < 12000, s"web mass ~ code mass: $mWeb")
+    // expected-mass identity: rate = w*cap/mass rounds to 0.1 exactly here
+    val replay = Sampling.mixtureByMass(df, "src", weights, massCol = "n_tok")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == Sampling.mixtureByMass(df, "src", weights, massCol = "n_tok")
+      .select("doc_id").collect().map(_.getLong(0)).toSet, "deterministic replay")
+  }
+
   test("deterministic sharding: every row once, dense positions, seed changes layout") {
     import graft.ops.Sampling
     val n = docs.count()
