@@ -439,6 +439,39 @@ object TextAnalysis {
           PhoneRe, "[PHONE]"))
   }
 
+  /** HTML → text extraction, the first stage of every web-crawl pipeline:
+    * drop script/style SUBTREES (their text is never content), strip
+    * remaining tags, decode the five predefined XML entities plus numeric
+    * `&#NN;` escapes, collapse whitespace. Pure codegen regexp projection —
+    * zero shuffle, scan speed at any corpus size; engine-portable (the
+    * same POSIX-class regexps run in DuckDB, which is how the oracle
+    * replays it). A parser it is not — attribute edge cases (a literal
+    * `>` inside a quoted attribute) mis-split, the documented trade for
+    * staying in codegen; the reference extraction quality battery
+    * (Gopher/C4) runs downstream either way. */
+  def htmlStrip(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    // two explicit subtree rules, NO backreference — the oracle replays
+    // these in DuckDB's RE2, which has no \1
+    val noScript = regexp_replace(
+      regexp_replace(col(htmlCol),
+        "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&#([0-9]+);", " "),
+      "&amp;", "&")
+    df.withColumn("extracted_text",
+      trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   /** Corpus vocabulary: top-`n` words by document-corpus frequency with a
     * deterministic (count desc, word) rank. One map-side-combinable groupBy
     * on the word, then orderBy+limit — Spark plans that as a distributed

@@ -99,6 +99,39 @@ object DataOpsQueries {
        |  round(cume_dist() OVER (PARTITION BY lang ORDER BY quality_score), 6) AS quality_cdf
        |FROM base WHERE quality_score IS NOT NULL""".stripMargin)
 
+  /** HTML → text extraction over an inline fixture (the corpus carries no
+    * markup, so a documents-table key would pass vacuously): script/style
+    * subtrees dropped, tags stripped, predefined + numeric entities
+    * decoded, whitespace collapsed. ONE fixture definition feeds both
+    * engines; the oracle replays the exact regexp chain in DuckDB's RE2
+    * (no backreferences anywhere, by construction). */
+  val htmlStripQ: OQ = {
+    val fixture = Seq(
+      1L -> ("<html><head><style type=\"text/css\">p {color: red}</style>" +
+        "</head><body><h1>Title</h1><p>Hello &amp; welcome to O&#39;Brien" +
+        "&#39;s page &lt;3</p><script>var x = 1 < 2;</script>" +
+        "<p>Second   paragraph</p></body></html>"),
+      2L -> "plain text, no markup &amp;lt; stays encoded once",
+      3L -> "<div class=\"a\"><span>nested <b>bold</b> text</span>&#169; 2024</div>",
+      4L -> "<SCRIPT src=\"x.js\">ignored()</SCRIPT>kept <P>tail</P>")
+    val values = fixture.map { case (id, h) => s"($id, '$h')" }.mkString(",\n  ")
+    OQ.df("text_html_strip",
+      (s, _) => {
+        import s.implicits._
+        TextAnalysis.htmlStrip(fixture.toDF("pid", "html"))
+          .select("pid", "extracted_text")
+      },
+      s"""WITH f(pid, html) AS (VALUES
+         |  $values),
+         |s1 AS (SELECT pid, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t FROM f),
+         |s2 AS (SELECT pid, regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT pid, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT pid, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |    '&#39;', chr(39), 'g'), '&#([0-9]+);', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
+         |SELECT pid, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted_text FROM s4""".stripMargin)
+  }
+
   /** Native codegen rolling-hash Expression ([[graft.functions.RollingHash]])
     * against its DuckDB list_reduce twin. */
   val rollingHash: OQ = OQ.df("text_rolling_hash",
@@ -1961,7 +1994,7 @@ object DataOpsQueries {
   // lazy: zorderBench (promoted into the oracle registry) is declared after
   // this list in source order — a strict val would capture it as null
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ,
+    normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ,
     sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,

@@ -1424,6 +1424,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == expected, "engine keep-set must match the local replay")
   }
 
+  test("html strip: subtrees out, entities decoded once, case-insensitive, codegen") {
+    import spark.implicits._
+    val out = graft.ops.TextAnalysis.htmlStrip(Seq(
+      (1L, "<p>a &amp;amp; b</p>"),           // double-encoded decodes ONCE
+      (2L, "<ScRiPt>x()</sCrIpT>after"),       // tag case-insensitivity
+      (3L, "<style media=\"all\">h1{}</style>kept"),
+      (4L, "no markup at all"),
+      (5L, "<p>&#8212;dash gap&#8212;</p>")    // numeric escapes → space
+    ).toDF("pid", "html")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "a &amp; b")
+    assert(out(2L) == "after")
+    assert(out(3L) == "kept")
+    assert(out(4L) == "no markup at all")
+    assert(out(5L) == "dash gap")
+    // scan-speed claim: a pure projection, no exchange
+    val p = graft.ops.TextAnalysis.htmlStrip(
+      docs.withColumnRenamed("text", "html"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"htmlStrip must not shuffle:\n$p")
+  }
+
   test("token-mass mixture: rates derive from mass, binding stratum whole, skew matters") {
     import graft.ops.Sampling
     import spark.implicits._
