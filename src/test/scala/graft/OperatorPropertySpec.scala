@@ -1787,4 +1787,119 @@ class OperatorPropertySpec extends AnyFunSuite {
         s"only-expect=${expect -- got}")
     }
   }
+
+  test("KMV distinct matches direct k-minima arithmetic on random multisets") {
+    import spark.implicits._
+    val k = 32
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp60(v: String): Long = java.lang.Long.parseLong(
+      md.digest(v.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    def estOf(hs: Seq[Long]): (Long, Boolean) = {
+      val mins = hs.distinct.sorted.take(k)
+      if (mins.length < k) (mins.length.toLong, true)
+      else (math.round((k - 1).toDouble /
+        (mins.last.toDouble / 1152921504606846976.0)), false)
+    }
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // groups straddle the exact/estimator boundary; heavy duplication
+      val rows = (0 until 4000).map { _ =>
+        val g = s"g${rnd.nextInt(6)}"
+        val v = s"v${rnd.nextInt(if (g == "g0") 10 else 500)}"
+        (g, v)
+      }
+      val got = graft.ops.Sketches.kmvDistinct(rows.toDF("grp", "v"), "grp", "v", k)
+        .collect().map(r => (Option(r.getString(0)).getOrElse("__all"),
+          r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+      val byGrp = rows.groupBy(_._1).map { case (g, vs) =>
+        val (e, ex) = estOf(vs.map(r => fp60(r._2)))
+        (g, e, ex, false)
+      }.toSet
+      val (re, rex) = estOf(rows.map(r => fp60(r._2)))
+      val expect = byGrp + (("__all", re, rex, true))
+      assert(got == expect, s"seed $seed: only-got=${got -- expect} " +
+        s"only-expect=${expect -- got}")
+    }
+  }
+
+  test("knn join and hard negatives match brute force on random labeled vectors") {
+    import spark.implicits._
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else r6(d / den)
+    }
+    for (seed <- Seq(5, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until 120).map { i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1), rnd.nextInt(3))
+      }
+      val df = vecs.map { case (id, v, l) => (id, v.toSeq, l) }
+        .toDF("vec_id", "embedding", "label")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      val kk = 4
+
+      // knn join: queries = label 0, corpus = label != 0
+      val gotKnn = graft.ops.Similarity.knnJoin(
+          df.where(col("label") === 0), df.where(col("label") =!= 0), k = kk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val queries = vecs.filter(_._3 == 0); val corpus = vecs.filter(_._3 != 0)
+      val expKnn = queries.flatMap { case (q, vq, _) =>
+        corpus.map { case (b, vb, _) => (b, cos(vq, vb)) }
+          .sortBy { case (b, c) => (-c, b) }.take(kk).zipWithIndex
+          .map { case ((b, _), i) => (q, b, i + 1) }
+      }.toSet
+      assert(gotKnn == expKnn, s"seed $seed knn: only-got=${gotKnn -- expKnn} " +
+        s"only-expect=${expKnn -- gotKnn}")
+
+      // hard negatives: per anchor, top-k among DIFFERENT labels
+      val gotHn = graft.ops.Similarity.hardNegatives(df, k = kk)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(5))).toSet
+      val expHn = vecs.flatMap { case (a, va, la) =>
+        vecs.filter(v => v._1 != a && v._3 != la)
+          .map { case (b, vb, _) => (b, cos(va, vb)) }
+          .sortBy { case (b, c) => (-c, b) }.take(kk).zipWithIndex
+          .map { case ((b, _), i) => (a, b, i + 1) }
+      }.toSet
+      assert(gotHn == expHn, s"seed $seed hn: only-got=${gotHn -- expHn} " +
+        s"only-expect=${expHn -- gotHn}")
+    }
+  }
+
+  test("histogram quantiles match direct rank arithmetic on random groups") {
+    import spark.implicits._
+    val width = 3.0; val nBuckets = 50; val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    for (seed <- Seq(13, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 3000).map { _ =>
+        (s"g${rnd.nextInt(4)}", rnd.nextDouble() * 200 - 20) // spills both clamps
+      }
+      val got = graft.ops.Sketches.histogramQuantiles(rows.toDF("grp", "v"),
+          "grp", "v", width, nBuckets, qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, vs) =>
+        val buckets = vs.map(r =>
+            math.max(0L, math.min(nBuckets - 1L, math.floor(r._2 / width).toLong)))
+          .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+          .toSeq.sortBy(_._1)
+        val n = vs.size.toLong
+        qs.foreach { q =>
+          val target = q * n
+          var cum = 0L
+          val (b, cnt, before) = buckets.collectFirst {
+            case (bk, c) if { cum += c; cum >= target } => (bk, c, cum - c)
+          }.get
+          val est = new java.math.BigDecimal(
+            b * width + width * ((target - before) / cnt))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          assert(got((g, q)) == ((n, est)),
+            s"seed $seed $g q=$q: ${got((g, q))} vs ($n, $est)")
+        }
+      }
+    }
+  }
 }
