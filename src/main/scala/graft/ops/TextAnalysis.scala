@@ -472,6 +472,24 @@ object TextAnalysis {
       trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** Sentence segmentation — the prerequisite for sentence-level dedup,
+    * per-sentence quality gates, and citation-span work. EXTRACTION form
+    * (`[^.!?]+[.!?]+ | trailing fragment`), not a split: split-class
+    * segmenters need lookbehind to keep the terminal punctuation, and
+    * lookbehind doesn't exist in RE2 — the extraction pattern runs
+    * identically on Java regex and RE2, which is how the oracle replays
+    * it. Pure projection + explode: no shuffle, scan speed at any corpus
+    * size; `sent_no` comes from posexplode, not a window. */
+  def sentences(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val parts = expr(
+      s"filter(transform(regexp_extract_all($textCol, " +
+        "'[^.!?]+[.!?]+|[^.!?]+\\\\z', 0), x -> trim(x)), x -> x != '')")
+    df.select(col(idCol), posexplode(parts).as(Seq("sent_no", "sentence")))
+      .select(col(idCol), col("sent_no").cast("long").as("sent_no"),
+        col("sentence"))
+  }
+
   /** Corpus vocabulary: top-`n` words by document-corpus frequency with a
     * deterministic (count desc, word) rank. One map-side-combinable groupBy
     * on the word, then orderBy+limit — Spark plans that as a distributed

@@ -99,6 +99,21 @@ object DataOpsQueries {
        |  round(cume_dist() OVER (PARTITION BY lang ORDER BY quality_score), 6) AS quality_cdf
        |FROM base WHERE quality_score IS NOT NULL""".stripMargin)
 
+  /** Sentence segmentation over the corpus — extraction-form pattern (no
+    * lookbehind, so it runs identically on Java regex and DuckDB's RE2);
+    * 0-based sentence index from posexplode vs generate_subscripts−1. */
+  val sentencesQ: OQ = OQ.df("text_sentence_split",
+    (s, _) => TextAnalysis.sentences(s.table("documents")),
+    """WITH p AS (SELECT doc_id,
+      |    list_filter(list_transform(
+      |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+\z', 0),
+      |      x -> trim(x)), x -> x <> '') AS parts
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS sent_no,
+      |  unnest(parts) AS sentence
+      |FROM p""".stripMargin)
+
   /** HTML → text extraction over an inline fixture (the corpus carries no
     * markup, so a documents-table key would pass vacuously): script/style
     * subtrees dropped, tags stripped, predefined + numeric entities
@@ -1994,7 +2009,7 @@ object DataOpsQueries {
   // lazy: zorderBench (promoted into the oracle registry) is declared after
   // this list in source order — a strict val would capture it as null
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
-    normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ,
+    normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ, sentencesQ,
     sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
@@ -2003,7 +2018,7 @@ object DataOpsQueries {
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
     quantizeInt8, embNormalize, matryoshkaQ, centroidQ, cosineExpr,
-    sessionize, sessionWindow, contaminated, curation,
+    sessionize, sessionWindow, contaminated, curation, embCuration,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
     containmentPairsPrefixQ, ngramJaccardUncapped,
     dedupIncremental, dedupIncrementalPrefix, dedupContainmentIncr,
@@ -2044,6 +2059,68 @@ object DataOpsQueries {
       Multimodal.perceptualHashDct(Multimodal.toMediaTable(s.table("documents"))),
       maxHamming = 8, bands = 9, sigBits = 63, idCol = "media_id",
       sigCol = "phash", maxBucket = 200))
+
+  /** EMBEDDING-CURATION CAPSTONE — the vector-side counterpart of
+    * `pipeline_data_curation`, composed entirely from EXACT operators so
+    * the whole pipeline oracle-checks end to end: (1) blocked-grid
+    * near-dup pruning at cosine ≥ 0.9 (higher id drops), (2) embedding
+    * decontamination against the label-0 eval suite at 0.4, (3) A-ES
+    * weighted selection of 200 vectors proportional to the (rounded) L2
+    * norm, (4) deterministic md5 sharding — reported as the per-(shard,
+    * label) histogram. Every stage is the SAME code the standalone keys
+    * pin; the oracle replays the four-stage composition in one DuckDB
+    * query. */
+  val embCuration: OQ = OQ.df("pipeline_embedding_curation",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val eval = emb.where(col("label") === 0)
+      val corpus = emb.where(col("label") =!= 0)
+      val losers = Similarity.cosineNearDup(corpus, threshold = 0.9)
+        .select(col("b").as("vec_id")).distinct()
+      val deduped = corpus.join(losers, Seq("vec_id"), "left_anti")
+      val dirty = Similarity.contaminationAgainst(deduped, eval, threshold = 0.4)
+        .select("vec_id")
+      val clean = deduped.join(dirty, Seq("vec_id"), "left_anti")
+      val weighted = clean.select(col("vec_id"), col("label"),
+        round(Similarity.l2norm(col("embedding")), 6).as("w"))
+      val sampled = graft.ops.Sampling.weightedTopK(weighted, k = 200,
+        weightCol = "w", idCol = "vec_id")
+      graft.ops.Sampling.shardAssign(sampled.select("vec_id", "label"),
+          nShards = 8, seed = "emb0", idCol = "vec_id")
+        .groupBy("shard_id", "label")
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("CAST(shard_id AS INT) AS shard_id",
+          "CAST(label AS INT) AS label", "n")
+    },
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.e * b.e) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label <> 0 AND b.label <> 0 AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |losers AS (SELECT DISTINCT dots.b FROM dots
+      |  JOIN norms na ON dots.a = na.vec_id JOIN norms nb ON dots.b = nb.vec_id
+      |  WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9),
+      |dd AS (SELECT vec_id, label FROM embeddings
+      |  WHERE label <> 0 AND vec_id NOT IN (SELECT b FROM losers)),
+      |cdots AS (SELECT c.vec_id AS a, ev.vec_id AS b, sum(c.e * ev.e) AS dot
+      |  FROM el c JOIN el ev ON c.i = ev.i
+      |  WHERE c.vec_id IN (SELECT vec_id FROM dd) AND ev.label = 0 GROUP BY 1, 2),
+      |dirty AS (SELECT DISTINCT cdots.a FROM cdots
+      |  JOIN norms na ON cdots.a = na.vec_id JOIN norms nb ON cdots.b = nb.vec_id
+      |  WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4),
+      |clean AS (SELECT d.vec_id, d.label, round(n.nrm, 6) AS w FROM dd d
+      |  JOIN norms n ON d.vec_id = n.vec_id
+      |  WHERE d.vec_id NOT IN (SELECT a FROM dirty)),
+      |keys AS (SELECT vec_id, label,
+      |    round(ln((CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |        % 1000000 + 0.5) / 1000000.0) / w, 6) AS es_key
+      |  FROM clean WHERE w IS NOT NULL AND w > 0),
+      |sel AS (SELECT vec_id, label FROM keys ORDER BY es_key DESC, vec_id LIMIT 200),
+      |sh AS (SELECT CAST(CAST('0x' || substr(md5('emb0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |    % 8 AS INT) AS shard_id, CAST(label AS INT) AS label FROM sel)
+      |SELECT shard_id, label, count(*) AS n FROM sh GROUP BY 1, 2""".stripMargin)
 
   /** IVF-PQ composed index (residual ADC over probed lists): learned
     * quantizers have no SQL form — determinism, artifact reuse, and recall

@@ -1424,6 +1424,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == expected, "engine keep-set must match the local replay")
   }
 
+  test("sentence split: terminal runs kept, trailing fragment kept, empty dropped") {
+    import spark.implicits._
+    val out = graft.ops.TextAnalysis.sentences(Seq(
+      (1L, "First one. Second one! Third?? And a trailing fragment"),
+      (2L, "no punctuation at all"),
+      (3L, ""),
+      (4L, "...")  // punctuation only → trims to nothing, no rows
+    ).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.filter(_._1 == 1L).toList == List(
+      (1L, 0L, "First one."), (1L, 1L, "Second one!"),
+      (1L, 2L, "Third??"), (1L, 3L, "And a trailing fragment")))
+    assert(out.filter(_._1 == 2L).toList == List((2L, 0L, "no punctuation at all")))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    val p = graft.ops.TextAnalysis.sentences(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sentences must not shuffle:\n$p")
+  }
+
   test("html strip: subtrees out, entities decoded once, case-insensitive, codegen") {
     import spark.implicits._
     val out = graft.ops.TextAnalysis.htmlStrip(Seq(
