@@ -115,6 +115,44 @@ object Quantize {
       .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
         round(col("__s").cast("double") / 10000.0 / col("n"), 6).as("mean"))
 
+  /** CENTROID-DISTANCE OUTLIERS — the embedding-space mislabel/noise
+    * screen: every vector's Euclidean distance to ITS OWN label's exact
+    * centroid, z-scored per label, so one global |z| threshold flags
+    * suspicious members across labels of different natural spread (the
+    * numeric-column analogue is `check_outliers_mad`). Composition of
+    * exact pieces, so the whole thing oracle-checks: centroids are
+    * [[centroidByLabel]]'s quantized-sum exact means; per-term squared
+    * differences route through DECIMAL(28,12) so the distance sum is
+    * associative (cross-engine identical) before the one sqrt + round.
+    *
+    * Scale: the centroid frame is labels × dims (KBs — broadcast); the
+    * corpus pays one explode + one map-side-combinable per-vector
+    * aggregate; label stats are a labels-sized frame joined back
+    * broadcast. No window, nothing collects. Spread-free labels (one
+    * member, or all equidistant) get NULL z, never a division blow-up. */
+  def centroidOutliers(emb: DataFrame, labelCol: String = "label",
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cent = centroidByLabel(emb, labelCol, vecCol)
+      .select(col("label"), col("dim"), col("mean"))
+    val ex = emb.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .withColumn("dim", col("dim").cast("long"))
+    val diff = col("__v").cast("double") - col("mean")
+    val d = ex.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("__t", (diff * diff).cast("decimal(28,12)"))
+      .groupBy(col(idCol), col("label"))
+      .agg(round(sqrt(sum(col("__t")).cast("double")), 6).as("dist"))
+    val stats = d.groupBy("label").agg(
+      avg("dist").as("__mu"), stddev_samp("dist").as("__sigma"))
+    d.join(broadcast(stats), Seq("label"))
+      .select(col(idCol), col("label"), col("dist"),
+        round(col("__mu"), 6).as("label_mean_dist"),
+        when(col("__sigma") > 0,
+          round((col("dist") - col("__mu")) / col("__sigma"), 6)).as("dist_z"))
+  }
+
   def l2NormalizeSummary(emb: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)

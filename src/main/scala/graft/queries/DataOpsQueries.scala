@@ -1215,6 +1215,29 @@ object DataOpsQueries {
       |    / 10000.0 / count(*), 6) AS mean
       |FROM x GROUP BY 1, 2""".stripMargin)
 
+  /** Centroid-distance outliers ([[graft.ops.Quantize.centroidOutliers]]):
+    * per-vector distance to its own label's exact centroid, z-scored per
+    * label — the embedding mislabel/noise screen. DECIMAL-routed distance
+    * sums keep the composition engine-exact end to end. */
+  val embOutliersQ: OQ = OQ.df("emb_centroid_outliers",
+    (s, _) => graft.ops.Quantize.centroidOutliers(s.table("embeddings")),
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+      |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |cent AS (SELECT label, dim,
+      |    round(CAST(sum(CAST(floor(e * 10000) AS BIGINT)) AS DOUBLE)
+      |      / 10000.0 / count(*), 6) AS mean
+      |  FROM el GROUP BY 1, 2),
+      |d AS (SELECT el.vec_id, el.label,
+      |    round(sqrt(CAST(sum(CAST((e - mean) * (e - mean) AS DECIMAL(28,12))) AS DOUBLE)), 6) AS dist
+      |  FROM el JOIN cent ON el.label = cent.label AND el.dim = cent.dim
+      |  GROUP BY 1, 2),
+      |st AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sigma
+      |  FROM d GROUP BY 1)
+      |SELECT d.vec_id, d.label, d.dist, round(mu, 6) AS label_mean_dist,
+      |  CASE WHEN sigma > 0 THEN round((dist - mu) / sigma, 6) END AS dist_z
+      |FROM d JOIN st USING (label)""".stripMargin)
+
   // ---- dedup family -------------------------------------------------------
 
   val dedupExact: OQ = OQ.df("dedup_exact",
@@ -2017,7 +2040,7 @@ object DataOpsQueries {
     sampleMixture, sampleMixtureTokens, sampleEpochs, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
-    quantizeInt8, embNormalize, matryoshkaQ, centroidQ, cosineExpr,
+    quantizeInt8, embNormalize, matryoshkaQ, centroidQ, embOutliersQ, cosineExpr,
     sessionize, sessionWindow, contaminated, curation, embCuration,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
     containmentPairsPrefixQ, ngramJaccardUncapped,

@@ -1424,6 +1424,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == expected, "engine keep-set must match the local replay")
   }
 
+  test("centroid outliers: planted far vector gets the top z, spread-free label NULL") {
+    import spark.implicits._
+    // label 1: a tight cluster + one planted far point; label 2: one member
+    val vecs = (1 to 20).map(i =>
+      (i.toLong, Seq(1.0f + i * 0.001f, 2.0f, 3.0f), 1)) ++
+      Seq((99L, Seq(50.0f, -40.0f, 7.0f), 1), (100L, Seq(0f, 0f, 0f), 2))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Quantize.centroidOutliers(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) null
+        else java.lang.Double.valueOf(r.getDouble(4)))).toMap
+    val z99 = out(99L).asInstanceOf[Double]
+    assert(z99 > 3.0, s"planted outlier z: $z99")
+    assert(out(100L) == null, "single-member label has no spread")
+    // everyone else is below the planted point
+    assert(vecs.map(_._1).filterNot(Set(99L, 100L))
+      .forall(id => out(id).asInstanceOf[Double] < z99))
+  }
+
   test("sentence split: terminal runs kept, trailing fragment kept, empty dropped") {
     import spark.implicits._
     val out = graft.ops.TextAnalysis.sentences(Seq(
