@@ -336,6 +336,40 @@ class PlanSpec extends AnyFunSuite {
     SessionCatalogWarehouse.dropAny(spark, "plan_ov_state")
   }
 
+  test("quality CDF windows only the aggregated frame and broadcasts it back") {
+    val p = planOf("text_quality_cdf")
+    // the cumulative window's input must be the distinct-(lang, score)
+    // aggregate, NEVER raw document rows — the structural bound that makes
+    // the operator safe at any corpus size. In the executed plan that
+    // shows as: every Window sits above a hash aggregate exchange, and the
+    // frame joins back onto the scan via broadcast.
+    assert(p.contains("Window"), "expected the bounded-frame window")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cdf frame must broadcast back onto the doc scan:\n${p.take(600)}")
+    // the doc rows themselves are never globally sorted
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort of document rows:\n${p.take(600)}")
+  }
+
+  test("KMV sketch plans as bounded-heap aggregates — no window, no sort") {
+    val p = planOf("sketch_distinct_kmv")
+    assert(!p.contains("Window"), s"KMV must not window:\n${p.take(600)}")
+    assert(!p.contains("Sort "), s"KMV must not sort:\n${p.take(600)}")
+    assert(p.contains("bounded_top_k"),
+      s"k-minima must come from the bounded-heap aggregate:\n${p.take(600)}")
+  }
+
+  test("histogram quantiles never exchange more than the bucket frame") {
+    val p = planOf("sketch_quantile_histogram")
+    // the only hash exchanges are (grp, bucket)-keyed aggregate frames —
+    // the raw value rows reduce map-side before any shuffle; the quantile
+    // probe set is a broadcast of the literal q list
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the q list must broadcast:\n${p.take(600)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n${p.take(600)}")
+  }
+
   test("bucketed tables join with ZERO exchanges — the write-once shuffle layout") {
     import org.apache.spark.sql.functions._
     // same layout move as mat_bucketed_join: both sides bucketBy the join
