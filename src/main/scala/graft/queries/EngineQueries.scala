@@ -712,6 +712,50 @@ object EngineQueries {
       |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rn FROM e)
       |SELECT window_id, event_id, value AS score FROM r WHERE rn <= 5""".stripMargin)
 
+  /** Streaming SCD2 as-of enrichment: a two-version dimension derived from
+    * customer (segment flips to `seg+` at 2024-01-16), each event joined
+    * to the version valid AT ITS OWN EVENT TIME, rolled up per finalized
+    * window — events before the flip must count under the OLD segment
+    * even though the dimension has advanced, the property a
+    * current-snapshot lookup gets wrong. Same append-mode watermark
+    * cutoff as stream_window_counts. */
+  val streamScd2: OQ = OQ.df("stream_scd2_enrich",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_scd2_sink")
+      val cust = s.table("customer")
+        .select(col("c_custkey").cast("long").as("cust_id"),
+          col("c_mktsegment").cast("string").as("seg"))
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val dim = cust.select(col("cust_id"), col("seg").as("segment"),
+          lit("1970-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          mid.as("valid_to"))
+        .unionByName(cust.select(col("cust_id"),
+          concat(col("seg"), lit("+")).as("segment"),
+          mid.as("valid_from"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("valid_to")))
+      val agg = Streams.scd2EnrichedCounts(
+        Streams.eventStream(s, s"$dir/events.parquet"), dim,
+        joinKey = "user_id", dimKey = "cust_id", attr = "segment")
+      Streams.runAppendToTable(s, agg, "g_stream_scd2_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-scd2-cp").toString))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("segment"), col("n"))
+    },
+    """WITH w AS (SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS wstart,
+      |    user_id, CAST(ts AS TIMESTAMP) AS tss FROM events),
+      |d AS (SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_mktsegment AS segment,
+      |    TIMESTAMP '1970-01-01 00:00:00' AS vf, TIMESTAMP '2024-01-16 00:00:00' AS vt
+      |  FROM customer
+      |  UNION ALL SELECT CAST(c_custkey AS BIGINT), c_mktsegment || '+',
+      |    TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2100-01-01 00:00:00'
+      |  FROM customer),
+      |j AS (SELECT w.wstart, w.tss, d.segment FROM w LEFT JOIN d
+      |  ON w.user_id = d.cust_id AND w.tss >= d.vf AND w.tss < d.vt)
+      |SELECT CAST(wstart AS STRING) AS window_start, segment, count(*) AS n
+      |FROM j
+      |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM j) - INTERVAL 10 MINUTE
+      |GROUP BY 1, 2""".stripMargin)
+
   /** Streaming histogram quantiles — per finalized 5-minute window, the
     * fixed-grid p50/p95 of event value: the watermarked windowed
     * aggregation keeps only (window × occupied-bucket) counts as state
@@ -980,6 +1024,6 @@ object EngineQueries {
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

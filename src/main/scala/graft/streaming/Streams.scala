@@ -1265,6 +1265,34 @@ object Streams {
     }
   }
 
+  /** STREAM × SCD2 DIMENSION enrichment — each event joins the dimension
+    * VERSION valid at its own event time (`valid_from <= ts < valid_to`),
+    * then the usual watermarked windowed rollup per enriched attribute.
+    * The temporal predicate rides as a RESIDUAL on a key equi-join, so
+    * the plan stays a broadcast hash join per micro-batch (the SCD2 dim
+    * is versions × keys — small by construction) — never a
+    * nested-loop/range scan, and the stream side takes no extra shuffle
+    * before the windowed aggregation. Late events self-correct: an event
+    * from last week joins LAST WEEK's version even if the dimension has
+    * since advanced — the property a current-snapshot lookup silently
+    * gets wrong. Unmatched keys keep a NULL attribute (left join). */
+  def scd2EnrichedCounts(events: DataFrame, dim: DataFrame,
+                         joinKey: String, dimKey: String, attr: String,
+                         validFrom: String = "valid_from",
+                         validTo: String = "valid_to",
+                         window: String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val joined = events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(joinKey) === dim(dimKey) &&
+        events("ts") >= dim(validFrom) && events("ts") < dim(validTo),
+      "left")
+    joined.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(attr))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("window_start"), col(attr), col("n"))
+  }
+
   /** One retained fingerprint from a closed (window, shard) group — the
     * shard's ≤ k smallest distinct 60-bit md5 fingerprints. A fingerprint
     * lives in exactly ONE shard (sharding is BY the fingerprint), so the
