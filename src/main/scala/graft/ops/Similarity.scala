@@ -175,7 +175,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val (qGroups, sShards) = grid(emb, vecCol, shardBytes)
-    val base = emb.where(col(labelCol).isNotNull)
+    val base = emb.where(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
       .as[(Long, Array[Float], Long)]
       .map { case (id, v, l) => (id, v, normP(v), l) }
@@ -257,6 +257,69 @@ object Similarity {
         }
       }.toDF("q", "b", "cos")
     perShard
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q").orderBy(col("cos").desc, col("b"))))
+      .where(col("rank") <= k)
+      .select(col("q"), col("b"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** IVF-ROUTED BIPARTITE KNN JOIN — the scale tier over [[knnJoin]]. The
+    * exact grid is O(Q·C) cosines by construction (every query scores every
+    * corpus vector, however well it shards); this routes through the same
+    * build-once [[ivfCentroids]] coarse quantizer as [[ivfTopK]]: every
+    * corpus vector lands in exactly ONE inverted list (its nearest
+    * centroid), every query replicates to only its `nprobe` nearest lists,
+    * and exact cosine top-k runs within each probed list. Per-query compute
+    * drops to ~(nprobe/nlist)·C dot products and the shuffle carries
+    * C + Q·nprobe rows instead of the grid's C·G + Q·S replication.
+    * Per-task memory is one inverted list (~C/nlist vectors — scale nlist ∝
+    * √C to hold lists constant); the per-list winners merge through one
+    * bounded (≤ k·nprobe rows per query) window. Deterministic rank:
+    * (rounded cos desc, corpus id asc), identical to [[knnJoin]].
+    *
+    * `nprobe = nlist` probes every list, which provably covers the full
+    * corpus — the result is then bit-identical to the exact [[knnJoin]],
+    * which is how the oracle pins this plan (`ann_knn_join_ivf_exact`);
+    * the production nprobe ≪ nlist config is the recall-tuned scale path.
+    * Pass `prebuilt` to reuse a pinned quantizer across query batches. */
+  def knnJoinIvf(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                 nlist: Int = 16, nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 iterations: Int = 5, maxTrainSample: Int = 10000,
+                 prebuilt: Option[Array[Array[Float]]] = scala.None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist]: $nprobe")
+    val centroids = prebuilt.getOrElse(
+      ivfCentroids(corpus.where(col(vecCol).isNotNull), nlist, idCol, vecCol,
+        iterations, maxTrainSample))
+    val bc = spark.sparkContext.broadcast(centroids)
+    // corpus: one inverted list per vector (argmax dot ≡ argmax cos — the
+    // vector's own norm is constant across centroids); NULL vectors are
+    // excluded on both sides, matching the exact knnJoin
+    val members = vecs(corpus.where(col(vecCol).isNotNull), idCol, vecCol)
+      .map { case (id, v) => (nearestCentroid(v, bc.value), id, v) }
+    // queries: replicated to their nprobe nearest lists only
+    val probes = vecs(queries.where(col(vecCol).isNotNull), idCol, vecCol)
+      .flatMap { case (id, v) =>
+        nearestCentroids(v, bc.value, nprobe).iterator.map(c => (c, id, v))
+      }
+    members.groupByKey(_._1).cogroup(probes.groupByKey(_._1)) { (_, mIt, qIt) =>
+      val list = mIt.map { case (_, id, v) => (id, v, normP(v)) }.toArray
+      qIt.flatMap { case (_, q, vq) =>
+        val nq = normP(vq)
+        val top = new TopK(k)
+        var i = 0
+        while (i < list.length) {
+          val (b, vb, nb) = list(i)
+          top.offer(b, cosineOf(vq, vb, nq, nb))
+          i += 1
+        }
+        top.iterator.map { case (b, c) => (q, b, c) }
+      }
+    }.toDF("q", "b", "cos")
       .withColumn("rank", row_number().over(
         Window.partitionBy("q").orderBy(col("cos").desc, col("b"))))
       .where(col("rank") <= k)

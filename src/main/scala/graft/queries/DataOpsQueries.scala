@@ -1699,12 +1699,7 @@ object DataOpsQueries {
     * through the blocked two-table grid; the oracle replays the full
     * bipartite rank. The scale path contaminationAgainst's broadcast form
     * can't take when BOTH sides are large. */
-  val knnJoinQ: OQ = OQ.df("ann_knn_join",
-    (s, _) => {
-      val emb = s.table("embeddings")
-      Similarity.knnJoin(emb.where(col("label") === 0),
-        emb.where(col("label") =!= 0), k = 5)
-    },
+  private val duckKnnBipartite =
     """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -1718,7 +1713,30 @@ object DataOpsQueries {
       |r AS (SELECT q, b, cos,
       |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank
       |  FROM sims)
-      |SELECT q, b, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin)
+      |SELECT q, b, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin
+
+  val knnJoinQ: OQ = OQ.df("ann_knn_join",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      Similarity.knnJoin(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), k = 5)
+    },
+    duckKnnBipartite)
+
+  /** IVF-routed bipartite KNN exactness witness: probing every inverted
+    * list (nprobe = nlist) provably covers the corpus — each corpus vector
+    * lives in exactly one list and every list is searched — so the routed
+    * plan (train → assign → probe-replicate → per-list top-k → bounded
+    * merge window) must reproduce the exact bipartite rank bit-for-bit.
+    * Shares [[knnJoinQ]]'s oracle SQL; the production nprobe ≪ nlist config
+    * is recall-gated in DataOpsSpec and benched as `ann_knn_join_ivf`. */
+  val knnJoinIvfExact: OQ = OQ.df("ann_knn_join_ivf_exact",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      Similarity.knnJoinIvf(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), k = 5, nlist = 16, nprobe = 16)
+    },
+    duckKnnBipartite)
 
   /** Cluster-balanced-sample LOSSLESSNESS pin: a per-cluster quota above
     * any cluster's size keeps every vector, so the full train → assign →
@@ -1747,6 +1765,20 @@ object DataOpsQueries {
     * `ann_lsh_bucketed` (bench-only: approximate output has no SQL oracle). */
   val annLshExact: OQ = OQ.df("ann_lsh_exact",
     (s, _) => Similarity.lshTopK(s.table("embeddings"), k = 5, bits = 0, tables = 1),
+    duckTopK(5))
+
+  /** Multi-table LSH losslessness witness: 4 tables × 0 bits puts every
+    * vector in ALL FOUR single-bucket tables with an over-sized bucket cap,
+    * so the candidate set provably covers — the PRODUCTION multi-table
+    * machinery (per-table union, streamed bucket-cap heap, cross-table
+    * candidate dedup, global merge window) must then reproduce brute-force
+    * top-k bit-for-bit. [[annLshExact]] pins one degenerate table; this
+    * pins the multi-table merge path itself (the
+    * `dedup_minhash_lsh_capped_lossless` pattern). The production config
+    * (auto bits, 4 tables) stays recall-gated + benched (`ann_lsh_bucketed`). */
+  val annLshMultitableLossless: OQ = OQ.df("ann_lsh_bucketed_lossless",
+    (s, _) => Similarity.lshTopK(s.table("embeddings"), k = 5, bits = 0,
+      tables = 4, maxBucket = 1 << 20),
     duckTopK(5))
 
   /** IVF exactness witness: probing every list (nprobe = nlist) makes IVF
@@ -2034,6 +2066,7 @@ object DataOpsQueries {
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ, sentencesQ,
     sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
+    knnJoinIvfExact, annLshMultitableLossless,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
@@ -2153,8 +2186,19 @@ object DataOpsQueries {
     (s, _) => graft.ops.Pq.ivfPqTopK(s.table("embeddings"),
       topK = 5, nlist = 64, nprobe = 8, m = 16, k = 16))
 
+  /** Production IVF-routed bipartite KNN (nprobe ≪ nlist): per-query work
+    * drops to ~nprobe/nlist of the exact grid; recall is gated ≥0.8 against
+    * the exact [[knnJoinQ]] in DataOpsSpec and the full-probe config is
+    * oracle-pinned as `ann_knn_join_ivf_exact`. */
+  val knnJoinIvfBench: OQ = OQ.rowsOnly("ann_knn_join_ivf",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      Similarity.knnJoinIvf(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), k = 5, nlist = 16, nprobe = 4)
+    })
+
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     minhashOphBench, semanticBench, bpeBench, pqBench, qualityClf, clusterSample,
-    sketchDistinct, phashBench, ivfPqBench)
+    sketchDistinct, phashBench, ivfPqBench, knnJoinIvfBench)
 }

@@ -2352,6 +2352,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == truth, s"knn join diverges: ${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
   }
 
+  test("IVF-routed knn join: full probe equals exact, nprobe=8 reaches 0.8 recall") {
+    val q = emb.where(col("label") === 0)
+    val c = emb.where(col("label") =!= 0)
+    val exact = Similarity.knnJoin(q, c, k = 5).select("q", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe = nlist: every inverted list is searched, so the routed plan
+    // must reproduce the exact bipartite rank (the oracle pin's premise)
+    val full = Similarity.knnJoinIvf(q, c, k = 5, nlist = 16, nprobe = 16)
+      .select("q", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full-probe IVF knn != exact: ${full.diff(exact).take(3)} / ${exact.diff(full).take(3)}")
+    // half the lists probed: ~nprobe/nlist of the exact compute, high recall
+    // (same gate as the self-join ivfTopK spec; this synthetic fixture has
+    // weak cluster structure, so quarter-probe recall is tracked only for
+    // monotonicity, not gated)
+    val half = Similarity.knnJoinIvf(q, c, k = 5, nlist = 16, nprobe = 8)
+      .select("q", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect half).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF knn-join recall too low: $recall")
+    val quarter = Similarity.knnJoinIvf(q, c, k = 5, nlist = 16, nprobe = 4)
+      .select("q", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallQ = (exact intersect quarter).size.toDouble / exact.size
+    assert(recallQ <= recall + 1e-9 && recallQ > 0,
+      s"more probes must not lose recall: nprobe4=$recallQ nprobe8=$recall")
+    // a pinned prebuilt quantizer reproduces the same routed result
+    val cents = Similarity.ivfCentroids(c, nlist = 16)
+    val pinned = Similarity.knnJoinIvf(q, c, k = 5, nlist = 16, nprobe = 16,
+      prebuilt = Some(cents)).select("q", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinned == exact)
+  }
+
   test("hard negatives: never same-label, equals label-filtered brute force") {
     val hn = Similarity.hardNegatives(emb, k = 3).collect()
     assert(hn.nonEmpty && hn.forall(r => r.getLong(1) != r.getLong(3)),
