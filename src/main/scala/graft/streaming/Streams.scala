@@ -221,10 +221,17 @@ object Streams {
     raw
       // cheap dispatch: only strings that can possibly be wrapped pay the
       // wrapped parse (a record field literally named "payload" just falls
-      // through the coalesce to the bare parse — correct, merely slower)
-      .withColumn("__env", coalesce(
+      // through the coalesce to the bare parse — correct, merely slower).
+      // The single-element explode(array(…)) puts a Generate between the
+      // parse and every consumer: the parse materializes as a REAL attribute
+      // exactly once per row. Without it, the isNotNull filter below is
+      // pushed through the projection (and any upstream repartition) with
+      // the alias inlined, so each row re-parses the envelope once per
+      // filter conjunct and once more per projected field — measured 6×
+      // the JSON work on the CDC bench feed.
+      .select(col("*"), explode(array(coalesce(
         when(v.contains("\"payload\""), from_json(v, wrapped).getField("payload")),
-        from_json(v, bare)))
+        from_json(v, bare)))).as("__env"))
       .where(col("__env").isNotNull && col("__env.op").isNotNull)
       .withColumn("__rec",
         when(col("__env.op") === "d", col("__env.before"))
@@ -265,7 +272,10 @@ object Streams {
     val populated = schema.fieldNames
       .map(f => col(s"__rec.$f").isNotNull).reduce(_ || _)
     raw
-      .withColumn("__rec", from_json(col(valueCol).cast("string"), schema))
+      // Generate barrier (see debeziumDecode): parse once per row as a real
+      // attribute instead of an alias the pushed-down filter re-inlines
+      .select(col("*"),
+        explode(array(from_json(col(valueCol).cast("string"), schema))).as("__rec"))
       .where(col("__rec").isNotNull && populated)
       .select(col("__rec.*"))
   }
@@ -529,12 +539,18 @@ object Streams {
       } else {
         val n = effective.getOrElse(bucketCountOf(wh, state))
         effective = Some(n)
-        // materialize the batch fold ONCE (eager, batch-sized — the winners
-        // of this micro-batch, never state-sized): both the touched-bucket
-        // probe below and the merge read it, where the lazy form re-ran the
-        // whole batch aggregation for each
+        // cache the batch fold ONCE (batch-sized — the winners of this
+        // micro-batch, never state-sized): the touched-bucket probe below
+        // materializes it and the merge re-reads it, where the lazy form
+        // re-ran the whole batch aggregation for each. persist, NOT
+        // localCheckpoint: checkpoint blocks live only on executors, so an
+        // executor loss would fail the batch outright; a persisted plan
+        // keeps its lineage and recomputes (ADVICE r13), and the explicit
+        // unpersist below releases the blocks at batch end instead of
+        // waiting on driver GC.
         val withBucket = incoming.withColumn("__bucket", bucketCol(n))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // bounded driver traffic: at most `n` scalar partition values
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getString(0)).toSeq
@@ -557,6 +573,7 @@ object Streams {
           val old = wh.table(state).where(col("__bucket").isin(touched: _*))
           wh.overwritePartitions(state, latestOf(old.unionByName(withBucket)))
         }
+        } finally withBucket.unpersist(blocking = false)
       }
     }
   }
@@ -693,11 +710,14 @@ object Streams {
         commit(wh, state, Comp(n, base, Nil), Nil)
       } else {
         val c = comp.getOrElse(deriveComp(wh, state))
-        // materialized once (eager, batch-sized): the touched probe and the
-        // branch taken below both consume it — lazily each would re-run the
-        // batch's fold aggregation from the source
+        // cached once (batch-sized): the touched probe materializes it and
+        // the branch taken below re-reads it — lazily each would re-run the
+        // batch's fold aggregation from the source. persist keeps lineage
+        // (recomputable under executor loss, unlike localCheckpoint —
+        // ADVICE r13) and the finally-unpersist releases blocks at batch end.
         val withBucket = incoming.withColumn("__bucket", bucketCol(c.n))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getString(0)).toSet
         val coveredAfter = c.overlays.flatMap(_._2).toSet ++ touched
@@ -744,6 +764,7 @@ object Streams {
           val shadowed = c.overlays.map(_._1).filterNot(liveAfter.map(_._1).contains)
           commit(wh, state, Comp(c.n, c.base, liveAfter), shadowed)
         }
+        } finally withBucket.unpersist(blocking = false)
       }
     }
 
