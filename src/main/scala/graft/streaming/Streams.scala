@@ -1302,9 +1302,18 @@ object Streams {
                          validFrom: String = "valid_from",
                          validTo: String = "valid_to",
                          window: String = "5 minutes",
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes",
+                         maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    // broadcast the dimension only while its full version history actually
+    // fits (plan-stats estimate, no job): the common SCD2 dim broadcasts and
+    // the stream side never shuffles before the rollup; past the gate the
+    // SAME equi-join + temporal residual runs as a per-batch shuffled
+    // stream-static join instead of OOMing the build side (VERDICT r13 #3)
+    val fits = dim.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(maxBroadcastBytes)
+    val build = if (fits) org.apache.spark.sql.functions.broadcast(dim) else dim
     val joined = events.join(
-      org.apache.spark.sql.functions.broadcast(dim),
+      build,
       events(joinKey) === dim(dimKey) &&
         events("ts") >= dim(validFrom) && events("ts") < dim(validTo),
       "left")

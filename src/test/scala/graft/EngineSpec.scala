@@ -1351,4 +1351,44 @@ class EngineSpec extends AnyFunSuite {
     // (p - r) and ln(p / r) always share a sign, so every term is >= 0
     assert(out.forall(_._3 >= 0.0), "PSI terms are non-negative by construction")
   }
+
+  test("scd2 enrich: past-threshold dim drops the broadcast hint, same result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch replay (EliminateEventTimeWatermark strips the watermark) so the
+    // physical join strategy is inspectable on the executed plan
+    val events = Seq(
+      (1L, "2024-01-10 00:00:00"), (1L, "2024-01-20 00:00:00"),
+      (2L, "2024-01-12 00:00:00"), (3L, "2024-01-25 00:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("cust_id", "seg")
+      .select(col("cust_id"), col("seg").as("segment"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("valid_from"), mid.as("valid_to"))
+      .unionByName(Seq((1L, "a+"), (2L, "b+"), (3L, "c+")).toDF("cust_id", "segment")
+        .select(col("cust_id"), col("segment"), mid.as("valid_from"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("valid_to")))
+    def run(maxB: Long) = Streams.scd2EnrichedCounts(events, dim,
+      joinKey = "user_id", dimKey = "cust_id", attr = "segment",
+      maxBroadcastBytes = maxB)
+    // auto-broadcast off: the planner may no longer broadcast on its own, so
+    // the strategy difference below is EXACTLY the hint the gate drops
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (a, b) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = run(256L << 20)
+      val gated = run(0L) // every dim is past a zero threshold
+      assert(hinted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "a small dim must take the broadcast path (the hint must survive the gate)")
+      assert(!gated.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "a past-threshold dim must not plan a broadcast build side")
+      (hinted.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet,
+        gated.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    assert(a == b && a.nonEmpty, s"join strategy changed the result: $a vs $b")
+    // as-of semantics hold on both paths: the 01-10 event lands on the old
+    // version, the 01-20 event on the new one
+    val segs = b.map(_._2)
+    assert(segs.contains("a") && segs.contains("a+"))
+  }
 }
