@@ -2086,7 +2086,7 @@ object DataOpsQueries {
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
     minhashCappedLossless, semanticExact, pqExact, ivfPqExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
-    mmFeatures, mmFrames, mmResize, heavyHittersQ, zorderBench)
+    mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +
     * Morton interleave + one range shuffle): layout/pruning effects are
@@ -2115,6 +2115,37 @@ object DataOpsQueries {
       Multimodal.perceptualHashDct(Multimodal.toMediaTable(s.table("documents"))),
       maxHamming = 8, bands = 9, sigBits = 63, idCol = "media_id",
       sigCol = "phash", maxBucket = 200))
+
+  /** pHash PLUMBING exactness pin (r13 brief #6): PRECOMPUTED 60-bit
+    * signatures — a shared md5 base per `media_id % 200` group XOR one
+    * per-row noise bit, both replayable in SQL — run through the IDENTICAL
+    * banded hamming join config as the production `mm_phash_neardup`
+    * (maxHamming 8, 9 bands over 63 bits), uncapped so the pigeonhole
+    * construction is provably exact. Same-group rows differ by ≤ 2 bits
+    * (thousands of true pairs), cross-group signatures are md5-random
+    * (~never within 8), so the key pins band slicing, bucket join,
+    * xor/bit_count verify AND the same-signature clique path against the
+    * brute-force oracle every round; the DCT half stays covered by the
+    * crafted-PNG robustness specs. */
+  val phashExact: OQ = OQ.df("mm_phash_neardup_exact",
+    (s, _) => {
+      val media = Multimodal.toMediaTable(s.table("documents"))
+      val sigs = media.selectExpr("media_id",
+        """CAST(conv(substring(md5(CAST(CAST(media_id % 200 AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)
+          | ^ shiftleft(CAST(1 AS BIGINT),
+          |     CAST(CAST(conv(substring(md5(CAST(CAST(media_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 60 AS INT))
+          | AS phash""".stripMargin.replace("\n", " "))
+      Dedup.hammingPairs(sigs, maxHamming = 8, bands = 9, sigBits = 63,
+        idCol = "media_id", sigCol = "phash")
+    },
+    """WITH sig AS (SELECT doc_id AS media_id,
+      |    xor(CAST('0x' || substr(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 15) AS BIGINT),
+      |        CAST(1 AS BIGINT) << CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 60 AS INT)) AS phash
+      |  FROM documents)
+      |SELECT a.media_id AS a, b.media_id AS b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 8""".stripMargin)
 
   /** EMBEDDING-CURATION CAPSTONE — the vector-side counterpart of
     * `pipeline_data_curation`, composed entirely from EXACT operators so
