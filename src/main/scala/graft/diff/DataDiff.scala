@@ -197,10 +197,17 @@ object DataDiff {
     val totals = joined.agg(
       sum(coalesce(col("__ca"), lit(0L))).cast("double").as("__na"),
       sum(coalesce(col("__cb"), lit(0L))).cast("double").as("__nb"))
-    val pa = coalesce(col("__ca"), lit(0L)).cast("double") / col("__na")
-    val pb = coalesce(col("__cb"), lit(0L)).cast("double") / col("__nb")
-    val m = (pa + pb) / 2
-    // x·ln(x/m) with the x=0 limit made explicit (ln would yield -Inf·0=NaN)
+    // an EMPTY snapshot has no share distribution at all: guard the 0/0 so
+    // its shares surface as NULL (not NaN silently poisoning downstream
+    // comparisons — ADVICE r13) while the surviving side still contributes
+    // as if the missing side carried zero mass everywhere
+    val pa = when(col("__na") > 0,
+      coalesce(col("__ca"), lit(0L)).cast("double") / col("__na"))
+    val pb = when(col("__nb") > 0,
+      coalesce(col("__cb"), lit(0L)).cast("double") / col("__nb"))
+    val m = (coalesce(pa, lit(0.0)) + coalesce(pb, lit(0.0))) / 2
+    // x·ln(x/m) with the x=0 limit made explicit (ln would yield -Inf·0=NaN);
+    // a NULL share (empty snapshot) contributes 0 the same way
     def kl(x: Column) = when(x > 0, x * log(x / m)).otherwise(lit(0.0))
     joined.crossJoin(broadcast(totals))
       .select(col("value"),

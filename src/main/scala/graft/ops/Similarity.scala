@@ -733,7 +733,7 @@ object Similarity {
     centroids
   }
 
-  private[ops] def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+  private[graft] def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestDot = Double.MinValue
     var c = 0
@@ -746,7 +746,7 @@ object Similarity {
   }
 
   /** `nprobe` nearest centroid ids for a vector, best first. */
-  private[ops] def nearestCentroids(v: Array[Float], cs: Array[Array[Float]], nprobe: Int): Array[Int] =
+  private[graft] def nearestCentroids(v: Array[Float], cs: Array[Array[Float]], nprobe: Int): Array[Int] =
     cs.indices.map(c => (c, dotP(v, cs(c)) / math.max(normP(v), 1e-12)))
       .sortBy(-_._2).take(nprobe).map(_._1).toArray
 

@@ -213,7 +213,13 @@ object TextAnalysis {
     val cdf = cume.join(broadcast(totals), Seq(langCol))
       .select(col(langCol), col("quality_score"),
         round(col("__cum").cast("double") / col("__n"), 6).as("quality_cdf"))
-    q.join(broadcast(cdf), Seq(langCol, "quality_score"))
+    // no broadcast hint on the cdf-back join: the frame is bounded PER
+    // LANGUAGE (≤ 10⁶+1 rows each) but its global size is langs × that —
+    // a many-language corpus would overflow a forced build side (ADVICE
+    // r13). AQE broadcasts it when it actually fits and falls back to a
+    // shuffled equi-join when it doesn't; the totals hint above stays
+    // (≤ #langs scalar rows, always tiny).
+    q.join(cdf, Seq(langCol, "quality_score"))
       .select(col(idCol), col(langCol), col("quality_score"), col("quality_cdf"))
   }
 
@@ -441,8 +447,15 @@ object TextAnalysis {
 
   /** HTML → text extraction, the first stage of every web-crawl pipeline:
     * drop script/style SUBTREES (their text is never content), strip
-    * remaining tags, decode the five predefined XML entities plus numeric
-    * `&#NN;` escapes, collapse whitespace. Pure codegen regexp projection —
+    * remaining tags, decode entities, collapse whitespace. Entity policy
+    * (ADVICE r13 — stated exactly): the predefined XML entities decode to
+    * their characters; the COMMON typographic numeric entities decode to
+    * ASCII equivalents — apostrophes (39/8216/8217, hex 2018/2019) → `'`,
+    * curly quotes (8220/8221, hex 201C/201D) → `"`, en/em dashes
+    * (8211/8212, hex 2013/2014) → `-`, nbsp (160, hex A0) → space — and
+    * every OTHER numeric entity, decimal or hex, is replaced with a space
+    * (general codepoint decoding has no regexp form; a space preserves
+    * token boundaries). Pure codegen regexp projection —
     * zero shuffle, scan speed at any corpus size; engine-portable (the
     * same POSIX-class regexps run in DuckDB, which is how the oracle
     * replays it). A parser it is not — attribute edge cases (a literal
@@ -462,11 +475,19 @@ object TextAnalysis {
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(noTags, "&lt;", "<"),
-              "&gt;", ">"),
-            "&quot;", "\""),
-          "&#39;", "'"),
-        "&#([0-9]+);", " "),
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(noTags, "&lt;", "<"),
+                      "&gt;", ">"),
+                    "&quot;", "\""),
+                  "(?i)&#(39|8216|8217|x2018|x2019);", "'"),
+                "(?i)&#(8220|8221|x201c|x201d);", "\""),
+              "(?i)&#(8211|8212|x2013|x2014);", "-"),
+            "(?i)&#(160|xa0);", " "),
+          "&#[0-9]+;", " "),
+        "(?i)&#x[0-9a-f]+;", " "),
       "&amp;", "&")
     df.withColumn("extracted_text",
       trim(regexp_replace(decoded, "\\s+", " ")))

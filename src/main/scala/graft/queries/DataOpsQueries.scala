@@ -128,7 +128,10 @@ object DataOpsQueries {
         "<p>Second   paragraph</p></body></html>"),
       2L -> "plain text, no markup &amp;lt; stays encoded once",
       3L -> "<div class=\"a\"><span>nested <b>bold</b> text</span>&#169; 2024</div>",
-      4L -> "<SCRIPT src=\"x.js\">ignored()</SCRIPT>kept <P>tail</P>")
+      4L -> "<SCRIPT src=\"x.js\">ignored()</SCRIPT>kept <P>tail</P>",
+      5L -> ("<p>typographic: it&#8217;s &#x2019;quoted&#x2018; " +
+        "&#8220;curly&#8221; text&#8212;dashed&#x2013;twice&#160;nbsp " +
+        "unknown &#12345; and hex &#x1F600; drop</p>"))
     val values = fixture.map { case (id, h) => s"($id, '$h')" }.mkString(",\n  ")
     OQ.df("text_html_strip",
       (s, _) => {
@@ -141,9 +144,13 @@ object DataOpsQueries {
          |s1 AS (SELECT pid, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t FROM f),
          |s2 AS (SELECT pid, regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t FROM s1),
          |s3 AS (SELECT pid, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
-         |s4 AS (SELECT pid, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |s4 AS (SELECT pid, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
          |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-         |    '&#39;', chr(39), 'g'), '&#([0-9]+);', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
+         |    '(?i)&#(39|8216|8217|x2018|x2019);', chr(39), 'g'),
+         |    '(?i)&#(8220|8221|x201c|x201d);', '"', 'g'),
+         |    '(?i)&#(8211|8212|x2013|x2014);', '-', 'g'),
+         |    '(?i)&#(160|xa0);', ' ', 'g'),
+         |    '&#[0-9]+;', ' ', 'g'), '(?i)&#x[0-9a-f]+;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
          |SELECT pid, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted_text FROM s4""".stripMargin)
   }
 

@@ -756,6 +756,81 @@ object EngineQueries {
       |WHERE wstart + INTERVAL 5 MINUTE <= (SELECT max(tss) FROM j) - INTERVAL 10 MINUTE
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Streaming ANN retrieval end-to-end, EXACT-ROUTE pinned: the label-0
+    * vectors become a timestamped query stream (ts spread from vec_id —
+    * replayable in SQL), routed through a corpus-trained IVF quantizer at
+    * nprobe = nlist (probing every list provably covers the corpus), so
+    * the full stream path — route flatMap, stream-static list join, HOF
+    * cosine, bounded-heap windowed top-k, append-mode emission — must
+    * reproduce the brute-force bipartite rank for every query whose
+    * window the watermark closed. The production nprobe ≪ nlist config is
+    * the same code path (recall-gated batch-side in DataOpsSpec). */
+  val streamAnn: OQ = OQ.df("stream_ann_topk",
+    (s, dir) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      s.sql("DROP TABLE IF EXISTS g_stream_ann_sink")
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val queries = emb.where(col("label") === 0)
+        .select(col("vec_id"), col("embedding"),
+          (t0 + make_dt_interval(lit(0), lit(0), lit(0),
+            pmod(col("vec_id"), lit(7200)))).as("ts"))
+      // content-keyed one-file staging (the cdc-feed idiom): deterministic,
+      // so bench re-runs and the oracle replay share the same feed
+      val sig = s"ann-v1:${emb.inputFiles.toSeq.sorted.mkString(",")}"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val feed = java.nio.file.Paths.get(s"/tmp/graft-ann-feed-$key")
+      if (!Files.exists(feed.resolve("_STAGED"))) {
+        Files.createDirectories(feed)
+        val tmp = Files.createTempDirectory("graft-ann-stage")
+        queries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, feed.resolve("q.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Files.createFile(feed.resolve("_STAGED"))
+      }
+      val qStream = s.readStream
+        .schema(s.read.parquet(feed.toString).schema)
+        .parquet(feed.toString)
+      // 1-minute windows/watermark: the ts spread is one second per id, so
+      // minute-scale horizons keep most query windows below the final
+      // watermark at every SF (a 10-minute horizon drops ALL of sf0.01's
+      // 499-second spread — an empty result would pass vacuously)
+      val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 16)
+      val hits = Streams.streamingAnnTopK(qStream, corpus, cents,
+        k = 5, nprobe = 16, windowLen = "1 minute", watermark = "1 minute")
+      Streams.runAppendToTable(s, hits, "g_stream_ann_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-ann-cp").toString))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("q"), col("b"), col("cos"), col("rank"))
+    },
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el GROUP BY 1),
+      |qt AS (SELECT vec_id AS q,
+      |    TIMESTAMP '2024-01-01 00:00:00' + (vec_id % 7200) * INTERVAL 1 SECOND AS ts
+      |  FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
+      |dots AS (SELECT a.vec_id AS q, b.vec_id AS b, sum(a.e * b.e) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label = 0 AND b.label <> 0 GROUP BY 1, 2),
+      |sims AS (SELECT q, b, round(dot / (nq.nrm * nb.nrm), 6) AS cos
+      |  FROM dots JOIN norms nq ON dots.q = nq.vec_id
+      |            JOIN norms nb ON dots.b = nb.vec_id),
+      |r AS (SELECT q, b, cos,
+      |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank
+      |  FROM sims),
+      |w AS (SELECT q, ts,
+      |    CAST(to_timestamp(floor(epoch(ts) / 60) * 60) AS TIMESTAMP) AS wstart
+      |  FROM qt)
+      |SELECT CAST(w.wstart AS STRING) AS window_start, r.q, r.b, r.cos,
+      |  CAST(r.rank AS INT) AS rank
+      |FROM r JOIN w ON r.q = w.q
+      |WHERE r.rank <= 5
+      |  AND w.wstart + INTERVAL 1 MINUTE <= (SELECT max(ts) FROM qt) - INTERVAL 1 MINUTE""".stripMargin)
+
   /** Streaming histogram quantiles — per finalized 5-minute window, the
     * fixed-grid p50/p95 of event value: the watermarked windowed
     * aggregation keeps only (window × occupied-bucket) counts as state
@@ -1024,6 +1099,6 @@ object EngineQueries {
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2, streamAnn, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

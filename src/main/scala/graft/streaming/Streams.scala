@@ -1286,6 +1286,73 @@ object Streams {
     }
   }
 
+  /** STREAMING IVF-ROUTED ANN RETRIEVAL — the serving face of
+    * [[graft.ops.Similarity.knnJoinIvf]]: a stream of query vectors is
+    * routed to its `nprobe` nearest inverted lists under a BUILD-ONCE
+    * coarse quantizer (streams cannot train — pass the pinned
+    * [[graft.ops.Similarity.ivfCentroids]] artifact), stream-static
+    * equi-joined on the list id against the corpus (each corpus vector
+    * lives in exactly ONE list, so the static side is never replicated),
+    * scored with the codegen HOF cosine, and reduced to the per-(window,
+    * query) exact top-k by the bounded-heap aggregate — ≤ k rows per query
+    * in every partial AND in the streaming state store, never a window
+    * sort. Per-query compute is ~(nprobe/nlist)·C dot products; probing
+    * every list (nprobe = nlist) provably covers the corpus, which is how
+    * the oracle pins the full route (`stream_ann_topk`). Append mode:
+    * a query's neighbors emit when the watermark closes its window. */
+  def streamingAnnTopK(queries: DataFrame, corpus: DataFrame,
+                       centroids: Array[Array[Float]],
+                       k: Int = 5, nprobe: Int = 4,
+                       qidCol: String = "vec_id", vecCol: String = "embedding",
+                       cidCol: String = "vec_id",
+                       windowLen: String = "5 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.Similarity
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, nlist=${centroids.length}]: $nprobe")
+    val bc = spark.sparkContext.broadcast(centroids)
+    // static corpus: one inverted list per vector (argmax dot ≡ argmax cos)
+    val corp = corpus.where(col(vecCol).isNotNull)
+      .select(col(cidCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (Similarity.nearestCentroid(v, bc.value), id, v) }
+      .toDF("__list", "b", "__bv")
+    // stream: each query replicates to its nprobe probe lists only
+    val routed = queries.where(col(vecCol).isNotNull)
+      .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .flatMap { case (id, v, t) =>
+        Similarity.nearestCentroids(v, bc.value, nprobe).iterator
+          .map(c => (c, id, v, t))
+      }
+      .toDF("__list", "q", "__qv", "ts")
+    // cosine as the deterministic left-fold HOF (codegen, round6, the same
+    // zero-norm convention as the batch kernels)
+    val denom = Similarity.l2norm(col("__qv")) * Similarity.l2norm(col("__bv"))
+    val scored = routed.join(corp, Seq("__list"))
+      .withColumn("cos",
+        when(denom === 0 || isnan(denom), lit(0.0))
+          .otherwise(round(Similarity.dot(col("__qv"), col("__bv")) / denom, 6)))
+      .select(col("q"), col("b"), col("cos"), col("ts"))
+    // exact per-(window, query) top-k: bounded-heap aggregate, worst-first
+    // eviction, deterministic (cos desc, corpus id asc) order
+    import org.apache.spark.sql.graft.SqlBridge
+    val keyed = struct((-col("cos")).as("__s0"), col("b").as("__s1"),
+      struct(col("b"), col("cos")).as("__p"))
+    val topk = SqlBridge.column(graft.functions.BoundedTopK(
+      SqlBridge.expression(keyed), k, sortFields = 2).toAggregateExpression())
+    scored.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowLen), col("q"))
+      .agg(topk.as("__top"))
+      .select(col("window.start").as("window_start"), col("q"),
+        posexplode(col("__top")).as(Seq("__i", "__row")))
+      .select(col("window_start"), col("q"), col("__row.__p.b").as("b"),
+        col("__row.__p.cos").as("cos"), (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** STREAM × SCD2 DIMENSION enrichment — each event joins the dimension
     * VERSION valid at its own event time (`valid_from <= ts < valid_to`),
     * then the usual watermarked windowed rollup per enriched attribute.

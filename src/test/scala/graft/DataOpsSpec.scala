@@ -1468,14 +1468,18 @@ class DataOpsSpec extends AnyFunSuite {
       (2L, "<ScRiPt>x()</sCrIpT>after"),       // tag case-insensitivity
       (3L, "<style media=\"all\">h1{}</style>kept"),
       (4L, "no markup at all"),
-      (5L, "<p>&#8212;dash gap&#8212;</p>")    // numeric escapes → space
+      (5L, "<p>&#8212;dash gap&#8212;</p>"),   // common typographic → ASCII
+      (6L, "it&#8217;s &#x2019;ok&#x2018; &#8220;q&#8221;"), // quotes incl. hex
+      (7L, "unknown &#12345; and &#x1F600; drop") // uncommon → space, both radixes
     ).toDF("pid", "html")).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out(1L) == "a &amp; b")
     assert(out(2L) == "after")
     assert(out(3L) == "kept")
     assert(out(4L) == "no markup at all")
-    assert(out(5L) == "dash gap")
+    assert(out(5L) == "-dash gap-")
+    assert(out(6L) == "it's 'ok' \"q\"")
+    assert(out(7L) == "unknown and drop")
     // scan-speed claim: a pure projection, no exchange
     val p = graft.ops.TextAnalysis.htmlStrip(
       docs.withColumnRenamed("text", "html"))
@@ -2305,6 +2309,13 @@ class DataOpsSpec extends AnyFunSuite {
     assert(one.forall(r => !r.getDouble(3).isNaN))
     val total = one.map(_.getDouble(3)).sum
     assert(total > 0 && total <= math.log(2) + 1e-9, s"JSD out of range: $total")
+    // EMPTY snapshot: its shares surface as NULL (not NaN — ADVICE r13) and
+    // the surviving side's contributions stay finite
+    val empty = graft.diff.DataDiff.jsDivergence(
+      Seq("x", "y").toDF("c"), Seq.empty[String].toDF("c"), "c").collect()
+    assert(empty.nonEmpty && empty.forall(r => r.isNullAt(2)),
+      "empty snapshot must yield NULL shares")
+    assert(empty.forall(r => !r.getDouble(3).isNaN && r.getDouble(3) >= 0))
   }
 
   test("quality CDF: aggregated form equals the per-row window; max 1 per language") {
