@@ -733,6 +733,38 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained coarse-quantizer artifact as a catalog table —
+    * (list_id, centroid float array), one row per inverted list. The
+    * build-once contract crosses JOB boundaries this way: train on today's
+    * corpus, save, and every later batch/stream/query session loads the
+    * SAME quantizer instead of retraining (which silently shifts cluster
+    * boundaries between runs — the reuse note on [[ivfCentroids]]).
+    * Parquet float arrays round-trip bit-exactly, so a reloaded index
+    * routes identically; `emb_index_roundtrip` oracle-pins exactly that. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Float]], table: String): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot save an empty quantizer")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1) // nlist rows — one tiny artifact file, never a shuffle
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Load a [[saveCentroids]] artifact back into the in-memory form every
+    * IVF entry point's `prebuilt` takes. Driver collect is bounded by
+    * nlist (the artifact is centroids, never corpus vectors). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val rows = spark.table(table)
+      .select(col("list_id").cast("int"), col("centroid"))
+      .as[(Int, Array[Float])].collect()
+    require(rows.nonEmpty, s"$table holds no quantizer rows")
+    rows.sortBy(_._1).map(_._2)
+  }
+
   private[graft] def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestDot = Double.MinValue

@@ -1797,6 +1797,24 @@ object DataOpsQueries {
     (s, _) => Similarity.ivfTopK(s.table("embeddings"), k = 5, nlist = 16, nprobe = 16),
     duckTopK(5))
 
+  /** INDEX-ARTIFACT ROUND-TRIP pin: train the coarse quantizer, persist it
+    * as a catalog table, reload, and run the FULL-PROBE search under the
+    * reloaded artifact — parquet float arrays round-trip bit-exactly, so
+    * the result must equal brute-force top-k (the `ann_ivf_full_probe`
+    * reduction through a save/load cycle). This is the cross-JOB face of
+    * the build-once contract: every later session loads the same quantizer
+    * instead of retraining into shifted cluster boundaries. */
+  val indexRoundtrip: OQ = OQ.df("emb_index_roundtrip",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val trained = Similarity.ivfCentroids(emb, nlist = 16)
+      Similarity.saveCentroids(s, trained, "g_ivf_index")
+      val loaded = Similarity.loadCentroids(s, "g_ivf_index")
+      Similarity.ivfTopK(emb, k = 5, nlist = 16, nprobe = 16,
+        prebuilt = Some(loaded))
+    },
+    duckTopK(5))
+
   /** Capped-bucket LSH losslessness witness: a bucket cap far above any
     * real bucket size routes through the SAME capped plan as the skew-safe
     * production config (`dedup_minhash_lsh_capped`: one capped aggregation
@@ -2090,7 +2108,7 @@ object DataOpsQueries {
     dedupCluster, dedupClusterKeepBest, substringSpans, substringRemoved,
     contaminationSpansQ,
     outliersMad,
-    embeddingNearDup, annTopK, annLshExact, annIvfFullProbe,
+    embeddingNearDup, annTopK, annLshExact, annIvfFullProbe, indexRoundtrip,
     minhashCappedLossless, semanticExact, pqExact, ivfPqExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
     mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)

@@ -97,6 +97,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("IVF index artifact: save/load round-trips the quantizer bit-exactly") {
+    val trained = Similarity.ivfCentroids(emb, nlist = 8)
+    graft.ops.Similarity.saveCentroids(spark, trained, "t_ivf_rt")
+    val loaded = graft.ops.Similarity.loadCentroids(spark, "t_ivf_rt")
+    assert(loaded.length == trained.length)
+    assert(trained.zip(loaded).forall { case (a, b) => a.sameElements(b) },
+      "reloaded centroids must be bit-identical")
+    // a second save overwrites cleanly (the retrain-and-republish cycle)
+    graft.ops.Similarity.saveCentroids(spark, loaded, "t_ivf_rt")
+    assert(graft.ops.Similarity.loadCentroids(spark, "t_ivf_rt").length == trained.length)
+    spark.sql("DROP TABLE IF EXISTS t_ivf_rt")
+  }
+
   test("jaccard hot-shingle cap bounds the candidate explosion") {
     // with the cap off, every co-occurring gram joins; with a tight cap the
     // ubiquitous grams are excluded from candidate generation
