@@ -54,6 +54,40 @@ object Pq {
     }
   }
 
+  /** Persist trained PQ codebooks as a catalog table — one row per
+    * (subspace, code) with its sub-centroid. The cross-JOB face of the
+    * build-once artifact contract ([[graft.ops.Similarity.saveCentroids]]'s
+    * PQ twin): encode today's corpus, save, and every later session encodes
+    * queries against the SAME codebooks — retraining silently remaps code
+    * ids, which corrupts every stored code. Parquet float arrays round-trip
+    * bit-exactly (`emb_pq_index_roundtrip` oracle-pins ADC search under a
+    * reloaded artifact). */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    books: Array[Array[Array[Float]]], table: String): Unit = {
+    import spark.implicits._
+    require(books.nonEmpty && books.forall(_.nonEmpty), "cannot save empty codebooks")
+    books.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+    }.toSeq.toDF("sub_id", "code_id", "centroid")
+      .coalesce(1) // m*k rows — one artifact file
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Load a [[saveCodebooks]] artifact back into the m × k × dsub form
+    * every PQ entry point takes. Driver collect is bounded by the artifact
+    * size (m·k codebook rows, never corpus vectors). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Array[Array[Array[Float]]] = {
+    import spark.implicits._
+    val rows = spark.table(table)
+      .select(col("sub_id").cast("int"), col("code_id").cast("int"), col("centroid"))
+      .as[(Int, Int, Array[Float])].collect()
+    require(rows.nonEmpty, s"$table holds no codebook rows")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
   /** Squared-L2 nearest centroid, lowest index on ties. */
   private def nearestL2(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0

@@ -1859,6 +1859,26 @@ object DataOpsQueries {
       |SELECT a, b, round(d2, 6) AS dist2, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 5""".stripMargin
 
+  /** PQ-codebook ARTIFACT round-trip pin — [[indexRoundtrip]]'s PQ twin:
+    * train the exact-configuration codebooks (m=1, full-coverage codes, 0
+    * iterations — [[pqExact]]'s reduction), persist as a catalog table,
+    * reload, and ADC-rank under the RELOADED books: bit-exact parquet
+    * float round-trip means the result must still equal brute-force
+    * squared-L2 top-k. Pins that stored codes stay valid across sessions
+    * (a retrain would remap code ids and corrupt every stored code). */
+  val pqIndexRoundtrip: OQ = OQ.df("emb_pq_index_roundtrip",
+    (s, _) => {
+      val emb = s.table("embeddings").where(col("embedding").isNotNull)
+      val books = graft.ops.Pq.pqTrain(emb, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.saveCodebooks(s, books, "g_pq_index")
+      val loaded = graft.ops.Pq.loadCodebooks(s, "g_pq_index")
+      graft.ops.Pq.pqTopK(emb, loaded, topK = 5)
+        .select(col("a"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    duckL2Top5)
+
   val pqExact: OQ = OQ.df("emb_pq_adc_exact",
     (s, _) => {
       val emb = s.table("embeddings").where(col("embedding").isNotNull)
@@ -2109,7 +2129,7 @@ object DataOpsQueries {
     contaminationSpansQ,
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe, indexRoundtrip,
-    minhashCappedLossless, semanticExact, pqExact, ivfPqExact,
+    minhashCappedLossless, semanticExact, pqExact, pqIndexRoundtrip, ivfPqExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
     mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)
 
