@@ -403,4 +403,52 @@ class PlanSpec extends AnyFunSuite {
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "plan_bk_orders")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "plan_bk_customer")
   }
+
+  test("IVF-routed knn join: list-keyed cogroup, no cartesian, no global sort") {
+    val p = planOf("ann_knn_join_ivf_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"routing must stay a list-keyed cogroup:\n${p.take(600)}")
+    // the only exchanges are the list cogroup and the bounded merge window's
+    // per-query hash partitioning — never a range (global-sort) exchange
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n${p.take(600)}")
+  }
+
+  test("debezium decode parses each envelope exactly once behind the Generate barrier") {
+    // the r14 regression class: filter pushdown inlined the aliased
+    // from_json into every conjunct and projected field (18 instances,
+    // ~6x the JSON work). The explode(array(...)) barrier pins it to the
+    // two declared parses — wrapped and bare — however the plan around it
+    // is optimized.
+    val df = graft.streaming.Streams.debeziumDecode(
+      spark.range(1).selectExpr("'{}' AS value"),
+      "o_orderkey BIGINT, o_totalprice DOUBLE")
+    val n = "from_json".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(n <= 2, s"decode must parse once per layout, found $n from_json instances")
+  }
+
+  test("phash banding joins bucket keys, never a pair blowup plan") {
+    val p = planOf("mm_phash_neardup_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded hamming join must stay bucket-keyed:\n${p.take(600)}")
+  }
+
+  test("streaming ANN scoring uses the native cosine and the bounded-heap top-k") {
+    // batch replay of the streaming plan (watermark drops, window stays):
+    // the cosine must be the fused codegen expression — not the HOF chain,
+    // whose CodegenFallback lambda interpretation measured 2.8x slower —
+    // and the per-(window, query) top-k must be the bounded-heap aggregate
+    import org.apache.spark.sql.functions._
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val cents = graft.ops.Similarity.ivfCentroids(emb.where(col("label") =!= 0), nlist = 8)
+    val p = graft.streaming.Streams.streamingAnnTopK(
+      queries, emb.where(col("label") =!= 0), cents, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cosine_sim"), s"scoring must use the native expression:\n${p.take(600)}")
+    assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(600)}")
+    assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(600)}")
+  }
 }
