@@ -169,4 +169,51 @@ object Quantize {
             lit(0.0), (acc, x) => acc + x), 6)).as("unit_sum"),
         size(col("__v")).cast("long").as("dims"))
   }
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas 2003 ±1 variant):
+    * v′_j = (1/√dOut)·Σᵢ vᵢ·s(i,j) with the sign matrix s ∈ {±1} derived
+    * from md5("i:j") first-nibble parity — DETERMINISTIC and PORTABLE, so
+    * any engine (and any later session) reconstructs the identical
+    * projection matrix from nothing but (i, j); the oracle replays it in
+    * SQL. The cheap dimension cut in front of ANN/clustering when even
+    * [[matryoshka]]'s learned prefixes aren't available: pairwise distances
+    * distort by at most ~√(ln n / dOut) w.h.p. (the JL bound).
+    *
+    * Output is flat (id, j, p) component rows — the oracle-friendly shape
+    * ([[matryoshka]]'s convention); `collect_list` over j reassembles
+    * vectors when a caller wants arrays. Scale: a pure per-partition
+    * projection — zero shuffle, the dIn×dOut sign table computes once per
+    * partition (≤ 64k entries at any practical size) and the arithmetic is
+    * primitive loops; mapPartitions because a Column form would interpret
+    * a dOut×dIn HOF lambda per row. */
+  def randomProjection(emb: DataFrame, dOut: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dOut >= 1, s"dOut must be >= 1: $dOut")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val signs = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+        def sign(i: Int, j: Int): Double = signs.getOrElseUpdate((i, j), {
+          // first hex nibble 0-7 ⇔ high bit of byte 0 clear — the exact
+          // predicate the SQL oracle states as substr(md5, 1, 1) <= '7'
+          if ((md.digest(s"$i:$j".getBytes("UTF-8"))(0) & 0x80) == 0) 1.0 else -1.0
+        })
+        val scale = 1.0 / math.sqrt(dOut.toDouble)
+        it.flatMap { case (id, v) =>
+          Iterator.range(0, dOut).map { j =>
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += v(i).toDouble * sign(i, j); i += 1 }
+            (id, j, s * scale)
+          }
+        }
+      }
+      .toDF(idCol, "j", "__raw")
+      .select(col(idCol), col("j"), round(col("__raw"), 6).as("p"))
+  }
 }

@@ -1188,6 +1188,24 @@ object DataOpsQueries {
     * element checksum, both sides summing FLOAT-rounded components in a
     * double left-fold so the numbers are bit-comparable (the float re-cast
     * is part of the operator's contract — it is what the index stores). */
+  /** JL random projection — deterministic ±1 sign matrix from md5("i:j")
+    * nibble parity, so the oracle reconstructs the identical projection in
+    * SQL and replays every component: the whole dIn × dOut arithmetic is
+    * pinned, not a summary. */
+  val randomProjQ: OQ = OQ.df("emb_random_projection",
+    (s, _) => graft.ops.Quantize.randomProjection(s.table("embeddings"), dOut = 16),
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |signs AS (SELECT i, j,
+      |    CASE WHEN substr(md5(i || ':' || j), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END AS s
+      |  FROM (SELECT DISTINCT i FROM el), js)
+      |SELECT el.vec_id, signs.j,
+      |  round(sum(el.e * signs.s) / sqrt(16.0), 6) AS p
+      |FROM el JOIN signs ON el.i = signs.i
+      |GROUP BY 1, 2""".stripMargin)
+
   val matryoshkaQ: OQ = OQ.df("emb_matryoshka",
     (s, _) => graft.ops.Quantize.matryoshka(s.table("embeddings"), dims = 16)
       .select(col("vec_id"), round(col("prefix_norm"), 6).as("prefix_norm"),
@@ -2118,7 +2136,7 @@ object DataOpsQueries {
     sampleMixture, sampleMixtureTokens, sampleEpochs, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,
-    quantizeInt8, embNormalize, matryoshkaQ, centroidQ, embOutliersQ, cosineExpr,
+    quantizeInt8, embNormalize, matryoshkaQ, randomProjQ, centroidQ, embOutliersQ, cosineExpr,
     sessionize, sessionWindow, contaminated, curation, embCuration,
     dedupExact, ngramJaccard, ngramJaccardPrefix, containmentPairsQ,
     containmentPairsPrefixQ, ngramJaccardUncapped,

@@ -97,6 +97,36 @@ class DataOpsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("random projection: JL distance preservation, deterministic, zero-shuffle") {
+    import org.apache.spark.sql.functions._
+    val proj = graft.ops.Quantize.randomProjection(emb, dOut = 32)
+    // deterministic: a second run reproduces every component exactly
+    val a = proj.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = graft.ops.Quantize.randomProjection(emb, dOut = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a == b, "projection must be deterministic across runs")
+    // JL property: pairwise squared distances are preserved in expectation —
+    // check the mean distortion over a sample of pairs stays near 1 (loose
+    // gate: ±40%; dOut=32 gives ~1/sqrt(32) per-pair noise)
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val pj = a.toSeq.groupBy(_._1._1)
+      .map { case (id, xs) => id -> xs.sortBy(_._1._2).map(_._2).toArray }
+    def d2(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val ids = vecs.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      dv = d2(vecs(i).map(_.toDouble), vecs(j).map(_.toDouble))
+      if dv > 1e-9
+    } yield d2(pj(i), pj(j)) / dv
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.4, s"JL mean distortion off: $mean")
+    // scale claim: pure per-partition projection, no exchange
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"random projection must not shuffle:\n$p")
+  }
+
   test("IVF index artifact: save/load round-trips the quantizer bit-exactly") {
     val trained = Similarity.ivfCentroids(emb, nlist = 8)
     graft.ops.Similarity.saveCentroids(spark, trained, "t_ivf_rt")
