@@ -249,6 +249,72 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** SPARSE LEXICAL SIMILARITY — pairwise cosine over each document's
+    * top-`topTerms` TF-IDF terms: the third similarity axis next to
+    * set-based Jaccard ([[graft.ops.Dedup.jaccardPairs]]) and dense
+    * embedding cosine — weighted lexical overlap, the BM25-family shape
+    * for "same topic, different words dropped" near-dups and
+    * related-document linking without any embedding model.
+    *
+    * The top-K sparsification is PART OF THE CONTRACT (both engines replay
+    * it): each document contributes exactly `topTerms` postings, and IDF
+    * crushes ubiquitous words, so surviving terms are usually rare and the
+    * per-term posting lists (hence the candidate volume) stay small.
+    * `maxKeptDf` handles the adversarial remainder — near-duplicate
+    * cliques whose members all keep the SAME rare terms, making a "rare"
+    * word's posting list clique-sized: words kept by more than `maxKeptDf`
+    * documents are dropped from CANDIDATE GENERATION only (the
+    * [[graft.ops.Dedup.jaccardPairs]] subtractive-cap pattern), and every
+    * surviving candidate pair's dot is then verified EXACTLY over the full
+    * kept vectors, heavy words included — so reported cosines are never
+    * approximate; only pairs sharing NOTHING BUT over-cap words are missed,
+    * and an over-cap shared vocabulary is a duplicate clique, exact/fuzzy
+    * dedup's job upstream. Zero-norm documents (every kept term ubiquitous
+    * ⇒ all scores 0) are excluded on both sides rather than risking
+    * engine-specific NaN comparison semantics.
+    *
+    * Plan: the [[tfIdf]] scoring (two hash aggregations + scalar
+    * broadcast), a capped self-equi-join on the word key for candidates,
+    * a candidates × topTerms bounded verify join, one (a, b) hash
+    * aggregate for the dot, two norm joins — every stage
+    * map-side-combinable, no window over raw pairs. */
+  def tfIdfCosine(df: DataFrame, topTerms: Int = 10, threshold: Double = 0.3,
+                  maxKeptDf: Int = 0,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topTerms >= 1, s"topTerms must be >= 1: $topTerms")
+    val kept = tfIdf(df, topTerms, idCol, textCol)
+      .select(col(idCol), col("word"), col("score"))
+    val norms = kept.groupBy(idCol)
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+      .where(col("nrm") > 0)
+    val finish = (dots: DataFrame) => dots
+      .join(norms.select(col(idCol).as("a"), col("nrm").as("__na")), Seq("a"))
+      .join(norms.select(col(idCol).as("b"), col("nrm").as("__nb")), Seq("b"))
+      .withColumn("cosine", round(col("__dot") / (col("__na") * col("__nb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+    if (maxKeptDf <= 0) {
+      // uncapped: the posting self-join IS the exact shared-term dot
+      val a = kept.select(col(idCol).as("a"), col("word"), col("score").as("__wa"))
+      val b = kept.select(col(idCol).as("b"), col("word"), col("score").as("__wb"))
+      finish(a.join(b, Seq("word")).where(col("a") < col("b"))
+        .groupBy("a", "b").agg(sum(col("__wa") * col("__wb")).as("__dot")))
+    } else {
+      val heavy = kept.groupBy("word").agg(count(lit(1)).as("__kdf"))
+        .where(col("__kdf") > maxKeptDf).select("word")
+      val light = kept.join(heavy, Seq("word"), "left_anti")
+      val cand = light.select(col(idCol).as("a"), col("word"))
+        .join(light.select(col(idCol).as("b"), col("word")), Seq("word"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      // exact verify over the FULL kept vectors (heavy words included):
+      // candidates × topTerms rows, bounded by construction
+      val ka = kept.select(col(idCol).as("a"), col("word"), col("score").as("__wa"))
+      val kb = kept.select(col(idCol).as("b"), col("word"), col("score").as("__wb"))
+      finish(cand.join(ka, Seq("a")).join(kb, Seq("b", "word"))
+        .groupBy("a", "b").agg(sum(col("__wa") * col("__wb")).as("__dot")))
+    }
+  }
+
   /** Unigram language-model quality score — the classic cheap perplexity
     * proxy for corpus filtering: score each document by the mean negative
     * log-probability of its tokens under the corpus's own unigram

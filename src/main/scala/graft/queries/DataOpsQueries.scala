@@ -211,6 +211,40 @@ object DataOpsQueries {
        |  FROM scored) r
        |WHERE rank <= 3""".stripMargin)
 
+  /** Sparse lexical cosine over top-10 TF-IDF terms — the weighted-overlap
+    * similarity axis between set Jaccard and dense cosine; the oracle
+    * replays the sparsification, the inverted-index dot and both norms. */
+  val tfIdfCosineQ: OQ = OQ.df("text_tfidf_cosine",
+    (s, _) => TextAnalysis.tfIdfCosine(s.table("documents"),
+      topTerms = 10, threshold = 0.3, maxKeptDf = 20),
+    s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(ws) AS word FROM dws),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |wdf AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.word,
+       |  round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (wdf.df + 1)), 6) AS score
+       |  FROM tf JOIN wdf USING (word) CROSS JOIN n),
+       |kept AS (SELECT doc_id, word, score FROM (SELECT scored.*,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+       |  FROM scored) r WHERE rank <= 10),
+       |kdf AS (SELECT word, count(*) AS kdf FROM kept GROUP BY 1),
+       |light AS (SELECT k.doc_id, k.word FROM kept k JOIN kdf USING (word)
+       |  WHERE kdf.kdf <= 20),
+       |cand AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+       |  FROM light la JOIN light lb ON la.word = lb.word AND la.doc_id < lb.doc_id),
+       |norms AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm
+       |  FROM kept GROUP BY 1 HAVING sqrt(sum(score * score)) > 0),
+       |dots AS (SELECT c.a, c.b, sum(ka.score * kb.score) AS dot
+       |  FROM cand c JOIN kept ka ON ka.doc_id = c.a
+       |              JOIN kept kb ON kb.doc_id = c.b AND kb.word = ka.word
+       |  GROUP BY 1, 2)
+       |SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots JOIN norms na ON dots.a = na.doc_id
+       |          JOIN norms nb ON dots.b = nb.doc_id
+       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin)
+
   /** Unigram-LM quality score: token log-probs under the corpus's own
     * unigram distribution; per-doc mean NLL + perplexity (exp of the
     * 6-dp-rounded mean, so both engines exponentiate the same double). */
@@ -2132,7 +2166,7 @@ object DataOpsQueries {
     knnJoinIvfExact, annLshMultitableLossless,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
-    tfIdf, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
+    tfIdf, tfIdfCosineQ, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
     sampleMixture, sampleMixtureTokens, sampleEpochs, sampleTemperature, sampleShards, sampleBudget, sampleSplitGrouped,
     groupTopKQ, groupReservoirQ,
     dsirScoresQ,

@@ -97,6 +97,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("tf-idf cosine: cap prunes candidates only, surviving cosines stay exact") {
+    val full = graft.ops.TextAnalysis.tfIdfCosine(docs, topTerms = 10,
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full.nonEmpty, "the corpus must yield lexical near-pairs")
+    val capped = graft.ops.TextAnalysis.tfIdfCosine(docs, topTerms = 10,
+      threshold = 0.3, maxKeptDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // subtractive cap: capped pairs are a SUBSET, and every surviving
+    // pair's cosine is bit-identical to the uncapped dot (the verify pass
+    // runs over the full kept vectors, heavy words included)
+    assert(capped.keySet.subsetOf(full.keySet),
+      s"cap must only prune: ${capped.keySet -- full.keySet}")
+    assert(capped.forall { case (k, v) => full(k) == v },
+      "capped cosines must be exact, never approximated")
+    // an over-sized cap is lossless
+    val loose = graft.ops.TextAnalysis.tfIdfCosine(docs, topTerms = 10,
+      threshold = 0.3, maxKeptDf = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(loose == full, "over-sized cap must reproduce the uncapped result")
+  }
+
   test("random projection: JL distance preservation, deterministic, zero-shuffle") {
     import org.apache.spark.sql.functions._
     val proj = graft.ops.Quantize.randomProjection(emb, dOut = 32)
