@@ -1855,6 +1855,17 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(gotKnn == expKnn, s"seed $seed knn: only-got=${gotKnn -- expKnn} " +
         s"only-expect=${expKnn -- gotKnn}")
 
+      // IVF-routed knn at full probe: the routed plan (train -> assign ->
+      // probe-replicate -> per-list top-k -> bounded merge) must reproduce
+      // the exact bipartite rank on ANY vector set, not just the fixture —
+      // the oracle premise as a randomized property
+      val gotIvf = graft.ops.Similarity.knnJoinIvf(
+          df.where(col("label") === 0), df.where(col("label") =!= 0),
+          k = kk, nlist = 4, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(gotIvf == expKnn, s"seed $seed ivf-knn: only-got=${gotIvf -- expKnn} " +
+        s"only-expect=${expKnn -- gotIvf}")
+
       // hard negatives: per anchor, top-k among DIFFERENT labels
       val gotHn = graft.ops.Similarity.hardNegatives(df, k = kk)
         .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(5))).toSet

@@ -114,6 +114,14 @@ class ScaleProbeSpec extends AnyFunSuite {
       "one full-gram-stream exchange; df=1 subset + doc-sized frames after") {
       graft.ops.TextAnalysis.novelty(docs).count()
     }
+    t("tf-idf cosine (top-10 terms, kept-df cap 20)",
+      "capped candidate join + exact full-vector verify — the 30% " +
+        "boilerplate clique shares top terms, the adversarial input the " +
+        "cap exists for") {
+      val n = graft.ops.TextAnalysis.tfIdfCosine(docs, topTerms = 10,
+        threshold = 0.3, maxKeptDf = 20).count()
+      println(s"  pairs: $n"); n
+    }
     t("group top-k (5 per source-prefix over the sf1 corpus)",
       "bounded-heap aggregate: <= k rows per group per map task, no window") {
       graft.ops.Sampling.groupTopK(
