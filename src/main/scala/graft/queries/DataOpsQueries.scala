@@ -216,7 +216,7 @@ object DataOpsQueries {
     * replays the sparsification, the inverted-index dot and both norms. */
   val tfIdfCosineQ: OQ = OQ.df("text_tfidf_cosine",
     (s, _) => TextAnalysis.tfIdfCosine(s.table("documents"),
-      topTerms = 10, threshold = 0.3, maxKeptDf = 20),
+      topTerms = 10, threshold = 0.3, maxKeptDf = 50),
     s"""WITH dws AS (SELECT doc_id, string_split($NORM, ' ') AS ws FROM documents),
        |w AS (SELECT doc_id, unnest(ws) AS word FROM dws),
        |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
@@ -231,7 +231,7 @@ object DataOpsQueries {
        |  FROM scored) r WHERE rank <= 10),
        |kdf AS (SELECT word, count(*) AS kdf FROM kept GROUP BY 1),
        |light AS (SELECT k.doc_id, k.word FROM kept k JOIN kdf USING (word)
-       |  WHERE kdf.kdf <= 20),
+       |  WHERE kdf.kdf <= 50),
        |cand AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
        |  FROM light la JOIN light lb ON la.word = lb.word AND la.doc_id < lb.doc_id),
        |norms AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm
