@@ -83,8 +83,16 @@ object Pq {
       .select(col("sub_id").cast("int"), col("code_id").cast("int"), col("centroid"))
       .as[(Int, Int, Array[Float])].collect()
     require(rows.nonEmpty, s"$table holds no codebook rows")
-    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
-      g.sortBy(_._2).map(_._3)
+    val bySub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // a torn/partial artifact (missing subspaces or code ids) would silently
+    // renumber codes and corrupt every stored encoding — fail fast instead
+    require(bySub.map(_._1) == bySub.indices,
+      s"$table is not a contiguous 0..m-1 subspace artifact")
+    bySub.map { case (_, g) =>
+      val codes = g.sortBy(_._2)
+      require(codes.map(_._2).toSeq == codes.indices,
+        s"$table: subspace code ids are not contiguous 0..k-1")
+      codes.map(_._3)
     }.toArray
   }
 

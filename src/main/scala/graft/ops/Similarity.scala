@@ -290,11 +290,15 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe must be in [1, nlist=$nlist]: $nprobe")
     val centroids = prebuilt.getOrElse(
       ivfCentroids(corpus.where(col(vecCol).isNotNull), nlist, idCol, vecCol,
         iterations, maxTrainSample))
+    // clamp against the RESOLVED quantizer: the artifact may carry fewer
+    // lists than `nlist` asks for (a tiny training set dedups its init),
+    // and the exhaustiveness guarantee is nprobe = centroids.length — the
+    // artifact actually routing — not the requested size
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val np = math.min(nprobe, centroids.length)
     val bc = spark.sparkContext.broadcast(centroids)
     // corpus: one inverted list per vector (argmax dot ≡ argmax cos — the
     // vector's own norm is constant across centroids); NULL vectors are
@@ -304,7 +308,7 @@ object Similarity {
     // queries: replicated to their nprobe nearest lists only
     val probes = vecs(queries.where(col(vecCol).isNotNull), idCol, vecCol)
       .flatMap { case (id, v) =>
-        nearestCentroids(v, bc.value, nprobe).iterator.map(c => (c, id, v))
+        nearestCentroids(v, bc.value, np).iterator.map(c => (c, id, v))
       }
     members.groupByKey(_._1).cogroup(probes.groupByKey(_._1)) { (_, mIt, qIt) =>
       val list = mIt.map { case (_, id, v) => (id, v, normP(v)) }.toArray
@@ -762,7 +766,13 @@ object Similarity {
       .select(col("list_id").cast("int"), col("centroid"))
       .as[(Int, Array[Float])].collect()
     require(rows.nonEmpty, s"$table holds no quantizer rows")
-    rows.sortBy(_._1).map(_._2)
+    val sorted = rows.sortBy(_._1)
+    // a torn/partial artifact (missing or duplicated list ids) would
+    // silently renumber lists and misroute every vector — fail fast instead
+    require(sorted.map(_._1).toSeq == sorted.indices,
+      s"$table is not a contiguous 0..n-1 quantizer artifact: " +
+        s"ids ${sorted.map(_._1).take(8).mkString(",")}…")
+    sorted.map(_._2)
   }
 
   private[graft] def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {

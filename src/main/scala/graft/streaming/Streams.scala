@@ -1299,7 +1299,9 @@ object Streams {
     * sort. Per-query compute is ~(nprobe/nlist)·C dot products; probing
     * every list (nprobe = nlist) provably covers the corpus, which is how
     * the oracle pins the full route (`stream_ann_topk`). Append mode:
-    * a query's neighbors emit when the watermark closes its window. */
+    * a query's neighbors emit when the watermark closes its window. The
+    * query stream must carry an event-time `ts` column (the watermark /
+    * window key); corpus rows need only (id, vector). */
   def streamingAnnTopK(queries: DataFrame, corpus: DataFrame,
                        centroids: Array[Array[Float]],
                        k: Int = 5, nprobe: Int = 4,
