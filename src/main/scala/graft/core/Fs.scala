@@ -24,6 +24,16 @@ object Fs {
         case _: java.io.UncheckedIOException | _: java.nio.file.NoSuchFileException => ()
       }
 
+  /** Directory listing materialized with the underlying stream CLOSED —
+    * a bare `Files.list(...)` holds a directory fd until GC. */
+  def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+    } finally st.close()
+  }
+
   /** Age of a path in nanoseconds via its mtime (0 if it can't be read). */
   def ageNanos(p: java.nio.file.Path): Long =
     scala.util.Try(

@@ -192,7 +192,11 @@ object Quantize {
     require(dOut >= 1, s"dOut must be >= 1: $dOut")
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.where(col(vecCol).isNotNull)
+    // empty (zero-length, non-null) vectors are excluded like NULLs — the
+    // SQL oracle's unnest of an empty array yields no component rows, so
+    // the id never surfaces there; emitting dOut all-zero rows for it
+    // would be a latent engine/oracle mismatch (ADVICE r14)
+    emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>

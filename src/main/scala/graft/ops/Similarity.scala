@@ -775,6 +775,96 @@ object Similarity {
     sorted.map(_._2)
   }
 
+  /** Persist the INVERTED LISTS themselves — the full (list_id, id, vector)
+    * corpus assignment — as a catalog table bucketed BY list_id.
+    * [[saveCentroids]] makes the quantizer survive job boundaries, but every
+    * routed search still re-mapped the WHOLE corpus through
+    * [[nearestCentroid]] per invocation; at 100 TB that assignment pass
+    * dominates every query batch. Materializing the assignment pays it ONCE:
+    * the bucketBy(list_id) layout means every later list-keyed equi-join
+    * reads the bucket files as pre-hashed partitions with ZERO exchange on
+    * the corpus side (the `mat_bucketed_join` move), so a query batch costs
+    * only its own routing + the probed-list scoring. The write is an atomic
+    * generation swap via the warehouse; NULL vectors are excluded, matching
+    * every routed entry point. Size `buckets` so one bucket's lists fit a
+    * task (buckets ≤ nlist keeps each a whole number of lists). */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                centroids: Array[Array[Float]], table: String,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                buckets: Int = 8): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot build an index from an empty quantizer")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val lists = vecs(corpus.where(col(vecCol).isNotNull), idCol, vecCol)
+      .map { case (id, v) => (nearestCentroid(v, bc.value), id, v) }
+      .toDF("list_id", idCol, vecCol)
+    new graft.materialize.SessionCatalogWarehouse(spark).createOrReplace(
+      table, lists, partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("list_id"), buckets = buckets)
+  }
+
+  /** Load a [[saveIndex]] inverted-list table. A plain catalog read — the
+    * bucketed layout rides with the table, so downstream list-keyed joins
+    * stay exchange-free on this side. Fails fast on a frame that is not an
+    * inverted-list artifact (missing the list_id routing column). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val df = spark.table(table)
+    require(df.columns.contains("list_id"),
+      s"$table is not an inverted-list index artifact (no list_id column): " +
+        df.columns.mkString(", "))
+    df
+  }
+
+  /** IVF-ROUTED BIPARTITE KNN JOIN OVER A PERSISTED INDEX — [[knnJoinIvf]]
+    * with the corpus→list assignment read from a [[saveIndex]] table instead
+    * of recomputed per invocation. The plan is fully declarative on the
+    * corpus side: queries route to their `nprobe` nearest lists (the only
+    * data-dependent map), then a list_id equi-join against the bucketed
+    * index — the index scan reads pre-hashed bucket partitions, so ONLY the
+    * (Q·nprobe)-row probe side shuffles — scored by the native codegen
+    * [[graft.functions.CosineSim]] (one fused unsafe-array loop per pair),
+    * and reduced to the exact per-query top-k by the bounded-heap
+    * [[graft.functions.BoundedTopK]] aggregate: ≤ k rows per query in every
+    * partial, never a window sort over the scored stream. Deterministic
+    * rank (rounded cos desc, corpus id asc) — identical to [[knnJoin]], and
+    * `nprobe = nlist` provably covers the corpus, so the full
+    * save → load → route → join path is oracle-pinned against the exact
+    * bipartite rank (`ann_knn_join_ivf_indexed`). */
+  def knnJoinIvfIndexed(queries: DataFrame, index: DataFrame,
+                        centroids: Array[Array[Float]], k: Int = 10,
+                        nprobe: Int = 4, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val np = math.min(nprobe, centroids.length) // clamp to the RESOLVED artifact
+    val bc = spark.sparkContext.broadcast(centroids)
+    val routed = vecs(queries.where(col(vecCol).isNotNull), idCol, vecCol)
+      .flatMap { case (id, v) =>
+        nearestCentroids(v, bc.value, np).iterator.map(c => (c, id, v))
+      }
+      .toDF("list_id", "q", "__qv")
+    val corp = index.select(col("list_id"),
+      col(idCol).cast("long").as("b"), col(vecCol).as("__bv"))
+    import org.apache.spark.sql.graft.SqlBridge
+    val cosNative = SqlBridge.column(graft.functions.CosineSim(
+      SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__bv"))))
+    // a corpus vector lives in exactly ONE list, so (q, b) pairs are unique
+    // across probed lists — no cross-list dedup pass
+    val scored = routed.join(corp, Seq("list_id"))
+      .select(col("q"), col("b"), round(cosNative, 6).as("cos"))
+    val keyed = struct((-col("cos")).as("__s0"), col("b").as("__s1"),
+      struct(col("b"), col("cos")).as("__p"))
+    val topk = SqlBridge.column(graft.functions.BoundedTopK(
+      SqlBridge.expression(keyed), k, sortFields = 2).toAggregateExpression())
+    scored.groupBy(col("q")).agg(topk.as("__top"))
+      .select(col("q"), posexplode(col("__top")).as(Seq("__i", "__row")))
+      .select(col("q"), col("__row.__p.b").as("b"), col("__row.__p.cos").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+
   private[graft] def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestDot = Double.MinValue

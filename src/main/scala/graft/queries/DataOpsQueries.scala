@@ -1797,6 +1797,31 @@ object DataOpsQueries {
     },
     duckKnnBipartite)
 
+  /** PERSISTED-INDEX routed KNN join pin: train the quantizer, materialize
+    * BOTH artifacts — centroids AND the (list_id, id, vector) inverted
+    * lists, bucketed by list_id — reload them, and run the routed join at
+    * nprobe = nlist over the LOADED index. Parquet round-trips floats
+    * bit-exactly and full probing provably covers the corpus, so the whole
+    * save → load → route → bucketed-equi-join → bounded-top-k path must
+    * reproduce the exact bipartite rank. This is what makes the IVF index a
+    * real index: the corpus assignment pass is paid at BUILD time, not per
+    * query batch (the r14 scale note), and the bucketed layout keeps the
+    * corpus side exchange-free in every later routed join (PlanSpec pins
+    * that plan shape). */
+  val knnJoinIvfIndexed: OQ = OQ.df("ann_knn_join_ivf_indexed",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+      val trained = Similarity.ivfCentroids(corpus, nlist = 16)
+      Similarity.saveCentroids(s, trained, "g_knn_ivf_centroids")
+      Similarity.saveIndex(s, corpus, trained, "g_knn_ivf_index")
+      val cents = Similarity.loadCentroids(s, "g_knn_ivf_centroids")
+      Similarity.knnJoinIvfIndexed(emb.where(col("label") === 0),
+        Similarity.loadIndex(s, "g_knn_ivf_index"), cents, k = 5,
+        nprobe = cents.length)
+    },
+    duckKnnBipartite)
+
   /** Cluster-balanced-sample LOSSLESSNESS pin: a per-cluster quota above
     * any cluster's size keeps every vector, so the full train → assign →
     * rank → filter pipeline must emit each id exactly once — the learned
@@ -2163,7 +2188,7 @@ object DataOpsQueries {
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ, sentencesQ,
     sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
-    knnJoinIvfExact, annLshMultitableLossless,
+    knnJoinIvfExact, knnJoinIvfIndexed, annLshMultitableLossless,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, tfIdfCosineQ, piiRedact, vocab, repetition, sampleStratified, sampleSplit,
@@ -2325,8 +2350,30 @@ object DataOpsQueries {
         emb.where(col("label") =!= 0), k = 5, nlist = 16, nprobe = 4)
     })
 
+  /** The SERVING shape of the persisted index: build centroids + inverted
+    * lists once (first pass only — later passes find the artifacts and skip
+    * straight to the query batch), then run the production routed join over
+    * the loaded index. The min-over-passes bench time is therefore the
+    * per-batch cost WITHOUT the corpus assignment pass — the number the
+    * persisted index exists to shrink. Recall carries [[knnJoinIvfBench]]'s
+    * gate (same route, same quantizer config). */
+  val knnJoinIvfIndexedBench: OQ = OQ.rowsOnly("ann_knn_join_ivf_indexed_warm",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+      if (!s.catalog.tableExists("g_knn_ivf_centroids") ||
+          !s.catalog.tableExists("g_knn_ivf_index")) {
+        val trained = Similarity.ivfCentroids(corpus, nlist = 16)
+        Similarity.saveCentroids(s, trained, "g_knn_ivf_centroids")
+        Similarity.saveIndex(s, corpus, trained, "g_knn_ivf_index")
+      }
+      val cents = Similarity.loadCentroids(s, "g_knn_ivf_centroids")
+      Similarity.knnJoinIvfIndexed(emb.where(col("label") === 0),
+        Similarity.loadIndex(s, "g_knn_ivf_index"), cents, k = 5, nprobe = 4)
+    })
+
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     minhashOphBench, semanticBench, bpeBench, pqBench, qualityClf, clusterSample,
-    sketchDistinct, phashBench, ivfPqBench, knnJoinIvfBench)
+    sketchDistinct, phashBench, ivfPqBench, knnJoinIvfBench, knnJoinIvfIndexedBench)
 }

@@ -782,14 +782,21 @@ object EngineQueries {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val feed = java.nio.file.Paths.get(s"/tmp/graft-ann-feed-$key")
-      if (!Files.exists(feed.resolve("_STAGED"))) {
-        Files.createDirectories(feed)
-        val tmp = Files.createTempDirectory("graft-ann-stage")
+      // race-safe staging: the gate is q.parquet itself, which only ever
+      // appears via an ATOMIC same-filesystem rename of a fully-written
+      // file — so a concurrent run either sees it absent (and stages its
+      // own identical, content-keyed copy) or sees a complete feed; no
+      // reader can observe a partial file, and losers' renames atomically
+      // swap identical bytes (open fds keep the old inode)
+      if (!Files.exists(feed.resolve("q.parquet"))) {
+        val tmp = Files.createTempDirectory(feed.getParent, "graft-ann-stage")
         queries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        Files.move(part, feed.resolve("q.parquet"), StandardCopyOption.REPLACE_EXISTING)
-        Files.createFile(feed.resolve("_STAGED"))
+        val part = graft.core.Fs.listDir(tmp)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.createDirectories(feed)
+        Files.move(part, feed.resolve("q.parquet"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        graft.core.Fs.deleteRecursively(tmp)
       }
       val qStream = s.readStream
         .schema(s.read.parquet(feed.toString).schema)
@@ -1004,8 +1011,8 @@ object EngineQueries {
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = Files.createTempDirectory("graft-cdc-stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.Fs.listDir(tmp)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
         val dst = feed.resolve(name)
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,

@@ -58,8 +58,7 @@ object Template {
     val dir = java.nio.file.Paths.get(baseDir).resolve("macros")
     if (!java.nio.file.Files.isDirectory(dir)) ""
     else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      graft.core.Fs.listDir(dir)
         .filter(_.toString.endsWith(".sql")).sortBy(_.toString)
         .map(p => java.nio.file.Files.readString(p)).mkString("", "\n", "\n")
     }

@@ -1308,26 +1308,42 @@ object Streams {
                        qidCol: String = "vec_id", vecCol: String = "embedding",
                        cidCol: String = "vec_id",
                        windowLen: String = "5 minutes",
-                       watermark: String = "10 minutes"): DataFrame = {
+                       watermark: String = "10 minutes",
+                       prebuiltIndex: Option[DataFrame] = scala.None): DataFrame = {
     import graft.ops.Similarity
     val spark = queries.sparkSession
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
-    require(nprobe >= 1 && nprobe <= centroids.length,
-      s"nprobe must be in [1, nlist=${centroids.length}]: $nprobe")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    // clamp against the RESOLVED quantizer, exactly like knnJoinIvf: the
+    // artifact may carry fewer lists than asked for (a tiny/degenerate
+    // training set dedups its init), and probing all resolved lists keeps
+    // the exhaustiveness guarantee — a small corpus must run the
+    // full-probe route, not crash the query (ADVICE r14)
+    val np = math.min(nprobe, centroids.length)
     val bc = spark.sparkContext.broadcast(centroids)
-    // static corpus: one inverted list per vector (argmax dot ≡ argmax cos)
-    val corp = corpus.where(col(vecCol).isNotNull)
-      .select(col(cidCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (Similarity.nearestCentroid(v, bc.value), id, v) }
-      .toDF("__list", "b", "__bv")
+    // static corpus: one inverted list per vector (argmax dot ≡ argmax cos).
+    // A persisted [[graft.ops.Similarity.saveIndex]] table skips the
+    // per-stream-start full-corpus assignment map — at 100 TB the
+    // assignment pass would dominate stream startup; the bucketed artifact
+    // reads its lists pre-assigned (and pre-hashed for the list join).
+    val corp = prebuiltIndex match {
+      case Some(idx) =>
+        idx.select(col("list_id").as("__list"),
+          col(cidCol).cast("long").as("b"), col(vecCol).as("__bv"))
+      case scala.None =>
+        corpus.where(col(vecCol).isNotNull)
+          .select(col(cidCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .map { case (id, v) => (Similarity.nearestCentroid(v, bc.value), id, v) }
+          .toDF("__list", "b", "__bv")
+    }
     // stream: each query replicates to its nprobe probe lists only
     val routed = queries.where(col(vecCol).isNotNull)
       .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
       .as[(Long, Array[Float], java.sql.Timestamp)]
       .flatMap { case (id, v, t) =>
-        Similarity.nearestCentroids(v, bc.value, nprobe).iterator
+        Similarity.nearestCentroids(v, bc.value, np).iterator
           .map(c => (c, id, v, t))
       }
       .toDF("__list", "q", "__qv", "ts")

@@ -414,6 +414,35 @@ class PlanSpec extends AnyFunSuite {
       s"no global sort anywhere:\n${p.take(600)}")
   }
 
+  test("persisted IVF index: the list join reads pre-hashed buckets — zero exchange on the corpus side") {
+    import org.apache.spark.sql.functions._
+    // the point of saveIndex: the corpus→list assignment AND its hash layout
+    // are paid at build time, so a routed query batch shuffles ONLY its own
+    // (Q·nprobe)-row probe side — the bucketed index scan must appear with
+    // no list-keyed exchange of its own. Broadcast disabled so a bucketing
+    // regression can't hide behind a BroadcastHashJoin.
+    graft.core.Tables.register(spark, sfDir)
+    val corpus = spark.table("embeddings").where(col("label") =!= 0)
+    val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 16)
+    graft.ops.Similarity.saveIndex(spark, corpus, cents, "plan_ivf_index")
+    // the query side must come from the broadcast-disabled session too —
+    // the plan compiles against the QUERY frame's session
+    val sess = org.apache.spark.sql.graft.SqlBridge.sessionWithConf(
+      spark, "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val joined = graft.ops.Similarity.knnJoinIvfIndexed(
+      sess.table("embeddings").where(col("label") === 0),
+      graft.ops.Similarity.loadIndex(sess, "plan_ivf_index"),
+      cents, k = 5, nprobe = 4)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"the index scan must read its bucket layout:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning\\(list_id".r.findAllIn(p).size == 1,
+      s"only the probe side may shuffle on list_id:\n${p.take(1200)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n${p.take(600)}")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "plan_ivf_index")
+  }
+
   test("debezium decode parses each envelope exactly once behind the Generate barrier") {
     // the r14 regression class: filter pushdown inlined the aliased
     // from_json into every conjunct and projected field (18 instances,
