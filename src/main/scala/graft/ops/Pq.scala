@@ -278,6 +278,26 @@ object Pq {
       }
   }
 
+  /** v − centroid, zero-padded past the centroid's length (ragged-safe). */
+  private def residualOf(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = v(i) - (if (i < c.length) c(i) else 0f); i += 1
+    }
+    out
+  }
+
+  /** PQ-encode one residual against the codebooks (ragged-clamped). */
+  private def encodeRes(res: Array[Float], bks: Array[Array[Array[Float]]]): Array[Int] = {
+    val dsub = bks(0)(0).length
+    Array.tabulate(bks.length) { sub =>
+      val from = math.min(sub * dsub, res.length)
+      nearestL2(java.util.Arrays.copyOfRange(res, from,
+        math.max(from, math.min((sub + 1) * dsub, res.length))), bks(sub))
+    }
+  }
+
   /** IVF-PQ approximate top-k — the composed billion-vector index shape
     * (faiss `IVFnlist,PQm` / IVFADC): the coarse quantizer
     * ([[Similarity.ivfCentroids]]) routes every vector to ONE inverted
@@ -307,38 +327,20 @@ object Pq {
     val centroids = prebuiltCentroids.getOrElse(
       Similarity.ivfCentroids(emb, nlist, idCol, vecCol, iterations, maxTrainSample))
     val bcC = spark.sparkContext.broadcast(centroids)
-    def residual(v: Array[Float], cell: Int): Array[Float] = {
-      val c = bcC.value(cell)
-      val out = new Array[Float](v.length)
-      var i = 0
-      while (i < v.length) {
-        out(i) = v(i) - (if (i < c.length) c(i) else 0f); i += 1
-      }
-      out
-    }
     val base = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
     val books = prebuiltBooks.getOrElse {
       // PQ trains on RESIDUALS — a bounded deterministic sample of them,
       // exactly pqTrain's contract, fed through a residualized frame
       val resDF = base.map { case (id, v) =>
-        (id, residual(v, Similarity.nearestCentroid(v, bcC.value)))
+        (id, residualOf(v, bcC.value(Similarity.nearestCentroid(v, bcC.value))))
       }.toDF(idCol, vecCol)
       pqTrain(resDF, m, k, idCol, vecCol, iterations, maxTrainSample)
     }
     val bcB = spark.sparkContext.broadcast(books)
-    def encode(res: Array[Float]): Array[Int] = {
-      val bks = bcB.value
-      val dsub = bks(0)(0).length
-      Array.tabulate(bks.length) { sub =>
-        val from = math.min(sub * dsub, res.length)
-        nearestL2(java.util.Arrays.copyOfRange(res, from,
-          math.max(from, math.min((sub + 1) * dsub, res.length))), bks(sub))
-      }
-    }
     val members = base.map { case (id, v) =>
       val cell = Similarity.nearestCentroid(v, bcC.value)
-      (cell, id, encode(residual(v, cell)))
+      (cell, id, encodeRes(residualOf(v, bcC.value(cell)), bcB.value))
     }
     val queries = base.flatMap { case (id, v) =>
       Similarity.nearestCentroids(v, bcC.value, nprobe).iterator.map(c => (c, id, v))
@@ -346,7 +348,7 @@ object Pq {
     members.groupByKey(_._1).cogroup(queries.groupByKey(_._1)) { (cell, mIt, qIt) =>
       val list = mIt.map { case (_, id, codes) => (id, codes) }.toArray
       qIt.flatMap { case (_, qid, qv) =>
-        adcTopK(qid, distTable(residual(qv, cell), bcB.value), topK, list.iterator)
+        adcTopK(qid, distTable(residualOf(qv, bcC.value(cell)), bcB.value), topK, list.iterator)
       }
     }.toDF("a", "b", "adc_dist2")
       .withColumn("rank", row_number().over(
@@ -354,5 +356,81 @@ object Pq {
           .partitionBy("a").orderBy(col("adc_dist2").asc, col("b").asc)))
       .where(col("rank") <= topK)
       .select(col("a"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
+  }
+
+  /** IVF-PQ-ROUTED BIPARTITE KNN JOIN — the 100 TB RAG retrieval join over
+    * m-BYTE codes: [[graft.ops.Similarity.knnJoinIvf]] prunes compute to
+    * ~(nprobe/nlist)·C cosines but still moves and scores FULL float
+    * vectors inside each probed list (d·4 bytes of memory traffic per
+    * candidate); this composes the coarse router with [[pqTrain]]'s
+    * residual codebooks so each corpus candidate costs m table lookups over
+    * m bytes (~d·4/m× less traffic — the faiss IVFADC shape, bipartite).
+    * Both quantizers train on the CORPUS (bounded samples, deterministic) —
+    * queries are routed and residualized under the corpus's geometry, never
+    * trained on. Per-task memory is one inverted list of CODES (m bytes per
+    * vector — another d·4/m× over the float-vector lists); the per-list
+    * (dist asc, id asc) winners merge through one bounded ≤ topK·nprobe
+    * window. Distances are globally comparable across probed cells
+    * (‖q−(centroid_c+recon)‖² = ‖q_res_c−recon‖²), ranking is
+    * deterministic, NULL vectors are excluded on both sides.
+    *
+    * Exactness reduction: a single ZERO coarse centroid (residual ≡ the
+    * vector, bit-for-bit) + the m=1 identity codebook (full-coverage
+    * sample, zero Lloyd iterations ⇒ reconstruction is exact) makes ADC
+    * distances exact squared-L2 and nprobe=1 exhaustive — the whole routed
+    * path must then reproduce the brute-force bipartite L2 rank, which is
+    * how `ann_knn_join_ivfpq_exact` oracle-pins it. The production
+    * nlist/nprobe/m config is the same code path, recall-gated in
+    * DataOpsSpec and benched as `ann_knn_join_ivfpq`.
+    * `prebuiltCentroids`/`prebuiltBooks` take the [[saveCodebooks]]/
+    * [[Similarity.saveCentroids]] artifacts for retrain-free query batches. */
+  def knnJoinIvfPq(queries: DataFrame, corpus: DataFrame, topK: Int = 5,
+                   nlist: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   iterations: Int = 5, maxTrainSample: Int = 10000,
+                   prebuiltCentroids: Option[Array[Array[Float]]] = None,
+                   prebuiltBooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val corp = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    val centroids = prebuiltCentroids.getOrElse(
+      Similarity.ivfCentroids(corpus.where(col(vecCol).isNotNull), nlist,
+        idCol, vecCol, iterations, maxTrainSample))
+    val np = math.min(nprobe, centroids.length) // clamp to the RESOLVED artifact
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val books = prebuiltBooks.getOrElse {
+      val resDF = corp.map { case (id, v) =>
+        (id, residualOf(v, bcC.value(Similarity.nearestCentroid(v, bcC.value))))
+      }.toDF(idCol, vecCol)
+      pqTrain(resDF, m, k, idCol, vecCol, iterations, maxTrainSample)
+    }
+    val bcB = spark.sparkContext.broadcast(books)
+    // corpus: ONE inverted list per vector, holding only its m-byte codes
+    val members = corp.map { case (id, v) =>
+      val cell = Similarity.nearestCentroid(v, bcC.value)
+      (cell, id, encodeRes(residualOf(v, bcC.value(cell)), bcB.value))
+    }
+    // queries: replicated to their nprobe nearest lists only — the float
+    // vector rides with the probe (one distance table per (query, cell))
+    val probes = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Similarity.nearestCentroids(v, bcC.value, np).iterator.map(c => (c, id, v))
+      }
+    members.groupByKey(_._1).cogroup(probes.groupByKey(_._1)) { (cell, mIt, qIt) =>
+      val list = mIt.map { case (_, id, codes) => (id, codes) }.toArray
+      qIt.flatMap { case (_, qid, qv) =>
+        adcTopK(qid, distTable(residualOf(qv, bcC.value(cell)), bcB.value),
+          topK, list.iterator)
+      }
+    }.toDF("q", "b", "adc_dist2")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q").orderBy(col("adc_dist2").asc, col("b").asc)))
+      .where(col("rank") <= topK)
+      .select(col("q"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
   }
 }

@@ -1988,6 +1988,44 @@ object DataOpsQueries {
     },
     duckL2Top5)
 
+  /** Brute-force BIPARTITE squared-L2 top-5 (label-0 queries vs label≠0
+    * corpus) — the oracle for the IVF-PQ-routed KNN join's exactness
+    * reduction. */
+  private val duckL2Bipartite =
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |d AS (SELECT a.vec_id AS q, b.vec_id AS b,
+      |    sum((a.e - b.e) * (a.e - b.e)) AS d2
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label = 0 AND b.label <> 0 GROUP BY 1, 2),
+      |r AS (SELECT q, b, d2,
+      |    row_number() OVER (PARTITION BY q ORDER BY d2, b) AS rank FROM d)
+      |SELECT q, b, round(d2, 6) AS dist2, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** IVF-PQ-routed BIPARTITE KNN join exactness pin — [[ivfPqExact]]'s
+    * reduction applied to the two-table retrieval join: one ZERO coarse
+    * centroid (residual ≡ vector bit-for-bit) + the m=1 identity codebook
+    * trained on the CORPUS side with full coverage ⇒ ADC distances are
+    * exact squared-L2 and nprobe=1 is exhaustive, so the whole composed
+    * route — corpus encode, query routing, per-cell residual distance
+    * tables, bounded per-list heaps, merge window — must reproduce the
+    * brute-force bipartite rank. The production config (nlist=16, nprobe=4,
+    * m=8) is the same code path, recall-gated in DataOpsSpec and benched as
+    * `ann_knn_join_ivfpq`. */
+  val knnJoinIvfPqExact: OQ = OQ.df("ann_knn_join_ivfpq_exact",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      graft.ops.Pq.knnJoinIvfPq(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), topK = 5, nlist = 1, nprobe = 1,
+        m = 1, k = 1 << 17, iterations = 0, maxTrainSample = 1 << 17,
+        prebuiltCentroids = Some(Array(Array.emptyFloatArray)))
+        .select(col("q"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    duckL2Bipartite)
+
   /** Bench-only approximate ANN configs — the r3 registry entries, kept
     * under their original bench names so round-over-round timings stay
     * comparable. NOT in the oracle registry: approximate top-k has no SQL
@@ -2207,6 +2245,7 @@ object DataOpsQueries {
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe, indexRoundtrip,
     minhashCappedLossless, semanticExact, pqExact, pqIndexRoundtrip, ivfPqExact,
+    knnJoinIvfPqExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
     mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)
 
@@ -2350,6 +2389,19 @@ object DataOpsQueries {
         emb.where(col("label") =!= 0), k = 5, nlist = 16, nprobe = 4)
     })
 
+  /** Production IVF-PQ-routed bipartite KNN (nprobe ≪ nlist over m-byte
+    * codes): the memory-traffic tier under [[knnJoinIvfBench]] — candidates
+    * cost m table lookups instead of d multiplications. Recall gated in
+    * DataOpsSpec; the degenerate route is oracle-pinned as
+    * `ann_knn_join_ivfpq_exact`. */
+  val knnJoinIvfPqBench: OQ = OQ.rowsOnly("ann_knn_join_ivfpq",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      graft.ops.Pq.knnJoinIvfPq(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), topK = 5, nlist = 16, nprobe = 4,
+        m = 8, k = 16)
+    })
+
   /** The SERVING shape of the persisted index: build centroids + inverted
     * lists once (first pass only — later passes find the artifacts and skip
     * straight to the query batch), then run the production routed join over
@@ -2375,5 +2427,6 @@ object DataOpsQueries {
   /** Appended to the bench run only — see [[annLshBench]]/[[annIvfBench]]. */
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     minhashOphBench, semanticBench, bpeBench, pqBench, qualityClf, clusterSample,
-    sketchDistinct, phashBench, ivfPqBench, knnJoinIvfBench, knnJoinIvfIndexedBench)
+    sketchDistinct, phashBench, ivfPqBench, knnJoinIvfBench, knnJoinIvfIndexedBench,
+    knnJoinIvfPqBench)
 }

@@ -2459,6 +2459,41 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pinned == exact)
   }
 
+  test("IVF-PQ-routed knn join: deterministic, artifact-reusable, recall above chance") {
+    import graft.ops.{Pq, Similarity}
+    val q = emb.where(col("label") === 0)
+    val c = emb.where(col("label") =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("q", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(Pq.knnJoinIvfPq(q, c, topK = 5, nlist = 16, nprobe = 8, m = 16, k = 16))
+    // deterministic end to end (both quantizers train deterministically)
+    assert(got == pairs(Pq.knnJoinIvfPq(q, c, topK = 5, nlist = 16, nprobe = 8, m = 16, k = 16)))
+    // the build-once corpus artifacts reproduce inline training
+    val cents = Similarity.ivfCentroids(c, nlist = 16)
+    assert(got == pairs(Pq.knnJoinIvfPq(q, c, topK = 5, nlist = 16, nprobe = 8,
+      m = 16, k = 16, prebuiltCentroids = Some(cents))))
+    // recall against the exact BIPARTITE L2 neighborhood
+    def vecsOf(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(vec_id AS BIGINT)", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qv = vecsOf(q)
+    val cv = vecsOf(c)
+    def l2(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, r) => (p.toDouble - r) * (p.toDouble - r) }.sum
+    val exact = qv.flatMap { case (qid, v) =>
+      cv.map { case (bid, bv) => (bid, l2(v, bv)) }
+        .sortBy(t => (t._2, t._1)).take(5).map(t => (qid, t._1))
+    }.toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    val chance = 5.0 / cv.length
+    assert(recall >= 3 * chance, s"IVF-PQ knn-join recall $recall not above chance $chance")
+    // the deployment shape: shortlist@20 over half the lists recovers most
+    // of the true top-5 (rerank-exact on the shortlist is then cheap)
+    val short = pairs(Pq.knnJoinIvfPq(q, c, topK = 20, nlist = 16, nprobe = 8, m = 16, k = 16))
+    val shortRecall = (exact intersect short).size.toDouble / exact.size
+    assert(shortRecall >= 0.5, s"IVF-PQ knn-join shortlist recall too low: $shortRecall")
+  }
+
   test("hard negatives: never same-label, equals label-filtered brute force") {
     val hn = Similarity.hardNegatives(emb, k = 3).collect()
     assert(hn.nonEmpty && hn.forall(r => r.getLong(1) != r.getLong(3)),
