@@ -539,6 +539,9 @@ object Streams {
       } else {
         val n = effective.getOrElse(bucketCountOf(wh, state))
         effective = Some(n)
+        // n = 1: the probe could only answer {b1_0} and the rebuild branch
+        // is forced — skip the probe job and the cache (one consumer)
+        val probeNeeded = n > 1
         // cache the batch fold ONCE (batch-sized — the winners of this
         // micro-batch, never state-sized): the touched-bucket probe below
         // materializes it and the merge re-reads it, where the lazy form
@@ -548,12 +551,18 @@ object Streams {
         // keeps its lineage and recomputes (ADVICE r13), and the explicit
         // unpersist below releases the blocks at batch end instead of
         // waiting on driver GC.
-        val withBucket = incoming.withColumn("__bucket", bucketCol(n))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withBucket = {
+          val wb = incoming.withColumn("__bucket", bucketCol(n))
+          if (probeNeeded)
+            wb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else wb
+        }
         try {
         // bounded driver traffic: at most `n` scalar partition values
-        val touched = withBucket.select("__bucket").distinct()
-          .collect().map(_.getString(0)).toSeq
+        val touched =
+          if (!probeNeeded) Seq(s"b${n}_0")
+          else withBucket.select("__bucket").distinct()
+            .collect().map(_.getString(0)).toSeq
         if (touched.size * 2 > n) {
           // rebuild rewrites every row anyway — the cheap moment to re-size
           // the bucket count to the state's growth (parquet count() is a
@@ -573,7 +582,7 @@ object Streams {
           val old = wh.table(state).where(col("__bucket").isin(touched: _*))
           wh.overwritePartitions(state, latestOf(old.unionByName(withBucket)))
         }
-        } finally withBucket.unpersist(blocking = false)
+        } finally if (probeNeeded) withBucket.unpersist(blocking = false)
       }
     }
   }
@@ -603,8 +612,12 @@ object Streams {
     *    steady-state a naive "rebuild every K batches" design loses.
     *  - FULL COMPACTION (a batch, or accumulated coverage, past half the
     *    buckets): rebuild into a fresh base re-sized to the state's growth
-    *    — O(state), but only when a rewrite is ~O(state) regardless; also
-    *    reaps superseded tables and torn-write orphans.
+    *    — O(state), but only when a rewrite is ~O(state) regardless; drops
+    *    its known superseded set, and additionally runs the catalog-listing
+    *    reap of torn-write orphans on the writer's FIRST compaction (the
+    *    only orphans possible are ones predating this writer — a crash
+    *    between write and view swap dies with its in-memory composition,
+    *    so the successor writer starts with the reap pending).
     *
     * Restart recovers the composition from the view text (table names carry
     * the bucket count and creation order) plus one tiny DISTINCT scan per
@@ -621,6 +634,12 @@ object Streams {
 
     private case class Comp(n: Int, base: String, overlays: List[(String, Set[String])])
     private var comp: Option[Comp] = scala.None
+    // torn-write orphans can only predate THIS writer (a crash between a
+    // table write and the view swap dies with its in-memory composition) —
+    // so one catalog-listing reap at the writer's first full compaction
+    // covers them, and every later compaction drops its KNOWN superseded
+    // set without paying a listTables scan per batch
+    private var reapPending = true
 
     private def bucketCol(n: Int) =
       concat(lit(s"b${n}_"), pmod(hash(pks.map(col): _*), lit(n)))
@@ -700,26 +719,50 @@ object Streams {
     private def freshName(state: String, kind: String, n: Int) =
       s"${state}__cdc${kind}_${n}_${java.lang.Long.toHexString(System.nanoTime())}"
 
+    private def t[A](label: String)(f: => A): A = {
+      if (sys.env.contains("GRAFT_CDC_TIMING")) {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[cdc-timing] $label%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      } else f
+    }
+
     override def upsert(wh: Warehouse, state: String, incoming: DataFrame,
                         latestOf: DataFrame => DataFrame,
                         partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
       if (!wh.exists(state)) {
         val n = buckets0.getOrElse(1)
         val base = freshName(state, "base", n)
-        writeTable(incoming.withColumn("__bucket", bucketCol(n)), base, parted = n > 1)
-        commit(wh, state, Comp(n, base, Nil), Nil)
+        t("create-write") {
+          writeTable(incoming.withColumn("__bucket", bucketCol(n)), base, parted = n > 1)
+        }
+        t("create-commit") { commit(wh, state, Comp(n, base, Nil), Nil) }
       } else {
         val c = comp.getOrElse(deriveComp(wh, state))
+        // n = 1: every row hashes to the single bucket — the touched probe
+        // could only answer {b1_0} and full compaction is forced regardless,
+        // so skip the probe job AND the cache (the fold is then the frame's
+        // only consumer; persisting for one consumer is pure overhead)
+        val probeNeeded = c.n > 1
         // cached once (batch-sized): the touched probe materializes it and
         // the branch taken below re-reads it — lazily each would re-run the
         // batch's fold aggregation from the source. persist keeps lineage
         // (recomputable under executor loss, unlike localCheckpoint —
         // ADVICE r13) and the finally-unpersist releases blocks at batch end.
-        val withBucket = incoming.withColumn("__bucket", bucketCol(c.n))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withBucket = {
+          val wb = incoming.withColumn("__bucket", bucketCol(c.n))
+          if (probeNeeded)
+            wb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else wb
+        }
         try {
-        val touched = withBucket.select("__bucket").distinct()
-          .collect().map(_.getString(0)).toSet
+        val touched =
+          if (!probeNeeded) Set(s"b${c.n}_0")
+          else t("touched-probe") {
+            withBucket.select("__bucket").distinct()
+              .collect().map(_.getString(0)).toSet
+          }
         val coveredAfter = c.overlays.flatMap(_._2).toSet ++ touched
         if (touched.size * 2 > c.n || coveredAfter.size * 2 > c.n) {
           // FULL compaction — only when the batch (or accumulated overlay
@@ -728,16 +771,19 @@ object Streams {
           // the state's growth; one swap; every superseded table (including
           // any torn write's orphans with this state's prefix) is dropped
           val stateDf = wh.table(state)
-          val n2 = buckets0.getOrElse(
-            math.min(4096L, stateDf.count() / RowsPerBucket + 1).toInt)
+          val n2 = t("resize-count") { buckets0.getOrElse(
+            math.min(4096L, stateDf.count() / RowsPerBucket + 1).toInt) }
           val merged = latestOf(stateDf.unionByName(withBucket))
           val rebucketed =
             if (n2 == c.n) merged
             else merged.drop("__bucket").withColumn("__bucket", bucketCol(n2))
           val base = freshName(state, "base", n2)
-          writeTable(rebucketed, base, parted = n2 > 1)
-          val stale = staleTables(wh, state, keep = Set(base))
-          commit(wh, state, Comp(n2, base, Nil), stale)
+          t("compact-write") { writeTable(rebucketed, base, parted = n2 > 1) }
+          val stale =
+            if (reapPending) t("stale-listing") { staleTables(wh, state, keep = Set(base)) }
+            else c.base +: c.overlays.map(_._1) // known set — no listing needed
+          t("compact-commit") { commit(wh, state, Comp(n2, base, Nil), stale) }
+          reapPending = false
         } else if (c.overlays.size >= maxOverlays) {
           // CHAIN FOLD — the steady-state compaction: the chain is long but
           // its coverage is still localized, so fold chain + batch into ONE
@@ -764,7 +810,7 @@ object Streams {
           val shadowed = c.overlays.map(_._1).filterNot(liveAfter.map(_._1).contains)
           commit(wh, state, Comp(c.n, c.base, liveAfter), shadowed)
         }
-        } finally withBucket.unpersist(blocking = false)
+        } finally if (probeNeeded) withBucket.unpersist(blocking = false)
       }
     }
 
