@@ -113,6 +113,28 @@ object Materializer {
     val mat =
       if (zorder) asset.materialization.copy(clusterBy = Nil)
       else asset.materialization
+    // `quality_filter: gopher` gates the asset's input rows through the
+    // engine's Gopher rule battery before materialization — the
+    // asset-surface face of [[graft.ops.TextAnalysis.gopherFilter]], so a
+    // pipeline author reaches the quality gate from a .sql asset +
+    // parameters instead of Scala. Rule columns are internal: the written
+    // table keeps the query's own schema. Optional `quality_filter_lang`
+    // names a language column for per-language stopword lists;
+    // `quality_filter_text` overrides the text column (default `text`).
+    def qualityGate(in: DataFrame): DataFrame =
+      asset.parameters.get("quality_filter") match {
+        case scala.None => in
+        case Some("gopher") =>
+          val before = in.columns
+          graft.ops.TextAnalysis.gopherFilter(in,
+              langCol = asset.parameters.get("quality_filter_lang").map(col),
+              textCol = asset.parameters.getOrElse("quality_filter_text", "text"))
+            .where(col("passes_gopher"))
+            .select(before.map(col): _*)
+        case Some(other) => throw new IllegalArgumentException(
+          s"${asset.name}: unknown quality_filter '$other' (supported: gopher)")
+      }
+    lazy val gated: DataFrame = qualityGate(input)
     lazy val df: DataFrame =
       if (zorder) {
         val files = asset.parameters.get("zorder_files").map(_.toInt).getOrElse(
@@ -120,20 +142,20 @@ object Materializer {
         val parts = asset.materialization.partitionBy
         val arranged =
           if (parts.isEmpty)
-            graft.ops.ZOrder.cluster(input, asset.materialization.clusterBy, files)
+            graft.ops.ZOrder.cluster(gated, asset.materialization.clusterBy, files)
           else
             // partitioned: range-shard on (partition cols, z) so equal
             // partition keys stay contiguous AND each directory's files
             // come out z-disjoint (same layout the Compactor's
             // --zorder path writes)
-            graft.ops.ZOrder.zValue(input, asset.materialization.clusterBy)
+            graft.ops.ZOrder.zValue(gated, asset.materialization.clusterBy)
               .repartitionByRange(files, (parts :+ "__z").map(col): _*)
               .sortWithinPartitions((parts :+ "__z").map(col): _*)
               .drop("__z")
         // the marker tells Warehouse.write the layout is deliberate — its
         // rebalance-by-partition clustering would scatter the curve order
         arranged.withColumn(SessionCatalogWarehouse.ArrangedMarker, lit(true))
-      } else input
+      } else gated
 
     mat.typ match {
       case MaterializationType.None =>

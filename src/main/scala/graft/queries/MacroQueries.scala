@@ -130,6 +130,55 @@ object MacroQueries {
       |  '{{ slugify("2024 Q1 Revenue") }}' AS digit_led,
       |  CAST(count(*) AS BIGINT) AS n FROM region""".stripMargin)
 
+  /** dedup_exact macro — the asset-surface face of the engine's exact-dedup
+    * operator ([[graft.ops.Dedup.exact]]): the rendered Spark SQL must
+    * reproduce the SAME clusters the Scala operator (and its DuckDB oracle,
+    * `dedup_exact`) produce. */
+  val dedupExactMacro: OQ = macroQ("macro_dedup_exact",
+    """SELECT content_hash, keep_id, n_docs FROM (
+      |{{ dedup_exact('documents') }}
+      |) z""".stripMargin,
+    duck = Some(
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin))
+
+  /** stratified_split macro — deterministic md5-bucket train/valid/test
+    * tagging ([[graft.ops.Sampling.split]]); checked via the per-(split,
+    * lang) histogram like the operator's own `sample_split` key. */
+  val stratifiedSplitMacro: OQ = macroQ("macro_stratified_split",
+    """SELECT split, lang, count(*) AS n FROM (
+      |{{ stratified_split('documents') }}
+      |) z GROUP BY 1, 2""".stripMargin,
+    duck = Some {
+      val b = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+      s"""SELECT CASE WHEN $b < 80 THEN 'train'
+         |            WHEN $b < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    })
+
+  /** token_chunk macro — the training-window chunker
+    * ([[graft.ops.TextAnalysis.chunk]]) at 64/16; the DuckDB replay is the
+    * operator's own `text_chunk` oracle shape. */
+  val tokenChunkMacro: OQ = macroQ("macro_token_chunk",
+    """SELECT doc_id, chunk_id, chunk_text, n_tokens FROM (
+      |{{ token_chunk('documents', 'doc_id', 'text', 64, 16) }}
+      |) z""".stripMargin,
+    duck = Some(
+      """WITH d AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d
+        |  WHERE coalesce(norm, '') <> ''),
+        |st AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 48)) AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST(s / 48 AS INT) AS chunk_id,
+        |  array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(w, s + 1, s + 64)) AS BIGINT) AS n_tokens
+        |FROM st""".stripMargin))
+
   val all: Seq[OQ] = Seq(arithmetic, pivot, dedup, widthBucket, haversine, userMacro,
-    dateSpine, series, urls, contextVars, slugifyQ)
+    dateSpine, series, urls, contextVars, slugifyQ,
+    dedupExactMacro, stratifiedSplitMacro, tokenChunkMacro)
 }

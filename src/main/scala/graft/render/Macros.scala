@@ -67,6 +67,75 @@ object Macros {
   def widthBucket(expr: String, minV: String, maxV: String, buckets: String): String =
     s"width_bucket($expr, $minV, $maxV, $buckets)"
 
+  /** Spark-SQL text of the engine's text normalization
+    * ([[graft.ops.TextAnalysis.normText]]): lowercase, collapse whitespace,
+    * trim — the shared preamble of every content-keyed data op, emitted so
+    * macro SQL and the Scala operators hash identical strings. */
+  private def normSql(textCol: String): String =
+    s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))"
+
+  /** Spark-SQL text of the engine's portable md5 percent bucket
+    * ([[graft.ops.Sampling.hashBucket]]) — deterministic on any engine. */
+  private def hashBucketSql(idCol: String): String =
+    s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % 100"
+
+  /** EXACT-DEDUP summary over a relation — the asset-surface face of
+    * [[graft.ops.Dedup.exact]]: one row per normalized-content hash with
+    * the kept (smallest) id and the copy count. One map-side-combinable
+    * GROUP BY; scale notes identical to the operator. */
+  def dedupExact(relation: String, idCol: String = "doc_id",
+                 textCol: String = "text"): String =
+    s"""select
+       |        md5(${normSql(textCol)}) as content_hash,
+       |        min($idCol) as keep_id,
+       |        count(*) as n_docs
+       |    from $relation
+       |    group by 1""".stripMargin
+
+  /** DETERMINISTIC train/valid/test split — the asset-surface face of
+    * [[graft.ops.Sampling.split]]: every row tagged by its portable md5
+    * bucket, so the split is stable across runs, engines, and re-shuffles
+    * of the input (the contamination-safety property a random() split
+    * loses). Pure projection: no shuffle, runs at scan speed. */
+  def stratifiedSplit(relation: String, idCol: String = "doc_id",
+                      trainPct: Int = 80, validPct: Int = 10): String = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"split percentages must be sane: train=$trainPct valid=$validPct")
+    val b = hashBucketSql(idCol)
+    s"""select
+       |        _inner.*,
+       |        case when $b < $trainPct then 'train'
+       |             when $b < ${trainPct + validPct} then 'valid'
+       |             else 'test'
+       |        end as split
+       |    from $relation as _inner""".stripMargin
+  }
+
+  /** TRAINING-WINDOW CHUNKING — the asset-surface face of
+    * [[graft.ops.TextAnalysis.chunk]]: fixed token windows advancing by
+    * (chunk − overlap), short tail kept, empty texts dropped. The explode
+    * is a per-document Generate — no shuffle anywhere. */
+  def tokenChunk(relation: String, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 chunkTokens: Int = 128, overlapTokens: Int = 16): String = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"chunk_tokens ($chunkTokens) must exceed overlap_tokens ($overlapTokens)")
+    val step = chunkTokens - overlapTokens
+    s"""select
+       |        $idCol,
+       |        cast(__pos as int) as chunk_id,
+       |        concat_ws(' ', __chunk) as chunk_text,
+       |        cast(size(__chunk) as bigint) as n_tokens
+       |    from (
+       |        select $idCol, split(${normSql(textCol)}, ' ') as __ws
+       |        from $relation
+       |    ) __tokenized
+       |    lateral view posexplode(transform(
+       |        sequence(0, size(__ws) - 1, $step),
+       |        s -> slice(__ws, s + 1, $chunkTokens))) __t as __pos, __chunk
+       |    where concat_ws('', __ws) != ''""".stripMargin
+  }
+
   /** ROW_NUMBER dedup CTE (bruinDeduplicate) — NATURAL JOIN form. */
   def deduplicate(relation: String, partitionBy: String, orderBy: String): String =
     s"""with row_numbered as (
@@ -157,6 +226,22 @@ object Macros {
     "degrees_to_radians" -> ((a, _) => degreesToRadians(s(a.head))),
     "width_bucket" -> ((a, _) => widthBucket(s(a(0)), s(a(1)), s(a(2)), s(a(3)))),
     "deduplicate" -> ((a, _) => deduplicate(s(a(0)), s(a(1)), s(a(2)))),
+    "dedup_exact" -> ((a, kw) => dedupExact(s(a(0)),
+      idCol = kw.get("id_col").map(s).getOrElse(if (a.length > 1) s(a(1)) else "doc_id"),
+      textCol = kw.get("text_col").map(s).getOrElse(if (a.length > 2) s(a(2)) else "text"))),
+    "stratified_split" -> ((a, kw) => stratifiedSplit(s(a(0)),
+      idCol = kw.get("id_col").map(s).getOrElse(if (a.length > 1) s(a(1)) else "doc_id"),
+      trainPct = kw.get("train_pct").map(s(_).toDouble.toInt)
+        .getOrElse(if (a.length > 2) s(a(2)).toDouble.toInt else 80),
+      validPct = kw.get("valid_pct").map(s(_).toDouble.toInt)
+        .getOrElse(if (a.length > 3) s(a(3)).toDouble.toInt else 10))),
+    "token_chunk" -> ((a, kw) => tokenChunk(s(a(0)),
+      idCol = kw.get("id_col").map(s).getOrElse(if (a.length > 1) s(a(1)) else "doc_id"),
+      textCol = kw.get("text_col").map(s).getOrElse(if (a.length > 2) s(a(2)) else "text"),
+      chunkTokens = kw.get("chunk_tokens").map(s(_).toDouble.toInt)
+        .getOrElse(if (a.length > 3) s(a(3)).toDouble.toInt else 128),
+      overlapTokens = kw.get("overlap_tokens").map(s(_).toDouble.toInt)
+        .getOrElse(if (a.length > 4) s(a(4)).toDouble.toInt else 16))),
     "generate_series" -> ((a, _) => generateSeries(s(a.head).toDouble.toLong)),
     "date_spine" -> ((a, _) => dateSpine(s(a(0)), s(a(1)), s(a(2)))),
     "slugify" -> ((a, _) => slugify(s(a.head))),

@@ -292,4 +292,41 @@ class CliSpec extends AnyFunSuite {
     assert(spark.table("fg_stream_tgt").orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "one"), (2, "two")))
   }
+
+  // ---- data ops from the asset surface -------------------------------------
+
+  test("dataops pipeline: macros + quality_filter reach the data ops from .sql assets") {
+    // the r14 user-surface gap: a pipeline author must be able to invoke
+    // dedup / splitting / chunking / quality gating from asset files alone —
+    // this fixture uses only .sql assets (dedup_exact / stratified_split /
+    // token_chunk macros) and a `quality_filter: gopher` parameter
+    val dir = "src/test/resources/pipelines/dataops"
+    Seq("raw_docs", "clean_docs", "doc_splits", "doc_dedup", "doc_chunks").foreach(t =>
+      graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir), Some(spark)) == 0, "pipeline run should succeed")
+
+    // the gopher gate drops the junk doc (2) and keeps the three real ones
+    assert(spark.table("clean_docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // written schema is the query's own — no leaked rule columns
+    assert(spark.table("clean_docs").columns.toSeq == Seq("doc_id", "lang", "text"))
+
+    // dedup: doc 1 and its re-cased copy doc 3 form one cluster, kept id 1
+    val clusters = spark.table("doc_dedup").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (keep_id, n_docs)
+    assert(clusters == Set((1L, 2L), (4L, 1L)), s"clusters: $clusters")
+
+    // splits: every clean doc tagged with exactly one of the three values
+    val splits = spark.table("doc_splits").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(splits.keySet == Set(1L, 3L, 4L) &&
+      splits.values.forall(Set("train", "valid", "test")))
+
+    // chunks: 16-token windows with a 4-token step-back, short tail kept
+    val chunks = spark.table("doc_chunks")
+      .select("doc_id", "n_tokens").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(chunks.nonEmpty && chunks.forall(_._2 <= 16))
+    // 60-word doc at step 12: 5 full windows
+    assert(chunks.count(_._1 == 1L) == 5, s"doc 1 chunks: ${chunks.count(_._1 == 1L)}")
+  }
 }

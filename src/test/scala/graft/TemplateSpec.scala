@@ -33,6 +33,29 @@ class TemplateSpec extends AnyFunSuite {
     assert(piv.contains("count(") && piv.contains("when c = 'x'") && piv.contains("as `x`"))
   }
 
+  test("data-op macros render the engine's SQL shapes") {
+    // dedup_exact: one content-hash GROUP BY over the normalized text
+    // the Spark-SQL string literal carries an ESCAPED backslash ('\\s+'),
+    // which the SQL parser reads back as the regex \s+
+    val de = Template.render("{{ dedup_exact('docs') }}", ctx)
+    assert(de.contains("""md5(trim(regexp_replace(lower(text), '\\s+', ' ')))""") &&
+      de.contains("min(doc_id) as keep_id") && de.contains("group by 1"), de)
+    val deKw = Template.render("{{ dedup_exact('docs', id_col='id', text_col='body') }}", ctx)
+    assert(deKw.contains("lower(body)") && deKw.contains("min(id)"), deKw)
+    // stratified_split: the engine's portable md5 bucket, cumulative cutoffs
+    val sp = Template.render("{{ stratified_split('docs', 'id', 70, 20) }}", ctx)
+    assert(sp.contains("conv(substring(md5(cast(id as string)), 1, 8), 16, 10)") &&
+      sp.contains("< 70") && sp.contains("< 90") && sp.contains("'test'"), sp)
+    intercept[IllegalArgumentException](
+      Template.render("{{ stratified_split('d', 'i', 80, 30) }}", ctx))
+    // token_chunk: step = chunk - overlap, slice bounded by chunk
+    val ch = Template.render("{{ token_chunk('docs', 'doc_id', 'body', 32, 8) }}", ctx)
+    assert(ch.contains("sequence(0, size(__ws) - 1, 24)") &&
+      ch.contains("slice(__ws, s + 1, 32)") && ch.contains("lower(body)"), ch)
+    intercept[IllegalArgumentException](
+      Template.render("{{ token_chunk('d', 'i', 't', 8, 8) }}", ctx))
+  }
+
   test("kwargs and unit validation") {
     val hv = Template.render("{{ haversine_distance('a', 'b', 'c', 'd', unit='km') }}", ctx)
     assert(hv.endsWith("* 1.60934"))
