@@ -275,6 +275,27 @@ class ScaleProbeSpec extends AnyFunSuite {
         k = 5, nlist = 256, nprobe = 8).count()
       println(s"  rows: $n"); n
     }
+    // the PERSISTED-INDEX tier over the same problem: knnJoinIvf re-maps
+    // the full corpus through nearestCentroid on EVERY invocation (the r14
+    // design note — at 100 TB that assignment pass dominates each query
+    // batch); saveIndex pays it once, and the warm routed join reads
+    // pre-hashed bucket files with zero corpus-side exchange
+    t("ivf index build (80k corpus -> bucketed inverted lists, nlist=256)",
+      "assignment map + bucketed write + quantizer artifact — paid ONCE per corpus") {
+      val corpus = emb.where(col("vec_id") % 5 =!= 0)
+      val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 256)
+      graft.ops.Similarity.saveCentroids(spark, cents, "g_probe_ivf_cents")
+      graft.ops.Similarity.saveIndex(spark, corpus, cents, "g_probe_ivf_index")
+    }
+    t("knn join over the persisted index (same 20k x 80k, nprobe=8, warm)",
+      "zero per-batch assignment work: bucket-read list join + bounded top-k") {
+      val cents = graft.ops.Similarity.loadCentroids(spark, "g_probe_ivf_cents")
+      val n = graft.ops.Similarity.knnJoinIvfIndexed(
+        emb.where(col("vec_id") % 5 === 0),
+        graft.ops.Similarity.loadIndex(spark, "g_probe_ivf_index"),
+        cents, k = 5, nprobe = 8).count()
+      println(s"  rows: $n"); n
+    }
 
     // ---- KMV distinct over ~900k event rows: the distinct-set shuffle is
     // the only data-sized stage; the sketch itself is <= k longs per group
@@ -705,6 +726,66 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.Sketches.histogramQuantiles(ev50, "grp", "value",
         bucketWidth = 2.0, nBuckets = 256).count()
     }
+    // ---- the newest capped-candidate operator one decade up (r14 brief
+    // #7): weighted lexical cosine over the 500k-doc corpus. The cap
+    // follows the jaccard-family rule (2x the structural copy count), and
+    // the shuffle counter is the number an uncapped candidate stage would
+    // bend: every term shared corpus-wide would otherwise join all its
+    // postings pairwise.
+    tShuffle(s"sf10 tf-idf cosine ($nDocs docs, top-10 terms, kept-df cap 200)",
+      "capped candidate join + exact full-vector verify; 30% boilerplate clique") {
+      val n = graft.ops.TextAnalysis.tfIdfCosine(docs, topTerms = 10,
+        threshold = 0.3, maxKeptDf = 200).count()
+      println(s"  pairs: $n"); n
+    }
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(corpusDir))
+
+    // ---- routed ANN one decade up (r14 brief #6): 200k queries x 800k
+    // corpus. The exact bipartite volume (1.6e11 cosines) is structurally
+    // absent; the routed tier's only vector shuffles are the corpus C rows
+    // (one list each) + Q*nprobe probe rows — the claim the shuffle
+    // counter witnesses at the decade that matters.
+    val embDir10 = "/tmp/graft-scale-sf10-embeddings"
+    spark.range(1000000).selectExpr("id AS vec_id",
+      "transform(sequence(0,63), j -> CAST(sin((id % 20000) * (j+1)) " +
+        "+ 0.001*sin(id*(j+1)) AS FLOAT)) AS embedding")
+      .write.mode("overwrite").parquet(embDir10)
+    val emb10 = spark.read.parquet(embDir10)
+    val q10 = emb10.where(col("vec_id") % 5 === 0)
+    val c10 = emb10.where(col("vec_id") % 5 =!= 0)
+    results += (("sf10 exact bipartite knn volume (analytic)", -1.0,
+      "1.6e11 pair cosines — NOT run"))
+    val cents10 = graft.ops.Similarity.ivfCentroids(c10, nlist = 256)
+    tShuffle("sf10 knn join IVF-routed (200k x 800k, nlist=256, nprobe=8)",
+      "C + Q*nprobe vector shuffle rows; per-task memory one inverted list") {
+      val n = graft.ops.Similarity.knnJoinIvf(q10, c10, k = 5, nlist = 256,
+        nprobe = 8, prebuilt = Some(cents10)).count()
+      println(s"  rows: $n"); n
+    }
+    // the streaming serving shape at the same decade: the query set as a
+    // file-backed stream routed under the same pinned quantizer against
+    // the static corpus. AvailableNow ends before the final watermark, so
+    // the row prices the full ROUTE (route flatMap, stream-static list
+    // join, native cosine, bounded-heap state writes) — emission closes in
+    // steady state, cost is the measured quantity.
+    val feed10 = "/tmp/graft-scale-sf10-annfeed"
+    q10.select(col("vec_id"), col("embedding"),
+        (lit("2024-01-01 00:00:00").cast("timestamp") + make_dt_interval(
+          lit(0), lit(0), lit(0), pmod(col("vec_id"), lit(7200)))).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(feed10)
+    tShuffle("sf10 streaming ANN top-k (200k query stream x 800k corpus, nprobe=8)",
+      "stream-static list join + codegen cosine + bounded-heap (<= k/query) state") {
+      val qs = spark.readStream
+        .schema(spark.read.parquet(feed10).schema).parquet(feed10)
+      val hits = graft.streaming.Streams.streamingAnnTopK(qs, c10, cents10,
+        k = 5, nprobe = 8, windowLen = "1 minute", watermark = "1 minute")
+      hits.writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ann10-cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(embDir10))
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(feed10))
   }
 }
