@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-heap aggregates (BoundedTopK, CappedCollectList) keep O(k)
+      // rows per group, so hash aggregation stays memory-safe at millions
+      // of groups — the 128-group default silently falls back to
+      // SORT-based aggregation, which SORTS the full joined input per
+      // partition (observed: the sf10 streaming-ANN probe degenerating
+      // from minutes to hours on one straggling sorted partial)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

@@ -114,6 +114,8 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
+      // see Bench.scala: keep k-bounded heap aggregates on the hash path
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

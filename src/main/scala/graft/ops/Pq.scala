@@ -433,4 +433,143 @@ object Pq {
       .where(col("rank") <= topK)
       .select(col("q"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
   }
+
+  /** Persist the PQ-CODED inverted lists — (list_id, id, codes) with the
+    * corpus routed AND residual-encoded — as a catalog table bucketed by
+    * list_id: the full IVFADC index artifact.
+    * [[graft.ops.Similarity.saveIndex]] removed the per-batch assignment
+    * pass for float lists; [[knnJoinIvfPq]] still re-encoded the whole
+    * corpus per invocation, which at 100 TB costs a corpus scan × m
+    * sub-quantizer searches every query batch. This pays assignment AND
+    * encoding once; a query batch then reads m-byte codes (d·4/m× smaller
+    * than the float index on disk too). Atomic generation-swap write; NULL
+    * vectors excluded. Requires the SAME centroids/books artifacts at
+    * search time — persist them with [[Similarity.saveCentroids]] /
+    * [[saveCodebooks]] (a retrain would remap code ids and corrupt every
+    * stored code — their fail-fast note). */
+  def savePqIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                  centroids: Array[Array[Float]], books: Array[Array[Array[Float]]],
+                  table: String, idCol: String = "vec_id",
+                  vecCol: String = "embedding", buckets: Int = 8): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty && books.nonEmpty, "empty quantizer artifacts")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    val lists = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cell = Similarity.nearestCentroid(v, bcC.value)
+        (cell, id, encodeRes(residualOf(v, bcC.value(cell)), bcB.value).toSeq)
+      }
+      .toDF("list_id", idCol, "codes")
+    new graft.materialize.SessionCatalogWarehouse(spark).createOrReplace(
+      table, lists, partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("list_id"), buckets = buckets)
+  }
+
+  /** Load a [[savePqIndex]] artifact. Fail-fast on a frame without the
+    * routing/code columns. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val df = spark.table(table)
+    require(df.columns.contains("list_id") && df.columns.contains("codes"),
+      s"$table is not a PQ-coded index artifact (need list_id + codes): " +
+        df.columns.mkString(", "))
+    df
+  }
+
+  /** [[knnJoinIvfPq]] OVER A PERSISTED CODE INDEX — zero per-batch corpus
+    * work: the (list_id, id, codes) assignment reads from the
+    * [[savePqIndex]] artifact, so a query batch pays only its own routing,
+    * the per-(query, cell) residual distance tables, and m lookups per
+    * candidate code. Ranking, determinism, and NULL conventions are
+    * [[knnJoinIvfPq]]'s; `nprobe` clamps to the resolved quantizer. The
+    * degenerate config (zero coarse centroid + m=1 identity codebook)
+    * again reduces ADC to exact squared-L2, which is how
+    * `ann_knn_join_ivfpq_indexed` oracle-pins the save → load → route →
+    * ADC path end to end (codes round-trip parquet bit-exactly). */
+  def knnJoinIvfPqIndexed(queries: DataFrame, index: DataFrame,
+                          centroids: Array[Array[Float]],
+                          books: Array[Array[Array[Float]]],
+                          topK: Int = 5, nprobe: Int = 4,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val np = math.min(nprobe, centroids.length)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    val members = index
+      .select(col("list_id").cast("int"), col(idCol).cast("long"),
+        col("codes").cast("array<int>"))
+      .as[(Int, Long, Array[Int])]
+    val probes = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Similarity.nearestCentroids(v, bcC.value, np).iterator.map(c => (c, id, v))
+      }
+    members.groupByKey(_._1).cogroup(probes.groupByKey(_._1)) { (cell, mIt, qIt) =>
+      val list = mIt.map { case (_, id, codes) => (id, codes) }.toArray
+      qIt.flatMap { case (_, qid, qv) =>
+        adcTopK(qid, distTable(residualOf(qv, bcC.value(cell)), bcB.value),
+          topK, list.iterator)
+      }
+    }.toDF("q", "b", "adc_dist2")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q").orderBy(col("adc_dist2").asc, col("b").asc)))
+      .where(col("rank") <= topK)
+      .select(col("q"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
+  }
+
+  /** TWO-STAGE RETRIEVAL JOIN — ADC shortlist, exact rerank: the production
+    * billion-vector serving shape (FAISS's search-then-refine). Stage 1
+    * runs [[knnJoinIvfPq]] for a `shortlist`-sized candidate set per query
+    * over m-byte codes (~nprobe/nlist of the corpus, d·4/m× less memory
+    * traffic); stage 2 joins ONLY the Q·shortlist survivors back to their
+    * float vectors and re-scores exact cosine with the native codegen
+    * kernel, ranking (rounded cos desc, id asc) — [[Similarity.knnJoin]]'s
+    * exact order. Compression error affects RECALL (what enters the
+    * shortlist), never the reported similarity — the same discipline as
+    * the dedup family's capped-candidates/exact-verify split.
+    *
+    * Scale: stage 2 moves Q·shortlist rows through two hash joins and a
+    * bounded-heap top-k (≤ k rows per query per partial) — at no point do
+    * corpus-sized float vectors replicate per query. A shortlist covering
+    * the whole corpus (with the degenerate quantizers) makes stage 1
+    * provably lossless, so the composed route must equal the exact
+    * [[Similarity.knnJoin]] — the `ann_knn_join_ivfpq_rerank_exact` pin;
+    * the production config is recall-gated and benched. */
+  def knnJoinIvfPqRerank(queries: DataFrame, corpus: DataFrame, topK: Int = 5,
+                         shortlist: Int = 50, nlist: Int = 16, nprobe: Int = 4,
+                         m: Int = 8, k: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         iterations: Int = 5, maxTrainSample: Int = 10000,
+                         prebuiltCentroids: Option[Array[Array[Float]]] = None,
+                         prebuiltBooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
+    val sl = knnJoinIvfPq(queries, corpus, topK = shortlist, nlist, nprobe,
+      m, k, idCol, vecCol, iterations, maxTrainSample,
+      prebuiltCentroids, prebuiltBooks)
+      .select(col("q"), col("b"))
+    val qv = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("q"), col(vecCol).as("__qv"))
+    val cv = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("b"), col(vecCol).as("__bv"))
+    import org.apache.spark.sql.graft.SqlBridge
+    val cosNative = SqlBridge.column(graft.functions.CosineSim(
+      SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__bv"))))
+    val scored = sl.join(qv, Seq("q")).join(cv, Seq("b"))
+      .select(col("q"), col("b"), round(cosNative, 6).as("cos"))
+    val keyed = struct((-col("cos")).as("__s0"), col("b").as("__s1"),
+      struct(col("b"), col("cos")).as("__p"))
+    val topk = SqlBridge.column(graft.functions.BoundedTopK(
+      SqlBridge.expression(keyed), topK, sortFields = 2).toAggregateExpression())
+    scored.groupBy(col("q")).agg(topk.as("__top"))
+      .select(col("q"), posexplode(col("__top")).as(Seq("__i", "__row")))
+      .select(col("q"), col("__row.__p.b").as("b"), col("__row.__p.cos").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
 }

@@ -2026,6 +2026,52 @@ object DataOpsQueries {
     },
     duckL2Bipartite)
 
+  /** PERSISTED-PQ-INDEX pin — the full IVFADC artifact cycle: train the
+    * degenerate quantizers (zero coarse centroid, m=1 identity codebook),
+    * persist codebooks AND the routed+encoded (list_id, id, codes) lists,
+    * reload everything, and ADC-search under the loaded artifacts. Codes
+    * and float codebooks round-trip parquet bit-exactly, so the result
+    * must still be brute-force bipartite L2 — pinning that a query batch
+    * can run with ZERO per-batch corpus work (no assignment, no encode)
+    * across job boundaries. */
+  val knnJoinIvfPqIndexed: OQ = OQ.df("ann_knn_join_ivfpq_indexed",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+        .where(col("embedding").isNotNull)
+      val zeroCentroid = Array(Array.emptyFloatArray)
+      // residual under the zero centroid IS the vector — train the identity
+      // codebook on the corpus directly
+      val books = graft.ops.Pq.pqTrain(corpus, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.saveCodebooks(s, books, "g_pqidx_books")
+      graft.ops.Pq.savePqIndex(s, corpus, zeroCentroid, books, "g_pqidx_lists")
+      graft.ops.Pq.knnJoinIvfPqIndexed(emb.where(col("label") === 0),
+        graft.ops.Pq.loadPqIndex(s, "g_pqidx_lists"), zeroCentroid,
+        graft.ops.Pq.loadCodebooks(s, "g_pqidx_books"), topK = 5, nprobe = 1)
+        .select(col("q"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    duckL2Bipartite)
+
+  /** TWO-STAGE RETRIEVAL lossless pin: with the degenerate quantizers the
+    * ADC stage is exact L2, and a shortlist wider than the corpus keeps
+    * every candidate — so the composed shortlist → exact-cosine-rerank
+    * route must reproduce the exact bipartite COSINE rank (knnJoin's own
+    * oracle). Pins the stage-2 machinery itself: the survivor joins, the
+    * native cosine, the bounded-heap rank. Production config benched as
+    * `ann_knn_join_ivfpq_rerank` + recall-gated in DataOpsSpec. */
+  val knnJoinIvfPqRerankExact: OQ = OQ.df("ann_knn_join_ivfpq_rerank_exact",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      graft.ops.Pq.knnJoinIvfPqRerank(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), topK = 5, shortlist = 1 << 17,
+        nlist = 1, nprobe = 1, m = 1, k = 1 << 17, iterations = 0,
+        maxTrainSample = 1 << 17,
+        prebuiltCentroids = Some(Array(Array.emptyFloatArray)))
+    },
+    duckKnnBipartite)
+
   /** Bench-only approximate ANN configs — the r3 registry entries, kept
     * under their original bench names so round-over-round timings stay
     * comparable. NOT in the oracle registry: approximate top-k has no SQL
@@ -2245,7 +2291,7 @@ object DataOpsQueries {
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe, indexRoundtrip,
     minhashCappedLossless, semanticExact, pqExact, pqIndexRoundtrip, ivfPqExact,
-    knnJoinIvfPqExact,
+    knnJoinIvfPqExact, knnJoinIvfPqIndexed, knnJoinIvfPqRerankExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
     mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)
 
@@ -2402,6 +2448,53 @@ object DataOpsQueries {
         m = 8, k = 16)
     })
 
+  /** Production two-stage retrieval (ADC shortlist 20 → exact cosine
+    * rerank of the survivors): the FAISS search-then-refine serving shape.
+    * The lossless reduction is oracle-pinned as
+    * `ann_knn_join_ivfpq_rerank_exact`; recall gated in DataOpsSpec. */
+  val knnJoinIvfPqRerankBench: OQ = OQ.rowsOnly("ann_knn_join_ivfpq_rerank",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      graft.ops.Pq.knnJoinIvfPqRerank(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), topK = 5, shortlist = 20,
+        nlist = 16, nprobe = 4, m = 8, k = 16)
+    })
+
+  /** The PQ-index serving shape: build the code index once (first pass —
+    * later passes find the artifacts), then run the production ADC batch
+    * over the loaded m-byte codes. Min-over-passes = the warm per-batch
+    * cost without assignment OR encoding. */
+  val knnJoinIvfPqIndexedBench: OQ = OQ.rowsOnly("ann_knn_join_ivfpq_indexed_warm",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+      if (!s.catalog.tableExists("g_knn_pq_centroids") ||
+          !s.catalog.tableExists("g_knn_pq_books") ||
+          !s.catalog.tableExists("g_knn_pq_index")) {
+        val cents = Similarity.ivfCentroids(corpus, nlist = 16)
+        val resDF = {
+          import s.implicits._
+          val bc = s.sparkContext.broadcast(cents)
+          corpus.where(col("embedding").isNotNull)
+            .select(col("vec_id").cast("long"), col("embedding"))
+            .as[(Long, Array[Float])]
+            .map { case (id, v) =>
+              val c = bc.value(Similarity.nearestCentroid(v, bc.value))
+              (id, v.indices.map(i => v(i) - (if (i < c.length) c(i) else 0f)).toArray)
+            }.toDF("vec_id", "embedding")
+        }
+        val books = graft.ops.Pq.pqTrain(resDF, m = 8, k = 16)
+        Similarity.saveCentroids(s, cents, "g_knn_pq_centroids")
+        graft.ops.Pq.saveCodebooks(s, books, "g_knn_pq_books")
+        graft.ops.Pq.savePqIndex(s, corpus, cents, books, "g_knn_pq_index")
+      }
+      graft.ops.Pq.knnJoinIvfPqIndexed(emb.where(col("label") === 0),
+        graft.ops.Pq.loadPqIndex(s, "g_knn_pq_index"),
+        Similarity.loadCentroids(s, "g_knn_pq_centroids"),
+        graft.ops.Pq.loadCodebooks(s, "g_knn_pq_books"),
+        topK = 5, nprobe = 4)
+    })
+
   /** The SERVING shape of the persisted index: build centroids + inverted
     * lists once (first pass only — later passes find the artifacts and skip
     * straight to the query batch), then run the production routed join over
@@ -2428,5 +2521,5 @@ object DataOpsQueries {
   val benchOnly: Seq[OQ] = Seq(annLshBench, annIvfBench, minhashCappedBench,
     minhashOphBench, semanticBench, bpeBench, pqBench, qualityClf, clusterSample,
     sketchDistinct, phashBench, ivfPqBench, knnJoinIvfBench, knnJoinIvfIndexedBench,
-    knnJoinIvfPqBench)
+    knnJoinIvfPqBench, knnJoinIvfPqRerankBench, knnJoinIvfPqIndexedBench)
 }

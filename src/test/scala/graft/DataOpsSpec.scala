@@ -2494,6 +2494,39 @@ class DataOpsSpec extends AnyFunSuite {
     assert(shortRecall >= 0.5, s"IVF-PQ knn-join shortlist recall too low: $shortRecall")
   }
 
+  test("two-stage retrieval: rerank reports exact cosines and lifts agreement with the exact join") {
+    import graft.ops.Pq
+    val q = emb.where(col("label") === 0)
+    val c = emb.where(col("label") =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("q", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Pq.knnJoinIvfPqRerank(q, c, topK = 5, shortlist = 20,
+      nlist = 16, nprobe = 8, m = 16, k = 16)
+    val got = pairs(rr)
+    // deterministic end to end
+    assert(got == pairs(Pq.knnJoinIvfPqRerank(q, c, topK = 5, shortlist = 20,
+      nlist = 16, nprobe = 8, m = 16, k = 16)))
+    // reported similarities are EXACT cosines: every surviving (q, b) must
+    // carry the same rounded cosine the exact knn join reports for it
+    val exactCos = graft.ops.Similarity.knnJoin(q, c, k = 1000)
+      .select("q", "b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.select("q", "b", "cos").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exactCos(key) == r.getDouble(2),
+        s"rerank cosine diverges from exact at $key")
+    }
+    // the rerank's cosine ordering agrees with the exact join's better than
+    // (or as well as) the raw ADC ordering does — the point of stage 2
+    val exactTop = graft.ops.Similarity.knnJoin(q, c, k = 5)
+    val exact5 = pairs(exactTop.withColumnRenamed("q", "q"))
+    val adc5 = pairs(Pq.knnJoinIvfPq(q, c, topK = 5, nlist = 16, nprobe = 8, m = 16, k = 16))
+    val recallRerank = (exact5 intersect got).size.toDouble / exact5.size
+    val recallAdc = (exact5 intersect adc5).size.toDouble / exact5.size
+    assert(recallRerank >= recallAdc - 1e-9,
+      s"rerank must not lose agreement: rerank=$recallRerank adc=$recallAdc")
+  }
+
   test("hard negatives: never same-label, equals label-filtered brute force") {
     val hn = Similarity.hardNegatives(emb, k = 3).collect()
     assert(hn.nonEmpty && hn.forall(r => r.getLong(1) != r.getLong(3)),

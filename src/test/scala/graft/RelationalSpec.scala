@@ -9,6 +9,8 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // keep k-bounded heap aggregates on the hash path (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

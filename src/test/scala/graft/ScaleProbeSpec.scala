@@ -24,6 +24,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       .master("local[32]")
       .appName("graft-scale-probe")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
