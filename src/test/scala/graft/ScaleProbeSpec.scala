@@ -289,7 +289,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       graft.ops.Similarity.saveIndex(spark, corpus, cents, "g_probe_ivf_index")
     }
     t("knn join over the persisted index (same 20k x 80k, nprobe=8, warm)",
-      "zero per-batch assignment work: bucket-read list join + bounded top-k") {
+      "zero per-batch assignment work: list-keyed cogroup over pre-assigned lists") {
       val cents = graft.ops.Similarity.loadCentroids(spark, "g_probe_ivf_cents")
       val n = graft.ops.Similarity.knnJoinIvfIndexed(
         emb.where(col("vec_id") % 5 === 0),
