@@ -804,6 +804,33 @@ object Similarity {
       bucketBy = Seq("list_id"), buckets = buckets)
   }
 
+  /** INCREMENTAL index maintenance — assign ONLY a new corpus batch under
+    * the PINNED quantizer and append its (list_id, id, vector) rows to the
+    * existing [[saveIndex]] table: the nightly-crawl shape, where
+    * re-running the full assignment (let alone retraining) per ingest
+    * batch would cost a corpus scan for a corpus-fraction of new rows.
+    * The append preserves the bucketBy(list_id) layout (`buckets` must
+    * match the index's — the saveIndex default unless overridden), and
+    * because a vector's list depends only on the FROZEN centroids, an
+    * appended index is row-identical to a full rebuild over the combined
+    * corpus — `ann_knn_join_ivf_index_append` oracle-pins exactly that
+    * (routed join over 90%-built + 10%-appended ≡ exact over the full
+    * corpus at nprobe = nlist). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, newBatch: DataFrame,
+                    centroids: Array[Array[Float]], table: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    buckets: Int = 8): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot route into an index with an empty quantizer")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val lists = vecs(newBatch.where(col(vecCol).isNotNull), idCol, vecCol)
+      .map { case (id, v) => (nearestCentroid(v, bc.value), id, v) }
+      .toDF("list_id", idCol, vecCol)
+    new graft.materialize.SessionCatalogWarehouse(spark).append(
+      table, lists, partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("list_id"), buckets = buckets)
+  }
+
   /** Load a [[saveIndex]] inverted-list table. A plain catalog read — the
     * bucketed layout rides with the table, so downstream list-keyed joins
     * stay exchange-free on this side. Fails fast on a frame that is not an

@@ -1822,6 +1822,28 @@ object DataOpsQueries {
     },
     duckKnnBipartite)
 
+  /** INCREMENTAL index maintenance pin — the nightly-crawl shape: build
+    * the index on 90% of the corpus, [[Similarity.appendToIndex]] the
+    * other 10% under the SAME pinned quantizer, and run the routed join at
+    * nprobe = nlist over the combined artifact. A vector's list depends
+    * only on the frozen centroids, so append ≡ full rebuild and the result
+    * must still be the exact bipartite rank over the FULL corpus — pinning
+    * that per-ingest-batch index cost is O(batch), never O(corpus). */
+  val knnJoinIvfIndexAppend: OQ = OQ.df("ann_knn_join_ivf_index_append",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+      val trained = Similarity.ivfCentroids(corpus, nlist = 16)
+      Similarity.saveIndex(s, corpus.where(col("vec_id") % 10 =!= 3),
+        trained, "g_knn_ivf_idx_app")
+      Similarity.appendToIndex(s, corpus.where(col("vec_id") % 10 === 3),
+        trained, "g_knn_ivf_idx_app")
+      Similarity.knnJoinIvfIndexed(emb.where(col("label") === 0),
+        Similarity.loadIndex(s, "g_knn_ivf_idx_app"), trained, k = 5,
+        nprobe = trained.length)
+    },
+    duckKnnBipartite)
+
   /** Cluster-balanced-sample LOSSLESSNESS pin: a per-cluster quota above
     * any cluster's size keeps every vector, so the full train → assign →
     * rank → filter pipeline must emit each id exactly once — the learned
@@ -2272,7 +2294,7 @@ object DataOpsQueries {
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ, sentencesQ,
     sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
-    knnJoinIvfExact, knnJoinIvfIndexed, annLshMultitableLossless,
+    knnJoinIvfExact, knnJoinIvfIndexed, knnJoinIvfIndexAppend, annLshMultitableLossless,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, tfIdfCosineQ, piiRedact, vocab, repetition, sampleStratified, sampleSplit,

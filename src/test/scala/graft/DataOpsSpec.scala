@@ -2494,6 +2494,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(shortRecall >= 0.5, s"IVF-PQ knn-join shortlist recall too low: $shortRecall")
   }
 
+  test("streaming ANN over the persisted index equals the fresh-assignment route") {
+    // batch replay (watermark no-ops on a batch frame): the prebuiltIndex
+    // branch must route and score identically to the per-invocation corpus
+    // assignment — the reason the index can replace the stream-start
+    // assignment map without a semantic wobble. Also covers appendToIndex:
+    // the index is built 90/10 via the incremental path.
+    val corpus = emb.where(col("label") =!= 0)
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 8)
+    graft.ops.Similarity.saveIndex(spark, corpus.where(col("vec_id") % 10 =!= 7),
+      cents, "spec_ann_stream_idx")
+    graft.ops.Similarity.appendToIndex(spark, corpus.where(col("vec_id") % 10 === 7),
+      cents, "spec_ann_stream_idx")
+    def rows(idx: Option[org.apache.spark.sql.DataFrame]) =
+      graft.streaming.Streams.streamingAnnTopK(queries, corpus, cents,
+          k = 3, nprobe = 8, prebuiltIndex = idx)
+        .select("q", "b", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fresh = rows(scala.None)
+    val indexed = rows(Some(graft.ops.Similarity.loadIndex(spark, "spec_ann_stream_idx")))
+    assert(fresh.nonEmpty && indexed == fresh,
+      s"indexed route diverges: ${indexed.diff(fresh).take(3)} / ${fresh.diff(indexed).take(3)}")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "spec_ann_stream_idx")
+  }
+
   test("two-stage retrieval: rerank reports exact cosines and lifts agreement with the exact join") {
     import graft.ops.Pq
     val q = emb.where(col("label") === 0)
