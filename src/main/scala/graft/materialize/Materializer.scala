@@ -131,8 +131,14 @@ object Materializer {
               textCol = asset.parameters.getOrElse("quality_filter_text", "text"))
             .where(col("passes_gopher"))
             .select(before.map(col): _*)
+        case Some("c4") =>
+          val before = in.columns
+          graft.ops.TextAnalysis.c4Filter(in,
+              textCol = asset.parameters.getOrElse("quality_filter_text", "text"))
+            .where(col("passes_c4"))
+            .select(before.map(col): _*)
         case Some(other) => throw new IllegalArgumentException(
-          s"${asset.name}: unknown quality_filter '$other' (supported: gopher)")
+          s"${asset.name}: unknown quality_filter '$other' (supported: gopher, c4)")
       }
     lazy val gated: DataFrame = qualityGate(input)
     lazy val df: DataFrame =

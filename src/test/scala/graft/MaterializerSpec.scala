@@ -352,6 +352,34 @@ class MaterializerSpec extends AnyFunSuite {
     Materializer.execute(wh, asset, "SELECT explode(sequence(1, 1000)) AS n")
   }
 
+  test("quality_filter parameter gates materialization input through gopher or c4") {
+    import org.apache.spark.sql.functions._
+    val wh = new SessionCatalogWarehouse(spark)
+    val sent = "the quick brown fox jumps over the lazy dog and runs into the green field."
+    val good = (sent + " ") * 4   // 60 words, sentence-terminated lines
+    val junk = "### 12 34"
+    val in = spark.createDataFrame(Seq((1L, good), (2L, junk))).toDF("doc_id", "text")
+    for ((filt, tbl) <- Seq("gopher" -> "qf_gopher_t", "c4" -> "qf_c4_t")) {
+      wh.drop(tbl)
+      Materializer.executeDf(wh, Asset(name = tbl,
+        materialization = Materialization(typ = MaterializationType.Table),
+        parameters = Map("quality_filter" -> filt)), in)
+      val rows = spark.table(tbl).collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L),
+        s"$filt gate should keep only the real doc: ${rows.map(_.getLong(0)).mkString(",")}")
+      assert(spark.table(tbl).columns.toSeq == Seq("doc_id", "text"),
+        s"$filt gate must not leak rule columns")
+      SessionCatalogWarehouse.dropAny(spark, tbl)
+    }
+    // unknown filter fails fast with the supported list
+    val e = intercept[IllegalArgumentException] {
+      Materializer.executeDf(wh, Asset(name = "qf_bad",
+        materialization = Materialization(typ = MaterializationType.Table),
+        parameters = Map("quality_filter" -> "nope")), in)
+    }
+    assert(e.getMessage.contains("supported: gopher, c4"))
+  }
+
   test("analyze param collects table and column statistics after the write") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("stats_t")
