@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions.col
 import graft.model.Asset
 
 /** Seed loading (reference pkg/ingestr/operator.go:440-448 scheme map,
-  * :683-830 SeedOperator): a local csv/parquet/json/jsonl/ndjson/avro file
+  * :683-830 SeedOperator): a local csv/parquet/json/jsonl/ndjson/avro/orc file
   * becomes a warehouse table; declared columns cast the inferred schema.
   */
 object Seeds {
 
-  val SupportedExtensions: Set[String] = Set("csv", "parquet", "json", "jsonl", "ndjson", "avro")
+  val SupportedExtensions: Set[String] = Set("csv", "parquet", "json", "jsonl", "ndjson", "avro", "orc")
 
   def read(spark: SparkSession, path: String): DataFrame =
     readAs(spark, path.split('.').last.toLowerCase, path)
@@ -28,6 +28,7 @@ object Seeds {
         if (ext == "json") spark.read.option("multiLine", "true").json(path)
         else spark.read.json(path)
       case "avro" => spark.read.format("avro").load(path)
+      case "orc" => spark.read.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported seed format: .$other")
     }
   }
