@@ -327,6 +327,7 @@ object Main {
         path.toLowerCase match {
           case p if p.endsWith(".jsonl") || p.endsWith(".json") => w.json(path)
           case p if p.endsWith(".parquet") => w.parquet(path)
+          case p if p.endsWith(".orc") => w.orc(path)
           case _ => w.option("header", "true").csv(path)
         }
         println(s"exported to $path")

@@ -208,7 +208,7 @@ class CliSpec extends AnyFunSuite {
     assert(Main.run(Seq("render-ddl", dir.toString, "nope"), Some(spark)) == 1)
   }
 
-  test("query --export picks csv, jsonl, or parquet by extension") {
+  test("query --export picks csv, jsonl, parquet, or orc by extension") {
     val dir = tmpDir("graft-export")
     def export(name: String) = Main.run(Seq("query", "--q",
       "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'",
@@ -221,6 +221,9 @@ class CliSpec extends AnyFunSuite {
       .select("a", "b").count() == 2)
     assert(export("out.parquet") == 0)
     assert(spark.read.parquet(dir.resolve("out.parquet").toString)
+      .orderBy("a").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(export("out.orc") == 0)
+    assert(spark.read.orc(dir.resolve("out.orc").toString)
       .orderBy("a").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
