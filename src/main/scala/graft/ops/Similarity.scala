@@ -45,7 +45,7 @@ object Similarity {
     s
   }
 
-  private def normP(a: Array[Float]): Double = {
+  private[graft] def normP(a: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
@@ -54,7 +54,7 @@ object Similarity {
 
   /** Rounded cosine, zero-norm-safe: an all-zero vector has undefined
     * cosine; define it as 0.0 instead of letting 0/0 = NaN crash round6. */
-  private def cosineOf(va: Array[Float], vb: Array[Float], na: Double, nb: Double): Double = {
+  private[graft] def cosineOf(va: Array[Float], vb: Array[Float], na: Double, nb: Double): Double = {
     val denom = na * nb
     if (denom == 0 || denom.isNaN) 0.0 else round6(dotP(va, vb) / denom)
   }
@@ -77,7 +77,7 @@ object Similarity {
   /** Bounded top-k selector by (score desc, id asc) — insertion into k-sized
     * arrays beats sorting every candidate when k ≪ n (k·n shifts worst case,
     * usually ~n comparisons). */
-  private final class TopK(k: Int) {
+  private[graft] final class TopK(k: Int) {
     private val ids = new Array[Long](k)
     private val cs = new Array[Double](k)
     private var n = 0

@@ -760,15 +760,21 @@ object EngineQueries {
     * vectors become a timestamped query stream (ts spread from vec_id —
     * replayable in SQL), routed through a corpus-trained IVF quantizer at
     * nprobe = nlist (probing every list provably covers the corpus), so
-    * the full stream path — route flatMap, stream-static list join, HOF
-    * cosine, bounded-heap windowed top-k, append-mode emission — must
-    * reproduce the brute-force bipartite rank for every query whose
-    * window the watermark closed. The production nprobe ≪ nlist config is
-    * the same code path (recall-gated batch-side in DataOpsSpec). */
-  val streamAnn: OQ = OQ.df("stream_ann_topk",
+    * the full stream path — routing, scoring tier, bounded-heap windowed
+    * top-k, append-mode emission — must reproduce the brute-force
+    * bipartite rank for every query whose window the watermark closed.
+    * BOTH scoring tiers are pinned under the SAME oracle:
+    * `stream_ann_topk` forces the join (spill) tier with
+    * maxBroadcastBytes = 0 — the 100 TB shape where no executor holds the
+    * index — and `stream_ann_topk_broadcast` takes the RAM-resident
+    * serving tier (primitive-kernel scoring under a broadcast index). The
+    * production nprobe ≪ nlist config is the same code path (recall-gated
+    * batch-side in DataOpsSpec). */
+  private def annStreamQuery(qname: String, sink: String,
+                             maxBroadcastBytes: Long): OQ = OQ.df(qname,
     (s, dir) => {
       import java.nio.file.{Files, StandardCopyOption}
-      s.sql("DROP TABLE IF EXISTS g_stream_ann_sink")
+      s.sql(s"DROP TABLE IF EXISTS $sink")
       val emb = s.table("embeddings")
       val corpus = emb.where(col("label") =!= 0)
       val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
@@ -807,8 +813,9 @@ object EngineQueries {
       // 499-second spread — an empty result would pass vacuously)
       val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 16)
       val hits = Streams.streamingAnnTopK(qStream, corpus, cents,
-        k = 5, nprobe = 16, windowLen = "1 minute", watermark = "1 minute")
-      Streams.runAppendToTable(s, hits, "g_stream_ann_sink",
+        k = 5, nprobe = 16, windowLen = "1 minute", watermark = "1 minute",
+        maxBroadcastBytes = maxBroadcastBytes)
+      Streams.runAppendToTable(s, hits, sink,
         checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-ann-cp").toString))
         .select(col("window_start").cast("string").as("window_start"),
           col("q"), col("b"), col("cos"), col("rank"))
@@ -837,6 +844,12 @@ object EngineQueries {
       |FROM r JOIN w ON r.q = w.q
       |WHERE r.rank <= 5
       |  AND w.wstart + INTERVAL 1 MINUTE <= (SELECT max(ts) FROM qt) - INTERVAL 1 MINUTE""".stripMargin)
+
+  val streamAnn: OQ =
+    annStreamQuery("stream_ann_topk", "g_stream_ann_sink", maxBroadcastBytes = 0L)
+  val streamAnnBroadcast: OQ =
+    annStreamQuery("stream_ann_topk_broadcast", "g_stream_ann_bsink",
+      maxBroadcastBytes = 256L << 20)
 
   /** Streaming histogram quantiles — per finalized 5-minute window, the
     * fixed-grid p50/p95 of event value: the watermarked windowed
@@ -1106,6 +1119,6 @@ object EngineQueries {
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2, streamAnn, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2, streamAnn, streamAnnBroadcast, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

@@ -1355,7 +1355,8 @@ object Streams {
                        cidCol: String = "vec_id",
                        windowLen: String = "5 minutes",
                        watermark: String = "10 minutes",
-                       prebuiltIndex: Option[DataFrame] = scala.None): DataFrame = {
+                       prebuiltIndex: Option[DataFrame] = scala.None,
+                       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     import graft.ops.Similarity
     val spark = queries.sparkSession
     import spark.implicits._
@@ -1384,25 +1385,80 @@ object Streams {
           .map { case (id, v) => (Similarity.nearestCentroid(v, bc.value), id, v) }
           .toDF("__list", "b", "__bv")
     }
-    // stream: each query replicates to its nprobe probe lists only
-    val routed = queries.where(col(vecCol).isNotNull)
-      .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
-      .as[(Long, Array[Float], java.sql.Timestamp)]
-      .flatMap { case (id, v, t) =>
-        Similarity.nearestCentroids(v, bc.value, np).iterator
-          .map(c => (c, id, v, t))
+    // TWO SCORING TIERS behind one result (the pqTopK dual-path move):
+    //
+    //  - index fits `maxBroadcastBytes`: BROADCAST the inverted lists once
+    //    (production ANN serving pins the index in RAM — FAISS's model) and
+    //    score each query against its probed lists with the SAME
+    //    primitive-array kernels as the batch cogroup, emitting ≤ k rows per
+    //    query row into the windowed aggregate. The sf10 probe measured the
+    //    join tier at ~2.8 µs PER SCORED PAIR (row-at-a-time join + codegen
+    //    expression + aggregate offer) vs ~0.2 µs in the primitive loop —
+    //    and the broadcast tier also removes the (nprobe/nlist)·C·Q-row
+    //    stream through the aggregate entirely.
+    //  - past the gate: the stream-static list equi-join (static side never
+    //    replicated) + native codegen cosine — the spill tier for corpora
+    //    no executor can hold.
+    //
+    // The size probe is one bounded static-side aggregate (count + dims),
+    // never a collect-then-check.
+    val sizeRow = corp.agg(org.apache.spark.sql.functions.count(lit(1)),
+      org.apache.spark.sql.functions.max(size(col("__bv")))).head()
+    val corpusBytes = sizeRow.getLong(0) *
+      (if (sizeRow.isNullAt(1)) 0L else sizeRow.getInt(1).toLong) * 4L
+    val scored: DataFrame =
+      if (corpusBytes <= maxBroadcastBytes) {
+        val lists: Map[Int, Array[(Long, Array[Float], Double)]] =
+          corp.select(col("__list").cast("int"), col("b"), col("__bv"))
+            .as[(Int, Long, Array[Float])].collect()
+            .groupBy(_._1)
+            .map { case (l, rows) =>
+              l -> rows.map { case (_, id, v) => (id, v, Similarity.normP(v)) }
+            }
+        val bcLists = spark.sparkContext.broadcast(lists)
+        queries.where(col(vecCol).isNotNull)
+          .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+          .as[(Long, Array[Float], java.sql.Timestamp)]
+          .mapPartitions { it =>
+            val ls = bcLists.value
+            it.flatMap { case (q, vq, t) =>
+              val nq = Similarity.normP(vq)
+              val top = new Similarity.TopK(k)
+              Similarity.nearestCentroids(vq, bc.value, np).foreach { c =>
+                val list = ls.getOrElse(c, Array.empty[(Long, Array[Float], Double)])
+                var i = 0
+                while (i < list.length) {
+                  val (b, vb, nb) = list(i)
+                  top.offer(b, Similarity.cosineOf(vq, vb, nq, nb))
+                  i += 1
+                }
+              }
+              top.iterator.map { case (b, c) => (q, b, c, t) }
+            }
+          }
+          .toDF("q", "b", "cos", "ts")
+      } else {
+        // stream: each query replicates to its nprobe probe lists only
+        val routed = queries.where(col(vecCol).isNotNull)
+          .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+          .as[(Long, Array[Float], java.sql.Timestamp)]
+          .flatMap { case (id, v, t) =>
+            Similarity.nearestCentroids(v, bc.value, np).iterator
+              .map(c => (c, id, v, t))
+          }
+          .toDF("__list", "q", "__qv", "ts")
+        // cosine through the NATIVE codegen expression (one fused
+        // unsafe-array loop per pair, same zero-norm/round6 convention as
+        // the batch kernels) — the HOF form (aggregate∘zip_with) is
+        // CodegenFallback and re-derives both norms per PAIR; measured
+        // 10.4 → 3.8 s on this key
+        import org.apache.spark.sql.graft.SqlBridge
+        val cosNative = SqlBridge.column(graft.functions.CosineSim(
+          SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__bv"))))
+        routed.join(corp, Seq("__list"))
+          .withColumn("cos", round(cosNative, 6))
+          .select(col("q"), col("b"), col("cos"), col("ts"))
       }
-      .toDF("__list", "q", "__qv", "ts")
-    // cosine through the NATIVE codegen expression (one fused unsafe-array
-    // loop per pair, same zero-norm/round6 convention as the batch
-    // kernels) — the HOF form (aggregate∘zip_with) is CodegenFallback and
-    // re-derives both norms per PAIR; measured 10.4 → 3.8 s on this key
-    import org.apache.spark.sql.graft.SqlBridge
-    val cosNative = SqlBridge.column(graft.functions.CosineSim(
-      SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__bv"))))
-    val scored = routed.join(corp, Seq("__list"))
-      .withColumn("cos", round(cosNative, 6))
-      .select(col("q"), col("b"), col("cos"), col("ts"))
     // exact per-(window, query) top-k: bounded-heap aggregate, worst-first
     // eviction, deterministic (cos desc, corpus id asc) order
     import org.apache.spark.sql.graft.SqlBridge

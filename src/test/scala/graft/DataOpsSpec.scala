@@ -2509,15 +2509,23 @@ class DataOpsSpec extends AnyFunSuite {
       cents, "spec_ann_stream_idx")
     graft.ops.Similarity.appendToIndex(spark, corpus.where(col("vec_id") % 10 === 7),
       cents, "spec_ann_stream_idx")
-    def rows(idx: Option[org.apache.spark.sql.DataFrame]) =
+    def rows(idx: Option[org.apache.spark.sql.DataFrame], bcBytes: Long) =
       graft.streaming.Streams.streamingAnnTopK(queries, corpus, cents,
-          k = 3, nprobe = 8, prebuiltIndex = idx)
+          k = 3, nprobe = 8, prebuiltIndex = idx, maxBroadcastBytes = bcBytes)
         .select("q", "b", "cos", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    val fresh = rows(scala.None)
-    val indexed = rows(Some(graft.ops.Similarity.loadIndex(spark, "spec_ann_stream_idx")))
-    assert(fresh.nonEmpty && indexed == fresh,
-      s"indexed route diverges: ${indexed.diff(fresh).take(3)} / ${fresh.diff(indexed).take(3)}")
+    // all four combos — {fresh assignment, persisted index} × {broadcast
+    // serving tier, join spill tier} — must emit the same rows
+    val fresh = rows(scala.None, 0L)
+    assert(fresh.nonEmpty)
+    for ((idx, bc) <- Seq(
+        (scala.None, 256L << 20),
+        (Some(graft.ops.Similarity.loadIndex(spark, "spec_ann_stream_idx")), 0L),
+        (Some(graft.ops.Similarity.loadIndex(spark, "spec_ann_stream_idx")), 256L << 20))) {
+      val got = rows(idx, bc)
+      assert(got == fresh, s"route (idx=${idx.nonEmpty}, bcBytes=$bc) diverges: " +
+        s"${got.diff(fresh).take(3)} / ${fresh.diff(got).take(3)}")
+    }
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "spec_ann_stream_idx")
   }
 

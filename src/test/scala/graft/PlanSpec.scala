@@ -481,8 +481,10 @@ class PlanSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"),
         lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
     val cents = graft.ops.Similarity.ivfCentroids(emb.where(col("label") =!= 0), nlist = 8)
+    // maxBroadcastBytes = 0 forces the JOIN tier — the plan this pin is about
     val p = graft.streaming.Streams.streamingAnnTopK(
-      queries, emb.where(col("label") =!= 0), cents, k = 3, nprobe = 2)
+      queries, emb.where(col("label") =!= 0), cents, k = 3, nprobe = 2,
+      maxBroadcastBytes = 0L)
       .queryExecution.executedPlan.toString
     assert(p.contains("cosine_sim"), s"scoring must use the native expression:\n${p.take(600)}")
     assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(600)}")
