@@ -1416,8 +1416,15 @@ object Streams {
               l -> rows.map { case (_, id, v) => (id, v, Similarity.normP(v)) }
             }
         val bcLists = spark.sparkContext.broadcast(lists)
+        // the scoring pass inherits the SCAN's partitioning unless told
+        // otherwise — a single-file micro-batch would score its whole
+        // (nprobe/nlist)·C·Q pair volume on ONE core (observed: the sf10
+        // broadcast row running single-threaded). Repartitioning the QUERY
+        // rows is the cheap side: Q rows shuffle so the heavy per-query
+        // scoring fans across the cluster.
         queries.where(col(vecCol).isNotNull)
           .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+          .repartition(spark.sparkContext.defaultParallelism)
           .as[(Long, Array[Float], java.sql.Timestamp)]
           .mapPartitions { it =>
             val ls = bcLists.value
