@@ -456,6 +456,9 @@ object Pq {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcB = spark.sparkContext.broadcast(books)
+    // pairing stamp covers BOTH quantizer tiers: centroids route, books
+    // code — a retrain of either silently corrupts stored codes
+    val stamp = Similarity.quantizerMd5(centroids ++ books.flatten)
     val lists = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -463,6 +466,7 @@ object Pq {
         (cell, id, encodeRes(residualOf(v, bcC.value(cell)), bcB.value).toSeq)
       }
       .toDF("list_id", idCol, "codes")
+      .withColumn("__quantizer_md5", lit(stamp))
     new graft.materialize.SessionCatalogWarehouse(spark).createOrReplace(
       table, lists, partitionBy = Nil, clusterBy = Nil,
       bucketBy = Seq("list_id"), buckets = buckets)
@@ -498,6 +502,9 @@ object Pq {
     import spark.implicits._
     require(topK >= 1, s"topK must be >= 1: $topK")
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    // both quantizer tiers must be the ones that built the codes
+    Similarity.requireQuantizerMatch(index, centroids ++ books.flatten,
+      "the PQ-code index")
     val np = math.min(nprobe, centroids.length)
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcB = spark.sparkContext.broadcast(books)

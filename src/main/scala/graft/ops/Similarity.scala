@@ -788,6 +788,41 @@ object Similarity {
     * generation swap via the warehouse; NULL vectors are excluded, matching
     * every routed entry point. Size `buckets` so one bucket's lists fit a
     * task (buckets ≤ nlist keeps each a whole number of lists). */
+  /** MD5 over a quantizer's exact float bytes — the PAIRING fingerprint
+    * stamped into every index artifact: an index is only meaningful under
+    * the quantizer that routed it, and a same-nlist retrain shifts cluster
+    * boundaries WITHOUT any structural tell (the contiguous-id fail-fast
+    * can't see it). Search and append verify the stamp, so mixing
+    * artifacts from different builds fails loudly instead of silently
+    * losing recall. */
+  private[graft] def quantizerMd5(centroids: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    centroids.foreach { c =>
+      c.foreach { f => buf.clear(); buf.putFloat(f); md.update(buf.array()) }
+      md.update(0x7c.toByte) // row separator: [[1,2],[3]] != [[1],[2,3]]
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The stamp stored on `table`'s rows (constant column — RLE-compressed
+    * to ~nothing in parquet), or None for a pre-stamp artifact. */
+  private[graft] def storedQuantizerMd5(index: DataFrame): Option[String] =
+    if (!index.columns.contains("__quantizer_md5")) scala.None
+    else index.select("__quantizer_md5").limit(1).collect()
+      .headOption.map(_.getString(0))
+
+  private[graft] def requireQuantizerMatch(index: DataFrame, centroids: Array[Array[Float]],
+                                           what: String): Unit =
+    storedQuantizerMd5(index).foreach { stored =>
+      val got = quantizerMd5(centroids)
+      require(stored == got,
+        s"$what was built under a DIFFERENT quantizer (artifact $stored, " +
+          s"passed $got): routing under mismatched centroids silently " +
+          "misses neighbors — reload the paired saveCentroids artifact or " +
+          "rebuild the index")
+    }
+
   def saveIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                 centroids: Array[Array[Float]], table: String,
                 idCol: String = "vec_id", vecCol: String = "embedding",
@@ -796,9 +831,11 @@ object Similarity {
     require(centroids.nonEmpty, "cannot build an index from an empty quantizer")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val bc = spark.sparkContext.broadcast(centroids)
+    val stamp = quantizerMd5(centroids)
     val lists = vecs(corpus.where(col(vecCol).isNotNull), idCol, vecCol)
       .map { case (id, v) => (nearestCentroid(v, bc.value), id, v) }
       .toDF("list_id", idCol, vecCol)
+      .withColumn("__quantizer_md5", lit(stamp))
     new graft.materialize.SessionCatalogWarehouse(spark).createOrReplace(
       table, lists, partitionBy = Nil, clusterBy = Nil,
       bucketBy = Seq("list_id"), buckets = buckets)
@@ -822,10 +859,21 @@ object Similarity {
                     buckets: Int = 8): Unit = {
     import spark.implicits._
     require(centroids.nonEmpty, "cannot route into an index with an empty quantizer")
+    // the REAL append trap: routing the new batch under a quantizer that
+    // is not the one the existing rows were assigned with quietly splits
+    // lists across two geometries — verify the stamp before writing
+    val existing = spark.table(table)
+    requireQuantizerMatch(existing, centroids, s"index $table")
     val bc = spark.sparkContext.broadcast(centroids)
-    val lists = vecs(newBatch.where(col(vecCol).isNotNull), idCol, vecCol)
+    val stamp = quantizerMd5(centroids)
+    val lists0 = vecs(newBatch.where(col(vecCol).isNotNull), idCol, vecCol)
       .map { case (id, v) => (nearestCentroid(v, bc.value), id, v) }
       .toDF("list_id", idCol, vecCol)
+    // a pre-stamp artifact has no fingerprint column — append schema-compatibly
+    val lists =
+      if (existing.columns.contains("__quantizer_md5"))
+        lists0.withColumn("__quantizer_md5", lit(stamp))
+      else lists0
     new graft.materialize.SessionCatalogWarehouse(spark).append(
       table, lists, partitionBy = Nil, clusterBy = Nil,
       bucketBy = Seq("list_id"), buckets = buckets)
@@ -873,6 +921,9 @@ object Similarity {
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    // mixed artifacts (an index built under a different quantizer) would
+    // route queries into lists the corpus was never assigned to — fail fast
+    requireQuantizerMatch(index, centroids, "the inverted-list index")
     val np = math.min(nprobe, centroids.length) // clamp to the RESOLVED artifact
     val bc = spark.sparkContext.broadcast(centroids)
     val members = index

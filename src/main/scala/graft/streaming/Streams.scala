@@ -1376,6 +1376,9 @@ object Streams {
     // reads its lists pre-assigned (and pre-hashed for the list join).
     val corp = prebuiltIndex match {
       case Some(idx) =>
+        // an index routed under a different quantizer would silently lose
+        // recall — verify the pairing stamp before serving from it
+        Similarity.requireQuantizerMatch(idx, centroids, "the inverted-list index")
         idx.select(col("list_id").as("__list"),
           col(cidCol).cast("long").as("b"), col(vecCol).as("__bv"))
       case scala.None =>

@@ -2529,6 +2529,43 @@ class DataOpsSpec extends AnyFunSuite {
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "spec_ann_stream_idx")
   }
 
+  test("index artifacts refuse a mismatched quantizer (the silent-recall-loss trap)") {
+    import graft.ops.{Pq, Similarity}
+    val corpus = emb.where(col("label") =!= 0)
+    val cents8 = Similarity.ivfCentroids(corpus, nlist = 8)
+    val cents4 = Similarity.ivfCentroids(corpus, nlist = 4) // same corpus, different geometry
+    Similarity.saveIndex(spark, corpus, cents8, "spec_stamp_idx")
+    val idx = Similarity.loadIndex(spark, "spec_stamp_idx")
+    // search, append, and streaming all fail fast on the wrong quantizer
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.knnJoinIvfIndexed(emb.where(col("label") === 0), idx, cents4, k = 3))
+    assert(e1.getMessage.contains("DIFFERENT quantizer"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.appendToIndex(spark, corpus.limit(5), cents4, "spec_stamp_idx"))
+    assert(e2.getMessage.contains("DIFFERENT quantizer"))
+    val qs = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.streaming.Streams.streamingAnnTopK(qs, corpus, cents4,
+        k = 3, nprobe = 4, prebuiltIndex = Some(idx)))
+    assert(e3.getMessage.contains("DIFFERENT quantizer"))
+    // the matched quantizer passes all three
+    assert(Similarity.knnJoinIvfIndexed(
+      emb.where(col("label") === 0), idx, cents8, k = 3).count() > 0)
+    // the PQ-code index carries a stamp over BOTH tiers
+    val books = Pq.pqTrain(corpus, m = 16, k = 16)
+    Pq.savePqIndex(spark, corpus, cents8, books, "spec_stamp_pqidx")
+    val pqIdx = Pq.loadPqIndex(spark, "spec_stamp_pqidx")
+    val e4 = intercept[IllegalArgumentException](
+      Pq.knnJoinIvfPqIndexed(emb.where(col("label") === 0), pqIdx, cents4, books, topK = 3))
+    assert(e4.getMessage.contains("DIFFERENT quantizer"))
+    assert(Pq.knnJoinIvfPqIndexed(
+      emb.where(col("label") === 0), pqIdx, cents8, books, topK = 3).count() > 0)
+    Seq("spec_stamp_idx", "spec_stamp_pqidx").foreach(t =>
+      graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
   test("two-stage retrieval: rerank reports exact cosines and lifts agreement with the exact join") {
     import graft.ops.Pq
     val q = emb.where(col("label") === 0)
