@@ -12,7 +12,12 @@ object Bench {
       // of groups — the 128-group default silently falls back to
       // SORT-based aggregation, which SORTS the full joined input per
       // partition (observed: the sf10 streaming-ANN probe degenerating
-      // from minutes to hours on one straggling sorted partial)
+      // from minutes to hours on one straggling sorted partial).
+      // CONSTRAINT (ADVICE r15): this session-wide raise also disables the
+      // memory valve for UNBOUNDED object aggregates — every
+      // collect_list/collect_set/percentile in the registry must either be
+      // per-group bounded (caps, ≤ nlist/strata group counts) or scope this
+      // threshold back down via a per-query SQLConf before it ships.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -458,7 +458,7 @@ object Pq {
     val bcB = spark.sparkContext.broadcast(books)
     // pairing stamp covers BOTH quantizer tiers: centroids route, books
     // code — a retrain of either silently corrupts stored codes
-    val stamp = Similarity.quantizerMd5(centroids ++ books.flatten)
+    val stamp = Similarity.quantizerMd5(centroids, books)
     val lists = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -503,7 +503,7 @@ object Pq {
     require(topK >= 1, s"topK must be >= 1: $topK")
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     // both quantizer tiers must be the ones that built the codes
-    Similarity.requireQuantizerMatch(index, centroids ++ books.flatten,
+    Similarity.requireQuantizerMatch(index, centroids, books,
       "the PQ-code index")
     val np = math.min(nprobe, centroids.length)
     val bcC = spark.sparkContext.broadcast(centroids)

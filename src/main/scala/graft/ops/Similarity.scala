@@ -795,13 +795,29 @@ object Similarity {
     * can't see it). Search and append verify the stamp, so mixing
     * artifacts from different builds fails loudly instead of silently
     * losing recall. */
-  private[graft] def quantizerMd5(centroids: Array[Array[Float]]): String = {
+  private[graft] def quantizerMd5(centroids: Array[Array[Float]]): String =
+    quantizerMd5(centroids, Array.empty)
+
+  /** Two-tier form for the IVFADC artifacts: the digest encodes the
+    * STRUCTURE, not just the flattened row sequence — row count per tier
+    * and a tier separator between the coarse centroids and each codebook.
+    * A flat `centroids ++ books.flatten` hash let distinct (centroids,
+    * books) pairs with the same row sequence collide (e.g. the boundary
+    * shifted by one row, or the same rows regrouped under a different m),
+    * which is exactly the mix the stamp exists to catch (ADVICE r15). */
+  private[graft] def quantizerMd5(centroids: Array[Array[Float]],
+                                  books: Array[Array[Array[Float]]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(4)
-    centroids.foreach { c =>
-      c.foreach { f => buf.clear(); buf.putFloat(f); md.update(buf.array()) }
-      md.update(0x7c.toByte) // row separator: [[1,2],[3]] != [[1],[2,3]]
+    def tier(rows: Array[Array[Float]]): Unit = {
+      buf.clear(); buf.putInt(rows.length); md.update(buf.array())
+      rows.foreach { c =>
+        c.foreach { f => buf.clear(); buf.putFloat(f); md.update(buf.array()) }
+        md.update(0x7c.toByte) // row separator: [[1,2],[3]] != [[1],[2,3]]
+      }
     }
+    tier(centroids)
+    books.foreach { b => md.update(0x1f.toByte); tier(b) }
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -814,8 +830,15 @@ object Similarity {
 
   private[graft] def requireQuantizerMatch(index: DataFrame, centroids: Array[Array[Float]],
                                            what: String): Unit =
+    requireQuantizerMatch(index, centroids, Array.empty, what)
+
+  /** Two-tier variant for PQ-coded artifacts (centroids route, books code —
+    * a retrain of EITHER corrupts the stored codes). */
+  private[graft] def requireQuantizerMatch(index: DataFrame, centroids: Array[Array[Float]],
+                                           books: Array[Array[Array[Float]]],
+                                           what: String): Unit =
     storedQuantizerMd5(index).foreach { stored =>
-      val got = quantizerMd5(centroids)
+      val got = quantizerMd5(centroids, books)
       require(stored == got,
         s"$what was built under a DIFFERENT quantizer (artifact $stored, " +
           s"passed $got): routing under mismatched centroids silently " +
@@ -846,8 +869,9 @@ object Similarity {
     * existing [[saveIndex]] table: the nightly-crawl shape, where
     * re-running the full assignment (let alone retraining) per ingest
     * batch would cost a corpus scan for a corpus-fraction of new rows.
-    * The append preserves the bucketBy(list_id) layout (`buckets` must
-    * match the index's — the saveIndex default unless overridden), and
+    * The append preserves the bucketBy(list_id) layout (the bucket COUNT
+    * is read from the existing table's catalog metadata — `buckets` is
+    * only the fallback when metadata is unavailable), and
     * because a vector's list depends only on the FROZEN centroids, an
     * appended index is row-identical to a full rebuild over the combined
     * corpus — `ann_knn_join_ivf_index_append` oracle-pins exactly that
@@ -864,6 +888,15 @@ object Similarity {
     // lists across two geometries — verify the stamp before writing
     val existing = spark.table(table)
     requireQuantizerMatch(existing, centroids, s"index $table")
+    // the layout authority is the EXISTING table's catalog metadata, not
+    // the caller: an index built with a non-default bucket count would make
+    // a default-parameter append fail at write time on the bucket-spec
+    // mismatch even though the table records the right value (ADVICE r15).
+    // The parameter survives only as the fallback for metadata-less targets.
+    val nBuckets = graft.materialize.SessionCatalogWarehouse
+      .backingTable(spark, table).flatMap(t =>
+        org.apache.spark.sql.graft.SqlBridge.bucketCount(spark, t))
+      .getOrElse(buckets)
     val bc = spark.sparkContext.broadcast(centroids)
     val stamp = quantizerMd5(centroids)
     val lists0 = vecs(newBatch.where(col(vecCol).isNotNull), idCol, vecCol)
@@ -876,7 +909,7 @@ object Similarity {
       else lists0
     new graft.materialize.SessionCatalogWarehouse(spark).append(
       table, lists, partitionBy = Nil, clusterBy = Nil,
-      bucketBy = Seq("list_id"), buckets = buckets)
+      bucketBy = Seq("list_id"), buckets = nBuckets)
   }
 
   /** Load a [[saveIndex]] inverted-list table. A plain catalog read — the

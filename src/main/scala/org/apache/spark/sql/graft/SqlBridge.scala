@@ -30,6 +30,18 @@ object SqlBridge {
     c
   }
 
+  /** The bucket count recorded in a catalog TABLE's metadata (None for
+    * views, unbucketed tables, or anything the catalog can't describe).
+    * The public Catalog API exposes `isBucket` per column but never the
+    * COUNT, which is the part an append must match (sessionState is
+    * private[sql], hence bridged). */
+  def bucketCount(spark: SparkSession, table: String): Option[Int] =
+    try {
+      val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
+      ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table))
+        .bucketSpec.map(_.numBuckets)
+    } catch { case _: Throwable => None }
+
   /** Wrap a raw Catalyst expression as a user-facing Column (Spark 4 Columns
     * are ColumnNode-backed; this is the classic-session escape hatch). */
   def column(e: Expression): org.apache.spark.sql.Column =

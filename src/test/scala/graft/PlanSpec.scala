@@ -470,24 +470,32 @@ class PlanSpec extends AnyFunSuite {
       s"banded hamming join must stay bucket-keyed:\n${p.take(600)}")
   }
 
-  test("streaming ANN scoring uses the native cosine and the bounded-heap top-k") {
-    // batch replay of the streaming plan (watermark drops, window stays):
-    // the cosine must be the fused codegen expression — not the HOF chain,
-    // whose CodegenFallback lambda interpretation measured 2.8x slower —
-    // and the per-(window, query) top-k must be the bounded-heap aggregate
+  test("streaming ANN spill tier joins packed list ROWS, never a pair stream") {
+    // batch replay of the streaming plan (watermark drops, window stays).
+    // The r15 spill tier's join OUTPUT was the (nprobe/nlist)·C·Q pair
+    // stream (~2.8 µs of row machinery per scored pair — 430.8 s vs
+    // 35.7 s at sf10); the fix folds the static index to ONE ROW PER LIST
+    // before the join, so the join output is Q·nprobe query rows. Pins:
+    // the static-side fold (MapGroups) feeding the join, the primitive
+    // scoring kernel (MapPartitions) after it, the bounded-heap windowed
+    // top-k, and no CodegenFallback HOF anywhere in the hot path.
     import org.apache.spark.sql.functions._
+    graft.core.Tables.register(spark, sfDir)
     val emb = spark.table("embeddings")
     val queries = emb.where(col("label") === 0)
       .select(col("vec_id"), col("embedding"),
         lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
     val cents = graft.ops.Similarity.ivfCentroids(emb.where(col("label") =!= 0), nlist = 8)
-    // maxBroadcastBytes = 0 forces the JOIN tier — the plan this pin is about
+    // maxBroadcastBytes = 0 forces the SPILL tier — the plan this pin is about
     val p = graft.streaming.Streams.streamingAnnTopK(
       queries, emb.where(col("label") =!= 0), cents, k = 3, nprobe = 2,
       maxBroadcastBytes = 0L)
       .queryExecution.executedPlan.toString
-    assert(p.contains("cosine_sim"), s"scoring must use the native expression:\n${p.take(600)}")
-    assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(600)}")
-    assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(600)}")
+    assert(p.contains("MapGroups"),
+      s"static side must fold to one packed row per list:\n${p.take(800)}")
+    assert(p.contains("MapPartitions"),
+      s"scoring must run in the primitive kernel:\n${p.take(800)}")
+    assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(800)}")
+    assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
   }
 }

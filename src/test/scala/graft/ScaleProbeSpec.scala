@@ -799,14 +799,16 @@ class ScaleProbeSpec extends AnyFunSuite {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
-    annStream("sf10 streaming ANN top-k (200k query stream x 800k corpus, nprobe=8)",
-      "JOIN/spill tier forced: stream-static list join + codegen cosine + " +
-        "bounded-heap (<= k/query) state — the row-at-a-time join pays " +
-        "~2.8 us per scored pair", bcBytes = 0L)
+    annStream("sf10 streaming ANN top-k, packed-list spill tier (200k x 800k, nprobe=8)",
+      "spill tier forced: index folded to one packed row per list, " +
+        "stream-static join moves Q*nprobe query ROWS (r15's pair-stream " +
+        "tier paid ~2.8 us/pair = 430.8 s on this config), primitive-kernel " +
+        "scoring, bounded-heap (<= k/query) state", bcBytes = 0L)
     annStream("sf10 streaming ANN top-k, broadcast serving tier (same 200k x 800k)",
-      "RAM-resident index (204 MB broadcast): primitive-kernel scoring " +
-        "emits <= k rows/query into the windowed aggregate — the " +
-        "(nprobe/nlist)*C*Q pair stream never exists", bcBytes = 256L << 20)
+      "RAM-resident index (204 MB raw, ~816 MB heap-estimated under the 4x " +
+        "gate factor): primitive-kernel scoring emits <= k rows/query into " +
+        "the windowed aggregate — the (nprobe/nlist)*C*Q pair stream never " +
+        "exists", bcBytes = 1L << 32)
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(embDir10))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(feed10))
   }
