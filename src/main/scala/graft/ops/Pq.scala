@@ -472,6 +472,60 @@ object Pq {
       bucketBy = Seq("list_id"), buckets = buckets)
   }
 
+  /** INCREMENTAL maintenance for the IVFADC artifact —
+    * [[graft.ops.Similarity.appendToIndex]]'s move applied to the CODE
+    * index: route AND residual-encode only a new corpus batch under BOTH
+    * frozen quantizer tiers (centroids route, books code) and append its
+    * (list_id, id, codes) rows to the existing [[savePqIndex]] table. The
+    * float index gained this in r15; without it a nightly ingest batch
+    * forced a full re-encode+rebuild — assignment plus m sub-quantizer
+    * searches over the ENTIRE corpus for a corpus-fraction of new rows.
+    * This pays O(batch), never O(corpus), per ingest.
+    *
+    * Both a vector's list AND its codes depend only on the frozen
+    * (centroids, books) pair, so an appended index is row-identical to a
+    * full rebuild over the combined corpus —
+    * `ann_knn_join_ivfpq_index_append` oracle-pins exactly that (ADC
+    * search over 90%-built + 10%-appended ≡ brute-force bipartite L2
+    * under the degenerate quantizers). The dual-tier pairing stamp is
+    * verified BEFORE writing: appending rows encoded under a retrained
+    * quantizer would silently corrupt every stored code (the
+    * [[Similarity.quantizerMd5]] fail-fast). Bucket count follows the
+    * EXISTING table's catalog metadata, `buckets` only the metadata-less
+    * fallback (the ADVICE r15 appendToIndex rule). */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, newBatch: DataFrame,
+                      centroids: Array[Array[Float]], books: Array[Array[Array[Float]]],
+                      table: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding", buckets: Int = 8): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty && books.nonEmpty, "empty quantizer artifacts")
+    val existing = spark.table(table)
+    Similarity.requireQuantizerMatch(existing, centroids, books,
+      s"PQ-code index $table")
+    val nBuckets = graft.materialize.SessionCatalogWarehouse
+      .backingTable(spark, table).flatMap(t =>
+        org.apache.spark.sql.graft.SqlBridge.bucketCount(spark, t))
+      .getOrElse(buckets)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    val stamp = Similarity.quantizerMd5(centroids, books)
+    val lists0 = newBatch.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cell = Similarity.nearestCentroid(v, bcC.value)
+        (cell, id, encodeRes(residualOf(v, bcC.value(cell)), bcB.value).toSeq)
+      }
+      .toDF("list_id", idCol, "codes")
+    // a pre-stamp artifact has no fingerprint column — append schema-compatibly
+    val lists =
+      if (existing.columns.contains("__quantizer_md5"))
+        lists0.withColumn("__quantizer_md5", lit(stamp))
+      else lists0
+    new graft.materialize.SessionCatalogWarehouse(spark).append(
+      table, lists, partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("list_id"), buckets = nBuckets)
+  }
+
   /** Load a [[savePqIndex]] artifact. Fail-fast on a frame without the
     * routing/code columns. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {

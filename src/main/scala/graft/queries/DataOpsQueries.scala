@@ -2076,6 +2076,38 @@ object DataOpsQueries {
     },
     duckL2Bipartite)
 
+  /** INCREMENTAL IVFADC maintenance pin — [[knnJoinIvfIndexAppend]]'s
+    * nightly-crawl shape applied to the CODE index: build the PQ index on
+    * 90% of the corpus, [[graft.ops.Pq.appendToPqIndex]] the other 10%
+    * under the SAME frozen (centroids, books) pair, and ADC-search the
+    * combined artifact. A vector's list AND codes depend only on the
+    * frozen quantizers, so append ≡ full rebuild — under the degenerate
+    * config the result must still be brute-force bipartite L2, pinning
+    * that per-ingest-batch IVFADC cost is O(batch), never O(corpus)
+    * (route + encode of the batch only; the r15 gap where every ingest
+    * forced a full corpus re-encode). */
+  val knnJoinIvfPqIndexAppend: OQ = OQ.df("ann_knn_join_ivfpq_index_append",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+        .where(col("embedding").isNotNull)
+      val zeroCentroid = Array(Array.emptyFloatArray)
+      // identity codebook trained over the FULL corpus (k covers every
+      // distinct subvector), so batch rows encode exactly too
+      val books = graft.ops.Pq.pqTrain(corpus, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.savePqIndex(s, corpus.where(col("vec_id") % 10 =!= 3),
+        zeroCentroid, books, "g_pqidx_app")
+      graft.ops.Pq.appendToPqIndex(s, corpus.where(col("vec_id") % 10 === 3),
+        zeroCentroid, books, "g_pqidx_app")
+      graft.ops.Pq.knnJoinIvfPqIndexed(emb.where(col("label") === 0),
+        graft.ops.Pq.loadPqIndex(s, "g_pqidx_app"), zeroCentroid, books,
+        topK = 5, nprobe = 1)
+        .select(col("q"), col("b"), round(col("adc_dist2"), 6).as("dist2"),
+          col("rank").cast("int").as("rank"))
+    },
+    duckL2Bipartite)
+
   /** TWO-STAGE RETRIEVAL lossless pin: with the degenerate quantizers the
     * ADC stage is exact L2, and a shortlist wider than the corpus keeps
     * every candidate — so the composed shortlist → exact-cosine-rerank
@@ -2313,7 +2345,8 @@ object DataOpsQueries {
     outliersMad,
     embeddingNearDup, annTopK, annLshExact, annIvfFullProbe, indexRoundtrip,
     minhashCappedLossless, semanticExact, pqExact, pqIndexRoundtrip, ivfPqExact,
-    knnJoinIvfPqExact, knnJoinIvfPqIndexed, knnJoinIvfPqRerankExact,
+    knnJoinIvfPqExact, knnJoinIvfPqIndexed, knnJoinIvfPqIndexAppend,
+    knnJoinIvfPqRerankExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
     mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)
 
