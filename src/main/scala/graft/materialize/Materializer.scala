@@ -163,6 +163,23 @@ object Materializer {
         arranged.withColumn(SessionCatalogWarehouse.ArrangedMarker, lit(true))
       } else gated
 
+    // `index: ivf|ivfpq` turns a TABLE asset into a declarative ANN-index
+    // build: the asset's query emits the corpus, the materialization
+    // persists the index artifacts (the `cluster_strategy: zorder` /
+    // `quality_filter` precedent — a pipeline author reaches
+    // saveIndex/savePqIndex from a .sql asset + parameters instead of
+    // Scala). An `append` asset with an existing index routes ONLY the
+    // batch under the FROZEN quantizer artifacts — the nightly-crawl
+    // incremental shape of appendToIndex/appendToPqIndex.
+    if (asset.parameters.contains("index")) {
+      require(mat.typ == MaterializationType.Table,
+        s"$name: `index` assets must materialize as a table " +
+          s"(got ${mat.typ})")
+      buildAnnIndex(wh, asset, df, ctx)
+      analyzeIfRequested(wh, asset)
+      return
+    }
+
     mat.typ match {
       case MaterializationType.None =>
         // Run as-is without fetching to the driver (reference
@@ -193,6 +210,66 @@ object Materializer {
           case Strategy.DataVaultSatellite => datavaultSatellite(wh, asset, df, ctx)
         }
         analyzeIfRequested(wh, asset)
+    }
+  }
+
+  /** `index: ivf|ivfpq` asset builds. The asset NAME is the index table;
+    * the quantizer artifacts land beside it as `<name>_centroids` (and
+    * `<name>_codebooks` for ivfpq), so a later session — or a later
+    * `append` run of the same asset — loads the frozen quantizers by
+    * convention. Parameters: `index_id_col`/`index_vec_col` (default
+    * vec_id/embedding), `index_nlist` (coarse lists, default 16),
+    * `index_buckets` (bucketBy count, default 8), and for ivfpq
+    * `index_m`/`index_k` (sub-quantizers / codes per book, defaults 8/16).
+    *
+    * Strategy semantics: `create+replace` (or a first `append` run) trains
+    * the quantizers on the asset's own rows, persists them, and writes the
+    * full index via the atomic generation swap; a later `append` run
+    * NEVER retrains — it loads the saved artifacts and routes only the
+    * batch (O(batch), the appendTo* contract; the pairing stamp fails
+    * fast if the artifacts were replaced out from under the index). Other
+    * strategies are refused: an index is an assignment under a frozen
+    * quantizer, and merge/scd2-style rewrites would silently mix
+    * geometries. */
+  private def buildAnnIndex(wh: Warehouse, asset: Asset, df: DataFrame, ctx: Context): Unit = {
+    import graft.ops.{Pq, Similarity}
+    val spark = wh.spark
+    val name = asset.name
+    val kind = asset.parameters("index")
+    require(kind == "ivf" || kind == "ivfpq",
+      s"$name: unknown index '$kind' (supported: ivf, ivfpq)")
+    val idCol   = asset.parameters.getOrElse("index_id_col", "vec_id")
+    val vecCol  = asset.parameters.getOrElse("index_vec_col", "embedding")
+    val nlist   = asset.parameters.get("index_nlist").map(_.toInt).getOrElse(16)
+    val buckets = asset.parameters.get("index_buckets").map(_.toInt).getOrElse(8)
+    val m       = asset.parameters.get("index_m").map(_.toInt).getOrElse(8)
+    val k       = asset.parameters.get("index_k").map(_.toInt).getOrElse(16)
+    val centroidsTable = s"${name}_centroids"
+    val booksTable     = s"${name}_codebooks"
+    val strategy = effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace)
+    require(strategy == Strategy.CreateReplace || strategy == Strategy.Append,
+      s"$name: index assets support create+replace and append, got $strategy")
+    wh.ensureSchema(name)
+    if (strategy == Strategy.Append && wh.exists(name)) {
+      // incremental: assign (+ encode) ONLY the batch under the FROZEN
+      // artifacts — never retrain, never rescan the built corpus
+      val centroids = Similarity.loadCentroids(spark, centroidsTable)
+      if (kind == "ivf")
+        Similarity.appendToIndex(spark, df, centroids, name, idCol, vecCol, buckets)
+      else
+        Pq.appendToPqIndex(spark, df, centroids,
+          Pq.loadCodebooks(spark, booksTable), name, idCol, vecCol, buckets)
+    } else {
+      val corpus = df.where(col(vecCol).isNotNull)
+      val centroids = Similarity.ivfCentroids(corpus, nlist, idCol, vecCol)
+      Similarity.saveCentroids(spark, centroids, centroidsTable)
+      if (kind == "ivf")
+        Similarity.saveIndex(spark, df, centroids, name, idCol, vecCol, buckets)
+      else {
+        val books = Pq.residualCodebooks(corpus, centroids, m, k, idCol, vecCol)
+        Pq.saveCodebooks(spark, books, booksTable)
+        Pq.savePqIndex(spark, df, centroids, books, name, idCol, vecCol, buckets)
+      }
     }
   }
 

@@ -401,12 +401,9 @@ object Pq {
         idCol, vecCol, iterations, maxTrainSample))
     val np = math.min(nprobe, centroids.length) // clamp to the RESOLVED artifact
     val bcC = spark.sparkContext.broadcast(centroids)
-    val books = prebuiltBooks.getOrElse {
-      val resDF = corp.map { case (id, v) =>
-        (id, residualOf(v, bcC.value(Similarity.nearestCentroid(v, bcC.value))))
-      }.toDF(idCol, vecCol)
-      pqTrain(resDF, m, k, idCol, vecCol, iterations, maxTrainSample)
-    }
+    val books = prebuiltBooks.getOrElse(
+      residualCodebooks(corpus, centroids, m, k, idCol, vecCol,
+        iterations, maxTrainSample))
     val bcB = spark.sparkContext.broadcast(books)
     // corpus: ONE inverted list per vector, holding only its m-byte codes
     val members = corp.map { case (id, v) =>
@@ -432,6 +429,30 @@ object Pq {
           .partitionBy("q").orderBy(col("adc_dist2").asc, col("b").asc)))
       .where(col("rank") <= topK)
       .select(col("q"), col("b"), col("adc_dist2"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Train PQ codebooks on the RESIDUALS of a corpus under a frozen coarse
+    * quantizer — the codebook tier of an IVFADC build (IVF-PQ stores
+    * `v − centroid(v)`, whose energy is a fraction of the raw vector's, so
+    * the same code budget buys more precision). The residual map is a
+    * narrow distributed pass; training itself samples `maxTrainSample`
+    * rows onto the driver ([[pqTrain]]'s bounded-sample contract). Pair
+    * the result with the SAME centroids in [[savePqIndex]] /
+    * [[knnJoinIvfPq]] — the pairing stamp enforces it at search time. */
+  def residualCodebooks(corpus: DataFrame, centroids: Array[Array[Float]],
+                        m: Int = 8, k: Int = 16,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        iterations: Int = 5,
+                        maxTrainSample: Int = 10000): Array[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val resDF = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, residualOf(v, bcC.value(Similarity.nearestCentroid(v, bcC.value))))
+      }.toDF(idCol, vecCol)
+    pqTrain(resDF, m, k, idCol, vecCol, iterations, maxTrainSample)
   }
 
   /** Persist the PQ-CODED inverted lists — (list_id, id, codes) with the

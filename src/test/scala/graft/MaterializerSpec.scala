@@ -429,6 +429,77 @@ class MaterializerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("supported: gopher, c4"))
   }
 
+  test("index parameter builds and incrementally appends a persisted ANN index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.{Pq, Similarity}
+    val wh = new SessionCatalogWarehouse(spark)
+    val rnd = new scala.util.Random(7)
+    val all = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val built  = all.where(col("vec_id") % 10 =!= 3)
+    val batch  = all.where(col("vec_id") % 10 === 3)
+    Seq("idx_ivf_t", "idx_ivf_t_centroids", "idx_pq_t", "idx_pq_t_centroids",
+        "idx_pq_t_codebooks").foreach(t => SessionCatalogWarehouse.dropAny(spark, t))
+
+    // ---- ivf: create+replace trains + persists, append routes only the batch
+    val ivfAsset = Asset(name = "idx_ivf_t",
+      materialization = Materialization(typ = MaterializationType.Table,
+        strategy = Some(Strategy.Append)),
+      parameters = Map("index" -> "ivf", "index_nlist" -> "4"))
+    Materializer.executeDf(wh, ivfAsset, built)       // not exists -> full build
+    val cents = Similarity.loadCentroids(spark, "idx_ivf_t_centroids")
+    assert(cents.length == 4, s"nlist param should size the quantizer: ${cents.length}")
+    Materializer.executeDf(wh, ivfAsset, batch)       // exists -> incremental
+    val idx = Similarity.loadIndex(spark, "idx_ivf_t")
+    assert(idx.count() == 60, "append must add exactly the batch rows")
+    // append froze the quantizer: the artifact is unchanged and every index
+    // row carries the SAME pairing stamp
+    assert(Similarity.loadCentroids(spark, "idx_ivf_t_centroids")
+      .map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(idx.select("__quantizer_md5").distinct().count() == 1)
+    // the built+appended index serves the routed join: full probe == exact
+    val queries = all.where(col("vec_id") <= 5)
+    val routed = Similarity.knnJoinIvfIndexed(queries, idx, cents, k = 3,
+      nprobe = cents.length).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = Similarity.knnJoin(queries, all, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(routed == exact, "routed join over the asset-built index must match exact")
+
+    // ---- ivfpq: same shape, both quantizer tiers persisted + frozen
+    val pqAsset = Asset(name = "idx_pq_t",
+      materialization = Materialization(typ = MaterializationType.Table,
+        strategy = Some(Strategy.Append)),
+      parameters = Map("index" -> "ivfpq", "index_nlist" -> "4",
+        "index_m" -> "2", "index_k" -> "8"))
+    Materializer.executeDf(wh, pqAsset, built)
+    val books = Pq.loadCodebooks(spark, "idx_pq_t_codebooks")
+    assert(books.length == 2 && books.forall(_.length <= 8))
+    Materializer.executeDf(wh, pqAsset, batch)
+    val pqIdx = Pq.loadPqIndex(spark, "idx_pq_t")
+    assert(pqIdx.count() == 60)
+    assert(pqIdx.select("__quantizer_md5").distinct().count() == 1,
+      "appended codes must carry the same dual-tier pairing stamp")
+    // the loaded artifacts serve ADC search over the combined index
+    val pqCents = Similarity.loadCentroids(spark, "idx_pq_t_centroids")
+    assert(Pq.knnJoinIvfPqIndexed(queries, pqIdx, pqCents, books,
+      topK = 3, nprobe = 4).count() > 0)
+
+    // ---- refusals: non-index strategies and unknown kinds fail fast
+    val e1 = intercept[IllegalArgumentException] {
+      Materializer.executeDf(wh, ivfAsset.copy(name = "idx_bad1",
+        materialization = Materialization(typ = MaterializationType.Table,
+          strategy = Some(Strategy.Merge))), built)
+    }
+    assert(e1.getMessage.contains("create+replace and append"))
+    val e2 = intercept[IllegalArgumentException] {
+      Materializer.executeDf(wh, ivfAsset.copy(name = "idx_bad2",
+        parameters = Map("index" -> "hnsw")), built)
+    }
+    assert(e2.getMessage.contains("supported: ivf, ivfpq"))
+    Seq("idx_ivf_t", "idx_ivf_t_centroids", "idx_pq_t", "idx_pq_t_centroids",
+        "idx_pq_t_codebooks").foreach(t => SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
   test("analyze param collects table and column statistics after the write") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("stats_t")
