@@ -1415,34 +1415,53 @@ object Dedup {
     val nb = if (bands > 0) bands else maxHamming + 1
     require(nb > maxHamming, s"bands ($nb) must exceed maxHamming ($maxHamming): pigeonhole")
     require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
-    // distribute bits EVENLY (first sigBits % nb bands get the extra bit):
-    // the ceil-width layout left trailing bands zero-width for legal
-    // (bands, sigBits) combos — a width-0 band is one global bucket, which
-    // silently regenerates the all-pairs join this function exists to avoid
-    val widths = Array.tabulate(nb)(i => sigBits / nb + (if (i < sigBits % nb) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val bandCols = (0 until nb).map { i =>
-      struct(lit(i).as("bi"),
-        shiftrightunsigned(col("__sig"), offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
-    }
     // distinct() restores the old exploded-join's tolerance of duplicate
     // (id, sig) input rows (e.g. an accidental union of signature batches)
     // — without it the expansion joins would multiply the duplicates
     val ids0 = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .where(col("__sig").isNotNull).distinct()
-    val ids =
-      if (maxBucket <= 0) ids0
-      else {
-        // drop mega-clique signatures before anything else: their pairs are
-        // clique²-sized whatever the join strategy
-        val small = ids0.groupBy("__sig").agg(count(lit(1)).as("__c"))
-          .where(col("__c") <= maxBucket).select("__sig")
-        ids0.join(small, Seq("__sig"), "left_semi")
-      }
+    val ids = dropMegaCliques(ids0, maxBucket)
     val exploded = ids.select(col("__sig")).distinct()
-      .select(col("__sig"), explode(array(bandCols: _*)).as("band"))
+      .select(col("__sig"), explode(array(bandCols(nb, sigBits): _*)).as("band"))
       .select(col("__sig"), xxhash64(col("band.bi"), col("band.bv")).as("bk"))
+    bandedPairs(ids, exploded, maxHamming, maxBucket)
+  }
+
+  /** The `bands` disjoint bit-group columns of a 64-bit signature in
+    * `__sig`, bits distributed EVENLY (the first sigBits % nb bands get
+    * the extra bit): the ceil-width layout left trailing bands zero-width
+    * for legal (bands, sigBits) combos — a width-0 band is one global
+    * bucket, which silently regenerates the all-pairs join the banding
+    * exists to avoid. Deterministic in (nb, sigBits), which is what lets
+    * [[saveSignatureIndex]] precompute band keys at BUILD time. */
+  private def bandCols(nb: Int, sigBits: Int): Seq[Column] = {
+    val widths = Array.tabulate(nb)(i => sigBits / nb + (if (i < sigBits % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nb).map { i =>
+      struct(lit(i).as("bi"),
+        shiftrightunsigned(col("__sig"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
+    }
+  }
+
+  /** Drop mega-clique signatures before anything else: their pairs are
+    * clique²-sized whatever the join strategy (0 = off, the exact/oracle
+    * config). */
+  private def dropMegaCliques(ids0: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) ids0
+    else {
+      val small = ids0.groupBy("__sig").agg(count(lit(1)).as("__c"))
+        .where(col("__c") <= maxBucket).select("__sig")
+      ids0.join(small, Seq("__sig"), "left_semi")
+    }
+
+  /** The post-banding half of [[hammingPairs]], shared with the persisted
+    * index path: bucket-cap → distinct-signature band join → exact
+    * xor/bit_count verify → id expansion (+ the hamming-0 clique path).
+    * `ids` is (__id, __sig) distinct, already mega-clique-dropped;
+    * `exploded` is (__sig, bk) with one row per (distinct signature, band). */
+  private def bandedPairs(ids: DataFrame, exploded: DataFrame,
+                          maxHamming: Int, maxBucket: Int): DataFrame = {
     val capped =
       if (maxBucket <= 0) exploded
       else {
@@ -1476,6 +1495,138 @@ object Dedup {
       .select(col("__ia").as("a"), col("__ib").as("b"), lit(0).as("hamming"))
     cross.unionByName(same)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** The banding-geometry fingerprint stamped into a signature index —
+    * (bands, sigBits) fully determine the bit layout and band keys, so a
+    * plain readable config string is the whole contract (the
+    * [[graft.ops.Similarity.quantizerMd5]] discipline; md5 is only needed
+    * when the artifact is a float matrix). */
+  private def bandConfig(nb: Int, sigBits: Int): String =
+    s"bands=$nb;sigBits=$sigBits"
+
+  private def storedBandConfig(index: DataFrame): Option[String] =
+    if (!index.columns.contains("__band_config")) scala.None
+    else index.select("__band_config").limit(1).collect()
+      .headOption.map(_.getString(0))
+
+  private def requireBandConfigMatch(index: DataFrame, nb: Int, sigBits: Int,
+                                     what: String): Unit =
+    storedBandConfig(index).foreach { stored =>
+      val got = bandConfig(nb, sigBits)
+      require(stored == got,
+        s"$what was built under a DIFFERENT banding geometry (artifact " +
+          s"$stored, requested $got): precomputed band keys would no " +
+          "longer cover the requested hamming radius — rebuild the index " +
+          "or query with the artifact's geometry")
+    }
+
+  /** Persist the BANDED SIGNATURE INDEX — (bk, id, sig) with one row per
+    * (signature row, band), bucketed BY the band key — the media/simhash
+    * face of [[graft.ops.Similarity.saveIndex]]'s index discipline. The
+    * signature pass ([[Multimodal.perceptualHashDct]]'s decode + DCT, or
+    * [[simhash]]'s token hashing) and the band arithmetic are paid at
+    * BUILD time, once; every later [[hammingPairsIndexed]] call reads
+    * precomputed keys, and the bucketBy(bk) layout serves the band-keyed
+    * self-join from pre-hashed buckets. Atomic generation-swap write;
+    * NULL signatures excluded. Row count is bands × corpus (bands is
+    * small — maxHamming+1 by default), the trade every inverted index
+    * makes. The banding geometry is stamped into the artifact; search and
+    * append fail fast on a mismatch — band keys from a different layout
+    * silently lose the pigeonhole recall guarantee, which no structural
+    * check can see. */
+  def saveSignatureIndex(spark: SparkSession, sig: DataFrame, table: String,
+                         maxHamming: Int = 3, bands: Int = 0, sigBits: Int = 60,
+                         idCol: String = "doc_id", sigCol: String = "simhash",
+                         buckets: Int = 8): Unit = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(nb > maxHamming, s"bands ($nb) must exceed maxHamming ($maxHamming): pigeonhole")
+    require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
+    val rows = sig.select(col(idCol).cast("long").as("id"), col(sigCol).as("__sig"))
+      .where(col("__sig").isNotNull).distinct()
+      .select(col("id"), col("__sig"),
+        explode(array(bandCols(nb, sigBits): _*)).as("band"))
+      .select(xxhash64(col("band.bi"), col("band.bv")).as("bk"),
+        col("id"), col("__sig").as("sig"))
+      .withColumn("__band_config", lit(bandConfig(nb, sigBits)))
+    new graft.materialize.SessionCatalogWarehouse(spark).createOrReplace(
+      table, rows, partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("bk"), buckets = buckets)
+  }
+
+  /** INCREMENTAL signature-index maintenance — band ONLY the new batch
+    * under the artifact's FROZEN geometry and append bucket-compatibly:
+    * the nightly-crawl shape, where re-hashing the whole corpus per
+    * ingest batch costs a corpus of decodes for a corpus-fraction of new
+    * rows. Geometry is read from the stamp (and verified), bucket count
+    * from the existing table's catalog metadata (`buckets` only the
+    * metadata-less fallback). Band keys depend only on (bands, sigBits),
+    * so an appended index is row-identical to a full rebuild —
+    * `mm_phash_neardup_indexed` oracle-pins exactly that. */
+  def appendToSignatureIndex(spark: SparkSession, newSigs: DataFrame, table: String,
+                             idCol: String = "doc_id", sigCol: String = "simhash",
+                             buckets: Int = 8): Unit = {
+    val existing = spark.table(table)
+    val stored = storedBandConfig(existing).getOrElse(throw new IllegalArgumentException(
+      s"$table carries no banding-geometry stamp; rebuild it with saveSignatureIndex"))
+    val stampPattern = "bands=(\\d+);sigBits=(\\d+)".r
+    val (nb, sigBits) = stored match {
+      case stampPattern(b, sb) => (b.toInt, sb.toInt)
+      case s => throw new IllegalArgumentException(
+        s"$table: unparseable banding stamp '$s'")
+    }
+    val nBuckets = graft.materialize.SessionCatalogWarehouse
+      .backingTable(spark, table).flatMap(t =>
+        org.apache.spark.sql.graft.SqlBridge.bucketCount(spark, t))
+      .getOrElse(buckets)
+    val rows = newSigs.select(col(idCol).cast("long").as("id"), col(sigCol).as("__sig"))
+      .where(col("__sig").isNotNull).distinct()
+      .select(col("id"), col("__sig"),
+        explode(array(bandCols(nb, sigBits): _*)).as("band"))
+      .select(xxhash64(col("band.bi"), col("band.bv")).as("bk"),
+        col("id"), col("__sig").as("sig"))
+      .withColumn("__band_config", lit(stored))
+    new graft.materialize.SessionCatalogWarehouse(spark).append(
+      table, rows, partitionBy = Nil, clusterBy = Nil,
+      bucketBy = Seq("bk"), buckets = nBuckets)
+  }
+
+  /** Load a [[saveSignatureIndex]] artifact. Fail-fast on a frame without
+    * the band-key/signature columns. */
+  def loadSignatureIndex(spark: SparkSession, table: String): DataFrame = {
+    val df = spark.table(table)
+    require(df.columns.contains("bk") && df.columns.contains("sig") &&
+      df.columns.contains("id"),
+      s"$table is not a banded signature index (need bk + id + sig): " +
+        df.columns.mkString(", "))
+    df
+  }
+
+  /** [[hammingPairs]] OVER A PERSISTED SIGNATURE INDEX — zero per-call
+    * signature or banding work: ids and precomputed band keys both read
+    * from the [[saveSignatureIndex]] artifact, then the SAME
+    * distinct-signature band join → exact xor/bit_count verify →
+    * expansion machinery runs ([[bandedPairs]] is shared code, not a
+    * reimplementation). The requested (maxHamming, bands, sigBits) must
+    * match the artifact's frozen geometry — fail-fast on the stamp.
+    * Output, ordering and cap semantics are [[hammingPairs]]'s;
+    * banding-over-loaded-index ≡ fresh signatures is oracle-pinned
+    * (`mm_phash_neardup_indexed`). */
+  def hammingPairsIndexed(index: DataFrame, maxHamming: Int = 3, bands: Int = 0,
+                          sigBits: Int = 60, maxBucket: Int = 0): DataFrame = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(nb > maxHamming, s"bands ($nb) must exceed maxHamming ($maxHamming): pigeonhole")
+    require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
+    requireBandConfigMatch(index, nb, sigBits, "the signature index")
+    val ids0 = index.select(col("id").as("__id"), col("sig").as("__sig")).distinct()
+    val ids = dropMegaCliques(ids0, maxBucket)
+    // precomputed band keys; mega-clique drops must mirror the fresh path,
+    // so keep only keys whose signature survived the cap
+    val sigKeys = index.select(col("sig").as("__sig"), col("bk")).distinct()
+    val exploded =
+      if (maxBucket <= 0) sigKeys
+      else sigKeys.join(ids.select(col("__sig")).distinct(), Seq("__sig"), "left_semi")
+    bandedPairs(ids, exploded, maxHamming, maxBucket)
   }
 
   /** BLOOM-GUARDED corpus-membership dedup (the Dolma recipe): build a

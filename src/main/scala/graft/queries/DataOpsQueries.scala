@@ -2348,7 +2348,8 @@ object DataOpsQueries {
     knnJoinIvfPqExact, knnJoinIvfPqIndexed, knnJoinIvfPqIndexAppend,
     knnJoinIvfPqRerankExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
-    mmFeatures, mmFrames, mmResize, phashExact, heavyHittersQ, zorderBench)
+    mmFeatures, mmFrames, mmResize, phashExact, phashIndexed, heavyHittersQ,
+    zorderBench)
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +
     * Morton interleave + one range shuffle): layout/pruning effects are
@@ -2408,6 +2409,35 @@ object DataOpsQueries {
       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
       |FROM sig a JOIN sig b ON a.media_id < b.media_id
       |WHERE bit_count(xor(a.phash, b.phash)) <= 8""".stripMargin)
+
+  /** PERSISTED SIGNATURE INDEX pin — the r15 index discipline applied to
+    * the media/simhash dedup family: build [[phashExact]]'s replayable
+    * synthetic signatures, [[Dedup.saveSignatureIndex]] 90% of them
+    * (band keys precomputed, bucketed by bk, geometry-stamped),
+    * [[Dedup.appendToSignatureIndex]] the other 10% under the FROZEN
+    * geometry, and run [[Dedup.hammingPairsIndexed]] over the loaded
+    * artifact. Band keys depend only on (bands, sigBits), so
+    * banding-over-loaded-index ≡ fresh signatures — the result must match
+    * the same brute-force hamming oracle as the fresh path, pinning
+    * save → append → load → join end to end (and that per-ingest
+    * signature cost is O(batch), never O(corpus)). */
+  val phashIndexed: OQ = OQ.df("mm_phash_neardup_indexed",
+    (s, _) => {
+      val media = Multimodal.toMediaTable(s.table("documents"))
+      val sigs = media.selectExpr("media_id",
+        """CAST(conv(substring(md5(CAST(CAST(media_id % 200 AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)
+          | ^ shiftleft(CAST(1 AS BIGINT),
+          |     CAST(CAST(conv(substring(md5(CAST(CAST(media_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 60 AS INT))
+          | AS phash""".stripMargin.replace("\n", " "))
+      Dedup.saveSignatureIndex(s, sigs.where(col("media_id") % 10 =!= 3),
+        "g_phash_sig_idx", maxHamming = 8, bands = 9, sigBits = 63,
+        idCol = "media_id", sigCol = "phash")
+      Dedup.appendToSignatureIndex(s, sigs.where(col("media_id") % 10 === 3),
+        "g_phash_sig_idx", idCol = "media_id", sigCol = "phash")
+      Dedup.hammingPairsIndexed(Dedup.loadSignatureIndex(s, "g_phash_sig_idx"),
+        maxHamming = 8, bands = 9, sigBits = 63)
+    },
+    phashExact.oracle.get)
 
   /** EMBEDDING-CURATION CAPSTONE — the vector-side counterpart of
     * `pipeline_data_curation`, composed entirely from EXACT operators so

@@ -2116,6 +2116,40 @@ class DataOpsSpec extends AnyFunSuite {
       "an unrelated payload must not pair")
   }
 
+  test("signature index: save + frozen-geometry append == fresh banding; mismatches fail fast") {
+    import graft.materialize.SessionCatalogWarehouse
+    val sig = Dedup.simhash(docs)
+    Seq("sig_idx_t").foreach(t => SessionCatalogWarehouse.dropAny(spark, t))
+    // 90% built + 10% appended, then banding over the LOADED index must
+    // equal fresh hammingPairs over the same signatures (band keys depend
+    // only on the frozen geometry)
+    Dedup.saveSignatureIndex(spark, sig.where(col("doc_id") % 10 =!= 3),
+      "sig_idx_t", maxHamming = 7, bands = 8)
+    Dedup.appendToSignatureIndex(spark, sig.where(col("doc_id") % 10 === 3),
+      "sig_idx_t")
+    val idx = Dedup.loadSignatureIndex(spark, "sig_idx_t")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(keyed(Dedup.hammingPairsIndexed(idx, maxHamming = 7, bands = 8)) ==
+      keyed(Dedup.hammingPairs(sig, maxHamming = 7, bands = 8)),
+      "banding over the loaded index must equal fresh signatures")
+    // a query under a DIFFERENT geometry would silently lose the pigeonhole
+    // recall guarantee — the stamp fails it fast instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairsIndexed(idx, maxHamming = 3, bands = 5)
+    }
+    assert(e.getMessage.contains("DIFFERENT banding geometry"))
+    // appending to a stampless table is refused (no geometry to freeze)
+    spark.range(3).selectExpr("id AS bk", "id", "id AS sig")
+      .write.mode("overwrite").saveAsTable("sig_idx_nostamp")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToSignatureIndex(spark, sig, "sig_idx_nostamp")
+    }
+    assert(e2.getMessage.contains("no banding-geometry stamp"))
+    Seq("sig_idx_t", "sig_idx_nostamp").foreach(t =>
+      SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
   test("DCT pHash: re-encoded and pixel-edited images stay near; the region hash misses them") {
     import spark.implicits._
     import java.awt.image.BufferedImage
