@@ -771,7 +771,8 @@ object EngineQueries {
     * production nprobe ≪ nlist config is the same code path (recall-gated
     * batch-side in DataOpsSpec). */
   private def annStreamQuery(qname: String, sink: String,
-                             maxBroadcastBytes: Long): OQ = OQ.df(qname,
+                             maxBroadcastBytes: Long,
+                             useIndex: Boolean = false): OQ = OQ.df(qname,
     (s, dir) => {
       import java.nio.file.{Files, StandardCopyOption}
       s.sql(s"DROP TABLE IF EXISTS $sink")
@@ -812,9 +813,18 @@ object EngineQueries {
       // watermark at every SF (a 10-minute horizon drops ALL of sf0.01's
       // 499-second spread — an empty result would pass vacuously)
       val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 16)
+      // the persisted-index serving shape: list assignment read from a
+      // saveIndex artifact (stamp-verified) instead of a per-stream-start
+      // corpus map — what a 100 TB serving job would do
+      val idx =
+        if (!useIndex) scala.None
+        else {
+          graft.ops.Similarity.saveIndex(s, corpus, cents, "g_stream_ann_idx")
+          Some(graft.ops.Similarity.loadIndex(s, "g_stream_ann_idx"))
+        }
       val hits = Streams.streamingAnnTopK(qStream, corpus, cents,
         k = 5, nprobe = 16, windowLen = "1 minute", watermark = "1 minute",
-        maxBroadcastBytes = maxBroadcastBytes)
+        prebuiltIndex = idx, maxBroadcastBytes = maxBroadcastBytes)
       Streams.runAppendToTable(s, hits, sink,
         checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-ann-cp").toString))
         .select(col("window_start").cast("string").as("window_start"),
@@ -850,6 +860,15 @@ object EngineQueries {
   val streamAnnBroadcast: OQ =
     annStreamQuery("stream_ann_topk_broadcast", "g_stream_ann_bsink",
       maxBroadcastBytes = 256L << 20)
+  /** The 100 TB serving composition: a PERSISTED [[graft.ops.Similarity
+    * .saveIndex]] artifact feeds the stream (assignment read, never
+    * recomputed; pairing stamp verified; the size gate answers from plan
+    * stats) AND the packed-list spill tier scores it (gate forced to 0 —
+    * the index-too-big-for-any-executor regime). Same full-probe oracle:
+    * the loaded assignment is row-identical to the fresh map. */
+  val streamAnnIndexed: OQ =
+    annStreamQuery("stream_ann_topk_indexed", "g_stream_ann_isink",
+      maxBroadcastBytes = 0L, useIndex = true)
 
   /** Streaming histogram quantiles — per finalized 5-minute window, the
     * fixed-grid p50/p95 of event value: the watermarked windowed
@@ -1119,6 +1138,7 @@ object EngineQueries {
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
-    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2, streamAnn, streamAnnBroadcast, streamCdc, streamCdcBucketed,
+    streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2,
+    streamAnn, streamAnnBroadcast, streamAnnIndexed, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

@@ -775,6 +775,29 @@ class ScaleProbeSpec extends AnyFunSuite {
         nprobe = 8, prebuilt = Some(cents10)).count()
       println(s"  rows: $n"); n
     }
+    // ---- the IVFADC route at the same decade (r15 brief #5): residual
+    // PQ codes cut per-candidate vector traffic d·4/m× (64-dim float →
+    // 8 bytes at m=8), so the probed-list scan is memory-bound on CODES;
+    // the rerank row adds the production two-stage serving shape (ADC
+    // shortlist over codes, exact rerank of Q·shortlist survivors only).
+    val books10 = graft.ops.Pq.residualCodebooks(c10, cents10, m = 8, k = 16)
+    tShuffle("sf10 knn join IVF-PQ-routed (200k x 800k, nlist=256, nprobe=8, m=8)",
+      "corpus side shuffles m-byte CODES, not float vectors (d*4/m = 32x " +
+        "less per-candidate traffic); C + Q*nprobe shuffle rows") {
+      val n = graft.ops.Pq.knnJoinIvfPq(q10, c10, topK = 5, nlist = 256,
+        nprobe = 8, m = 8, prebuiltCentroids = Some(cents10),
+        prebuiltBooks = Some(books10)).count()
+      println(s"  rows: $n"); n
+    }
+    tShuffle("sf10 knn join IVF-PQ + exact rerank (same config, shortlist 50)",
+      "ADC shortlist over codes, then exact native-cosine rerank of the " +
+        "Q*shortlist survivors — compression error affects recall, never " +
+        "reported similarity") {
+      val n = graft.ops.Pq.knnJoinIvfPqRerank(q10, c10, topK = 5,
+        shortlist = 50, nlist = 256, nprobe = 8, m = 8,
+        prebuiltCentroids = Some(cents10), prebuiltBooks = Some(books10)).count()
+      println(s"  rows: $n"); n
+    }
     // the streaming serving shape at the same decade: the query set as a
     // file-backed stream routed under the same pinned quantizer against
     // the static corpus. AvailableNow ends before the final watermark, so
