@@ -236,8 +236,9 @@ object Materializer {
     val spark = wh.spark
     val name = asset.name
     val kind = asset.parameters("index")
-    require(kind == "ivf" || kind == "ivfpq",
-      s"$name: unknown index '$kind' (supported: ivf, ivfpq)")
+    require(kind == "ivf" || kind == "ivfpq" || kind == "signature",
+      s"$name: unknown index '$kind' (supported: ivf, ivfpq, signature)")
+    if (kind == "signature") { buildSignatureIndex(wh, asset, df, ctx); return }
     val idCol   = asset.parameters.getOrElse("index_id_col", "vec_id")
     val vecCol  = asset.parameters.getOrElse("index_vec_col", "embedding")
     val nlist   = asset.parameters.get("index_nlist").map(_.toInt).getOrElse(16)
@@ -271,6 +272,52 @@ object Materializer {
         Pq.savePqIndex(spark, df, centroids, books, name, idCol, vecCol, buckets)
       }
     }
+  }
+
+  /** `index: signature` asset builds — the banded-signature face of
+    * [[buildAnnIndex]] (hamming near-dup dedup instead of vector
+    * retrieval). The asset's query emits (id, signature) rows — or raw
+    * text with `index_signature: simhash`, which runs
+    * [[graft.ops.Dedup.simhash]] over `index_text_col` (default `text`)
+    * first, making the whole signature+index build declarative.
+    * Parameters: `index_id_col` (default doc_id), `index_sig_col`
+    * (default simhash), `index_max_hamming` (default 3), `index_bands`
+    * (0 = maxHamming+1), `index_sig_bits` (default 60), `index_buckets`
+    * (default 8). Strategy semantics mirror [[buildAnnIndex]]:
+    * create+replace (or a first append) builds the full artifact, a later
+    * `append` run bands ONLY the batch under the artifact's FROZEN
+    * geometry (the stamp is the authority — appendToSignatureIndex reads
+    * it and fails fast when absent or unparseable). */
+  private def buildSignatureIndex(wh: Warehouse, asset: Asset, df: DataFrame,
+                                  ctx: Context): Unit = {
+    import graft.ops.Dedup
+    val name = asset.name
+    val idCol    = asset.parameters.getOrElse("index_id_col", "doc_id")
+    val sigCol   = asset.parameters.getOrElse("index_sig_col", "simhash")
+    val maxHam   = asset.parameters.get("index_max_hamming").map(_.toInt).getOrElse(3)
+    val bands    = asset.parameters.get("index_bands").map(_.toInt).getOrElse(0)
+    val sigBits  = asset.parameters.get("index_sig_bits").map(_.toInt).getOrElse(60)
+    val buckets  = asset.parameters.get("index_buckets").map(_.toInt).getOrElse(8)
+    val strategy = effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace)
+    require(strategy == Strategy.CreateReplace || strategy == Strategy.Append,
+      s"$name: index assets support create+replace and append, got $strategy")
+    val sigs = asset.parameters.get("index_signature") match {
+      case scala.None => df
+      case Some("simhash") =>
+        Dedup.simhash(df, bits = sigBits, idCol = idCol,
+          textCol = asset.parameters.getOrElse("index_text_col", "text"))
+      case Some(other) => throw new IllegalArgumentException(
+        s"$name: unknown index_signature '$other' (supported: simhash)")
+    }
+    require(sigs.columns.contains(sigCol),
+      s"$name: the asset query must emit a '$sigCol' signature column " +
+        "(or set index_signature: simhash over a text column)")
+    wh.ensureSchema(name)
+    if (strategy == Strategy.Append && wh.exists(name))
+      Dedup.appendToSignatureIndex(wh.spark, sigs, name, idCol, sigCol, buckets)
+    else
+      Dedup.saveSignatureIndex(wh.spark, sigs, name, maxHam, bands, sigBits,
+        idCol, sigCol, buckets)
   }
 
   /** Post-write `ANALYZE TABLE` when the asset opts in (`analyze: true`,

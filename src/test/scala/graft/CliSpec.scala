@@ -340,10 +340,12 @@ class CliSpec extends AnyFunSuite {
     // create+replace, `index: ivfpq` append) and serves a routed query
     // over the artifacts.
     import org.apache.spark.sql.functions.col
-    import graft.ops.{Pq, Similarity}
+    import graft.ops.{Dedup, Pq, Similarity}
     val dir = "src/test/resources/pipelines/annindex"
-    Seq("corpus_vecs", "vec_index", "vec_index_centroids", "vec_index_pq",
-        "vec_index_pq_centroids", "vec_index_pq_codebooks").foreach(t =>
+    val tables = Seq("corpus_vecs", "vec_index", "vec_index_centroids",
+      "vec_index_pq", "vec_index_pq_centroids", "vec_index_pq_codebooks",
+      "doc_corpus", "sig_index")
+    tables.foreach(t =>
       graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
     assert(Main.run(Seq("run", dir), Some(spark)) == 0, "pipeline run should succeed")
 
@@ -375,8 +377,25 @@ class CliSpec extends AnyFunSuite {
     assert(booksBefore.map(_.map(_.toSeq).toSeq).toSeq ==
       booksAfter.map(_.map(_.toSeq).toSeq).toSeq,
       "an append run must never retrain the codebooks")
-    Seq("corpus_vecs", "vec_index", "vec_index_centroids", "vec_index_pq",
-        "vec_index_pq_centroids", "vec_index_pq_codebooks").foreach(t =>
+
+    // the declarative SIGNATURE index (simhash computed in the
+    // materializer): after two runs (full build + frozen-geometry append
+    // of the same ids) the banded join over the loaded artifact must
+    // still equal fresh signatures — hammingPairsIndexed's distinct()
+    // tolerates the duplicate batch, exactly like hammingPairs' input
+    // contract — and the raw artifact carries both generations
+    val sigIdx = Dedup.loadSignatureIndex(spark, "sig_index")
+    assert(sigIdx.count() == 40L * 2 * 8, // 40 docs x 2 runs x 8 bands
+      s"two runs must stack both generations: ${sigIdx.count()}")
+    def pairKeys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fresh = Dedup.hammingPairs(
+      Dedup.simhash(spark.table("doc_corpus")), maxHamming = 7, bands = 8)
+    assert(pairKeys(Dedup.hammingPairsIndexed(sigIdx, maxHamming = 7, bands = 8)) ==
+      pairKeys(fresh),
+      "declaratively-built signature index must serve the same near-dup pairs")
+    assert(pairKeys(fresh).nonEmpty, "the clique fixture must produce pairs")
+    tables.foreach(t =>
       graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 }
