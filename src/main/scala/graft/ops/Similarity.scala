@@ -59,6 +59,24 @@ object Similarity {
     if (denom == 0 || denom.isNaN) 0.0 else round6(dotP(va, vb) / denom)
   }
 
+  /** [[cosineOf]] against a FLAT-PACKED corpus slice (vectors stored
+    * back-to-back in one primitive float array — the streaming spill
+    * tier's packed-list layout): identical zero-norm and round6
+    * semantics, including [[dotP]]'s min-length clamp. */
+  private[graft] def cosineOfFlat(va: Array[Float], na: Double,
+                                  flat: Array[Float], off: Int, dim: Int,
+                                  nb: Double): Double = {
+    val denom = na * nb
+    if (denom == 0 || denom.isNaN) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      val n = math.min(va.length, dim)
+      while (i < n) { s += va(i).toDouble * flat(off + i).toDouble; i += 1 }
+      round6(s / denom)
+    }
+  }
+
   /** Same rounding as Catalyst's round() (HALF_UP over the exact binary
     * expansion) so results are bit-identical to the SQL form. Fast path in
     * plain doubles: for |x| ≤ ~1 the scaled error is < 1e-10, so any value

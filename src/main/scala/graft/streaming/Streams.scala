@@ -1499,13 +1499,43 @@ object Streams {
         // Per micro-batch the static side costs one corpus scan + C-row
         // shuffle into the fold — the same order as the r15 tier's join
         // input, with the (C/nlist)× pair blow-up gone.
+        // FLAT-PRIMITIVE packing: one (ids, flat-vectors, norms, dim) row
+        // per list, NOT Array[(Long, Array[Float], Double)] — the tuple
+        // form measured 121 s on the sf10 probe because every joined query
+        // row re-deserialized its list as ~C/nlist tuples + boxed arrays
+        // (~5·10⁹ allocations at 200k×800k×nprobe=8); three primitive
+        // arrays deserialize as three memcpys, no per-element objects.
+        // Vectors zero-pad to the list's max dim, which preserves
+        // cosineOf's min-length dot exactly (padded terms contribute 0;
+        // norms come from the original vectors).
         val packed = corp.select(col("__list").cast("int"), col("b"), col("__bv"))
           .as[(Int, Long, Array[Float])]
           .groupByKey(_._1)
           .mapGroups { (l, it) =>
-            (l, it.map { case (_, id, v) => (id, v, Similarity.normP(v)) }.toArray)
+            val items = it.toArray
+            val n = items.length
+            var dim = 0
+            var i = 0
+            while (i < n) { if (items(i)._3.length > dim) dim = items(i)._3.length; i += 1 }
+            val ids = new Array[Long](n)
+            val flat = new Array[Float](n * dim)
+            val norms = new Array[Double](n)
+            i = 0
+            while (i < n) {
+              val v = items(i)._3
+              ids(i) = items(i)._2
+              System.arraycopy(v, 0, flat, i * dim, v.length)
+              norms(i) = Similarity.normP(v)
+              i += 1
+            }
+            (l, ids, flat, norms, dim)
           }
-          .toDF("__list", "__items")
+          .toDF("__list", "__ids", "__flat", "__norms", "__dim")
+          // the fold is the STATIC side of every micro-batch's stream-static
+          // join — persist it so steady-state serving pays the corpus scan +
+          // C-row shuffle ONCE, not per micro-batch (total cached size is
+          // the corpus's own vector payload spread over nlist rows)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val routed = queries.where(col(vecCol).isNotNull)
           .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
           // same scan-partitioning trap as the broadcast tier: a one-file
@@ -1519,17 +1549,18 @@ object Streams {
           }
           .toDF("__list", "q", "__qv", "ts")
         routed.join(packed, Seq("__list"))
-          .select(col("q"), col("__qv"), col("ts"), col("__items"))
+          .select(col("q"), col("__qv"), col("ts"),
+            col("__ids"), col("__flat"), col("__norms"), col("__dim"))
           .as[(Long, Array[Float], java.sql.Timestamp,
-               Array[(Long, Array[Float], Double)])]
+               Array[Long], Array[Float], Array[Double], Int)]
           .mapPartitions { it =>
-            it.flatMap { case (q, vq, t, items) =>
+            it.flatMap { case (q, vq, t, ids, flat, norms, dim) =>
               val nq = Similarity.normP(vq)
               val top = new Similarity.TopK(k)
               var i = 0
-              while (i < items.length) {
-                val item = items(i)
-                top.offer(item._1, Similarity.cosineOf(vq, item._2, nq, item._3))
+              while (i < ids.length) {
+                top.offer(ids(i),
+                  Similarity.cosineOfFlat(vq, nq, flat, i * dim, dim, norms(i)))
                 i += 1
               }
               top.iterator.map { case (b, c) => (q, b, c, t) }
