@@ -82,7 +82,7 @@ object Similarity {
     * plain doubles: for |x| ≤ ~1 the scaled error is < 1e-10, so any value
     * farther than 1e-9 from a .5 decision boundary rounds identically; only
     * boundary-adjacent values (vanishingly rare) pay the exact BigDecimal. */
-  private def round6(x: Double): Double = {
+  private[graft] def round6(x: Double): Double = {
     val scaled = x * 1e6
     val fl = math.floor(scaled)
     val frac = scaled - fl

@@ -1548,25 +1548,22 @@ object Streams {
               .map(c => (c, id, v, t))
           }
           .toDF("__list", "q", "__qv", "ts")
+        // scoring is a NATIVE expression evaluated inside WholeStageCodegen
+        // against the join's build-side row IN PLACE — a typed kernel here
+        // would make the encoder deserialize every query row's ~C/nlist-
+        // vector list first (~1.4 TB of copies at the sf10 config, measured
+        // 94 s vs ~60 s for the in-place form); only ≤ k (b, cos) structs
+        // per (query, probed list) ever materialize, then explode feeds the
+        // unchanged windowed bounded-heap merge
+        import org.apache.spark.sql.graft.SqlBridge
+        val topHits = SqlBridge.column(graft.functions.AnnListTopK(
+          SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__ids")),
+          SqlBridge.expression(col("__flat")), SqlBridge.expression(col("__norms")),
+          SqlBridge.expression(col("__dim")), k))
         routed.join(packed, Seq("__list"))
-          .select(col("q"), col("__qv"), col("ts"),
-            col("__ids"), col("__flat"), col("__norms"), col("__dim"))
-          .as[(Long, Array[Float], java.sql.Timestamp,
-               Array[Long], Array[Float], Array[Double], Int)]
-          .mapPartitions { it =>
-            it.flatMap { case (q, vq, t, ids, flat, norms, dim) =>
-              val nq = Similarity.normP(vq)
-              val top = new Similarity.TopK(k)
-              var i = 0
-              while (i < ids.length) {
-                top.offer(ids(i),
-                  Similarity.cosineOfFlat(vq, nq, flat, i * dim, dim, norms(i)))
-                i += 1
-              }
-              top.iterator.map { case (b, c) => (q, b, c, t) }
-            }
-          }
-          .toDF("q", "b", "cos", "ts")
+          .select(col("q"), col("ts"), explode(topHits).as("__hit"))
+          .select(col("q"), col("__hit.b").as("b"),
+            col("__hit.cos").as("cos"), col("ts"))
       }
     // exact per-(window, query) top-k: bounded-heap aggregate, worst-first
     // eviction, deterministic (cos desc, corpus id asc) order

@@ -491,10 +491,14 @@ class PlanSpec extends AnyFunSuite {
       queries, emb.where(col("label") =!= 0), cents, k = 3, nprobe = 2,
       maxBroadcastBytes = 0L)
       .queryExecution.executedPlan.toString
-    assert(p.contains("MapGroups"),
+    // the packed fold itself sits behind the persist (InMemoryTableScan),
+    // so pin its LAYOUT at the join instead: the static side must arrive
+    // as flat-packed per-list arrays, not per-vector rows
+    assert(p.contains("__flat") && p.contains("__ids"),
       s"static side must fold to one packed row per list:\n${p.take(800)}")
-    assert(p.contains("MapPartitions"),
-      s"scoring must run in the primitive kernel:\n${p.take(800)}")
+    assert(p.contains("ann_list_top_k"),
+      s"scoring must be the in-place native expression (a typed kernel " +
+        s"would re-deserialize the list arrays per query row):\n${p.take(800)}")
     assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(800)}")
     assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
   }
