@@ -823,10 +823,12 @@ class ScaleProbeSpec extends AnyFunSuite {
           .start().awaitTermination()
       }
     annStream("sf10 streaming ANN top-k, packed-list spill tier (200k x 800k, nprobe=8)",
-      "spill tier forced: index folded to one packed row per list, " +
-        "stream-static join moves Q*nprobe query ROWS (r15's pair-stream " +
-        "tier paid ~2.8 us/pair = 430.8 s on this config), primitive-kernel " +
-        "scoring, bounded-heap (<= k/query) state", bcBytes = 0L)
+      "spill tier forced: index folded to one flat-packed row per list " +
+        "(persisted static fold), stream-static join moves Q*nprobe query " +
+        "ROWS (r15's pair-stream tier paid ~2.8 us/pair = 430.8 s on this " +
+        "config; tuple-packed + typed kernel 121 s; flat + typed kernel " +
+        "94 s), in-place native ann_list_top_k scoring on the build-side " +
+        "row, bounded-heap (<= k/query) state", bcBytes = 0L)
     annStream("sf10 streaming ANN top-k, broadcast serving tier (same 200k x 800k)",
       "RAM-resident index (204 MB raw, ~816 MB heap-estimated under the 4x " +
         "gate factor): primitive-kernel scoring emits <= k rows/query into " +
