@@ -1434,7 +1434,7 @@ object Dedup {
     * bucket, which silently regenerates the all-pairs join the banding
     * exists to avoid. Deterministic in (nb, sigBits), which is what lets
     * [[saveSignatureIndex]] precompute band keys at BUILD time. */
-  private def bandCols(nb: Int, sigBits: Int): Seq[Column] = {
+  private[graft] def bandCols(nb: Int, sigBits: Int): Seq[Column] = {
     val widths = Array.tabulate(nb)(i => sigBits / nb + (if (i < sigBits % nb) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     (0 until nb).map { i =>
@@ -1510,7 +1510,7 @@ object Dedup {
     else index.select("__band_config").limit(1).collect()
       .headOption.map(_.getString(0))
 
-  private def requireBandConfigMatch(index: DataFrame, nb: Int, sigBits: Int,
+  private[graft] def requireBandConfigMatch(index: DataFrame, nb: Int, sigBits: Int,
                                      what: String): Unit =
     storedBandConfig(index).foreach { stored =>
       val got = bandConfig(nb, sigBits)

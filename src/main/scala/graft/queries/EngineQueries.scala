@@ -870,6 +870,81 @@ object EngineQueries {
     annStreamQuery("stream_ann_topk_indexed", "g_stream_ann_isink",
       maxBroadcastBytes = 0L, useIndex = true)
 
+  /** STREAMING HAMMING NEAR-DUP pin — the crawl-ingest dedup shape over
+    * the persisted signature index: 90% of the corpus's replayable
+    * synthetic signatures (the `mm_phash_neardup_exact` fixture) are
+    * saved to a [[graft.ops.Dedup.saveSignatureIndex]] artifact; the
+    * other 10% stream in as timestamped (id, signature) rows and are
+    * flagged against the LOADED index — banding under the frozen
+    * geometry, exact bit_count verify, windowed multi-band collapse.
+    * Uncapped 9-band/63-bit banding is pigeonhole-exact at hamming ≤ 8,
+    * so the oracle replays the brute-force cross-hamming join with the
+    * same watermark cutoff in SQL. */
+  val streamHammingNearDup: OQ = OQ.df("stream_hamming_neardup",
+    (s, dir) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      import graft.ops.{Dedup, Multimodal}
+      s.sql("DROP TABLE IF EXISTS g_stream_hnd_sink")
+      val media = Multimodal.toMediaTable(s.table("documents"))
+      val sigs = media.selectExpr("media_id",
+        """CAST(conv(substring(md5(CAST(CAST(media_id % 200 AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)
+          | ^ shiftleft(CAST(1 AS BIGINT),
+          |     CAST(CAST(conv(substring(md5(CAST(CAST(media_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 60 AS INT))
+          | AS phash""".stripMargin.replace("\n", " "))
+      Dedup.saveSignatureIndex(s, sigs.where(col("media_id") % 10 =!= 3),
+        "g_hnd_sig_idx", maxHamming = 8, bands = 9, sigBits = 63,
+        idCol = "media_id", sigCol = "phash")
+      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val feedRows = sigs.where(col("media_id") % 10 === 3)
+        .select(col("media_id"), col("phash"),
+          (t0 + make_dt_interval(lit(0), lit(0), lit(0),
+            pmod(col("media_id"), lit(7200)))).as("ts"))
+      // content-keyed one-file staging, atomic-rename gated (the ann-feed
+      // idiom): bench re-runs and the oracle replay share the same feed
+      val sig = s"hnd-v1:${s.table("documents").inputFiles.toSeq.sorted.mkString(",")}"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val feed = java.nio.file.Paths.get(s"/tmp/graft-hnd-feed-$key")
+      if (!Files.exists(feed.resolve("q.parquet"))) {
+        val tmp = Files.createTempDirectory(feed.getParent, "graft-hnd-stage")
+        feedRows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = graft.core.Fs.listDir(tmp)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.createDirectories(feed)
+        Files.move(part, feed.resolve("q.parquet"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        graft.core.Fs.deleteRecursively(tmp)
+      }
+      val inStream = s.readStream
+        .schema(s.read.parquet(feed.toString).schema)
+        .parquet(feed.toString)
+      val flagged = Streams.streamingHammingNearDup(inStream,
+        Dedup.loadSignatureIndex(s, "g_hnd_sig_idx"), maxHamming = 8,
+        bands = 9, sigBits = 63, idCol = "media_id", sigCol = "phash",
+        windowLen = "1 minute", watermark = "1 minute")
+      Streams.runAppendToTable(s, flagged, "g_stream_hnd_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-hnd-cp").toString))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("a"), col("b"), col("hamming"))
+    },
+    """WITH sig AS (SELECT doc_id AS media_id,
+      |    xor(CAST('0x' || substr(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 15) AS BIGINT),
+      |        CAST(1 AS BIGINT) << CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 60 AS INT)) AS phash
+      |  FROM documents),
+      |a AS (SELECT media_id, phash,
+      |    TIMESTAMP '2024-01-01 00:00:00' + (media_id % 7200) * INTERVAL 1 SECOND AS ts
+      |  FROM sig WHERE media_id % 10 = 3),
+      |b AS (SELECT media_id, phash FROM sig WHERE media_id % 10 <> 3),
+      |p AS (SELECT a.media_id AS a, b.media_id AS b,
+      |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming, a.ts
+      |  FROM a JOIN b ON a.media_id <> b.media_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+      |w AS (SELECT a, b, hamming,
+      |    CAST(to_timestamp(floor(epoch(ts) / 60) * 60) AS TIMESTAMP) AS wstart FROM p)
+      |SELECT CAST(wstart AS STRING) AS window_start, a, b, hamming
+      |FROM w
+      |WHERE wstart + INTERVAL 1 MINUTE <= (SELECT max(ts) FROM a) - INTERVAL 1 MINUTE""".stripMargin)
+
   /** Streaming histogram quantiles — per finalized 5-minute window, the
     * fixed-grid p50/p95 of event value: the watermarked windowed
     * aggregation keeps only (window × occupied-bucket) counts as state
@@ -1139,6 +1214,7 @@ object EngineQueries {
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2,
-    streamAnn, streamAnnBroadcast, streamAnnIndexed, streamCdc, streamCdcBucketed,
+    streamAnn, streamAnnBroadcast, streamAnnIndexed, streamHammingNearDup,
+    streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

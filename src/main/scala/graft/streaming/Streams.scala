@@ -1581,6 +1581,56 @@ object Streams {
         col("__row.__p.cos").as("cos"), (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** STREAMING HAMMING NEAR-DUP FLAGGING against a persisted
+    * [[graft.ops.Dedup.saveSignatureIndex]] artifact — the crawl-ingest
+    * shape: every incoming document (id, signature, ts) is checked for
+    * near-duplicates of the INDEXED corpus while it streams in, without
+    * re-banding the corpus (its band keys were precomputed at build time)
+    * and without any all-pairs structure. Route: the stream row explodes
+    * to its `bands` band keys under the artifact's FROZEN geometry
+    * (stamp-verified — mismatched keys silently lose the pigeonhole
+    * recall guarantee), stream-static equi-joins the bk against the
+    * index's DISTINCT (sig, bk) rows, verifies exactly with
+    * `bit_count(a ^ b) <= maxHamming`, expands surviving signature
+    * matches to corpus ids, and collapses the multi-band duplicates with
+    * one watermarked windowed aggregate — state is (window × flagged
+    * pair), never corpus-sized. Self-pairs (re-ingest of an indexed id)
+    * are excluded, matching [[graft.ops.Dedup.hammingPairs]]'s id-ordered
+    * pair contract. Emits (window_start, a = stream id, b = corpus id,
+    * hamming) when the watermark closes the window. */
+  def streamingHammingNearDup(stream: DataFrame, index: DataFrame,
+                              maxHamming: Int = 3, bands: Int = 0,
+                              sigBits: Int = 60,
+                              idCol: String = "doc_id", sigCol: String = "simhash",
+                              windowLen: String = "5 minutes",
+                              watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(nb > maxHamming, s"bands ($nb) must exceed maxHamming ($maxHamming): pigeonhole")
+    require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
+    Dedup.requireBandConfigMatch(index, nb, sigBits, "the signature index")
+    // static side: two narrow projections of the bucketed artifact — the
+    // distinct band keys (the join side) and the sig → id expansion frame
+    val sigKeys = index.select(col("sig").as("__csig"), col("bk")).distinct()
+    val corpusIds = index.select(col("id").as("b"), col("sig").as("__csig")).distinct()
+    stream.withWatermark("ts", watermark)
+      .select(col(idCol).cast("long").as("a"), col(sigCol).as("__sig"), col("ts"))
+      .where(col("__sig").isNotNull)
+      .select(col("a"), col("__sig"), col("ts"),
+        explode(array(Dedup.bandCols(nb, sigBits): _*)).as("band"))
+      .select(col("a"), col("__sig"), col("ts"),
+        xxhash64(col("band.bi"), col("band.bv")).as("bk"))
+      .join(sigKeys, Seq("bk"))
+      .withColumn("hamming", bit_count(col("__sig").bitwiseXOR(col("__csig"))))
+      .where(col("hamming") <= maxHamming)
+      .join(corpusIds, Seq("__csig"))
+      .where(col("a") =!= col("b"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowLen).as("w"),
+        col("a"), col("b"))
+      .agg(min(col("hamming")).cast("int").as("hamming"))
+      .select(col("w.start").as("window_start"), col("a"), col("b"), col("hamming"))
+  }
+
   /** STREAM × SCD2 DIMENSION enrichment — each event joins the dimension
     * VERSION valid at its own event time (`valid_from <= ts < valid_to`),
     * then the usual watermarked windowed rollup per enriched attribute.
