@@ -500,6 +500,44 @@ class MaterializerSpec extends AnyFunSuite {
         "idx_pq_t_codebooks").foreach(t => SessionCatalogWarehouse.dropAny(spark, t))
   }
 
+  test("compacting an appended ANN index preserves bucket layout, stamp, and search") {
+    // the nightly-ingest lifecycle: build -> append x3 (file count grows
+    // per batch) -> compact -> serve. Compaction must keep the
+    // bucketBy(list_id) spec (the exchange-free join contract), the
+    // quantizer pairing stamp, and the routed result.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.materialize.Compactor
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "idx_compact_t")
+    val rnd = new scala.util.Random(11)
+    val all = (1L to 80L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(all, nlist = 4)
+    Similarity.saveIndex(spark, all.where(col("vec_id") % 4 === 0), cents, "idx_compact_t")
+    (1 to 3).foreach(m => Similarity.appendToIndex(spark,
+      all.where(col("vec_id") % 4 === m), cents, "idx_compact_t"))
+    val queries = all.where(col("vec_id") <= 5)
+    def routed() = Similarity.knnJoinIvfIndexed(queries,
+      Similarity.loadIndex(spark, "idx_compact_t"), cents, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val before = routed()
+    val stats = Compactor.compact(wh, "idx_compact_t", targetBytes = 512L << 20)
+    assert(stats.rewritten, "4 generations of bucket files should trigger a rewrite")
+    val backing = SessionCatalogWarehouse.backingTable(spark, "idx_compact_t").get
+    assert(org.apache.spark.sql.graft.SqlBridge.bucketCount(spark, backing)
+      .contains(8), "compaction must keep the bucketBy(list_id) spec")
+    val idx = Similarity.loadIndex(spark, "idx_compact_t")
+    assert(idx.count() == 80)
+    assert(idx.select("__quantizer_md5").distinct().count() == 1,
+      "the pairing stamp must survive compaction")
+    assert(routed() == before, "compaction must not change the routed result")
+    // and a later append still lands on the compacted artifact
+    Similarity.appendToIndex(spark, all.where(col("vec_id") % 4 === 3)
+      .limit(0), cents, "idx_compact_t") // schema-compatible no-op batch
+    SessionCatalogWarehouse.dropAny(spark, "idx_compact_t")
+  }
+
   test("analyze param collects table and column statistics after the write") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("stats_t")
