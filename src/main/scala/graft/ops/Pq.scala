@@ -150,7 +150,7 @@ object Pq {
 
   /** Query-to-centroid distance table: dt(sub)(c) = ||q_sub − centroid||²,
     * clamped for ragged (shorter-than-trained) query vectors. */
-  private def distTable(qv: Array[Float], books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+  private[graft] def distTable(qv: Array[Float], books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
     val dsub = books(0)(0).length
     Array.tabulate(books.length) { sub =>
       val from = math.min(sub * dsub, qv.length)
@@ -169,7 +169,7 @@ object Pq {
   /** Stream corpus codes against one query's distance table, keeping the
     * (dist asc, id asc) top-k. One ordering instance per call — not inside
     * the O(corpus) loop. */
-  private def adcTopK(qid: Long, dt: Array[Array[Double]], topK: Int,
+  private[graft] def adcTopK(qid: Long, dt: Array[Array[Double]], topK: Int,
                       codes: Iterator[(Long, Array[Int])]): Iterator[(Long, Long, Double)] = {
     val m = dt.length
     val ord = Ordering.Tuple2(Ordering[Double], Ordering[Long])
@@ -279,7 +279,7 @@ object Pq {
   }
 
   /** v − centroid, zero-padded past the centroid's length (ragged-safe). */
-  private def residualOf(v: Array[Float], c: Array[Float]): Array[Float] = {
+  private[graft] def residualOf(v: Array[Float], c: Array[Float]): Array[Float] = {
     val out = new Array[Float](v.length)
     var i = 0
     while (i < v.length) {

@@ -770,44 +770,51 @@ object EngineQueries {
     * serving tier (primitive-kernel scoring under a broadcast index). The
     * production nprobe ≪ nlist config is the same code path (recall-gated
     * batch-side in DataOpsSpec). */
+  /** Content-keyed one-file staging of the timestamped query-vector feed
+    * (the cdc-feed idiom): deterministic, so bench re-runs and the oracle
+    * replay share the same feed. Race-safe: the gate is q.parquet itself,
+    * which only ever appears via an ATOMIC same-filesystem rename of a
+    * fully-written file — a concurrent run either sees it absent (and
+    * stages its own identical, content-keyed copy) or sees a complete
+    * feed; no reader can observe a partial file, and losers' renames
+    * atomically swap identical bytes (open fds keep the old inode).
+    * Shared by every streaming-ANN key. */
+  private def stageAnnFeed(s: org.apache.spark.sql.SparkSession): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val emb = s.table("embeddings")
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0),
+          pmod(col("vec_id"), lit(7200)))).as("ts"))
+    val sig = s"ann-v1:${emb.inputFiles.toSeq.sorted.mkString(",")}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val feed = java.nio.file.Paths.get(s"/tmp/graft-ann-feed-$key")
+    if (!Files.exists(feed.resolve("q.parquet"))) {
+      val tmp = Files.createTempDirectory(feed.getParent, "graft-ann-stage")
+      queries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = graft.core.Fs.listDir(tmp)
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.createDirectories(feed)
+      Files.move(part, feed.resolve("q.parquet"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      graft.core.Fs.deleteRecursively(tmp)
+    }
+    feed.toString
+  }
+
   private def annStreamQuery(qname: String, sink: String,
                              maxBroadcastBytes: Long,
                              useIndex: Boolean = false): OQ = OQ.df(qname,
     (s, dir) => {
-      import java.nio.file.{Files, StandardCopyOption}
       s.sql(s"DROP TABLE IF EXISTS $sink")
       val emb = s.table("embeddings")
       val corpus = emb.where(col("label") =!= 0)
-      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
-      val queries = emb.where(col("label") === 0)
-        .select(col("vec_id"), col("embedding"),
-          (t0 + make_dt_interval(lit(0), lit(0), lit(0),
-            pmod(col("vec_id"), lit(7200)))).as("ts"))
-      // content-keyed one-file staging (the cdc-feed idiom): deterministic,
-      // so bench re-runs and the oracle replay share the same feed
-      val sig = s"ann-v1:${emb.inputFiles.toSeq.sorted.mkString(",")}"
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-      val feed = java.nio.file.Paths.get(s"/tmp/graft-ann-feed-$key")
-      // race-safe staging: the gate is q.parquet itself, which only ever
-      // appears via an ATOMIC same-filesystem rename of a fully-written
-      // file — so a concurrent run either sees it absent (and stages its
-      // own identical, content-keyed copy) or sees a complete feed; no
-      // reader can observe a partial file, and losers' renames atomically
-      // swap identical bytes (open fds keep the old inode)
-      if (!Files.exists(feed.resolve("q.parquet"))) {
-        val tmp = Files.createTempDirectory(feed.getParent, "graft-ann-stage")
-        queries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = graft.core.Fs.listDir(tmp)
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        Files.createDirectories(feed)
-        Files.move(part, feed.resolve("q.parquet"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        graft.core.Fs.deleteRecursively(tmp)
-      }
+      val feed = stageAnnFeed(s)
       val qStream = s.readStream
-        .schema(s.read.parquet(feed.toString).schema)
-        .parquet(feed.toString)
+        .schema(s.read.parquet(feed).schema)
+        .parquet(feed)
       // 1-minute windows/watermark: the ts spread is one second per id, so
       // minute-scale horizons keep most query windows below the final
       // watermark at every SF (a 10-minute horizon drops ALL of sf0.01's
@@ -869,6 +876,61 @@ object EngineQueries {
   val streamAnnIndexed: OQ =
     annStreamQuery("stream_ann_topk_indexed", "g_stream_ann_isink",
       maxBroadcastBytes = 0L, useIndex = true)
+
+  /** STREAMING IVFADC SERVING pin — ADC search over the broadcast
+    * PERSISTED PQ-code index, through the streaming window/watermark
+    * machinery. The `ann_knn_join_ivfpq_indexed` reduction applied to the
+    * stream: zero coarse centroid + m=1 identity codebook trained with
+    * full coverage make ADC distances exact squared-L2 and nprobe=1
+    * exhaustive, so the whole composition — savePqIndex → load →
+    * stamp-verify → stats-gated broadcast → per-(query, cell) distance
+    * tables → bounded-heap windowed merge → append-mode emission — must
+    * reproduce the brute-force bipartite L2 rank for every
+    * watermark-closed window. The production config (real m, nprobe ≪
+    * nlist) is the same code path, recall-gated batch-side. */
+  val streamAnnAdc: OQ = OQ.df("stream_ann_adc_topk",
+    (s, _) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_adc_sink")
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+        .where(col("embedding").isNotNull)
+      val zeroCentroid = Array(Array.emptyFloatArray)
+      val books = graft.ops.Pq.pqTrain(corpus, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.saveCodebooks(s, books, "g_sadc_books")
+      graft.ops.Pq.savePqIndex(s, corpus, zeroCentroid, books, "g_sadc_idx")
+      val feed = stageAnnFeed(s)
+      val qStream = s.readStream
+        .schema(s.read.parquet(feed).schema).parquet(feed)
+      val hits = Streams.streamingAnnAdcTopK(qStream,
+        graft.ops.Pq.loadPqIndex(s, "g_sadc_idx"), zeroCentroid,
+        graft.ops.Pq.loadCodebooks(s, "g_sadc_books"), k = 5, nprobe = 1,
+        windowLen = "1 minute", watermark = "1 minute")
+      Streams.runAppendToTable(s, hits, "g_stream_adc_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-adc-cp").toString))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("q"), col("b"), round(col("dist2"), 6).as("dist2"), col("rank"))
+    },
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |qt AS (SELECT vec_id AS q,
+      |    TIMESTAMP '2024-01-01 00:00:00' + (vec_id % 7200) * INTERVAL 1 SECOND AS ts
+      |  FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
+      |d AS (SELECT a.vec_id AS q, b.vec_id AS b,
+      |    sum((a.e - b.e) * (a.e - b.e)) AS d2
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label = 0 AND b.label <> 0 GROUP BY 1, 2),
+      |r AS (SELECT q, b, d2,
+      |    row_number() OVER (PARTITION BY q ORDER BY d2, b) AS rank FROM d),
+      |w AS (SELECT q, ts,
+      |    CAST(to_timestamp(floor(epoch(ts) / 60) * 60) AS TIMESTAMP) AS wstart
+      |  FROM qt)
+      |SELECT CAST(w.wstart AS STRING) AS window_start, r.q, r.b,
+      |  round(r.d2, 6) AS dist2, CAST(r.rank AS INT) AS rank
+      |FROM r JOIN w ON r.q = w.q
+      |WHERE r.rank <= 5
+      |  AND w.wstart + INTERVAL 1 MINUTE <= (SELECT max(ts) FROM qt) - INTERVAL 1 MINUTE""".stripMargin)
 
   /** STREAMING HAMMING NEAR-DUP pin — the crawl-ingest dedup shape over
     * the persisted signature index: 90% of the corpus's replayable
@@ -1214,7 +1276,7 @@ object EngineQueries {
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2,
-    streamAnn, streamAnnBroadcast, streamAnnIndexed, streamHammingNearDup,
-    streamCdc, streamCdcBucketed,
+    streamAnn, streamAnnBroadcast, streamAnnIndexed, streamAnnAdc,
+    streamHammingNearDup, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

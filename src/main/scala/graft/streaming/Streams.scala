@@ -1581,6 +1581,96 @@ object Streams {
         col("__row.__p.cos").as("cos"), (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** STREAMING IVFADC SERVING TIER — [[streamingAnnTopK]]'s broadcast tier
+    * over the PERSISTED PQ-CODE index ([[graft.ops.Pq.savePqIndex]]):
+    * the RAM-resident artifact holds m-byte CODES instead of d·4-byte
+    * float vectors, so the same executor-memory gate covers a d·4/m×
+    * larger corpus (64-dim float at m=8 → 32×) — the move that defers the
+    * spill tier by more than a decade of corpus growth. Per query row:
+    * route to the `nprobe` nearest lists under the frozen coarse
+    * quantizer, build one m×k residual distance table per (query, cell),
+    * ADC-score the cell's codes at m table lookups per candidate
+    * ([[graft.ops.Pq.adcTopK]] — (dist asc, id asc) deterministic), emit
+    * ≤ k rows per (query, cell) into the watermarked windowed bounded-heap
+    * merge. Reported distance is the ADC approximation — the IVFADC
+    * serving contract (pair with a downstream exact rerank when reported
+    * similarity must be exact, the [[graft.ops.Pq.knnJoinIvfPqRerank]]
+    * discipline).
+    *
+    * Both quantizer tiers are stamp-verified against the index before
+    * serving. The gate answers from the artifact's plan stats × the same
+    * ×4 heap factor as the float tier; past it this tier REFUSES rather
+    * than silently switching semantics — the float packed-list spill tier
+    * ([[streamingAnnTopK]] with `maxBroadcastBytes = 0`) is the
+    * past-executor-RAM path. */
+  def streamingAnnAdcTopK(queries: DataFrame, index: DataFrame,
+                          centroids: Array[Array[Float]],
+                          books: Array[Array[Array[Float]]],
+                          k: Int = 5, nprobe: Int = 4,
+                          qidCol: String = "vec_id", vecCol: String = "embedding",
+                          cidCol: String = "vec_id",
+                          windowLen: String = "5 minutes",
+                          watermark: String = "10 minutes",
+                          maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    import graft.ops.{Pq, Similarity}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    Similarity.requireQuantizerMatch(index, centroids, books, "the PQ-code index")
+    val np = math.min(nprobe, centroids.length)
+    // the gate reads the persisted artifact's plan stats (codes are
+    // ~incompressible ints; on-disk ≈ raw) under the same ×4 heap factor
+    // as the float tier; BigInt because unanalyzed relations report
+    // Long.MaxValue-ish stats, which must FAIL the gate, not overflow it
+    val rawBytes: BigInt = index.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(rawBytes * 4 <= BigInt(maxBroadcastBytes),
+      s"PQ-code index (~$rawBytes raw bytes, ×4 heap estimate) exceeds the " +
+        s"$maxBroadcastBytes-byte broadcast gate: serve past executor RAM " +
+        "with streamingAnnTopK's packed-list spill tier instead — a silent " +
+        "fallback would change reported distances from ADC to exact cosine")
+    val lists: Map[Int, Array[(Long, Array[Int])]] = index
+      .select(col("list_id").cast("int"), col(cidCol).cast("long"),
+        col("codes").cast("array<int>"))
+      .as[(Int, Long, Array[Int])].collect()
+      .groupBy(_._1).map { case (l, rs) => (l, rs.map(r => (r._2, r._3))) }
+    val bcL = spark.sparkContext.broadcast(lists)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    val scored = queries.where(col(vecCol).isNotNull)
+      .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+      // a one-file micro-batch would otherwise score everything on however
+      // few tasks the feed has — same trap as the float broadcast tier
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .flatMap { case (qid, qv, t) =>
+        Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
+          bcL.value.get(cell) match {
+            case Some(list) =>
+              Pq.adcTopK(qid,
+                Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
+                k, list.iterator).map { case (q, b, d) => (q, b, d, t) }
+            case scala.None => Iterator.empty
+          }
+        }
+      }
+      .toDF("q", "b", "dist2", "ts")
+    // exact per-(window, query) top-k by (dist asc, id asc): the bounded
+    // heap keeps ≤ k rows per group in every partial and in streaming state
+    import org.apache.spark.sql.graft.SqlBridge
+    val keyed = struct(col("dist2").as("__s0"), col("b").as("__s1"),
+      struct(col("b"), col("dist2")).as("__p"))
+    val topk = SqlBridge.column(graft.functions.BoundedTopK(
+      SqlBridge.expression(keyed), k, sortFields = 2).toAggregateExpression())
+    scored.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowLen), col("q"))
+      .agg(topk.as("__top"))
+      .select(col("window.start").as("window_start"), col("q"),
+        posexplode(col("__top")).as(Seq("__i", "__row")))
+      .select(col("window_start"), col("q"), col("__row.__p.b").as("b"),
+        col("__row.__p.dist2").as("dist2"), (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** STREAMING HAMMING NEAR-DUP FLAGGING against a persisted
     * [[graft.ops.Dedup.saveSignatureIndex]] artifact — the crawl-ingest
     * shape: every incoming document (id, signature, ts) is checked for
