@@ -888,9 +888,10 @@ object EngineQueries {
     * reproduce the brute-force bipartite L2 rank for every
     * watermark-closed window. The production config (real m, nprobe ≪
     * nlist) is the same code path, recall-gated batch-side. */
-  val streamAnnAdc: OQ = OQ.df("stream_ann_adc_topk",
+  private def adcStreamQuery(qname: String, sink: String,
+                             maxBroadcastBytes: Long): OQ = OQ.df(qname,
     (s, _) => {
-      s.sql("DROP TABLE IF EXISTS g_stream_adc_sink")
+      s.sql(s"DROP TABLE IF EXISTS $sink")
       val emb = s.table("embeddings")
       val corpus = emb.where(col("label") =!= 0)
         .where(col("embedding").isNotNull)
@@ -905,8 +906,9 @@ object EngineQueries {
       val hits = Streams.streamingAnnAdcTopK(qStream,
         graft.ops.Pq.loadPqIndex(s, "g_sadc_idx"), zeroCentroid,
         graft.ops.Pq.loadCodebooks(s, "g_sadc_books"), k = 5, nprobe = 1,
-        windowLen = "1 minute", watermark = "1 minute")
-      Streams.runAppendToTable(s, hits, "g_stream_adc_sink",
+        windowLen = "1 minute", watermark = "1 minute",
+        maxBroadcastBytes = maxBroadcastBytes)
+      Streams.runAppendToTable(s, hits, sink,
         checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-adc-cp").toString))
         .select(col("window_start").cast("string").as("window_start"),
           col("q"), col("b"), round(col("dist2"), 6).as("dist2"), col("rank"))
@@ -931,6 +933,17 @@ object EngineQueries {
       |FROM r JOIN w ON r.q = w.q
       |WHERE r.rank <= 5
       |  AND w.wstart + INTERVAL 1 MINUTE <= (SELECT max(ts) FROM qt) - INTERVAL 1 MINUTE""".stripMargin)
+
+  val streamAnnAdc: OQ =
+    adcStreamQuery("stream_ann_adc_topk", "g_stream_adc_sink",
+      maxBroadcastBytes = 256L << 20)
+  /** The same oracle with the gate forced to 0: the PACKED-CODE spill
+    * tier — fold to one (ids, flat codes) row per list, rows-only
+    * stream-static join, in-place ann_adc_list_top_k scoring — must
+    * produce the identical ADC result. */
+  val streamAnnAdcSpill: OQ =
+    adcStreamQuery("stream_ann_adc_spill", "g_stream_adcs_sink",
+      maxBroadcastBytes = 0L)
 
   /** STREAMING HAMMING NEAR-DUP pin — the crawl-ingest dedup shape over
     * the persisted signature index: 90% of the corpus's replayable
@@ -1277,6 +1290,6 @@ object EngineQueries {
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2,
     streamAnn, streamAnnBroadcast, streamAnnIndexed, streamAnnAdc,
-    streamHammingNearDup, streamCdc, streamCdcBucketed,
+    streamAnnAdcSpill, streamHammingNearDup, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

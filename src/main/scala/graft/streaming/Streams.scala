@@ -1599,10 +1599,13 @@ object Streams {
     *
     * Both quantizer tiers are stamp-verified against the index before
     * serving. The gate answers from the artifact's plan stats × the same
-    * ×4 heap factor as the float tier; past it this tier REFUSES rather
-    * than silently switching semantics — the float packed-list spill tier
-    * ([[streamingAnnTopK]] with `maxBroadcastBytes = 0`) is the
-    * past-executor-RAM path. */
+    * ×4 heap factor as the float tier; past it the PACKED-CODE SPILL TIER
+    * serves with identical ADC semantics: the code index folds to one
+    * (ids, flat codes) row per list, the stream-static join moves
+    * Q·nprobe query ROWS, and scoring is the in-place
+    * [[graft.functions.AnnAdcListTopK]] expression on the build-side row
+    * — the [[streamingAnnTopK]] packed-list shape with the static payload
+    * shrunk d·4/m×. */
   def streamingAnnAdcTopK(queries: DataFrame, index: DataFrame,
                           centroids: Array[Array[Float]],
                           books: Array[Array[Array[Float]]],
@@ -1624,37 +1627,83 @@ object Streams {
     // as the float tier; BigInt because unanalyzed relations report
     // Long.MaxValue-ish stats, which must FAIL the gate, not overflow it
     val rawBytes: BigInt = index.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(rawBytes * 4 <= BigInt(maxBroadcastBytes),
-      s"PQ-code index (~$rawBytes raw bytes, ×4 heap estimate) exceeds the " +
-        s"$maxBroadcastBytes-byte broadcast gate: serve past executor RAM " +
-        "with streamingAnnTopK's packed-list spill tier instead — a silent " +
-        "fallback would change reported distances from ADC to exact cosine")
-    val lists: Map[Int, Array[(Long, Array[Int])]] = index
-      .select(col("list_id").cast("int"), col(cidCol).cast("long"),
-        col("codes").cast("array<int>"))
-      .as[(Int, Long, Array[Int])].collect()
-      .groupBy(_._1).map { case (l, rs) => (l, rs.map(r => (r._2, r._3))) }
-    val bcL = spark.sparkContext.broadcast(lists)
     val bcC = spark.sparkContext.broadcast(centroids)
-    val bcB = spark.sparkContext.broadcast(books)
-    val scored = queries.where(col(vecCol).isNotNull)
+    val routedQ = queries.where(col(vecCol).isNotNull)
       .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
       // a one-file micro-batch would otherwise score everything on however
       // few tasks the feed has — same trap as the float broadcast tier
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float], java.sql.Timestamp)]
-      .flatMap { case (qid, qv, t) =>
-        Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
-          bcL.value.get(cell) match {
-            case Some(list) =>
-              Pq.adcTopK(qid,
-                Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
-                k, list.iterator).map { case (q, b, d) => (q, b, d, t) }
-            case scala.None => Iterator.empty
+    val scored: DataFrame =
+      if (rawBytes * 4 <= BigInt(maxBroadcastBytes)) {
+        // BROADCAST tier: the whole code index in executor RAM
+        val lists: Map[Int, Array[(Long, Array[Int])]] = index
+          .select(col("list_id").cast("int"), col(cidCol).cast("long"),
+            col("codes").cast("array<int>"))
+          .as[(Int, Long, Array[Int])].collect()
+          .groupBy(_._1).map { case (l, rs) => (l, rs.map(r => (r._2, r._3))) }
+        val bcL = spark.sparkContext.broadcast(lists)
+        val bcB = spark.sparkContext.broadcast(books)
+        routedQ.flatMap { case (qid, qv, t) =>
+            Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
+              bcL.value.get(cell) match {
+                case Some(list) =>
+                  Pq.adcTopK(qid,
+                    Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
+                    k, list.iterator).map { case (q, b, d) => (q, b, d, t) }
+                case scala.None => Iterator.empty
+              }
+            }
           }
-        }
+          .toDF("q", "b", "dist2", "ts")
+      } else {
+        // PACKED-CODE SPILL TIER — the float spill tier's shape with the
+        // static payload shrunk d·4/m×: the code index folds to one
+        // (ids, flat codes) row per list (per-list size (C/nlist)·m ints,
+        // bounded by the nlist ∝ √C rule), the stream-static join moves
+        // Q·nprobe query ROWS, and scoring is the in-place
+        // ann_adc_list_top_k expression on the build-side row — no pair
+        // stream, no per-row deserialization of the list arrays, and the
+        // quantizer constants ride as codegen reference objects.
+        val packed = index
+          .select(col("list_id").cast("int"), col(cidCol).cast("long"),
+            col("codes").cast("array<int>"))
+          .as[(Int, Long, Array[Int])]
+          .groupByKey(_._1)
+          .mapGroups { (l, it) =>
+            val items = it.toArray
+            val n = items.length
+            val m = if (n == 0) 0 else items(0)._3.length
+            val ids = new Array[Long](n)
+            val flat = new Array[Int](n * m)
+            var i = 0
+            while (i < n) {
+              ids(i) = items(i)._2
+              System.arraycopy(items(i)._3, 0, flat, i * m,
+                math.min(m, items(i)._3.length))
+              i += 1
+            }
+            (l, ids, flat)
+          }
+          .toDF("__list", "__ids", "__codes")
+          // static side of every micro-batch's join: fold once, serve many
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val routed = routedQ
+          .flatMap { case (qid, qv, t) =>
+            Similarity.nearestCentroids(qv, bcC.value, np).iterator
+              .map(c => (c, qid, qv, t))
+          }
+          .toDF("__list", "q", "__qv", "ts")
+        import org.apache.spark.sql.graft.SqlBridge
+        val hits = SqlBridge.column(graft.functions.AnnAdcListTopK(
+          SqlBridge.expression(col("__qv")), SqlBridge.expression(col("q")),
+          SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
+          SqlBridge.expression(col("__codes")), centroids, books, k))
+        routed.join(packed, Seq("__list"))
+          .select(col("q"), col("ts"), explode(hits).as("__hit"))
+          .select(col("q"), col("__hit.b").as("b"),
+            col("__hit.dist2").as("dist2"), col("ts"))
       }
-      .toDF("q", "b", "dist2", "ts")
     // exact per-(window, query) top-k by (dist asc, id asc): the bounded
     // heap keeps ≤ k rows per group in every partial and in streaming state
     import org.apache.spark.sql.graft.SqlBridge

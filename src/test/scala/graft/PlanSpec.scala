@@ -502,4 +502,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(800)}")
     assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
   }
+
+  test("streaming IVFADC spill tier: packed code rows + in-place ADC expression") {
+    // batch replay of the ADC stream plan with the broadcast gate forced
+    // to 0: the static side must arrive as flat-packed per-list CODE
+    // arrays, scoring must be the in-place ann_adc_list_top_k expression
+    // (quantizers ride as codegen reference objects), and the windowed
+    // merge stays the bounded heap — the float spill tier's shape with
+    // the payload shrunk d*4/m x.
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val corpus = emb.where(col("label") =!= 0).where(col("embedding").isNotNull)
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 4)
+    val books = graft.ops.Pq.residualCodebooks(corpus, cents, m = 2, k = 8)
+    graft.ops.Pq.savePqIndex(spark, corpus, cents, books, "g_planspec_adc_idx")
+    val p = graft.streaming.Streams.streamingAnnAdcTopK(queries,
+      graft.ops.Pq.loadPqIndex(spark, "g_planspec_adc_idx"), cents, books,
+      k = 3, nprobe = 2, maxBroadcastBytes = 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__codes"),
+      s"static side must fold to flat-packed code rows:\n${p.take(800)}")
+    assert(p.contains("ann_adc_list_top_k"),
+      s"scoring must be the in-place ADC expression:\n${p.take(800)}")
+    assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(800)}")
+    assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "g_planspec_adc_idx")
+  }
 }
