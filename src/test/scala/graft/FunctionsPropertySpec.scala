@@ -85,6 +85,76 @@ class FunctionsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ann_list_top_k kernel equals the typed flat-packed scoring loop") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.ops.Similarity
+    val dimGen = Gen.choose(1, 8)
+    val listGen = for {
+      dim <- dimGen
+      n <- Gen.choose(0, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray))
+      q <- Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+      k <- Gen.choose(1, 6)
+    } yield (dim, vs.toArray, q, k)
+    check(forAll(listGen) { case (dim, vs, q, k) =>
+      val ids = vs.indices.map(_.toLong + 100).toArray
+      val flat = vs.flatten
+      val norms = vs.map(Similarity.normP)
+      val got = graft.functions.AnnListTopK.topK(
+        new GenericArrayData(q.map(x => x: Any)),
+        new GenericArrayData(ids.map(x => x: Any)),
+        new GenericArrayData(flat.map(x => x: Any)),
+        new GenericArrayData(norms.map(x => x: Any)), dim, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      // reference: the typed kernel the expression replaced
+      val top = new Similarity.TopK(k)
+      val nq = Similarity.normP(q)
+      vs.indices.foreach(i =>
+        top.offer(ids(i), Similarity.cosineOfFlat(q, nq, flat, i * dim, dim, norms(i))))
+      got == top.iterator.toSeq
+    })
+  }
+
+  test("ann_adc_list_top_k kernel equals Pq.adcTopK on packed codes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.ops.Pq
+    val caseGen = for {
+      m <- Gen.choose(1, 4)
+      dsub <- Gen.choose(1, 4)
+      kk <- Gen.choose(1, 6) // codes per book
+      nc <- Gen.choose(1, 3) // coarse centroids
+      books <- Gen.listOfN(m, Gen.listOfN(kk,
+        Gen.listOfN(dsub, Gen.chooseNum(-5f, 5f)).map(_.toArray)).map(_.toArray)).map(_.toArray)
+      cents <- Gen.listOfN(nc, Gen.listOfN(m * dsub, Gen.chooseNum(-5f, 5f)).map(_.toArray)).map(_.toArray)
+      cell <- Gen.choose(0, nc - 1)
+      n <- Gen.choose(0, 10)
+      codes <- Gen.listOfN(n, Gen.listOfN(m, Gen.choose(0, kk - 1)).map(_.toArray)).map(_.toArray)
+      q <- Gen.listOfN(m * dsub, Gen.chooseNum(-5f, 5f)).map(_.toArray)
+      k <- Gen.choose(1, 5)
+    } yield (books, cents, cell, codes, q, k)
+    check(forAll(caseGen) { case (books, cents, cell, codes, q, k) =>
+      val ids = codes.indices.map(_.toLong + 7).toArray
+      val got = graft.functions.AnnAdcListTopK.topK(
+        new GenericArrayData(q.map(x => x: Any)), -1L, cell,
+        new GenericArrayData(ids.map(x => x: Any)),
+        new GenericArrayData(codes.flatten.map(x => x: Any)),
+        cents, books, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      val dt = Pq.distTable(Pq.residualOf(q, cents(cell)), books)
+      val expect = Pq.adcTopK(-1L, dt, k,
+        ids.zip(codes).iterator).map { case (_, b, d) => (b, d) }.toSeq
+      got == expect
+    })
+  }
+
   test("identical windows collide, and values stay within the 62-bit range") {
     check(forAll(textGen, Gen.choose(1, 20)) { (s: String, w: Int) =>
       val doubled = s + s

@@ -834,6 +834,35 @@ class ScaleProbeSpec extends AnyFunSuite {
         "gate factor): primitive-kernel scoring emits <= k rows/query into " +
         "the windowed aggregate — the (nprobe/nlist)*C*Q pair stream never " +
         "exists", bcBytes = 1L << 32)
+    // the IVFADC serving twins at the same decade: the persisted code
+    // index is m/(d·4) of the float index (~6.4 MB of codes vs ~204 MB of
+    // vectors at m=8), so the broadcast tier's RAM gate covers 32× more
+    // corpus before spilling — and the spill twin keeps ADC semantics via
+    // the packed-code join + in-place expression
+    graft.ops.Pq.savePqIndex(spark, c10, cents10, books10, "probe_adc_idx")
+    val adcIdx = graft.ops.Pq.loadPqIndex(spark, "probe_adc_idx")
+    def adcStream(label: String, note: String, bcBytes: Long): Unit =
+      tShuffle(label, note) {
+        val qs = spark.readStream
+          .schema(spark.read.parquet(feed10).schema).parquet(feed10)
+        val hits = graft.streaming.Streams.streamingAnnAdcTopK(qs, adcIdx,
+          cents10, books10, k = 5, nprobe = 8, windowLen = "1 minute",
+          watermark = "1 minute", maxBroadcastBytes = bcBytes)
+        hits.writeStream.format("noop")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-adc10-cp").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+    adcStream("sf10 streaming IVFADC top-k, broadcast code tier (200k x 800k, m=8)",
+      "RAM-resident CODE index (~6.4 MB codes vs 204 MB floats — the " +
+        "32x gate-reach claim): per (query, cell) one m x k distance " +
+        "table, m lookups per candidate", bcBytes = 1L << 32)
+    adcStream("sf10 streaming IVFADC top-k, packed-code spill tier (same 200k x 800k)",
+      "gate forced to 0: one (ids, flat codes) row per list, rows-only " +
+        "stream-static join, in-place ann_adc_list_top_k scoring — the " +
+        "float spill shape with the static payload 32x smaller", bcBytes = 0L)
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_adc_idx")
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(embDir10))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(feed10))
   }
