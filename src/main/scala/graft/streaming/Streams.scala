@@ -1605,7 +1605,13 @@ object Streams {
     * Q·nprobe query ROWS, and scoring is the in-place
     * [[graft.functions.AnnAdcListTopK]] expression on the build-side row
     * — the [[streamingAnnTopK]] packed-list shape with the static payload
-    * shrunk d·4/m×. */
+    * shrunk d·4/m×. Measured at the sf10 probe config (200k×800k, m=8)
+    * the packed-code tier actually OUTRAN the broadcast tier (12.7 s vs
+    * 35.6 s — the in-place flat-int loop beats the broadcast map's
+    * tuple-iterating scorer), so `maxBroadcastBytes = 0` is a legitimate
+    * THROUGHPUT choice on multi-core executors, not just the
+    * past-RAM fallback; the broadcast tier remains the zero-join option
+    * for tiny indexes and latency-sensitive single-batch serving. */
   def streamingAnnAdcTopK(queries: DataFrame, index: DataFrame,
                           centroids: Array[Array[Float]],
                           books: Array[Array[Array[Float]]],
