@@ -966,17 +966,24 @@ object EngineQueries {
           | ^ shiftleft(CAST(1 AS BIGINT),
           |     CAST(CAST(conv(substring(md5(CAST(CAST(media_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 60 AS INT))
           | AS phash""".stripMargin.replace("\n", " "))
-      Dedup.saveSignatureIndex(s, sigs.where(col("media_id") % 10 =!= 3),
+      // hash-bucket split, NOT media_id % 10: the synthetic signature
+      // groups are media_id % 200 and 200k ≡ 0 (mod 10), so a modular
+      // split puts every group WHOLLY in one side — zero cross pairs,
+      // a vacuously-passing oracle (caught by the sf0.001 smoke test).
+      // The md5 bucket is orthogonal to the group id and DuckDB-replayable.
+      val b = graft.ops.Sampling.hashBucket(col("media_id"))
+      Dedup.saveSignatureIndex(s, sigs.where(b >= 10),
         "g_hnd_sig_idx", maxHamming = 8, bands = 9, sigBits = 63,
         idCol = "media_id", sigCol = "phash")
       val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
-      val feedRows = sigs.where(col("media_id") % 10 === 3)
+      val feedRows = sigs.where(b < 10)
         .select(col("media_id"), col("phash"),
           (t0 + make_dt_interval(lit(0), lit(0), lit(0),
             pmod(col("media_id"), lit(7200)))).as("ts"))
       // content-keyed one-file staging, atomic-rename gated (the ann-feed
       // idiom): bench re-runs and the oracle replay share the same feed
-      val sig = s"hnd-v1:${s.table("documents").inputFiles.toSeq.sorted.mkString(",")}"
+      // v2: the v1 feed was the modular split that never crossed groups
+      val sig = s"hnd-v2:${s.table("documents").inputFiles.toSeq.sorted.mkString(",")}"
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val feed = java.nio.file.Paths.get(s"/tmp/graft-hnd-feed-$key")
@@ -1006,10 +1013,13 @@ object EngineQueries {
       |    xor(CAST('0x' || substr(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 15) AS BIGINT),
       |        CAST(1 AS BIGINT) << CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 60 AS INT)) AS phash
       |  FROM documents),
+      |hb AS (SELECT media_id, phash,
+      |    CAST('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bkt
+      |  FROM sig),
       |a AS (SELECT media_id, phash,
       |    TIMESTAMP '2024-01-01 00:00:00' + (media_id % 7200) * INTERVAL 1 SECOND AS ts
-      |  FROM sig WHERE media_id % 10 = 3),
-      |b AS (SELECT media_id, phash FROM sig WHERE media_id % 10 <> 3),
+      |  FROM hb WHERE bkt < 10),
+      |b AS (SELECT media_id, phash FROM hb WHERE bkt >= 10),
       |p AS (SELECT a.media_id AS a, b.media_id AS b,
       |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming, a.ts
       |  FROM a JOIN b ON a.media_id <> b.media_id
