@@ -189,4 +189,70 @@ class StreamingResumePropertySpec extends AnyFunSuite {
       graft.core.Fs.deleteRecursively(dir)
     }
   }
+
+  test("hamming near-dup resume: batch 2 resumes the checkpoint, flags only vs the frozen index, no duplicates") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    import graft.streaming.Streams
+    import graft.materialize.SessionCatalogWarehouse
+    Seq("rsm_sig_idx", "rsm_hnd_sink").foreach(t =>
+      SessionCatalogWarehouse.dropAny(spark, t))
+    val rnd = new scala.util.Random(5)
+    def randSig() = rnd.nextLong() & ((1L << 62) - 1)
+    val base = Array.fill(40)(randSig())
+    val corpus = base.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toSeq
+    Dedup.saveSignatureIndex(spark, corpus.toDF("doc_id", "simhash"),
+      "rsm_sig_idx", maxHamming = 7, bands = 8, sigBits = 63)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Int) = new java.sql.Timestamp(t0 + sec * 1000L)
+    // evens are 2-bit edits of a corpus signature (true near-dups), odds
+    // random; a trailing late row advances the watermark so each run
+    // closes its own windows
+    def mkRows(ids: Range, sec: Int) = ids.map { i =>
+      val sig = if (i % 2 == 0) base(i % 40) ^ (1L << (i % 50)) ^ (1L << ((i + 17) % 50))
+                else randSig()
+      (100L + i, sig, ts(sec + (i % 10)))
+    }
+    val batch1 = mkRows(0 until 20, 0) :+ ((990L, randSig(), ts(120)))
+    val batch2 = mkRows(20 until 40, 180) :+ ((991L, randSig(), ts(600)))
+    val feed = java.nio.file.Files.createTempDirectory("rsm-hnd-feed").toString
+    val cp = java.nio.file.Files.createTempDirectory("rsm-hnd-cp").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+      Streams.runAppendToTable(spark,
+        Streams.streamingHammingNearDup(stream,
+          Dedup.loadSignatureIndex(spark, "rsm_sig_idx"), maxHamming = 7,
+          bands = 8, sigBits = 63, windowLen = "1 minute", watermark = "1 minute"),
+        "rsm_hnd_sink", checkpoint = Some(cp))
+    }
+    batch1.toDF("doc_id", "simhash", "ts").coalesce(1)
+      .write.mode("append").parquet(feed)
+    runOnce()
+    assert(spark.table("rsm_hnd_sink").count() > 0,
+      "run 1 must flag the planted batch-1 near-dups")
+    batch2.toDF("doc_id", "simhash", "ts").coalesce(1)
+      .write.mode("append").parquet(feed)
+    runOnce() // resumes the SAME checkpoint: only the new file is processed
+    val got = spark.table("rsm_hnd_sink")
+      .select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == got.distinct.length, "resume must never duplicate a flag")
+    // expected: brute-force cross-hamming for every stream row whose
+    // 1-minute window closed under the FINAL watermark (max ts - 1 min)
+    val all = batch1 ++ batch2
+    val wmFinal = all.map(_._3.getTime).max - 60000L
+    val expected = (for {
+      (a, sa, _) <- all.filter { case (_, _, t) =>
+        t.getTime / 60000L * 60000L + 60000L <= wmFinal }
+      (b, sb) <- corpus
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 7 && a != b
+    } yield (a, b, h)).toSet
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got.toSet).take(4)} extra=${(got.toSet -- expected).take(4)}")
+    assert(expected.exists(_._1 >= 120L), "batch-2 near-dups must be flagged after resume")
+    Seq("rsm_sig_idx", "rsm_hnd_sink").foreach(t =>
+      SessionCatalogWarehouse.dropAny(spark, t))
+  }
 }
