@@ -945,6 +945,38 @@ object EngineQueries {
     adcStreamQuery("stream_ann_adc_spill", "g_stream_adcs_sink",
       maxBroadcastBytes = 0L)
 
+  /** STREAMING TWO-STAGE RETRIEVAL pin — ADC shortlist over the persisted
+    * code index, exact native-cosine rerank of the survivors, windowed
+    * bounded-heap merge. With the degenerate quantizers and a shortlist
+    * covering the corpus, stage 1 is provably lossless, so the composed
+    * stream must reproduce the exact bipartite COSINE rank — it shares
+    * `stream_ann_topk`'s oracle verbatim. */
+  val streamAnnRerank: OQ = OQ.df("stream_ann_rerank_topk",
+    (s, _) => {
+      s.sql("DROP TABLE IF EXISTS g_stream_rr_sink")
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+        .where(col("embedding").isNotNull)
+      val zeroCentroid = Array(Array.emptyFloatArray)
+      val books = graft.ops.Pq.pqTrain(corpus, m = 1, k = 1 << 17,
+        iterations = 0, maxTrainSample = 1 << 17)
+      graft.ops.Pq.saveCodebooks(s, books, "g_srr_books")
+      graft.ops.Pq.savePqIndex(s, corpus, zeroCentroid, books, "g_srr_idx")
+      val feed = stageAnnFeed(s)
+      val qStream = s.readStream
+        .schema(s.read.parquet(feed).schema).parquet(feed)
+      val hits = Streams.streamingAnnRerankTopK(qStream,
+        graft.ops.Pq.loadPqIndex(s, "g_srr_idx"), corpus, zeroCentroid,
+        graft.ops.Pq.loadCodebooks(s, "g_srr_books"), k = 5,
+        shortlist = 1 << 17, nprobe = 1,
+        windowLen = "1 minute", watermark = "1 minute")
+      Streams.runAppendToTable(s, hits, "g_stream_rr_sink",
+        checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-rr-cp").toString))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("q"), col("b"), col("cos"), col("rank"))
+    },
+    streamAnn.oracle.get)
+
   /** STREAMING HAMMING NEAR-DUP pin — the crawl-ingest dedup shape over
     * the persisted signature index: 90% of the corpus's replayable
     * synthetic signatures (the `mm_phash_neardup_exact` fixture) are
@@ -1300,6 +1332,6 @@ object EngineQueries {
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2,
     streamAnn, streamAnnBroadcast, streamAnnIndexed, streamAnnAdc,
-    streamAnnAdcSpill, streamHammingNearDup, streamCdc, streamCdcBucketed,
+    streamAnnAdcSpill, streamAnnRerank, streamHammingNearDup, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

@@ -1726,6 +1726,86 @@ object Streams {
         col("__row.__p.dist2").as("dist2"), (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** STREAMING TWO-STAGE RETRIEVAL — [[graft.ops.Pq.knnJoinIvfPqRerank]]'s
+    * search-then-refine discipline in the stream: stage 1 ADC-shortlists
+    * `shortlist` candidates per (query, probed cell) over the
+    * RAM-resident PQ-CODE index (m-byte codes — the
+    * [[streamingAnnAdcTopK]] broadcast tier with a wider k); stage 2
+    * stream-static equi-joins ONLY the ≤ Q·nprobe·shortlist survivors
+    * back to their float vectors and re-scores exact cosine with the
+    * native codegen kernel, feeding the same watermarked bounded-heap
+    * windowed top-k as [[streamingAnnTopK]]. Compression error affects
+    * RECALL (what enters the shortlist), never the reported similarity —
+    * at no point do corpus-sized float vectors replicate per query (the
+    * join moves candidate rows, and each corpus vector joins by its id).
+    * A shortlist covering the corpus with the degenerate quantizers makes
+    * stage 1 provably lossless, so the composed stream must equal the
+    * exact cosine oracle — the `stream_ann_rerank_topk` pin. */
+  def streamingAnnRerankTopK(queries: DataFrame, index: DataFrame,
+                             corpus: DataFrame,
+                             centroids: Array[Array[Float]],
+                             books: Array[Array[Array[Float]]],
+                             k: Int = 5, shortlist: Int = 50, nprobe: Int = 4,
+                             qidCol: String = "vec_id", vecCol: String = "embedding",
+                             cidCol: String = "vec_id",
+                             windowLen: String = "5 minutes",
+                             watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.{Pq, Similarity}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    Similarity.requireQuantizerMatch(index, centroids, books, "the PQ-code index")
+    val np = math.min(nprobe, centroids.length)
+    val lists: Map[Int, Array[(Long, Array[Int])]] = index
+      .select(col("list_id").cast("int"), col(cidCol).cast("long"),
+        col("codes").cast("array<int>"))
+      .as[(Int, Long, Array[Int])].collect()
+      .groupBy(_._1).map { case (l, rs) => (l, rs.map(r => (r._2, r._3))) }
+    val bcL = spark.sparkContext.broadcast(lists)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    // stage 1: ADC shortlist — the query vector rides with each candidate
+    // so stage 2 re-scores without a second stream join
+    val cand = queries.where(col(vecCol).isNotNull)
+      .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .flatMap { case (qid, qv, t) =>
+        Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
+          bcL.value.get(cell) match {
+            case Some(list) =>
+              Pq.adcTopK(qid,
+                Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
+                shortlist, list.iterator).map { case (q, b, _) => (q, qv, b, t) }
+            case scala.None => Iterator.empty
+          }
+        }
+      }
+      .toDF("q", "__qv", "b", "ts")
+    // stage 2: survivors join their float vectors; exact native cosine
+    val vecs = corpus.where(col(vecCol).isNotNull)
+      .select(col(cidCol).cast("long").as("b"), col(vecCol).as("__bv"))
+    import org.apache.spark.sql.graft.SqlBridge
+    val cosNative = SqlBridge.column(graft.functions.CosineSim(
+      SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__bv"))))
+    val scored = cand.join(vecs, Seq("b"))
+      .withColumn("cos", round(cosNative, 6))
+      .select(col("q"), col("b"), col("cos"), col("ts"))
+    val keyed = struct((-col("cos")).as("__s0"), col("b").as("__s1"),
+      struct(col("b"), col("cos")).as("__p"))
+    val topk = SqlBridge.column(graft.functions.BoundedTopK(
+      SqlBridge.expression(keyed), k, sortFields = 2).toAggregateExpression())
+    scored.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowLen), col("q"))
+      .agg(topk.as("__top"))
+      .select(col("window.start").as("window_start"), col("q"),
+        posexplode(col("__top")).as(Seq("__i", "__row")))
+      .select(col("window_start"), col("q"), col("__row.__p.b").as("b"),
+        col("__row.__p.cos").as("cos"), (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** STREAMING HAMMING NEAR-DUP FLAGGING against a persisted
     * [[graft.ops.Dedup.saveSignatureIndex]] artifact — the crawl-ingest
     * shape: every incoming document (id, signature, ts) is checked for
