@@ -1749,7 +1749,8 @@ object Streams {
                              qidCol: String = "vec_id", vecCol: String = "embedding",
                              cidCol: String = "vec_id",
                              windowLen: String = "5 minutes",
-                             watermark: String = "10 minutes"): DataFrame = {
+                             watermark: String = "10 minutes",
+                             maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     import graft.ops.{Pq, Similarity}
     val spark = queries.sparkSession
     import spark.implicits._
@@ -1758,6 +1759,17 @@ object Streams {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     Similarity.requireQuantizerMatch(index, centroids, books, "the PQ-code index")
     val np = math.min(nprobe, centroids.length)
+    // same stats × 4 heap gate as streamingAnnAdcTopK before the collect —
+    // an ungated broadcast of the code index would OOM the driver at
+    // exactly the corpus size this tier exists to serve. Fail fast with
+    // the route out: shortlist through streamingAnnAdcTopK's packed-code
+    // spill tier, then rerank the emitted rows batch-side.
+    val rawBytes: BigInt = index.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(rawBytes * 4 <= BigInt(maxBroadcastBytes),
+      s"PQ-code index (~$rawBytes raw bytes, ×4 heap estimate) exceeds the " +
+        s"$maxBroadcastBytes-byte broadcast gate: shortlist with " +
+        "streamingAnnAdcTopK's packed-code spill tier and rerank its " +
+        "emitted candidates instead")
     val lists: Map[Int, Array[(Long, Array[Int])]] = index
       .select(col("list_id").cast("int"), col(cidCol).cast("long"),
         col("codes").cast("array<int>"))

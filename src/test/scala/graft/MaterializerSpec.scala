@@ -538,6 +538,39 @@ class MaterializerSpec extends AnyFunSuite {
     SessionCatalogWarehouse.dropAny(spark, "idx_compact_t")
   }
 
+  test("compacting an appended signature index preserves buckets, stamp, and pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Dedup
+    import graft.materialize.Compactor
+    val wh = new SessionCatalogWarehouse(spark)
+    SessionCatalogWarehouse.dropAny(spark, "sig_compact_t")
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(30)(rnd.nextLong() & ((1L << 62) - 1))
+    // 60 ids over 30 base signatures with one-bit edits: guaranteed pairs
+    val sigs = (0 until 60).map(i => (i.toLong, base(i % 30) ^ (1L << (i % 40))))
+      .toDF("doc_id", "simhash")
+    Dedup.saveSignatureIndex(spark, sigs.where(col("doc_id") % 3 === 0),
+      "sig_compact_t", maxHamming = 7, bands = 8)
+    (1 to 2).foreach(m => Dedup.appendToSignatureIndex(spark,
+      sigs.where(col("doc_id") % 3 === m), "sig_compact_t"))
+    def pairs() = Dedup.hammingPairsIndexed(
+      Dedup.loadSignatureIndex(spark, "sig_compact_t"), maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = pairs()
+    assert(before.nonEmpty, "the one-bit-edit fixture must produce pairs")
+    val stats = Compactor.compact(wh, "sig_compact_t", targetBytes = 512L << 20)
+    assert(stats.rewritten, "3 generations of bucket files should trigger a rewrite")
+    val backing = SessionCatalogWarehouse.backingTable(spark, "sig_compact_t").get
+    assert(org.apache.spark.sql.graft.SqlBridge.bucketCount(spark, backing)
+      .contains(8), "compaction must keep the bucketBy(bk) spec")
+    val idx = Dedup.loadSignatureIndex(spark, "sig_compact_t")
+    assert(idx.select("__band_config").distinct().count() == 1,
+      "the geometry stamp must survive compaction")
+    assert(pairs() == before, "compaction must not change the flagged pairs")
+    SessionCatalogWarehouse.dropAny(spark, "sig_compact_t")
+  }
+
   test("analyze param collects table and column statistics after the write") {
     val wh = new SessionCatalogWarehouse(spark)
     wh.drop("stats_t")
