@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   * query's residual against ITS probed cell — `cell` is a child column),
   * then each candidate costs m table lookups, read IN PLACE from the
   * join's build-side row (no per-row deserialization of the list arrays —
-  * the [[AnnListTopK]] measurement). Semantics are bit-identical to
-  * [[graft.ops.Pq.adcTopK]]: (dist asc, id asc) deterministic order,
-  * self-pair (b == q id) exclusion is NOT applied here because the
-  * bipartite id spaces are disjoint by contract — the caller filters ids
-  * when they can collide. NULL in → NULL out. */
+  * the [[AnnListTopK]] measurement). Semantics match
+  * [[graft.ops.Pq.adcTopK]] for finite distances: (dist asc, id asc)
+  * deterministic order, and the qid self-pair (b == q id) IS excluded,
+  * exactly as adcTopK excludes it — re-ingest of an indexed id never
+  * reports itself as its own neighbor. NaN distances (possible only from
+  * NaN inputs, which the quantizer never produces) are SKIPPED rather
+  * than inheriting adcTopK's Ordering[Double] NaN placement. NULL in →
+  * NULL out. */
 case class AnnAdcListTopK(qv: Expression, qid: Expression, cell: Expression,
                           ids: Expression, codes: Expression,
                           centroids: Array[Array[Float]],
@@ -102,7 +105,8 @@ object AnnAdcListTopK {
   /** Shared by interpreted eval and generated code. Candidate ids/codes
     * are read IN PLACE; the per-row work is one m×k distance table + n·m
     * lookups. Ordering and tie-breaks are [[graft.ops.Pq.adcTopK]]'s
-    * (dist asc, id asc); the qid self-exclusion matches it too. */
+    * (dist asc, id asc); the qid self-exclusion matches it too. NaN
+    * distances are skipped (dist == dist guard) — see the class doc. */
   def topK(qv: ArrayData, qid: Long, cell: Int, ids: ArrayData, codes: ArrayData,
            centroids: Array[Array[Float]], books: Array[Array[Array[Float]]],
            k: Int): ArrayData = {
@@ -122,11 +126,36 @@ object AnnAdcListTopK {
         var sub = 0
         val off = i * m
         while (sub < m) { dist += dt(sub)(codes.getInt(off + sub)); sub += 1 }
-        top.offer(bid, -dist)
+        if (dist == dist) top.offer(bid, -dist)
       }
       i += 1
     }
     new GenericArrayData(top.iterator
       .map { case (b, negD) => InternalRow(b, -negD) }.toArray[Any])
+  }
+
+  /** Broadcast-tier twin of [[topK]] over plain primitive arrays, taking
+    * the query's PREBUILT per-cell distance table (so a shortlist caller
+    * builds it once per probed cell): same lookup loop, qid
+    * self-exclusion, NaN skip, and (dist asc, id asc) order. Codes are
+    * flat-packed at stride dt.length. Returns ≤ k (b, dist2) pairs. */
+  def topKFlat(qid: Long, dt: Array[Array[Double]], ids: Array[Long],
+               codes: Array[Int], k: Int): Iterator[(Long, Double)] = {
+    val m = dt.length
+    val n = ids.length
+    val top = new graft.ops.Similarity.TopK(k)
+    var i = 0
+    while (i < n) {
+      val bid = ids(i)
+      if (bid != qid) {
+        var dist = 0.0
+        var sub = 0
+        val off = i * m
+        while (sub < m) { dist += dt(sub)(codes(off + sub)); sub += 1 }
+        if (dist == dist) top.offer(bid, -dist)
+      }
+      i += 1
+    }
+    top.iterator.map { case (b, negD) => (b, -negD) }
   }
 }

@@ -98,6 +98,25 @@ object AnnListTopK {
     StructField("b", LongType, nullable = false),
     StructField("cos", DoubleType, nullable = false))), containsNull = false)
 
+  /** Broadcast-tier twin of [[topK]]: identical cosine arithmetic
+    * ([[graft.ops.Similarity.cosineOfFlat]] conventions) and offer order
+    * over plain primitive arrays, accumulating into the CALLER'S heap so
+    * multiple probed lists merge into one per-query top-k. This is the
+    * scorer the broadcast tier shares with the spill kernel — the r16
+    * broadcast map iterated Array[(Long, Array[Float], Double)] tuples
+    * and lost to its own packed spill twin on identical work. */
+  def scoreInto(top: graft.ops.Similarity.TopK, q: Array[Float], nq: Double,
+                ids: Array[Long], flat: Array[Float], norms: Array[Double],
+                dim: Int): Unit = {
+    import graft.ops.Similarity
+    val n = ids.length
+    var i = 0
+    while (i < n) {
+      top.offer(ids(i), Similarity.cosineOfFlat(q, nq, flat, i * dim, dim, norms(i)))
+      i += 1
+    }
+  }
+
   /** Shared by interpreted eval and generated code. The list arrays are
     * read IN PLACE through the ArrayData accessors; only the (small) query
     * vector is extracted once. */

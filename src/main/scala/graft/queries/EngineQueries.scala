@@ -951,31 +951,41 @@ object EngineQueries {
     * covering the corpus, stage 1 is provably lossless, so the composed
     * stream must reproduce the exact bipartite COSINE rank — it shares
     * `stream_ann_topk`'s oracle verbatim. */
-  val streamAnnRerank: OQ = OQ.df("stream_ann_rerank_topk",
+  private def rerankStreamQuery(qname: String, sink: String, tag: String,
+                                maxBroadcastBytes: Long): OQ = OQ.df(qname,
     (s, _) => {
-      s.sql("DROP TABLE IF EXISTS g_stream_rr_sink")
+      s.sql(s"DROP TABLE IF EXISTS $sink")
       val emb = s.table("embeddings")
       val corpus = emb.where(col("label") =!= 0)
         .where(col("embedding").isNotNull)
       val zeroCentroid = Array(Array.emptyFloatArray)
       val books = graft.ops.Pq.pqTrain(corpus, m = 1, k = 1 << 17,
         iterations = 0, maxTrainSample = 1 << 17)
-      graft.ops.Pq.saveCodebooks(s, books, "g_srr_books")
-      graft.ops.Pq.savePqIndex(s, corpus, zeroCentroid, books, "g_srr_idx")
+      graft.ops.Pq.saveCodebooks(s, books, s"g_${tag}_books")
+      graft.ops.Pq.savePqIndex(s, corpus, zeroCentroid, books, s"g_${tag}_idx")
       val feed = stageAnnFeed(s)
       val qStream = s.readStream
         .schema(s.read.parquet(feed).schema).parquet(feed)
       val hits = Streams.streamingAnnRerankTopK(qStream,
-        graft.ops.Pq.loadPqIndex(s, "g_srr_idx"), corpus, zeroCentroid,
-        graft.ops.Pq.loadCodebooks(s, "g_srr_books"), k = 5,
+        graft.ops.Pq.loadPqIndex(s, s"g_${tag}_idx"), corpus, zeroCentroid,
+        graft.ops.Pq.loadCodebooks(s, s"g_${tag}_books"), k = 5,
         shortlist = 1 << 17, nprobe = 1,
-        windowLen = "1 minute", watermark = "1 minute")
-      Streams.runAppendToTable(s, hits, "g_stream_rr_sink",
+        windowLen = "1 minute", watermark = "1 minute",
+        maxBroadcastBytes = maxBroadcastBytes)
+      Streams.runAppendToTable(s, hits, sink,
         checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-rr-cp").toString))
         .select(col("window_start").cast("string").as("window_start"),
           col("q"), col("b"), col("cos"), col("rank"))
     },
     streamAnn.oracle.get)
+
+  val streamAnnRerank: OQ = rerankStreamQuery("stream_ann_rerank_topk",
+    "g_stream_rr_sink", "srr", maxBroadcastBytes = 256L << 20)
+  /** The same lossless-shortlist oracle with the gate forced to 0: the
+    * composed PACKED-CODE spill shortlist (r16 refused past the gate) +
+    * unchanged exact rerank must produce the identical cosine rank. */
+  val streamAnnRerankSpill: OQ = rerankStreamQuery("stream_ann_rerank_spill",
+    "g_stream_rrs_sink", "srrs", maxBroadcastBytes = 0L)
 
   /** STREAMING HAMMING NEAR-DUP pin — the crawl-ingest dedup shape over
     * the persisted signature index: 90% of the corpus's replayable
@@ -1332,6 +1342,7 @@ object EngineQueries {
     streamDedup, streamEnriched, streamCorpusDedup, streamQualityGate,
     streamHeavyHitters, streamTopK, streamKmv, streamQuantile, streamScd2,
     streamAnn, streamAnnBroadcast, streamAnnIndexed, streamAnnAdc,
-    streamAnnAdcSpill, streamAnnRerank, streamHammingNearDup, streamCdc, streamCdcBucketed,
+    streamAnnAdcSpill, streamAnnRerank, streamAnnRerankSpill,
+    streamHammingNearDup, streamCdc, streamCdcBucketed,
     streamCdcDebezium, streamVisits)
 }

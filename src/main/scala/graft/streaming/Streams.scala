@@ -1440,12 +1440,34 @@ object Streams {
     }
     val scored: DataFrame =
       if (rawBytes * heapFactor <= BigInt(maxBroadcastBytes)) {
-        val lists: Map[Int, Array[(Long, Array[Float], Double)]] =
+        // FLAT-PACKED broadcast map — the SAME (ids, flat vectors, norms,
+        // dim) primitive layout as the spill tier's packed fold, scored by
+        // the shared AnnListTopK.scoreInto kernel. The r16 map held
+        // Array[(Long, Array[Float], Double)] per list and its
+        // tuple-iterating scorer LOST to the spill twin on identical sf10
+        // work (the round's perf-weak); three primitive arrays per list
+        // keep the hot loop allocation-free and stride-predictable.
+        val lists: Map[Int, (Array[Long], Array[Float], Array[Double], Int)] =
           corp.select(col("__list").cast("int"), col("b"), col("__bv"))
             .as[(Int, Long, Array[Float])].collect()
             .groupBy(_._1)
             .map { case (l, rows) =>
-              l -> rows.map { case (_, id, v) => (id, v, Similarity.normP(v)) }
+              val n = rows.length
+              var dim = 0
+              var i = 0
+              while (i < n) { if (rows(i)._3.length > dim) dim = rows(i)._3.length; i += 1 }
+              val ids = new Array[Long](n)
+              val flat = new Array[Float](n * dim)
+              val norms = new Array[Double](n)
+              i = 0
+              while (i < n) {
+                val v = rows(i)._3
+                ids(i) = rows(i)._2
+                System.arraycopy(v, 0, flat, i * dim, v.length)
+                norms(i) = Similarity.normP(v)
+                i += 1
+              }
+              l -> (ids, flat, norms, dim)
             }
         val bcLists = spark.sparkContext.broadcast(lists)
         // the scoring pass inherits the SCAN's partitioning unless told
@@ -1464,12 +1486,8 @@ object Streams {
               val nq = Similarity.normP(vq)
               val top = new Similarity.TopK(k)
               Similarity.nearestCentroids(vq, bc.value, np).foreach { c =>
-                val list = ls.getOrElse(c, Array.empty[(Long, Array[Float], Double)])
-                var i = 0
-                while (i < list.length) {
-                  val (b, vb, nb) = list(i)
-                  top.offer(b, Similarity.cosineOf(vq, vb, nq, nb))
-                  i += 1
+                ls.get(c).foreach { case (ids, flat, norms, dim) =>
+                  graft.functions.AnnListTopK.scoreInto(top, vq, nq, ids, flat, norms, dim)
                 }
               }
               top.iterator.map { case (b, c) => (q, b, c, t) }
@@ -1534,8 +1552,13 @@ object Streams {
           // the fold is the STATIC side of every micro-batch's stream-static
           // join — persist it so steady-state serving pays the corpus scan +
           // C-row shuffle ONCE, not per micro-batch (total cached size is
-          // the corpus's own vector payload spread over nlist rows)
+          // the corpus's own vector payload spread over nlist rows).
+          // Registered with [[ServingCache]]: the cache is query-lifetime
+          // by design, and the stream's owner releases it at stop —
+          // otherwise every (re)start in a shared JVM leaks a corpus-sized
+          // entry (ADVICE r16).
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ServingCache.track("ann_packed_lists", packed)
         val routed = queries.where(col(vecCol).isNotNull)
           .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
           // same scan-partitioning trap as the broadcast tier: a one-file
@@ -1581,6 +1604,70 @@ object Streams {
         col("__row.__p.cos").as("cos"), (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** Fold a PQ-code index to one (list, ids, flat codes) row per inverted
+    * list — the packed-code spill tiers' static build side, shared by
+    * [[streamingAnnAdcTopK]] and [[streamingAnnRerankTopK]]'s shortlist
+    * stage. Per-list size is (C/nlist)·m ints, bounded by the nlist ∝ √C
+    * sizing rule, so a list row always fits a task even when the whole
+    * index fits no executor. Persisted MEMORY_AND_DISK (fold once, serve
+    * every micro-batch) and registered with [[ServingCache]] for release
+    * at query stop. */
+  private def packCodeIndex(index: DataFrame, cidCol: String): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val packed = index
+      .select(col("list_id").cast("int"), col(cidCol).cast("long"),
+        col("codes").cast("array<int>"))
+      .as[(Int, Long, Array[Int])]
+      .groupByKey(_._1)
+      .mapGroups { (l, it) =>
+        val items = it.toArray
+        val n = items.length
+        val m = if (n == 0) 0 else items(0)._3.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Int](n * m)
+        var i = 0
+        while (i < n) {
+          ids(i) = items(i)._2
+          System.arraycopy(items(i)._3, 0, flat, i * m,
+            math.min(m, items(i)._3.length))
+          i += 1
+        }
+        (l, ids, flat)
+      }
+      .toDF("__list", "__ids", "__codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ServingCache.track("adc_packed_codes", packed)
+  }
+
+  /** Collect a PQ-code index into the broadcast tiers' flat-packed map:
+    * one (ids, codes flattened at `stride` = m per vector) pair per
+    * inverted list — the spill fold's layout, driver-side. Callers gate
+    * the collect on plan stats BEFORE calling (the ×4 heap rule). */
+  private[streaming] def packCodeLists(index: DataFrame, cidCol: String,
+                                       stride: Int): Map[Int, (Array[Long], Array[Int])] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index
+      .select(col("list_id").cast("int"), col(cidCol).cast("long"),
+        col("codes").cast("array<int>"))
+      .as[(Int, Long, Array[Int])].collect()
+      .groupBy(_._1)
+      .map { case (l, rs) =>
+        val n = rs.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Int](n * stride)
+        var i = 0
+        while (i < n) {
+          ids(i) = rs(i)._2
+          System.arraycopy(rs(i)._3, 0, flat, i * stride,
+            math.min(stride, rs(i)._3.length))
+          i += 1
+        }
+        (l, (ids, flat))
+      }
+  }
+
   /** STREAMING IVFADC SERVING TIER — [[streamingAnnTopK]]'s broadcast tier
     * over the PERSISTED PQ-CODE index ([[graft.ops.Pq.savePqIndex]]):
     * the RAM-resident artifact holds m-byte CODES instead of d·4-byte
@@ -1605,13 +1692,13 @@ object Streams {
     * Q·nprobe query ROWS, and scoring is the in-place
     * [[graft.functions.AnnAdcListTopK]] expression on the build-side row
     * — the [[streamingAnnTopK]] packed-list shape with the static payload
-    * shrunk d·4/m×. Measured at the sf10 probe config (200k×800k, m=8)
-    * the packed-code tier actually OUTRAN the broadcast tier (12.7 s vs
-    * 35.6 s — the in-place flat-int loop beats the broadcast map's
-    * tuple-iterating scorer), so `maxBroadcastBytes = 0` is a legitimate
-    * THROUGHPUT choice on multi-core executors, not just the
-    * past-RAM fallback; the broadcast tier remains the zero-join option
-    * for tiny indexes and latency-sensitive single-batch serving. */
+    * shrunk d·4/m×. Both tiers now score the SAME flat-packed
+    * (ids, flat codes) primitive layout with the shared
+    * [[graft.functions.AnnAdcListTopK]] kernel — the r16 broadcast map
+    * iterated per-candidate tuples + boxed code arrays and measured 2.8×
+    * slower than its own spill twin at the sf10 probe config (35.6 s vs
+    * 12.7 s, 200k×800k, m=8); flat-packing removes that penalty so the
+    * gate chooses on MEMORY, not on an accidental scorer gap. */
   def streamingAnnAdcTopK(queries: DataFrame, index: DataFrame,
                           centroids: Array[Array[Float]],
                           books: Array[Array[Array[Float]]],
@@ -1642,21 +1729,23 @@ object Streams {
       .as[(Long, Array[Float], java.sql.Timestamp)]
     val scored: DataFrame =
       if (rawBytes * 4 <= BigInt(maxBroadcastBytes)) {
-        // BROADCAST tier: the whole code index in executor RAM
-        val lists: Map[Int, Array[(Long, Array[Int])]] = index
-          .select(col("list_id").cast("int"), col(cidCol).cast("long"),
-            col("codes").cast("array<int>"))
-          .as[(Int, Long, Array[Int])].collect()
-          .groupBy(_._1).map { case (l, rs) => (l, rs.map(r => (r._2, r._3))) }
-        val bcL = spark.sparkContext.broadcast(lists)
+        // BROADCAST tier: the whole code index in executor RAM, FLAT-PACKED
+        // to the spill fold's (ids, flat codes) primitive layout and scored
+        // by the shared AnnAdcListTopK kernel. The r16 map iterated
+        // Array[(Long, Array[Int])] tuples + boxed code arrays and measured
+        // 2.8× SLOWER than its own packed-code spill twin on identical sf10
+        // work (35.6 s vs 12.7 s — the round's perf-weak); the flat form
+        // makes the gate pick between two equally-fast scorers.
+        val bcL = spark.sparkContext.broadcast(
+          Streams.packCodeLists(index, cidCol, books.length))
         val bcB = spark.sparkContext.broadcast(books)
         routedQ.flatMap { case (qid, qv, t) =>
             Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
               bcL.value.get(cell) match {
-                case Some(list) =>
-                  Pq.adcTopK(qid,
+                case Some((ids, codes)) =>
+                  graft.functions.AnnAdcListTopK.topKFlat(qid,
                     Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
-                    k, list.iterator).map { case (q, b, d) => (q, b, d, t) }
+                    ids, codes, k).map { case (b, d) => (qid, b, d, t) }
                 case scala.None => Iterator.empty
               }
             }
@@ -1671,29 +1760,7 @@ object Streams {
         // ann_adc_list_top_k expression on the build-side row — no pair
         // stream, no per-row deserialization of the list arrays, and the
         // quantizer constants ride as codegen reference objects.
-        val packed = index
-          .select(col("list_id").cast("int"), col(cidCol).cast("long"),
-            col("codes").cast("array<int>"))
-          .as[(Int, Long, Array[Int])]
-          .groupByKey(_._1)
-          .mapGroups { (l, it) =>
-            val items = it.toArray
-            val n = items.length
-            val m = if (n == 0) 0 else items(0)._3.length
-            val ids = new Array[Long](n)
-            val flat = new Array[Int](n * m)
-            var i = 0
-            while (i < n) {
-              ids(i) = items(i)._2
-              System.arraycopy(items(i)._3, 0, flat, i * m,
-                math.min(m, items(i)._3.length))
-              i += 1
-            }
-            (l, ids, flat)
-          }
-          .toDF("__list", "__ids", "__codes")
-          // static side of every micro-batch's join: fold once, serve many
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val packed = packCodeIndex(index, cidCol)
         val routed = routedQ
           .flatMap { case (qid, qv, t) =>
             Similarity.nearestCentroids(qv, bcC.value, np).iterator
@@ -1728,9 +1795,12 @@ object Streams {
 
   /** STREAMING TWO-STAGE RETRIEVAL — [[graft.ops.Pq.knnJoinIvfPqRerank]]'s
     * search-then-refine discipline in the stream: stage 1 ADC-shortlists
-    * `shortlist` candidates per (query, probed cell) over the
-    * RAM-resident PQ-CODE index (m-byte codes — the
-    * [[streamingAnnAdcTopK]] broadcast tier with a wider k); stage 2
+    * `shortlist` candidates per (query, probed cell) over the PQ-CODE
+    * index (m-byte codes), serving from [[streamingAnnAdcTopK]]'s
+    * broadcast tier when the stats×4 heap gate admits the index and from
+    * its packed-code SPILL tier past the gate — both score the same
+    * flat-packed layout with the shared ADC kernel, so gate choice never
+    * changes the shortlist; stage 2
     * stream-static equi-joins ONLY the ≤ Q·nprobe·shortlist survivors
     * back to their float vectors and re-scores exact cosine with the
     * native codegen kernel, feeding the same watermarked bounded-heap
@@ -1761,41 +1831,62 @@ object Streams {
     val np = math.min(nprobe, centroids.length)
     // same stats × 4 heap gate as streamingAnnAdcTopK before the collect —
     // an ungated broadcast of the code index would OOM the driver at
-    // exactly the corpus size this tier exists to serve. Fail fast with
-    // the route out: shortlist through streamingAnnAdcTopK's packed-code
-    // spill tier, then rerank the emitted rows batch-side.
+    // exactly the corpus size this tier exists to serve. Past the gate
+    // the composition serves itself (r16 refused here and told the caller
+    // to hand-assemble — the only serving path that required manual
+    // composition at exactly the corpus size the tiers exist for): the
+    // shortlist runs through the packed-code spill machinery with
+    // k = shortlist, and stage 2 is unchanged.
     val rawBytes: BigInt = index.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(rawBytes * 4 <= BigInt(maxBroadcastBytes),
-      s"PQ-code index (~$rawBytes raw bytes, ×4 heap estimate) exceeds the " +
-        s"$maxBroadcastBytes-byte broadcast gate: shortlist with " +
-        "streamingAnnAdcTopK's packed-code spill tier and rerank its " +
-        "emitted candidates instead")
-    val lists: Map[Int, Array[(Long, Array[Int])]] = index
-      .select(col("list_id").cast("int"), col(cidCol).cast("long"),
-        col("codes").cast("array<int>"))
-      .as[(Int, Long, Array[Int])].collect()
-      .groupBy(_._1).map { case (l, rs) => (l, rs.map(r => (r._2, r._3))) }
-    val bcL = spark.sparkContext.broadcast(lists)
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcB = spark.sparkContext.broadcast(books)
-    // stage 1: ADC shortlist — the query vector rides with each candidate
-    // so stage 2 re-scores without a second stream join
-    val cand = queries.where(col(vecCol).isNotNull)
+    val routedQ = queries.where(col(vecCol).isNotNull)
       .select(col(qidCol).cast("long"), col(vecCol), col("ts"))
+      // one-file micro-batch trap: fan the per-query stage-1 scoring out
+      // before it starts, same as the other serving tiers
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float], java.sql.Timestamp)]
-      .flatMap { case (qid, qv, t) =>
-        Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
-          bcL.value.get(cell) match {
-            case Some(list) =>
-              Pq.adcTopK(qid,
-                Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
-                shortlist, list.iterator).map { case (q, b, _) => (q, qv, b, t) }
-            case scala.None => Iterator.empty
+    // stage 1: ADC shortlist — the query vector rides with each candidate
+    // so stage 2 re-scores without a second stream join
+    val cand: DataFrame =
+      if (rawBytes * 4 <= BigInt(maxBroadcastBytes)) {
+        // broadcast shortlist: flat-packed code map + the shared kernel
+        // (the r16 tuple map scorer is gone here too)
+        val bcL = spark.sparkContext.broadcast(
+          Streams.packCodeLists(index, cidCol, books.length))
+        routedQ.flatMap { case (qid, qv, t) =>
+            Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
+              bcL.value.get(cell) match {
+                case Some((ids, codes)) =>
+                  graft.functions.AnnAdcListTopK.topKFlat(qid,
+                    Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
+                    ids, codes, shortlist).map { case (b, _) => (qid, qv, b, t) }
+                case scala.None => Iterator.empty
+              }
+            }
           }
-        }
+          .toDF("q", "__qv", "b", "ts")
+      } else {
+        // packed-code SPILL shortlist: the streamingAnnAdcTopK spill fold
+        // (one (ids, flat codes) row per list, ServingCache-tracked),
+        // rows-only stream-static join, in-place ADC expression with
+        // k = shortlist; survivors keep their query vector for stage 2
+        val packed = packCodeIndex(index, cidCol)
+        val routed = routedQ
+          .flatMap { case (qid, qv, t) =>
+            Similarity.nearestCentroids(qv, bcC.value, np).iterator
+              .map(c => (c, qid, qv, t))
+          }
+          .toDF("__list", "q", "__qv", "ts")
+        import org.apache.spark.sql.graft.SqlBridge
+        val hits = SqlBridge.column(graft.functions.AnnAdcListTopK(
+          SqlBridge.expression(col("__qv")), SqlBridge.expression(col("q")),
+          SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
+          SqlBridge.expression(col("__codes")), centroids, books, shortlist))
+        routed.join(packed, Seq("__list"))
+          .select(col("q"), col("__qv"), col("ts"), explode(hits).as("__hit"))
+          .select(col("q"), col("__qv"), col("__hit.b").as("b"), col("ts"))
       }
-      .toDF("q", "__qv", "b", "ts")
     // stage 2: survivors join their float vectors; exact native cosine
     val vecs = corpus.where(col(vecCol).isNotNull)
       .select(col(cidCol).cast("long").as("b"), col(vecCol).as("__bv"))

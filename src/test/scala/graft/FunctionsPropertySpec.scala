@@ -155,6 +155,104 @@ class FunctionsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("scoreInto (flat broadcast scorer) equals the ann_list_top_k kernel") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.ops.Similarity
+    // the r17 broadcast tier packs its map to the spill fold's layout and
+    // scores with scoreInto — per probed list it must produce exactly the
+    // kernel's candidates when offered into a fresh heap
+    val listGen = for {
+      dim <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray))
+      q <- Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+      k <- Gen.choose(1, 6)
+    } yield (dim, vs.toArray, q, k)
+    check(forAll(listGen) { case (dim, vs, q, k) =>
+      val ids = vs.indices.map(_.toLong + 100).toArray
+      val flat = vs.flatten
+      val norms = vs.map(Similarity.normP)
+      val top = new Similarity.TopK(k)
+      graft.functions.AnnListTopK.scoreInto(top, q, Similarity.normP(q),
+        ids, flat, norms, dim)
+      val expect = graft.functions.AnnListTopK.topK(
+        new GenericArrayData(q.map(x => x: Any)),
+        new GenericArrayData(ids.map(x => x: Any)),
+        new GenericArrayData(flat.map(x => x: Any)),
+        new GenericArrayData(norms.map(x => x: Any)), dim, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      top.iterator.toSeq == expect
+    })
+  }
+
+  test("topKFlat (flat broadcast ADC scorer) equals the ann_adc_list_top_k kernel") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.ops.Pq
+    val caseGen = for {
+      m <- Gen.choose(1, 4)
+      dsub <- Gen.choose(1, 4)
+      kk <- Gen.choose(1, 6)
+      nc <- Gen.choose(1, 3)
+      books <- Gen.listOfN(m, Gen.listOfN(kk,
+        Gen.listOfN(dsub, Gen.chooseNum(-5f, 5f)).map(_.toArray)).map(_.toArray)).map(_.toArray)
+      cents <- Gen.listOfN(nc, Gen.listOfN(m * dsub, Gen.chooseNum(-5f, 5f)).map(_.toArray)).map(_.toArray)
+      cell <- Gen.choose(0, nc - 1)
+      n <- Gen.choose(0, 10)
+      codes <- Gen.listOfN(n, Gen.listOfN(m, Gen.choose(0, kk - 1)).map(_.toArray)).map(_.toArray)
+      q <- Gen.listOfN(m * dsub, Gen.chooseNum(-5f, 5f)).map(_.toArray)
+      k <- Gen.choose(1, 5)
+      qid <- Gen.oneOf(Gen.const(-1L), Gen.choose(7L, 7L + math.max(0, n - 1)))
+    } yield (books, cents, cell, codes, q, k, qid)
+    check(forAll(caseGen) { case (books, cents, cell, codes, q, k, qid) =>
+      val ids = codes.indices.map(_.toLong + 7).toArray
+      val dt = Pq.distTable(Pq.residualOf(q, cents(cell)), books)
+      val got = graft.functions.AnnAdcListTopK
+        .topKFlat(qid, dt, ids, codes.flatten, k).toSeq
+      val expect = graft.functions.AnnAdcListTopK.topK(
+        new GenericArrayData(q.map(x => x: Any)), qid, cell,
+        new GenericArrayData(ids.map(x => x: Any)),
+        new GenericArrayData(codes.flatten.map(x => x: Any)),
+        cents, books, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      got == expect
+    })
+  }
+
+  test("NaN ADC distances are skipped, never evicting finite candidates") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    // code 0's sub-distance is NaN (a NaN input vector); candidate 0 must
+    // be SKIPPED by both kernel forms while finite candidate 1 survives —
+    // the r16 heap inserted the NaN at the worst slot and could evict a
+    // finite candidate (ADVICE r16)
+    val books = Array(Array(Array(Float.NaN), Array(1f)))
+    val cents = Array(Array(0f))
+    val ids = Array(10L, 11L)
+    val codes = Array(0, 1)
+    val q = Array(0f)
+    val dt = graft.ops.Pq.distTable(graft.ops.Pq.residualOf(q, cents(0)), books)
+    val flatGot = graft.functions.AnnAdcListTopK.topKFlat(-1L, dt, ids, codes, 2).toSeq
+    val kernelGot = graft.functions.AnnAdcListTopK.topK(
+      new GenericArrayData(q.map(x => x: Any)), -1L, 0,
+      new GenericArrayData(ids.map(x => x: Any)),
+      new GenericArrayData(codes.map(x => x: Any)),
+      cents, books, 2)
+      .array.map { r =>
+        val row = r.asInstanceOf[InternalRow]
+        (row.getLong(0), row.getDouble(1))
+      }.toSeq
+    assert(flatGot.map(_._1) == Seq(11L), s"flat scorer admitted NaN: $flatGot")
+    assert(kernelGot.map(_._1) == Seq(11L), s"kernel admitted NaN: $kernelGot")
+  }
+
   test("identical windows collide, and values stay within the 62-bit range") {
     check(forAll(textGen, Gen.choose(1, 20)) { (s: String, w: Int) =>
       val doubled = s + s

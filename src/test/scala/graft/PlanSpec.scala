@@ -532,4 +532,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "g_planspec_adc_idx")
   }
+
+  test("streaming rerank past the gate composes the spill shortlist, not a refusal") {
+    // r16 REFUSED past the broadcast gate and told the caller to
+    // hand-assemble; r17 wires the packed-code spill shortlist + exact
+    // rerank itself. Batch replay with the gate forced to 0 pins the
+    // composed shape: flat-packed code rows on the static side, the
+    // in-place ADC expression shortlisting, the exact native cosine in
+    // stage 2, the bounded-heap windowed merge — and no pair stream.
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val corpus = emb.where(col("label") =!= 0).where(col("embedding").isNotNull)
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 4)
+    val books = graft.ops.Pq.residualCodebooks(corpus, cents, m = 2, k = 8)
+    graft.ops.Pq.savePqIndex(spark, corpus, cents, books, "g_planspec_rrs_idx")
+    val p = graft.streaming.Streams.streamingAnnRerankTopK(queries,
+      graft.ops.Pq.loadPqIndex(spark, "g_planspec_rrs_idx"), corpus, cents,
+      books, k = 3, shortlist = 5, nprobe = 2, maxBroadcastBytes = 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__codes"),
+      s"shortlist static side must be flat-packed code rows:\n${p.take(800)}")
+    assert(p.contains("ann_adc_list_top_k"),
+      s"shortlist must be the in-place ADC expression:\n${p.take(800)}")
+    assert(p.contains("cosine_sim"),
+      s"stage 2 must re-score with the exact native cosine:\n${p.take(800)}")
+    assert(p.contains("bounded_top_k"), s"top-k must be the bounded heap:\n${p.take(800)}")
+    assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "g_planspec_rrs_idx")
+  }
 }
