@@ -114,8 +114,12 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
-      // see Bench.scala: keep k-bounded heap aggregates on the hash path
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
+      // the object-agg sort-fallback valve stays ARMED at the session
+      // default: pipeline authors can write unbounded collect_list/
+      // percentile in .sql assets, and the valve is what keeps those from
+      // OOMing an executor. Materializer.executeDf raises the threshold
+      // per asset, only when the asset's plan aggregates with one of
+      // graft's k-bounded heaps (graft.core.HeapAgg).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -35,4 +35,9 @@ object SparkEntry {
     * but whose round-over-round timings we keep tracking. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     OQ.toQueryMap(registry ++ DataOpsQueries.benchOnly)
+
+  /** Streaming keys that must run under the raised object-agg fallback
+    * threshold ([[graft.core.HeapAgg]]): their bounded-heap aggregation
+    * executes inside OQ.run, before a caller can sniff the plan. */
+  def heapRaisedStreaming: Set[String] = EngineQueries.heapRaisedStreaming
 }

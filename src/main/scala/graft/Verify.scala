@@ -15,13 +15,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // bounded-heap aggregates (BoundedTopK, CappedCollectList) keep O(k)
-      // rows per group, so hash aggregation stays memory-safe at millions
-      // of groups — the 128-group default silently falls back to
-      // SORT-based aggregation, which SORTS the full joined input per
-      // partition (observed: the sf10 streaming-ANN probe degenerating
-      // from minutes to hours on one straggling sorted partial)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
+      // object-agg sort-fallback valve at the session default; per-query
+      // raises via graft.core.HeapAgg (see Bench.scala)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -34,17 +29,31 @@ object Verify {
     // machine-distinguishable from a clean one (an empty artifact reads as
     // "zero failures" to round-diffing tools — r8 advice)
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    val raisedStreaming = SparkEntry.heapRaisedStreaming
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          // k-bounded-heap plans run under the scoped fallback raise —
+          // streaming keys pre-listed (their heap executes inside fn),
+          // batch keys sniffed from the analyzed plan
+          if (raisedStreaming(name))
+            graft.core.HeapAgg.withRaised(spark)(
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name"))
+          else {
+            val df = fn(spark, sfDir)
+            graft.core.HeapAgg.maybeRaised(df)(
+              df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"))
+          }
           status(name) = "ok"
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           status(name) = s"err: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
+        } finally
+          // drop any persisted serving folds the query left behind — the
+          // 213-key pass otherwise accumulates corpus-sized cache entries
+          graft.streaming.ServingCache.releaseAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -180,7 +180,15 @@ object Materializer {
       return
     }
 
-    mat.typ match {
+    // k-bounded-heap plans (an asset selecting through group-top-k /
+    // capped-list engine SQL) execute under the scoped fallback raise;
+    // every other asset keeps the session-default valve, so a pipeline
+    // author's unbounded collect_list degrades to sort instead of OOMing.
+    // The ddl strategy never evaluates its input, so it must not be
+    // sniffed (the plan force would evaluate the by-name query).
+    val isDdl = mat.typ == MaterializationType.Table &&
+      effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace) == Strategy.DDL
+    def materialize(): Unit = mat.typ match {
       case MaterializationType.None =>
         // Run as-is without fetching to the driver (reference
         // materializer.go:23-27 executes without a result set). The noop v2
@@ -211,6 +219,8 @@ object Materializer {
         }
         analyzeIfRequested(wh, asset)
     }
+    if (isDdl) materialize()
+    else graft.core.HeapAgg.maybeRaised(df)(materialize())
   }
 
   /** `index: ivf|ivfpq` asset builds. The asset NAME is the index table;

@@ -1336,6 +1336,17 @@ object EngineQueries {
     // sees real column values on 'd' rows; they are dropped either way
     cdcOracleSql)
 
+  /** Streaming keys whose IN-FLIGHT aggregation is a k-bounded heap
+    * (BoundedTopK inside the windowed state). These execute their stream
+    * during OQ.run, so the per-query fallback-threshold raise
+    * ([[graft.core.HeapAgg]]) must wrap the whole invocation — batch keys
+    * are plan-sniffed post-hoc by HeapAgg.maybeRaised instead and need no
+    * entry here. */
+  val heapRaisedStreaming: Set[String] = Set(
+    "stream_ann_topk", "stream_ann_topk_broadcast", "stream_ann_topk_indexed",
+    "stream_ann_adc_topk", "stream_ann_adc_spill",
+    "stream_ann_rerank_topk", "stream_ann_rerank_spill")
+
   val all: Seq[OQ] = Seq(semanticSimple, semanticSegment, semanticWindow, semanticJoin,
     lineageColumns, lineageUsedTables, diffProfile, diffDrift, diffDriftCat,
     diffJs, diffJsNum, diffVocab, diffKeyed, diffSchema, seedCsv, pipelineE2e, streamWindow, streamDrift,

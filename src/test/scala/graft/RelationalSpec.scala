@@ -9,8 +9,9 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      // keep k-bounded heap aggregates on the hash path (see Bench.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
+      // object-agg fallback valve at the SESSION DEFAULT: specs exercise
+      // the same scoped-raise path (graft.core.HeapAgg) the product
+      // surfaces use, and tiny-SF sort fallbacks are harmless
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
@@ -94,5 +95,39 @@ class RelationalSpec extends AnyFunSuite {
       payload = Seq("srid", "v"), tieCol = "srid")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(tied(1L) == "id101", s"string tie must pick the greatest: $tied")
+  }
+
+  test("object-agg valve: session default armed, HeapAgg scopes the raise") {
+    import graft.core.HeapAgg
+    import org.apache.spark.sql.functions.{col, collect_list}
+    // through r16 every session builder disabled the valve session-wide;
+    // the raise is now scoped per bounded-heap query (VERDICT r16 #3)
+    assert(spark.conf.get(HeapAgg.Key) == "128",
+      "the sort-fallback valve must sit at the Spark default between queries")
+    // an UNBOUNDED collect_list over ~3M groups on a tiny heap slice:
+    // with the valve armed each partition's hash agg flips to sort at 128
+    // groups and the query COMPLETES instead of ballooning the hash map
+    // (the session-wide raise turned this into an OOM candidate at scale)
+    val grouped = spark.range(3000000L)
+      .selectExpr("id AS g", "CAST(id % 97 AS STRING) AS v")
+      .groupBy("g").agg(collect_list("v").as("vs"))
+    assert(grouped.count() == 3000000L)
+    // the scoped raise is visible inside the wrapper and restored after,
+    // even on failure
+    HeapAgg.withRaised(spark) {
+      assert(spark.conf.get(HeapAgg.Key) == HeapAgg.Raised)
+    }
+    assert(spark.conf.get(HeapAgg.Key) == "128")
+    intercept[RuntimeException] {
+      HeapAgg.withRaised(spark) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(HeapAgg.Key) == "128",
+      "withRaised must restore the default on failure too")
+    // plan sniffing: a bounded-heap plan is recognized, a plain agg is not
+    val bounded = graft.ops.Sampling.groupTopK(
+      spark.range(100).selectExpr("id % 10 AS g", "id AS x"),
+      Seq("g"), Seq(col("x")), 3)
+    assert(HeapAgg.plansBoundedAgg(bounded))
+    assert(!HeapAgg.plansBoundedAgg(grouped))
   }
 }

@@ -24,7 +24,6 @@ class ScaleProbeSpec extends AnyFunSuite {
       .master("local[32]")
       .appName("graft-scale-probe")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -32,7 +31,11 @@ class ScaleProbeSpec extends AnyFunSuite {
         s"/tmp/graft-scale-wh-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try runProbe(spark) finally spark.stop()
+    // every timed probe exercises k-bounded heaps (dedup caps, ANN
+    // merges), so the whole probe runs under the scoped raise — the same
+    // configuration Bench/Verify apply per bounded-heap query
+    try graft.core.HeapAgg.withRaised(spark)(runProbe(spark))
+    finally spark.stop()
   }
 
   private def runProbe(spark: SparkSession): Unit = {
