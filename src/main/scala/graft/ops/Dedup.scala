@@ -1511,15 +1511,22 @@ object Dedup {
       .headOption.map(_.getString(0))
 
   private[graft] def requireBandConfigMatch(index: DataFrame, nb: Int, sigBits: Int,
-                                     what: String): Unit =
-    storedBandConfig(index).foreach { stored =>
-      val got = bandConfig(nb, sigBits)
-      require(stored == got,
-        s"$what was built under a DIFFERENT banding geometry (artifact " +
-          s"$stored, requested $got): precomputed band keys would no " +
-          "longer cover the requested hamming radius — rebuild the index " +
-          "or query with the artifact's geometry")
-    }
+                                     what: String): Unit = {
+    // a STAMPLESS table is refused outright, mirroring
+    // appendToSignatureIndex: accepting it under any (bands, sigBits)
+    // would silently lose the pigeonhole recall guarantee if its band
+    // keys came from a different layout (ADVICE r16)
+    val stored = storedBandConfig(index).getOrElse(throw new IllegalArgumentException(
+      s"$what carries no banding-geometry stamp (__band_config): its band " +
+        "keys cannot be verified against the requested geometry — rebuild " +
+        "it with saveSignatureIndex"))
+    val got = bandConfig(nb, sigBits)
+    require(stored == got,
+      s"$what was built under a DIFFERENT banding geometry (artifact " +
+        s"$stored, requested $got): precomputed band keys would no " +
+        "longer cover the requested hamming radius — rebuild the index " +
+        "or query with the artifact's geometry")
+  }
 
   /** Persist the BANDED SIGNATURE INDEX — (bk, id, sig) with one row per
     * (signature row, band), bucketed BY the band key — the media/simhash

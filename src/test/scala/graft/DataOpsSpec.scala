@@ -2146,6 +2146,12 @@ class DataOpsSpec extends AnyFunSuite {
       Dedup.appendToSignatureIndex(spark, sig, "sig_idx_nostamp")
     }
     assert(e2.getMessage.contains("no banding-geometry stamp"))
+    // … and so is QUERYING one (r16 silently accepted it under any
+    // geometry, losing pigeonhole recall with no signal — ADVICE r16)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.hammingPairsIndexed(spark.table("sig_idx_nostamp"), maxHamming = 3)
+    }
+    assert(e3.getMessage.contains("no banding-geometry stamp"))
     Seq("sig_idx_t", "sig_idx_nostamp").foreach(t =>
       SessionCatalogWarehouse.dropAny(spark, t))
   }
