@@ -19,6 +19,7 @@ import graft.unittest.UnitTests
   *   graft run <pipeline-dir> [--select term]... [--environment env]
   *       [--full-refresh] [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD]
   *       [--sensor-mode skip|once|wait] [--concurrency n]
+  *   graft serve <pipeline-dir> <serving-asset> [--environment env]
   *   graft render <pipeline-dir> <asset>
   *   graft lint <pipeline-dir>
   *   graft query --q "SELECT …" [--limit n] [--export /path/out.csv]
@@ -48,6 +49,7 @@ object Main {
     def spark: SparkSession = spark0.getOrElse(newSession())
     args.headOption match {
       case Some("run")          => cmdRun(spark, flags, pos)
+      case Some("serve")        => cmdServe(spark, flags, pos)
       case Some("render")       => cmdRender(flags, pos)
       case Some("lint")         => cmdLint(flags, pos, () => spark)
       case Some("query")        => cmdQuery(spark, flags)
@@ -70,7 +72,7 @@ object Main {
       case Some("render-ddl")   => graft.cli.ProjectCli.cmdRenderDdl(flags, pos)
       case _ =>
         System.err.println(
-          "usage: graft run|render|render-ddl|lint|query|unit-test|lineage|data-diff|" +
+          "usage: graft run|serve|render|render-ddl|lint|query|unit-test|lineage|data-diff|" +
             "environments|format|docs|parse-pipeline|clean|compact|init|connections|import|patch …")
         2
     }
@@ -208,6 +210,24 @@ object Main {
         s"[failed] ${r.instance.id}: ${r.error.map(_.getMessage).getOrElse("")}"))
     if (results.values.exists(r =>
       r.status == Scheduler.Failed || r.status == Scheduler.UpstreamFailed)) 1 else 0
+  }
+
+  // ---- serve --------------------------------------------------------------
+
+  /** `graft serve <dir> <asset>` — foreground retrieval serving over a
+    * persisted index: sugar for `run <dir> --stream --select <asset>`
+    * applied to a `serve: ann|ivfadc|rerank|hamming` asset
+    * ([[graft.exec.Serving]]). Blocks while `flush_interval` is set;
+    * drains the feed once and returns otherwise. */
+  private def cmdServe(spark: SparkSession, flags: Map[String, Seq[String]],
+                       pos: Seq[String]): Int = pos match {
+    case Seq(dir, assetName) =>
+      cmdRun(spark,
+        flags.updated("stream", Seq("true")).updated("select", Seq(assetName)),
+        Seq(dir))
+    case _ =>
+      System.err.println("usage: graft serve <pipeline-dir> <serving-asset>")
+      2
   }
 
   // ---- render -------------------------------------------------------------

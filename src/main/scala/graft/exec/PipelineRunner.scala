@@ -115,6 +115,15 @@ final class PipelineRunner(
     }
     pre.foreach(hook)
     val target = if (rename.isEmpty) asset else asset.copy(name = physical(asset.name))
+    // retrieval-serving assets (`serve:` parameter) drain their query feed
+    // once per scheduled run — the ingest AvailableNow contract; `graft
+    // serve` / `run --stream` is the blocking foreground form
+    if (Serving.isServing(asset)) {
+      Serving.run(warehouse, resolveConnection(target), foreground = false,
+        physicalName = if (rename.isEmpty) identity else physical)
+      post.foreach(hook)
+      return
+    }
     asset.assetType match {
       case AssetType.Empty => () // pure DAG node (reference executor/empty.go)
       case AssetType.Seed =>
@@ -192,6 +201,14 @@ final class PipelineRunner(
     val rename = renameMap(pipeline)
     val target = if (rename.isEmpty) asset else asset.copy(name = physical(asset.name))
     val connected = resolveConnection(target)
+    // retrieval-serving assets (`serve: ann|ivfadc|rerank|hamming`) route
+    // to the serving tiers instead of the ingest writer — same foreground
+    // contract, reading a PERSISTED index and appending hits to the sink
+    if (Serving.isServing(connected)) {
+      Serving.run(warehouse, connected, foreground = true,
+        physicalName = if (rename.isEmpty) identity else physical)
+      return
+    }
     val resolved = graft.sources.Ingest.brokerResolved(connected).getOrElse(
       throw new IllegalArgumentException(
         s"${asset.name} is not a streaming asset; --stream requires a " +

