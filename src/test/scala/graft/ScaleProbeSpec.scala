@@ -865,8 +865,78 @@ class ScaleProbeSpec extends AnyFunSuite {
       "gate forced to 0: one (ids, flat codes) row per list, rows-only " +
         "stream-static join, in-place ann_adc_list_top_k scoring — the " +
         "float spill shape with the static payload 32x smaller", bcBytes = 0L)
+    // the TWO-STAGE rerank at the same decade (r17 brief #6), both tiers:
+    // r17 composed the packed-code spill shortlist past the broadcast
+    // gate, so the spill row prices the previously-refused route
+    def rerankStream(label: String, note: String, bcBytes: Long): Unit =
+      tShuffle(label, note) {
+        val qs = spark.readStream
+          .schema(spark.read.parquet(feed10).schema).parquet(feed10)
+        val hits = graft.streaming.Streams.streamingAnnRerankTopK(qs, adcIdx,
+          c10, cents10, books10, k = 5, shortlist = 50, nprobe = 8,
+          windowLen = "1 minute", watermark = "1 minute",
+          maxBroadcastBytes = bcBytes)
+        hits.writeStream.format("noop")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-rr10-cp").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+    rerankStream("sf10 streaming two-stage rerank, broadcast shortlist " +
+      "(200k x 800k, m=8, shortlist=50)",
+      "ADC shortlist over the RAM-resident flat-packed code map, survivors " +
+        "equi-join their float vectors BY ID, exact native-cosine rerank — " +
+        "corpus vectors never replicate per query", bcBytes = 1L << 32)
+    rerankStream("sf10 streaming two-stage rerank, packed-code spill shortlist " +
+      "(same config)",
+      "gate forced to 0: the r16 refusal replaced by the composed " +
+        "packed-code spill shortlist (in-place ADC expression, k=shortlist) " +
+        "+ unchanged exact rerank", bcBytes = 0L)
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_adc_idx")
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(embDir10))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(feed10))
+
+    // ---- streaming hamming near-dup at the 500k-doc decade (r17 brief
+    // #6): 450k synthetic 63-bit signatures indexed (planted near-dup
+    // groups of 10, one flipped bit each), 50k stream in under the frozen
+    // geometry — the corpus is never re-banded, state is (window x pair)
+    val sigDir10 = "/tmp/graft-scale-sf10-sigfeed"
+    val sigs10 = spark.range(500000).selectExpr("id AS doc_id",
+      // 63-bit group base ^ one planted bit flip; the split bucket is an
+      // ORTHOGONAL hash (group stride 50000 ≡ 0 mod 10 — a modular split
+      // would never cross groups, the b397fde vacuous-oracle trap)
+      "(xxhash64(CAST(id % 50000 AS STRING)) & 9223372036854775807L) ^ " +
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(CAST(id AS STRING)), 60) AS INT)) AS phash",
+      "pmod(xxhash64(concat(CAST(id AS STRING), 'split')), 10) AS bkt")
+    tShuffle("sf10 signature index build (450k sigs, 9 bands / 63 bits)",
+      "band keys precomputed once at build, bucketBy(bk), geometry stamped") {
+      graft.ops.Dedup.saveSignatureIndex(spark, sigs10.where(col("bkt") =!= 0),
+        "probe_sig_idx", maxHamming = 8, bands = 9, sigBits = 63,
+        idCol = "doc_id", sigCol = "phash")
+    }
+    sigs10.where(col("bkt") === 0)
+      .select(col("doc_id"), col("phash"),
+        (lit("2024-01-01 00:00:00").cast("timestamp") + make_dt_interval(
+          lit(0), lit(0), lit(0), pmod(col("doc_id"), lit(7200)))).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(sigDir10)
+    tShuffle("sf10 streaming hamming near-dup (50k stream x 450k indexed, 9 bands)",
+      "stream rows band under the frozen stamped geometry, stream-static " +
+        "join on precomputed band keys, exact bit_count verify, windowed " +
+        "multi-band collapse — the indexed corpus is never re-banded") {
+      val qs = spark.readStream
+        .schema(spark.read.parquet(sigDir10).schema).parquet(sigDir10)
+      val flagged = graft.streaming.Streams.streamingHammingNearDup(qs,
+        graft.ops.Dedup.loadSignatureIndex(spark, "probe_sig_idx"),
+        maxHamming = 8, bands = 9, sigBits = 63,
+        idCol = "doc_id", sigCol = "phash",
+        windowLen = "1 minute", watermark = "1 minute")
+      flagged.writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-hnd10-cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_sig_idx")
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(sigDir10))
   }
 }
