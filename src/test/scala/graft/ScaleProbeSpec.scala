@@ -442,6 +442,23 @@ class ScaleProbeSpec extends AnyFunSuite {
       "actual shuffle rows; the capped path never creates them. The CDC rows " +
       "witness per-batch cost tracking the batch's bucket footprint, not " +
       "total state size.\n"
+    md ++= "\nStreaming fresh-run elevation (r16 watch item, CLOSED r17 as " +
+      "ENVIRONMENTAL): the five windowed-state keys (`stream_window_topk`, " +
+      "`stream_heavy_hitters`, `stream_quantile_histogram`, " +
+      "`stream_distinct_kmv`, `stream_enriched_counts`) ran a three-arm " +
+      "clean-process A/B at sf0.1. (a) ISOLATED fresh JVM, only the five " +
+      "keys: mins 2.72-3.35 s — already at the r16 'regressed' level with " +
+      "ZERO ANN keys loaded, so shared-JVM crowding cannot be the cause. " +
+      "(b) CROWDED: the same five keys after the seven heavy streaming-ANN " +
+      "keys in one JVM (with r17's per-query ServingCache.releaseAll): " +
+      "2.59-3.26 s — no crowding penalty at all; the release keeps the " +
+      "block manager flat. (c) r15-HEAD BINARY on the same day/host: " +
+      "3.02-3.81 s — the OLD code reproduces the elevation (and the " +
+      "r15->r16 diff touches zero shared streaming machinery), so the " +
+      "r15-vs-r16 fresh-run delta is host-generation variance on the " +
+      "trigger/checkpoint latency path (batch CPU-bound keys stay flat, " +
+      "fsync probe 0.54 ms). The committed sidecar mins remain the " +
+      "record; fold caches are now released per query in Bench/Verify.\n"
     md ++= "\n`stream_cdc_apply` floor (r12-carried chase, closed r15): the " +
       "bench key is 3 micro-batches through the n=1 overlay writer, i.e. " +
       "three mandatory state rewrites. GRAFT_CDC_TIMING decomposition on the " +
