@@ -1851,26 +1851,45 @@ object Streams {
     val cand: DataFrame =
       if (rawBytes * 4 <= BigInt(maxBroadcastBytes)) {
         // broadcast shortlist: flat-packed code map + the shared kernel
-        // (the r16 tuple map scorer is gone here too)
+        // (the r16 tuple map scorer is gone here too). ONE heap per query
+        // ACROSS its probed cells — the FAISS search-then-refine contract
+        // the batch twin already implements (knnJoinIvfPq(topK=shortlist)
+        // is a per-QUERY rank): stage 2 then joins Q·shortlist survivor
+        // rows, not Q·nprobe·shortlist. The per-cell form measured 244 s /
+        // 87.4M stage-2 shuffle rows at the sf10 probe config — an
+        // nprobe× self-inflicted join volume (ADC distances are mutually
+        // comparable across cells: each approximates the same query-to-
+        // candidate L2, so one heap ranks them soundly).
         val bcL = spark.sparkContext.broadcast(
           Streams.packCodeLists(index, cidCol, books.length))
         routedQ.flatMap { case (qid, qv, t) =>
-            Similarity.nearestCentroids(qv, bcC.value, np).iterator.flatMap { cell =>
-              bcL.value.get(cell) match {
-                case Some((ids, codes)) =>
-                  graft.functions.AnnAdcListTopK.topKFlat(qid,
-                    Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
-                    ids, codes, shortlist).map { case (b, _) => (qid, qv, b, t) }
-                case scala.None => Iterator.empty
+            val top = new Similarity.TopK(shortlist)
+            Similarity.nearestCentroids(qv, bcC.value, np).foreach { cell =>
+              bcL.value.get(cell).foreach { case (ids, codes) =>
+                graft.functions.AnnAdcListTopK.topKFlat(qid,
+                  Pq.distTable(Pq.residualOf(qv, bcC.value(cell)), bcB.value),
+                  ids, codes, shortlist)
+                  .foreach { case (b, d) => top.offer(b, -d) }
               }
             }
+            top.iterator.map { case (b, _) => (qid, qv, b, t) }
           }
           .toDF("q", "__qv", "b", "ts")
       } else {
         // packed-code SPILL shortlist: the streamingAnnAdcTopK spill fold
         // (one (ids, flat codes) row per list, ServingCache-tracked),
         // rows-only stream-static join, in-place ADC expression with
-        // k = shortlist; survivors keep their query vector for stage 2
+        // k = shortlist — then the SAME per-query squeeze as the broadcast
+        // tier, done STATELESSLY: each (query, probed cell) row carries
+        // its ≤ shortlist hits as two primitive arrays, a hash
+        // repartition co-locates one query's ≤ nprobe lists, and a
+        // mapPartitions heap merges them (per-cell top-s sets union to
+        // the global top-s because every candidate lives in exactly one
+        // cell). No second stateful operator, and stage 2 joins
+        // Q·shortlist survivor rows under BOTH tiers — gate choice never
+        // changes the shortlist. Task memory is (query rows per
+        // partition) × (qv + shortlist entries) — the squeeze state for a
+        // 10M-query micro-batch at 1000 partitions is ~10 MB/task.
         val packed = packCodeIndex(index, cidCol)
         val routed = routedQ
           .flatMap { case (qid, qv, t) =>
@@ -1884,8 +1903,35 @@ object Streams {
           SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
           SqlBridge.expression(col("__codes")), centroids, books, shortlist))
         routed.join(packed, Seq("__list"))
-          .select(col("q"), col("__qv"), col("ts"), explode(hits).as("__hit"))
-          .select(col("q"), col("__qv"), col("__hit.b").as("b"), col("ts"))
+          .select(col("q"), col("__qv"), col("ts"), hits.as("__hits"))
+          .where(col("__hits").isNotNull)
+          // GetArrayStructFields, not a transform() HOF — field extraction
+          // over the array stays in whole-stage codegen with no lambda
+          .select(col("q"), col("__qv"), col("ts"),
+            col("__hits").getField("b").as("__hb"),
+            col("__hits").getField("dist2").as("__hd"))
+          .repartition(spark.sparkContext.defaultParallelism, col("q"))
+          .as[(Long, Array[Float], java.sql.Timestamp, Array[Long], Array[Double])]
+          .mapPartitions { it =>
+            // one bounded heap per DISTINCT QUERY ROW (keyed by (q, ts) so
+            // duplicate ids in a batch stay independent rows, matching the
+            // broadcast tier's row-at-a-time contract)
+            val heaps = new java.util.LinkedHashMap[(Long, java.sql.Timestamp),
+              (Array[Float], Similarity.TopK)]()
+            it.foreach { case (q, qv, t, hb, hd) =>
+              var e = heaps.get((q, t))
+              if (e == null) { e = (qv, new Similarity.TopK(shortlist)); heaps.put((q, t), e) }
+              var i = 0
+              while (i < hb.length) { e._2.offer(hb(i), -hd(i)); i += 1 }
+            }
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              heaps.entrySet().iterator()).asScala.flatMap { en =>
+              val (q, t) = en.getKey
+              val (qv, top) = en.getValue
+              top.iterator.map { case (b, _) => (q, qv, b, t) }
+            }
+          }
+          .toDF("q", "__qv", "b", "ts")
       }
     // stage 2: survivors join their float vectors; exact native cosine
     val vecs = corpus.where(col(vecCol).isNotNull)

@@ -533,6 +533,28 @@ class PlanSpec extends AnyFunSuite {
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "g_planspec_adc_idx")
   }
 
+  test("spill-tier static folds register with ServingCache and release") {
+    // the folds persist for the life of their query (ADVICE r16); the
+    // registry is how one-shot owners (bench/verify/serve) release them —
+    // without it every (re)start leaks a corpus-sized cache entry
+    import org.apache.spark.sql.functions._
+    graft.streaming.ServingCache.releaseAll()
+    graft.core.Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val cents = graft.ops.Similarity.ivfCentroids(emb.where(col("label") =!= 0), nlist = 4)
+    graft.streaming.Streams.streamingAnnTopK(
+      queries, emb.where(col("label") =!= 0), cents, k = 3, nprobe = 2,
+      maxBroadcastBytes = 0L)
+    assert(graft.streaming.ServingCache.names.contains("ann_packed_lists"),
+      s"the packed-list fold must register: ${graft.streaming.ServingCache.names}")
+    val released = graft.streaming.ServingCache.releaseAll()
+    assert(released >= 1)
+    assert(graft.streaming.ServingCache.size == 0)
+  }
+
   test("streaming rerank past the gate composes the spill shortlist, not a refusal") {
     // r16 REFUSED past the broadcast gate and told the caller to
     // hand-assemble; r17 wires the packed-code spill shortlist + exact

@@ -901,14 +901,19 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     rerankStream("sf10 streaming two-stage rerank, broadcast shortlist " +
       "(200k x 800k, m=8, shortlist=50)",
-      "ADC shortlist over the RAM-resident flat-packed code map, survivors " +
-        "equi-join their float vectors BY ID, exact native-cosine rerank — " +
-        "corpus vectors never replicate per query", bcBytes = 1L << 32)
+      "ADC shortlist over the RAM-resident flat-packed code map, ONE heap " +
+        "per query across its probed cells (the FAISS refine contract the " +
+        "batch twin already had); survivors equi-join their float vectors " +
+        "BY ID, exact native-cosine rerank — the per-(query,cell) form " +
+        "measured 244.1 s / 87.4M shuffle rows on this config, an nprobe x " +
+        "self-inflicted stage-2 volume", bcBytes = 1L << 32)
     rerankStream("sf10 streaming two-stage rerank, packed-code spill shortlist " +
       "(same config)",
       "gate forced to 0: the r16 refusal replaced by the composed " +
-        "packed-code spill shortlist (in-place ADC expression, k=shortlist) " +
-        "+ unchanged exact rerank", bcBytes = 0L)
+        "packed-code spill shortlist (in-place ADC expression, " +
+        "k=shortlist), per-query squeeze via stateless co-locate-by-q + " +
+        "bounded-heap merge of the per-cell hit arrays — the unsqueezed " +
+        "form measured 213.5 s / 89.0M shuffle rows on this config", bcBytes = 0L)
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_adc_idx")
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(embDir10))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(feed10))
