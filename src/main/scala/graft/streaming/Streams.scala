@@ -1795,13 +1795,21 @@ object Streams {
 
   /** STREAMING TWO-STAGE RETRIEVAL — [[graft.ops.Pq.knnJoinIvfPqRerank]]'s
     * search-then-refine discipline in the stream: stage 1 ADC-shortlists
-    * `shortlist` candidates per (query, probed cell) over the PQ-CODE
-    * index (m-byte codes), serving from [[streamingAnnAdcTopK]]'s
-    * broadcast tier when the stats×4 heap gate admits the index and from
-    * its packed-code SPILL tier past the gate — both score the same
-    * flat-packed layout with the shared ADC kernel, so gate choice never
-    * changes the shortlist; stage 2
-    * stream-static equi-joins ONLY the ≤ Q·nprobe·shortlist survivors
+    * `shortlist` candidates PER QUERY across its `nprobe` probed cells
+    * (the FAISS refine contract — the batch twin's
+    * knnJoinIvfPq(topK = shortlist) is a per-query rank too; a
+    * per-(query, cell) shortlist would hand stage 2 an nprobe× join
+    * volume, measured 244 s vs the squeezed form at the sf10 probe)
+    * over the PQ-CODE index (m-byte codes), serving from
+    * [[streamingAnnAdcTopK]]'s broadcast tier when the stats×4 heap gate
+    * admits the index and from its packed-code SPILL tier past the gate
+    * (per-cell hit arrays co-located by a hash repartition on the query
+    * id and merged through one stateless bounded heap — per-cell top-s
+    * sets union to the global top-s because every candidate lives in
+    * exactly one cell) — both tiers score the same flat-packed layout
+    * with the shared ADC kernel and squeeze identically, so gate choice
+    * never changes the shortlist; stage 2
+    * stream-static equi-joins ONLY the ≤ Q·shortlist survivors
     * back to their float vectors and re-scores exact cosine with the
     * native codegen kernel, feeding the same watermarked bounded-heap
     * windowed top-k as [[streamingAnnTopK]]. Compression error affects
