@@ -436,9 +436,12 @@ class CliSpec extends AnyFunSuite {
     qs.unionByName(sentinel).coalesce(1)
       .write.mode("overwrite").parquet("/tmp/graft-srv-vec-feed")
 
-    // no flush_interval on the assets => each serve drains once and returns
+    // no flush_interval on the assets => each serve drains once and returns;
+    // the ADC tier goes through the SCHEDULED route instead (a plain
+    // `graft run` of a serving asset drains the feed once via
+    // executeMain -> Serving.run, the ingest AvailableNow contract)
     assert(Main.run(Seq("serve", dir, "srv_ann_hits"), Some(spark)) == 0)
-    assert(Main.run(Seq("serve", dir, "srv_adc_hits"), Some(spark)) == 0)
+    assert(Main.run(Seq("run", dir, "--select", "srv_adc_hits"), Some(spark)) == 0)
     assert(Main.run(Seq("serve", dir, "srv_rerank_hits"), Some(spark)) == 0)
 
     // expected: exact cosine top-3 per query, computed with the library's
