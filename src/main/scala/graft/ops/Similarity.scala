@@ -503,6 +503,40 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** OFFLINE RETRIEVAL EVALUATION — recall@k of an approximate result
+    * against an exact baseline, the number every ANN/compression knob
+    * (nprobe, m, LSH bits, matryoshka dims, int8) is ultimately tuned by.
+    * Inputs are ranked result frames in the family's (query, candidate,
+    * rank) shape; rows beyond rank k are ignored on BOTH sides, so a
+    * wider baseline can be reused across k values. Per query:
+    * `recall = |approx top-k ∩ exact top-k| / |exact top-k|` — the exact
+    * side's size is the denominator, so a query with fewer than k true
+    * neighbors is never penalized for the impossible remainder. Queries
+    * present only in the exact frame score 0 (the approximate route
+    * missed them entirely); queries absent from the exact frame have no
+    * defined baseline and are dropped.
+    *
+    * Scale: both inputs are top-k tables — Q·k rows by construction — so
+    * the intersection is one equi-join on (query, candidate) and two
+    * Q-row aggregates; no corpus-sized side exists. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                qCol: String = "a", bCol: String = "b",
+                rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = approx.where(col(rankCol) <= k)
+      .select(col(qCol).cast("long").as("q"), col(bCol).cast("long").as("b"))
+    val e = exact.where(col(rankCol) <= k)
+      .select(col(qCol).cast("long").as("q"), col(bCol).cast("long").as("b"))
+    val hits = a.join(e, Seq("q", "b")).groupBy("q")
+      .agg(count(lit(1)).as("hits"))
+    e.groupBy("q").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q"), "left")
+      .select(col("q"),
+        coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+  }
+
   // ---- hyperplane LSH ------------------------------------------------------
 
   /** Deterministic pseudo-random hyperplane components for (table, bit, dim):

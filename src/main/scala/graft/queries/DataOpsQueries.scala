@@ -1844,6 +1844,93 @@ object DataOpsQueries {
     },
     duckKnnBipartite)
 
+  /** STREAMING INDEX MAINTENANCE pin — the nightly-crawl append run as a
+    * STREAM: build the index on 90% of the corpus, drain the other 10%
+    * through [[graft.streaming.Streams.streamingIndexAppend]] (foreachBatch
+    * → appendToIndex under the FROZEN quantizer, stamp verified per
+    * batch), and run the routed join at nprobe = nlist over the maintained
+    * artifact. A vector's list depends only on the frozen centroids, so
+    * stream-append ≡ batch-append ≡ full rebuild and the result must still
+    * be the exact bipartite rank over the FULL corpus. Closes the loop:
+    * declarative build → STREAMING maintenance → streaming serving. */
+  val streamIndexAppend: OQ = OQ.df("stream_index_append",
+    (s, _) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      val emb = s.table("embeddings")
+      val corpus = emb.where(col("label") =!= 0)
+      val trained = Similarity.ivfCentroids(corpus, nlist = 16)
+      Similarity.saveIndex(s, corpus.where(col("vec_id") % 10 =!= 3),
+        trained, "g_stream_idx_app")
+      // stage the 10% crawl batch as a one-file feed (content-keyed,
+      // atomic-rename gated — the ann-feed idiom, shared across re-runs)
+      val sig = s"idxapp-v1:${emb.inputFiles.toSeq.sorted.mkString(",")}"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val feed = java.nio.file.Paths.get(s"/tmp/graft-idxapp-feed-$key")
+      if (!Files.exists(feed.resolve("q.parquet"))) {
+        val tmp = Files.createTempDirectory(feed.getParent, "graft-idxapp-stage")
+        corpus.where(col("vec_id") % 10 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = graft.core.Fs.listDir(tmp)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.createDirectories(feed)
+        Files.move(part, feed.resolve("q.parquet"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        graft.core.Fs.deleteRecursively(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(feed.toString).schema).parquet(feed.toString)
+      // fresh checkpoint per run: the index was just rebuilt at 90%, so a
+      // committed-offset resume would silently skip the append
+      graft.streaming.Streams.streamingIndexAppend(stream, "g_stream_idx_app",
+        trained, checkpoint =
+          Some(Files.createTempDirectory("graft-idxapp-cp").toString))
+        .awaitTermination()
+      Similarity.knnJoinIvfIndexed(emb.where(col("label") === 0),
+        Similarity.loadIndex(s, "g_stream_idx_app"), trained, k = 5,
+        nprobe = trained.length)
+    },
+    duckKnnBipartite)
+
+  /** OFFLINE RECALL@K EVALUATION pin — the eval every ANN/compression knob
+    * is tuned by, computed over two DETERMINISTIC rankings so the whole
+    * pipeline (truncate → rank → intersect → per-query recall) is
+    * SQL-replayable: approximate = exact cosine top-5 over the FIRST 32 OF
+    * 64 dims (the matryoshka serving trade), baseline = full-dim cosine
+    * top-5. Measures real information loss — recall < 1 for some queries,
+    * 1 for others — with no learned state in the loop. */
+  val annRecallAtK: OQ = OQ.df("ann_recall_at_k",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      val exact = Similarity.cosineTopK(emb, k = 5)
+      val approx = Similarity.cosineTopK(
+        emb.withColumn("embedding", slice(col("embedding"), 1, 32)), k = 5)
+      Similarity.recallAtK(approx, exact, k = 5)
+    },
+    s"""$duckSims,
+       |el32 AS (SELECT vec_id, CAST(unnest(list_slice(embedding, 1, 32)) AS DOUBLE) AS e,
+       |    generate_subscripts(list_slice(embedding, 1, 32), 1) AS i FROM embeddings),
+       |norms32 AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM el32 GROUP BY 1),
+       |dots32 AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.e * b.e) AS dot
+       |  FROM el32 a JOIN el32 b ON a.i = b.i GROUP BY 1, 2),
+       |sims32 AS (SELECT dots32.a, dots32.b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+       |  FROM dots32 JOIN norms32 na ON dots32.a = na.vec_id
+       |              JOIN norms32 nb ON dots32.b = nb.vec_id),
+       |ex AS (SELECT a, b FROM (SELECT a, b,
+       |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS r
+       |  FROM sims WHERE a <> b) t WHERE r <= 5),
+       |ap AS (SELECT a, b FROM (SELECT a, b,
+       |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS r
+       |  FROM sims32 WHERE a <> b) t WHERE r <= 5),
+       |h AS (SELECT ex.a AS q, count(*) AS hits FROM ex
+       |  JOIN ap ON ex.a = ap.a AND ex.b = ap.b GROUP BY 1),
+       |den AS (SELECT a AS q, count(*) AS n_exact FROM ex GROUP BY 1)
+       |SELECT den.q, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(den.n_exact AS BIGINT) AS n_exact,
+       |  round(coalesce(h.hits, 0) / den.n_exact, 6) AS recall
+       |FROM den LEFT JOIN h ON den.q = h.q""".stripMargin)
+
   /** Cluster-balanced-sample LOSSLESSNESS pin: a per-cluster quota above
     * any cluster's size keeps every vector, so the full train → assign →
     * rank → filter pipeline must emit each id exactly once — the learned
@@ -2326,7 +2413,8 @@ object DataOpsQueries {
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ, sentencesQ,
     sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
-    knnJoinIvfExact, knnJoinIvfIndexed, knnJoinIvfIndexAppend, annLshMultitableLossless,
+    knnJoinIvfExact, knnJoinIvfIndexed, knnJoinIvfIndexAppend,
+    streamIndexAppend, annRecallAtK, annLshMultitableLossless,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
     gopherRepetitionQ, corpusStats, corpusOverlapQ,
     tfIdf, tfIdfCosineQ, piiRedact, vocab, repetition, sampleStratified, sampleSplit,

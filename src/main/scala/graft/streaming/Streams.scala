@@ -1980,6 +1980,60 @@ object Streams {
     * are excluded, matching [[graft.ops.Dedup.hammingPairs]]'s id-ordered
     * pair contract. Emits (window_start, a = stream id, b = corpus id,
     * hamming) when the watermark closes the window. */
+  /** STREAMING INDEX MAINTENANCE — [[graft.ops.Similarity.appendToIndex]]
+    * / [[graft.ops.Pq.appendToPqIndex]] applied CONTINUOUSLY: each
+    * micro-batch of (id, vector) rows routes (and, with `books`,
+    * residual-encodes) ONLY the batch under the FROZEN quantizer
+    * artifacts and appends bucket-compatibly to the persisted index —
+    * O(batch) per trigger, never O(corpus), with the pairing stamp
+    * verified on every batch (a swapped quantizer fails the stream fast
+    * instead of silently splitting lists across geometries). This closes
+    * the index lifecycle loop in the stream: declarative BUILD
+    * (`index:` assets), streaming MAINTENANCE (this), streaming SERVING
+    * ([[streamingAnnTopK]]/[[streamingAnnAdcTopK]]/
+    * [[streamingAnnRerankTopK]] — which read the artifact per
+    * micro-batch, so appended vectors become searchable at their next
+    * trigger).
+    *
+    * Delivery contract: foreachBatch + the checkpoint's committed offsets
+    * give effectively-once appends in normal operation; a batch REPLAY
+    * after a mid-append crash can land duplicates — the same
+    * at-least-once property every append-strategy ingest shares
+    * (reference scheduled-ingestr). Pair a replayable feed with
+    * downstream exact dedup or id-distinct reads when that matters.
+    * Returns the started query; the default AvailableNow trigger drains
+    * the feed and stops (the scheduled-run contract). */
+  def streamingIndexAppend(stream: DataFrame, table: String,
+                           centroids: Array[Array[Float]],
+                           books: Option[Array[Array[Array[Float]]]] = scala.None,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           buckets: Int = 8,
+                           checkpoint: Option[String] = scala.None,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val parent = stream.sparkSession
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch lives in a cloned session — route everything through
+        // ITS session (the CDC writer discipline); an empty trigger must
+        // not pay a stamp read + zero-row write
+        if (!batch.isEmpty) {
+          books match {
+            case Some(b) => graft.ops.Pq.appendToPqIndex(batch.sparkSession,
+              batch, centroids, b, table, idCol, vecCol, buckets)
+            case scala.None => graft.ops.Similarity.appendToIndex(
+              batch.sparkSession, batch, centroids, table, idCol, vecCol, buckets)
+          }
+          // the write ran in the CLONED session: the parent's cached file
+          // listing for the table would otherwise keep serving the
+          // pre-append index to searches planned there
+          parent.catalog.refreshTable(table)
+        }
+      }
+      .trigger(trigger)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   def streamingHammingNearDup(stream: DataFrame, index: DataFrame,
                               maxHamming: Int = 3, bands: Int = 0,
                               sigBits: Int = 60,
