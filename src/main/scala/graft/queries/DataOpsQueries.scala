@@ -2436,7 +2436,8 @@ object DataOpsQueries {
     knnJoinIvfPqExact, knnJoinIvfPqIndexed, knnJoinIvfPqIndexAppend,
     knnJoinIvfPqRerankExact,
     contaminationEmb, weightedTopKQ, qualityZScoreQ,
-    mmFeatures, mmFrames, mmResize, phashExact, phashIndexed, heavyHittersQ,
+    mmFeatures, mmFrames, mmResize, phashExact, phashIndexed,
+    streamSigIndexAppend, heavyHittersQ,
     zorderBench)
 
   /** Z-order layout pass over lineitem (per-dimension quantile buckets +
@@ -2523,6 +2524,55 @@ object DataOpsQueries {
       Dedup.appendToSignatureIndex(s, sigs.where(col("media_id") % 10 === 3),
         "g_phash_sig_idx", idCol = "media_id", sigCol = "phash")
       Dedup.hammingPairsIndexed(Dedup.loadSignatureIndex(s, "g_phash_sig_idx"),
+        maxHamming = 8, bands = 9, sigBits = 63)
+    },
+    phashExact.oracle.get)
+
+  /** STREAMING SIGNATURE-INDEX MAINTENANCE pin — [[streamIndexAppend]]'s
+    * discipline on the hamming dedup family: save 90% of [[phashExact]]'s
+    * replayable signatures, drain the other 10% through
+    * [[graft.streaming.Streams.streamingSignatureAppend]] (foreachBatch →
+    * appendToSignatureIndex under the artifact's FROZEN stamped geometry),
+    * and run the banded join over the maintained artifact. Band keys
+    * depend only on (bands, sigBits), so stream-append ≡ batch-append ≡
+    * fresh signatures — the same brute-force hamming oracle as the fresh
+    * path. Completes streaming maintenance across ALL THREE index
+    * families (float, PQ-code, signature). */
+  val streamSigIndexAppend: OQ = OQ.df("stream_sig_index_append",
+    (s, _) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      val media = Multimodal.toMediaTable(s.table("documents"))
+      val sigs = media.selectExpr("media_id",
+        """CAST(conv(substring(md5(CAST(CAST(media_id % 200 AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)
+          | ^ shiftleft(CAST(1 AS BIGINT),
+          |     CAST(CAST(conv(substring(md5(CAST(CAST(media_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 60 AS INT))
+          | AS phash""".stripMargin.replace("\n", " "))
+      Dedup.saveSignatureIndex(s, sigs.where(col("media_id") % 10 =!= 3),
+        "g_stream_sig_idx", maxHamming = 8, bands = 9, sigBits = 63,
+        idCol = "media_id", sigCol = "phash")
+      val sig = s"sigapp-v1:${s.table("documents").inputFiles.toSeq.sorted.mkString(",")}"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val feed = java.nio.file.Paths.get(s"/tmp/graft-sigapp-feed-$key")
+      if (!Files.exists(feed.resolve("q.parquet"))) {
+        val tmp = Files.createTempDirectory(feed.getParent, "graft-sigapp-stage")
+        sigs.where(col("media_id") % 10 === 3)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = graft.core.Fs.listDir(tmp)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.createDirectories(feed)
+        Files.move(part, feed.resolve("q.parquet"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        graft.core.Fs.deleteRecursively(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(feed.toString).schema).parquet(feed.toString)
+      // fresh checkpoint per run — the index was just rebuilt at 90%
+      graft.streaming.Streams.streamingSignatureAppend(stream,
+        "g_stream_sig_idx", idCol = "media_id", sigCol = "phash",
+        checkpoint = Some(Files.createTempDirectory("graft-sigapp-cp").toString))
+        .awaitTermination()
+      Dedup.hammingPairsIndexed(Dedup.loadSignatureIndex(s, "g_stream_sig_idx"),
         maxHamming = 8, bands = 9, sigBits = 63)
     },
     phashExact.oracle.get)

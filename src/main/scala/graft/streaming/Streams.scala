@@ -2034,6 +2034,34 @@ object Streams {
     writer.start()
   }
 
+  /** [[streamingIndexAppend]]'s SIGNATURE-family twin: each micro-batch of
+    * (id, signature) rows bands ONLY the batch under the persisted
+    * artifact's FROZEN stamped geometry
+    * ([[graft.ops.Dedup.appendToSignatureIndex]] reads (bands, sigBits)
+    * from the stamp and refuses stampless/mismatched tables) and appends
+    * bucket-compatibly — O(batch) signature cost per trigger, the corpus
+    * is never re-banded. Same delivery contract and parent-session cache
+    * refresh as the vector twin; [[streamingHammingNearDup]] serving
+    * streams see appended signatures at their next trigger. */
+  def streamingSignatureAppend(stream: DataFrame, table: String,
+                               idCol: String = "doc_id", sigCol: String = "simhash",
+                               buckets: Int = 8,
+                               checkpoint: Option[String] = scala.None,
+                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val parent = stream.sparkSession
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Dedup.appendToSignatureIndex(batch.sparkSession, batch,
+            table, idCol, sigCol, buckets)
+          parent.catalog.refreshTable(table)
+        }
+      }
+      .trigger(trigger)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   def streamingHammingNearDup(stream: DataFrame, index: DataFrame,
                               maxHamming: Int = 3, bands: Int = 0,
                               sigBits: Int = 60,
