@@ -516,6 +516,55 @@ class CliSpec extends AnyFunSuite {
     assert(expectPairs.nonEmpty, "the clique fixture must produce near-dups")
     assert(gotPairs == expectPairs,
       "served hamming flags must equal brute-force cross hamming")
+
+    // ---- FULL LIFECYCLE: declarative build (above) → STREAMING index
+    // maintenance → INCREMENTAL serve drain. Append one new corpus vector
+    // (id 1000, an exact copy of vector 7's embedding) through
+    // streamingIndexAppend, drop a NEW query file into the same feed dir,
+    // and re-serve: the stable per-sink checkpoint drains only the new
+    // file, and the grown index must surface the appended vector.
+    // a direction NOT in the corpus: the fixture formula repeats every 17
+    // ids (copying a corpus vector loses the id-asc tie to its older
+    // clones) and ids ≡ 1 mod 17 are PROPORTIONAL to a monotone ramp
+    // (cosine is scale-invariant), so use a non-proportional digit pattern
+    val novel = spark.sql(
+      "SELECT CAST(array(0.3, 0.1, 0.4, 0.1, 0.5, 0.9, 0.2, 0.6) AS ARRAY<FLOAT>) AS embedding")
+    novel.select(lit(1000L).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft-srv-append-batch")
+    val appendStream = spark.readStream
+      .schema(spark.read.parquet("/tmp/graft-srv-append-batch").schema)
+      .parquet("/tmp/graft-srv-append-batch")
+    graft.streaming.Streams.streamingIndexAppend(appendStream, "srv_vec_index",
+      Similarity.loadCentroids(spark, "srv_vec_index_centroids"),
+      checkpoint = Some(Files.createTempDirectory("graft-srv-app-cp").toString))
+      .awaitTermination()
+    // new query (id 2000, the SAME novel direction) in a window PAST the
+    // first drain's watermark, plus a later sentinel that closes it
+    novel.select(lit(2000L).as("vec_id"), col("embedding"),
+        lit("2024-01-01 00:12:30").cast("timestamp").as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(998 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 8), j -> CAST(pmod(998 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+          |  CAST('2024-01-01 00:25:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("append").parquet("/tmp/graft-srv-vec-feed")
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits"), Some(spark)) == 0)
+    val grown = corpusVecs :+ (1000L -> novel.as[Array[Float]].head())
+    def exactTop3Grown(qid: Long, qv: Array[Float]) = {
+      val nq = Similarity.normP(qv)
+      val top = new Similarity.TopK(3)
+      grown.foreach { case (b, bv) =>
+        top.offer(b, Similarity.cosineOf(qv, bv, nq, Similarity.normP(bv)))
+      }
+      top.iterator.zipWithIndex.map { case ((b, _), i) => (qid, b, i + 1) }.toSet
+    }
+    val q2000 = spark.table("srv_ann_hits").where(col("q") === 2000)
+      .select(col("q"), col("b"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect2000 = exactTop3Grown(2000L, grown.last._2)
+    assert(q2000 == expect2000,
+      s"incremental drain must search the GROWN index: got $q2000, want $expect2000")
+    assert(q2000.exists(_._2 == 1000L),
+      "the stream-appended vector must be retrievable by the next serve drain")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 }
