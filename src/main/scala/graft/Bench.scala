@@ -69,11 +69,12 @@ object Bench {
     val raisedStreaming = SparkEntry.heapRaisedStreaming
     def timed(name: String): Unit =
       if (raisedStreaming(name))
-        graft.core.HeapAgg.withRaised(spark)(selected(name)(spark, sfDir).count())
-      else {
-        val df = selected(name)(spark, sfDir)
-        graft.core.HeapAgg.maybeRaised(df)(df.count())
-      }
+        // the heap executes inside the builder (the stream runs in fn), so
+        // the whole builder runs on a raised CLONE — the shared session's
+        // conf is never touched
+        selected(name)(graft.core.HeapAgg.raisedClone(spark), sfDir).count()
+      else
+        graft.core.HeapAgg.maybeRebound(selected(name)(spark, sfDir)).count()
     for (_ <- 0 until runs; name <- names) {
       val t0 = System.nanoTime()
       val ok =

@@ -182,8 +182,14 @@ object Main {
         return 2
       }
       return try { runner.runStreamForeground(pipeline, named.head); 0 }
-      catch { case e: IllegalArgumentException =>
-        System.err.println(s"graft: ${e.getMessage}"); 2
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"graft: ${e.getMessage}"); 2
+        case scala.util.control.NonFatal(e) =>
+          // a run-time failure of the stream itself — e.g. the serving
+          // recall gate tripping — is a FAILED run (exit 1, like a failed
+          // batch asset), not a usage error and not an uncaught crash
+          System.err.println(s"[failed] ${named.head}: ${e.getMessage}"); 1
       }
     }
     // --downstream: selected assets also pull their transitive downstream

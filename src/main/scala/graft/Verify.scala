@@ -34,18 +34,16 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try {
-          // k-bounded-heap plans run under the scoped fallback raise —
-          // streaming keys pre-listed (their heap executes inside fn),
-          // batch keys sniffed from the analyzed plan
+          // k-bounded-heap plans run rebound onto a raised CLONE session —
+          // streaming keys pre-listed (their heap executes inside fn, so
+          // the whole builder runs on the clone), batch keys sniffed from
+          // the analyzed plan's aggregate classes
           if (raisedStreaming(name))
-            graft.core.HeapAgg.withRaised(spark)(
-              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name"))
-          else {
-            val df = fn(spark, sfDir)
-            graft.core.HeapAgg.maybeRaised(df)(
-              df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"))
-          }
+            fn(graft.core.HeapAgg.raisedClone(spark), sfDir)
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          else
+            graft.core.HeapAgg.maybeRebound(fn(spark, sfDir))
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           status(name) = "ok"
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.graft.SqlBridge
 
 /** Per-query scoping for Spark's object-hash-aggregation memory valve.
   *
@@ -17,10 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the sf10 streaming-ANN probe: hours instead of minutes on one
   * straggling sorted partial). Through r16 every session builder raised
   * the threshold SESSION-WIDE, which kept the bounded heaps fast but
-  * disabled the valve for any future unbounded aggregate (ADVICE r15/
-  * VERDICT r16 #3). This helper scopes the raise to exactly the plans
-  * that carry a k-bounded aggregate and restores the session default
-  * afterwards. */
+  * disabled the valve for any future unbounded aggregate; r17's
+  * `withRaised` scoped the raise per query but MUTATED the shared
+  * session conf, so two assets on one session (pipeline concurrency > 1,
+  * the shipped annserve fixture) could interleave raises/restores and
+  * leave the session permanently raised, or plan an UNBOUNDED aggregate
+  * inside another asset's raised window (ADVICE r17 #1).
+  *
+  * r18 removes the shared-conf mutation entirely: the raise now lives on
+  * a per-use CLONED session (`SQLConf` is per-session; `cloneSession`
+  * shares the SparkContext, block manager, and catalog), and the plan
+  * that carries the bounded heap is REBOUND onto that clone. Nothing
+  * else on the original session can ever observe the raised value — the
+  * valve stays armed for every concurrent plan, and there is no restore
+  * step to corrupt.
+  */
 object HeapAgg {
 
   val Key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
@@ -30,38 +43,49 @@ object HeapAgg {
     * a ceiling. */
   val Raised = "2097152"
 
-  /** prettyNames of graft's k-bounded TypedImperativeAggregates — the only
-    * aggregates whose per-group state is capped and therefore safe to keep
-    * on the hash path at any group count. A NEW bounded aggregate must be
-    * listed here or its plans silently fall back to sort at scale. */
-  private val BoundedAggs = Seq("bounded_top_k", "capped_collect_list")
+  /** Is this aggregate function one of graft's k-bounded
+    * TypedImperativeAggregates — the only aggregates whose per-group
+    * state is capped and therefore safe to keep on the hash path at any
+    * group count? Matched on the aggregate CLASS, never on plan text (a
+    * user column literally named `bounded_top_k` must not trigger the
+    * raise). A NEW bounded aggregate must be listed here or its plans
+    * silently fall back to sort at scale. */
+  private def isBounded(fn: Any): Boolean = fn match {
+    case _: graft.functions.BoundedTopK        => true
+    case _: graft.functions.CappedCollectList  => true
+    case _                                     => false
+  }
 
   /** Does this (batch or streaming) plan aggregate with a k-bounded heap?
-    * Answered from the ANALYZED plan — no execution is triggered. */
-  def plansBoundedAgg(df: DataFrame): Boolean = {
-    val p = df.queryExecution.analyzed.toString
-    BoundedAggs.exists(p.contains)
-  }
+    * Answered by walking the ANALYZED plan's aggregate expressions — no
+    * execution is triggered, and names appearing in data/columns cannot
+    * false-positive. */
+  def plansBoundedAgg(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(node => node.expressions.exists(_.exists {
+      case ae: AggregateExpression => isBounded(ae.aggregateFunction)
+      case _                       => false
+    }))
 
-  /** Run `f` with the fallback threshold raised, restoring the prior
-    * session value (usually the Spark default = valve armed) afterwards —
-    * even on failure. Covers both plan construction and execution, so
-    * callers wrap the whole action (streaming queries capture the conf at
-    * query start; batch actions read it at execution). */
-  def withRaised[T](spark: SparkSession)(f: => T): T = {
-    val prior = spark.conf.getOption(Key)
-    spark.conf.set(Key, Raised)
-    try f
-    finally prior match {
-      case Some(v)    => spark.conf.set(Key, v)
-      case scala.None => spark.conf.unset(Key)
-    }
-  }
+  /** A cloned session with the fallback threshold raised. Shares the
+    * SparkContext, block-manager cache, and external catalog with
+    * `spark`; conf and temp views are copied at clone time. The parent
+    * session's conf is NEVER touched — concurrent plans on it keep the
+    * default valve. Use for streaming builders whose bounded-heap plan is
+    * constructed (and whose query starts) inside the builder call. */
+  def raisedClone(spark: SparkSession): SparkSession =
+    SqlBridge.sessionWithConf(spark, Key -> Raised)
 
-  /** Execute `action` with the raise ONLY when `df`'s plan carries a
-    * k-bounded aggregate — the per-query form of the old session-wide
-    * conf: bounded heaps stay on the hash path, everything else keeps the
-    * default valve. */
-  def maybeRaised[T](df: DataFrame)(action: => T): T =
-    if (plansBoundedAgg(df)) withRaised(df.sparkSession)(action) else action
+  /** Rebind `df`'s plan onto a raised clone of its session: the returned
+    * frame plans/executes under the raised threshold, while the original
+    * session — and every other plan on it — keeps the default valve. */
+  def rebindRaised(df: DataFrame): DataFrame =
+    SqlBridge.ofRows(raisedClone(df.sparkSession), SqlBridge.analyzedPlan(df))
+
+  /** The per-query form of the old session-wide conf: IF `df`'s plan
+    * carries a k-bounded aggregate, return it rebound onto a raised
+    * clone (bounded heaps stay on the hash path); otherwise return `df`
+    * unchanged (everything else keeps the default valve). Race-free by
+    * construction — no shared state is written. */
+  def maybeRebound(df: DataFrame): DataFrame =
+    if (plansBoundedAgg(df)) rebindRaised(df) else df
 }

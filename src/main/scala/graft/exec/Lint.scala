@@ -185,6 +185,62 @@ object Lint {
           issues += Issue("valid-ingestr", a.name, "delete+insert ingestion requires incremental_key")
       }
 
+      // retrieval-serving config (`serve:` assets, graft.exec.Serving) —
+      // every runtime require() in Serving.run has a lint twin here, so a
+      // misdeclared serving asset fails at `graft lint` like every other
+      // asset class instead of at stream start (reference precedent: the
+      // materialization-config rules, pkg/lint/rules.go)
+      a.parameters.get("serve").foreach { kind =>
+        if (!Serving.Kinds.contains(kind))
+          issues += Issue("valid-serve", a.name,
+            s"unknown serve '$kind' (supported: ${Serving.Kinds.toSeq.sorted.mkString(", ")})")
+        if (!a.parameters.contains("serve_index"))
+          issues += Issue("valid-serve", a.name, s"serve: $kind requires parameter 'serve_index'")
+        if (kind == "rerank" && !a.parameters.contains("serve_corpus"))
+          issues += Issue("valid-serve", a.name,
+            "serve: rerank requires parameter 'serve_corpus' (stage-2 float vectors)")
+        // the streaming query feed: same resolution rule Serving/Ingest use
+        a.parameters.get("source_uri") match {
+          case scala.None =>
+            issues += Issue("valid-serve", a.name,
+              "serving asset needs a streaming query feed — set source_uri " +
+                "(file:///path with source_stream: \"true\", or a broker scheme)")
+          case Some(uri) =>
+            val scheme = uri.split("://", 2) match {
+              case Array(s, _) => s.toLowerCase; case _ => ""
+            }
+            if (scheme.endsWith("+cdc"))
+              issues += Issue("valid-serve", a.name, "a CDC feed cannot drive retrieval serving")
+            else if (scheme == "file" &&
+                !a.parameters.get("source_stream").exists(_.equalsIgnoreCase("true")))
+              issues += Issue("valid-serve", a.name,
+                "file:// query feed requires source_stream: \"true\" (a batch file is not a feed)")
+            else if (scheme.isEmpty)
+              issues += Issue("valid-serve", a.name,
+                s"source_uri '$uri' is not a scheme-qualified uri")
+        }
+        Seq("serve_k", "serve_nprobe", "serve_shortlist", "serve_max_hamming",
+            "serve_recall_sample").foreach { kk =>
+          a.parameters.get(kk).foreach { v =>
+            if (scala.util.Try(v.trim.toInt).toOption.forall(_ < 1))
+              issues += Issue("valid-serve", a.name, s"$kk must be a positive integer, got '$v'")
+          }
+        }
+        a.parameters.get("serve_recall_min").foreach { v =>
+          val d = scala.util.Try(v.trim.toDouble).toOption
+          if (d.forall(x => x < 0.0 || x > 1.0))
+            issues += Issue("valid-serve", a.name, s"serve_recall_min must be in [0, 1], got '$v'")
+          if (kind == "hamming")
+            issues += Issue("valid-serve", a.name,
+              "recall monitoring applies to the vector tiers (ann/ivfadc/rerank), not hamming")
+        }
+        if (a.parameters.contains("serve_recall_min") && kind == "ivfadc" &&
+            !a.parameters.contains("serve_recall_corpus") && !a.parameters.contains("serve_corpus"))
+          issues += Issue("valid-serve", a.name,
+            "recall monitoring over ivfadc needs serve_recall_corpus (the PQ index " +
+              "has no float vectors to re-score exactly)")
+      }
+
       // sensor config (reference valid-table-sensor-table / valid-sensor-timeout)
       if (a.assetType == AssetType.SensorTable &&
           !a.parameters.contains("table") && a.content.trim.isEmpty)

@@ -33,6 +33,9 @@ import graft.streaming.Streams
   *   serve_id_col / serve_vec_col      # query feed columns (vec_id/embedding)
   *   serve_sig_col                     # hamming feed signature column
   *   flush_interval: "5 seconds"       # foreground trigger; absent = drain once
+  *   serve_recall_min: "0.9"           # recall monitor threshold (vector tiers)
+  *   serve_recall_sample: "50"         # queries re-scored exactly per run
+  *   serve_recall_corpus: corpus_vecs  # float vectors for the exact side (ivfadc)
   * }}}
   *
   * Hits append to the asset's own table (the sink), through the stable
@@ -57,9 +60,17 @@ object Serving {
     * (the scheduled-run contract). `physicalName` maps logical table
     * names (index / corpus / sink) into the environment's namespace, the
     * same rename discipline the batch runner applies. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def run(wh: Warehouse, asset: Asset, foreground: Boolean = false,
           physicalName: String => String = identity): Unit = {
-    val spark = wh.spark
+    // the whole serve — plan build and stream — runs on a RAISED CLONE
+    // session (every serving tier merges through a k-bounded heap by
+    // construction, and the clone keeps the shared session's object-agg
+    // valve armed for every concurrently-scheduled asset; through r17
+    // this was a set/restore on the shared conf, which two concurrent
+    // assets could interleave into a permanent raise — ADVICE r17 #1)
+    val spark = graft.core.HeapAgg.raisedClone(wh.spark)
     val p = asset.parameters
     val kind = p("serve")
     require(Kinds.contains(kind),
@@ -90,7 +101,13 @@ object Serving {
     val queries: DataFrame = resolved.source.load(spark, resolved.uri,
       Streams.sourceOptionsFor(p))
 
-    val hits: DataFrame = kind match {
+    // folds persisted during THIS serve's plan build register under its
+    // own token, so stopping this stream releases exactly its folds —
+    // a concurrent serve asset on the same session keeps its caches
+    // (through r17 the only release was global: stopping one serve
+    // degraded every other to a corpus re-fold per micro-batch)
+    val cacheToken = s"serve:${asset.name}:${runSeq.incrementAndGet()}"
+    val hits: DataFrame = graft.streaming.ServingCache.withOwner(cacheToken) { kind match {
       case "ann" =>
         // float IVF tier over the persisted inverted-list index; the
         // pairing stamp is verified inside streamingAnnTopK
@@ -133,19 +150,122 @@ object Serving {
           bands = bands, sigBits = sigBits,
           idCol = qidCol, sigCol = p.getOrElse("serve_sig_col", "simhash"),
           windowLen = windowLen, watermark = watermark)
-    }
+    } }
 
     val trigger =
       if (foreground) Streams.triggerFor(p) else Trigger.AvailableNow()
     wh.ensureSchema(asset.name)
-    // every serving tier merges through a k-bounded heap — scope the
-    // object-agg raise around exactly this stream's lifetime
-    graft.core.HeapAgg.withRaised(spark) {
+    try
       Streams.runAppendToTable(spark, hits, asset.name,
         checkpoint = p.get("checkpoint_location"), trigger = trigger)
+    finally
+      // this invocation's stream is done (drain mode) or stopped — release
+      // the persisted static folds IT pinned (and only those: a concurrent
+      // serve asset's folds stay cached)
+      graft.streaming.ServingCache.release(cacheToken)
+    // the recall monitor runs AFTER the drain, against what this run
+    // actually served — a blocking quality check in the reference's
+    // checks-gate-downstream sense (pkg/scheduler/scheduler.go:680-715):
+    // a degraded index (stale quantizers, too-lossy m, too-small nprobe)
+    // fails the asset instead of silently losing recall in production
+    if (p.contains("serve_recall_min"))
+      recallMonitor(spark, asset, kind, indexTable, k, qidCol, vecCol,
+        physicalName, resolved.uri)
+  }
+
+  /** SERVING RECALL MONITOR — re-scores a bounded sample of the queries
+    * this run served EXACTLY and gates on mean recall@k, the production
+    * guardrail every nprobe/m/nlist knob is tuned by
+    * ([[graft.ops.Similarity.recallAtK]] wired to the serving surface).
+    *
+    * Exact side per tier, matching each tier's own ranking metric:
+    *   - `ann`: full-probe cosine over the SAME inverted-list index
+    *     (`nprobe = nlist` provably covers the corpus — no extra config);
+    *   - `rerank`: exact bipartite cosine over the stage-2 float corpus;
+    *   - `ivfadc`: exact squared-L2 over `serve_recall_corpus` (falls back
+    *     to `serve_corpus`) — the PQ index holds no float vectors, and the
+    *     ADC tier ranks by dist2, so a cosine baseline would grade the
+    *     wrong order on unnormalized vectors.
+    *
+    * Scale: the sample is bounded (`serve_recall_sample`, default 50, hard
+    * cap [[graft.ops.Similarity.MaxRecallSample]]); the exact side is one
+    * corpus/index pass scored through k-bounded heaps; both recall inputs
+    * are Q·k-row frames. Monitor rows land in `<asset>_recall` (overwrite
+    * per run — the freshest window's verdict) BEFORE the gate throws, so a
+    * failing run leaves its evidence queryable. Only the latest served
+    * window is graded: older windows were served by older index states.
+    * Needs a batch-readable (file://) feed to recover query vectors. */
+  private def recallMonitor(spark: org.apache.spark.sql.SparkSession,
+                            asset: Asset, kind: String, indexTable: String,
+                            k: Int, qidCol: String, vecCol: String,
+                            physicalName: String => String,
+                            feedUri: java.net.URI): Unit = {
+    import org.apache.spark.sql.functions._
+    val p = asset.parameters
+    require(kind != "hamming",
+      s"${asset.name}: recall monitoring applies to the vector tiers, not hamming")
+    val minRecall = p("serve_recall_min").trim.toDouble
+    val sample = p.get("serve_recall_sample").map(_.trim.toInt).getOrElse(50)
+    require(sample >= 1 && sample <= graft.ops.Similarity.MaxRecallSample,
+      s"${asset.name}: serve_recall_sample must be in [1, ${graft.ops.Similarity.MaxRecallSample}]")
+    require(feedUri.getScheme == "file",
+      s"${asset.name}: the recall monitor re-reads the query feed in batch — file:// feeds only")
+    val served = spark.table(asset.name)
+    if (served.isEmpty) {
+      println(s"[serve] ${asset.name}: recall monitor skipped — nothing served yet " +
+        "(windows still open remain in state and emit on the next drain)")
+      return
     }
-    // this invocation's stream is done (drain mode) or stopped — release
-    // the persisted static folds it pinned
-    graft.streaming.ServingCache.releaseAll()
+    val latest = served.agg(max("window_start")).head().getTimestamp(0)
+    val servedLatest = served.where(col("window_start") === lit(latest))
+    val sampleIds = servedLatest.select(col("q")).distinct()
+      .orderBy("q").limit(sample)
+    // recover the sampled queries' vectors from the feed (batch re-read of
+    // the parquet the file stand-in streams); one row per query id
+    val feedVecs = spark.read.parquet(feedUri.getPath)
+      .where(col(vecCol).isNotNull)
+      .select(col(qidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+      .dropDuplicates("vec_id")
+    val sampleVecs = feedVecs.join(
+      sampleIds.withColumnRenamed("q", "vec_id"), Seq("vec_id"))
+    val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
+    val exact: DataFrame = kind match {
+      case "ann" =>
+        val centroids =
+          graft.ops.Similarity.loadCentroids(spark, s"${indexTable}_centroids")
+        graft.ops.Similarity.knnJoinIvfIndexed(sampleVecs,
+          graft.ops.Similarity.loadIndex(spark, indexTable), centroids,
+          k = k, nprobe = centroids.length, idCol = "vec_id", vecCol = "embedding")
+      case "rerank" =>
+        val corpus = spark.table(physicalName(p("serve_corpus")))
+          .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        graft.ops.Similarity.knnJoin(sampleVecs, corpus, k = k)
+      case "ivfadc" =>
+        val corpusName = p.get("serve_recall_corpus").orElse(p.get("serve_corpus"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"${asset.name}: recall monitoring over ivfadc needs serve_recall_corpus " +
+              "(the PQ index has no float vectors to re-score exactly)"))
+        val corpus = spark.table(physicalName(corpusName))
+          .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        graft.ops.Similarity.bruteForceL2TopK(sampleVecs, corpus, k = k)
+    }
+    val approx = servedLatest
+      .join(sampleIds, Seq("q"))
+      .select(col("q"), col("b"), col("rank"))
+    val recall = graft.ops.Similarity.recallAtK(approx, exact, k, qCol = "q")
+      .withColumn("window_start", lit(latest))
+      .select(col("window_start"), col("q"), col("hits"), col("n_exact"), col("recall"))
+    // evidence first, gate second — a failing run leaves its verdict table
+    recall.write.mode("overwrite").saveAsTable(s"${asset.name}_recall")
+    val mean = spark.table(s"${asset.name}_recall")
+      .agg(avg(col("recall"))).head().getDouble(0)
+    println(f"[serve] ${asset.name}: recall@$k over ${sampleVecs.count()} sampled " +
+      f"queries = $mean%.4f (threshold $minRecall)")
+    if (mean < minRecall)
+      throw new IllegalStateException(
+        f"${asset.name}: serving recall@$k $mean%.4f fell below " +
+          f"serve_recall_min $minRecall — the index is too lossy for this " +
+          "feed (raise serve_nprobe, rebuild with more lists/finer codes, " +
+          s"or inspect ${asset.name}_recall)")
   }
 }

@@ -188,39 +188,56 @@ object Materializer {
     // sniffed (the plan force would evaluate the by-name query).
     val isDdl = mat.typ == MaterializationType.Table &&
       effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace) == Strategy.DDL
-    def materialize(): Unit = mat.typ match {
+    // `d` is by-name: the DDL strategy must never evaluate the asset's
+    // (empty) query — only the Table/None/View branches force it
+    def materialize(d: => DataFrame): Unit = mat.typ match {
       case MaterializationType.None =>
         // Run as-is without fetching to the driver (reference
         // materializer.go:23-27 executes without a result set). The noop v2
         // sink evaluates the full plan distributed; rows never leave executors.
-        df.write.format("noop").mode("overwrite").save()
+        d.write.format("noop").mode("overwrite").save()
       case MaterializationType.View =>
         // In-session mapping of CREATE OR REPLACE VIEW (temp views may
         // reference other temp views; permanent views may not).
-        df.createOrReplaceTempView(name.split('.').last)
+        d.createOrReplaceTempView(name.split('.').last)
       case MaterializationType.Table =>
         effectiveStrategy(asset, ctx).getOrElse(Strategy.CreateReplace) match {
-          case Strategy.CreateReplace  => wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+          case Strategy.CreateReplace  => wh.createOrReplace(name, d, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
           case Strategy.Append         =>
-            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
-            else wh.append(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+            if (!wh.exists(name)) wh.createOrReplace(name, d, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+            else wh.append(name, d, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
           case Strategy.TruncateInsert =>
-            if (!wh.exists(name)) wh.createOrReplace(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
-            else wh.overwrite(name, df, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
-          case Strategy.DeleteInsert   => deleteInsert(wh, asset, df)
-          case Strategy.Merge          => merge(wh, asset, df)
-          case Strategy.TimeInterval   => timeInterval(wh, asset, df, ctx)
+            if (!wh.exists(name)) wh.createOrReplace(name, d, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+            else wh.overwrite(name, d, mat.partitionBy, mat.clusterBy, mat.bucketBy, mat.buckets)
+          case Strategy.DeleteInsert   => deleteInsert(wh, asset, d)
+          case Strategy.Merge          => merge(wh, asset, d)
+          case Strategy.TimeInterval   => timeInterval(wh, asset, d, ctx)
           case Strategy.DDL            => ddl(wh, asset)
-          case Strategy.SCD2ByColumn   => scd2ByColumn(wh, asset, df, ctx)
-          case Strategy.SCD2ByTime     => scd2ByTime(wh, asset, df, ctx)
-          case Strategy.DataVaultHub       => datavaultHub(wh, asset, df, ctx)
-          case Strategy.DataVaultLink      => datavaultHub(wh, asset, df, ctx) // same keyed-insert shape
-          case Strategy.DataVaultSatellite => datavaultSatellite(wh, asset, df, ctx)
+          case Strategy.SCD2ByColumn   => scd2ByColumn(wh, asset, d, ctx)
+          case Strategy.SCD2ByTime     => scd2ByTime(wh, asset, d, ctx)
+          case Strategy.DataVaultHub       => datavaultHub(wh, asset, d, ctx)
+          case Strategy.DataVaultLink      => datavaultHub(wh, asset, d, ctx) // same keyed-insert shape
+          case Strategy.DataVaultSatellite => datavaultSatellite(wh, asset, d, ctx)
         }
         analyzeIfRequested(wh, asset)
     }
-    if (isDdl) materialize()
-    else graft.core.HeapAgg.maybeRaised(df)(materialize())
+    // k-bounded-heap plans execute rebound onto a RAISED CLONE session
+    // (never a shared-conf mutation — pipeline concurrency > 1 runs assets
+    // on a thread pool over one session, so a conf set/restore here would
+    // race every concurrent asset's planning). A View registers its plan
+    // on the PARENT session (nothing executes, and the temp view must be
+    // visible to downstream assets), so it is never rebound. Note the
+    // composing strategies (merge/scd2/...) join the rebound frame with
+    // target-table frames built on the parent session; their OUTER plan
+    // executes under the parent conf — perf-only, and none of them carry
+    // bounded heaps today.
+    if (isDdl || mat.typ == MaterializationType.View) materialize(df)
+    else {
+      // bound once: `d` is by-name, and the rebind (plan sniff + clone)
+      // must not re-run per reference inside the strategy dispatch
+      lazy val rebound = graft.core.HeapAgg.maybeRebound(df)
+      materialize(rebound)
+    }
   }
 
   /** `index: ivf|ivfpq` asset builds. The asset NAME is the index table;

@@ -503,6 +503,62 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** EXACT L2 TOP-K FOR A BOUNDED QUERY SAMPLE — the ground-truth side of
+    * the serving recall monitor over the ADC tier, which ranks by squared
+    * L2 (cosine helpers above would grade an L2-ranked tier against the
+    * wrong order on unnormalized vectors). `queries` MUST be a bounded
+    * sample (a monitor's `serve_recall_sample`, capped at [[MaxRecallSample]]
+    * — enforced, since the sample is collected to the driver and broadcast):
+    * one corpus scan scores every sample query per partition through a
+    * k-bounded heap, so the shuffle carries ≤ Q·k rows per partition and
+    * nothing corpus-sized ever concentrates. Deterministic rank:
+    * (dist2 asc, corpus id asc) — the ADC serving tiers' order. */
+  val MaxRecallSample = 10000
+
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    // bounded by contract: the recall monitor samples ≤ serve_recall_sample
+    // queries; anything larger belongs on knnJoin's distributed grid
+    val qs = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].limit(MaxRecallSample + 1).collect()
+    require(qs.length <= MaxRecallSample,
+      s"bruteForceL2TopK is for bounded samples (<= $MaxRecallSample queries); " +
+        "use knnJoin/knnJoinIvf for full query sets")
+    val bc = spark.sparkContext.broadcast(qs)
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val sample = bc.value
+        val heaps = Array.fill(sample.length)(new TopK(k))
+        it.foreach { case (b, vb) =>
+          var i = 0
+          while (i < sample.length) {
+            val qv = sample(i)._2
+            var d = 0.0; var j = 0
+            val n = math.min(qv.length, vb.length)
+            while (j < n) { val x = qv(j) - vb(j); d += x * x; j += 1 }
+            heaps(i).offer(b, -d) // TopK keeps the LARGEST scores: negate dist2
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (b, s) => (sample(i)._1, b, -s) }
+        }
+      }
+      .toDF("q", "b", "dist2")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q").orderBy(col("dist2").asc, col("b"))))
+      .where(col("rank") <= k)
+      .select(col("q"), col("b"), round(col("dist2"), 6).as("dist2"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** OFFLINE RETRIEVAL EVALUATION — recall@k of an approximate result
     * against an exact baseline, the number every ANN/compression knob
     * (nprobe, m, LSH bits, matryoshka dims, int8) is ultimately tuned by.

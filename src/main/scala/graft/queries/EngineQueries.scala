@@ -1338,9 +1338,9 @@ object EngineQueries {
 
   /** Streaming keys whose IN-FLIGHT aggregation is a k-bounded heap
     * (BoundedTopK inside the windowed state). These execute their stream
-    * during OQ.run, so the per-query fallback-threshold raise
-    * ([[graft.core.HeapAgg]]) must wrap the whole invocation — batch keys
-    * are plan-sniffed post-hoc by HeapAgg.maybeRaised instead and need no
+    * during OQ.run, so the whole builder must run on a raised CLONE
+    * session ([[graft.core.HeapAgg.raisedClone]]) — batch keys are
+    * plan-sniffed post-hoc by HeapAgg.maybeRebound instead and need no
     * entry here. */
   val heapRaisedStreaming: Set[String] = Set(
     "stream_ann_topk", "stream_ann_topk_broadcast", "stream_ann_topk_indexed",

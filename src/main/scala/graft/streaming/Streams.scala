@@ -1807,8 +1807,16 @@ object Streams {
     * id and merged through one stateless bounded heap — per-cell top-s
     * sets union to the global top-s because every candidate lives in
     * exactly one cell) — both tiers score the same flat-packed layout
-    * with the shared ADC kernel and squeeze identically, so gate choice
-    * never changes the shortlist; stage 2
+    * with the shared ADC kernel and squeeze identically, so for DISTINCT
+    * (id, ts, vector) feed rows gate choice never changes the shortlist.
+    * (Exact-DUPLICATE feed rows are the one divergence: the broadcast
+    * tier shortlists each row independently while the spill squeeze
+    * collapses them into one heap — the final per-(window, query) top-k
+    * keys make a re-issued duplicate one result set either way, but the
+    * broadcast tier's duplicated candidates can repeat inside the bounded
+    * heap; dedupe the feed upstream if exact re-issues within a window
+    * are expected. Same-(id, ts) rows with DIFFERENT vectors stay
+    * independent heaps in both tiers.) Stage 2
     * stream-static equi-joins ONLY the ≤ Q·shortlist survivors
     * back to their float vectors and re-scores exact cosine with the
     * native codegen kernel, feeding the same watermarked bounded-heap
@@ -1921,20 +1929,30 @@ object Streams {
           .repartition(spark.sparkContext.defaultParallelism, col("q"))
           .as[(Long, Array[Float], java.sql.Timestamp, Array[Long], Array[Double])]
           .mapPartitions { it =>
-            // one bounded heap per DISTINCT QUERY ROW (keyed by (q, ts) so
-            // duplicate ids in a batch stay independent rows, matching the
-            // broadcast tier's row-at-a-time contract)
-            val heaps = new java.util.LinkedHashMap[(Long, java.sql.Timestamp),
+            // one bounded heap per DISTINCT QUERY ROW. A query row's
+            // nprobe per-cell hit lists share (q, ts, vector) and MUST
+            // merge into one heap; two feed rows that collide on (q, ts)
+            // but carry DIFFERENT vectors are genuinely distinct queries
+            // and get independent heaps (probed by a seq suffix after a
+            // content compare — the broadcast tier's row-at-a-time
+            // contract). Exact-duplicate feed rows (same id, ts, AND
+            // vector) collapse into one shortlist here; see the
+            // duplicate-row note in the method scaladoc.
+            val heaps = new java.util.LinkedHashMap[(Long, java.sql.Timestamp, Int),
               (Array[Float], Similarity.TopK)]()
             it.foreach { case (q, qv, t, hb, hd) =>
-              var e = heaps.get((q, t))
-              if (e == null) { e = (qv, new Similarity.TopK(shortlist)); heaps.put((q, t), e) }
+              var seq = 0
+              var e = heaps.get((q, t, seq))
+              while (e != null && !java.util.Arrays.equals(e._1, qv)) {
+                seq += 1; e = heaps.get((q, t, seq))
+              }
+              if (e == null) { e = (qv, new Similarity.TopK(shortlist)); heaps.put((q, t, seq), e) }
               var i = 0
               while (i < hb.length) { e._2.offer(hb(i), -hd(i)); i += 1 }
             }
             scala.jdk.CollectionConverters.IteratorHasAsScala(
               heaps.entrySet().iterator()).asScala.flatMap { en =>
-              val (q, t) = en.getKey
+              val (q, t, _) = en.getKey
               val (qv, top) = en.getValue
               top.iterator.map { case (b, _) => (q, qv, b, t) }
             }

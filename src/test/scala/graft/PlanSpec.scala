@@ -555,6 +555,42 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.streaming.ServingCache.size == 0)
   }
 
+  test("ServingCache release is owner-scoped: stopping one serve keeps the other's folds") {
+    // two serve assets on one session (pipeline concurrency: 2) must
+    // release independently — through r17 the only release was global, so
+    // stopping one serve unpersisted the other's corpus-sized fold and
+    // silently degraded it to a re-fold every micro-batch (ADVICE r17 #2)
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ServingCache
+    ServingCache.releaseAll()
+    graft.core.Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val corpus = emb.where(col("label") =!= 0)
+    val cents = graft.ops.Similarity.ivfCentroids(corpus, nlist = 4)
+    def buildSpillTier(): Unit = {
+      graft.streaming.Streams.streamingAnnTopK(
+        queries, corpus, cents, k = 3, nprobe = 2, maxBroadcastBytes = 0L)
+      ()
+    }
+    ServingCache.withOwner("serve:a")(buildSpillTier())
+    ServingCache.withOwner("serve:b")(buildSpillTier())
+    assert(ServingCache.namesFor("serve:a").contains("ann_packed_lists"))
+    assert(ServingCache.namesFor("serve:b").contains("ann_packed_lists"))
+    val aFolds = ServingCache.namesFor("serve:a").size
+    val releasedA = ServingCache.release("serve:a")
+    assert(releasedA == aFolds, "release(token) must drop exactly that owner's folds")
+    assert(ServingCache.namesFor("serve:a").isEmpty)
+    assert(ServingCache.namesFor("serve:b").contains("ann_packed_lists"),
+      "the concurrent serve's folds must survive the other's release")
+    // releasing an already-released token is a no-op, not a second unpersist
+    assert(ServingCache.release("serve:a") == 0)
+    assert(ServingCache.releaseAll() >= 1)
+    assert(ServingCache.size == 0)
+  }
+
   test("streaming rerank past the gate composes the spill shortlist, not a refusal") {
     // r16 REFUSED past the broadcast gate and told the caller to
     // hand-assemble; r17 wires the packed-code spill shortlist + exact

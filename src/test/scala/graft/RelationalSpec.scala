@@ -112,22 +112,32 @@ class RelationalSpec extends AnyFunSuite {
       .selectExpr("id AS g", "CAST(id % 97 AS STRING) AS v")
       .groupBy("g").agg(collect_list("v").as("vs"))
     assert(grouped.count() == 3000000L)
-    // the scoped raise is visible inside the wrapper and restored after,
-    // even on failure
-    HeapAgg.withRaised(spark) {
-      assert(spark.conf.get(HeapAgg.Key) == HeapAgg.Raised)
-    }
-    assert(spark.conf.get(HeapAgg.Key) == "128")
-    intercept[RuntimeException] {
-      HeapAgg.withRaised(spark) { throw new RuntimeException("boom") }
-    }
+    // the raise lives on a CLONED session; the shared session's conf is
+    // never written, so concurrent assets can't interleave a set/restore
+    // into a permanent raise (ADVICE r17 #1)
+    val clone = HeapAgg.raisedClone(spark)
+    assert(clone.conf.get(HeapAgg.Key) == HeapAgg.Raised)
     assert(spark.conf.get(HeapAgg.Key) == "128",
-      "withRaised must restore the default on failure too")
+      "raisedClone must leave the parent session's valve armed")
     // plan sniffing: a bounded-heap plan is recognized, a plain agg is not
     val bounded = graft.ops.Sampling.groupTopK(
       spark.range(100).selectExpr("id % 10 AS g", "id AS x"),
       Seq("g"), Seq(col("x")), 3)
     assert(HeapAgg.plansBoundedAgg(bounded))
     assert(!HeapAgg.plansBoundedAgg(grouped))
+    // the sniff walks aggregate CLASSES, not plan text: a column literally
+    // named bounded_top_k must not trigger the raise (VERDICT r17 #3)
+    val decoy = spark.range(100)
+      .selectExpr("id % 10 AS g", "id AS bounded_top_k")
+      .groupBy("g").agg(collect_list(col("bounded_top_k")).as("capped_collect_list"))
+    assert(!HeapAgg.plansBoundedAgg(decoy),
+      "a column named after the aggregate must not false-positive the sniff")
+    // maybeRebound: bounded plans come back on a raised clone with the
+    // same result; unbounded plans come back untouched
+    val rebound = HeapAgg.maybeRebound(bounded)
+    assert(rebound.sparkSession ne spark)
+    assert(rebound.sparkSession.conf.get(HeapAgg.Key) == HeapAgg.Raised)
+    assert(rebound.collect().length == bounded.collect().length)
+    assert(HeapAgg.maybeRebound(decoy).sparkSession eq spark)
   }
 }
