@@ -31,7 +31,7 @@ case class AnnAdcListTopK(qv: Expression, qid: Expression, cell: Expression,
                           ids: Expression, codes: Expression,
                           centroids: Array[Array[Float]],
                           books: Array[Array[Array[Float]]],
-                          k: Int)
+                          k: Int, tag: Long = AnnListTopK.nextTag())
     extends Expression {
 
   require(k >= 1, s"k must be >= 1: $k")
@@ -62,9 +62,9 @@ case class AnnAdcListTopK(qv: Expression, qid: Expression, cell: Expression,
     val i = ids.eval(input)
     val cd = codes.eval(input)
     if (q == null || qi == null || c == null || i == null || cd == null) null
-    else AnnAdcListTopK.topK(q.asInstanceOf[ArrayData], qi.asInstanceOf[Long],
-      c.asInstanceOf[Int], i.asInstanceOf[ArrayData], cd.asInstanceOf[ArrayData],
-      centroids, books, k)
+    else AnnAdcListTopK.topKCached(tag, q.asInstanceOf[ArrayData],
+      qi.asInstanceOf[Long], c.asInstanceOf[Int], i.asInstanceOf[ArrayData],
+      cd.asInstanceOf[ArrayData], centroids, books, k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -85,7 +85,7 @@ case class AnnAdcListTopK(qv: Expression, qid: Expression, cell: Expression,
       |  ${iC.isNull} || ${cdC.isNull};
       |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
       |if (!${ev.isNull}) {
-      |  ${ev.value} = graft.functions.AnnAdcListTopK.topK(${qC.value},
+      |  ${ev.value} = graft.functions.AnnAdcListTopK.topKCached(${tag}L, ${qC.value},
       |    ${qiC.value}, ${cC.value}, ${iC.value}, ${cdC.value}, $cents, $bks, $k);
       |}""".stripMargin)
   }
@@ -132,6 +132,34 @@ object AnnAdcListTopK {
     }
     new GenericArrayData(top.iterator
       .map { case (b, negD) => InternalRow(b, -negD) }.toArray[Any])
+  }
+
+  private final class CachedCodes(val tag: Long, val listId: Int,
+                                  val ids: Array[Long], val codes: Array[Int])
+
+  private val lastList = new ThreadLocal[CachedCodes]
+
+  /** [[topK]] with [[AnnListTopK.topKCached]]'s per-(task, list) primitive
+    * cache — joined rows arrive grouped by cell, so the ids/codes
+    * extraction amortizes over every query row probing the cell and the
+    * lookup loop runs over primitive arrays ([[topKFlat]], the broadcast
+    * tier's exact scorer). `tag` is unique per expression construction;
+    * the packed-code fold is frozen within a plan, so equal (tag, cell)
+    * always means identical arrays. Result ≡ [[topK]], property-pinned. */
+  def topKCached(tag: Long, qv: ArrayData, qid: Long, cell: Int,
+                 ids: ArrayData, codes: ArrayData,
+                 centroids: Array[Array[Float]],
+                 books: Array[Array[Array[Float]]], k: Int): ArrayData = {
+    import graft.ops.Pq
+    var c = lastList.get()
+    if (c == null || c.tag != tag || c.listId != cell) {
+      c = new CachedCodes(tag, cell, ids.toLongArray(), codes.toIntArray())
+      lastList.set(c)
+    }
+    val q = qv.toFloatArray()
+    val dt = Pq.distTable(Pq.residualOf(q, centroids(cell)), books)
+    new GenericArrayData(topKFlat(qid, dt, c.ids, c.codes, k)
+      .map { case (b, d) => InternalRow(b, d) }.toArray[Any])
   }
 
   /** Broadcast-tier twin of [[topK]] over plain primitive arrays, taking

@@ -27,14 +27,30 @@ import org.apache.spark.sql.types._
   * Semantics are bit-identical to the typed kernel it replaces:
   * [[graft.ops.Similarity.cosineOfFlat]]'s zero-norm/round6/min-length
   * conventions and [[graft.ops.Similarity.TopK]]'s deterministic
-  * (cos desc, id asc) order. NULL in → NULL out. */
-case class AnnListTopK(qv: Expression, ids: Expression, flat: Expression,
-                       norms: Expression, dim: Expression, k: Int)
+  * (cos desc, id asc) order. NULL in → NULL out.
+  *
+  * PER-TASK LIST CACHE (r18): the ArrayData accessor form reads every
+  * vector element through `Platform.getFloat`, which the JIT will not
+  * SIMD-vectorize — the sf10 decomposition probe measured the accessor
+  * kernel at ~750 CPU-s vs ~495 CPU-s for the identical arithmetic over
+  * primitive arrays (the broadcast tier's loop). Joined rows arrive
+  * GROUPED by list (the stream-static join sorts/partitions on the list
+  * key), so the expression now extracts each list's arrays to primitives
+  * ONCE per (task, list) — a (`tag`, list-id)-keyed single-entry
+  * ThreadLocal, ~one 1/nlist-of-corpus copy per task — and every query
+  * row scores through the shared vectorizable [[AnnListTopK.scoreInto]]
+  * loop. `tag` is unique per expression construction, so two plans (or a
+  * restarted stream) can never read each other's entries; within one plan
+  * the static fold is frozen (persisted; maintenance appends land in the
+  * NEXT plan), so equal (tag, list) always means identical arrays. */
+case class AnnListTopK(list: Expression, qv: Expression, ids: Expression,
+                       flat: Expression, norms: Expression, dim: Expression,
+                       k: Int, tag: Long = AnnListTopK.nextTag())
     extends Expression {
 
   require(k >= 1, s"k must be >= 1: $k")
 
-  override def children: Seq[Expression] = Seq(qv, ids, flat, norms, dim)
+  override def children: Seq[Expression] = Seq(list, qv, ids, flat, norms, dim)
   override def nullable: Boolean = true
   override def dataType: DataType = AnnListTopK.OutType
   override def prettyName: String = "ann_list_top_k"
@@ -44,52 +60,56 @@ case class AnnListTopK(qv: Expression, ids: Expression, flat: Expression,
       case ArrayType(`el`, _) => true
       case _ => false
     }
-    if (elemOk(qv, FloatType) && elemOk(ids, LongType) &&
-        elemOk(flat, FloatType) && elemOk(norms, DoubleType) &&
-        dim.dataType == IntegerType)
+    if (list.dataType == IntegerType && elemOk(qv, FloatType) &&
+        elemOk(ids, LongType) && elemOk(flat, FloatType) &&
+        elemOk(norms, DoubleType) && dim.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "ann_list_top_k requires (ARRAY<FLOAT>, ARRAY<BIGINT>, ARRAY<FLOAT>, " +
+      "ann_list_top_k requires (INT, ARRAY<FLOAT>, ARRAY<BIGINT>, ARRAY<FLOAT>, " +
         s"ARRAY<DOUBLE>, INT), got (${children.map(_.dataType.sql).mkString(", ")})")
   }
 
   override def eval(input: InternalRow): Any = {
+    val l = list.eval(input)
     val q = qv.eval(input)
     val i = ids.eval(input)
     val f = flat.eval(input)
     val n = norms.eval(input)
     val d = dim.eval(input)
-    if (q == null || i == null || f == null || n == null || d == null) null
-    else AnnListTopK.topK(q.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData],
+    if (l == null || q == null || i == null || f == null || n == null || d == null) null
+    else AnnListTopK.topKCached(tag, l.asInstanceOf[Int],
+      q.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData],
       f.asInstanceOf[ArrayData], n.asInstanceOf[ArrayData],
       d.asInstanceOf[Int], k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lC = list.genCode(ctx)
     val qC = qv.genCode(ctx)
     val iC = ids.genCode(ctx)
     val fC = flat.genCode(ctx)
     val nC = norms.genCode(ctx)
     val dC = dim.genCode(ctx)
     ev.copy(code = code"""
+      |${lC.code}
       |${qC.code}
       |${iC.code}
       |${fC.code}
       |${nC.code}
       |${dC.code}
-      |boolean ${ev.isNull} = ${qC.isNull} || ${iC.isNull} || ${fC.isNull} ||
-      |  ${nC.isNull} || ${dC.isNull};
+      |boolean ${ev.isNull} = ${lC.isNull} || ${qC.isNull} || ${iC.isNull} ||
+      |  ${fC.isNull} || ${nC.isNull} || ${dC.isNull};
       |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
       |if (!${ev.isNull}) {
-      |  ${ev.value} = graft.functions.AnnListTopK.topK(${qC.value},
-      |    ${iC.value}, ${fC.value}, ${nC.value}, ${dC.value}, $k);
+      |  ${ev.value} = graft.functions.AnnListTopK.topKCached(${tag}L, ${lC.value},
+      |    ${qC.value}, ${iC.value}, ${fC.value}, ${nC.value}, ${dC.value}, $k);
       |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): AnnListTopK =
-    copy(qv = newChildren(0), ids = newChildren(1), flat = newChildren(2),
-      norms = newChildren(3), dim = newChildren(4))
+    copy(list = newChildren(0), qv = newChildren(1), ids = newChildren(2),
+      flat = newChildren(3), norms = newChildren(4), dim = newChildren(5))
 }
 
 object AnnListTopK {
@@ -97,6 +117,40 @@ object AnnListTopK {
   val OutType: DataType = ArrayType(StructType(Seq(
     StructField("b", LongType, nullable = false),
     StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+  private val tagCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Unique per expression construction — the cache-isolation key. */
+  def nextTag(): Long = tagCounter.incrementAndGet()
+
+  /** One cached list's primitive extraction, keyed by (tag, listId). */
+  final class CachedList(val tag: Long, val listId: Int, val ids: Array[Long],
+                         val flat: Array[Float], val norms: Array[Double])
+
+  private val lastList = new ThreadLocal[CachedList]
+
+  /** [[topK]] with the per-(task, list) primitive cache described in the
+    * class doc. Joined rows arrive grouped by list, so the extraction
+    * (three bulk `toXxxArray` copies) amortizes over every query row that
+    * probes the list; scoring runs the same SIMD-friendly primitive loop
+    * as the broadcast tier ([[scoreInto]]). Memory held per task thread:
+    * ONE list (~corpus/nlist vectors). Result is bit-identical to
+    * [[topK]] — property-pinned. */
+  def topKCached(tag: Long, listId: Int, qv: ArrayData, ids: ArrayData,
+                 flat: ArrayData, norms: ArrayData, dim: Int, k: Int): ArrayData = {
+    import graft.ops.Similarity
+    var c = lastList.get()
+    if (c == null || c.tag != tag || c.listId != listId) {
+      c = new CachedList(tag, listId,
+        ids.toLongArray(), flat.toFloatArray(), norms.toDoubleArray())
+      lastList.set(c)
+    }
+    val q = qv.toFloatArray()
+    val top = new Similarity.TopK(k)
+    scoreInto(top, q, Similarity.normP(q), c.ids, c.flat, c.norms, dim)
+    new GenericArrayData(top.iterator
+      .map { case (b, cos) => InternalRow(b, cos) }.toArray[Any])
+  }
 
   /** Broadcast-tier twin of [[topK]]: identical cosine arithmetic
     * ([[graft.ops.Similarity.cosineOfFlat]] conventions) and offer order

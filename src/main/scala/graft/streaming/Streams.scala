@@ -1572,18 +1572,32 @@ object Streams {
           }
           .toDF("__list", "q", "__qv", "ts")
         // scoring is a NATIVE expression evaluated inside WholeStageCodegen
-        // against the join's build-side row IN PLACE — a typed kernel here
-        // would make the encoder deserialize every query row's ~C/nlist-
-        // vector list first (~1.4 TB of copies at the sf10 config, measured
-        // 94 s vs ~60 s for the in-place form); only ≤ k (b, cos) structs
-        // per (query, probed list) ever materialize, then explode feeds the
-        // unchanged windowed bounded-heap merge
+        // against the join's build-side row, with each list's arrays
+        // extracted to primitives ONCE PER (task, list) — joined rows
+        // arrive grouped by list, so the copy amortizes and the dot
+        // product runs the same SIMD-friendly primitive loop as the
+        // broadcast tier (the pure accessor form measured ~750 CPU-s vs
+        // ~495 primitive on the sf10 decomposition; a typed kernel here
+        // would make the encoder deserialize every query row's list,
+        // ~1.4 TB of copies, measured 94 s); only ≤ k (b, cos) structs
+        // per (query, probed list) ever materialize, then explode feeds
+        // the unchanged windowed bounded-heap merge.
+        // JOIN GRANULARITY: both sides hash to ~one list per partition —
+        // nlist keys into the session's 32 shuffle partitions left the
+        // scoring stage straggler-bound (max task 37 s vs median 27 s at
+        // sf10); at nlist-partition granularity work-stealing levels the
+        // per-list size skew, and at cluster scale nlist ∝ √C partitions
+        // is exactly the fan-out a 1000-executor join wants
+        val joinParts = math.max(spark.sparkContext.defaultParallelism,
+          centroids.length)
         import org.apache.spark.sql.graft.SqlBridge
         val topHits = SqlBridge.column(graft.functions.AnnListTopK(
+          SqlBridge.expression(col("__list")),
           SqlBridge.expression(col("__qv")), SqlBridge.expression(col("__ids")),
           SqlBridge.expression(col("__flat")), SqlBridge.expression(col("__norms")),
           SqlBridge.expression(col("__dim")), k))
-        routed.join(packed, Seq("__list"))
+        routed.repartition(joinParts, col("__list"))
+          .join(packed.repartition(joinParts, col("__list")), Seq("__list"))
           .select(col("q"), col("ts"), explode(topHits).as("__hit"))
           .select(col("q"), col("__hit.b").as("b"),
             col("__hit.cos").as("cos"), col("ts"))
@@ -1772,7 +1786,14 @@ object Streams {
           SqlBridge.expression(col("__qv")), SqlBridge.expression(col("q")),
           SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
           SqlBridge.expression(col("__codes")), centroids, books, k))
-        routed.join(packed, Seq("__list"))
+        // one list per partition, same as the float spill tier (r18): at
+        // nlist-key granularity work-stealing levels per-list size skew,
+        // and the per-(task, list) code cache inside the expression hits
+        // on every row after a partition's first
+        val joinParts = math.max(spark.sparkContext.defaultParallelism,
+          centroids.length)
+        routed.repartition(joinParts, col("__list"))
+          .join(packed.repartition(joinParts, col("__list")), Seq("__list"))
           .select(col("q"), col("ts"), explode(hits).as("__hit"))
           .select(col("q"), col("__hit.b").as("b"),
             col("__hit.dist2").as("dist2"), col("ts"))
@@ -1918,7 +1939,12 @@ object Streams {
           SqlBridge.expression(col("__qv")), SqlBridge.expression(col("q")),
           SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
           SqlBridge.expression(col("__codes")), centroids, books, shortlist))
-        routed.join(packed, Seq("__list"))
+        // one list per partition (r18): levels per-list skew in stage 1
+        // and keeps the expression's per-(task, list) code cache hot
+        val joinParts = math.max(spark.sparkContext.defaultParallelism,
+          centroids.length)
+        routed.repartition(joinParts, col("__list"))
+          .join(packed.repartition(joinParts, col("__list")), Seq("__list"))
           .select(col("q"), col("__qv"), col("ts"), hits.as("__hits"))
           .where(col("__hits").isNotNull)
           // GetArrayStructFields, not a transform() HOF — field extraction

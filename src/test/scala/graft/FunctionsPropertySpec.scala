@@ -119,6 +119,60 @@ class FunctionsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("topKCached equals topK, and cache entries are tag/list isolated") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.ops.Similarity
+    // the r18 per-(task, list) primitive cache must be semantics-free:
+    // bit-identical output, with a poisoned cache entry (same list id,
+    // DIFFERENT tag or different list) never leaking across calls
+    val listGen = for {
+      dim <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray))
+      vs2 <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray))
+      q <- Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+      k <- Gen.choose(1, 6)
+    } yield (dim, vs.toArray, vs2.toArray, q, k)
+    check(forAll(listGen) { case (dim, vs, vs2, q, k) =>
+      def arr(vsx: Array[Array[Float]]) = (
+        new GenericArrayData(vsx.indices.map(i => (i.toLong + 100): Any).toArray),
+        new GenericArrayData(vsx.flatten.map(x => x: Any)),
+        new GenericArrayData(vsx.map(v => Similarity.normP(v): Any)))
+      def run(tag: Long, list: Int, vsx: Array[Array[Float]]) = {
+        val (ids, flat, norms) = arr(vsx)
+        graft.functions.AnnListTopK.topKCached(tag, list,
+          new GenericArrayData(q.map(x => x: Any)), ids, flat, norms, dim, k)
+          .array.map { r =>
+            val row = r.asInstanceOf[InternalRow]
+            (row.getLong(0), row.getDouble(1))
+          }.toSeq
+      }
+      val (ids1, flat1, norms1) = arr(vs)
+      val expect1 = graft.functions.AnnListTopK.topK(
+        new GenericArrayData(q.map(x => x: Any)), ids1, flat1, norms1, dim, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      val (ids2, flat2, norms2) = arr(vs2)
+      val expect2 = graft.functions.AnnListTopK.topK(
+        new GenericArrayData(q.map(x => x: Any)), ids2, flat2, norms2, dim, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      // warm the cache with (tag=1, list=7) over vs, then:
+      val a = run(1L, 7, vs)   // fills cache
+      val b = run(1L, 7, vs)   // cache HIT — must still equal topK(vs)
+      // same list id, different TAG (another plan): must NOT reuse vs
+      val c = run(2L, 7, vs2)
+      // same tag, different list: must NOT reuse vs2
+      val d = run(2L, 9, vs)
+      a == expect1 && b == expect1 && c == expect2 && d == expect1
+    })
+  }
+
   test("ann_adc_list_top_k kernel equals Pq.adcTopK on packed codes") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.catalyst.InternalRow
@@ -151,7 +205,21 @@ class FunctionsPropertySpec extends AnyFunSuite {
       val dt = Pq.distTable(Pq.residualOf(q, cents(cell)), books)
       val expect = Pq.adcTopK(-1L, dt, k,
         ids.zip(codes).iterator).map { case (_, b, d) => (b, d) }.toSeq
-      got == expect
+      // the r18 per-(task, cell) code cache must be semantics-free too,
+      // including a poisoned entry from another tag on the same cell id
+      def cached(tag: Long) = graft.functions.AnnAdcListTopK.topKCached(tag,
+        new GenericArrayData(q.map(x => x: Any)), -1L, cell,
+        new GenericArrayData(ids.map(x => x: Any)),
+        new GenericArrayData(codes.flatten.map(x => x: Any)),
+        cents, books, k)
+        .array.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (row.getLong(0), row.getDouble(1))
+        }.toSeq
+      val first = cached(3L)  // fill
+      val hit = cached(3L)    // cache hit
+      val fresh = cached(4L)  // same cell id, different tag — must re-extract
+      got == expect && first == expect && hit == expect && fresh == expect
     })
   }
 

@@ -845,10 +845,15 @@ class ScaleProbeSpec extends AnyFunSuite {
     annStream("sf10 streaming ANN top-k, packed-list spill tier (200k x 800k, nprobe=8)",
       "spill tier forced: index folded to one flat-packed row per list " +
         "(persisted static fold), stream-static join moves Q*nprobe query " +
-        "ROWS (r15's pair-stream tier paid ~2.8 us/pair = 430.8 s on this " +
-        "config; tuple-packed + typed kernel 121 s; flat + typed kernel " +
-        "94 s), in-place native ann_list_top_k scoring on the build-side " +
-        "row, bounded-heap (<= k/query) state", bcBytes = 0L)
+        "ROWS, scored per (task, list) through the cached-primitive " +
+        "ann_list_top_k at one-list-per-partition join granularity. r18 " +
+        "decomposition of the r17 48.7 s (vs broadcast 24.0): accessor " +
+        "kernel 839 CPU-s vs 495 primitive (Platform.getFloat defeats " +
+        "SIMD) + 256-lists-into-32-partitions straggler (max task 38 s vs " +
+        "med 27); the per-(task,list) primitive cache + nlist-partition " +
+        "join cut the scoring stage to 422 CPU-s / max task 7.7 s — " +
+        "spill now at broadcast parity. History: r15 pair stream 430.8 s, " +
+        "tuple-packed 121 s, flat+typed 94 s, in-place accessor 48.7 s", bcBytes = 0L)
     annStream("sf10 streaming ANN top-k, broadcast serving tier (same 200k x 800k)",
       "RAM-resident index (204 MB raw, ~816 MB heap-estimated under the 4x " +
         "gate factor): primitive-kernel scoring emits <= k rows/query into " +
