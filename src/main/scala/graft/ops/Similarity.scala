@@ -542,7 +542,8 @@ object Similarity {
             val qv = sample(i)._2
             var d = 0.0; var j = 0
             val n = math.min(qv.length, vb.length)
-            while (j < n) { val x = qv(j) - vb(j); d += x * x; j += 1 }
+            // double arithmetic per term, the family's oracle-parity rule
+            while (j < n) { val x = qv(j).toDouble - vb(j).toDouble; d += x * x; j += 1 }
             heaps(i).offer(b, -d) // TopK keeps the LARGEST scores: negate dist2
             i += 1
           }

@@ -1782,6 +1782,31 @@ object DataOpsQueries {
     },
     duckKnnBipartite)
 
+  /** Exact squared-L2 top-k for a bounded query sample
+    * ([[Similarity.bruteForceL2TopK]]) — the serving recall monitor's
+    * ground-truth side over the ADC tier, which ranks by dist2 (a cosine
+    * baseline would grade the wrong order on unnormalized vectors). One
+    * corpus pass scores every sample query through a k-bounded heap;
+    * rank on RAW distances, round6 on emission — the oracle replays the
+    * full bipartite L2 rank in double arithmetic. */
+  val bruteL2TopKQ: OQ = OQ.df("ann_brute_l2_topk",
+    (s, _) => {
+      val emb = s.table("embeddings")
+      Similarity.bruteForceL2TopK(emb.where(col("label") === 0),
+        emb.where(col("label") =!= 0), k = 5)
+    },
+    """WITH el AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |d AS (SELECT a.vec_id AS q, b.vec_id AS b,
+      |    sum((a.e - b.e) * (a.e - b.e)) AS dist2
+      |  FROM el a JOIN el b ON a.i = b.i
+      |  WHERE a.label = 0 AND b.label <> 0 GROUP BY 1, 2),
+      |r AS (SELECT q, b, dist2,
+      |    row_number() OVER (PARTITION BY q ORDER BY dist2, b) AS rank FROM d)
+      |SELECT q, b, round(dist2, 6) AS dist2, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin)
+
   /** IVF-routed bipartite KNN exactness witness: probing every inverted
     * list (nprobe = nlist) provably covers the corpus — each corpus vector
     * lives in exactly one list and every list is searched — so the routed
@@ -2412,7 +2437,7 @@ object DataOpsQueries {
   // this list in source order — a strict val would capture it as null
   lazy val all: Seq[OQ] = Seq(tokenCount, textChunk, textPack, langId, quality, fingerprint,
     normalize, dedupKeepBest, noveltyQ, lexDiversityQ, qualityCdfQ, htmlStripQ, sentencesQ,
-    sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ,
+    sketchKmv, quantileHistQ, hardNegativesQ, clusterSampleFull, knnJoinQ, bruteL2TopKQ,
     knnJoinIvfExact, knnJoinIvfIndexed, knnJoinIvfIndexAppend,
     streamIndexAppend, annRecallAtK, annLshMultitableLossless,
     rollingHash, unigramLm, bigramLm, ccnetBucketsQ, spanDedup, lineDedupQ, gopher, c4FilterQ,
