@@ -163,6 +163,13 @@ object Serving {
       // the persisted static folds IT pinned (and only those: a concurrent
       // serve asset's folds stay cached)
       graft.streaming.ServingCache.release(cacheToken)
+    // the stream wrote through the CLONE — a parent session that cached
+    // the sink's file listing before this drain would read STALE results
+    // (the Warehouse cross-session-write refresh discipline applied to the
+    // streaming toTable sink; both sessions refresh so the recall monitor
+    // below and any later parent read see this drain's appends)
+    wh.spark.catalog.refreshTable(asset.name)
+    spark.catalog.refreshTable(asset.name)
     // the recall monitor runs AFTER the drain, against what this run
     // actually served — a blocking quality check in the reference's
     // checks-gate-downstream sense (pkg/scheduler/scheduler.go:680-715):
