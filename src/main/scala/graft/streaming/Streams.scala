@@ -1786,14 +1786,15 @@ object Streams {
           SqlBridge.expression(col("__qv")), SqlBridge.expression(col("q")),
           SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
           SqlBridge.expression(col("__codes")), centroids, books, k))
-        // one list per partition, same as the float spill tier (r18): at
-        // nlist-key granularity work-stealing levels per-list size skew,
-        // and the per-(task, list) code cache inside the expression hits
-        // on every row after a partition's first
-        val joinParts = math.max(spark.sparkContext.defaultParallelism,
-          centroids.length)
-        routed.repartition(joinParts, col("__list"))
-          .join(packed.repartition(joinParts, col("__list")), Seq("__list"))
+        // NO explicit one-list-per-partition repartition here, unlike the
+        // float spill tier: the code payload is d·4/m× smaller, so the
+        // per-list kernel work is too small to amortize a second exchange
+        // of the routed rows — measured at the sf10 probe: 13.0 s with the
+        // finer granularity vs ~10.8 at the session's shuffle partitioning
+        // (the float tier, whose per-list work is 32× larger, gains 8+ s
+        // from the same treatment). The per-(task, list) code cache still
+        // applies — joined rows arrive grouped by list either way.
+        routed.join(packed, Seq("__list"))
           .select(col("q"), col("ts"), explode(hits).as("__hit"))
           .select(col("q"), col("__hit.b").as("b"),
             col("__hit.dist2").as("dist2"), col("ts"))
@@ -1939,12 +1940,10 @@ object Streams {
           SqlBridge.expression(col("__qv")), SqlBridge.expression(col("q")),
           SqlBridge.expression(col("__list")), SqlBridge.expression(col("__ids")),
           SqlBridge.expression(col("__codes")), centroids, books, shortlist))
-        // one list per partition (r18): levels per-list skew in stage 1
-        // and keeps the expression's per-(task, list) code cache hot
-        val joinParts = math.max(spark.sparkContext.defaultParallelism,
-          centroids.length)
-        routed.repartition(joinParts, col("__list"))
-          .join(packed.repartition(joinParts, col("__list")), Seq("__list"))
+        // plain join at the session partitioning — same reasoning as the
+        // ADC spill tier above (code-payload kernels don't amortize an
+        // extra routed-row exchange; measured 25.5 s vs 23.4 at sf10)
+        routed.join(packed, Seq("__list"))
           .select(col("q"), col("__qv"), col("ts"), hits.as("__hits"))
           .where(col("__hits").isNotNull)
           // GetArrayStructFields, not a transform() HOF — field extraction

@@ -1006,7 +1006,7 @@ class ScaleProbeSpec extends AnyFunSuite {
           .createTempDirectory("graft-sapp10-cp").toString))
         .awaitTermination()
     }
-    val grownSig = spark.table("probe_sig_idx").select(col("doc_id")).distinct().count()
+    val grownSig = spark.table("probe_sig_idx").select(col("id")).distinct().count()
     assert(grownSig == 500000L, s"maintained signature index must hold corpus+batch ids: $grownSig")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "probe_sig_idx")
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(sigDir10))
