@@ -134,27 +134,30 @@ object AnnAdcListTopK {
       .map { case (b, negD) => InternalRow(b, -negD) }.toArray[Any])
   }
 
-  private final class CachedCodes(val tag: Long, val listId: Int,
-                                  val ids: Array[Long], val codes: Array[Int])
+  private[functions] final class CachedCodes(val ids: Array[Long],
+                                             val codes: Array[Int]) {
+    def bytes: Long = ids.length * 8L + codes.length * 4L
+  }
 
-  private val lastList = new ThreadLocal[CachedCodes]
-
-  /** [[topK]] with [[AnnListTopK.topKCached]]'s per-(task, list) primitive
-    * cache — joined rows arrive grouped by cell, so the ids/codes
-    * extraction amortizes over every query row probing the cell and the
-    * lookup loop runs over primitive arrays ([[topKFlat]], the broadcast
-    * tier's exact scorer). `tag` is unique per expression construction;
-    * the packed-code fold is frozen within a plan, so equal (tag, cell)
-    * always means identical arrays. Result ≡ [[topK]], property-pinned. */
+  /** [[topK]] with [[AnnListTopK.topKCached]]'s per-thread byte-bounded
+    * LRU over extracted lists (shared budget — see [[AnnListTopK.ListLru]]
+    * for why a single-entry slot thrashes under a shuffled-hash join).
+    * The ids/codes extraction amortizes over every query row probing the
+    * cell and the lookup loop runs over primitive arrays ([[topKFlat]],
+    * the broadcast tier's exact scorer). `tag` is unique per expression
+    * construction; the packed-code fold is frozen within a plan, so equal
+    * (tag, cell) always means identical arrays. Result ≡ [[topK]],
+    * property-pinned. */
   def topKCached(tag: Long, qv: ArrayData, qid: Long, cell: Int,
                  ids: ArrayData, codes: ArrayData,
                  centroids: Array[Array[Float]],
                  books: Array[Array[Array[Float]]], k: Int): ArrayData = {
     import graft.ops.Pq
-    var c = lastList.get()
-    if (c == null || c.tag != tag || c.listId != cell) {
-      c = new CachedCodes(tag, cell, ids.toLongArray(), codes.toIntArray())
-      lastList.set(c)
+    val cache = AnnListTopK.lru.get()
+    var c = cache.get(tag, cell).asInstanceOf[CachedCodes]
+    if (c == null) {
+      c = new CachedCodes(ids.toLongArray(), codes.toIntArray())
+      cache.put(tag, cell, c)
     }
     val q = qv.toFloatArray()
     val dt = Pq.distTable(Pq.residualOf(q, centroids(cell)), books)

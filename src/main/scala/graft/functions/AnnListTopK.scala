@@ -124,26 +124,65 @@ object AnnListTopK {
   def nextTag(): Long = tagCounter.incrementAndGet()
 
   /** One cached list's primitive extraction, keyed by (tag, listId). */
-  final class CachedList(val tag: Long, val listId: Int, val ids: Array[Long],
-                         val flat: Array[Float], val norms: Array[Double])
+  final class CachedList(val ids: Array[Long],
+                         val flat: Array[Float], val norms: Array[Double]) {
+    def bytes: Long = ids.length * 8L + flat.length * 4L + norms.length * 8L
+  }
 
-  private val lastList = new ThreadLocal[CachedList]
+  /** Per-thread byte-bounded LRU over extracted lists. A single-entry slot
+    * THRASHES when the join is a shuffled-hash join (no sort — probe rows
+    * interleave lists within a partition), re-extracting a whole list per
+    * row: measured 2.75 → 3.9 s on the sf0.1 bench keys. The LRU absorbs
+    * interleaving of however many lists share a partition, within a fixed
+    * byte budget per task thread; with the float tier's one-list-per-
+    * partition join the working set is one entry either way. */
+  final class ListLru(budget: Long) {
+    private var bytes = 0L
+    private val map =
+      new java.util.LinkedHashMap[(Long, Int), AnyRef](16, 0.75f, true)
+    def get(tag: Long, listId: Int): AnyRef = map.get((tag, listId))
+    def put(tag: Long, listId: Int, v: AnyRef): Unit = {
+      bytes += ListLru.sizeOf(v)
+      map.put((tag, listId), v)
+      // evict LRU-first until back under budget; the entry just added is
+      // MRU and always kept (a single over-budget list still serves)
+      val it = map.entrySet().iterator()
+      while (bytes > budget && map.size() > 1) {
+        val e = it.next()
+        bytes -= ListLru.sizeOf(e.getValue)
+        it.remove()
+      }
+    }
+  }
+  object ListLru {
+    private[functions] def sizeOf(v: AnyRef): Long = v match {
+      case c: CachedList                => c.bytes
+      case c: AnnAdcListTopK.CachedCodes => c.bytes
+      case _                            => 0L
+    }
+  }
+
+  /** 64 MB of extracted lists per task thread — covers every measured
+    * working set (small-SF: all lists fit; sf10 float: one ~800 KB list
+    * per partition; sf10 codes: the full 256-list code fold is ~25 MB)
+    * while staying a bounded slice of executor memory at any scale. */
+  private[functions] val lru: ThreadLocal[ListLru] =
+    ThreadLocal.withInitial(() => new ListLru(64L << 20))
 
   /** [[topK]] with the per-(task, list) primitive cache described in the
-    * class doc. Joined rows arrive grouped by list, so the extraction
-    * (three bulk `toXxxArray` copies) amortizes over every query row that
-    * probes the list; scoring runs the same SIMD-friendly primitive loop
-    * as the broadcast tier ([[scoreInto]]). Memory held per task thread:
-    * ONE list (~corpus/nlist vectors). Result is bit-identical to
-    * [[topK]] — property-pinned. */
+    * class doc. Joined rows arrive mostly grouped by list, so the
+    * extraction (three bulk `toXxxArray` copies) amortizes over every
+    * query row that probes the list; scoring runs the same SIMD-friendly
+    * primitive loop as the broadcast tier ([[scoreInto]]). Result is
+    * bit-identical to [[topK]] — property-pinned. */
   def topKCached(tag: Long, listId: Int, qv: ArrayData, ids: ArrayData,
                  flat: ArrayData, norms: ArrayData, dim: Int, k: Int): ArrayData = {
     import graft.ops.Similarity
-    var c = lastList.get()
-    if (c == null || c.tag != tag || c.listId != listId) {
-      c = new CachedList(tag, listId,
-        ids.toLongArray(), flat.toFloatArray(), norms.toDoubleArray())
-      lastList.set(c)
+    val cache = lru.get()
+    var c = cache.get(tag, listId).asInstanceOf[CachedList]
+    if (c == null) {
+      c = new CachedList(ids.toLongArray(), flat.toFloatArray(), norms.toDoubleArray())
+      cache.put(tag, listId, c)
     }
     val q = qv.toFloatArray()
     val top = new Similarity.TopK(k)

@@ -162,13 +162,16 @@ class FunctionsPropertySpec extends AnyFunSuite {
           val row = r.asInstanceOf[InternalRow]
           (row.getLong(0), row.getDouble(1))
         }.toSeq
-      // warm the cache with (tag=1, list=7) over vs, then:
-      val a = run(1L, 7, vs)   // fills cache
-      val b = run(1L, 7, vs)   // cache HIT — must still equal topK(vs)
+      // fresh tags per iteration — in production a tag is unique per plan
+      // construction, so the LRU can never see one tag with two contents
+      val t1 = graft.functions.AnnListTopK.nextTag()
+      val t2 = graft.functions.AnnListTopK.nextTag()
+      val a = run(t1, 7, vs)   // fills cache
+      val b = run(t1, 7, vs)   // cache HIT — must still equal topK(vs)
       // same list id, different TAG (another plan): must NOT reuse vs
-      val c = run(2L, 7, vs2)
+      val c = run(t2, 7, vs2)
       // same tag, different list: must NOT reuse vs2
-      val d = run(2L, 9, vs)
+      val d = run(t2, 9, vs)
       a == expect1 && b == expect1 && c == expect2 && d == expect1
     })
   }
@@ -216,9 +219,11 @@ class FunctionsPropertySpec extends AnyFunSuite {
           val row = r.asInstanceOf[InternalRow]
           (row.getLong(0), row.getDouble(1))
         }.toSeq
-      val first = cached(3L)  // fill
-      val hit = cached(3L)    // cache hit
-      val fresh = cached(4L)  // same cell id, different tag — must re-extract
+      val t1 = graft.functions.AnnListTopK.nextTag()
+      val t2 = graft.functions.AnnListTopK.nextTag()
+      val first = cached(t1)  // fill
+      val hit = cached(t1)    // cache hit
+      val fresh = cached(t2)  // same cell id, different tag — must re-extract
       got == expect && first == expect && hit == expect && fresh == expect
     })
   }

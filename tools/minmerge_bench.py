@@ -7,11 +7,19 @@ script restores the record: per-key min of the two `queries` maps,
 concatenated `times` arrays, summed `runs`, recomputed `value`.
 
 Usage:
-    python3 tools/minmerge_bench.py [GOOD_REF] [FILE]
+    python3 tools/minmerge_bench.py [GOOD_REF] [FILE] [--exclude k1,k2]
 
 GOOD_REF defaults to the most recent commit that touched FILE with a
 LOWER total than the on-disk copy (searched via `git log`); FILE defaults
 to BENCH_QUERIES.json. Writes the merged result back to FILE.
+
+--exclude (with an explicit GOOD_REF): keys whose IMPLEMENTATION changed
+this round — their committed times describe the old plan, so only the
+on-disk times are kept for them. With an explicit GOOD_REF the key sets
+may differ (a round that adds queries): the merge covers the
+intersection, on-disk-only keys pass through as-is, and committed-only
+keys are dropped. The no-argument auto-search keeps the strict
+same-key-set guard.
 """
 import json
 import subprocess
@@ -55,14 +63,24 @@ def find_best_ref(path: str, disk: dict) -> str:
     return best_ref
 
 
-def minmerge(a: dict, b: dict) -> dict:
-    """Merge two sidecars: per-key min, concatenated times, summed runs."""
+def minmerge(a: dict, b: dict, exclude: set = frozenset(),
+             keys_from_b_only: bool = False) -> dict:
+    """Merge two sidecars: per-key min, concatenated times, summed runs.
+    `exclude`: keys taken from `b` (the on-disk run) alone — their
+    implementation changed, so `a`'s times describe a different plan.
+    `keys_from_b_only`: restrict the output to b's key set (cross-key-set
+    merge with an explicit ref)."""
     merged = dict(a)
     qa, qb = a.get("queries", {}), b.get("queries", {})
     ta, tb = a.get("times", {}), b.get("times", {})
-    keys = sorted(set(qa) | set(qb))
+    keys = sorted(set(qb) if keys_from_b_only else set(qa) | set(qb))
     mq, mt = {}, {}
     for k in keys:
+        if k in exclude:
+            if k in qb:
+                mq[k] = qb[k]
+                mt[k] = list(tb.get(k, []))
+            continue
         vals = [v for v in (qa.get(k), qb.get(k)) if v is not None]
         mq[k] = min(vals)
         mt[k] = list(ta.get(k, [])) + list(tb.get(k, []))
@@ -78,12 +96,19 @@ def minmerge(a: dict, b: dict) -> dict:
 
 
 def main() -> None:
-    path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_QUERIES.json"
+    argv = list(sys.argv[1:])
+    exclude: set = set()
+    if "--exclude" in argv:
+        i = argv.index("--exclude")
+        exclude = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    path = argv[1] if len(argv) > 1 else "BENCH_QUERIES.json"
     with open(path) as f:
         disk = json.load(f)
-    ref = sys.argv[1] if len(sys.argv) > 1 else find_best_ref(path, disk)
+    explicit = len(argv) > 0
+    ref = argv[0] if explicit else find_best_ref(path, disk)
     good = git_show(ref, path)
-    merged = minmerge(good, disk)
+    merged = minmerge(good, disk, exclude=exclude, keys_from_b_only=explicit)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
         f.write("\n")
