@@ -188,8 +188,13 @@ object Main {
         case scala.util.control.NonFatal(e) =>
           // a run-time failure of the stream itself — e.g. the serving
           // recall gate tripping — is a FAILED run (exit 1, like a failed
-          // batch asset), not a usage error and not an uncaught crash
-          System.err.println(s"[failed] ${named.head}: ${e.getMessage}"); 1
+          // batch asset), not a usage error and not an uncaught crash.
+          // Full trace to stderr: a null getMessage alone (NPE class
+          // failures) would leave the operator nothing to debug with.
+          System.err.println(
+            s"[failed] ${named.head}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          e.printStackTrace()
+          1
       }
     }
     // --downstream: selected assets also pull their transitive downstream

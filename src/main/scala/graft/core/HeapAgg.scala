@@ -59,12 +59,19 @@ object HeapAgg {
   /** Does this (batch or streaming) plan aggregate with a k-bounded heap?
     * Answered by walking the ANALYZED plan's aggregate expressions — no
     * execution is triggered, and names appearing in data/columns cannot
-    * false-positive. */
-  def plansBoundedAgg(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.exists(node => node.expressions.exists(_.exists {
-      case ae: AggregateExpression => isBounded(ae.aggregateFunction)
-      case _                       => false
-    }))
+    * false-positive. Subquery expressions are descended explicitly
+    * (`Expression.exists` stops at a SubqueryExpression's plan boundary,
+    * and a bounded heap inside a scalar subquery still needs the raise). */
+  def plansBoundedAgg(df: DataFrame): Boolean = {
+    def planHas(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      plan.exists(node => node.expressions.exists(_.exists {
+        case ae: AggregateExpression => isBounded(ae.aggregateFunction)
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          planHas(s.plan)
+        case _ => false
+      }))
+    planHas(df.queryExecution.analyzed)
+  }
 
   /** A cloned session with the fallback threshold raised. Shares the
     * SparkContext, block-manager cache, and external catalog with

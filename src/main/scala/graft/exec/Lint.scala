@@ -226,6 +226,18 @@ object Lint {
               issues += Issue("valid-serve", a.name, s"$kk must be a positive integer, got '$v'")
           }
         }
+        a.parameters.get("serve_recall_sample")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .filter(_ > graft.ops.Similarity.MaxRecallSample).foreach { v =>
+            issues += Issue("valid-serve", a.name,
+              s"serve_recall_sample $v exceeds the bounded-sample cap " +
+                s"${graft.ops.Similarity.MaxRecallSample}")
+          }
+        if (a.parameters.contains("serve_recall_min") &&
+            !a.parameters.get("source_uri").exists(_.startsWith("file://")))
+          issues += Issue("valid-serve", a.name,
+            "the recall monitor re-reads the query feed in batch — " +
+              "serve_recall_min needs a file:// source_uri")
         a.parameters.get("serve_recall_min").foreach { v =>
           val d = scala.util.Try(v.trim.toDouble).toOption
           if (d.forall(x => x < 0.0 || x > 1.0))

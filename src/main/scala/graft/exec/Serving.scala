@@ -155,6 +155,13 @@ object Serving {
     val trigger =
       if (foreground) Streams.triggerFor(p) else Trigger.AvailableNow()
     wh.ensureSchema(asset.name)
+    // pre-drain sink size: the recall monitor grades only what THIS drain
+    // served; a no-new-data re-run must not re-grade an old window against
+    // a possibly-rebuilt index
+    val sinkRowsBefore: Long =
+      if (p.contains("serve_recall_min") && wh.exists(asset.name))
+        spark.table(asset.name).count()
+      else 0L
     try
       Streams.runAppendToTable(spark, hits, asset.name,
         checkpoint = p.get("checkpoint_location"), trigger = trigger)
@@ -176,8 +183,8 @@ object Serving {
     // a degraded index (stale quantizers, too-lossy m, too-small nprobe)
     // fails the asset instead of silently losing recall in production
     if (p.contains("serve_recall_min"))
-      recallMonitor(spark, asset, kind, indexTable, k, qidCol, vecCol,
-        physicalName, resolved.uri)
+      recallMonitor(wh, spark, asset, kind, indexTable, k, qidCol, vecCol,
+        physicalName, resolved.uri, sinkRowsBefore)
   }
 
   /** SERVING RECALL MONITOR — re-scores a bounded sample of the queries
@@ -200,14 +207,23 @@ object Serving {
     * are Q·k-row frames. Monitor rows land in `<asset>_recall` (overwrite
     * per run — the freshest window's verdict) BEFORE the gate throws, so a
     * failing run leaves its evidence queryable. Only the latest served
-    * window is graded: older windows were served by older index states.
+    * window is graded — older windows were served by older index states —
+    * and a drain that appended NOTHING skips the monitor entirely (grading
+    * a previous run's window against the CURRENT index state would be
+    * apples-to-oranges after an index rebuild). The ivfadc/rerank tiers
+    * exclude the self-pair (b == query id) by contract, so their exact
+    * baselines exclude it too — otherwise a corpus-member query feed caps
+    * healthy recall at (k-1)/k and a perfect index trips the gate.
     * Needs a batch-readable (file://) feed to recover query vectors. */
-  private def recallMonitor(spark: org.apache.spark.sql.SparkSession,
+  private def recallMonitor(wh: Warehouse,
+                            spark: org.apache.spark.sql.SparkSession,
                             asset: Asset, kind: String, indexTable: String,
                             k: Int, qidCol: String, vecCol: String,
                             physicalName: String => String,
-                            feedUri: java.net.URI): Unit = {
+                            feedUri: java.net.URI,
+                            sinkRowsBefore: Long): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val p = asset.parameters
     require(kind != "hamming",
       s"${asset.name}: recall monitoring applies to the vector tiers, not hamming")
@@ -218,9 +234,15 @@ object Serving {
     require(feedUri.getScheme == "file",
       s"${asset.name}: the recall monitor re-reads the query feed in batch — file:// feeds only")
     val served = spark.table(asset.name)
-    if (served.isEmpty) {
+    val sinkRows = served.count()
+    if (sinkRows == 0) {
       println(s"[serve] ${asset.name}: recall monitor skipped — nothing served yet " +
         "(windows still open remain in state and emit on the next drain)")
+      return
+    }
+    if (sinkRows == sinkRowsBefore) {
+      println(s"[serve] ${asset.name}: recall monitor skipped — this drain served " +
+        "nothing new (existing windows were emitted by earlier index states)")
       return
     }
     val latest = served.agg(max("window_start")).head().getTimestamp(0)
@@ -228,33 +250,47 @@ object Serving {
     val sampleIds = servedLatest.select(col("q")).distinct()
       .orderBy("q").limit(sample)
     // recover the sampled queries' vectors from the feed (batch re-read of
-    // the parquet the file stand-in streams); one row per query id
+    // the parquet the file stand-in streams); one row per query id. Columns
+    // normalize to the INDEX's (id, vector) names so every exact helper
+    // sees one consistent pair regardless of serve_id_col/serve_vec_col.
+    val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
     val feedVecs = spark.read.parquet(feedUri.getPath)
       .where(col(vecCol).isNotNull)
       .select(col(qidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
       .dropDuplicates("vec_id")
     val sampleVecs = feedVecs.join(
       sampleIds.withColumnRenamed("q", "vec_id"), Seq("vec_id"))
-    val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
+    def normCorpus(name: String) = spark.table(physicalName(name))
+      .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
     val exact: DataFrame = kind match {
       case "ann" =>
+        // the float tier scores self-pairs (bipartite contract) — the
+        // exact side keeps them too. Index columns normalize to the
+        // helper's names (the artifact carries its build-time names).
         val centroids =
           graft.ops.Similarity.loadCentroids(spark, s"${indexTable}_centroids")
-        graft.ops.Similarity.knnJoinIvfIndexed(sampleVecs,
-          graft.ops.Similarity.loadIndex(spark, indexTable), centroids,
-          k = k, nprobe = centroids.length, idCol = "vec_id", vecCol = "embedding")
+        val idx = graft.ops.Similarity.loadIndex(spark, indexTable)
+          .select(col("list_id"), col(cidCol).cast("long").as("vec_id"),
+            col(vecCol).as("embedding"))
+        graft.ops.Similarity.knnJoinIvfIndexed(sampleVecs, idx, centroids,
+          k = k, nprobe = centroids.length)
       case "rerank" =>
-        val corpus = spark.table(physicalName(p("serve_corpus")))
-          .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
-        graft.ops.Similarity.knnJoin(sampleVecs, corpus, k = k)
+        // the tier self-excludes (b == query id never serves) — rank k+1
+        // exactly, drop self-pairs, re-rank to k
+        val raw = graft.ops.Similarity.knnJoin(sampleVecs,
+          normCorpus(p("serve_corpus")), k = k + 1)
+        raw.where(col("b") =!= col("q"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q").orderBy(col("cos").desc, col("b"))))
+          .where(col("rank") <= k)
       case "ivfadc" =>
         val corpusName = p.get("serve_recall_corpus").orElse(p.get("serve_corpus"))
           .getOrElse(throw new IllegalArgumentException(
             s"${asset.name}: recall monitoring over ivfadc needs serve_recall_corpus " +
               "(the PQ index has no float vectors to re-score exactly)"))
-        val corpus = spark.table(physicalName(corpusName))
-          .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
-        graft.ops.Similarity.bruteForceL2TopK(sampleVecs, corpus, k = k)
+        // the ADC tier self-excludes — so does the exact L2 baseline
+        graft.ops.Similarity.bruteForceL2TopK(sampleVecs, normCorpus(corpusName),
+          k = k, excludeSelf = true)
     }
     val approx = servedLatest
       .join(sampleIds, Seq("q"))
@@ -263,16 +299,26 @@ object Serving {
       .withColumn("window_start", lit(latest))
       .select(col("window_start"), col("q"), col("hits"), col("n_exact"), col("recall"))
     // evidence first, gate second — a failing run leaves its verdict table
-    recall.write.mode("overwrite").saveAsTable(s"${asset.name}_recall")
-    val mean = spark.table(s"${asset.name}_recall")
-      .agg(avg(col("recall"))).head().getDouble(0)
-    println(f"[serve] ${asset.name}: recall@$k over ${sampleVecs.count()} sampled " +
+    val recallTable = s"${asset.name}_recall"
+    recall.write.mode("overwrite").saveAsTable(recallTable)
+    // the verdict write went through this (possibly cloned) session — keep
+    // the parent's relation cache honest, same as the sink refresh above
+    wh.spark.catalog.refreshTable(recallTable)
+    val verdictAgg = spark.table(recallTable)
+      .agg(avg(col("recall")), count(lit(1))).head()
+    if (verdictAgg.isNullAt(0))
+      throw new IllegalStateException(
+        s"${asset.name}: recall monitor found no exact baseline rows — is the " +
+          s"exact-side table empty, or are the feed's $qidCol ids disjoint " +
+          "from what this drain served?")
+    val mean = verdictAgg.getDouble(0)
+    println(f"[serve] ${asset.name}: recall@$k over ${verdictAgg.getLong(1)} sampled " +
       f"queries = $mean%.4f (threshold $minRecall)")
     if (mean < minRecall)
       throw new IllegalStateException(
         f"${asset.name}: serving recall@$k $mean%.4f fell below " +
           f"serve_recall_min $minRecall — the index is too lossy for this " +
           "feed (raise serve_nprobe, rebuild with more lists/finer codes, " +
-          s"or inspect ${asset.name}_recall)")
+          s"or inspect $recallTable)")
   }
 }

@@ -517,7 +517,11 @@ object Similarity {
 
   def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       /** skip b == query id — pair with self-excluding
+                         * tiers (ADC/rerank), else a corpus-member query
+                         * caps their recall at (k-1)/k */
+                       excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
@@ -539,12 +543,14 @@ object Similarity {
         it.foreach { case (b, vb) =>
           var i = 0
           while (i < sample.length) {
-            val qv = sample(i)._2
-            var d = 0.0; var j = 0
-            val n = math.min(qv.length, vb.length)
-            // double arithmetic per term, the family's oracle-parity rule
-            while (j < n) { val x = qv(j).toDouble - vb(j).toDouble; d += x * x; j += 1 }
-            heaps(i).offer(b, -d) // TopK keeps the LARGEST scores: negate dist2
+            if (!(excludeSelf && sample(i)._1 == b)) {
+              val qv = sample(i)._2
+              var d = 0.0; var j = 0
+              val n = math.min(qv.length, vb.length)
+              // double arithmetic per term, the family's oracle-parity rule
+              while (j < n) { val x = qv(j).toDouble - vb(j).toDouble; d += x * x; j += 1 }
+              heaps(i).offer(b, -d) // TopK keeps the LARGEST scores: negate dist2
+            }
             i += 1
           }
         }

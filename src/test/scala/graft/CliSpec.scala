@@ -628,10 +628,12 @@ class CliSpec extends AnyFunSuite {
     // table records it. Degraded arm: srv_pq_index_half indexes only
     // vec_id <= 30 while the exact side scores all 60 — the corpus
     // formula repeats every 17 ids, so each query q in 1..5 has identical
-    // twins q+17 (indexed) and q+34 (MISSING from the index); the served
-    // top-3 can never contain q+34 (nor q: the ADC tier excludes self),
-    // so per-query recall is deterministically <= 1/3 and the 0.95 gate
-    // trips regardless of ADC quantization quality.
+    // twins q+17 (indexed), q+34 and q+51 (MISSING from the index). The
+    // ADC tier excludes self and so does its exact baseline (a corpus-
+    // member feed would otherwise cap healthy recall at (k-1)/k): exact
+    // top-3 = {q+17, q+34, q+51}, of which the served route can only ever
+    // surface q+17 — per-query recall is deterministically <= 1/3 and the
+    // 0.95 gate trips regardless of ADC quantization quality.
     import org.apache.spark.sql.functions._
     val dir = "src/test/resources/pipelines/annserve"
     val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",

@@ -100,8 +100,15 @@ def main() -> None:
     exclude: set = set()
     if "--exclude" in argv:
         i = argv.index("--exclude")
+        if i + 1 >= len(argv):
+            raise SystemExit("--exclude needs a comma-separated key list")
         exclude = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    if exclude and not argv:
+        raise SystemExit(
+            "--exclude requires an explicit GOOD_REF (excluded keys mean the "
+            "implementation changed, which the auto-search's same-key-set "
+            "guard cannot reason about)")
     path = argv[1] if len(argv) > 1 else "BENCH_QUERIES.json"
     with open(path) as f:
         disk = json.load(f)
