@@ -619,6 +619,16 @@ class CliSpec extends AnyFunSuite {
     assert(issuesFor(a => a.copy(parameters =
         a.parameters - "serve_recall_corpus"), target = "srv_adc_hits_mon")
       .exists(_.contains("serve_recall_corpus")))
+    // the monitor re-reads the feed in batch — a broker feed can't back it
+    assert(issuesFor(a => a.copy(parameters =
+        a.parameters.updated("source_uri", "kafka://broker:9092/queries")),
+        target = "srv_ann_hits_mon")
+      .exists(_.contains("file://")))
+    // the bounded-sample hard cap is a lint error, not a post-drain crash
+    assert(issuesFor(a => a.copy(parameters =
+        a.parameters.updated("serve_recall_sample", "20000")),
+        target = "srv_ann_hits_mon")
+      .exists(_.contains("bounded-sample cap")))
   }
 
   test("serving recall monitor: healthy serve passes at 1.0, a stale index trips the gate") {
