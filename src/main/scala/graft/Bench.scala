@@ -67,12 +67,17 @@ object Bench {
     // per query: streaming keys whose heap executes inside the builder are
     // pre-listed; batch keys are sniffed from the analyzed plan
     val raisedStreaming = SparkEntry.heapRaisedStreaming
+    // ONE raised clone reused for every raised-streaming timing: clones are
+    // cheap but not free (session-state copy), and a per-(run, name) clone
+    // inside the timed region both folds that setup into the measurement
+    // and accumulates dozens of live sessions over a long pass
+    lazy val raisedSession = graft.core.HeapAgg.raisedClone(spark)
     def timed(name: String): Unit =
       if (raisedStreaming(name))
         // the heap executes inside the builder (the stream runs in fn), so
         // the whole builder runs on a raised CLONE — the shared session's
         // conf is never touched
-        selected(name)(graft.core.HeapAgg.raisedClone(spark), sfDir).count()
+        selected(name)(raisedSession, sfDir).count()
       else
         graft.core.HeapAgg.maybeRebound(selected(name)(spark, sfDir)).count()
     for (_ <- 0 until runs; name <- names) {

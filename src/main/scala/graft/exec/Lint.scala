@@ -233,11 +233,19 @@ object Lint {
               s"serve_recall_sample $v exceeds the bounded-sample cap " +
                 s"${graft.ops.Similarity.MaxRecallSample}")
           }
-        if (a.parameters.contains("serve_recall_min") &&
-            !a.parameters.get("source_uri").exists(_.startsWith("file://")))
+        // the recall monitor reads the `<asset>_recall_feed` capture the
+        // serving run itself writes — any feed scheme (file or broker) is
+        // monitorable. But an `ann` serve with NO declared float corpus
+        // falls back to grading against the SAME index artifact, which is
+        // blind to index coverage loss — name the weaker guarantee.
+        if (a.parameters.contains("serve_recall_min") && kind == "ann" &&
+            !a.parameters.contains("serve_recall_corpus") &&
+            !a.parameters.contains("serve_corpus"))
           issues += Issue("valid-serve", a.name,
-            "the recall monitor re-reads the query feed in batch — " +
-              "serve_recall_min needs a file:// source_uri")
+            "ann recall baseline falls back to full-probe over the SAME " +
+              "index — blind to index coverage loss; declare " +
+              "serve_recall_corpus for an exact corpus baseline",
+            severity = "warning")
         a.parameters.get("serve_recall_min").foreach { v =>
           val d = scala.util.Try(v.trim.toDouble).toOption
           if (d.forall(x => x < 0.0 || x > 1.0))

@@ -1,7 +1,7 @@
 package graft.exec
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, StreamingQueryProgress, Trigger}
 import graft.materialize.Warehouse
 import graft.model.Asset
 import graft.streaming.Streams
@@ -35,18 +35,20 @@ import graft.streaming.Streams
   *   flush_interval: "5 seconds"       # foreground trigger; absent = drain once
   *   serve_recall_min: "0.9"           # recall monitor threshold (vector tiers)
   *   serve_recall_sample: "50"         # queries re-scored exactly per run
-  *   serve_recall_corpus: corpus_vecs  # float vectors for the exact side (ivfadc)
+  *   serve_recall_corpus: corpus_vecs  # float vectors for the exact side
   * }}}
   *
-  * Hits append to the asset's own table (the sink), through the stable
-  * per-table checkpoint, so scheduled re-runs resume from committed
-  * offsets. All quantizer/geometry STAMP CHECKS run before serving — the
-  * tiers themselves verify pairing (a mismatched artifact fails fast, it
-  * never silently loses recall), and the hamming geometry is read from
-  * the artifact's own stamp rather than re-declared. The whole run
-  * executes under the scoped bounded-heap raise
-  * ([[graft.core.HeapAgg]]): every serving tier merges through a
-  * k-bounded heap by construction. */
+  * Hits append to the asset's own table (the sink), PARTITIONED by a
+  * window-derived date column and through the stable per-table checkpoint,
+  * so scheduled re-runs resume from committed offsets and any
+  * latest-window read (the recall monitor's, or a consumer's) prunes to
+  * one date partition instead of scanning the full served history. All
+  * quantizer/geometry STAMP CHECKS run before serving — the tiers
+  * themselves verify pairing (a mismatched artifact fails fast, it never
+  * silently loses recall), and the hamming geometry is read from the
+  * artifact's own stamp rather than re-declared. The whole run executes
+  * under the scoped bounded-heap raise ([[graft.core.HeapAgg]]): every
+  * serving tier merges through a k-bounded heap by construction. */
 object Serving {
 
   /** Is this asset a retrieval-serving asset? */
@@ -54,16 +56,17 @@ object Serving {
 
   val Kinds = Set("ann", "ivfadc", "rerank", "hamming")
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Run the serving stream. `foreground = true` honors `flush_interval`
     * as a continuous trigger (blocks until stopped); otherwise — or with
     * no `flush_interval` — the feed drains once and the call returns
     * (the scheduled-run contract). `physicalName` maps logical table
     * names (index / corpus / sink) into the environment's namespace, the
     * same rename discipline the batch runner applies. */
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   def run(wh: Warehouse, asset: Asset, foreground: Boolean = false,
           physicalName: String => String = identity): Unit = {
+    import org.apache.spark.sql.functions._
     // the whole serve — plan build and stream — runs on a RAISED CLONE
     // session (every serving tier merges through a k-bounded heap by
     // construction, and the clone keeps the shared session's object-agg
@@ -78,19 +81,31 @@ object Serving {
     def req(key: String): String = p.getOrElse(key,
       throw new IllegalArgumentException(
         s"${asset.name}: serve: $kind requires parameter '$key'"))
+    // numeric knobs trim before parsing — the lint twins validate
+    // `v.trim.toInt`, so a value that lints clean must also parse here
+    def intParam(key: String, default: Int): Int =
+      p.get(key).map(_.trim.toInt).getOrElse(default)
     val indexTable = physicalName(req("serve_index"))
-    val k = p.get("serve_k").map(_.toInt).getOrElse(5)
-    val nprobe = p.get("serve_nprobe").map(_.toInt).getOrElse(4)
+    val k = intParam("serve_k", 5)
+    val nprobe = intParam("serve_nprobe", 4)
     val windowLen = p.getOrElse("serve_window", "5 minutes")
     val watermark = p.getOrElse("serve_watermark", "10 minutes")
     val qidCol = p.getOrElse("serve_id_col",
       if (kind == "hamming") "doc_id" else "vec_id")
     val vecCol = p.getOrElse("serve_vec_col", "embedding")
     val maxBroadcast =
-      p.get("serve_max_broadcast_bytes").map(_.toLong).getOrElse(256L << 20)
+      p.get("serve_max_broadcast_bytes").map(_.trim.toLong).getOrElse(256L << 20)
+    val monitoring = p.contains("serve_recall_min")
+    val recallSample = intParam("serve_recall_sample", 50)
+    if (monitoring) {
+      require(kind != "hamming",
+        s"${asset.name}: recall monitoring applies to the vector tiers, not hamming")
+      require(recallSample >= 1 && recallSample <= graft.ops.Similarity.MaxRecallSample,
+        s"${asset.name}: serve_recall_sample must be in [1, ${graft.ops.Similarity.MaxRecallSample}]")
+    }
 
     // the query feed: same URI routing as ingest (file:// is the broker
-    // stand-in; a kafka:// feed would resolve through the same registry)
+    // stand-in; a kafka:// feed resolves through the same registry)
     val resolved = graft.sources.Ingest.brokerResolved(asset).getOrElse(
       throw new IllegalArgumentException(
         s"${asset.name}: a serving asset needs a streaming query feed — " +
@@ -106,7 +121,8 @@ object Serving {
     // a concurrent serve asset on the same session keeps its caches
     // (through r17 the only release was global: stopping one serve
     // degraded every other to a corpus re-fold per micro-batch)
-    val cacheToken = s"serve:${asset.name}:${runSeq.incrementAndGet()}"
+    val thisRun = runSeq.incrementAndGet()
+    val cacheToken = s"serve:${asset.name}:$thisRun"
     val hits: DataFrame = graft.streaming.ServingCache.withOwner(cacheToken) { kind match {
       case "ann" =>
         // float IVF tier over the persisted inverted-list index; the
@@ -135,7 +151,7 @@ object Serving {
         val corpus = spark.table(physicalName(req("serve_corpus")))
         Streams.streamingAnnRerankTopK(queries,
           graft.ops.Pq.loadPqIndex(spark, indexTable), corpus, centroids,
-          books, k, shortlist = p.get("serve_shortlist").map(_.toInt).getOrElse(50),
+          books, k, shortlist = intParam("serve_shortlist", 50),
           nprobe = nprobe, qidCol = qidCol, vecCol = vecCol,
           cidCol = p.getOrElse("serve_index_id_col", "vec_id"),
           windowLen = windowLen, watermark = watermark,
@@ -146,30 +162,100 @@ object Serving {
         val (bands, sigBits) =
           graft.ops.Dedup.signatureGeometry(idx, indexTable)
         Streams.streamingHammingNearDup(queries, idx,
-          maxHamming = p.get("serve_max_hamming").map(_.toInt).getOrElse(3),
+          maxHamming = intParam("serve_max_hamming", 3),
           bands = bands, sigBits = sigBits,
           idCol = qidCol, sigCol = p.getOrElse("serve_sig_col", "simhash"),
           windowLen = windowLen, watermark = watermark)
     } }
 
+    val drainOnce = !foreground || !p.contains("flush_interval")
     val trigger =
       if (foreground) Streams.triggerFor(p) else Trigger.AvailableNow()
     wh.ensureSchema(asset.name)
-    // pre-drain sink size: the recall monitor grades only what THIS drain
-    // served; a no-new-data re-run must not re-grade an old window against
-    // a possibly-rebuilt index
-    val sinkRowsBefore: Long =
-      if (p.contains("serve_recall_min") && wh.exists(asset.name))
-        spark.table(asset.name).count()
-      else 0L
-    try
-      Streams.runAppendToTable(spark, hits, asset.name,
-        checkpoint = p.get("checkpoint_location"), trigger = trigger)
-    finally
+
+    // ---- recall-feed capture: the monitor's exact side needs the graded
+    // queries' VECTORS, and a broker feed is not batch-re-readable — so the
+    // serving run itself persists a bounded per-batch sample of
+    // (id, vector, ts) to `<asset>_recall_feed` as the stream drains.
+    // Per-batch cap = serve_recall_sample, membership by a portable md5 of
+    // the id (the repo's sampling discipline, [[graft.ops.Sampling]]) so the
+    // capture spreads deterministically across the id space. foreachBatch is
+    // at-least-once — the monitor dedups per id by max ts before grading.
+    val recallFeedTable = s"${asset.name}_recall_feed"
+    val captureQ: Option[StreamingQuery] =
+      if (!monitoring) scala.None
+      else {
+        val cp = p.get("checkpoint_location").map(_ + "_recall_feed").getOrElse(
+          spark.conf.get("spark.sql.warehouse.dir") +
+            s"/_graft_checkpoints/${recallFeedTable.replace('.', '_')}")
+        val cap = recallSample
+        Some(queries
+          .where(col(vecCol).isNotNull)
+          .select(col(qidCol).cast("long").as("vec_id"),
+            col(vecCol).as("embedding"), col("ts"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.withColumn("__h", md5(col("vec_id").cast("string")))
+              .orderBy(col("__h")).limit(cap).drop("__h")
+              .write.mode("append").saveAsTable(recallFeedTable)
+          }
+          .option("checkpointLocation", cp)
+          .trigger(trigger)
+          .start())
+      }
+
+    // ---- drive the sink write, observing per-batch (rows emitted, max
+    // window_start) so the monitor learns what THIS drain served without
+    // ever re-scanning the sink (pre/post full-table counts through r18)
+    val obsName = s"graft_serve_recall_$thisRun"
+    val sinkDf0 = hits.withColumn("window_date", to_date(col("window_start")))
+    val sinkDf =
+      if (monitoring)
+        sinkDf0.observe(obsName, count(lit(1)).as("rows"),
+          max(col("window_start")).as("max_ws"))
+      else sinkDf0
+    // (batchId → (rows, max window_start)) — filled by the listener as
+    // progress events arrive, back-filled from recentProgress after
+    // termination (listener delivery is async; recentProgress covers the
+    // tail, the listener covers foreground runs beyond its retention)
+    val batchMetrics =
+      new scala.collection.concurrent.TrieMap[Long, (Long, Option[java.sql.Timestamp])]()
+    def recordProgress(pr: StreamingQueryProgress): Unit = {
+      val m = pr.observedMetrics.get(obsName)
+      if (m != null)
+        batchMetrics.put(pr.batchId,
+          (m.getLong(0), if (m.isNullAt(1)) scala.None else Some(m.getTimestamp(1))))
+    }
+    val listener: Option[StreamingQueryListener] =
+      if (!monitoring) scala.None
+      else Some(new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          recordProgress(e.progress)
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    listener.foreach(spark.streams.addListener)
+    try {
+      val q = Streams.startAppendToTable(spark, sinkDf, asset.name,
+        checkpoint = p.get("checkpoint_location"), trigger = trigger,
+        partitionBy = Seq("window_date"))
+      try {
+        q.awaitTermination()
+        q.recentProgress.foreach(recordProgress)
+        // the capture drains alongside the sink: in drain-once mode both
+        // triggers are AvailableNow (await its finish); a stopped
+        // foreground serve stops its capture with it
+        captureQ.foreach(cq => if (drainOnce) cq.awaitTermination() else cq.stop())
+      } finally
+        if (q.isActive) q.stop()
+    } finally {
+      listener.foreach(spark.streams.removeListener)
+      captureQ.foreach(cq => if (cq.isActive) cq.stop())
       // this invocation's stream is done (drain mode) or stopped — release
       // the persisted static folds IT pinned (and only those: a concurrent
       // serve asset's folds stay cached)
       graft.streaming.ServingCache.release(cacheToken)
+    }
     // the stream wrote through the CLONE — a parent session that cached
     // the sink's file listing before this drain would read STALE results
     // (the Warehouse cross-session-write refresh discipline applied to the
@@ -177,14 +263,69 @@ object Serving {
     // below and any later parent read see this drain's appends)
     wh.spark.catalog.refreshTable(asset.name)
     spark.catalog.refreshTable(asset.name)
-    // the recall monitor runs AFTER the drain, against what this run
-    // actually served — a blocking quality check in the reference's
-    // checks-gate-downstream sense (pkg/scheduler/scheduler.go:680-715):
-    // a degraded index (stale quantizers, too-lossy m, too-small nprobe)
-    // fails the asset instead of silently losing recall in production
-    if (p.contains("serve_recall_min"))
-      recallMonitor(wh, spark, asset, kind, indexTable, k, qidCol, vecCol,
-        physicalName, resolved.uri, sinkRowsBefore)
+    if (monitoring) {
+      wh.spark.catalog.refreshTable(recallFeedTable)
+      spark.catalog.refreshTable(recallFeedTable)
+      val rowsAppended = batchMetrics.values.map(_._1).sum
+      val latest = batchMetrics.values.flatMap(_._2)
+        .maxByOption(_.getTime)
+      if (rowsAppended == 0 || latest.isEmpty)
+        println(s"[serve] ${asset.name}: recall monitor skipped — this drain " +
+          "served nothing new (windows still open remain in state and emit " +
+          "on the next drain; already-emitted windows were served by " +
+          "earlier index states)")
+      else
+        // the recall monitor runs AFTER the drain, against what this run
+        // actually served — a blocking quality check in the reference's
+        // checks-gate-downstream sense (pkg/scheduler/scheduler.go:680-715):
+        // a degraded index (stale quantizers, lost coverage, too-lossy m,
+        // too-small nprobe) fails the asset instead of silently losing
+        // recall in production
+        recallMonitor(wh, spark, asset, kind, indexTable, k,
+          physicalName, windowLen, latest.get, recallSample,
+          p("serve_recall_min").trim.toDouble, recallFeedTable)
+    }
+  }
+
+  /** The monitor's read of the graded window: served sinks are partitioned
+    * by `window_date`, so the equality filter on the derived date prunes to
+    * ONE partition before the exact `window_start` match — grading the
+    * latest window never scans the full served history. (Pre-partitioning
+    * sinks without the column fall back to the plain window_start filter.) */
+  private[graft] def gradedWindow(served: DataFrame, latest: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pruned =
+      if (served.columns.contains("window_date"))
+        served.where(col("window_date") === to_date(lit(latest)))
+      else served
+    pruned.where(col("window_start") === lit(latest))
+  }
+
+  /** Deterministic, de-biased monitor sample: the graded window's slice of
+    * the recall-feed capture, deduped to ONE vector per query id (max ts,
+    * embedding-hash tiebreak — a query id re-issued in a different window
+    * with a different embedding can never grade this window against the
+    * wrong vector), intersected with the ids this drain ACTUALLY served,
+    * ordered by a portable md5 of the id (the repo's sampling discipline,
+    * [[graft.ops.Sampling]]) and capped at `sample`. Ordering by the hash
+    * instead of the raw id spreads the sample across the id space — an
+    * `orderBy(id).limit(n)` sample would grade only the lowest-id corner
+    * of the feed. */
+  private[graft] def monitorSample(feed: DataFrame, servedIds: DataFrame,
+                                   latest: java.sql.Timestamp,
+                                   windowLen: String, sample: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    feed
+      .where(window(col("ts"), windowLen).getField("start") === lit(latest))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ts").desc, hash(col("embedding")).asc)))
+      .where(col("__rn") === 1)
+      .join(servedIds, Seq("vec_id"))
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h")).limit(sample)
+      .select(col("vec_id"), col("embedding"))
   }
 
   /** SERVING RECALL MONITOR — re-scores a bounded sample of the queries
@@ -193,87 +334,81 @@ object Serving {
     * ([[graft.ops.Similarity.recallAtK]] wired to the serving surface).
     *
     * Exact side per tier, matching each tier's own ranking metric:
-    *   - `ann`: full-probe cosine over the SAME inverted-list index
-    *     (`nprobe = nlist` provably covers the corpus — no extra config);
+    *   - `ann`: exact cosine over the declared float corpus
+    *     (`serve_recall_corpus`, falling back to `serve_corpus`) — the
+    *     baseline MUST NOT be the served index artifact itself, or an
+    *     index that silently lost corpus coverage grades recall 1.0, the
+    *     exact failure the monitor exists to catch. With NO corpus
+    *     declared, falls back to full-probe over the same index
+    *     (`nprobe = nlist` provably covers what the index holds) — a
+    *     weaker guarantee that grades quantization loss only; lint warns.
     *   - `rerank`: exact bipartite cosine over the stage-2 float corpus;
     *   - `ivfadc`: exact squared-L2 over `serve_recall_corpus` (falls back
     *     to `serve_corpus`) — the PQ index holds no float vectors, and the
     *     ADC tier ranks by dist2, so a cosine baseline would grade the
     *     wrong order on unnormalized vectors.
     *
-    * Scale: the sample is bounded (`serve_recall_sample`, default 50, hard
-    * cap [[graft.ops.Similarity.MaxRecallSample]]); the exact side is one
-    * corpus/index pass scored through k-bounded heaps; both recall inputs
-    * are Q·k-row frames. Monitor rows land in `<asset>_recall` (overwrite
-    * per run — the freshest window's verdict) BEFORE the gate throws, so a
-    * failing run leaves its evidence queryable. Only the latest served
-    * window is graded — older windows were served by older index states —
-    * and a drain that appended NOTHING skips the monitor entirely (grading
-    * a previous run's window against the CURRENT index state would be
-    * apples-to-oranges after an index rebuild). The ivfadc/rerank tiers
-    * exclude the self-pair (b == query id) by contract, so their exact
-    * baselines exclude it too — otherwise a corpus-member query feed caps
-    * healthy recall at (k-1)/k and a perfect index trips the gate.
-    * Needs a batch-readable (file://) feed to recover query vectors. */
+    * Query vectors come from the `<asset>_recall_feed` capture the serving
+    * run itself writes (bounded, md5-sampled per batch), restricted to the
+    * graded window and deduped by max ts — so the monitor works over
+    * broker feeds exactly as over file feeds, and never re-reads the
+    * source. Scale: the sample is bounded (`serve_recall_sample`, default
+    * 50, hard cap [[graft.ops.Similarity.MaxRecallSample]]); the exact
+    * side is one corpus/index pass scored through k-bounded heaps; both
+    * recall inputs are Q·k frames; the sink read prunes to the graded
+    * window's date partition ([[gradedWindow]]). Verdicts APPEND to
+    * `<asset>_recall` stamped with (run_seq, window_start) — an
+    * append-only time series (reference precedent: persisted run state in
+    * logs/runs/<pipeline>, cmd/run.go:948) so nprobe/m drift is queryable
+    * across runs; the gate reads only this run's generation, and the rows
+    * land BEFORE the gate throws so a failing run leaves its evidence.
+    * Only the latest served window is graded — older windows were served
+    * by older index states — and a drain that appended NOTHING skips the
+    * monitor entirely. The ivfadc/rerank tiers exclude the self-pair
+    * (b == query id) by contract, so their exact baselines exclude it too
+    * — otherwise a corpus-member query feed caps healthy recall at
+    * (k-1)/k and a perfect index trips the gate. Duplicate sink rows for
+    * one (q, b) — an at-least-once re-append — collapse to their best
+    * rank before grading, so replays can never inflate recall past 1. */
   private def recallMonitor(wh: Warehouse,
-                            spark: org.apache.spark.sql.SparkSession,
+                            spark: SparkSession,
                             asset: Asset, kind: String, indexTable: String,
-                            k: Int, qidCol: String, vecCol: String,
+                            k: Int,
                             physicalName: String => String,
-                            feedUri: java.net.URI,
-                            sinkRowsBefore: Long): Unit = {
+                            windowLen: String,
+                            latest: java.sql.Timestamp,
+                            sample: Int, minRecall: Double,
+                            feedTable: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val p = asset.parameters
-    require(kind != "hamming",
-      s"${asset.name}: recall monitoring applies to the vector tiers, not hamming")
-    val minRecall = p("serve_recall_min").trim.toDouble
-    val sample = p.get("serve_recall_sample").map(_.trim.toInt).getOrElse(50)
-    require(sample >= 1 && sample <= graft.ops.Similarity.MaxRecallSample,
-      s"${asset.name}: serve_recall_sample must be in [1, ${graft.ops.Similarity.MaxRecallSample}]")
-    require(feedUri.getScheme == "file",
-      s"${asset.name}: the recall monitor re-reads the query feed in batch — file:// feeds only")
-    val served = spark.table(asset.name)
-    val sinkRows = served.count()
-    if (sinkRows == 0) {
-      println(s"[serve] ${asset.name}: recall monitor skipped — nothing served yet " +
-        "(windows still open remain in state and emit on the next drain)")
-      return
-    }
-    if (sinkRows == sinkRowsBefore) {
-      println(s"[serve] ${asset.name}: recall monitor skipped — this drain served " +
-        "nothing new (existing windows were emitted by earlier index states)")
-      return
-    }
-    val latest = served.agg(max("window_start")).head().getTimestamp(0)
-    val servedLatest = served.where(col("window_start") === lit(latest))
-    val sampleIds = servedLatest.select(col("q")).distinct()
-      .orderBy("q").limit(sample)
-    // recover the sampled queries' vectors from the feed (batch re-read of
-    // the parquet the file stand-in streams); one row per query id. Columns
-    // normalize to the INDEX's (id, vector) names so every exact helper
-    // sees one consistent pair regardless of serve_id_col/serve_vec_col.
     val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
-    val feedVecs = spark.read.parquet(feedUri.getPath)
-      .where(col(vecCol).isNotNull)
-      .select(col(qidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
-      .dropDuplicates("vec_id")
-    val sampleVecs = feedVecs.join(
-      sampleIds.withColumnRenamed("q", "vec_id"), Seq("vec_id"))
+    val vecCol = p.getOrElse("serve_vec_col", "embedding")
+    val served = gradedWindow(spark.table(asset.name), latest)
+    val servedIds = served.select(col("q").cast("long").as("vec_id")).distinct()
+    val sampleVecs =
+      monitorSample(spark.table(feedTable), servedIds, latest, windowLen, sample)
     def normCorpus(name: String) = spark.table(physicalName(name))
       .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    def declaredCorpus: Option[String] =
+      p.get("serve_recall_corpus").orElse(p.get("serve_corpus"))
     val exact: DataFrame = kind match {
-      case "ann" =>
-        // the float tier scores self-pairs (bipartite contract) — the
-        // exact side keeps them too. Index columns normalize to the
-        // helper's names (the artifact carries its build-time names).
-        val centroids =
-          graft.ops.Similarity.loadCentroids(spark, s"${indexTable}_centroids")
-        val idx = graft.ops.Similarity.loadIndex(spark, indexTable)
-          .select(col("list_id"), col(cidCol).cast("long").as("vec_id"),
-            col(vecCol).as("embedding"))
-        graft.ops.Similarity.knnJoinIvfIndexed(sampleVecs, idx, centroids,
-          k = k, nprobe = centroids.length)
+      case "ann" => declaredCorpus match {
+        case Some(c) =>
+          // the float tier scores self-pairs (bipartite contract) — the
+          // exact corpus baseline keeps them too
+          graft.ops.Similarity.knnJoin(sampleVecs, normCorpus(c), k = k)
+        case scala.None =>
+          // no-corpus fallback: full probe over the SAME index — catches
+          // routing/nprobe loss, BLIND to index coverage loss (lint warns)
+          val centroids =
+            graft.ops.Similarity.loadCentroids(spark, s"${indexTable}_centroids")
+          val idx = graft.ops.Similarity.loadIndex(spark, indexTable)
+            .select(col("list_id"), col(cidCol).cast("long").as("vec_id"),
+              col(vecCol).as("embedding"))
+          graft.ops.Similarity.knnJoinIvfIndexed(sampleVecs, idx, centroids,
+            k = k, nprobe = centroids.length)
+      }
       case "rerank" =>
         // the tier self-excludes (b == query id never serves) — rank k+1
         // exactly, drop self-pairs, re-rank to k
@@ -284,7 +419,7 @@ object Serving {
             Window.partitionBy("q").orderBy(col("cos").desc, col("b"))))
           .where(col("rank") <= k)
       case "ivfadc" =>
-        val corpusName = p.get("serve_recall_corpus").orElse(p.get("serve_corpus"))
+        val corpusName = declaredCorpus
           .getOrElse(throw new IllegalArgumentException(
             s"${asset.name}: recall monitoring over ivfadc needs serve_recall_corpus " +
               "(the PQ index has no float vectors to re-score exactly)"))
@@ -292,33 +427,46 @@ object Serving {
         graft.ops.Similarity.bruteForceL2TopK(sampleVecs, normCorpus(corpusName),
           k = k, excludeSelf = true)
     }
-    val approx = servedLatest
-      .join(sampleIds, Seq("q"))
-      .select(col("q"), col("b"), col("rank"))
-    val recall = graft.ops.Similarity.recallAtK(approx, exact, k, qCol = "q")
-      .withColumn("window_start", lit(latest))
-      .select(col("window_start"), col("q"), col("hits"), col("n_exact"), col("recall"))
-    // evidence first, gate second — a failing run leaves its verdict table
+    // at-least-once sink appends may duplicate a (q, b) — collapse to the
+    // best rank so replays can never count one hit twice
+    val approx = served
+      .join(sampleVecs.select(col("vec_id").as("q")), Seq("q"))
+      .groupBy(col("q"), col("b"))
+      .agg(min(col("rank")).cast("int").as("rank"))
     val recallTable = s"${asset.name}_recall"
-    recall.write.mode("overwrite").saveAsTable(recallTable)
+    val generation: Long =
+      if (spark.catalog.tableExists(recallTable)) {
+        val m = spark.table(recallTable).agg(max("run_seq")).head()
+        if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+      } else 1L
+    val recall = graft.ops.Similarity.recallAtK(approx, exact, k, qCol = "q")
+      .withColumn("run_seq", lit(generation))
+      .withColumn("window_start", lit(latest))
+      .select(col("run_seq"), col("window_start"), col("q"), col("hits"),
+        col("n_exact"), col("recall"))
+    // evidence first, gate second — a failing run leaves its verdict rows;
+    // APPEND keeps every prior generation queryable as a time series
+    recall.write.mode("append").saveAsTable(recallTable)
     // the verdict write went through this (possibly cloned) session — keep
     // the parent's relation cache honest, same as the sink refresh above
     wh.spark.catalog.refreshTable(recallTable)
+    spark.catalog.refreshTable(recallTable)
     val verdictAgg = spark.table(recallTable)
+      .where(col("run_seq") === lit(generation))
       .agg(avg(col("recall")), count(lit(1))).head()
     if (verdictAgg.isNullAt(0))
       throw new IllegalStateException(
-        s"${asset.name}: recall monitor found no exact baseline rows — is the " +
-          s"exact-side table empty, or are the feed's $qidCol ids disjoint " +
-          "from what this drain served?")
+        s"${asset.name}: recall monitor found no exact baseline rows — did the " +
+          s"recall-feed capture ($feedTable) record vectors for what this " +
+          "drain served, and is the exact-side corpus non-empty?")
     val mean = verdictAgg.getDouble(0)
     println(f"[serve] ${asset.name}: recall@$k over ${verdictAgg.getLong(1)} sampled " +
-      f"queries = $mean%.4f (threshold $minRecall)")
+      f"queries = $mean%.4f (threshold $minRecall, run_seq $generation)")
     if (mean < minRecall)
       throw new IllegalStateException(
         f"${asset.name}: serving recall@$k $mean%.4f fell below " +
           f"serve_recall_min $minRecall — the index is too lossy for this " +
           "feed (raise serve_nprobe, rebuild with more lists/finer codes, " +
-          s"or inspect $recallTable)")
+          s"or inspect $recallTable run_seq $generation)")
   }
 }

@@ -145,15 +145,17 @@ object AnnAdcListTopK {
     * The ids/codes extraction amortizes over every query row probing the
     * cell and the lookup loop runs over primitive arrays ([[topKFlat]],
     * the broadcast tier's exact scorer). `tag` is unique per expression
-    * construction; the packed-code fold is frozen within a plan, so equal
-    * (tag, cell) always means identical arrays. Result ≡ [[topK]],
-    * property-pinned. */
+    * construction and entries live one task attempt
+    * ([[AnnListTopK.forTask]]) — within a task the joined rows come from
+    * one consistent fold snapshot, so equal (tag, cell) always means
+    * identical arrays even if the fold is evicted and recomputed against
+    * a grown index between tasks. Result ≡ [[topK]], property-pinned. */
   def topKCached(tag: Long, qv: ArrayData, qid: Long, cell: Int,
                  ids: ArrayData, codes: ArrayData,
                  centroids: Array[Array[Float]],
                  books: Array[Array[Array[Float]]], k: Int): ArrayData = {
     import graft.ops.Pq
-    val cache = AnnListTopK.lru.get()
+    val cache = AnnListTopK.forTask()
     var c = cache.get(tag, cell).asInstanceOf[CachedCodes]
     if (c == null) {
       c = new CachedCodes(ids.toLongArray(), codes.toIntArray())

@@ -36,13 +36,16 @@ import org.apache.spark.sql.types._
   * primitive arrays (the broadcast tier's loop). Joined rows arrive
   * GROUPED by list (the stream-static join sorts/partitions on the list
   * key), so the expression now extracts each list's arrays to primitives
-  * ONCE per (task, list) — a (`tag`, list-id)-keyed single-entry
-  * ThreadLocal, ~one 1/nlist-of-corpus copy per task — and every query
-  * row scores through the shared vectorizable [[AnnListTopK.scoreInto]]
-  * loop. `tag` is unique per expression construction, so two plans (or a
-  * restarted stream) can never read each other's entries; within one plan
-  * the static fold is frozen (persisted; maintenance appends land in the
-  * NEXT plan), so equal (tag, list) always means identical arrays. */
+  * ONCE per (task, list) — a (`tag`, list-id)-keyed byte-bounded LRU per
+  * task thread ([[AnnListTopK.ListLru]]), ~one 1/nlist-of-corpus copy per
+  * list touched — and every query row scores through the shared
+  * vectorizable [[AnnListTopK.scoreInto]] loop. `tag` is unique per
+  * expression construction, so two plans (or a restarted stream) can
+  * never read each other's entries, and entries live ONE task attempt
+  * ([[AnnListTopK.forTask]]): within a task the joined rows come from one
+  * consistent fold snapshot, so equal (tag, list) always means identical
+  * arrays — even if the persisted fold is evicted and recomputed against
+  * an index table a maintenance append has since grown. */
 case class AnnListTopK(list: Expression, qv: Expression, ids: Expression,
                        flat: Expression, norms: Expression, dim: Expression,
                        k: Int, tag: Long = AnnListTopK.nextTag())
@@ -135,9 +138,21 @@ object AnnListTopK {
     * row: measured 2.75 → 3.9 s on the sf0.1 bench keys. The LRU absorbs
     * interleaving of however many lists share a partition, within a fixed
     * byte budget per task thread; with the float tier's one-list-per-
-    * partition join the working set is one entry either way. */
+    * partition join the working set is one entry either way.
+    *
+    * LIFETIME: entries live for ONE task attempt (see [[forTask]]) — the
+    * amortization the cache exists for is within-task by construction
+    * (extract each joined list once per (task, list); probe rows arrive
+    * grouped), so the bound costs nothing, and it closes two hazards a
+    * JVM-lifetime thread cache has: dead-tag entries of finished plans
+    * stranding up to the budget per thread forever, and a persisted fold
+    * evicted and recomputed mid-stream against an index table that
+    * streamingIndexAppend has since GROWN serving pre-recompute arrays
+    * (within one task the joined rows come from one consistent fold
+    * snapshot — exactly the cache's new lifetime). */
   final class ListLru(budget: Long) {
     private var bytes = 0L
+    private[functions] var ownerTask: Long = -1L
     private val map =
       new java.util.LinkedHashMap[(Long, Int), AnyRef](16, 0.75f, true)
     def get(tag: Long, listId: Int): AnyRef = map.get((tag, listId))
@@ -153,6 +168,7 @@ object AnnListTopK {
         it.remove()
       }
     }
+    def clear(): Unit = { map.clear(); bytes = 0L; ownerTask = -1L }
   }
   object ListLru {
     private[functions] def sizeOf(v: AnyRef): Long = v match {
@@ -166,8 +182,25 @@ object AnnListTopK {
     * working set (small-SF: all lists fit; sf10 float: one ~800 KB list
     * per partition; sf10 codes: the full 256-list code fold is ~25 MB)
     * while staying a bounded slice of executor memory at any scale. */
-  private[functions] val lru: ThreadLocal[ListLru] =
+  private val lru: ThreadLocal[ListLru] =
     ThreadLocal.withInitial(() => new ListLru(64L << 20))
+
+  /** The calling TASK's cache: on first touch by a new task attempt the
+    * thread's entries (a previous task's) are cleared and a
+    * TaskCompletionListener clears them again when this task ends — see
+    * the lifetime note on [[ListLru]]. Driver-local evaluation (no
+    * TaskContext: constant folding, unit calls) keeps the plain
+    * thread-local behavior. */
+  private[functions] def forTask(): ListLru = {
+    val cache = lru.get()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && cache.ownerTask != tc.taskAttemptId()) {
+      cache.clear()
+      cache.ownerTask = tc.taskAttemptId()
+      tc.addTaskCompletionListener[Unit](_ => cache.clear())
+    }
+    cache
+  }
 
   /** [[topK]] with the per-(task, list) primitive cache described in the
     * class doc. Joined rows arrive mostly grouped by list, so the
@@ -178,7 +211,7 @@ object AnnListTopK {
   def topKCached(tag: Long, listId: Int, qv: ArrayData, ids: ArrayData,
                  flat: ArrayData, norms: ArrayData, dim: Int, k: Int): ArrayData = {
     import graft.ops.Similarity
-    val cache = lru.get()
+    val cache = forTask()
     var c = cache.get(tag, listId).asInstanceOf[CachedList]
     if (c == null) {
       c = new CachedList(ids.toLongArray(), flat.toFloatArray(), norms.toDoubleArray())

@@ -386,7 +386,8 @@ object Streams {
     * and emit on the next run. */
   def runAppendToTable(spark: SparkSession, agg: DataFrame, table: String,
                        checkpoint: Option[String] = None,
-                       trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       partitionBy: Seq[String] = Nil): DataFrame = {
     // default checkpoint is STABLE per sink table (under the warehouse dir):
     // re-runs resume from committed offsets instead of replaying the whole
     // source and appending duplicates. Pass an explicit fresh checkpoint to
@@ -397,19 +398,34 @@ object Streams {
     // a REPLACE — a plain append has no offset log to make it idempotent,
     // and a scheduled re-run would duplicate every row in the sink
     if (!agg.isStreaming) {
-      agg.write.mode("overwrite").saveAsTable(table)
+      val w = agg.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .saveAsTable(table)
       return spark.table(table)
     }
+    val q = startAppendToTable(spark, agg, table, checkpoint, trigger, partitionBy)
+    q.awaitTermination()
+    spark.table(table)
+  }
+
+  /** The query half of [[runAppendToTable]] for callers that need the
+    * [[StreamingQuery]] handle (e.g. the serving recall monitor reads its
+    * per-batch observed metrics) — same stable-checkpoint and append-sink
+    * contract, caller awaits termination. */
+  private[graft] def startAppendToTable(spark: SparkSession, agg: DataFrame,
+                                        table: String,
+                                        checkpoint: Option[String],
+                                        trigger: Trigger,
+                                        partitionBy: Seq[String] = Nil): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       spark.conf.get("spark.sql.warehouse.dir") +
         s"/_graft_checkpoints/${table.replace('.', '_')}")
-    val q = agg.writeStream
+    val w = agg.writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)
       .trigger(trigger)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .toTable(table)
-    q.awaitTermination()
-    spark.table(table)
   }
 
   /** CDC-style streaming merge: each micro-batch upserts into the target via

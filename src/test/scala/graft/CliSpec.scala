@@ -619,11 +619,19 @@ class CliSpec extends AnyFunSuite {
     assert(issuesFor(a => a.copy(parameters =
         a.parameters - "serve_recall_corpus"), target = "srv_adc_hits_mon")
       .exists(_.contains("serve_recall_corpus")))
-    // the monitor re-reads the feed in batch — a broker feed can't back it
-    assert(issuesFor(a => a.copy(parameters =
+    // the monitor reads the serve-time `<asset>_recall_feed` capture, so a
+    // broker feed is monitorable — no file:// requirement anymore
+    assert(!issuesFor(a => a.copy(parameters =
         a.parameters.updated("source_uri", "kafka://broker:9092/queries")),
         target = "srv_ann_hits_mon")
       .exists(_.contains("file://")))
+    // an ann monitor with NO declared float corpus grades against the SAME
+    // index (blind to coverage loss) — lint names the weaker guarantee
+    assert(issuesFor(identity, target = "srv_ann_hits_mon")
+      .exists(_.contains("coverage loss")))
+    assert(!issuesFor(identity, target = "srv_ann_hits_mon_deg")
+      .exists(_.contains("coverage loss")),
+      "a declared serve_recall_corpus must silence the fallback warning")
     // the bounded-sample hard cap is a lint error, not a post-drain crash
     assert(issuesFor(a => a.copy(parameters =
         a.parameters.updated("serve_recall_sample", "20000")),
@@ -647,12 +655,16 @@ class CliSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val dir = "src/test/resources/pipelines/annserve"
     val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",
+      "srv_vec_index_half", "srv_vec_index_half_centroids",
       "srv_pq_index_half", "srv_pq_index_half_centroids", "srv_pq_index_half_codebooks",
-      "srv_ann_hits_mon", "srv_ann_hits_mon_recall",
-      "srv_adc_hits_mon", "srv_adc_hits_mon_recall")
+      "srv_ann_hits_mon", "srv_ann_hits_mon_recall", "srv_ann_hits_mon_recall_feed",
+      "srv_adc_hits_mon", "srv_adc_hits_mon_recall", "srv_adc_hits_mon_recall_feed",
+      "srv_ann_hits_mon_deg", "srv_ann_hits_mon_deg_recall",
+      "srv_ann_hits_mon_deg_recall_feed")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
     assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
-      "--select", "srv_vec_index", "--select", "srv_pq_index_half"), Some(spark)) == 0)
+      "--select", "srv_vec_index", "--select", "srv_vec_index_half",
+      "--select", "srv_pq_index_half"), Some(spark)) == 0)
     // fresh feed dir for this test: queries 1..5 in one window + a
     // sentinel that advances the watermark past it
     val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
@@ -680,6 +692,137 @@ class CliSpec extends AnyFunSuite {
     val worstCase = degraded.agg(max(col("recall"))).head().getDouble(0)
     assert(worstCase <= 1.0 / 3.0 + 1e-9,
       s"each query's exact top-3 holds q (self-excluded) and the unindexed q+34: $worstCase")
+
+    // DEGRADED ann tier (VERDICT r18 #2): through r18 the ann baseline was
+    // full-probe over the SAME index artifact, so a float index that
+    // silently lost corpus coverage graded recall 1.0 — the exact failure
+    // the monitor exists to catch. With serve_recall_corpus declared the
+    // baseline is exact cosine over the FULL corpus. Fixture geometry:
+    // queries 3..5 wrap mod 17, so their cosine-1.0 family is exactly the
+    // mod-17 twins {q, q+20-ish...} — top-3 by id = {q, q+17, q+34}, of
+    // which q+34 is MISSING from the half index: recall exactly 2/3.
+    // Queries 1..2 never wrap (id*j < 17·2 for j <= 8), so v2 = 2·v1 and
+    // their cosine family {1, 2, 18, 19, ...} has its three lowest ids all
+    // indexed — recall legitimately 1.0. Mean = (2·1 + 3·2/3)/5 = 0.8,
+    // below the 0.95 gate; the OLD same-index baseline graded 1.0 here.
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_mon_deg"), Some(spark)) != 0,
+      "a float index with lost coverage must FAIL against the corpus baseline")
+    val degAnn = spark.table("srv_ann_hits_mon_deg_recall")
+    assert(degAnn.count() == 5)
+    assert(degAnn.where(col("q") >= 3).agg(max(col("recall"))).head().getDouble(0)
+        <= 2.0 / 3.0 + 1e-6,
+      "the unindexed twin q+34 caps wrapped queries' recall at 2/3")
+    assert(degAnn.agg(avg(col("recall"))).head().getDouble(0) <= 0.8 + 1e-6)
+
+    // VERDICT r18 #3: the verdict table is an APPEND-ONLY time series —
+    // a second drain (new window past the first drain's watermark) leaves
+    // a second generation and the gate grades only the latest
+    spark.table("srv_corpus").where(col("vec_id") <= 5)
+      .select(col("vec_id"), col("embedding"),
+        lit("2024-01-01 00:12:30").cast("timestamp").as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(998 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 8), j -> CAST(pmod(998 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+          |  CAST('2024-01-01 00:25:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("append").parquet("/tmp/graft-srv-mon-feed")
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_mon"), Some(spark)) == 0,
+      "the second drain's full-probe serve must pass its recall gate")
+    val history = spark.table("srv_ann_hits_mon_recall")
+    assert(history.select("run_seq").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "two drains must leave two verdict generations")
+    assert(history.where(col("run_seq") === 1).count() == 5,
+      "the first generation's rows survive the second drain")
+    // the second generation graded the SECOND window, not the first
+    val gen2Windows = history.where(col("run_seq") === 2)
+      .select("window_start").distinct().collect().map(_.getTimestamp(0))
+    assert(gen2Windows.toSeq ==
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 00:12:00")),
+      s"generation 2 must grade only the latest served window: ${gen2Windows.toSeq}")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
+  test("recall monitor over a BROKER feed: the serve-time capture makes it gate identically") {
+    // VERDICT r18 #5: through r18 the monitor re-read the query feed in
+    // batch, so only file:// feeds were monitorable — the production
+    // broker case had no guardrail. The serving run now persists a
+    // bounded md5-sampled (id, vector, ts) capture to
+    // `<asset>_recall_feed` AS IT DRAINS, and the monitor grades from
+    // that — so a broker-routed serve passes/fails exactly like the
+    // file-fed arms above. The mock scheme stands in for a broker: it
+    // resolves through the same StreamSources registry a kafka:// URI
+    // does, and is NOT batch-re-readable through any file path the
+    // monitor could fall back to.
+    import org.apache.spark.sql.functions._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",
+      "srv_pq_index_half", "srv_pq_index_half_centroids", "srv_pq_index_half_codebooks",
+      "srv_ann_hits_mock", "srv_ann_hits_mock_recall", "srv_ann_hits_mock_recall_feed",
+      "srv_adc_hits_mock", "srv_adc_hits_mock_recall", "srv_adc_hits_mock_recall_feed")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
+      "--select", "srv_vec_index", "--select", "srv_pq_index_half"), Some(spark)) == 0)
+    graft.streaming.StreamSources.register(new graft.streaming.StreamSource {
+      override val scheme = "mock"
+      override def load(s: org.apache.spark.sql.SparkSession, uri: java.net.URI,
+                        options: Map[String, String]): org.apache.spark.sql.DataFrame =
+        graft.streaming.Streams.eventStream(s, "/tmp/graft-srv-mock-feed")
+    })
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    spark.table("srv_corpus").where(col("vec_id") <= 5)
+      .select(col("vec_id"), col("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id"))).as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(999 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+          |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft-srv-mock-feed")
+    // HEALTHY broker-fed serve: full probe => recall 1.0 passes min 1.0
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_mock"), Some(spark)) == 0,
+      "a healthy broker-fed serve must pass its recall gate")
+    val healthy = spark.table("srv_ann_hits_mock_recall")
+    assert(healthy.count() == 5, "one verdict row per sampled query")
+    assert(healthy.agg(min(col("recall"))).head().getDouble(0) == 1.0)
+    // the capture side table is what made this possible — bounded rows
+    val captured = spark.table("srv_ann_hits_mock_recall_feed")
+    assert(captured.count() <= 10 * 2, "capture stays bounded per batch")
+    // DEGRADED broker-fed serve: same half-index failure as the file arm
+    assert(Main.run(Seq("serve", dir, "srv_adc_hits_mock"), Some(spark)) != 0,
+      "a broker-fed stale index must FAIL the gate exactly like the file-fed arm")
+    assert(spark.table("srv_adc_hits_mock_recall")
+      .agg(max(col("recall"))).head().getDouble(0) <= 1.0 / 3.0 + 1e-9)
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
+  test("monitor sample is de-biased and deterministic: md5-ordered membership") {
+    // VERDICT r18 #6: orderBy(q).limit(n) graded only the lowest-id corner
+    // of the feed; the sample now orders by a portable md5 of the id (the
+    // repo's sampling discipline, Sampling.scala) — pinned here by
+    // computing the expected membership independently.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val latest = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 30 captured ids in the graded window, plus: a stale duplicate of id 7
+    // from ANOTHER window (must be excluded before dedup — ADVICE r18), and
+    // an in-window duplicate of id 3 with a later ts (max-ts row wins)
+    val feed = (1L to 30L).map(i => (i, Array.fill(4)(i.toFloat),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:10"))).toDF("vec_id", "embedding", "ts")
+      .unionByName(Seq(
+        (7L, Array.fill(4)(99f), java.sql.Timestamp.valueOf("2024-01-01 00:05:10")),
+        (3L, Array.fill(4)(42f), java.sql.Timestamp.valueOf("2024-01-01 00:00:50")))
+        .toDF("vec_id", "embedding", "ts"))
+    val servedIds = (1L to 30L).toDF("vec_id")
+    val got = graft.exec.Serving.monitorSample(feed, servedIds, latest,
+      windowLen = "1 minute", sample = 10)
+      .as[(Long, Array[Float])].collect().toMap
+    // expected: md5-top-10 of the 30 in-window ids
+    val md5Of = (i: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (1L to 30L).sortBy(md5Of).take(10).toSet
+    assert(got.keySet == expect, s"sample must be the md5-top-10: got ${got.keySet}")
+    assert(!got.keySet.forall(_ <= 10), "the md5 order must not be the id order")
+    // the graded-window dedup kept the LATER in-window vector for id 3...
+    if (expect(3L)) assert(got(3L).forall(_ == 42f))
+    // ...and the other-window re-issue of id 7 never leaks in
+    if (expect(7L)) assert(got(7L).forall(_ == 7f))
   }
 }

@@ -622,4 +622,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"no HOF in the hot path:\n${p.take(800)}")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "g_planspec_rrs_idx")
   }
+
+  test("recall monitor's graded-window read prunes the served sink to one date partition") {
+    // VERDICT r18 #4: serving sinks are partitioned by the window-derived
+    // date column and the monitor's latest-window read filters on it —
+    // grading one window must never scan the full served history. The pin:
+    // the equality on window_date reaches the scan as a PARTITION filter
+    // and the pruned scan lists only the graded date's files.
+    import org.apache.spark.sql.functions._
+    import graft.materialize.SessionCatalogWarehouse
+    SessionCatalogWarehouse.dropAny(spark, "plan_srv_sink")
+    // two served dates, several windows each — the shape a long-running
+    // serve leaves behind
+    spark.range(0, 48)
+      .select((col("id") % 5).as("q"), col("id").as("b"), lit(1).as("rank"),
+        (lit("2024-01-01 00:00:00").cast("timestamp") +
+          make_dt_interval(lit(0), col("id") % 2 * 24, col("id") % 6 * 5, lit(0)))
+          .as("window_start"))
+      .withColumn("window_date", to_date(col("window_start")))
+      .write.partitionBy("window_date").saveAsTable("plan_srv_sink")
+    val latest = java.sql.Timestamp.valueOf("2024-01-02 00:25:00")
+    val graded = graft.exec.Serving.gradedWindow(spark.table("plan_srv_sink"), latest)
+    val scans = graded.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("window_date"),
+      s"the graded-window read must carry a window_date PARTITION filter, got: $pf")
+    // the pruned listing reads the one graded date, not the full history
+    val readFiles = scans.head.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(readFiles.nonEmpty && readFiles.forall(f =>
+        f.contains("window_date=2024-01-02") || f.contains("window_date%3D2024-01-02")),
+      s"scan must list only the graded date partition: ${readFiles.take(5).toSeq}")
+    // and the behavior is intact: exactly the graded window's rows
+    assert(graded.select("window_start").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq == Seq(latest))
+    SessionCatalogWarehouse.dropAny(spark, "plan_srv_sink")
+  }
 }
