@@ -264,8 +264,6 @@ object Serving {
     wh.spark.catalog.refreshTable(asset.name)
     spark.catalog.refreshTable(asset.name)
     if (monitoring) {
-      wh.spark.catalog.refreshTable(recallFeedTable)
-      spark.catalog.refreshTable(recallFeedTable)
       val rowsAppended = batchMetrics.values.map(_._1).sum
       val latest = batchMetrics.values.flatMap(_._2)
         .maxByOption(_.getTime)
@@ -274,7 +272,12 @@ object Serving {
           "served nothing new (windows still open remain in state and emit " +
           "on the next drain; already-emitted windows were served by " +
           "earlier index states)")
-      else
+      else {
+        // rows were served, so the capture (same source) saw batches and
+        // the feed table exists — refresh both sessions' relation caches
+        // before the monitor reads it
+        wh.spark.catalog.refreshTable(recallFeedTable)
+        spark.catalog.refreshTable(recallFeedTable)
         // the recall monitor runs AFTER the drain, against what this run
         // actually served — a blocking quality check in the reference's
         // checks-gate-downstream sense (pkg/scheduler/scheduler.go:680-715):
@@ -284,6 +287,7 @@ object Serving {
         recallMonitor(wh, spark, asset, kind, indexTable, k,
           physicalName, windowLen, latest.get, recallSample,
           p("serve_recall_min").trim.toDouble, recallFeedTable)
+      }
     }
   }
 
@@ -451,6 +455,21 @@ object Serving {
     // the parent's relation cache honest, same as the sink refresh above
     wh.spark.catalog.refreshTable(recallTable)
     spark.catalog.refreshTable(recallTable)
+    // CAPTURE RETENTION: the recall feed gains one bounded batch per
+    // micro-batch forever at steady state. Only the LATEST window is ever
+    // graded, and windows still open in state carry ts past the graded
+    // window's start — so rows with ts older than `latest` can never be
+    // graded again. Keep the graded-window-and-later slice (bounded by
+    // construction: open windows × per-batch cap); the verdict table is
+    // the durable record. localCheckpoint materializes the retained rows
+    // before the overwrite reads from the table being replaced. Runs even
+    // on a failing gate — the graded window's vectors (what an
+    // investigation reads) are exactly what it keeps.
+    val keep = spark.table(feedTable)
+      .where(col("ts") >= lit(latest)).localCheckpoint()
+    keep.write.mode("overwrite").saveAsTable(feedTable)
+    wh.spark.catalog.refreshTable(feedTable)
+    spark.catalog.refreshTable(feedTable)
     val verdictAgg = spark.table(recallTable)
       .where(col("run_seq") === lit(generation))
       .agg(avg(col("recall")), count(lit(1))).head()

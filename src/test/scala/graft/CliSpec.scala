@@ -738,6 +738,22 @@ class CliSpec extends AnyFunSuite {
     assert(gen2Windows.toSeq ==
         Seq(java.sql.Timestamp.valueOf("2024-01-01 00:12:00")),
       s"generation 2 must grade only the latest served window: ${gen2Windows.toSeq}")
+    // capture retention: rows older than the graded window can never be
+    // graded again and are pruned after the verdict lands — the feed
+    // table stays bounded at steady state instead of gaining one batch
+    // per micro-batch forever
+    val feedLeft = spark.table("srv_ann_hits_mon_recall_feed")
+    assert(feedLeft.where(col("ts") < lit("2024-01-01 00:12:00").cast("timestamp"))
+      .isEmpty, "pre-graded-window capture rows must be pruned")
+    assert(feedLeft.count() >= 5, "the graded window's vectors are retained")
+    // a drain with NO new data must skip the monitor cleanly (exit 0) and
+    // leave the verdict history untouched — re-grading an old window
+    // against the current index state would be apples-to-oranges
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_mon"), Some(spark)) == 0,
+      "a no-new-data drain must not trip or re-grade")
+    assert(spark.table("srv_ann_hits_mon_recall")
+      .select("run_seq").distinct().count() == 2,
+      "the skipped drain must not append a verdict generation")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 

@@ -852,7 +852,9 @@ class ScaleProbeSpec extends AnyFunSuite {
         "SIMD) + 256-lists-into-32-partitions straggler (max task 38 s vs " +
         "med 27); the per-(task,list) primitive cache + nlist-partition " +
         "join cut the scoring stage to 422 CPU-s / max task 7.7 s — " +
-        "spill now at broadcast parity. History: r15 pair stream 430.8 s, " +
+        "spill now at broadcast parity; r19 scoped cache entries to ONE " +
+        "task attempt (the amortization is within-task by construction) " +
+        "and re-witnessed 25.09 s. History: r15 pair stream 430.8 s, " +
         "tuple-packed 121 s, flat+typed 94 s, in-place accessor 48.7 s", bcBytes = 0L)
     annStream("sf10 streaming ANN top-k, broadcast serving tier (same 200k x 800k)",
       "RAM-resident index (204 MB raw, ~816 MB heap-estimated under the 4x " +
