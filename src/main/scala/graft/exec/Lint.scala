@@ -259,6 +259,25 @@ object Lint {
           issues += Issue("valid-serve", a.name,
             "recall monitoring over ivfadc needs serve_recall_corpus (the PQ index " +
               "has no float vectors to re-score exactly)")
+        // query-drift monitor twins (Serving.driftMonitor's requires)
+        a.parameters.get("serve_drift_max_psi").foreach { v =>
+          if (scala.util.Try(v.trim.toDouble).toOption.forall(_ <= 0.0))
+            issues += Issue("valid-serve", a.name,
+              s"serve_drift_max_psi must be a positive number, got '$v'")
+          if (kind == "hamming")
+            issues += Issue("valid-serve", a.name,
+              "drift monitoring applies to the vector tiers (ann/ivfadc/rerank), not hamming")
+          if (!Seq("serve_drift_ref", "serve_recall_corpus", "serve_corpus")
+              .exists(a.parameters.contains))
+            issues += Issue("valid-serve", a.name,
+              "drift monitoring needs a reference corpus — declare serve_drift_ref " +
+                "(or serve_recall_corpus / serve_corpus)")
+        }
+        a.parameters.get("serve_drift_buckets").foreach { v =>
+          if (scala.util.Try(v.trim.toInt).toOption.forall(_ < 2))
+            issues += Issue("valid-serve", a.name,
+              s"serve_drift_buckets must be an integer >= 2, got '$v'")
+        }
       }
 
       // sensor config (reference valid-table-sensor-table / valid-sensor-timeout)

@@ -95,11 +95,13 @@ object Serving {
     val vecCol = p.getOrElse("serve_vec_col", "embedding")
     val maxBroadcast =
       p.get("serve_max_broadcast_bytes").map(_.trim.toLong).getOrElse(256L << 20)
-    val monitoring = p.contains("serve_recall_min")
+    val recallOn = p.contains("serve_recall_min")
+    val driftOn = p.contains("serve_drift_max_psi")
+    val monitoring = recallOn || driftOn
     val recallSample = intParam("serve_recall_sample", 50)
     if (monitoring) {
       require(kind != "hamming",
-        s"${asset.name}: recall monitoring applies to the vector tiers, not hamming")
+        s"${asset.name}: recall/drift monitoring applies to the vector tiers, not hamming")
       require(recallSample >= 1 && recallSample <= graft.ops.Similarity.MaxRecallSample,
         s"${asset.name}: serve_recall_sample must be in [1, ${graft.ops.Similarity.MaxRecallSample}]")
     }
@@ -275,18 +277,44 @@ object Serving {
       else {
         // rows were served, so the capture (same source) saw batches and
         // the feed table exists — refresh both sessions' relation caches
-        // before the monitor reads it
+        // before the monitors read it
         wh.spark.catalog.refreshTable(recallFeedTable)
         spark.catalog.refreshTable(recallFeedTable)
-        // the recall monitor runs AFTER the drain, against what this run
-        // actually served — a blocking quality check in the reference's
+        // the monitors run AFTER the drain, against what this run actually
+        // served — blocking quality checks in the reference's
         // checks-gate-downstream sense (pkg/scheduler/scheduler.go:680-715):
         // a degraded index (stale quantizers, lost coverage, too-lossy m,
-        // too-small nprobe) fails the asset instead of silently losing
-        // recall in production
-        recallMonitor(wh, spark, asset, kind, indexTable, k,
-          physicalName, windowLen, latest.get, recallSample,
-          p("serve_recall_min").trim.toDouble, recallFeedTable)
+        // too-small nprobe) or a drifted query distribution fails the
+        // asset instead of silently losing recall in production. Each
+        // monitor writes its verdict rows BEFORE reporting a breach, and
+        // ALL monitors run before any breach throws — a run that trips
+        // both gates leaves both evidence tables.
+        val breaches = Seq.newBuilder[String]
+        if (driftOn)
+          breaches ++= driftMonitor(wh, spark, asset, physicalName,
+            windowLen, latest.get, recallFeedTable)
+        if (recallOn)
+          breaches ++= recallMonitor(wh, spark, asset, kind, indexTable, k,
+            physicalName, windowLen, latest.get, recallSample,
+            p("serve_recall_min").trim.toDouble, recallFeedTable)
+        // CAPTURE RETENTION: the recall feed gains one bounded batch per
+        // micro-batch forever at steady state. Only the LATEST window is
+        // ever graded, and windows still open in state carry ts past the
+        // graded window's start — so rows with ts older than `latest` can
+        // never be graded again. Keep the graded-window-and-later slice
+        // (bounded by construction: open windows × per-batch cap); the
+        // verdict tables are the durable record. localCheckpoint
+        // materializes the retained rows before the overwrite reads from
+        // the table being replaced. Runs even on a breach — the graded
+        // window's vectors (what an investigation reads) are exactly what
+        // it keeps.
+        val keep = spark.table(recallFeedTable)
+          .where(col("ts") >= lit(latest.get)).localCheckpoint()
+        keep.write.mode("overwrite").saveAsTable(recallFeedTable)
+        wh.spark.catalog.refreshTable(recallFeedTable)
+        spark.catalog.refreshTable(recallFeedTable)
+        val bs = breaches.result()
+        if (bs.nonEmpty) throw new IllegalStateException(bs.mkString("; "))
       }
     }
   }
@@ -315,9 +343,13 @@ object Serving {
     * instead of the raw id spreads the sample across the id space — an
     * `orderBy(id).limit(n)` sample would grade only the lowest-id corner
     * of the feed. */
-  private[graft] def monitorSample(feed: DataFrame, servedIds: DataFrame,
-                                   latest: java.sql.Timestamp,
-                                   windowLen: String, sample: Int): DataFrame = {
+  /** The graded window's slice of the recall-feed capture, deduped to ONE
+    * vector per query id (max ts, embedding-hash tiebreak — a query id
+    * re-issued in a different window with a different embedding can never
+    * grade this window against the wrong vector). */
+  private[graft] def windowedCapture(feed: DataFrame,
+                                     latest: java.sql.Timestamp,
+                                     windowLen: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     feed
@@ -326,10 +358,104 @@ object Serving {
         Window.partitionBy("vec_id")
           .orderBy(col("ts").desc, hash(col("embedding")).asc)))
       .where(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  private[graft] def monitorSample(feed: DataFrame, servedIds: DataFrame,
+                                   latest: java.sql.Timestamp,
+                                   windowLen: String, sample: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    windowedCapture(feed, latest, windowLen)
       .join(servedIds, Seq("vec_id"))
       .withColumn("__h", md5(col("vec_id").cast("string")))
       .orderBy(col("__h")).limit(sample)
       .select(col("vec_id"), col("embedding"))
+  }
+
+  /** SERVING QUERY-DRIFT MONITOR — the guardrail for the failure mode the
+    * recall gate CANNOT see: recall@k grades the index against the queries
+    * it actually received, so a query distribution that drifts away from
+    * the indexed corpus (new domain, new encoder version, upstream feature
+    * skew) can stay at recall 1.0 while the index serves increasingly
+    * irrelevant neighborhoods. `serve_drift_max_psi` gates on the PSI
+    * between the graded window's captured query vectors and a declared
+    * reference corpus (`serve_drift_ref`, falling back to
+    * `serve_recall_corpus` then `serve_corpus`), both projected onto ONE
+    * deterministic scalar: cosine to the reference's mean direction — the
+    * canonical 1-D statistic for directional drift in embedding space
+    * (shifted to [0, 2] and bucketed; `serve_drift_buckets`, default 20).
+    *
+    * Composition of existing exact pieces: the reference centroid is one
+    * map-side-combinable pass ([[graft.ops.Quantize.centroidByLabel]] —
+    * at 100 TB the wire carries dims-sized partials, never vectors), the
+    * projection is the native codegen [[graft.functions.CosineSim]]
+    * against a broadcast literal, and the bucketed PSI is
+    * [[graft.diff.DataDiff.distributionDrift]] (Laplace-smoothed per-bucket
+    * contributions, oracle-pinned by `diff_distribution_psi`). Per-bucket
+    * verdicts APPEND to `<asset>_drift` stamped (run_seq, window_start) —
+    * the same time-series contract as the recall table — BEFORE any breach
+    * is reported. The query side is the bounded capture (md5-sampled per
+    * batch), so the monitor's cost is one reference pass + a buckets-sized
+    * join regardless of drain size. */
+  private def driftMonitor(wh: Warehouse, spark: SparkSession, asset: Asset,
+                           physicalName: String => String, windowLen: String,
+                           latest: java.sql.Timestamp,
+                           feedTable: String): Option[String] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.SqlBridge
+    val p = asset.parameters
+    val maxPsi = p("serve_drift_max_psi").trim.toDouble
+    val buckets = p.get("serve_drift_buckets").map(_.trim.toInt).getOrElse(20)
+    require(maxPsi > 0, s"${asset.name}: serve_drift_max_psi must be > 0")
+    require(buckets >= 2, s"${asset.name}: serve_drift_buckets must be >= 2")
+    val vecCol = p.getOrElse("serve_vec_col", "embedding")
+    val refName = p.get("serve_drift_ref").orElse(p.get("serve_recall_corpus"))
+      .orElse(p.get("serve_corpus")).getOrElse(throw new IllegalArgumentException(
+        s"${asset.name}: drift monitoring needs a reference corpus — declare " +
+          "serve_drift_ref (or serve_recall_corpus / serve_corpus)"))
+    val ref = spark.table(physicalName(refName))
+      .where(col(vecCol).isNotNull).select(col(vecCol).as("embedding"))
+    // reference mean direction, collected as the projection axis (dims-sized)
+    val cent: Array[Float] = graft.ops.Quantize
+      .centroidByLabel(ref.withColumn("__l", lit(1)), "__l", "embedding")
+      .orderBy("dim").select("mean").collect().map(_.getDouble(0).toFloat)
+    if (cent.isEmpty || cent.forall(_ == 0f))
+      throw new IllegalStateException(
+        s"${asset.name}: drift reference '$refName' is empty or has a zero " +
+          "mean direction — the cosine projection is undefined")
+    def proj(df: DataFrame): DataFrame = df.select(
+      (SqlBridge.column(graft.functions.CosineSim(
+        SqlBridge.expression(col("embedding")),
+        SqlBridge.expression(typedLit(cent)))) + 1).as("m"))
+    val qWin = windowedCapture(spark.table(feedTable), latest, windowLen)
+    val contrib = graft.diff.DataDiff.distributionDrift(
+      proj(qWin), proj(ref), "m", bucketWidth = 2.0 / buckets, nBuckets = buckets)
+    val driftTable = s"${asset.name}_drift"
+    val generation: Long =
+      if (spark.catalog.tableExists(driftTable)) {
+        val m = spark.table(driftTable).agg(max("run_seq")).head()
+        if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+      } else 1L
+    contrib
+      .withColumn("run_seq", lit(generation))
+      .withColumn("window_start", lit(latest))
+      .select(col("run_seq"), col("window_start"), col("bucket"),
+        col("share_a").as("share_served"), col("share_b").as("share_ref"),
+        col("psi_contrib"))
+      .write.mode("append").saveAsTable(driftTable)
+    wh.spark.catalog.refreshTable(driftTable)
+    spark.catalog.refreshTable(driftTable)
+    val psi = spark.table(driftTable)
+      .where(col("run_seq") === lit(generation))
+      .agg(sum(col("psi_contrib"))).head().getDouble(0)
+    println(f"[serve] ${asset.name}: query-drift PSI vs '$refName' = $psi%.4f " +
+      f"(threshold $maxPsi, run_seq $generation)")
+    if (psi > maxPsi)
+      Some(f"${asset.name}: query-drift PSI $psi%.4f exceeded " +
+        f"serve_drift_max_psi $maxPsi — the feed's embedding distribution " +
+        "has moved away from the indexed corpus (new domain or encoder " +
+        s"version? inspect $driftTable run_seq $generation)")
+    else scala.None
   }
 
   /** SERVING RECALL MONITOR — re-scores a bounded sample of the queries
@@ -382,7 +508,7 @@ object Serving {
                             windowLen: String,
                             latest: java.sql.Timestamp,
                             sample: Int, minRecall: Double,
-                            feedTable: String): Unit = {
+                            feedTable: String): Option[String] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val p = asset.parameters
@@ -455,21 +581,6 @@ object Serving {
     // the parent's relation cache honest, same as the sink refresh above
     wh.spark.catalog.refreshTable(recallTable)
     spark.catalog.refreshTable(recallTable)
-    // CAPTURE RETENTION: the recall feed gains one bounded batch per
-    // micro-batch forever at steady state. Only the LATEST window is ever
-    // graded, and windows still open in state carry ts past the graded
-    // window's start — so rows with ts older than `latest` can never be
-    // graded again. Keep the graded-window-and-later slice (bounded by
-    // construction: open windows × per-batch cap); the verdict table is
-    // the durable record. localCheckpoint materializes the retained rows
-    // before the overwrite reads from the table being replaced. Runs even
-    // on a failing gate — the graded window's vectors (what an
-    // investigation reads) are exactly what it keeps.
-    val keep = spark.table(feedTable)
-      .where(col("ts") >= lit(latest)).localCheckpoint()
-    keep.write.mode("overwrite").saveAsTable(feedTable)
-    wh.spark.catalog.refreshTable(feedTable)
-    spark.catalog.refreshTable(feedTable)
     val verdictAgg = spark.table(recallTable)
       .where(col("run_seq") === lit(generation))
       .agg(avg(col("recall")), count(lit(1))).head()
@@ -482,10 +593,10 @@ object Serving {
     println(f"[serve] ${asset.name}: recall@$k over ${verdictAgg.getLong(1)} sampled " +
       f"queries = $mean%.4f (threshold $minRecall, run_seq $generation)")
     if (mean < minRecall)
-      throw new IllegalStateException(
-        f"${asset.name}: serving recall@$k $mean%.4f fell below " +
-          f"serve_recall_min $minRecall — the index is too lossy for this " +
-          "feed (raise serve_nprobe, rebuild with more lists/finer codes, " +
-          s"or inspect $recallTable run_seq $generation)")
+      Some(f"${asset.name}: serving recall@$k $mean%.4f fell below " +
+        f"serve_recall_min $minRecall — the index is too lossy for this " +
+        "feed (raise serve_nprobe, rebuild with more lists/finer codes, " +
+        s"or inspect $recallTable run_seq $generation)")
+    else scala.None
   }
 }

@@ -637,6 +637,22 @@ class CliSpec extends AnyFunSuite {
         a.parameters.updated("serve_recall_sample", "20000")),
         target = "srv_ann_hits_mon")
       .exists(_.contains("bounded-sample cap")))
+    // drift-monitor twins: threshold domain, tier applicability, reference
+    assert(issuesFor(a => a.copy(parameters =
+        a.parameters.updated("serve_drift_max_psi", "-0.5")),
+        target = "srv_ann_hits_drift")
+      .exists(_.contains("serve_drift_max_psi")))
+    assert(issuesFor(a => a.copy(parameters =
+        a.parameters.updated("serve_drift_max_psi", "0.5")),
+        target = "srv_neardup_hits")
+      .exists(_.contains("not hamming")))
+    assert(issuesFor(a => a.copy(parameters =
+        a.parameters - "serve_drift_ref"), target = "srv_ann_hits_drift")
+      .exists(_.contains("reference corpus")))
+    assert(issuesFor(a => a.copy(parameters =
+        a.parameters.updated("serve_drift_buckets", "1")),
+        target = "srv_ann_hits_drift")
+      .exists(_.contains("serve_drift_buckets")))
   }
 
   test("serving recall monitor: healthy serve passes at 1.0, a stale index trips the gate") {
@@ -806,6 +822,62 @@ class CliSpec extends AnyFunSuite {
       "a broker-fed stale index must FAIL the gate exactly like the file-fed arm")
     assert(spark.table("srv_adc_hits_mock_recall")
       .agg(max(col("recall"))).head().getDouble(0) <= 1.0 / 3.0 + 1e-9)
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
+  test("serving query-drift monitor: the failure recall cannot see trips the PSI gate") {
+    // VERDICT r19 theme: recall@k grades the index against the queries it
+    // actually received, so a query distribution that drifts away from the
+    // indexed corpus (new domain, new encoder version) can stay at recall
+    // 1.0 while the index serves increasingly irrelevant neighborhoods.
+    // serve_drift_max_psi gates on the PSI between the graded window's
+    // captured query vectors and a reference corpus, both projected onto
+    // cosine-to-reference-centroid. Healthy arm: queries ARE corpus
+    // vectors — PSI ~0.02, both monitors pass. Drifted arm: the SAME ids
+    // with NEGATED embeddings — the served route still answers them
+    // exactly (recall verdicts pin 1.0 on every query: the fallback
+    // baseline and the route are the same full probe), but the projection
+    // distribution mirrors and PSI ~4.1 trips the 1.0 gate with exit 1,
+    // leaving BOTH evidence tables.
+    import org.apache.spark.sql.functions._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",
+      "srv_ann_hits_drift", "srv_ann_hits_drift_recall", "srv_ann_hits_drift_drift",
+      "srv_ann_hits_drift_recall_feed",
+      "srv_ann_hits_drifted", "srv_ann_hits_drifted_recall", "srv_ann_hits_drifted_drift",
+      "srv_ann_hits_drifted_recall_feed")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
+      "--select", "srv_vec_index"), Some(spark)) == 0)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    def sentinel = spark.sql(
+      """SELECT CAST(999 AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+        |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin)
+    val base = spark.table("srv_corpus").where(col("vec_id") <= 30)
+      .select(col("vec_id"), col("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id") % 50)).as("ts"))
+    base.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet("/tmp/graft-srv-drift-feed")
+    base.withColumn("embedding", transform(col("embedding"), x => -x))
+      .unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet("/tmp/graft-srv-drift-feed-neg")
+    // HEALTHY: in-distribution queries pass both gates
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_drift"), Some(spark)) == 0,
+      "in-distribution queries must pass the drift gate")
+    val healthyPsi = spark.table("srv_ann_hits_drift_drift")
+      .agg(sum(col("psi_contrib"))).head().getDouble(0)
+    assert(healthyPsi < 0.1, s"in-distribution PSI must be near zero: $healthyPsi")
+    // DRIFTED: recall verdicts stay 1.0 — the drift gate is what trips
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_drifted"), Some(spark)) != 0,
+      "a drifted query distribution must FAIL through the PSI gate")
+    val degRecall = spark.table("srv_ann_hits_drifted_recall")
+    assert(degRecall.count() == 30 &&
+      degRecall.agg(min(col("recall"))).head().getDouble(0) == 1.0,
+      "recall must stay 1.0 on the drifted arm — this failure mode is invisible to it")
+    val driftedPsi = spark.table("srv_ann_hits_drifted_drift")
+      .agg(sum(col("psi_contrib"))).head().getDouble(0)
+    assert(driftedPsi > 1.0, s"mirrored distribution must breach the gate: $driftedPsi")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
