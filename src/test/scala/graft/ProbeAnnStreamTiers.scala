@@ -64,10 +64,15 @@ object ProbeAnnStreamTiers {
     def adc(bc: Long) = graft.streaming.Streams.streamingAnnAdcTopK(qs(),
       adcIdx, cents, books, k = 5, nprobe = 8, windowLen = "1 minute",
       watermark = "1 minute", maxBroadcastBytes = bc)
+    def rerank(bc: Long) = graft.streaming.Streams.streamingAnnRerankTopK(qs(),
+      adcIdx, c10, cents, books, k = 5, shortlist = 50, nprobe = 8,
+      windowLen = "1 minute", watermark = "1 minute", maxBroadcastBytes = bc)
     drain("float spill tier (200k x 800k, nprobe=8)")(ann(0L))
     drain("float broadcast tier (same)")(ann(1L << 32))
     drain("ADC spill tier (m=8)")(adc(0L))
     drain("ADC broadcast tier (same)")(adc(1L << 32))
+    drain("rerank spill shortlist (m=8, shortlist=50)")(rerank(0L))
+    drain("rerank broadcast shortlist (same)")(rerank(1L << 32))
     graft.materialize.SessionCatalogWarehouse.dropAny(raised, "anntiers_adc_idx")
     spark.stop()
   }
