@@ -197,9 +197,12 @@ object Serving {
             col(vecCol).as("embedding"), col("ts"))
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.withColumn("__h", md5(col("vec_id").cast("string")))
-              .orderBy(col("__h")).limit(cap).drop("__h")
-              .write.mode("append").saveAsTable(recallFeedTable)
+            // through the warehouse so appends keep landing in the current
+            // generation after the retention pass converts the name to the
+            // atomic generation-view form (same discipline as CDC merge)
+            wh.append(recallFeedTable,
+              batch.withColumn("__h", md5(col("vec_id").cast("string")))
+                .orderBy(col("__h")).limit(cap).drop("__h"))
           }
           .option("checkpointLocation", cp)
           .trigger(trigger)
@@ -303,15 +306,14 @@ object Serving {
         // graded window's start — so rows with ts older than `latest` can
         // never be graded again. Keep the graded-window-and-later slice
         // (bounded by construction: open windows × per-batch cap); the
-        // verdict tables are the durable record. localCheckpoint
-        // materializes the retained rows before the overwrite reads from
-        // the table being replaced. Runs even on a breach — the graded
-        // window's vectors (what an investigation reads) are exactly what
-        // it keeps.
-        val keep = spark.table(recallFeedTable)
-          .where(col("ts") >= lit(latest.get)).localCheckpoint()
-        keep.write.mode("overwrite").saveAsTable(recallFeedTable)
-        wh.spark.catalog.refreshTable(recallFeedTable)
+        // verdict tables are the durable record. The replace goes through
+        // the warehouse's ATOMIC generation swap — a crash mid-retention
+        // leaves the previous capture fully readable, never a dropped
+        // table — and the generation write may read the table it replaces
+        // by design. Runs even on a breach: the graded window's vectors
+        // (what an investigation reads) are exactly what it keeps.
+        wh.createOrReplace(recallFeedTable,
+          spark.table(recallFeedTable).where(col("ts") >= lit(latest.get)))
         spark.catalog.refreshTable(recallFeedTable)
         val bs = breaches.result()
         if (bs.nonEmpty) throw new IllegalStateException(bs.mkString("; "))
