@@ -143,6 +143,55 @@ object DataDiff {
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
   }
 
+  /** MULTI-DIRECTION EMBEDDING DRIFT — [[distributionDrift]] generalized
+    * to K cosine projections of a vector column, computed in ONE pass per
+    * snapshot. A single projection (e.g. cosine to the reference centroid)
+    * is blind to any drift that preserves it — a rotation within the
+    * centroid's orthogonal complement shifts every vector while the 1-D
+    * statistic stays identical — so drift monitors project onto SEVERAL
+    * deterministic directions (the centroid plus md5-derived hyperplanes,
+    * [[graft.ops.Similarity.planes]]) and alert on the WORST one.
+    * Each row explodes to K (direction, cos+1 ∈ [0, 2]) pairs bucketed on
+    * a fixed grid; counts aggregate map-side per (direction, bucket), so
+    * at 100 TB each snapshot pays one scan and the wire carries
+    * K × nBuckets partials — never vectors. Output: per-(direction,
+    * bucket) Laplace-smoothed shares and PSI contributions, the
+    * [[distributionDrift]] convention keyed by direction (sum within a
+    * direction for its PSI; max over directions is the alert statistic).
+    * Directions index the caller's `dirs` order. */
+  def directionalDrift(a: DataFrame, b: DataFrame, dirs: Seq[Array[Float]],
+                       vecCol: String = "embedding",
+                       nBuckets: Int = 20): DataFrame = {
+    require(dirs.nonEmpty, "need at least one projection direction")
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    import org.apache.spark.sql.graft.SqlBridge
+    val width = 2.0 / nBuckets
+    val projections = array(dirs.zipWithIndex.map { case (d, i) =>
+      struct(lit(i).as("direction"),
+        (SqlBridge.column(graft.functions.CosineSim(
+          SqlBridge.expression(col(vecCol)),
+          SqlBridge.expression(typedLit(d)))) + 1).as("m"))
+    }: _*)
+    def shares(df: DataFrame, tag: String) = df
+      .where(col(vecCol).isNotNull)
+      .select(explode(projections).as("__p"))
+      .select(col("__p.direction").as("direction"),
+        greatest(least(floor(col("__p.m") / width), lit(nBuckets - 1)), lit(0))
+          .cast("long").as("bucket"))
+      .groupBy("direction", "bucket").agg(count(lit(1)).as(s"__c$tag"))
+    val joined = shares(a, "a")
+      .join(shares(b, "b"), Seq("direction", "bucket"), "full_outer")
+    val totals = joined.groupBy("direction").agg(
+      sum(coalesce(col("__ca"), lit(0L))).cast("double").as("__na"),
+      sum(coalesce(col("__cb"), lit(0L))).cast("double").as("__nb"))
+    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (col("__na") + nBuckets)
+    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (col("__nb") + nBuckets)
+    joined.join(broadcast(totals), Seq("direction"))
+      .select(col("direction"), col("bucket"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+  }
+
   /** Categorical twin of [[distributionDrift]]: composition shift of a
     * discrete column (language, source, license) between two snapshots —
     * per-VALUE shares and PSI contributions over the union of observed

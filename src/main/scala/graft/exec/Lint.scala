@@ -278,6 +278,11 @@ object Lint {
             issues += Issue("valid-serve", a.name,
               s"serve_drift_buckets must be an integer >= 2, got '$v'")
         }
+        a.parameters.get("serve_drift_dirs").foreach { v =>
+          if (scala.util.Try(v.trim.toInt).toOption.forall(_ < 1))
+            issues += Issue("valid-serve", a.name,
+              s"serve_drift_dirs must be a positive integer, got '$v'")
+        }
       }
 
       // sensor config (reference valid-table-sensor-table / valid-sensor-timeout)

@@ -379,37 +379,44 @@ object Serving {
     * it actually received, so a query distribution that drifts away from
     * the indexed corpus (new domain, new encoder version, upstream feature
     * skew) can stay at recall 1.0 while the index serves increasingly
-    * irrelevant neighborhoods. `serve_drift_max_psi` gates on the PSI
-    * between the graded window's captured query vectors and a declared
-    * reference corpus (`serve_drift_ref`, falling back to
-    * `serve_recall_corpus` then `serve_corpus`), both projected onto ONE
-    * deterministic scalar: cosine to the reference's mean direction — the
-    * canonical 1-D statistic for directional drift in embedding space
-    * (shifted to [0, 2] and bucketed; `serve_drift_buckets`, default 20).
+    * irrelevant neighborhoods. `serve_drift_max_psi` gates on the
+    * WORST-direction PSI between the graded window's captured query
+    * vectors and a declared reference corpus (`serve_drift_ref`, falling
+    * back to `serve_recall_corpus` then `serve_corpus`), both projected
+    * onto `serve_drift_dirs` deterministic directions: the reference's
+    * mean direction (index 0 — the canonical centroid-shift statistic)
+    * plus md5-derived hyperplanes ([[graft.ops.Similarity.planes]], the
+    * repo's reproducible-direction discipline) — a single centroid
+    * projection is blind to any drift that preserves it (a rotation
+    * within the centroid's orthogonal complement), which the hyperplanes
+    * catch; spec-pinned with exactly such a rotation.
     *
     * Composition of existing exact pieces: the reference centroid is one
     * map-side-combinable pass ([[graft.ops.Quantize.centroidByLabel]] —
     * at 100 TB the wire carries dims-sized partials, never vectors), the
-    * projection is the native codegen [[graft.functions.CosineSim]]
-    * against a broadcast literal, and the bucketed PSI is
-    * [[graft.diff.DataDiff.distributionDrift]] (Laplace-smoothed per-bucket
-    * contributions, oracle-pinned by `diff_distribution_psi`). Per-bucket
-    * verdicts APPEND to `<asset>_drift` stamped (run_seq, window_start) —
-    * the same time-series contract as the recall table — BEFORE any breach
-    * is reported. The query side is the bounded capture (md5-sampled per
-    * batch), so the monitor's cost is one reference pass + a buckets-sized
-    * join regardless of drain size. */
+    * projections are the native codegen [[graft.functions.CosineSim]]
+    * against broadcast literals, and the keyed bucketed PSI is
+    * [[graft.diff.DataDiff.directionalDrift]] (one pass per side,
+    * K × buckets partials on the wire; the per-direction smoothing is
+    * oracle-pinned via `diff_distribution_psi`'s shared convention).
+    * Per-(direction, bucket) verdicts APPEND to `<asset>_drift` stamped
+    * (run_seq, window_start) — the same time-series contract as the
+    * recall table — BEFORE any breach is reported. The query side is the
+    * bounded capture (md5-sampled per batch), so the monitor's cost is
+    * one reference pass + a (dirs × buckets)-sized join regardless of
+    * drain size. */
   private def driftMonitor(wh: Warehouse, spark: SparkSession, asset: Asset,
                            physicalName: String => String, windowLen: String,
                            latest: java.sql.Timestamp,
                            feedTable: String): Option[String] = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.graft.SqlBridge
     val p = asset.parameters
     val maxPsi = p("serve_drift_max_psi").trim.toDouble
     val buckets = p.get("serve_drift_buckets").map(_.trim.toInt).getOrElse(20)
+    val nDirs = p.get("serve_drift_dirs").map(_.trim.toInt).getOrElse(4)
     require(maxPsi > 0, s"${asset.name}: serve_drift_max_psi must be > 0")
     require(buckets >= 2, s"${asset.name}: serve_drift_buckets must be >= 2")
+    require(nDirs >= 1, s"${asset.name}: serve_drift_dirs must be >= 1")
     val vecCol = p.getOrElse("serve_vec_col", "embedding")
     val refName = p.get("serve_drift_ref").orElse(p.get("serve_recall_corpus"))
       .orElse(p.get("serve_corpus")).getOrElse(throw new IllegalArgumentException(
@@ -417,7 +424,7 @@ object Serving {
           "serve_drift_ref (or serve_recall_corpus / serve_corpus)"))
     val ref = spark.table(physicalName(refName))
       .where(col(vecCol).isNotNull).select(col(vecCol).as("embedding"))
-    // reference mean direction, collected as the projection axis (dims-sized)
+    // reference mean direction, collected as projection axis 0 (dims-sized)
     val cent: Array[Float] = graft.ops.Quantize
       .centroidByLabel(ref.withColumn("__l", lit(1)), "__l", "embedding")
       .orderBy("dim").select("mean").collect().map(_.getDouble(0).toFloat)
@@ -425,13 +432,13 @@ object Serving {
       throw new IllegalStateException(
         s"${asset.name}: drift reference '$refName' is empty or has a zero " +
           "mean direction — the cosine projection is undefined")
-    def proj(df: DataFrame): DataFrame = df.select(
-      (SqlBridge.column(graft.functions.CosineSim(
-        SqlBridge.expression(col("embedding")),
-        SqlBridge.expression(typedLit(cent)))) + 1).as("m"))
+    val dirs: Seq[Array[Float]] = cent +:
+      graft.ops.Similarity.planes(table = 0, bits = nDirs - 1, dims = cent.length)
+        .toSeq.map(_.map(_.toFloat))
     val qWin = windowedCapture(spark.table(feedTable), latest, windowLen)
-    val contrib = graft.diff.DataDiff.distributionDrift(
-      proj(qWin), proj(ref), "m", bucketWidth = 2.0 / buckets, nBuckets = buckets)
+      .select(col("embedding"))
+    val contrib = graft.diff.DataDiff.directionalDrift(qWin, ref, dirs,
+      vecCol = "embedding", nBuckets = buckets)
     val driftTable = s"${asset.name}_drift"
     val generation: Long =
       if (spark.catalog.tableExists(driftTable)) {
@@ -441,22 +448,27 @@ object Serving {
     contrib
       .withColumn("run_seq", lit(generation))
       .withColumn("window_start", lit(latest))
-      .select(col("run_seq"), col("window_start"), col("bucket"),
-        col("share_a").as("share_served"), col("share_b").as("share_ref"),
-        col("psi_contrib"))
+      .select(col("run_seq"), col("window_start"), col("direction"),
+        col("bucket"), col("share_a").as("share_served"),
+        col("share_b").as("share_ref"), col("psi_contrib"))
       .write.mode("append").saveAsTable(driftTable)
     wh.spark.catalog.refreshTable(driftTable)
     spark.catalog.refreshTable(driftTable)
-    val psi = spark.table(driftTable)
+    val worst = spark.table(driftTable)
       .where(col("run_seq") === lit(generation))
-      .agg(sum(col("psi_contrib"))).head().getDouble(0)
-    println(f"[serve] ${asset.name}: query-drift PSI vs '$refName' = $psi%.4f " +
-      f"(threshold $maxPsi, run_seq $generation)")
+      .groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
+      .orderBy(col("psi").desc, col("direction")).head()
+    val (worstDir, psi) = (worst.getInt(0), worst.getDouble(1))
+    val dirName = if (worstDir == 0) "centroid" else s"plane $worstDir"
+    println(f"[serve] ${asset.name}: query-drift worst-direction PSI vs " +
+      f"'$refName' = $psi%.4f ($dirName of ${dirs.length}; threshold " +
+      f"$maxPsi, run_seq $generation)")
     if (psi > maxPsi)
-      Some(f"${asset.name}: query-drift PSI $psi%.4f exceeded " +
-        f"serve_drift_max_psi $maxPsi — the feed's embedding distribution " +
-        "has moved away from the indexed corpus (new domain or encoder " +
-        s"version? inspect $driftTable run_seq $generation)")
+      Some(f"${asset.name}: query-drift PSI $psi%.4f on the $dirName " +
+        f"projection exceeded serve_drift_max_psi $maxPsi — the feed's " +
+        "embedding distribution has moved away from the indexed corpus " +
+        "(new domain or encoder version? inspect " +
+        s"$driftTable run_seq $generation)")
     else scala.None
   }
 

@@ -862,12 +862,17 @@ class CliSpec extends AnyFunSuite {
     base.withColumn("embedding", transform(col("embedding"), x => -x))
       .unionByName(sentinel).coalesce(1)
       .write.mode("overwrite").parquet("/tmp/graft-srv-drift-feed-neg")
-    // HEALTHY: in-distribution queries pass both gates
+    def worstPsi(table: String): Double = spark.table(table)
+      .groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
+      .agg(max(col("psi"))).head().getDouble(0)
+    // HEALTHY: in-distribution queries pass both gates on EVERY direction
     assert(Main.run(Seq("serve", dir, "srv_ann_hits_drift"), Some(spark)) == 0,
       "in-distribution queries must pass the drift gate")
-    val healthyPsi = spark.table("srv_ann_hits_drift_drift")
-      .agg(sum(col("psi_contrib"))).head().getDouble(0)
-    assert(healthyPsi < 0.1, s"in-distribution PSI must be near zero: $healthyPsi")
+    val healthyPsi = worstPsi("srv_ann_hits_drift_drift")
+    assert(healthyPsi < 0.5, s"in-distribution worst-direction PSI must stay low: $healthyPsi")
+    assert(spark.table("srv_ann_hits_drift_drift")
+      .select("direction").distinct().count() == 4,
+      "default serve_drift_dirs = centroid + 3 hyperplanes")
     // DRIFTED: recall verdicts stay 1.0 — the drift gate is what trips
     assert(Main.run(Seq("serve", dir, "srv_ann_hits_drifted"), Some(spark)) != 0,
       "a drifted query distribution must FAIL through the PSI gate")
@@ -875,8 +880,7 @@ class CliSpec extends AnyFunSuite {
     assert(degRecall.count() == 30 &&
       degRecall.agg(min(col("recall"))).head().getDouble(0) == 1.0,
       "recall must stay 1.0 on the drifted arm — this failure mode is invisible to it")
-    val driftedPsi = spark.table("srv_ann_hits_drifted_drift")
-      .agg(sum(col("psi_contrib"))).head().getDouble(0)
+    val driftedPsi = worstPsi("srv_ann_hits_drifted_drift")
     assert(driftedPsi > 1.0, s"mirrored distribution must breach the gate: $driftedPsi")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }

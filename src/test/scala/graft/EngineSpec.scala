@@ -312,6 +312,41 @@ class EngineSpec extends AnyFunSuite {
     assert(clamped == Set(0L, 5L), s"expected clamped buckets {0, 5}: $clamped")
   }
 
+  test("directional drift: a centroid-preserving rotation is invisible to the centroid projection and caught by a hyperplane") {
+    // WHY the serving drift monitor projects onto multiple directions: a
+    // rotation within the centroid's orthogonal complement moves every
+    // vector while preserving each row's norm AND centroid component —
+    // the 1-D cosine-to-centroid multiset is bit-identical, so a
+    // centroid-only monitor scores PSI exactly 0 on a fully-drifted feed.
+    // The md5-derived hyperplane projections catch it.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.diff.DataDiff
+    // ±symmetric 4-d corpus on the exact 1/16 grid (×10000 is an integer,
+    // so centroidByLabel's floor-quantized sums cancel EXACTLY) →
+    // centroid exactly (1,0,0,0); x wide, z narrow
+    val base = (1 to 100).flatMap { i =>
+      val (x, y, z) = ((4 + i % 12) / 16f, (i % 5 - 2) / 16f, (i % 3 - 1) / 16f)
+      Seq(Array(1f, x, y, z), Array(1f, -x, -y, -z))
+    }
+    val ref = base.map(Tuple1(_)).toDF("embedding")
+    // rotate the (e2, e4) plane by 90°: (x, y, z) → (z, y, −x) — norm and
+    // the e1 (centroid) component are preserved per ROW
+    val rotated = base.map(v => Tuple1(Array(v(0), v(3), v(2), -v(1)))).toDF("embedding")
+    val cent = graft.ops.Quantize
+      .centroidByLabel(ref.withColumn("__l", lit(1)), "__l", "embedding")
+      .orderBy("dim").select("mean").collect().map(_.getDouble(0).toFloat)
+    assert(cent.toSeq == Seq(1f, 0f, 0f, 0f), s"symmetric corpus centroid: ${cent.toSeq}")
+    val dirs = cent +: graft.ops.Similarity.planes(0, 3, 4).toSeq.map(_.map(_.toFloat))
+    val psi = DataDiff.directionalDrift(rotated, ref, dirs, nBuckets = 20)
+      .groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(psi(0) == 0.0,
+      s"the centroid direction must see NOTHING — the rotation preserves it: ${psi(0)}")
+    assert((1 to 3).map(psi).max > 0.5,
+      s"a hyperplane direction must catch the rotation: $psi")
+  }
+
   test("categorical drift: new values register strongly, identical mixes are flat") {
     import spark.implicits._
     import graft.diff.DataDiff
