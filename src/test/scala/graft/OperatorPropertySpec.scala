@@ -450,6 +450,51 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(gotCat.keySet == expectCat.keySet, s"seed $seed: value sets differ")
       expectCat.foreach { case (v, psi) =>
         assert(math.abs(gotCat(v) - psi) < 1e-6, s"seed $seed value $v") }
+
+      // directional twin: K cosine projections in one pass must match the
+      // same per-direction share arithmetic over independently-computed
+      // cosines (CosineSim's min-length/zero-norm conventions), and a
+      // snapshot against itself is flat on EVERY direction
+      val dims = 6; val nDirs = 3; val dBuckets = 10
+      def vecs(n: Int): Seq[Array[Float]] =
+        (0 until n).map(_ => Array.fill(dims)((rnd.nextGaussian() * 0.7).toFloat))
+      val ea = vecs(150); val eb = vecs(120)
+      val dirSet = (0 until nDirs).map(_ =>
+        Array.fill(dims)((rnd.nextGaussian()).toFloat))
+      def cosTo(v: Array[Float], d: Array[Float]): Double = {
+        var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+        while (i < dims) {
+          dot += v(i).toDouble * d(i).toDouble
+          sa += v(i).toDouble * v(i).toDouble
+          sb += d(i).toDouble * d(i).toDouble; i += 1
+        }
+        val den = math.sqrt(sa) * math.sqrt(sb)
+        if (den == 0 || den.isNaN) 0.0 else dot / den
+      }
+      def dBucket(m: Double) = math.max(math.min(
+        math.floor(m / (2.0 / dBuckets)).toLong, (dBuckets - 1).toLong), 0L)
+      def dCounts(s: Seq[Array[Float]]) = (for { v <- s; (d, di) <- dirSet.zipWithIndex }
+        yield (di, dBucket(cosTo(v, d) + 1))).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val cda = dCounts(ea); val cdb = dCounts(eb)
+      val expectDir = (cda.keySet ++ cdb.keySet).map { case key @ (di, bk) =>
+        val pa = (cda.getOrElse(key, 0L) + 1).toDouble / (ea.size + dBuckets)
+        val pb = (cdb.getOrElse(key, 0L) + 1).toDouble / (eb.size + dBuckets)
+        (di, bk) -> (pa - pb) * math.log(pa / pb)
+      }.toMap
+      val gotDir = graft.diff.DataDiff.directionalDrift(
+          ea.map(Tuple1(_)).toDF("embedding"), eb.map(Tuple1(_)).toDF("embedding"),
+          dirSet, nBuckets = dBuckets)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(4)).toMap
+      assert(gotDir.keySet == expectDir.keySet,
+        s"seed $seed: (direction, bucket) sets differ")
+      expectDir.foreach { case (key, psi) =>
+        assert(math.abs(gotDir(key) - psi) < 1e-6, s"seed $seed $key") }
+      val flat = graft.diff.DataDiff.directionalDrift(
+          ea.map(Tuple1(_)).toDF("embedding"), ea.map(Tuple1(_)).toDF("embedding"),
+          dirSet, nBuckets = dBuckets).collect()
+      assert(flat.nonEmpty && flat.forall(_.getDouble(4) == 0.0),
+        s"seed $seed: self-drift must be flat on every direction")
     }
   }
 
