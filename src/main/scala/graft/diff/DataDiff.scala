@@ -161,7 +161,21 @@ object DataDiff {
     * Directions index the caller's `dirs` order. */
   def directionalDrift(a: DataFrame, b: DataFrame, dirs: Seq[Array[Float]],
                        vecCol: String = "embedding",
-                       nBuckets: Int = 20): DataFrame = {
+                       nBuckets: Int = 20): DataFrame =
+    directionalDriftFromCounts(directionalShares(a, dirs, vecCol, nBuckets),
+      directionalShares(b, dirs, vecCol, nBuckets), nBuckets)
+
+  /** One snapshot's side of [[directionalDrift]]: per-(direction, bucket)
+    * counts of the K cosine projections, ONE scan (the explode feeds a
+    * map-side-combinable count, so the wire carries K × nBuckets partials
+    * — never vectors). Split out so a monitor can PERSIST a reference
+    * snapshot's counts once (stamped with the corpus generation) and
+    * grade every later window against the artifact via
+    * [[directionalDriftFromCounts]] instead of re-scanning the reference
+    * per drain. */
+  def directionalShares(df: DataFrame, dirs: Seq[Array[Float]],
+                        vecCol: String = "embedding",
+                        nBuckets: Int = 20): DataFrame = {
     require(dirs.nonEmpty, "need at least one projection direction")
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     import org.apache.spark.sql.graft.SqlBridge
@@ -172,21 +186,33 @@ object DataDiff {
           SqlBridge.expression(col(vecCol)),
           SqlBridge.expression(typedLit(d)))) + 1).as("m"))
     }: _*)
-    def shares(df: DataFrame, tag: String) = df
-      .where(col(vecCol).isNotNull)
+    df.where(col(vecCol).isNotNull)
       .select(explode(projections).as("__p"))
       .select(col("__p.direction").as("direction"),
         greatest(least(floor(col("__p.m") / width), lit(nBuckets - 1)), lit(0))
           .cast("long").as("bucket"))
-      .groupBy("direction", "bucket").agg(count(lit(1)).as(s"__c$tag"))
-    val joined = shares(a, "a")
-      .join(shares(b, "b"), Seq("direction", "bucket"), "full_outer")
-    val totals = joined.groupBy("direction").agg(
-      sum(coalesce(col("__ca"), lit(0L))).cast("double").as("__na"),
-      sum(coalesce(col("__cb"), lit(0L))).cast("double").as("__nb"))
-    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (col("__na") + nBuckets)
-    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (col("__nb") + nBuckets)
-    joined.join(broadcast(totals), Seq("direction"))
+      .groupBy("direction", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The smoothing + PSI arithmetic of [[directionalDrift]] over two
+    * ALREADY-AGGREGATED (direction, bucket, cnt) frames — K × nBuckets
+    * rows by construction. Per-direction totals come from a window sum
+    * over the SAME joined frame (not a separate aggregate joined back),
+    * so each input is referenced — and each snapshot scanned — exactly
+    * once, without leaning on exchange reuse (ADVICE r19). The smoothing
+    * convention is [[distributionDrift]]'s, keyed by direction. */
+  def directionalDriftFromCounts(a: DataFrame, b: DataFrame,
+                                 nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val ca = a.select(col("direction"), col("bucket"), col("cnt").as("__ca"))
+    val cb = b.select(col("direction"), col("bucket"), col("cnt").as("__cb"))
+    val joined = ca.join(cb, Seq("direction", "bucket"), "full_outer")
+    val byDir = org.apache.spark.sql.expressions.Window.partitionBy("direction")
+    val na = sum(coalesce(col("__ca"), lit(0L))).over(byDir).cast("double")
+    val nb = sum(coalesce(col("__cb"), lit(0L))).over(byDir).cast("double")
+    val pa = (coalesce(col("__ca"), lit(0L)) + 1).cast("double") / (na + nBuckets)
+    val pb = (coalesce(col("__cb"), lit(0L)) + 1).cast("double") / (nb + nBuckets)
+    joined
       .select(col("direction"), col("bucket"),
         round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))

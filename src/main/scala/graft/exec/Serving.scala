@@ -213,7 +213,17 @@ object Serving {
     // window_start) so the monitor learns what THIS drain served without
     // ever re-scanning the sink (pre/post full-table counts through r18)
     val obsName = s"graft_serve_recall_$thisRun"
-    val sinkDf0 = hits.withColumn("window_date", to_date(col("window_start")))
+    // date-partition the sink ONLY when the table doesn't exist yet (fresh
+    // sinks get the pruned layout) or already carries the column — a
+    // pre-partitioning sink with a committed checkpoint must keep taking
+    // plain appends instead of failing every scheduled re-run on a
+    // schema/partition-spec mismatch (ADVICE r19 #1); the monitors' read
+    // side ([[gradedWindow]]) already handles both layouts
+    val sinkHasDate = !wh.exists(asset.name) ||
+      wh.table(asset.name).columns.contains("window_date")
+    val sinkDf0 =
+      if (sinkHasDate) hits.withColumn("window_date", to_date(col("window_start")))
+      else hits
     val sinkDf =
       if (monitoring)
         sinkDf0.observe(obsName, count(lit(1)).as("rows"),
@@ -243,14 +253,21 @@ object Serving {
     try {
       val q = Streams.startAppendToTable(spark, sinkDf, asset.name,
         checkpoint = p.get("checkpoint_location"), trigger = trigger,
-        partitionBy = Seq("window_date"))
+        partitionBy = if (sinkHasDate) Seq("window_date") else Nil)
       try {
         q.awaitTermination()
         q.recentProgress.foreach(recordProgress)
         // the capture drains alongside the sink: in drain-once mode both
         // triggers are AvailableNow (await its finish); a stopped
-        // foreground serve stops its capture with it
-        captureQ.foreach(cq => if (drainOnce) cq.awaitTermination() else cq.stop())
+        // foreground serve first lets its capture CATCH UP to everything
+        // the feed produced (processAllAvailable — the sink has already
+        // stopped, so the backlog is bounded) before stopping it — a bare
+        // stop() could cut the capture mid-backlog and leave the graded
+        // window with zero captured vectors (ADVICE r19 #2)
+        captureQ.foreach { cq =>
+          if (drainOnce) cq.awaitTermination()
+          else { cq.processAllAvailable(); cq.stop() }
+        }
       } finally
         if (q.isActive) q.stop()
     } finally {
@@ -321,6 +338,36 @@ object Serving {
     }
   }
 
+  /** Table property holding the last verdict generation a monitor wrote —
+    * generation assignment is an O(1) metastore read instead of a
+    * max(run_seq) scan over a table that appends forever by design
+    * (VERDICT r19 "what's wrong" #3). */
+  private[graft] val RunSeqProp = "graft.last_run_seq"
+  /** Table property on `<asset>_recall` holding the index generation the
+    * last GRADED run scored — the cadence monitor re-grades out of turn
+    * when the served index artifact changes underneath it. */
+  private[graft] val GradedIndexGenProp = "graft.last_graded_index_gen"
+
+  private def tableProps(spark: SparkSession, table: String): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).properties
+
+  /** Next verdict generation for an append-only monitor table: the
+    * [[RunSeqProp]] property + 1 when present, falling back to one
+    * max(run_seq) scan for a legacy table written before the property
+    * existed (the fallback runs at most once — the property is recorded
+    * on every append from then on), 1 for a fresh table. */
+  private[graft] def nextRunSeq(spark: SparkSession, table: String): Long =
+    if (!spark.catalog.tableExists(table)) 1L
+    else tableProps(spark, table).get(RunSeqProp).map(_.trim.toLong + 1L).getOrElse {
+      val m = spark.table(table).agg(org.apache.spark.sql.functions.max("run_seq")).head()
+      if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+    }
+
+  private[graft] def setTableProp(spark: SparkSession, table: String,
+                                  key: String, value: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = '$value')")
+
   /** The monitor's read of the graded window: served sinks are partitioned
     * by `window_date`, so the equality filter on the derived date prunes to
     * ONE partition before the exact `window_start` match — grading the
@@ -335,16 +382,6 @@ object Serving {
     pruned.where(col("window_start") === lit(latest))
   }
 
-  /** Deterministic, de-biased monitor sample: the graded window's slice of
-    * the recall-feed capture, deduped to ONE vector per query id (max ts,
-    * embedding-hash tiebreak — a query id re-issued in a different window
-    * with a different embedding can never grade this window against the
-    * wrong vector), intersected with the ids this drain ACTUALLY served,
-    * ordered by a portable md5 of the id (the repo's sampling discipline,
-    * [[graft.ops.Sampling]]) and capped at `sample`. Ordering by the hash
-    * instead of the raw id spreads the sample across the id space — an
-    * `orderBy(id).limit(n)` sample would grade only the lowest-id corner
-    * of the feed. */
   /** The graded window's slice of the recall-feed capture, deduped to ONE
     * vector per query id (max ts, embedding-hash tiebreak — a query id
     * re-issued in a different window with a different embedding can never
@@ -363,6 +400,13 @@ object Serving {
       .select(col("vec_id"), col("embedding"))
   }
 
+  /** Deterministic, de-biased monitor sample: the graded window's slice of
+    * the recall-feed capture ([[windowedCapture]]), intersected with the
+    * ids this drain ACTUALLY served, ordered by a portable md5 of the id
+    * (the repo's sampling discipline, [[graft.ops.Sampling]]) and capped
+    * at `sample`. Ordering by the hash instead of the raw id spreads the
+    * sample across the id space — an `orderBy(id).limit(n)` sample would
+    * grade only the lowest-id corner of the feed. */
   private[graft] def monitorSample(feed: DataFrame, servedIds: DataFrame,
                                    latest: java.sql.Timestamp,
                                    windowLen: String, sample: Int): DataFrame = {
@@ -437,31 +481,53 @@ object Serving {
         .toSeq.map(_.map(_.toFloat))
     val qWin = windowedCapture(spark.table(feedTable), latest, windowLen)
       .select(col("embedding"))
+    // an EMPTY graded-window capture must not grade: the smoothing would
+    // turn the missing side into a uniform distribution and report a
+    // spurious "query drift" against any concentrated reference — the real
+    // failure is the capture itself, so name IT (ADVICE r19 #2). Returned
+    // as a breach (not thrown) so the remaining monitors and the capture
+    // retention still run.
+    if (qWin.isEmpty)
+      return Some(s"${asset.name}: drift monitor found no captured query " +
+        s"vectors for the graded window — the $feedTable capture recorded " +
+        "nothing for what this drain served (a foreground capture stopped " +
+        "mid-backlog, or the feed's ids/vectors were null)")
     val contrib = graft.diff.DataDiff.directionalDrift(qWin, ref, dirs,
       vecCol = "embedding", nBuckets = buckets)
     val driftTable = s"${asset.name}_drift"
-    val generation: Long =
-      if (spark.catalog.tableExists(driftTable)) {
-        val m = spark.table(driftTable).agg(max("run_seq")).head()
-        if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
-      } else 1L
-    contrib
+    val generation = nextRunSeq(spark, driftTable)
+    // the verdict frame is (dirs × buckets) rows by contract — persist it
+    // so the append and the gate below share ONE execution, and the gate
+    // never re-reads the ever-growing verdict table (VERDICT r19 #3: the
+    // this-generation filter was a full history scan per drain)
+    val verdict = contrib
       .withColumn("run_seq", lit(generation))
       .withColumn("window_start", lit(latest))
       .select(col("run_seq"), col("window_start"), col("direction"),
         col("bucket"), col("share_a").as("share_served"),
         col("share_b").as("share_ref"), col("psi_contrib"))
-      .write.mode("append").saveAsTable(driftTable)
-    wh.spark.catalog.refreshTable(driftTable)
-    spark.catalog.refreshTable(driftTable)
-    val worst = spark.table(driftTable)
-      .where(col("run_seq") === lit(generation))
+      .persist()
+    try {
+      verdict.write.mode("append").saveAsTable(driftTable)
+      setTableProp(spark, driftTable, RunSeqProp, generation.toString)
+      wh.spark.catalog.refreshTable(driftTable)
+      spark.catalog.refreshTable(driftTable)
+      driftGate(asset, refName, driftTable, verdict, maxPsi, generation,
+        dirs.length)
+    } finally verdict.unpersist()
+  }
+
+  private def driftGate(asset: Asset, refName: String, driftTable: String,
+                        verdict: DataFrame, maxPsi: Double, generation: Long,
+                        nDirs: Int): Option[String] = {
+    import org.apache.spark.sql.functions._
+    val worst = verdict
       .groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
       .orderBy(col("psi").desc, col("direction")).head()
     val (worstDir, psi) = (worst.getInt(0), worst.getDouble(1))
     val dirName = if (worstDir == 0) "centroid" else s"plane $worstDir"
     println(f"[serve] ${asset.name}: query-drift worst-direction PSI vs " +
-      f"'$refName' = $psi%.4f ($dirName of ${dirs.length}; threshold " +
+      f"'$refName' = $psi%.4f ($dirName of $nDirs; threshold " +
       f"$maxPsi, run_seq $generation)")
     if (psi > maxPsi)
       Some(f"${asset.name}: query-drift PSI $psi%.4f on the $dirName " +
@@ -578,28 +644,33 @@ object Serving {
       .groupBy(col("q"), col("b"))
       .agg(min(col("rank")).cast("int").as("rank"))
     val recallTable = s"${asset.name}_recall"
-    val generation: Long =
-      if (spark.catalog.tableExists(recallTable)) {
-        val m = spark.table(recallTable).agg(max("run_seq")).head()
-        if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
-      } else 1L
+    val generation = nextRunSeq(spark, recallTable)
+    // Q-row frame by contract — persist so the evidence append and the
+    // gate share one execution of the exact-side corpus pass, and the
+    // gate never filter-scans the append-forever verdict table
     val recall = graft.ops.Similarity.recallAtK(approx, exact, k, qCol = "q")
       .withColumn("run_seq", lit(generation))
       .withColumn("window_start", lit(latest))
       .select(col("run_seq"), col("window_start"), col("q"), col("hits"),
         col("n_exact"), col("recall"))
-    // evidence first, gate second — a failing run leaves its verdict rows;
-    // APPEND keeps every prior generation queryable as a time series
-    recall.write.mode("append").saveAsTable(recallTable)
-    // the verdict write went through this (possibly cloned) session — keep
-    // the parent's relation cache honest, same as the sink refresh above
-    wh.spark.catalog.refreshTable(recallTable)
-    spark.catalog.refreshTable(recallTable)
-    val verdictAgg = spark.table(recallTable)
-      .where(col("run_seq") === lit(generation))
-      .agg(avg(col("recall")), count(lit(1))).head()
+      .persist()
+    val verdictAgg = try {
+      // evidence first, gate second — a failing run leaves its verdict rows;
+      // APPEND keeps every prior generation queryable as a time series
+      recall.write.mode("append").saveAsTable(recallTable)
+      setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+      // the verdict write went through this (possibly cloned) session — keep
+      // the parent's relation cache honest, same as the sink refresh above
+      wh.spark.catalog.refreshTable(recallTable)
+      spark.catalog.refreshTable(recallTable)
+      recall.agg(avg(col("recall")), count(lit(1))).head()
+    } finally recall.unpersist()
     if (verdictAgg.isNullAt(0))
-      throw new IllegalStateException(
+      // a breach, not a throw: the documented contract is that ALL monitors
+      // run and the capture retention runs even on a breach — an exception
+      // here would abort both and leave the feed table unpruned
+      // (ADVICE r19 #3)
+      return Some(
         s"${asset.name}: recall monitor found no exact baseline rows — did the " +
           s"recall-feed capture ($feedTable) record vectors for what this " +
           "drain served, and is the exact-side corpus non-empty?")

@@ -773,6 +773,49 @@ class CliSpec extends AnyFunSuite {
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
+  test("legacy serving sink without window_date keeps taking appends and grading") {
+    // ADVICE r19 #1: r19 made fresh sinks date-partitioned, but a pre-r19
+    // sink (no window_date column, unpartitioned, committed checkpoint)
+    // must keep taking plain appends — unconditionally adding the column +
+    // partitionBy would fail every scheduled re-run on a schema/partition
+    // mismatch. The read side (gradedWindow) already falls back to the
+    // plain window_start filter; this pins the WRITE side fallback.
+    import org.apache.spark.sql.functions._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",
+      "srv_ann_hits_legacy", "srv_ann_hits_legacy_recall",
+      "srv_ann_hits_legacy_recall_feed")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
+      "--select", "srv_vec_index"), Some(spark)) == 0)
+    // the pre-r19 layout: the tier's five columns, NO window_date, no
+    // partitioning
+    spark.sql("""CREATE TABLE srv_ann_hits_legacy
+      |(window_start TIMESTAMP, q BIGINT, b BIGINT, cos DOUBLE, rank INT)
+      |USING parquet""".stripMargin)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    spark.table("srv_corpus").where(col("vec_id") <= 5)
+      .select(col("vec_id"), col("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id"))).as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(999 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+          |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft-srv-legacy-feed")
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_legacy"), Some(spark)) == 0,
+      "a legacy unpartitioned sink must keep taking appends and pass its gate")
+    val sink = spark.table("srv_ann_hits_legacy")
+    assert(!sink.columns.contains("window_date"),
+      "the legacy sink's schema must stay untouched")
+    assert(sink.count() == 15, "5 queries x top-3 hits")
+    // the monitor graded through the plain window_start fallback read
+    val verdicts = spark.table("srv_ann_hits_legacy_recall")
+    assert(verdicts.count() == 5 &&
+      verdicts.agg(min(col("recall"))).head().getDouble(0) == 1.0,
+      "the recall gate must grade a legacy sink through the fallback read")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
   test("recall monitor over a BROKER feed: the serve-time capture makes it gate identically") {
     // VERDICT r18 #5: through r18 the monitor re-read the query feed in
     // batch, so only file:// feeds were monitorable — the production
@@ -883,6 +926,29 @@ class CliSpec extends AnyFunSuite {
     val driftedPsi = worstPsi("srv_ann_hits_drifted_drift")
     assert(driftedPsi > 1.0, s"mirrored distribution must breach the gate: $driftedPsi")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
+  test("verdict generation comes from table properties, not a history scan") {
+    // VERDICT r19 "what's wrong" #3 / ADVICE #4: the monitor verdict tables
+    // append forever by design, so run_seq assignment reads the
+    // graft.last_run_seq table property (an O(1) metastore read) and falls
+    // back to a max(run_seq) scan only for a legacy table written before
+    // the property existed; every append records the property from then on.
+    import spark.implicits._
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "runseq_t")
+    assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 1L,
+      "a fresh table starts at generation 1")
+    Seq((1L, 0.5), (2L, 0.6)).toDF("run_seq", "recall")
+      .write.saveAsTable("runseq_t")
+    assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 3L,
+      "a legacy table without the property falls back to max(run_seq) + 1")
+    // the property WINS over table content — proof that once a writer has
+    // recorded it, generation assignment never scans the history again
+    graft.exec.Serving.setTableProp(spark, "runseq_t",
+      graft.exec.Serving.RunSeqProp, "7")
+    assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 8L,
+      "the recorded property must win over the table's max(run_seq)")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "runseq_t")
   }
 
   test("monitor sample is de-biased and deterministic: md5-ordered membership") {
