@@ -220,7 +220,7 @@ object Lint {
                 s"source_uri '$uri' is not a scheme-qualified uri")
         }
         Seq("serve_k", "serve_nprobe", "serve_shortlist", "serve_max_hamming",
-            "serve_recall_sample").foreach { kk =>
+            "serve_recall_sample", "serve_recall_every").foreach { kk =>
           a.parameters.get(kk).foreach { v =>
             if (scala.util.Try(v.trim.toInt).toOption.forall(_ < 1))
               issues += Issue("valid-serve", a.name, s"$kk must be a positive integer, got '$v'")

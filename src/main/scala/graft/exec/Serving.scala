@@ -418,6 +418,86 @@ object Serving {
       .select(col("vec_id"), col("embedding"))
   }
 
+  /** BUILD-ONCE DRIFT-REFERENCE BASELINE — the drift monitor's reference
+    * side (the corpus centroid and the per-(direction, bucket) projection
+    * counts) depends only on the reference corpus and the declared
+    * geometry, so it is persisted to `<asset>_drift_baseline` on first
+    * use and every later drain grades against the ARTIFACT: steady-state
+    * serving pays zero reference-corpus scans per trigger instead of two
+    * (the same per-batch-corpus-work discipline the index family applies
+    * — [[graft.ops.Similarity.saveIndex]] vs re-folding per drain).
+    *
+    * The artifact is stamped with the declared geometry
+    * (`ref;dirs;buckets;vec`) and the reference's WAREHOUSE GENERATION
+    * (the atomic-swap backing-table identity, falling back to the
+    * catalog createTime for a reference managed outside the generation
+    * swap). A stale stamp is NEVER graded against: any mismatch —
+    * reference replaced, geometry re-declared, pre-stamp artifact —
+    * rebuilds the baseline from the current corpus (unlike the signature
+    * index's fail-fast stamp, the source of truth still exists here, so
+    * rebuild is always correct; the rebuild is logged). In-place appends
+    * to a non-generation-managed reference are invisible to the stamp —
+    * drop the baseline table to force a rebuild in that case.
+    *
+    * Returns the reference centroid (projection axis 0) and the
+    * (direction, bucket, cnt) reference counts frame. */
+  private[graft] def ensureDriftBaseline(wh: Warehouse, spark: SparkSession,
+                                         baselineTable: String, refPhys: String,
+                                         nDirs: Int, buckets: Int,
+                                         vecCol: String): (Array[Float], DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val config = s"ref=$refPhys;dirs=$nDirs;buckets=$buckets;vec=$vecCol"
+    val corpusGen = graft.materialize.SessionCatalogWarehouse
+      .backingTable(spark, refPhys).getOrElse {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(refPhys)
+        s"$refPhys@${spark.sessionState.catalog.getTableMetadata(ident).createTime}"
+      }
+    def counts(t: DataFrame) = t.select(col("direction"), col("bucket"), col("cnt"))
+    val loaded: Option[(Array[Float], DataFrame)] =
+      if (!spark.catalog.tableExists(baselineTable)) scala.None
+      else {
+        val t = spark.table(baselineTable)
+        if (!t.columns.contains("__drift_config")) scala.None
+        else t.select(col("__drift_config"), col("__corpus_gen"), col("centroid"))
+          .limit(1).collect().headOption.collect {
+            case r if r.getString(0) == config && r.getString(1) == corpusGen =>
+              (r.getSeq[Float](2).toArray, counts(t))
+          }
+      }
+    loaded.getOrElse {
+      // one centroid pass + one shares pass over the reference — paid per
+      // corpus generation, not per drain
+      val ref = spark.table(refPhys)
+        .where(col(vecCol).isNotNull).select(col(vecCol).as("embedding"))
+      val cent: Array[Float] = graft.ops.Quantize
+        .centroidByLabel(ref.withColumn("__l", lit(1)), "__l", "embedding")
+        .orderBy("dim").select("mean").collect().map(_.getDouble(0).toFloat)
+      if (cent.isEmpty || cent.forall(_ == 0f))
+        throw new IllegalStateException(
+          s"drift reference '$refPhys' is empty or has a zero mean " +
+            "direction — the cosine projection is undefined")
+      val dirs = driftDirections(cent, nDirs)
+      val rows = graft.diff.DataDiff
+        .directionalShares(ref, dirs, vecCol = "embedding", nBuckets = buckets)
+        .withColumn("centroid", typedLit(cent))
+        .withColumn("__drift_config", lit(config))
+        .withColumn("__corpus_gen", lit(corpusGen))
+      wh.createOrReplace(baselineTable, rows)
+      wh.spark.catalog.refreshTable(baselineTable)
+      spark.catalog.refreshTable(baselineTable)
+      println(s"[serve] drift baseline $baselineTable (re)built for " +
+        s"'$refPhys' generation $corpusGen ($config)")
+      (cent, counts(spark.table(baselineTable)))
+    }
+  }
+
+  /** The drift monitor's deterministic projection set: the reference mean
+    * direction (index 0 — the canonical centroid-shift statistic) plus
+    * md5-derived hyperplanes ([[graft.ops.Similarity.planes]]). */
+  private def driftDirections(cent: Array[Float], nDirs: Int): Seq[Array[Float]] =
+    cent +: graft.ops.Similarity.planes(table = 0, bits = nDirs - 1, dims = cent.length)
+      .toSeq.map(_.map(_.toFloat))
+
   /** SERVING QUERY-DRIFT MONITOR — the guardrail for the failure mode the
     * recall gate CANNOT see: recall@k grades the index against the queries
     * it actually received, so a query distribution that drifts away from
@@ -440,15 +520,18 @@ object Serving {
     * at 100 TB the wire carries dims-sized partials, never vectors), the
     * projections are the native codegen [[graft.functions.CosineSim]]
     * against broadcast literals, and the keyed bucketed PSI is
-    * [[graft.diff.DataDiff.directionalDrift]] (one pass per side,
-    * K × buckets partials on the wire; the per-direction smoothing is
-    * oracle-pinned via `diff_distribution_psi`'s shared convention).
-    * Per-(direction, bucket) verdicts APPEND to `<asset>_drift` stamped
-    * (run_seq, window_start) — the same time-series contract as the
-    * recall table — BEFORE any breach is reported. The query side is the
-    * bounded capture (md5-sampled per batch), so the monitor's cost is
-    * one reference pass + a (dirs × buckets)-sized join regardless of
-    * drain size. */
+    * [[graft.diff.DataDiff.directionalDriftFromCounts]] (one pass for the
+    * captured window, K × buckets partials on the wire; the per-direction
+    * smoothing is oracle-pinned via `diff_distribution_psi`'s shared
+    * convention). The reference side is the build-once
+    * [[ensureDriftBaseline]] artifact — rebuilt only when the corpus
+    * generation or the declared geometry changes — so a steady-state
+    * drain pays ZERO reference-corpus scans: the per-trigger cost is one
+    * bounded-capture pass + a (dirs × buckets)-sized join regardless of
+    * drain or corpus size. Per-(direction, bucket) verdicts APPEND to
+    * `<asset>_drift` stamped (run_seq, window_start) — the same
+    * time-series contract as the recall table — BEFORE any breach is
+    * reported. */
   private def driftMonitor(wh: Warehouse, spark: SparkSession, asset: Asset,
                            physicalName: String => String, windowLen: String,
                            latest: java.sql.Timestamp,
@@ -466,19 +549,12 @@ object Serving {
       .orElse(p.get("serve_corpus")).getOrElse(throw new IllegalArgumentException(
         s"${asset.name}: drift monitoring needs a reference corpus — declare " +
           "serve_drift_ref (or serve_recall_corpus / serve_corpus)"))
-    val ref = spark.table(physicalName(refName))
-      .where(col(vecCol).isNotNull).select(col(vecCol).as("embedding"))
-    // reference mean direction, collected as projection axis 0 (dims-sized)
-    val cent: Array[Float] = graft.ops.Quantize
-      .centroidByLabel(ref.withColumn("__l", lit(1)), "__l", "embedding")
-      .orderBy("dim").select("mean").collect().map(_.getDouble(0).toFloat)
-    if (cent.isEmpty || cent.forall(_ == 0f))
-      throw new IllegalStateException(
-        s"${asset.name}: drift reference '$refName' is empty or has a zero " +
-          "mean direction — the cosine projection is undefined")
-    val dirs: Seq[Array[Float]] = cent +:
-      graft.ops.Similarity.planes(table = 0, bits = nDirs - 1, dims = cent.length)
-        .toSeq.map(_.map(_.toFloat))
+    // the reference side comes from the build-once baseline artifact —
+    // steady-state drains never scan the reference corpus
+    val (cent, refCounts) = ensureDriftBaseline(wh, spark,
+      s"${asset.name}_drift_baseline", physicalName(refName), nDirs, buckets,
+      vecCol)
+    val dirs = driftDirections(cent, nDirs)
     val qWin = windowedCapture(spark.table(feedTable), latest, windowLen)
       .select(col("embedding"))
     // an EMPTY graded-window capture must not grade: the smoothing would
@@ -492,8 +568,10 @@ object Serving {
         s"vectors for the graded window — the $feedTable capture recorded " +
         "nothing for what this drain served (a foreground capture stopped " +
         "mid-backlog, or the feed's ids/vectors were null)")
-    val contrib = graft.diff.DataDiff.directionalDrift(qWin, ref, dirs,
-      vecCol = "embedding", nBuckets = buckets)
+    val contrib = graft.diff.DataDiff.directionalDriftFromCounts(
+      graft.diff.DataDiff.directionalShares(qWin, dirs,
+        vecCol = "embedding", nBuckets = buckets),
+      refCounts, nBuckets = buckets)
     val driftTable = s"${asset.name}_drift"
     val generation = nextRunSeq(spark, driftTable)
     // the verdict frame is (dirs × buckets) rows by contract — persist it
@@ -574,7 +652,10 @@ object Serving {
     * land BEFORE the gate throws so a failing run leaves its evidence.
     * Only the latest served window is graded — older windows were served
     * by older index states — and a drain that appended NOTHING skips the
-    * monitor entirely. The ivfadc/rerank tiers exclude the self-pair
+    * monitor entirely. `serve_recall_every: N` declares the grading
+    * CADENCE (default 1 = every drain): the exact baseline's corpus pass
+    * is paid on drains 1, N+1, 2N+1, … and on any index-generation
+    * change; skipped drains leave a null-q skip row in the time series. The ivfadc/rerank tiers exclude the self-pair
     * (b == query id) by contract, so their exact baselines exclude it too
     * — otherwise a corpus-member query feed caps healthy recall at
     * (k-1)/k and a perfect index trips the gate. Duplicate sink rows for
@@ -594,6 +675,37 @@ object Serving {
     val p = asset.parameters
     val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
     val vecCol = p.getOrElse("serve_vec_col", "embedding")
+    val recallTable = s"${asset.name}_recall"
+    val generation = nextRunSeq(spark, recallTable)
+    // DECLARATIVE GRADING CADENCE (`serve_recall_every: N`) — the exact
+    // baseline is one full corpus pass per graded drain, unavoidable PER
+    // GRADING, so the cadence is what amortizes it: grade every Nth drain
+    // AND whenever the served index artifact's warehouse generation has
+    // changed since the last graded run (a fresh index must never serve N-1
+    // drains unjudged). Skipped drains append a null-q SKIP row under their
+    // own run_seq, so the verdict time series shows the gap instead of
+    // silently compressing it (reference precedent: sensors' declarative
+    // poke modes, pkg/ansisql/operator.go:23-121).
+    val every = p.get("serve_recall_every").map(_.trim.toInt).getOrElse(1)
+    require(every >= 1, s"${asset.name}: serve_recall_every must be >= 1")
+    val indexGen = graft.materialize.SessionCatalogWarehouse
+      .backingTable(spark, indexTable).getOrElse(indexTable)
+    val indexChanged = !spark.catalog.tableExists(recallTable) ||
+      !tableProps(spark, recallTable).get(GradedIndexGenProp).contains(indexGen)
+    if ((generation - 1) % every != 0 && !indexChanged) {
+      val skip = spark.range(1).select(lit(generation).as("run_seq"),
+        lit(latest).as("window_start"), lit(null).cast("long").as("q"),
+        lit(null).cast("long").as("hits"), lit(null).cast("long").as("n_exact"),
+        lit(null).cast("double").as("recall"))
+      skip.write.mode("append").saveAsTable(recallTable)
+      setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+      wh.spark.catalog.refreshTable(recallTable)
+      spark.catalog.refreshTable(recallTable)
+      println(s"[serve] ${asset.name}: recall grading skipped this drain " +
+        s"(serve_recall_every = $every, run_seq $generation — next graded " +
+        "drain on cadence or on an index-generation change)")
+      return scala.None
+    }
     val served = gradedWindow(spark.table(asset.name), latest)
     val servedIds = served.select(col("q").cast("long").as("vec_id")).distinct()
     val sampleVecs =
@@ -643,8 +755,6 @@ object Serving {
       .join(sampleVecs.select(col("vec_id").as("q")), Seq("q"))
       .groupBy(col("q"), col("b"))
       .agg(min(col("rank")).cast("int").as("rank"))
-    val recallTable = s"${asset.name}_recall"
-    val generation = nextRunSeq(spark, recallTable)
     // Q-row frame by contract — persist so the evidence append and the
     // gate share one execution of the exact-side corpus pass, and the
     // gate never filter-scans the append-forever verdict table
@@ -659,6 +769,9 @@ object Serving {
       // APPEND keeps every prior generation queryable as a time series
       recall.write.mode("append").saveAsTable(recallTable)
       setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+      // record which index artifact this graded run judged — the cadence
+      // re-grades out of turn when it changes
+      setTableProp(spark, recallTable, GradedIndexGenProp, indexGen)
       // the verdict write went through this (possibly cloned) session — keep
       // the parent's relation cache honest, same as the sink refresh above
       wh.spark.catalog.refreshTable(recallTable)

@@ -886,9 +886,9 @@ class CliSpec extends AnyFunSuite {
     val dir = "src/test/resources/pipelines/annserve"
     val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",
       "srv_ann_hits_drift", "srv_ann_hits_drift_recall", "srv_ann_hits_drift_drift",
-      "srv_ann_hits_drift_recall_feed",
+      "srv_ann_hits_drift_recall_feed", "srv_ann_hits_drift_drift_baseline",
       "srv_ann_hits_drifted", "srv_ann_hits_drifted_recall", "srv_ann_hits_drifted_drift",
-      "srv_ann_hits_drifted_recall_feed")
+      "srv_ann_hits_drifted_recall_feed", "srv_ann_hits_drifted_drift_baseline")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
     assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
       "--select", "srv_vec_index"), Some(spark)) == 0)
@@ -926,6 +926,125 @@ class CliSpec extends AnyFunSuite {
     val driftedPsi = worstPsi("srv_ann_hits_drifted_drift")
     assert(driftedPsi > 1.0, s"mirrored distribution must breach the gate: $driftedPsi")
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
+  test("recall cadence: the exact baseline is paid every Nth drain and on index change") {
+    // VERDICT r19 next-round #3: the recall monitor's exact side is one
+    // full corpus pass per graded drain — unavoidable per grading, so the
+    // CADENCE is declarative (serve_recall_every: 3 here). Drains 1 and 4
+    // grade (and breach — the half index is degraded); drains 2-3 skip
+    // with exit 0 DESPITE the degraded index (the declared trade), each
+    // leaving a null-q skip row so the time series shows the gap; drain 5
+    // would skip by cadence but the index was REBUILT (new warehouse
+    // generation), so it grades out of turn and still exits 1.
+    import org.apache.spark.sql.functions._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_vec_index_half",
+      "srv_vec_index_half_centroids", "srv_ann_hits_cadence",
+      "srv_ann_hits_cadence_recall", "srv_ann_hits_cadence_recall_feed")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
+      "--select", "srv_vec_index_half"), Some(spark)) == 0)
+    def feed(minute: Int, sentinelMinute: Int, mode: String): Unit = {
+      val t0 = lit(f"2024-01-01 00:$minute%02d:00").cast("timestamp")
+      spark.table("srv_corpus").where(col("vec_id") <= 5)
+        .select(col("vec_id"), col("embedding"),
+          (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id"))).as("ts"))
+        .unionByName(spark.sql(
+          f"""SELECT CAST(999 AS BIGINT) AS vec_id,
+            |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+            |  CAST('2024-01-01 00:$sentinelMinute%02d:00' AS TIMESTAMP) AS ts""".stripMargin))
+        .coalesce(1).write.mode(mode).parquet("/tmp/graft-srv-cadence-feed")
+    }
+    def serve() = Main.run(Seq("serve", dir, "srv_ann_hits_cadence"), Some(spark))
+    feed(0, 10, "overwrite")
+    assert(serve() != 0, "drain 1 is on cadence — the degraded index must breach")
+    feed(12, 22, "append")
+    assert(serve() == 0, "drain 2 is off cadence — skip, exit 0")
+    feed(24, 34, "append")
+    assert(serve() == 0, "drain 3 is off cadence — skip, exit 0")
+    feed(36, 46, "append")
+    assert(serve() != 0, "drain 4 is on cadence — graded, breaches")
+    // rebuild the index: same content, NEW warehouse generation
+    assert(Main.run(Seq("run", dir, "--select", "srv_vec_index_half"),
+      Some(spark)) == 0)
+    feed(48, 58, "append")
+    assert(serve() != 0,
+      "drain 5 would skip by cadence, but the index generation changed — graded")
+    val hist = spark.table("srv_ann_hits_cadence_recall")
+    assert(hist.select("run_seq").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L, 5L), "five drains leave five generations")
+    val skips = hist.where(col("q").isNull)
+    assert(skips.select("run_seq").collect().map(_.getLong(0)).toSet
+      == Set(2L, 3L), "off-cadence drains leave exactly their skip rows")
+    assert(skips.count() == 2 &&
+      skips.where(col("recall").isNotNull).isEmpty,
+      "a skip row carries no verdict, only the gap marker")
+    val graded = hist.where(col("q").isNotNull)
+    assert(graded.where(col("run_seq").isin(1L, 4L, 5L)).count() == 15,
+      "graded drains score all 5 sampled queries each")
+    assert(graded.agg(max(col("recall"))).head().getDouble(0) <= 1.0 &&
+      graded.groupBy("run_seq").agg(avg(col("recall")).as("m"))
+        .agg(max(col("m"))).head().getDouble(0) < 0.95,
+      "every graded generation sits below the 0.95 gate on the half index")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
+  test("drift baseline artifact: built once per corpus generation, steady state never scans the reference") {
+    // VERDICT r19 next-round #2: driftMonitor re-derived the reference
+    // centroid AND bucket shares from the full corpus on EVERY drain — two
+    // corpus passes per 5-minute trigger at steady state. The reference
+    // side now persists to `<asset>_drift_baseline`, stamped with the
+    // corpus's warehouse generation + the declared geometry; any stamp
+    // mismatch REBUILDS (never grades stale), a matching stamp loads the
+    // artifact without touching the reference.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = new graft.materialize.SessionCatalogWarehouse(spark)
+    Seq("driftbl_ref", "driftbl_bl").foreach(t =>
+      graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    def vecs(shift: Float) = (1 to 50).map(i =>
+      (i.toLong, Array(1f, (i % 7) / 7f + shift, (i % 3) / 3f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    wh.createOrReplace("driftbl_ref", vecs(0f))
+    def ensure(dirs: Int = 4, buckets: Int = 20) =
+      graft.exec.Serving.ensureDriftBaseline(wh, spark, "driftbl_bl",
+        "driftbl_ref", dirs, buckets, "embedding")
+    def snap(c: org.apache.spark.sql.DataFrame) = c.orderBy("direction", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val (c1, counts1) = ensure()
+    val s1 = snap(counts1)
+    assert(s1.nonEmpty && c1.length == 4)
+    // steady state: the second ensure LOADS — identical centroid + counts,
+    // and the returned frame's plan reads only the artifact, never the
+    // reference corpus (the per-drain zero-reference-scan pin)
+    val (c2, counts2) = ensure()
+    assert(c2.toSeq == c1.toSeq, "a matching stamp must load the stored centroid")
+    val plan = counts2.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("driftbl_ref"),
+      s"steady-state grading must not plan a reference-corpus scan: $plan")
+    assert(snap(counts2) == s1, "loaded counts must equal the built counts")
+    // a warehouse replace is a NEW corpus generation → stamp mismatch →
+    // rebuilt against the new content
+    wh.createOrReplace("driftbl_ref", vecs(0.4f))
+    val (c3, counts3) = ensure()
+    assert(c3.toSeq != c1.toSeq && snap(counts3) != s1,
+      "a replaced reference must rebuild the baseline")
+    // re-declared geometry is a stamp mismatch too — rebuilt, never
+    // graded stale (10 buckets => bucket ids stay below 10)
+    val (_, counts4) = ensure(buckets = 10)
+    assert(counts4.agg(max("bucket")).head().getLong(0) <= 9,
+      "a geometry re-declaration must rebuild under the new bucket grid")
+    // a pre-stamp (or hand-tampered) artifact is never trusted: rebuild
+    spark.sql("DROP VIEW IF EXISTS driftbl_bl")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "driftbl_bl")
+    counts3.sparkSession.range(1).select(lit(0).as("direction"),
+      lit(0L).as("bucket"), lit(1L).as("cnt")).write.saveAsTable("driftbl_bl")
+    val (_, counts5) = ensure(buckets = 10)
+    assert(snap(counts5).map(_._3).sum > 1L,
+      "a stampless artifact must be rebuilt from the reference")
+    Seq("driftbl_ref", "driftbl_bl").foreach(t =>
+      graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
   test("verdict generation comes from table properties, not a history scan") {
