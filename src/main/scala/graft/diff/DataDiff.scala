@@ -218,6 +218,30 @@ object DataDiff {
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
   }
 
+  /** The HAMMING tier's drift statistic: per-bit-position Bernoulli counts
+    * of a packed long signature column, in [[directionalDriftFromCounts]]'
+    * (direction, bucket, cnt) shape — direction = bit position, bucket =
+    * the bit value {0, 1}. Each signature explodes to `sigBits` pairs
+    * feeding a map-side-combinable count, so one pass per snapshot puts
+    * sigBits × 2 partials on the wire regardless of corpus size; a
+    * monitor compares a window's feed signatures against the indexed
+    * population and alerts on the worst bit (the categorical analogue of
+    * the vector tiers' worst-direction projection PSI — a simhash bit IS
+    * a hyperplane side, so a flipped or re-hashed feed shows up as
+    * inverted bit shares even when the banded route still matches). */
+  def signatureBitCounts(df: DataFrame, sigBits: Int,
+                         sigCol: String = "sig"): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 63, s"need 1 <= sigBits <= 63: $sigBits")
+    val bits = array((0 until sigBits).map { b =>
+      struct(lit(b).as("direction"),
+        shiftright(col(sigCol), b).bitwiseAND(lit(1L)).cast("long").as("bucket"))
+    }: _*)
+    df.where(col(sigCol).isNotNull)
+      .select(explode(bits).as("__p"))
+      .select(col("__p.direction").as("direction"), col("__p.bucket").as("bucket"))
+      .groupBy("direction", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Categorical twin of [[distributionDrift]]: composition shift of a
     * discrete column (language, source, license) between two snapshots —
     * per-VALUE shares and PSI contributions over the union of observed

@@ -250,25 +250,28 @@ object Lint {
           val d = scala.util.Try(v.trim.toDouble).toOption
           if (d.forall(x => x < 0.0 || x > 1.0))
             issues += Issue("valid-serve", a.name, s"serve_recall_min must be in [0, 1], got '$v'")
-          if (kind == "hamming")
-            issues += Issue("valid-serve", a.name,
-              "recall monitoring applies to the vector tiers (ann/ivfadc/rerank), not hamming")
         }
         if (a.parameters.contains("serve_recall_min") && kind == "ivfadc" &&
             !a.parameters.contains("serve_recall_corpus") && !a.parameters.contains("serve_corpus"))
           issues += Issue("valid-serve", a.name,
             "recall monitoring over ivfadc needs serve_recall_corpus (the PQ index " +
               "has no float vectors to re-score exactly)")
+        if (a.parameters.contains("serve_recall_min") && kind == "hamming" &&
+            !a.parameters.contains("serve_recall_corpus"))
+          issues += Issue("valid-serve", a.name,
+            "recall monitoring over hamming needs serve_recall_corpus (the banded " +
+              "index is a complete route by pigeonhole — it can never grade its " +
+              "own coverage)")
         // query-drift monitor twins (Serving.driftMonitor's requires)
         a.parameters.get("serve_drift_max_psi").foreach { v =>
           if (scala.util.Try(v.trim.toDouble).toOption.forall(_ <= 0.0))
             issues += Issue("valid-serve", a.name,
               s"serve_drift_max_psi must be a positive number, got '$v'")
-          if (kind == "hamming")
-            issues += Issue("valid-serve", a.name,
-              "drift monitoring applies to the vector tiers (ann/ivfadc/rerank), not hamming")
-          if (!Seq("serve_drift_ref", "serve_recall_corpus", "serve_corpus")
-              .exists(a.parameters.contains))
+          // the hamming tier's drift reference is the signature index's own
+          // population — no corpus declaration needed
+          if (kind != "hamming" &&
+              !Seq("serve_drift_ref", "serve_recall_corpus", "serve_corpus")
+                .exists(a.parameters.contains))
             issues += Issue("valid-serve", a.name,
               "drift monitoring needs a reference corpus — declare serve_drift_ref " +
                 "(or serve_recall_corpus / serve_corpus)")

@@ -612,9 +612,11 @@ class CliSpec extends AnyFunSuite {
     assert(issuesFor(a => a.copy(parameters =
         a.parameters.updated("serve_recall_min", "1.5")))
       .exists(_.contains("serve_recall_min")))
+    // hamming recall needs the declared signature population — the banded
+    // index can never grade its own coverage (pigeonhole)
     assert(issuesFor(a => a.copy(parameters =
         a.parameters.updated("serve_recall_min", "0.9")), target = "srv_neardup_hits")
-      .exists(_.contains("not hamming")))
+      .exists(_.contains("serve_recall_corpus")))
     // ivfadc recall monitoring needs a float corpus to re-score exactly
     assert(issuesFor(a => a.copy(parameters =
         a.parameters - "serve_recall_corpus"), target = "srv_adc_hits_mon")
@@ -642,10 +644,12 @@ class CliSpec extends AnyFunSuite {
         a.parameters.updated("serve_drift_max_psi", "-0.5")),
         target = "srv_ann_hits_drift")
       .exists(_.contains("serve_drift_max_psi")))
-    assert(issuesFor(a => a.copy(parameters =
+    // hamming drift needs NO reference declaration — its reference is the
+    // signature index's own population
+    assert(!issuesFor(a => a.copy(parameters =
         a.parameters.updated("serve_drift_max_psi", "0.5")),
         target = "srv_neardup_hits")
-      .exists(_.contains("not hamming")))
+      .exists(i => i.contains("not hamming") || i.contains("reference corpus")))
     assert(issuesFor(a => a.copy(parameters =
         a.parameters - "serve_drift_ref"), target = "srv_ann_hits_drift")
       .exists(_.contains("reference corpus")))
@@ -928,6 +932,101 @@ class CliSpec extends AnyFunSuite {
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
+  test("hamming guardrails: banded-recall spot check and per-bit signature drift") {
+    // VERDICT r19 gap (a): hamming was the one serving tier with no
+    // monitor — a half-coverage signature index or a drifted feed served
+    // silently. Two composable gates now cover it: (i) the banded-recall
+    // spot check re-scores a bounded sample EXACTLY against the declared
+    // (id, signature) population (the index itself is pigeonhole-complete,
+    // so it can never grade its own coverage); (ii) per-bit signature
+    // drift PSI vs the index population catches a re-hashed/drifted feed.
+    // The bit-flip arm flips exactly maxHamming population-CONSTANT bits,
+    // so the banded route still matches every query (the failure is
+    // invisible to a match-rate check) while the flipped bits' shares
+    // invert and the PSI gate trips.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_doc_corpus", "srv_sig_index", "srv_sig_index_half",
+      "srv_sig_corpus",
+      "srv_neardup_hits_hmon", "srv_neardup_hits_hmon_recall",
+      "srv_neardup_hits_hmon_drift", "srv_neardup_hits_hmon_recall_feed",
+      "srv_neardup_hits_hmon_drift_baseline",
+      "srv_neardup_hits_hmon_deg", "srv_neardup_hits_hmon_deg_recall",
+      "srv_neardup_hits_hmon_deg_recall_feed",
+      "srv_neardup_hits_bitflip", "srv_neardup_hits_bitflip_drift",
+      "srv_neardup_hits_bitflip_recall_feed",
+      "srv_neardup_hits_bitflip_drift_baseline")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_doc_corpus",
+      "--select", "srv_sig_index", "--select", "srv_sig_index_half"),
+      Some(spark)) == 0)
+    // the declared signature population — the recall gate's exact side
+    val wh = new graft.materialize.SessionCatalogWarehouse(spark)
+    val sigs = Dedup.simhash(spark.table("srv_doc_corpus"))
+    wh.createOrReplace("srv_sig_corpus", sigs)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    def sentinel = spark.sql(
+      """SELECT CAST(999 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS simhash,
+        |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin)
+    val base = spark.table("srv_sig_corpus")
+      .select(col("doc_id"), col("simhash"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("doc_id") % 50)).as("ts"))
+    base.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet("/tmp/graft-srv-hmon-feed")
+    // HEALTHY: full index — pigeonhole makes the route exact over the
+    // declared population, so every graded query scores recall 1.0; the
+    // in-distribution feed keeps every bit's PSI at 0
+    assert(Main.run(Seq("serve", dir, "srv_neardup_hits_hmon"), Some(spark)) == 0,
+      "a full signature index over an in-distribution feed must pass both gates")
+    val healthy = spark.table("srv_neardup_hits_hmon_recall")
+      .where(col("q").isNotNull)
+    assert(healthy.count() >= 1 &&
+      healthy.agg(min(col("recall"))).head().getDouble(0) == 1.0,
+      "pigeonhole: the complete banded route must score exact recall")
+    def worstPsi(table: String): Double = spark.table(table)
+      .groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
+      .agg(max(col("psi"))).head().getDouble(0)
+    assert(worstPsi("srv_neardup_hits_hmon_drift") < 0.5,
+      "an in-distribution feed must keep every bit's PSI low")
+    // DEGRADED COVERAGE: the half index serves only b <= 20, the declared
+    // population knows all 40 — the spot check trips
+    assert(Main.run(Seq("serve", dir, "srv_neardup_hits_hmon_deg"), Some(spark)) != 0,
+      "a half-coverage signature index must FAIL the banded-recall gate")
+    val deg = spark.table("srv_neardup_hits_hmon_deg_recall")
+      .where(col("q").isNotNull)
+    assert(deg.count() >= 1 &&
+      deg.agg(avg(col("recall"))).head().getDouble(0) < 0.9,
+      "losing half the population must drop recall below the gate")
+    assert(spark.table("srv_neardup_hits_hmon_deg")
+      .where(col("b") > 20).isEmpty,
+      "the degraded route can only ever serve indexed ids")
+    // BIT-FLIPPED FEED: flip maxHamming population-constant bits
+    val sigVals = sigs.select("simhash").as[Long].collect()
+    val constantBits = (0 until 60)
+      .filter(b => sigVals.map(s => (s >> b) & 1L).distinct.length == 1)
+    assert(constantBits.size >= 7,
+      s"fixture sanity: need 7 population-constant bits, got ${constantBits.size}")
+    val flipped = constantBits.take(7)
+    val mask = flipped.map(b => 1L << b).reduce(_ | _)
+    base.withColumn("simhash", col("simhash").bitwiseXOR(lit(mask)))
+      .unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet("/tmp/graft-srv-bitflip-feed")
+    assert(Main.run(Seq("serve", dir, "srv_neardup_hits_bitflip"), Some(spark)) != 0,
+      "a re-hashed feed must FAIL through the per-bit PSI gate")
+    // the route still matched (the flips stay within the radius) — this
+    // failure mode is invisible to any served-row count
+    assert(spark.table("srv_neardup_hits_bitflip").count() > 0,
+      "the flipped feed still serves matches — only the drift gate sees it")
+    val drift = spark.table("srv_neardup_hits_bitflip_drift")
+    val worst = drift.groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
+      .orderBy(col("psi").desc).head()
+    assert(worst.getDouble(1) > 1.0 && flipped.contains(worst.getInt(0)),
+      s"the worst direction must be one of the flipped bits: $worst")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
   test("recall cadence: the exact baseline is paid every Nth drain and on index change") {
     // VERDICT r19 next-round #3: the recall monitor's exact side is one
     // full corpus pass per graded drain — unavoidable per grading, so the
@@ -1068,6 +1167,47 @@ class CliSpec extends AnyFunSuite {
     assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 8L,
       "the recorded property must win over the table's max(run_seq)")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "runseq_t")
+  }
+
+  test("drift gate is tier-generic: ivfadc and rerank drifted arms trip it too") {
+    // VERDICT r19 gap (b): the drift e2e covered only the ann tier. The
+    // gates are tier-generic by construction (the capture + the projection
+    // PSI never touch the tier's scoring path) — these arms prove it on
+    // the two remaining vector tiers with the same mirrored-feed failure.
+    import org.apache.spark.sql.functions._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_pq_index", "srv_pq_index_centroids",
+      "srv_pq_index_codebooks",
+      "srv_adc_hits_drifted", "srv_adc_hits_drifted_drift",
+      "srv_adc_hits_drifted_recall_feed", "srv_adc_hits_drifted_drift_baseline",
+      "srv_rerank_hits_drifted", "srv_rerank_hits_drifted_drift",
+      "srv_rerank_hits_drifted_recall_feed",
+      "srv_rerank_hits_drifted_drift_baseline")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
+      "--select", "srv_pq_index"), Some(spark)) == 0)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    spark.table("srv_corpus").where(col("vec_id") <= 30)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id") % 50)).as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(999 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+          |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft-srv-drift2-feed-neg")
+    def worstPsi(table: String): Double = spark.table(table)
+      .groupBy("direction").agg(sum(col("psi_contrib")).as("psi"))
+      .agg(max(col("psi"))).head().getDouble(0)
+    assert(Main.run(Seq("serve", dir, "srv_adc_hits_drifted"), Some(spark)) != 0,
+      "a drifted feed must FAIL the ivfadc tier through the PSI gate")
+    assert(worstPsi("srv_adc_hits_drifted_drift") > 1.0,
+      "the ivfadc arm must leave its drift evidence")
+    assert(Main.run(Seq("serve", dir, "srv_rerank_hits_drifted"), Some(spark)) != 0,
+      "a drifted feed must FAIL the rerank tier through the PSI gate")
+    assert(worstPsi("srv_rerank_hits_drifted_drift") > 1.0,
+      "the rerank arm must leave its drift evidence")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
   test("monitor sample is de-biased and deterministic: md5-ordered membership") {

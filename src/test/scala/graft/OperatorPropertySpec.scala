@@ -498,6 +498,45 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("signature bit drift matches direct per-bit share arithmetic") {
+    // the hamming serving tier's drift statistic: per-bit Bernoulli counts
+    // through the shared directional smoothing (nBuckets = 2) must equal
+    // straight-line per-(bit, value) share arithmetic — including bits
+    // where one side is constant (a bucket absent from one snapshot)
+    import spark.implicits._
+    for (seed <- Seq(11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val bits = 12
+      // skew the high bits so several are constant on one side
+      val sa = Seq.fill(80)(rnd.nextLong() & ((1L << bits) - 1))
+      val sb = Seq.fill(60)(rnd.nextLong() & ((1L << 7) - 1))
+      def cnt(s: Seq[Long]) =
+        (for { b <- 0 until bits; v <- s } yield (b, (v >> b) & 1L))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ca = cnt(sa); val cb = cnt(sb)
+      val expect = (ca.keySet ++ cb.keySet).map { key =>
+        val pa = (ca.getOrElse(key, 0L) + 1).toDouble / (sa.size + 2)
+        val pb = (cb.getOrElse(key, 0L) + 1).toDouble / (sb.size + 2)
+        key -> (pa - pb) * math.log(pa / pb)
+      }.toMap
+      val got = graft.diff.DataDiff.directionalDriftFromCounts(
+          graft.diff.DataDiff.signatureBitCounts(sa.map(Tuple1(_)).toDF("sig"), bits),
+          graft.diff.DataDiff.signatureBitCounts(sb.map(Tuple1(_)).toDF("sig"), bits),
+          nBuckets = 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(4)).toMap
+      assert(got.keySet == expect.keySet, s"seed $seed: (bit, value) sets differ")
+      expect.foreach { case (key, psi) =>
+        assert(math.abs(got(key) - psi) < 1e-6, s"seed $seed $key") }
+      // self-drift is flat on every bit
+      val flat = graft.diff.DataDiff.directionalDriftFromCounts(
+          graft.diff.DataDiff.signatureBitCounts(sa.map(Tuple1(_)).toDF("sig"), bits),
+          graft.diff.DataDiff.signatureBitCounts(sa.map(Tuple1(_)).toDF("sig"), bits),
+          nBuckets = 2).collect()
+      assert(flat.nonEmpty && flat.forall(_.getDouble(4) == 0.0),
+        s"seed $seed: self-drift must be flat")
+    }
+  }
+
   test("matryoshka truncation matches straight-line slice-and-normalize") {
     import spark.implicits._
     for (seed <- Seq(19, 47)) {
