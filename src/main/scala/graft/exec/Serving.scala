@@ -382,7 +382,12 @@ object Serving {
     * [[RunSeqProp]] property + 1 when present, falling back to one
     * max(run_seq) scan for a legacy table written before the property
     * existed (the fallback runs at most once — the property is recorded
-    * on every append from then on), 1 for a fresh table. */
+    * on every append from then on), 1 for a fresh table. Two CONCURRENT
+    * drains of one asset (not possible under the scheduler, which runs an
+    * asset once per pass; only via parallel `graft serve` CLI calls) could
+    * read the same property and share a generation number — harmless for
+    * gating, which grades each run's own in-memory verdict frame, never a
+    * generation filter over the table. */
   private[graft] def nextRunSeq(spark: SparkSession, table: String): Long =
     if (!spark.catalog.tableExists(table)) 1L
     else tableProps(spark, table).get(RunSeqProp).map(_.trim.toLong + 1L).getOrElse {
