@@ -278,14 +278,23 @@ object Serving {
         q.recentProgress.foreach(recordProgress)
         // the capture drains alongside the sink: in drain-once mode both
         // triggers are AvailableNow (await its finish); a stopped
-        // foreground serve first lets its capture CATCH UP to everything
-        // the feed produced (processAllAvailable — the sink has already
-        // stopped, so the backlog is bounded) before stopping it — a bare
-        // stop() could cut the capture mid-backlog and leave the graded
-        // window with zero captured vectors (ADVICE r19 #2)
+        // foreground serve first lets its capture CATCH UP (a bare stop()
+        // could cut it mid-backlog and leave the graded window with zero
+        // captured vectors — ADVICE r19 #2). The catch-up is TIME-BOXED:
+        // processAllAvailable waits for all AVAILABLE source data, and on
+        // a live feed whose producers keep writing that can block forever
+        // — the bound trades a possibly-incomplete capture (surfaced as
+        // the monitors' empty/partial-capture breach) for a shutdown that
+        // always returns.
         captureQ.foreach { cq =>
           if (drainOnce) cq.awaitTermination()
-          else { cq.processAllAvailable(); cq.stop() }
+          else {
+            val flush = scala.concurrent.Future(cq.processAllAvailable())(
+              scala.concurrent.ExecutionContext.global)
+            scala.util.Try(scala.concurrent.Await.ready(flush,
+              scala.concurrent.duration.Duration(30, "seconds")))
+            cq.stop()
+          }
         }
       } finally
         if (q.isActive) q.stop()
@@ -485,7 +494,11 @@ object Serving {
       if (!spark.catalog.tableExists(baselineTable)) scala.None
       else {
         val t = spark.table(baselineTable)
-        if (!t.columns.contains("__drift_config")) scala.None
+        // centroid's presence is part of the stamp check: a baseline
+        // written by the hamming twin (no centroid column) must rebuild,
+        // not crash the select
+        if (!t.columns.contains("__drift_config") ||
+            !t.columns.contains("centroid")) scala.None
         else t.select(col("__drift_config"), col("__corpus_gen"), col("centroid"))
           .limit(1).collect().headOption.collect {
             case r if r.getString(0) == config && r.getString(1) == corpusGen =>
@@ -530,13 +543,44 @@ object Serving {
     * warehouse's atomic-swap backing-table name when the table is
     * generation-managed, else the qualified name + catalog createTime
     * (catches drop/recreate; in-place appends to a raw table are
-    * invisible — documented on the callers). */
+    * invisible — a DELIBERATE trade for reference CORPORA, whose file
+    * listing can be huge; index artifacts use [[indexContentStamp]]). */
   private[graft] def tableGeneration(spark: SparkSession, table: String): String =
     graft.materialize.SessionCatalogWarehouse.backingTable(spark, table)
       .getOrElse {
         val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
         s"$table@${spark.sessionState.catalog.getTableMetadata(ident).createTime}"
       }
+
+  /** INDEX-artifact change identity: [[tableGeneration]] PLUS a file-level
+    * content fingerprint (file count + max modification time — one
+    * metadata listing, no data read). Streaming index maintenance
+    * ([[graft.streaming.Streams.streamingIndexAppend]] and its signature
+    * twin) appends into the SAME backing generation per micro-batch, so
+    * the generation alone is blind to exactly the index changes the
+    * cadence's re-grade-out-of-turn rule and the bit-drift baseline exist
+    * to catch — the listing sees every appended file. Falls back to the
+    * bare generation when the location can't be listed (views, missing
+    * location). */
+  private[graft] def indexContentStamp(spark: SparkSession, table: String): String = {
+    val gen = tableGeneration(spark, table)
+    val fingerprint = scala.util.Try {
+      val name = graft.materialize.SessionCatalogWarehouse
+        .backingTable(spark, table).getOrElse(table)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+      val path = new org.apache.hadoop.fs.Path(loc)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(path, true)
+      var n = 0L; var maxM = 0L
+      while (it.hasNext) {
+        val f = it.next(); n += 1
+        if (f.getModificationTime > maxM) maxM = f.getModificationTime
+      }
+      s"#files=$n;mtime=$maxM"
+    }.getOrElse("")
+    gen + fingerprint
+  }
 
   /** [[ensureDriftBaseline]]'s HAMMING twin: the per-bit-position counts
     * of the signature index's population
@@ -550,7 +594,10 @@ object Serving {
                                 sigBits: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val config = s"index=$indexTable;bits=$sigBits;mode=hamming-bits"
-    val indexGen = tableGeneration(spark, indexTable)
+    // content stamp, not just the generation: streaming signature
+    // maintenance appends into the same backing generation, and the bit
+    // baseline must follow the population it grades against
+    val indexGen = indexContentStamp(spark, indexTable)
     def counts(t: DataFrame) = t.select(col("direction"), col("bucket"), col("cnt"))
     val loaded: Option[DataFrame] =
       if (!spark.catalog.tableExists(baselineTable)) scala.None
@@ -602,20 +649,24 @@ object Serving {
     val (_, sigBits) = graft.ops.Dedup.signatureGeometry(idx, indexTable)
     val refCounts = ensureBitBaseline(wh, spark,
       s"${asset.name}_drift_baseline", indexTable, sigBits)
+    // persisted: the emptiness probe and the bit-counts pass share one
+    // scan of the bounded capture slice
     val qWin = windowedCapture(spark.table(feedTable), latest, windowLen,
-      valueCol = "sig")
-    if (qWin.isEmpty)
-      return Some(s"${asset.name}: drift monitor found no captured query " +
-        s"signatures for the graded window — the $feedTable capture " +
-        "recorded nothing for what this drain served")
-    val contrib = graft.diff.DataDiff.directionalDriftFromCounts(
-      graft.diff.DataDiff.signatureBitCounts(qWin, sigBits),
-      refCounts, nBuckets = 2)
-    driftVerdictAndGate(wh, spark, asset, contrib, latest, maxPsi,
-      refName = indexTable, d => s"bit $d", sigBits,
-      hint = "the feed's signature bit distribution has moved away from " +
-        "the indexed population — new content domain or a changed " +
-        "hashing pipeline?")
+      valueCol = "sig").persist()
+    try {
+      if (qWin.isEmpty)
+        return Some(s"${asset.name}: drift monitor found no captured query " +
+          s"signatures for the graded window — the $feedTable capture " +
+          "recorded nothing for what this drain served")
+      val contrib = graft.diff.DataDiff.directionalDriftFromCounts(
+        graft.diff.DataDiff.signatureBitCounts(qWin, sigBits),
+        refCounts, nBuckets = 2)
+      driftVerdictAndGate(wh, spark, asset, contrib, latest, maxPsi,
+        refName = indexTable, d => s"bit $d", sigBits,
+        hint = "the feed's signature bit distribution has moved away from " +
+          "the indexed population — new content domain or a changed " +
+          "hashing pipeline?")
+    } finally qWin.unpersist()
   }
 
   /** SERVING QUERY-DRIFT MONITOR — the guardrail for the failure mode the
@@ -675,27 +726,31 @@ object Serving {
       s"${asset.name}_drift_baseline", physicalName(refName), nDirs, buckets,
       vecCol)
     val dirs = driftDirections(cent, nDirs)
+    // persisted: the emptiness probe and the shares pass share one scan of
+    // the bounded capture slice
     val qWin = windowedCapture(spark.table(feedTable), latest, windowLen)
-      .select(col("embedding"))
-    // an EMPTY graded-window capture must not grade: the smoothing would
-    // turn the missing side into a uniform distribution and report a
-    // spurious "query drift" against any concentrated reference — the real
-    // failure is the capture itself, so name IT (ADVICE r19 #2). Returned
-    // as a breach (not thrown) so the remaining monitors and the capture
-    // retention still run.
-    if (qWin.isEmpty)
-      return Some(s"${asset.name}: drift monitor found no captured query " +
-        s"vectors for the graded window — the $feedTable capture recorded " +
-        "nothing for what this drain served (a foreground capture stopped " +
-        "mid-backlog, or the feed's ids/vectors were null)")
-    val contrib = graft.diff.DataDiff.directionalDriftFromCounts(
-      graft.diff.DataDiff.directionalShares(qWin, dirs,
-        vecCol = "embedding", nBuckets = buckets),
-      refCounts, nBuckets = buckets)
-    driftVerdictAndGate(wh, spark, asset, contrib, latest, maxPsi, refName,
-      d => if (d == 0) "centroid" else s"plane $d", dirs.length,
-      hint = "the feed's embedding distribution has moved away from the " +
-        "indexed corpus — new domain or encoder version?")
+      .select(col("embedding")).persist()
+    try {
+      // an EMPTY graded-window capture must not grade: the smoothing would
+      // turn the missing side into a uniform distribution and report a
+      // spurious "query drift" against any concentrated reference — the
+      // real failure is the capture itself, so name IT (ADVICE r19 #2).
+      // Returned as a breach (not thrown) so the remaining monitors and
+      // the capture retention still run.
+      if (qWin.isEmpty)
+        return Some(s"${asset.name}: drift monitor found no captured query " +
+          s"vectors for the graded window — the $feedTable capture recorded " +
+          "nothing for what this drain served (a foreground capture stopped " +
+          "mid-backlog, or the feed's ids/vectors were null)")
+      val contrib = graft.diff.DataDiff.directionalDriftFromCounts(
+        graft.diff.DataDiff.directionalShares(qWin, dirs,
+          vecCol = "embedding", nBuckets = buckets),
+        refCounts, nBuckets = buckets)
+      driftVerdictAndGate(wh, spark, asset, contrib, latest, maxPsi, refName,
+        d => if (d == 0) "centroid" else s"plane $d", dirs.length,
+        hint = "the feed's embedding distribution has moved away from the " +
+          "indexed corpus — new domain or encoder version?")
+    } finally qWin.unpersist()
   }
 
   /** Shared drift-verdict tail: stamp the (direction, bucket) PSI
@@ -804,15 +859,14 @@ object Serving {
     val generation = nextRunSeq(spark, recallTable)
     val every = p.get("serve_recall_every").map(_.trim.toInt).getOrElse(1)
     require(every >= 1, s"${asset.name}: serve_recall_every must be >= 1")
-    val indexGen = tableGeneration(spark, indexTable)
+    // content stamp: streaming index maintenance appends into the same
+    // backing generation, and an appended index must re-grade out of turn
+    // exactly like a rebuilt one
+    val indexGen = indexContentStamp(spark, indexTable)
     val indexChanged = !spark.catalog.tableExists(recallTable) ||
       !tableProps(spark, recallTable).get(GradedIndexGenProp).contains(indexGen)
     if ((generation - 1) % every != 0 && !indexChanged) {
-      val skip = spark.range(1).select(lit(generation).as("run_seq"),
-        lit(latest).as("window_start"), lit(null).cast("long").as("q"),
-        lit(null).cast("long").as("hits"), lit(null).cast("long").as("n_exact"),
-        lit(null).cast("double").as("recall"))
-      skip.write.mode("append").saveAsTable(recallTable)
+      skipRow(spark, generation, latest).write.mode("append").saveAsTable(recallTable)
       setTableProp(spark, recallTable, RunSeqProp, generation.toString)
       wh.spark.catalog.refreshTable(recallTable)
       spark.catalog.refreshTable(recallTable)
@@ -821,6 +875,17 @@ object Serving {
         "drain on cadence or on an index-generation change)")
       scala.None
     } else Some(generation)
+  }
+
+  /** The null-q gap marker appended for a drain that did not grade — the
+    * recall verdict schema with no verdict. */
+  private def skipRow(spark: SparkSession, generation: Long,
+                      latest: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(1).select(lit(generation).as("run_seq"),
+      lit(latest).as("window_start"), lit(null).cast("long").as("q"),
+      lit(null).cast("long").as("hits"), lit(null).cast("long").as("n_exact"),
+      lit(null).cast("double").as("recall"))
   }
 
   /** HAMMING BANDED-RECALL SPOT CHECK — the near-dup tier's recall gate:
@@ -865,55 +930,71 @@ object Serving {
       case scala.None => return scala.None
       case Some(g) => g
     }
+    // persisted: the bounded sample feeds the exact join AND the served
+    // join — one capture scan, not two
     val sampleSigs = windowedCapture(spark.table(feedTable), latest, windowLen,
         valueCol = "sig")
       .withColumn("__h", md5(col("vec_id").cast("string")))
       .orderBy(col("__h")).limit(sample)
       .select(col("vec_id").as("q"), col("sig"))
-    val corpus = spark.table(physicalName(corpusName))
-      .where(col(sigCol).isNotNull)
-      .select(col(idCol).cast("long").as("b"), col(sigCol).as("__csig"))
-    // one corpus pass: the bounded sample broadcasts, every corpus row
-    // popcounts against ≤ `sample` signatures (the route's own self-pair
-    // exclusion applies to the baseline too)
-    val exact = corpus.join(broadcast(sampleSigs),
-        bit_count(col("sig").bitwiseXOR(col("__csig"))) <= maxHamming &&
-          col("b") =!= col("q"))
-      .select(col("q"), col("b"))
-    val served = gradedWindow(spark.table(asset.name), latest)
-      .select(col("a").cast("long").as("q"), col("b").cast("long").as("b"))
-      .join(broadcast(sampleSigs.select(col("q"))), Seq("q"))
-      .distinct()
-    val hits = served.join(exact, Seq("q", "b")).groupBy("q")
-      .agg(count(lit(1)).as("hits"))
-    val recall = exact.groupBy("q").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("q"), "left")
-      .select(lit(generation).as("run_seq"), lit(latest).as("window_start"),
-        col("q"),
-        coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
-        col("n_exact").cast("bigint").as("n_exact"),
-        round(coalesce(col("hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
       .persist()
-    val verdictAgg = try {
-      val rows =
-        if (!recall.isEmpty) recall
-        else
-          // no sampled query has exact neighbors at the radius — a
-          // legitimate quiet window, recorded as a skip row so the time
-          // series shows it (and the generation is never rowless)
-          spark.range(1).select(lit(generation).as("run_seq"),
-            lit(latest).as("window_start"), lit(null).cast("long").as("q"),
-            lit(null).cast("long").as("hits"),
-            lit(null).cast("long").as("n_exact"),
-            lit(null).cast("double").as("recall"))
-      rows.write.mode("append").saveAsTable(recallTable)
-      setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+    val (verdictAgg, gradedRows) = try {
+      // FAIL CLOSED on the inputs the gate cannot grade without — an empty
+      // capture or an empty declared population is a monitoring failure,
+      // not a quiet window (the vector tier breaches on the same
+      // conditions); only "inputs present, no near-dups at the radius" is
+      // the legitimate skip below
+      if (sampleSigs.isEmpty)
+        return Some(s"${asset.name}: recall monitor found no captured query " +
+          s"signatures for the graded window — the $feedTable capture " +
+          "recorded nothing for what this drain served")
+      val corpus = spark.table(physicalName(corpusName))
+        .where(col(sigCol).isNotNull)
+        .select(col(idCol).cast("long").as("b"), col(sigCol).as("__csig"))
+      if (corpus.isEmpty)
+        return Some(s"${asset.name}: recall monitor's declared population " +
+          s"'$corpusName' has no non-null '$sigCol' signatures — the exact " +
+          "side cannot grade")
+      // one corpus pass: the bounded sample broadcasts, every corpus row
+      // popcounts against ≤ `sample` signatures (the route's own self-pair
+      // exclusion applies to the baseline too)
+      val exact = corpus.join(broadcast(sampleSigs),
+          bit_count(col("sig").bitwiseXOR(col("__csig"))) <= maxHamming &&
+            col("b") =!= col("q"))
+        .select(col("q"), col("b"))
+      val served = gradedWindow(spark.table(asset.name), latest)
+        .select(col("a").cast("long").as("q"), col("b").cast("long").as("b"))
+        .join(broadcast(sampleSigs.select(col("q"))), Seq("q"))
+        .distinct()
+      val hits = served.join(exact, Seq("q", "b")).groupBy("q")
+        .agg(count(lit(1)).as("hits"))
+      val recall = exact.groupBy("q").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q"), "left")
+        .select(lit(generation).as("run_seq"), lit(latest).as("window_start"),
+          col("q"),
+          coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
+          col("n_exact").cast("bigint").as("n_exact"),
+          round(coalesce(col("hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+        .persist()
+      try {
+        val graded = !recall.isEmpty
+        // no sampled query has exact neighbors at the radius — a
+        // legitimate quiet window, recorded as a skip row so the time
+        // series shows it (and the generation is never rowless)
+        val rows = if (graded) recall else skipRow(spark, generation, latest)
+        rows.write.mode("append").saveAsTable(recallTable)
+        setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+        wh.spark.catalog.refreshTable(recallTable)
+        spark.catalog.refreshTable(recallTable)
+        (recall.agg(avg(col("recall")), count(lit(1))).head(), graded)
+      } finally recall.unpersist()
+    } finally sampleSigs.unpersist()
+    // the index-generation property marks this artifact JUDGED — only when
+    // rows were actually scored, or the cadence would skip the next N-1
+    // drains on the strength of an empty grading
+    if (gradedRows)
       setTableProp(spark, recallTable, GradedIndexGenProp,
-        tableGeneration(spark, indexTable))
-      wh.spark.catalog.refreshTable(recallTable)
-      spark.catalog.refreshTable(recallTable)
-      recall.agg(avg(col("recall")), count(lit(1))).head()
-    } finally recall.unpersist()
+        indexContentStamp(spark, indexTable))
     if (verdictAgg.isNullAt(0)) {
       println(s"[serve] ${asset.name}: no sampled query has exact " +
         s"near-duplicates at radius $maxHamming — nothing to grade " +
@@ -954,8 +1035,11 @@ object Serving {
     }
     val served = gradedWindow(spark.table(asset.name), latest)
     val servedIds = served.select(col("q").cast("long").as("vec_id")).distinct()
+    // persisted: the bounded sample feeds the exact side AND the served
+    // join — one capture scan, not one per consumer
     val sampleVecs =
       monitorSample(spark.table(feedTable), servedIds, latest, windowLen, sample)
+        .persist()
     def normCorpus(name: String) = spark.table(physicalName(name))
       .select(col(cidCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
     def declaredCorpus: Option[String] =
@@ -1015,16 +1099,19 @@ object Serving {
       // APPEND keeps every prior generation queryable as a time series
       recall.write.mode("append").saveAsTable(recallTable)
       setTableProp(spark, recallTable, RunSeqProp, generation.toString)
-      // record which index artifact this graded run judged — the cadence
-      // re-grades out of turn when it changes
-      setTableProp(spark, recallTable, GradedIndexGenProp,
-        tableGeneration(spark, indexTable))
       // the verdict write went through this (possibly cloned) session — keep
       // the parent's relation cache honest, same as the sink refresh above
       wh.spark.catalog.refreshTable(recallTable)
       spark.catalog.refreshTable(recallTable)
       recall.agg(avg(col("recall")), count(lit(1))).head()
-    } finally recall.unpersist()
+    } finally { recall.unpersist(); sampleVecs.unpersist() }
+    // the index-generation property marks this artifact JUDGED (the cadence
+    // re-grades out of turn when it changes) — only when rows were actually
+    // scored: an empty grading must not let the cadence skip the next N-1
+    // drains on its strength
+    if (!verdictAgg.isNullAt(0))
+      setTableProp(spark, recallTable, GradedIndexGenProp,
+        indexContentStamp(spark, indexTable))
     if (verdictAgg.isNullAt(0))
       // a breach, not a throw: the documented contract is that ALL monitors
       // run and the capture retention runs even on a breach — an exception

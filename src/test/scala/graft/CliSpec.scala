@@ -1210,6 +1210,33 @@ class CliSpec extends AnyFunSuite {
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
+  test("index content stamp sees in-place streaming appends") {
+    // Streaming index maintenance appends into the SAME backing generation
+    // per micro-batch, so a generation-only stamp is blind to exactly the
+    // index changes the cadence's re-grade-out-of-turn rule and the
+    // bit-drift baseline exist to catch — the content stamp adds a
+    // file-level fingerprint (count + max mtime, one metadata listing).
+    import spark.implicits._
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "stamp_sig_idx")
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"alpha beta w${i % 3} gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.saveSignatureIndex(spark,
+      graft.ops.Dedup.simhash(docs), "stamp_sig_idx", maxHamming = 3)
+    val s1 = graft.exec.Serving.indexContentStamp(spark, "stamp_sig_idx")
+    assert(s1 == graft.exec.Serving.indexContentStamp(spark, "stamp_sig_idx"),
+      "the stamp is stable while the artifact is untouched")
+    assert(s1.contains("#files="),
+      s"the fingerprint must include the file listing: $s1")
+    val more = Seq((21L, "alpha beta w0 gamma delta epsilon zeta fresh"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.appendToSignatureIndex(spark,
+      graft.ops.Dedup.simhash(more), "stamp_sig_idx")
+    val s2 = graft.exec.Serving.indexContentStamp(spark, "stamp_sig_idx")
+    assert(s2 != s1, "an in-place append must change the content stamp")
+    graft.materialize.SessionCatalogWarehouse.dropAny(spark, "stamp_sig_idx")
+  }
+
   test("monitor sample is de-biased and deterministic: md5-ordered membership") {
     // VERDICT r18 #6: orderBy(q).limit(n) graded only the lowest-id corner
     // of the feed; the sample now orders by a portable md5 of the id (the
