@@ -136,6 +136,14 @@ object Serving {
     // degraded every other to a corpus re-fold per micro-batch)
     val thisRun = runSeq.incrementAndGet()
     val cacheToken = s"serve:${asset.name}:$thisRun"
+    // hamming tier: geometry comes from the artifact's own stamp — parsed
+    // ONCE per run (a limit(1) job against the index) and shared by the
+    // serving stream and the drift monitor, which otherwise re-loaded the
+    // index every drain just to recover sigBits
+    val hammingGeom: Option[(Int, Int)] =
+      if (kind != "hamming") scala.None
+      else Some(graft.ops.Dedup.signatureGeometry(
+        graft.ops.Dedup.loadSignatureIndex(spark, indexTable), indexTable))
     val hits: DataFrame = graft.streaming.ServingCache.withOwner(cacheToken) { kind match {
       case "ann" =>
         // float IVF tier over the persisted inverted-list index; the
@@ -170,10 +178,8 @@ object Serving {
           windowLen = windowLen, watermark = watermark,
           maxBroadcastBytes = maxBroadcast)
       case "hamming" =>
-        // geometry comes from the artifact's own stamp — never re-declared
         val idx = graft.ops.Dedup.loadSignatureIndex(spark, indexTable)
-        val (bands, sigBits) =
-          graft.ops.Dedup.signatureGeometry(idx, indexTable)
+        val (bands, sigBits) = hammingGeom.get
         Streams.streamingHammingNearDup(queries, idx,
           maxHamming = intParam("serve_max_hamming", 3),
           bands = bands, sigBits = sigBits,
@@ -237,9 +243,20 @@ object Serving {
     // pre-partitioning sink with a committed checkpoint must keep taking
     // plain appends instead of failing every scheduled re-run on a
     // schema/partition-spec mismatch (ADVICE r19 #1); the monitors' read
-    // side ([[gradedWindow]]) already handles both layouts
-    val sinkHasDate = !wh.exists(asset.name) ||
+    // side ([[gradedWindow]]) already handles both layouts. The COLUMN and
+    // the PARTITION SPEC are separate checks: a sink that carries
+    // window_date without being partitioned by it (a CTAS copy, a table
+    // made by another tool) must keep the column in the data — the schema
+    // declares it — but take a PLAIN append, or the writer's partitionBy
+    // fails the same partition-spec validation on every re-run.
+    val sinkExists = wh.exists(asset.name)
+    val sinkHasDate = !sinkExists ||
       wh.table(asset.name).columns.contains("window_date")
+    val sinkPartitioned = !sinkExists || (sinkHasDate && scala.util.Try {
+      spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(asset.name))
+        .partitionColumnNames.contains("window_date")
+    }.getOrElse(false))
     val sinkDf0 =
       if (sinkHasDate) hits.withColumn("window_date", to_date(col("window_start")))
       else hits
@@ -272,7 +289,7 @@ object Serving {
     try {
       val q = Streams.startAppendToTable(spark, sinkDf, asset.name,
         checkpoint = p.get("checkpoint_location"), trigger = trigger,
-        partitionBy = if (sinkHasDate) Seq("window_date") else Nil)
+        partitionBy = if (sinkPartitioned) Seq("window_date") else Nil)
       try {
         q.awaitTermination()
         q.recentProgress.foreach(recordProgress)
@@ -340,7 +357,8 @@ object Serving {
         val breaches = Seq.newBuilder[String]
         if (driftOn)
           breaches ++= (if (kind == "hamming")
-            hammingDriftMonitor(wh, spark, asset, indexTable, windowLen,
+            hammingDriftMonitor(wh, spark, asset, indexTable,
+              sigBits = hammingGeom.get._2, windowLen,
               latest.get, recallFeedTable)
           else driftMonitor(wh, spark, asset, physicalName,
             windowLen, latest.get, recallFeedTable))
@@ -638,6 +656,7 @@ object Serving {
     * position, the same time-series contract as the vector tiers. */
   private def hammingDriftMonitor(wh: Warehouse, spark: SparkSession,
                                   asset: Asset, indexTable: String,
+                                  sigBits: Int,
                                   windowLen: String,
                                   latest: java.sql.Timestamp,
                                   feedTable: String): Option[String] = {
@@ -645,8 +664,6 @@ object Serving {
     val p = asset.parameters
     val maxPsi = p("serve_drift_max_psi").trim.toDouble
     require(maxPsi > 0, s"${asset.name}: serve_drift_max_psi must be > 0")
-    val idx = graft.ops.Dedup.loadSignatureIndex(spark, indexTable)
-    val (_, sigBits) = graft.ops.Dedup.signatureGeometry(idx, indexTable)
     val refCounts = ensureBitBaseline(wh, spark,
       s"${asset.name}_drift_baseline", indexTable, sigBits)
     // persisted: the emptiness probe and the bit-counts pass share one
@@ -775,8 +792,7 @@ object Serving {
         col("share_b").as("share_ref"), col("psi_contrib"))
       .persist()
     try {
-      verdict.write.mode("append").saveAsTable(driftTable)
-      setTableProp(spark, driftTable, RunSeqProp, generation.toString)
+      appendVerdict(spark, driftTable, verdict, generation)
       wh.spark.catalog.refreshTable(driftTable)
       spark.catalog.refreshTable(driftTable)
       val worst = verdict
@@ -795,51 +811,6 @@ object Serving {
     } finally verdict.unpersist()
   }
 
-  /** SERVING RECALL MONITOR — re-scores a bounded sample of the queries
-    * this run served EXACTLY and gates on mean recall@k, the production
-    * guardrail every nprobe/m/nlist knob is tuned by
-    * ([[graft.ops.Similarity.recallAtK]] wired to the serving surface).
-    *
-    * Exact side per tier, matching each tier's own ranking metric:
-    *   - `ann`: exact cosine over the declared float corpus
-    *     (`serve_recall_corpus`, falling back to `serve_corpus`) — the
-    *     baseline MUST NOT be the served index artifact itself, or an
-    *     index that silently lost corpus coverage grades recall 1.0, the
-    *     exact failure the monitor exists to catch. With NO corpus
-    *     declared, falls back to full-probe over the same index
-    *     (`nprobe = nlist` provably covers what the index holds) — a
-    *     weaker guarantee that grades quantization loss only; lint warns.
-    *   - `rerank`: exact bipartite cosine over the stage-2 float corpus;
-    *   - `ivfadc`: exact squared-L2 over `serve_recall_corpus` (falls back
-    *     to `serve_corpus`) — the PQ index holds no float vectors, and the
-    *     ADC tier ranks by dist2, so a cosine baseline would grade the
-    *     wrong order on unnormalized vectors.
-    *
-    * Query vectors come from the `<asset>_recall_feed` capture the serving
-    * run itself writes (bounded, md5-sampled per batch), restricted to the
-    * graded window and deduped by max ts — so the monitor works over
-    * broker feeds exactly as over file feeds, and never re-reads the
-    * source. Scale: the sample is bounded (`serve_recall_sample`, default
-    * 50, hard cap [[graft.ops.Similarity.MaxRecallSample]]); the exact
-    * side is one corpus/index pass scored through k-bounded heaps; both
-    * recall inputs are Q·k frames; the sink read prunes to the graded
-    * window's date partition ([[gradedWindow]]). Verdicts APPEND to
-    * `<asset>_recall` stamped with (run_seq, window_start) — an
-    * append-only time series (reference precedent: persisted run state in
-    * logs/runs/<pipeline>, cmd/run.go:948) so nprobe/m drift is queryable
-    * across runs; the gate reads only this run's generation, and the rows
-    * land BEFORE the gate throws so a failing run leaves its evidence.
-    * Only the latest served window is graded — older windows were served
-    * by older index states — and a drain that appended NOTHING skips the
-    * monitor entirely. `serve_recall_every: N` declares the grading
-    * CADENCE (default 1 = every drain): the exact baseline's corpus pass
-    * is paid on drains 1, N+1, 2N+1, … and on any index-generation
-    * change; skipped drains leave a null-q skip row in the time series. The ivfadc/rerank tiers exclude the self-pair
-    * (b == query id) by contract, so their exact baselines exclude it too
-    * — otherwise a corpus-member query feed caps healthy recall at
-    * (k-1)/k and a perfect index trips the gate. Duplicate sink rows for
-    * one (q, b) — an at-least-once re-append — collapse to their best
-    * rank before grading, so replays can never inflate recall past 1. */
   /** DECLARATIVE GRADING CADENCE (`serve_recall_every: N`), shared by the
     * recall monitors — the exact baseline is one full corpus pass per
     * graded drain, unavoidable PER GRADING, so the cadence is what
@@ -849,11 +820,16 @@ object Serving {
     * drains append a null-q SKIP row under their own run_seq, so the
     * verdict time series shows the gap instead of silently compressing
     * it (reference precedent: sensors' declarative poke modes,
-    * pkg/ansisql/operator.go:23-121). Returns Some(generation) when this
-    * drain grades, None after writing the skip row. */
+    * pkg/ansisql/operator.go:23-121). Returns Some((generation, stamp))
+    * when this drain grades — the COMPARED index content stamp rides
+    * along so the monitor marks exactly the artifact state it checked
+    * against, never a re-listing taken after the grading (a concurrent
+    * streaming append landing mid-monitor must leave the stored stamp
+    * stale so the next drain re-grades out of turn) — or None after
+    * writing the skip row. */
   private def gradeOrSkip(wh: Warehouse, spark: SparkSession, asset: Asset,
                           recallTable: String, indexTable: String,
-                          latest: java.sql.Timestamp): Option[Long] = {
+                          latest: java.sql.Timestamp): Option[(Long, String)] = {
     import org.apache.spark.sql.functions._
     val p = asset.parameters
     val generation = nextRunSeq(spark, recallTable)
@@ -866,16 +842,35 @@ object Serving {
     val indexChanged = !spark.catalog.tableExists(recallTable) ||
       !tableProps(spark, recallTable).get(GradedIndexGenProp).contains(indexGen)
     if ((generation - 1) % every != 0 && !indexChanged) {
-      skipRow(spark, generation, latest).write.mode("append").saveAsTable(recallTable)
-      setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+      appendVerdict(spark, recallTable, skipRow(spark, generation, latest),
+        generation)
       wh.spark.catalog.refreshTable(recallTable)
       spark.catalog.refreshTable(recallTable)
       println(s"[serve] ${asset.name}: recall grading skipped this drain " +
         s"(serve_recall_every = $every, run_seq $generation — next graded " +
         "drain on cadence or on an index-generation change)")
       scala.None
-    } else Some(generation)
+    } else Some((generation, indexGen))
   }
+
+  /** Verdict-table append with crash-safe generation bookkeeping: the
+    * [[RunSeqProp]] advance and the data append are two non-transactional
+    * writes, and their ORDER decides the failure mode. Property FIRST when
+    * the table exists: a crash between the two leaves a rowless generation
+    * (a visible gap in the time series) instead of the next drain REUSING
+    * the number and merging two runs' evidence under one run_seq. On the
+    * creating append the order inverts by necessity (no table to alter
+    * yet) — there a crash after the append is still safe, because
+    * [[nextRunSeq]]'s legacy fallback max-scans a property-less table. */
+  private def appendVerdict(spark: SparkSession, table: String,
+                            rows: DataFrame, generation: Long): Unit =
+    if (spark.catalog.tableExists(table)) {
+      setTableProp(spark, table, RunSeqProp, generation.toString)
+      rows.write.mode("append").saveAsTable(table)
+    } else {
+      rows.write.mode("append").saveAsTable(table)
+      setTableProp(spark, table, RunSeqProp, generation.toString)
+    }
 
   /** The null-q gap marker appended for a drain that did not grade — the
     * recall verdict schema with no verdict. */
@@ -925,8 +920,8 @@ object Serving {
       throw new IllegalArgumentException(
         s"${asset.name}: recall monitoring over hamming needs serve_recall_corpus"))
     val recallTable = s"${asset.name}_recall"
-    val generation = gradeOrSkip(wh, spark, asset, recallTable, indexTable,
-      latest) match {
+    val (generation, gradedStamp) = gradeOrSkip(wh, spark, asset, recallTable,
+      indexTable, latest) match {
       case scala.None => return scala.None
       case Some(g) => g
     }
@@ -938,7 +933,7 @@ object Serving {
       .orderBy(col("__h")).limit(sample)
       .select(col("vec_id").as("q"), col("sig"))
       .persist()
-    val (verdictAgg, gradedRows) = try {
+    val verdictAgg = try {
       // FAIL CLOSED on the inputs the gate cannot grade without — an empty
       // capture or an empty declared population is a monitoring failure,
       // not a quiet window (the vector tier breaches on the same
@@ -982,19 +977,22 @@ object Serving {
         // legitimate quiet window, recorded as a skip row so the time
         // series shows it (and the generation is never rowless)
         val rows = if (graded) recall else skipRow(spark, generation, latest)
-        rows.write.mode("append").saveAsTable(recallTable)
-        setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+        appendVerdict(spark, recallTable, rows, generation)
         wh.spark.catalog.refreshTable(recallTable)
         spark.catalog.refreshTable(recallTable)
-        (recall.agg(avg(col("recall")), count(lit(1))).head(), graded)
+        recall.agg(avg(col("recall")), count(lit(1))).head()
       } finally recall.unpersist()
     } finally sampleSigs.unpersist()
-    // the index-generation property marks this artifact JUDGED — only when
-    // rows were actually scored, or the cadence would skip the next N-1
-    // drains on the strength of an empty grading
-    if (gradedRows)
-      setTableProp(spark, recallTable, GradedIndexGenProp,
-        indexContentStamp(spark, indexTable))
+    // the index-generation property marks this artifact JUDGED with the
+    // stamp gradeOrSkip COMPARED — never a fresh listing, which could
+    // absorb a concurrent mid-monitor append unjudged. A quiet window
+    // (inputs present, no near-dups at the radius) marks too: the full
+    // exact-side corpus pass RAN against exactly this index state and
+    // would find nothing again next drain — re-grading it out of cadence
+    // is the Q × C cost the cadence exists to amortize. Only the breach
+    // returns above (empty capture / empty population) leave the stamp
+    // stale, so a monitoring failure always re-grades.
+    setTableProp(spark, recallTable, GradedIndexGenProp, gradedStamp)
     if (verdictAgg.isNullAt(0)) {
       println(s"[serve] ${asset.name}: no sampled query has exact " +
         s"near-duplicates at radius $maxHamming — nothing to grade " +
@@ -1013,6 +1011,51 @@ object Serving {
     else scala.None
   }
 
+  /** SERVING RECALL MONITOR — re-scores a bounded sample of the queries
+    * this run served EXACTLY and gates on mean recall@k, the production
+    * guardrail every nprobe/m/nlist knob is tuned by
+    * ([[graft.ops.Similarity.recallAtK]] wired to the serving surface).
+    *
+    * Exact side per tier, matching each tier's own ranking metric:
+    *   - `ann`: exact cosine over the declared float corpus
+    *     (`serve_recall_corpus`, falling back to `serve_corpus`) — the
+    *     baseline MUST NOT be the served index artifact itself, or an
+    *     index that silently lost corpus coverage grades recall 1.0, the
+    *     exact failure the monitor exists to catch. With NO corpus
+    *     declared, falls back to full-probe over the same index
+    *     (`nprobe = nlist` provably covers what the index holds) — a
+    *     weaker guarantee that grades quantization loss only; lint warns.
+    *   - `rerank`: exact bipartite cosine over the stage-2 float corpus;
+    *   - `ivfadc`: exact squared-L2 over `serve_recall_corpus` (falls back
+    *     to `serve_corpus`) — the PQ index holds no float vectors, and the
+    *     ADC tier ranks by dist2, so a cosine baseline would grade the
+    *     wrong order on unnormalized vectors.
+    *
+    * Query vectors come from the `<asset>_recall_feed` capture the serving
+    * run itself writes (bounded, md5-sampled per batch), restricted to the
+    * graded window and deduped by max ts — so the monitor works over
+    * broker feeds exactly as over file feeds, and never re-reads the
+    * source. Scale: the sample is bounded (`serve_recall_sample`, default
+    * 50, hard cap [[graft.ops.Similarity.MaxRecallSample]]); the exact
+    * side is one corpus/index pass scored through k-bounded heaps; both
+    * recall inputs are Q·k frames; the sink read prunes to the graded
+    * window's date partition ([[gradedWindow]]). Verdicts APPEND to
+    * `<asset>_recall` stamped with (run_seq, window_start) — an
+    * append-only time series (reference precedent: persisted run state in
+    * logs/runs/<pipeline>, cmd/run.go:948) so nprobe/m drift is queryable
+    * across runs; the gate reads only this run's generation, and the rows
+    * land BEFORE the gate throws so a failing run leaves its evidence.
+    * Only the latest served window is graded — older windows were served
+    * by older index states — and a drain that appended NOTHING skips the
+    * monitor entirely. `serve_recall_every: N` declares the grading
+    * CADENCE (default 1 = every drain): the exact baseline's corpus pass
+    * is paid on drains 1, N+1, 2N+1, … and on any index-generation
+    * change; skipped drains leave a null-q skip row in the time series. The ivfadc/rerank tiers exclude the self-pair
+    * (b == query id) by contract, so their exact baselines exclude it too
+    * — otherwise a corpus-member query feed caps healthy recall at
+    * (k-1)/k and a perfect index trips the gate. Duplicate sink rows for
+    * one (q, b) — an at-least-once re-append — collapse to their best
+    * rank before grading, so replays can never inflate recall past 1. */
   private def recallMonitor(wh: Warehouse,
                             spark: SparkSession,
                             asset: Asset, kind: String, indexTable: String,
@@ -1028,8 +1071,8 @@ object Serving {
     val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
     val vecCol = p.getOrElse("serve_vec_col", "embedding")
     val recallTable = s"${asset.name}_recall"
-    val generation = gradeOrSkip(wh, spark, asset, recallTable, indexTable,
-      latest) match {
+    val (generation, gradedStamp) = gradeOrSkip(wh, spark, asset, recallTable,
+      indexTable, latest) match {
       case scala.None => return scala.None
       case Some(g) => g
     }
@@ -1096,22 +1139,29 @@ object Serving {
       .persist()
     val verdictAgg = try {
       // evidence first, gate second — a failing run leaves its verdict rows;
-      // APPEND keeps every prior generation queryable as a time series
-      recall.write.mode("append").saveAsTable(recallTable)
-      setTableProp(spark, recallTable, RunSeqProp, generation.toString)
+      // APPEND keeps every prior generation queryable as a time series. An
+      // EMPTY grading (no exact baseline rows — a capture or corpus
+      // failure, breached below) appends the null-q skip row its hamming
+      // twin writes for a rowless generation, so the time series always
+      // shows the gap instead of a generation that never happened.
+      val agg = recall.agg(avg(col("recall")), count(lit(1))).head()
+      val rows = if (agg.isNullAt(0) && agg.getLong(1) == 0L)
+        skipRow(spark, generation, latest) else recall
+      appendVerdict(spark, recallTable, rows, generation)
       // the verdict write went through this (possibly cloned) session — keep
       // the parent's relation cache honest, same as the sink refresh above
       wh.spark.catalog.refreshTable(recallTable)
       spark.catalog.refreshTable(recallTable)
-      recall.agg(avg(col("recall")), count(lit(1))).head()
+      agg
     } finally { recall.unpersist(); sampleVecs.unpersist() }
-    // the index-generation property marks this artifact JUDGED (the cadence
-    // re-grades out of turn when it changes) — only when rows were actually
-    // scored: an empty grading must not let the cadence skip the next N-1
-    // drains on its strength
+    // the index-generation property marks this artifact JUDGED with the
+    // stamp gradeOrSkip COMPARED — never a fresh listing, which could mark
+    // a concurrent mid-monitor append as judged without grading it — and
+    // only when rows were actually scored: an empty grading is a
+    // monitoring failure, and marking it would let the cadence skip the
+    // next N-1 drains on its strength
     if (!verdictAgg.isNullAt(0))
-      setTableProp(spark, recallTable, GradedIndexGenProp,
-        indexContentStamp(spark, indexTable))
+      setTableProp(spark, recallTable, GradedIndexGenProp, gradedStamp)
     if (verdictAgg.isNullAt(0))
       // a breach, not a throw: the documented contract is that ALL monitors
       // run and the capture retention runs even on a breach — an exception

@@ -820,6 +820,52 @@ class CliSpec extends AnyFunSuite {
     tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
   }
 
+  test("sink with window_date but NO partition spec takes plain appends") {
+    // the column and the partition spec are separate checks: a sink that
+    // already carries window_date without being partitioned by it (a CTAS
+    // copy of an r19 sink, a table made by another tool) must keep the
+    // column in the appended data — the schema declares it — but the
+    // writer must NOT pass partitionBy, which fails the partition-spec
+    // validation against an unpartitioned catalog table on every re-run
+    import org.apache.spark.sql.functions._
+    val dir = "src/test/resources/pipelines/annserve"
+    val tables = Seq("srv_corpus", "srv_vec_index", "srv_vec_index_centroids",
+      "srv_ann_hits_coldate", "srv_ann_hits_coldate_recall",
+      "srv_ann_hits_coldate_recall_feed")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+    assert(Main.run(Seq("run", dir, "--select", "srv_corpus",
+      "--select", "srv_vec_index"), Some(spark)) == 0)
+    // the full r19 schema INCLUDING window_date — but unpartitioned
+    spark.sql("""CREATE TABLE srv_ann_hits_coldate
+      |(window_start TIMESTAMP, q BIGINT, b BIGINT, cos DOUBLE, rank INT,
+      | window_date DATE)
+      |USING parquet""".stripMargin)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    spark.table("srv_corpus").where(col("vec_id") <= 5)
+      .select(col("vec_id"), col("embedding"),
+        (t0 + make_dt_interval(lit(0), lit(0), lit(0), col("vec_id"))).as("ts"))
+      .unionByName(spark.sql(
+        """SELECT CAST(999 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 8), j -> CAST(pmod(999 * j, 17) / 17.0 AS FLOAT)) AS embedding,
+          |  CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS ts""".stripMargin))
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft-srv-coldate-feed")
+    assert(Main.run(Seq("serve", dir, "srv_ann_hits_coldate"), Some(spark)) == 0,
+      "a column-carrying unpartitioned sink must take plain appends and pass")
+    val sink = spark.table("srv_ann_hits_coldate")
+    assert(sink.count() == 15, "5 queries x top-3 hits")
+    assert(sink.where(col("window_date").isNull).count() == 0,
+      "appends must keep populating the declared window_date column")
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("srv_ann_hits_coldate"))
+      .partitionColumnNames.isEmpty,
+      "the table must stay unpartitioned — the writer never re-declares a spec")
+    val verdicts = spark.table("srv_ann_hits_coldate_recall")
+    assert(verdicts.count() == 5 &&
+      verdicts.agg(min(col("recall"))).head().getDouble(0) == 1.0,
+      "the recall gate must grade through the column-filter read")
+    tables.foreach(t => graft.materialize.SessionCatalogWarehouse.dropAny(spark, t))
+  }
+
   test("recall monitor over a BROKER feed: the serve-time capture makes it gate identically") {
     // VERDICT r18 #5: through r18 the monitor re-read the query feed in
     // batch, so only file:// feeds were monitorable — the production
