@@ -136,14 +136,27 @@ object Serving {
     // degraded every other to a corpus re-fold per micro-batch)
     val thisRun = runSeq.incrementAndGet()
     val cacheToken = s"serve:${asset.name}:$thisRun"
-    // hamming tier: geometry comes from the artifact's own stamp — parsed
-    // ONCE per run (a limit(1) job against the index) and shared by the
+    // the index state THIS DRAIN will serve is pinned RIGHT HERE, at plan
+    // build (the tier cases below load the artifact into the run's cached
+    // folds) — so the content stamp the recall monitors mark as judged is
+    // listed now, not after the drain: a concurrent streaming append
+    // landing anywhere during the drain or the monitors leaves the stored
+    // stamp at the pre-append state, and the next drain's fresh listing
+    // differs → re-grades out of turn. Listed only when the recall gate
+    // will need it.
+    val servedIndexStamp: Option[String] =
+      if (recallOn) Some(indexContentStamp(spark, indexTable)) else scala.None
+    // hamming tier: the artifact is loaded and its geometry stamp parsed
+    // ONCE per run (a limit(1) job against the index), shared by the
     // serving stream and the drift monitor, which otherwise re-loaded the
     // index every drain just to recover sigBits
-    val hammingGeom: Option[(Int, Int)] =
+    val hammingIdxGeom: Option[(DataFrame, Int, Int)] =
       if (kind != "hamming") scala.None
-      else Some(graft.ops.Dedup.signatureGeometry(
-        graft.ops.Dedup.loadSignatureIndex(spark, indexTable), indexTable))
+      else {
+        val idx = graft.ops.Dedup.loadSignatureIndex(spark, indexTable)
+        val (bands, sigBits) = graft.ops.Dedup.signatureGeometry(idx, indexTable)
+        Some((idx, bands, sigBits))
+      }
     val hits: DataFrame = graft.streaming.ServingCache.withOwner(cacheToken) { kind match {
       case "ann" =>
         // float IVF tier over the persisted inverted-list index; the
@@ -178,8 +191,7 @@ object Serving {
           windowLen = windowLen, watermark = watermark,
           maxBroadcastBytes = maxBroadcast)
       case "hamming" =>
-        val idx = graft.ops.Dedup.loadSignatureIndex(spark, indexTable)
-        val (bands, sigBits) = hammingGeom.get
+        val (idx, bands, sigBits) = hammingIdxGeom.get
         Streams.streamingHammingNearDup(queries, idx,
           maxHamming = intParam("serve_max_hamming", 3),
           bands = bands, sigBits = sigBits,
@@ -252,11 +264,21 @@ object Serving {
     val sinkExists = wh.exists(asset.name)
     val sinkHasDate = !sinkExists ||
       wh.table(asset.name).columns.contains("window_date")
-    val sinkPartitioned = !sinkExists || (sinkHasDate && scala.util.Try {
-      spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(asset.name))
-        .partitionColumnNames.contains("window_date")
-    }.getOrElse(false))
+    val sinkPartitioned = !sinkExists || (sinkHasDate &&
+      (scala.util.Try(catalogMeta(spark, asset.name)
+          .partitionColumnNames.contains("window_date")) match {
+        case scala.util.Success(part) => part
+        // an unreadable partition spec falls back to the column-implies-
+        // partitioned behavior fresh sinks get — LOUDLY, because passing
+        // partitionBy against a genuinely unpartitioned table fails the
+        // start (diagnosable) where a silent plain append into a
+        // partitioned layout would corrupt it undetected
+        case scala.util.Failure(e) =>
+          println(s"[serve] ${asset.name}: could not read the sink's " +
+            s"partition spec (${e.getMessage}) — assuming the window_date " +
+            "column means a window_date partition")
+          true
+      }))
     val sinkDf0 =
       if (sinkHasDate) hits.withColumn("window_date", to_date(col("window_start")))
       else hits
@@ -358,16 +380,18 @@ object Serving {
         if (driftOn)
           breaches ++= (if (kind == "hamming")
             hammingDriftMonitor(wh, spark, asset, indexTable,
-              sigBits = hammingGeom.get._2, windowLen,
+              sigBits = hammingIdxGeom.get._3, windowLen,
               latest.get, recallFeedTable)
           else driftMonitor(wh, spark, asset, physicalName,
             windowLen, latest.get, recallFeedTable))
         if (recallOn)
           breaches ++= (if (kind == "hamming")
-            hammingRecallMonitor(wh, spark, asset, indexTable, physicalName,
+            hammingRecallMonitor(wh, spark, asset, servedIndexStamp.get,
+              physicalName,
               windowLen, latest.get, recallSample,
               p("serve_recall_min").trim.toDouble, recallFeedTable)
-          else recallMonitor(wh, spark, asset, kind, indexTable, k,
+          else recallMonitor(wh, spark, asset, kind, indexTable,
+            servedIndexStamp.get, k,
             physicalName, windowLen, latest.get, recallSample,
             p("serve_recall_min").trim.toDouble, recallFeedTable))
         // CAPTURE RETENTION: the recall feed gains one bounded batch per
@@ -401,9 +425,17 @@ object Serving {
     * when the served index artifact changes underneath it. */
   private[graft] val GradedIndexGenProp = "graft.last_graded_index_gen"
 
-  private def tableProps(spark: SparkSession, table: String): Map[String, String] =
+  /** Catalog metadata for a (possibly schema-qualified) table name — the
+    * ONE place the session-catalog identifier parse lives; every
+    * metadata consumer (properties, generations, partition specs, file
+    * listings) resolves names identically through it. */
+  private def catalogMeta(spark: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable =
     spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).properties
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+
+  private def tableProps(spark: SparkSession, table: String): Map[String, String] =
+    catalogMeta(spark, table).properties
 
   /** Next verdict generation for an append-only monitor table: the
     * [[RunSeqProp]] property + 1 when present, falling back to one
@@ -565,10 +597,7 @@ object Serving {
     * listing can be huge; index artifacts use [[indexContentStamp]]). */
   private[graft] def tableGeneration(spark: SparkSession, table: String): String =
     graft.materialize.SessionCatalogWarehouse.backingTable(spark, table)
-      .getOrElse {
-        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-        s"$table@${spark.sessionState.catalog.getTableMetadata(ident).createTime}"
-      }
+      .getOrElse(s"$table@${catalogMeta(spark, table).createTime}")
 
   /** INDEX-artifact change identity: [[tableGeneration]] PLUS a file-level
     * content fingerprint (file count + max modification time — one
@@ -585,8 +614,7 @@ object Serving {
     val fingerprint = scala.util.Try {
       val name = graft.materialize.SessionCatalogWarehouse
         .backingTable(spark, table).getOrElse(table)
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-      val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+      val loc = catalogMeta(spark, name).location
       val path = new org.apache.hadoop.fs.Path(loc)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       val it = fs.listFiles(path, true)
@@ -820,27 +848,25 @@ object Serving {
     * drains append a null-q SKIP row under their own run_seq, so the
     * verdict time series shows the gap instead of silently compressing
     * it (reference precedent: sensors' declarative poke modes,
-    * pkg/ansisql/operator.go:23-121). Returns Some((generation, stamp))
-    * when this drain grades — the COMPARED index content stamp rides
-    * along so the monitor marks exactly the artifact state it checked
-    * against, never a re-listing taken after the grading (a concurrent
-    * streaming append landing mid-monitor must leave the stored stamp
-    * stale so the next drain re-grades out of turn) — or None after
-    * writing the skip row. */
+    * pkg/ansisql/operator.go:23-121). `indexStamp` is the content stamp
+    * of the index state THIS DRAIN SERVED — run() lists it at PLAN BUILD,
+    * when the tier loads the artifact into its cached folds, and the
+    * monitors compare and mark exactly that value (never a fresh listing
+    * here or after the grading): a concurrent streaming append landing
+    * anywhere during the drain or the monitors leaves the stored stamp
+    * at the pre-append state, so the next drain's fresh listing differs
+    * and re-grades out of turn. Returns Some(generation) when this drain
+    * grades, None after writing the skip row. */
   private def gradeOrSkip(wh: Warehouse, spark: SparkSession, asset: Asset,
-                          recallTable: String, indexTable: String,
-                          latest: java.sql.Timestamp): Option[(Long, String)] = {
+                          recallTable: String, indexStamp: String,
+                          latest: java.sql.Timestamp): Option[Long] = {
     import org.apache.spark.sql.functions._
     val p = asset.parameters
     val generation = nextRunSeq(spark, recallTable)
     val every = p.get("serve_recall_every").map(_.trim.toInt).getOrElse(1)
     require(every >= 1, s"${asset.name}: serve_recall_every must be >= 1")
-    // content stamp: streaming index maintenance appends into the same
-    // backing generation, and an appended index must re-grade out of turn
-    // exactly like a rebuilt one
-    val indexGen = indexContentStamp(spark, indexTable)
     val indexChanged = !spark.catalog.tableExists(recallTable) ||
-      !tableProps(spark, recallTable).get(GradedIndexGenProp).contains(indexGen)
+      !tableProps(spark, recallTable).get(GradedIndexGenProp).contains(indexStamp)
     if ((generation - 1) % every != 0 && !indexChanged) {
       appendVerdict(spark, recallTable, skipRow(spark, generation, latest),
         generation)
@@ -850,7 +876,7 @@ object Serving {
         s"(serve_recall_every = $every, run_seq $generation — next graded " +
         "drain on cadence or on an index-generation change)")
       scala.None
-    } else Some((generation, indexGen))
+    } else Some(generation)
   }
 
   /** Verdict-table append with crash-safe generation bookkeeping: the
@@ -905,7 +931,7 @@ object Serving {
     * broadcast-nested-loop filter — Q × C popcounts, Q ≤
     * serve_recall_sample by construction. */
   private def hammingRecallMonitor(wh: Warehouse, spark: SparkSession,
-                                   asset: Asset, indexTable: String,
+                                   asset: Asset, indexStamp: String,
                                    physicalName: String => String,
                                    windowLen: String,
                                    latest: java.sql.Timestamp,
@@ -920,8 +946,8 @@ object Serving {
       throw new IllegalArgumentException(
         s"${asset.name}: recall monitoring over hamming needs serve_recall_corpus"))
     val recallTable = s"${asset.name}_recall"
-    val (generation, gradedStamp) = gradeOrSkip(wh, spark, asset, recallTable,
-      indexTable, latest) match {
+    val generation = gradeOrSkip(wh, spark, asset, recallTable,
+      indexStamp, latest) match {
       case scala.None => return scala.None
       case Some(g) => g
     }
@@ -933,6 +959,18 @@ object Serving {
       .orderBy(col("__h")).limit(sample)
       .select(col("vec_id").as("q"), col("sig"))
       .persist()
+    // FAIL-CLOSED breach that still leaves the time-series record: the
+    // generation was consumed, so the null-q gap row lands (same marker
+    // as a cadence skip — which rule applied is in the run log and the
+    // exit code) and the run_seq property advances; the graded-index
+    // stamp is NOT marked, so a monitoring failure always re-grades
+    def breachWithGap(msg: String): Option[String] = {
+      appendVerdict(spark, recallTable, skipRow(spark, generation, latest),
+        generation)
+      wh.spark.catalog.refreshTable(recallTable)
+      spark.catalog.refreshTable(recallTable)
+      Some(msg)
+    }
     val verdictAgg = try {
       // FAIL CLOSED on the inputs the gate cannot grade without — an empty
       // capture or an empty declared population is a monitoring failure,
@@ -940,16 +978,16 @@ object Serving {
       // conditions); only "inputs present, no near-dups at the radius" is
       // the legitimate skip below
       if (sampleSigs.isEmpty)
-        return Some(s"${asset.name}: recall monitor found no captured query " +
-          s"signatures for the graded window — the $feedTable capture " +
-          "recorded nothing for what this drain served")
+        return breachWithGap(s"${asset.name}: recall monitor found no " +
+          "captured query signatures for the graded window — the " +
+          s"$feedTable capture recorded nothing for what this drain served")
       val corpus = spark.table(physicalName(corpusName))
         .where(col(sigCol).isNotNull)
         .select(col(idCol).cast("long").as("b"), col(sigCol).as("__csig"))
       if (corpus.isEmpty)
-        return Some(s"${asset.name}: recall monitor's declared population " +
-          s"'$corpusName' has no non-null '$sigCol' signatures — the exact " +
-          "side cannot grade")
+        return breachWithGap(s"${asset.name}: recall monitor's declared " +
+          s"population '$corpusName' has no non-null '$sigCol' signatures " +
+          "— the exact side cannot grade")
       // one corpus pass: the bounded sample broadcasts, every corpus row
       // popcounts against ≤ `sample` signatures (the route's own self-pair
       // exclusion applies to the baseline too)
@@ -984,15 +1022,15 @@ object Serving {
       } finally recall.unpersist()
     } finally sampleSigs.unpersist()
     // the index-generation property marks this artifact JUDGED with the
-    // stamp gradeOrSkip COMPARED — never a fresh listing, which could
-    // absorb a concurrent mid-monitor append unjudged. A quiet window
-    // (inputs present, no near-dups at the radius) marks too: the full
-    // exact-side corpus pass RAN against exactly this index state and
-    // would find nothing again next drain — re-grading it out of cadence
-    // is the Q × C cost the cadence exists to amortize. Only the breach
-    // returns above (empty capture / empty population) leave the stamp
-    // stale, so a monitoring failure always re-grades.
-    setTableProp(spark, recallTable, GradedIndexGenProp, gradedStamp)
+    // SERVED-state stamp run() listed at plan build — never a fresh
+    // listing, which could absorb a concurrent mid-drain append unjudged.
+    // A quiet window (inputs present, no near-dups at the radius) marks
+    // too: the full exact-side corpus pass RAN against exactly this index
+    // state and would find nothing again next drain — re-grading it out
+    // of cadence is the Q × C cost the cadence exists to amortize. Only
+    // the breach returns above (empty capture / empty population) leave
+    // the stamp stale, so a monitoring failure always re-grades.
+    setTableProp(spark, recallTable, GradedIndexGenProp, indexStamp)
     if (verdictAgg.isNullAt(0)) {
       println(s"[serve] ${asset.name}: no sampled query has exact " +
         s"near-duplicates at radius $maxHamming — nothing to grade " +
@@ -1059,6 +1097,7 @@ object Serving {
   private def recallMonitor(wh: Warehouse,
                             spark: SparkSession,
                             asset: Asset, kind: String, indexTable: String,
+                            indexStamp: String,
                             k: Int,
                             physicalName: String => String,
                             windowLen: String,
@@ -1071,8 +1110,8 @@ object Serving {
     val cidCol = p.getOrElse("serve_index_id_col", "vec_id")
     val vecCol = p.getOrElse("serve_vec_col", "embedding")
     val recallTable = s"${asset.name}_recall"
-    val (generation, gradedStamp) = gradeOrSkip(wh, spark, asset, recallTable,
-      indexTable, latest) match {
+    val generation = gradeOrSkip(wh, spark, asset, recallTable,
+      indexStamp, latest) match {
       case scala.None => return scala.None
       case Some(g) => g
     }
@@ -1155,13 +1194,13 @@ object Serving {
       agg
     } finally { recall.unpersist(); sampleVecs.unpersist() }
     // the index-generation property marks this artifact JUDGED with the
-    // stamp gradeOrSkip COMPARED — never a fresh listing, which could mark
-    // a concurrent mid-monitor append as judged without grading it — and
-    // only when rows were actually scored: an empty grading is a
-    // monitoring failure, and marking it would let the cadence skip the
-    // next N-1 drains on its strength
+    // SERVED-state stamp run() listed at plan build — never a fresh
+    // listing, which could mark a concurrent mid-drain append as judged
+    // without grading it — and only when rows were actually scored: an
+    // empty grading is a monitoring failure, and marking it would let
+    // the cadence skip the next N-1 drains on its strength
     if (!verdictAgg.isNullAt(0))
-      setTableProp(spark, recallTable, GradedIndexGenProp, gradedStamp)
+      setTableProp(spark, recallTable, GradedIndexGenProp, indexStamp)
     if (verdictAgg.isNullAt(0))
       // a breach, not a throw: the documented contract is that ALL monitors
       // run and the capture retention runs even on a breach — an exception
