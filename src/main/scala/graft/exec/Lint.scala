@@ -275,6 +275,19 @@ object Lint {
             issues += Issue("valid-serve", a.name,
               "drift monitoring needs a reference corpus — declare serve_drift_ref " +
                 "(or serve_recall_corpus / serve_corpus)")
+          // ...and for the same reason the vector-tier drift knobs are
+          // IGNORED on hamming: a declared reference would never be what
+          // the gate actually grades against — warn instead of silently
+          // accepting a threshold tuned to the wrong distribution
+          if (kind == "hamming")
+            Seq("serve_drift_ref", "serve_drift_dirs", "serve_drift_buckets")
+              .filter(a.parameters.contains).foreach { k =>
+                issues += Issue("valid-serve", a.name,
+                  s"$k is ignored on a hamming serve asset — per-bit drift " +
+                    "grades against the signature index's own population " +
+                    "(each bit is a direction, shares are binary)",
+                  severity = "warning")
+              }
         }
         a.parameters.get("serve_drift_buckets").foreach { v =>
           if (scala.util.Try(v.trim.toInt).toOption.forall(_ < 2))

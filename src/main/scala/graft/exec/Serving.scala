@@ -766,10 +766,21 @@ object Serving {
         s"${asset.name}: drift monitoring needs a reference corpus — declare " +
           "serve_drift_ref (or serve_recall_corpus / serve_corpus)"))
     // the reference side comes from the build-once baseline artifact —
-    // steady-state drains never scan the reference corpus
-    val (cent, refCounts) = ensureDriftBaseline(wh, spark,
-      s"${asset.name}_drift_baseline", physicalName(refName), nDirs, buckets,
-      vecCol)
+    // steady-state drains never scan the reference corpus. An unusable
+    // reference (empty / zero-mean on a rebuild) is a BREACH, not a
+    // throw: the documented contract is that every monitor runs and the
+    // capture retention runs even on a breach — a throw here would skip
+    // the recall monitor's evidence and leave the feed table unpruned
+    // on every drain until the reference is fixed.
+    val (cent, refCounts) =
+      try ensureDriftBaseline(wh, spark,
+        s"${asset.name}_drift_baseline", physicalName(refName), nDirs, buckets,
+        vecCol)
+      catch {
+        case e: IllegalStateException =>
+          return Some(s"${asset.name}: drift monitor cannot grade — " +
+            e.getMessage)
+      }
     val dirs = driftDirections(cent, nDirs)
     // persisted: the emptiness probe and the shares pass share one scan of
     // the bounded capture slice
@@ -926,9 +937,16 @@ object Serving {
     * 0 against their exact neighbors. Queries with no exact neighbors at
     * the radius have no baseline and are dropped (recallAtK's
     * convention); a drain where NO sampled query has exact neighbors
-    * writes a skip row and passes. Scale: the sample is bounded and
-    * BROADCAST; the exact side is one corpus pass through the
-    * broadcast-nested-loop filter — Q × C popcounts, Q ≤
+    * writes a skip row and passes. The no-intersect choice has a known
+    * edge: a captured query the SINK's watermark dropped (the capture
+    * has no watermark, and a stopped foreground serve's catch-up can
+    * drain past the sink's committed offsets) grades recall 0 even on a
+    * healthy index — accepted as the fail-closed side of the trade,
+    * since the capture cannot distinguish "dropped late" from "lost by
+    * coverage", and the drain-once scheduled path (where gating matters
+    * operationally) processes both streams to the same end. Scale: the
+    * sample is bounded and BROADCAST; the exact side is one corpus pass
+    * through the broadcast-nested-loop filter — Q × C popcounts, Q ≤
     * serve_recall_sample by construction. */
   private def hammingRecallMonitor(wh: Warehouse, spark: SparkSession,
                                    asset: Asset, indexStamp: String,
@@ -988,26 +1006,31 @@ object Serving {
         return breachWithGap(s"${asset.name}: recall monitor's declared " +
           s"population '$corpusName' has no non-null '$sigCol' signatures " +
           "— the exact side cannot grade")
-      // one corpus pass: the bounded sample broadcasts, every corpus row
+      // ONE corpus pass: the bounded sample broadcasts, every corpus row
       // popcounts against ≤ `sample` signatures (the route's own self-pair
-      // exclusion applies to the baseline too)
+      // exclusion applies to the baseline too) — persisted, because the
+      // Q × C popcount scan is this monitor's dominant cost and the frame
+      // feeds BOTH sides of the recall arithmetic (an unpersisted
+      // broadcast-nested-loop has no reusable exchange, so it would scan
+      // the corpus twice)
       val exact = corpus.join(broadcast(sampleSigs),
           bit_count(col("sig").bitwiseXOR(col("__csig"))) <= maxHamming &&
             col("b") =!= col("q"))
         .select(col("q"), col("b"))
+        .persist()
       val served = gradedWindow(spark.table(asset.name), latest)
         .select(col("a").cast("long").as("q"), col("b").cast("long").as("b"))
         .join(broadcast(sampleSigs.select(col("q"))), Seq("q"))
         .distinct()
-      val hits = served.join(exact, Seq("q", "b")).groupBy("q")
-        .agg(count(lit(1)).as("hits"))
-      val recall = exact.groupBy("q").agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("q"), "left")
+      // per-query pair recall IS recallAtK's oracle-pinned arithmetic
+      // (|served ∩ exact| / |exact|, exact side the denominator) — the
+      // pair sets are unranked, so a constant rank with k = 1 keeps every
+      // pair and reuses the shared convention instead of a second copy
+      val recall = graft.ops.Similarity.recallAtK(
+          served.withColumn("rank", lit(1)),
+          exact.withColumn("rank", lit(1)), k = 1, qCol = "q")
         .select(lit(generation).as("run_seq"), lit(latest).as("window_start"),
-          col("q"),
-          coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
-          col("n_exact").cast("bigint").as("n_exact"),
-          round(coalesce(col("hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+          col("q"), col("hits"), col("n_exact"), col("recall"))
         .persist()
       try {
         val graded = !recall.isEmpty
@@ -1019,7 +1042,7 @@ object Serving {
         wh.spark.catalog.refreshTable(recallTable)
         spark.catalog.refreshTable(recallTable)
         recall.agg(avg(col("recall")), count(lit(1))).head()
-      } finally recall.unpersist()
+      } finally { recall.unpersist(); exact.unpersist() }
     } finally sampleSigs.unpersist()
     // the index-generation property marks this artifact JUDGED with the
     // SERVED-state stamp run() listed at plan build — never a fresh

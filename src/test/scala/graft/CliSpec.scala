@@ -657,6 +657,14 @@ class CliSpec extends AnyFunSuite {
         a.parameters.updated("serve_drift_buckets", "1")),
         target = "srv_ann_hits_drift")
       .exists(_.contains("serve_drift_buckets")))
+    // the vector-tier drift knobs are IGNORED on hamming (per-bit drift
+    // grades against the index population) — declaring one warns instead
+    // of silently accepting a threshold tuned to a never-used reference
+    assert(issuesFor(a => a.copy(parameters = a.parameters
+        .updated("serve_drift_max_psi", "0.5")
+        .updated("serve_drift_ref", "some_corpus")),
+        target = "srv_neardup_hits")
+      .exists(_.contains("ignored on a hamming serve asset")))
   }
 
   test("serving recall monitor: healthy serve passes at 1.0, a stale index trips the gate") {
