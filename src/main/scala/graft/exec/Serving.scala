@@ -899,8 +899,8 @@ object Serving {
     * creating append the order inverts by necessity (no table to alter
     * yet) — there a crash after the append is still safe, because
     * [[nextRunSeq]]'s legacy fallback max-scans a property-less table. */
-  private def appendVerdict(spark: SparkSession, table: String,
-                            rows: DataFrame, generation: Long): Unit =
+  private[graft] def appendVerdict(spark: SparkSession, table: String,
+                                   rows: DataFrame, generation: Long): Unit =
     if (spark.catalog.tableExists(table)) {
       setTableProp(spark, table, RunSeqProp, generation.toString)
       rows.write.mode("append").saveAsTable(table)

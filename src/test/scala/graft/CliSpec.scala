@@ -1206,6 +1206,7 @@ class CliSpec extends AnyFunSuite {
     // graft.last_run_seq table property (an O(1) metastore read) and falls
     // back to a max(run_seq) scan only for a legacy table written before
     // the property existed; every append records the property from then on.
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "runseq_t")
     assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 1L,
@@ -1220,6 +1221,18 @@ class CliSpec extends AnyFunSuite {
       graft.exec.Serving.RunSeqProp, "7")
     assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 8L,
       "the recorded property must win over the table's max(run_seq)")
+    // crash-ordering contract: on an EXISTING table the run_seq property
+    // advances BEFORE the data append, so a failure between the two leaves
+    // a visible rowless generation — never the next run REUSING the number
+    // and merging two runs' evidence under one run_seq
+    intercept[Exception] {
+      graft.exec.Serving.appendVerdict(spark, "runseq_t",
+        Seq(("not", "the", "schema")).toDF("a", "b", "c"), 8L)
+    }
+    assert(graft.exec.Serving.nextRunSeq(spark, "runseq_t") == 9L,
+      "a failed verdict append must still have consumed its generation")
+    assert(spark.table("runseq_t").where(col("run_seq") === 8L).isEmpty,
+      "the failed generation stays rowless — a gap, not merged evidence")
     graft.materialize.SessionCatalogWarehouse.dropAny(spark, "runseq_t")
   }
 
