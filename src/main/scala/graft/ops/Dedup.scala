@@ -389,7 +389,16 @@ object Dedup {
     * both sides. Output: (a = incoming id, b = corpus id, jaccard). */
   def jaccardAgainst(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
                      threshold: Double = 0.5, idCol: String = "doc_id",
-                     textCol: String = "text", maxDocFreq: Int = 20): DataFrame = {
+                     textCol: String = "text", maxDocFreq: Int = 20,
+                     /** materialize the two hashed gram streams (and the
+                       * candidate bound split) with eager local checkpoints
+                       * — [[jaccardPairsPrefix]]' contract. The corpus
+                       * stream is referenced by the df count, the anti/semi
+                       * joins AND the sliver rebuild: without the barrier
+                       * each reference re-tokenizes and re-shingles the
+                       * whole corpus (shingleArray is scan-side — there is
+                       * no exchange for Catalyst to reuse). */
+                     materialize: Boolean = true): DataFrame = {
     require(maxDocFreq > 0, "jaccardAgainst needs a positive corpus df cap")
     // same subtractive cap + bounded verify as [[jaccardPairs]], with the
     // heavy set defined by CORPUS df: over-cap grams leave both streams,
@@ -399,14 +408,16 @@ object Dedup {
     // hashed 64-bit gram keys before any shuffle (see [[jaccardPairs]]);
     // the threshold-boundary sliver re-verifies over full hashed gram
     // sets rebuilt from these same streams, restricted to sliver docs
-    val corpusSh = shingleArray(corpus, n, idCol, textCol)
+    val corpusSh0 = shingleArray(corpus, n, idCol, textCol)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
       .withColumn("gram", xxhash64(col("gram")))
-    val newSh = shingleArray(incoming, n, idCol, textCol)
+    val newSh0 = shingleArray(incoming, n, idCol, textCol)
       .select(col(idCol).as("a"), size(col("grams")).cast("long").as("na"),
         explode(col("grams")).as("gram"))
       .withColumn("gram", xxhash64(col("gram")))
+    val corpusSh = if (materialize) corpusSh0.localCheckpoint() else corpusSh0
+    val newSh = if (materialize) newSh0.localCheckpoint() else newSh0
     val heavy = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("gram")
     val keptCorpus = corpusSh.join(heavy, Seq("gram"), "left_anti")
@@ -425,9 +436,12 @@ object Dedup {
       .withColumn("__hmin",
         least(coalesce(col("__h"), lit(0L)), coalesce(col("__hb"), lit(0L))))
     // division form identical to finishJaccard (see jaccardPairs)
-    val maybe = withBounds.where(
+    val maybe0 = withBounds.where(
       (col("ck") + col("__hmin")).cast("double") /
         (col("na") + col("nb") - col("ck") - col("__hmin")) >= lit(threshold))
+    // the exact-now/sliver split reads `maybe` twice — checkpoint the
+    // (small, post-prune) pair frame so the candidate join never re-runs
+    val maybe = if (materialize) maybe0.localCheckpoint() else maybe0
     val exactNow = maybe.where(col("__hmin") === 0)
       .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
     val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
@@ -610,16 +624,21 @@ object Dedup {
   def containmentAgainst(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
                          threshold: Double = 0.8, idCol: String = "doc_id",
                          textCol: String = "text",
-                         maxDocFreq: Int = 20): DataFrame = {
+                         maxDocFreq: Int = 20,
+                         /** eager-checkpoint the gram streams and the bound
+                           * split — same rationale as [[jaccardAgainst]]. */
+                         materialize: Boolean = true): DataFrame = {
     require(maxDocFreq > 0, "containmentAgainst needs a positive corpus df cap")
-    val corpusSh = shingleArray(corpus, n, idCol, textCol)
+    val corpusSh0 = shingleArray(corpus, n, idCol, textCol)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
       .withColumn("gram", xxhash64(col("gram")))
-    val newSh = shingleArray(incoming, n, idCol, textCol)
+    val newSh0 = shingleArray(incoming, n, idCol, textCol)
       .select(col(idCol).as("a"), size(col("grams")).cast("long").as("na"),
         explode(col("grams")).as("gram"))
       .withColumn("gram", xxhash64(col("gram")))
+    val corpusSh = if (materialize) corpusSh0.localCheckpoint() else corpusSh0
+    val newSh = if (materialize) newSh0.localCheckpoint() else newSh0
     val heavy = corpusSh.groupBy("gram").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("gram")
     val keptCorpus = corpusSh.join(heavy, Seq("gram"), "left_anti")
@@ -635,9 +654,10 @@ object Dedup {
       .join(corpusHeavy.select(col(idCol).as("b"), col("__h").as("__hb")), Seq("b"), "left")
       .withColumn("__hmin",
         least(coalesce(col("__h"), lit(0L)), coalesce(col("__hb"), lit(0L))))
-    val maybe = withBounds.where(
+    val maybe0 = withBounds.where(
       (col("ck") + col("__hmin")).cast("double") /
         least(col("na"), col("nb")) >= lit(threshold))
+    val maybe = if (materialize) maybe0.localCheckpoint() else maybe0
     val exactNow = maybe.where(col("__hmin") === 0)
       .select(col("a"), col("b"), col("ck").as("common"), col("na"), col("nb"))
     val needVerify = maybe.where(col("__hmin") > 0).select("a", "b")
@@ -958,12 +978,19 @@ object Dedup {
                    * O(grams + k) per doc instead of O(grams·k) — the
                    * tokenizer-scale path; candidate recall equivalent in
                    * expectation, output exact either way (the verify). */
-                 oph: Boolean = false): DataFrame = {
+                 oph: Boolean = false,
+                 /** eager-checkpoint the shingled corpus — [[jaccardPairs]]'
+                   * contract. shArr feeds the signature map AND both sides
+                   * of the exact verify (3 lineage references), and the
+                   * shingle pass is scan-side, so without the barrier each
+                   * reference re-tokenizes + re-shingles the corpus. At
+                   * extreme scale where local disk cannot hold the shingled
+                   * corpus, pass `false` to trade the pin for two extra
+                   * scans (the pre-r20 behavior). */
+                 materialize: Boolean = true): DataFrame = {
     val bands = numHashes / rowsPerBand
-    // Uncached on purpose: shArr is consumed twice (signatures, verify) but
-    // is pure scan+tokenize — at 100 TB recomputing from the scan beats
-    // pinning the whole shingled corpus in storage memory.
-    val shArr = shingleArray(df, n, idCol, textCol)
+    val shArr0 = shingleArray(df, n, idCol, textCol)
+    val shArr = if (materialize) shArr0.localCheckpoint() else shArr0
     // gramless docs (shorter than n words / NULL text) get NO signature —
     // otherwise every one of them shares the all-MaxValue signature and they
     // band-bucket into a quadratic candidate clique
@@ -1417,7 +1444,12 @@ object Dedup {
     require(nb <= sigBits && sigBits <= 63, s"need bands <= sigBits <= 63, got $nb/$sigBits")
     // distinct() restores the old exploded-join's tolerance of duplicate
     // (id, sig) input rows (e.g. an accidental union of signature batches)
-    // — without it the expansion joins would multiply the duplicates
+    // — without it the expansion joins would multiply the duplicates.
+    // NOT checkpointed (r20 optimization round, measured): the distinct's
+    // exchange is what every downstream reference reuses at runtime
+    // (ReusedExchange fires — same columns everywhere), so an eager
+    // barrier here only adds a job and loses the action's column pruning
+    // (focused bench: 1.06 → 1.70 s on dedup_simhash_hamming with one).
     val ids0 = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .where(col("__sig").isNotNull).distinct()
     val ids = dropMegaCliques(ids0, maxBucket)

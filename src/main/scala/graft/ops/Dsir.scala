@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -59,13 +60,20 @@ object Dsir {
     val counts = grams(df, idCol, textCol)
       .select(hashB(col("gram"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").as("n")) // single row, broadcast below
-    spark.range(buckets).toDF("bucket")
+    // N rides a window over the ≤`buckets`-row counts frame (the
+    // [[graft.diff.DataDiff.directionalDriftFromCounts]] totals pattern).
+    // The old `counts.agg(sum)` + crossJoin(broadcast) referenced the
+    // counts LINEAGE twice and Catalyst planned them as two independent
+    // subtrees (no ReusedExchange): every bucketLogProbs call re-tokenized
+    // and re-exploded its whole corpus a second time just to read off the
+    // scalar total. The window is a single-partition pass over at most
+    // `buckets` post-aggregation rows — bounded by construction.
+    val everyBucket = spark.range(buckets).toDF("bucket")
       .join(counts, Seq("bucket"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("bucket"),
-        log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("n"), lit(0L)) + buckets)).as("logp"))
+      .select(col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
+    val n = sum("c").over(Window.partitionBy())
+    everyBucket.select(col("bucket"),
+      log((col("c") + 1).cast("double") / (n + buckets)).as("logp"))
   }
 
   /** Per-document DSIR importance scores against a target corpus, plus the

@@ -234,9 +234,15 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val ws = df.select(col(idCol), explode(words(col(textCol))).as("word"))
       .where(col("word") =!= "")
+    // ONE tokenization pass: tf is checkpointed (eager, executor-local) and
+    // document frequency derives from it — tf has exactly one row per
+    // (doc, word), so count-per-word over tf IS count(DISTINCT doc) per
+    // word. The old second `ws.distinct().groupBy` lineage re-tokenized
+    // the corpus (column pruning below the exchange defeats ReusedExchange
+    // — the ccnet pin's documented failure mode).
     val tf = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
-    val wdf = ws.select(col(idCol), col("word")).distinct()
-      .groupBy("word").agg(count("*").as("df"))
+      .localCheckpoint()
+    val wdf = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = df.agg(count("*").as("n_docs"))
     tf.join(wdf, Seq("word"))
       .crossJoin(broadcast(n))
@@ -282,8 +288,14 @@ object TextAnalysis {
                   maxKeptDf: Int = 0,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(topTerms >= 1, s"topTerms must be >= 1: $topTerms")
+    // kept is referenced by norms, the candidate join's BOTH sides and the
+    // verify join's both sides — up to 7 consumers. Checkpoint the ≤
+    // topTerms-rows-per-doc frame once; without the barrier each consumer
+    // re-ran the entire tfIdf lineage (tokenize + 2 aggregations + rank
+    // window): the pre-fix final plan carried 24 parquet scans.
     val kept = tfIdf(df, topTerms, idCol, textCol)
       .select(col(idCol), col("word"), col("score"))
+      .localCheckpoint()
     val norms = kept.groupBy(idCol)
       .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
       .where(col("nrm") > 0)
@@ -329,12 +341,24 @@ object TextAnalysis {
     * the right plan), one scalar broadcast of total token count. No driver
     * collection, no UDF — every expression codegen'd. */
   def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     /** eager-checkpoint the per-(doc, word) tf so corpus
+                       * frequency / token total derive from ONE
+                       * tokenization pass. [[ccnetBuckets]] passes `false`:
+                       * its own plan-keyed persist already bounds the
+                       * recomputation, and a checkpoint's nondeterministic
+                       * RDD leaf would defeat that CacheManager match. */
+                     materialize: Boolean = true): DataFrame = {
     val ws = df.select(col(idCol), explode(words(col(textCol))).as("word"))
       .where(col("word") =!= "")
-    val tf = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
-    val cf = ws.groupBy("word").agg(count("*").as("cf"))
-    val n = ws.agg(count("*").as("n_total"))
+    // ONE tokenization pass (the [[tfIdf]] move): corpus frequency and the
+    // total token count are exact integer sums over the checkpointed tf
+    // partials — the old three independent `ws` lineages each re-tokenized
+    // the corpus (no exchange reuse across differently-pruned columns).
+    val tf0 = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
+    val tf = if (materialize) tf0.localCheckpoint() else tf0
+    val cf = tf.groupBy("word").agg(sum("tf").as("cf"))
+    val n = cf.agg(sum("cf").as("n_total"))
     tf.join(cf, Seq("word"))
       .crossJoin(broadcast(n))
       .groupBy(idCol)
@@ -400,7 +424,9 @@ object TextAnalysis {
                                buckets: Int): (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     require(buckets > 0)
-    val nll = unigramLogProb(df, idCol, textCol)
+    // lazy LM: the persist below is keyed on the canonicalized plan, and a
+    // checkpoint's fresh RDD leaf would miss it on every rebuild
+    val nll = unigramLogProb(df, idCol, textCol, materialize = false)
     val scored = df.select(col(idCol), col(langCol)).join(nll, Seq(idCol))
     var handle: Option[DataFrame] = None
     val labeled =
@@ -472,9 +498,12 @@ object TextAnalysis {
           "i -> struct(element_at(__ws, i) AS l, element_at(__ws, i + 1) AS r))"))
         .as("__bi"))
       .select(col(idCol), col("__bi.l").as("l"), col("__bi.r").as("r"))
+    // ONE bigram-stream pass (the [[unigramLogProb]] move): both corpus
+    // counts are exact integer sums over the checkpointed per-doc tf.
     val tf = bi.groupBy(idCol, "l", "r").agg(count("*").as("tf"))
-    val c2 = bi.groupBy("l", "r").agg(count("*").as("c2"))
-    val cl = bi.groupBy("l").agg(count("*").as("cl"))
+      .localCheckpoint()
+    val c2 = tf.groupBy("l", "r").agg(sum("tf").as("c2"))
+    val cl = tf.groupBy("l").agg(sum("tf").as("cl"))
     tf.join(c2, Seq("l", "r")).join(cl, Seq("l"))
       .groupBy(idCol)
       .agg(
@@ -886,6 +915,10 @@ object TextAnalysis {
     require(maxDf >= 2, "maxDf < 2 would drop every span")
     // original-cased words for reassembly; the lowercased form is only the
     // match key, so casing and punctuation survive the rewrite
+    // (r20 optimization round, measured: NO eager checkpoint of the
+    // segmented stream — a consumer that prunes columns, e.g. a bare
+    // count, skips most of the segmentation work entirely, and a barrier
+    // forces the full frame: 0.15 → 0.58 s focused-bench regression.)
     val origWords = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
     val segs = df
       .select(col(idCol), origWords.as("__ws"))
