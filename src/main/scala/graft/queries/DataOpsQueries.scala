@@ -1052,6 +1052,11 @@ object DataOpsQueries {
         // 1. GATE: Gopher rule conjunction on the raw text
         val gateIds = TextAnalysis.gopherFilter(docs)
           .where(col("passes_gopher")).select("doc_id")
+        // NOT checkpointed (r20 optimization round, measured): lineDedup
+        // references `gated` three more times, but re-running the Gopher
+        // scoring pass is cheaper than serializing the full gated corpus
+        // (text included) into a fourth stage barrier — focused bench was
+        // neutral-to-worse (warm 5.6 → 6.4 s) with a checkpoint here.
         val gated = docs.join(gateIds, Seq("doc_id"))
         // 2. LINE DEDUP: induce line structure, drop corpus-heavy lines;
         // docs with no surviving line fall out of the corpus
