@@ -120,10 +120,24 @@ object Bench {
     // The driver captures only a tail of stdout, which truncates the
     // per-query map once it outgrows the window — persist the full map as a
     // sidecar so every registered query's timing survives for comparison.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    // The default sidecar path is UNCOMMITTED (gitignored): ten consecutive
+    // driver rounds clobbered the committed min-merge record because the
+    // bench wrote straight over BENCH_QUERIES.json. The committed record is
+    // now only ever written by tools/minmerge_bench.py folding BENCH_LAST
+    // runs in (VERDICT r20 #1).
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     println(line)
+    // The full contract line above is ~12 KB for 235 keys and the driver
+    // keeps only the last 2000 chars of stdout — every PERF_r*.json back to
+    // r01 shows `parsed: null` because the line starts outside the window.
+    // Emit a FINAL short line with the totals (no per-query map) so the
+    // captured tail always ends with parseable JSON (VERDICT r20 #2).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""n_queries":${results.size},"n_errors":${queryErrors.size},""" +
+      s""""n_warmup_errors":${warmupErrors.size},"sidecar":${jq(sidecar)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
