@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * cross-JVM focused runs drift 10-20% with host conditions and cannot
   * settle a same-magnitude delta.
   *
+  * OUTCOMES (min-of-8, idle host, recorded in OPTIMIZATION_r21.md): the
+  * MAD fusion and the DSIR derivation LOST and were reverted — so mad/old
+  * vs mad/new and dsir/old vs dsir/new now compare identical plans on a
+  * re-run; only curation/old-vs-new (the kept narrow gate checkpoint)
+  * still differs. Kept as the methodology record + the harness for any
+  * future re-probe.
+  *
   *   sbt "Test/runMain graft.ABProbeR21 [runs]"
   */
 object ABProbeR21 {
@@ -104,12 +111,17 @@ object ABProbeR21 {
       perDoc.withColumn("gumbel_key", col("log_importance") - log(-log(u)))
     }
 
-    // ---- curation capstone with/without the narrow gate checkpoint ------
-    def curation(gateCkpt: Boolean): DataFrame = {
+    // ---- curation capstone: gate checkpoint + wide-vs-narrow stage pins --
+    // mode 0 = r20 shape (no gate ckpt, WIDE fuzzy/decon checkpoints)
+    // mode 1 = narrow gate ckpt, wide stages (the kept r21 change)
+    // mode 2 = narrow gate ckpt + NARROW loser/dirty id checkpoints; fuzzy
+    //          and decon stay lazy anti-joins against the `cleaned` leaf —
+    //          the corpus text is serialized ONCE (cleaned) instead of 3x
+    def curation(mode: Int): DataFrame = {
       val d = docs
       val gateIds0 = graft.ops.TextAnalysis.gopherFilter(d)
         .where(col("passes_gopher")).select("doc_id")
-      val gateIds = if (gateCkpt) gateIds0.localCheckpoint() else gateIds0
+      val gateIds = if (mode >= 1) gateIds0.localCheckpoint() else gateIds0
       val gated = d.join(gateIds, Seq("doc_id"))
       val lined = graft.ops.TextAnalysis.lineDedup(
         gated.withColumn("text", regexp_replace(col("text"), " (the|a) ", "\n")),
@@ -118,17 +130,19 @@ object ABProbeR21 {
         lined.where(col("n_lines_kept") >= 1)
           .select(col("doc_id"), col("text_deduped").as("text")), Seq("doc_id"))
         .localCheckpoint()
-      val losers = graft.ops.Dedup.jaccardPairs(cleaned, n = 3, threshold = 0.5,
+      val losers0 = graft.ops.Dedup.jaccardPairs(cleaned, n = 3, threshold = 0.5,
           maxDocFreq = 20)
         .select(col("b").as("doc_id")).distinct()
-      val fuzzy = cleaned.join(losers, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val losers = if (mode == 2) losers0.localCheckpoint() else losers0
+      val fuzzy0 = cleaned.join(losers, Seq("doc_id"), "left_anti")
+      val fuzzy = if (mode == 2) fuzzy0 else fuzzy0.localCheckpoint()
       val b = graft.ops.Sampling.hashBucket(col("doc_id"))
       val train = fuzzy.where(b >= 10)
-      val dirty = graft.ops.Dedup.contamination(train, fuzzy.where(b < 10), n = 5)
+      val dirty0 = graft.ops.Dedup.contamination(train, fuzzy.where(b < 10), n = 5)
         .select("doc_id")
-      val decon = train.join(dirty, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val dirty = if (mode == 2) dirty0.localCheckpoint() else dirty0
+      val decon0 = train.join(dirty, Seq("doc_id"), "left_anti")
+      val decon = if (mode == 2) decon0 else decon0.localCheckpoint()
       val mixed = graft.ops.Sampling.mixture(decon, "lang",
         Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
       graft.ops.Sampling.split(mixed)
@@ -146,8 +160,9 @@ object ABProbeR21 {
         .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))),
       "dsir/old" -> (() => oldDsirScores(docs, docs.where(col("lang") === "en"))),
       "dsir/new" -> (() => graft.ops.Dsir.scores(docs, docs.where(col("lang") === "en"))),
-      "curation/old" -> (() => curation(gateCkpt = false)),
-      "curation/new" -> (() => curation(gateCkpt = true)))
+      "curation/old" -> (() => curation(0)),
+      "curation/new" -> (() => curation(1)),
+      "curation/narrow" -> (() => curation(2)))
 
     variants.foreach { case (name, mk) =>
       spark.sparkContext.setJobDescription(s"warmup:$name"); mk().count()
