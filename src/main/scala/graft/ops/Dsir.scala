@@ -63,7 +63,11 @@ object Dsir {
     * subtrees (no ReusedExchange): every bucketLogProbs call re-tokenized
     * and re-exploded its whole corpus a second time just to read off the
     * scalar total. The window is a single-partition pass over at most
-    * `buckets` post-aggregation rows — bounded by construction. */
+    * `buckets` post-aggregation rows — bounded by construction, so
+    * Spark's "No Partition Defined for Window operation" WARN that this
+    * emits at default log levels is expected and harmless here (ADVICE
+    * r20 #5: noted rather than suppressed — a global log filter would
+    * also hide the warning where it IS the bug). */
   private def logProbsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val everyBucket = counts.sparkSession.range(buckets).toDF("bucket")
       .join(counts, Seq("bucket"), "left")
